@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  * Plain `spark.read.parquet` so Catalyst's parquet source handles
+  * predicate pushdown / column pruning / partition planning — at 100 TB
+  * these become many-file scans and the same code path holds.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
+    * Verify/Bench). Normalize to TimestampType (micros) here so queries
+    * see one schema either way.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+      case _ => df
+    }
+  }
+}

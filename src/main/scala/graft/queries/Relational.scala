@@ -1,0 +1,455 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2.2): the reference
+  * delegates all of these to DataFusion over its segment scan; we express
+  * them Spark-first with the DataFrame API and let Catalyst/Tungsten plan
+  * them (broadcast joins for dims, partial aggregation, TopK, WSCG).
+  *
+  * Determinism rules (DuckDB-oracle hash compare):
+  *  - every query ends in a total ORDER BY;
+  *  - double-typed aggregates are round()ed (both engines round positive
+  *    values identically);
+  *  - timestamps in output are cast to date or string.
+  */
+object Relational extends QuerySet {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  def all: Seq[Q] = Seq(
+
+    // -- TPC-H Q1 style: scan + filter + hash agg (partial+final) + sort.
+    Q("q1_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= ts("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(avg(col("l_quantity")), 2).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 2) AS avg_qty,
+              count(*) AS count_order
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    // -- TPC-H Q6 style: selective filter fully pushed to the parquet scan.
+    Q("q2_filter_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                  col("l_shipdate") < ts("1997-01-01") &&
+                  col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                  col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+              count(*) AS n_rows
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // -- TPC-H Q3 style: 3-way shuffle join + agg + TopK
+    //    (TakeOrderedAndProject; the orders/customer side is broadcast at
+    //    small SF via AQE, shuffle-hash at 100 TB).
+    Q("q3_join_topk",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.load(s, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01"))
+        val l = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .select(col("l_orderkey"),
+                  col("o_orderdate").cast("date").cast("string").as("o_orderdate"),
+                  col("o_orderpriority"), col("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+              o_orderpriority,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+                AND o_orderkey = l_orderkey
+                AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+              GROUP BY l_orderkey, o_orderdate, o_orderpriority
+              ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // -- TPC-H Q4 style: EXISTS as left-semi join.
+    Q("q4_semi_exists",
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                  col("o_orderdate") < ts("1996-07-01"))
+        val l = Tables.load(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- Star-schema dim joins: explicitly broadcast the small dims.
+    Q("q5_broadcast_dims",
+      (s, dir) => {
+        val su = Tables.load(s, dir, "supplier")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+               round(sum(col("s_acctbal")), 2).as("total_acctbal"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, count(*) AS n_suppliers,
+              round(sum(s_acctbal), 2) AS total_acctbal
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name ORDER BY r_name""")),
+
+    // -- NOT EXISTS as left-anti join.
+    Q("q6_anti_join",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val o = Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") < ts("1995-07-01"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers
+              FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                                AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- Ranking window function + filter (top-3 per group).
+    Q("q7_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") < 100)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  round(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+              FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders WHERE o_custkey < 100) t
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // -- Analytic window functions: running sum + lag over a time order.
+    Q("q8_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey") < 20)
+          .withColumn("running_qty",
+            round(sum(col("l_quantity")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                  col("running_qty"), col("prev_qty"))
+          .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+              round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+              lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+              FROM lineitem WHERE l_suppkey < 20
+              ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
+
+    // -- Distinct aggregation (expand + two-phase agg in Spark).
+    Q("q9_distinct_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+               countDistinct(col("l_partkey")).as("n_part"),
+               count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+              count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- Set operations: symmetric difference via UNION/INTERSECT/EXCEPT.
+    Q("q10_setops",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val a = p.filter(col("p_size") < 10).select(col("p_brand"))
+        val b = p.filter(col("p_retailprice") > 1500).select(col("p_brand"))
+        a.union(b).distinct()
+          .except(a.intersect(b))
+          .orderBy(col("p_brand"))
+      },
+      Some("""(SELECT p_brand FROM part WHERE p_size < 10
+               UNION
+               SELECT p_brand FROM part WHERE p_retailprice > 1500)
+              EXCEPT
+              (SELECT p_brand FROM part WHERE p_size < 10
+               INTERSECT
+               SELECT p_brand FROM part WHERE p_retailprice > 1500)
+              ORDER BY p_brand""")),
+
+    // -- ROLLUP with grouping_id.
+    Q("q11_rollup",
+      (s, dir) => {
+        val su = Tables.load(s, dir, "supplier")
+        val n = Tables.load(s, dir, "nation")
+        val r = Tables.load(s, dir, "region")
+        su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("s_acctbal")), 2).as("acctbal"),
+               grouping_id().as("gid"))
+          .orderBy(col("gid"), col("r_name").asc_nulls_last, col("n_name").asc_nulls_last)
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n, round(sum(s_acctbal), 2) AS acctbal,
+              GROUPING(r_name, n_name) AS gid
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP (r_name, n_name)
+              ORDER BY gid, r_name NULLS LAST, n_name NULLS LAST""")),
+
+    // -- CUBE with grouping_id.
+    Q("q12_cube",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_quantity")), 2).as("qty"),
+               grouping_id().as("gid"))
+          .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+                   col("l_linestatus").asc_nulls_last)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              round(sum(l_quantity), 2) AS qty,
+              GROUPING(l_returnflag, l_linestatus) AS gid
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)
+              ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""")),
+
+    // -- Conditional aggregation (TPC-H Q14 style promo share).
+    Q("q13_case_agg",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val p = Tables.load(s, dir, "part")
+        val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(round(lit(100.0) *
+                 sum(when(col("p_size") < 25, disc).otherwise(lit(0.0))) / sum(disc), 4)
+               .as("small_part_pct"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT round(100.0 *
+                sum(CASE WHEN p_size < 25 THEN l_extendedprice * (1.0 - l_discount)
+                         ELSE 0.0 END) /
+                sum(l_extendedprice * (1.0 - l_discount)), 4) AS small_part_pct,
+              count(*) AS n_rows
+              FROM lineitem JOIN part ON l_partkey = p_partkey""")),
+
+    // -- Scalar string/math functions (identical semantics both engines).
+    Q("q14_scalar_funcs",
+      (s, dir) => {
+        Tables.load(s, dir, "part")
+          .filter(col("p_partkey") <= 200)
+          .select(col("p_partkey"),
+                  upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+                  length(col("p_name")).as("name_len"),
+                  abs(col("p_size") - 25).as("size_dist"),
+                  round(sqrt(col("p_retailprice")), 3).as("price_sqrt"),
+                  concat(col("p_brand"), lit("_"), col("p_type")).as("brand_type"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, upper(substring(p_name, 1, 8)) AS name_prefix,
+              length(p_name) AS name_len, abs(p_size - 25) AS size_dist,
+              round(sqrt(p_retailprice), 3) AS price_sqrt,
+              concat(p_brand, '_', p_type) AS brand_type
+              FROM part WHERE p_partkey <= 200 ORDER BY p_partkey""")),
+
+    // -- Date/time extraction + truncation.
+    Q("q15_datetime",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"),
+                   month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n_orders"),
+               round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("yr"), col("mo"))
+      },
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+              count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+              FROM orders GROUP BY yr, mo ORDER BY yr, mo""")),
+
+    // -- IN-subquery as semi join over a broadcast dim.
+    Q("q16_in_subquery",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer")
+        val n = Tables.load(s, dir, "nation").filter(col("n_regionkey") === 0)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+               round(avg(col("c_acctbal")), 2).as("avg_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+              round(avg(c_acctbal), 2) AS avg_bal
+              FROM customer
+              WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- Scalar subquery (global avg) against every row.
+    Q("q17_scalar_subquery",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        val avgPrice = p.agg(avg(col("p_retailprice")).as("ap"))
+        p.crossJoin(broadcast(avgPrice))
+          .filter(col("p_retailprice") > col("ap"))
+          .agg(count(lit(1)).as("n_above_avg"),
+               round(min(col("p_retailprice")), 2).as("min_price"),
+               round(max(col("p_retailprice")), 2).as("max_price"))
+      },
+      Some("""SELECT count(*) AS n_above_avg,
+              round(min(p_retailprice), 2) AS min_price,
+              round(max(p_retailprice), 2) AS max_price
+              FROM part
+              WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)""")),
+
+    // -- HAVING over a big agg + join back (TPC-H Q18 style).
+    Q("q18_having",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val o = Tables.load(s, dir, "orders")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+          .filter(col("total_qty") > 150)
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderkey"), col("o_custkey"),
+                  round(col("o_totalprice"), 2).as("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice,
+              total_qty
+              FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                    FROM lineitem GROUP BY l_orderkey
+                    HAVING round(sum(l_quantity), 2) > 150) t
+              JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""")),
+
+    // -- Non-equi (theta) self join.
+    Q("q19_theta_join",
+      (s, dir) => {
+        val n1 = Tables.load(s, dir, "nation").select(
+          col("n_nationkey").as("k1"), col("n_regionkey").as("r1"))
+        val n2 = Tables.load(s, dir, "nation").select(
+          col("n_nationkey").as("k2"), col("n_regionkey").as("r2"))
+        n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+          .groupBy(col("r1").as("regionkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("regionkey"))
+      },
+      Some("""SELECT n1.n_regionkey AS regionkey, count(*) AS n_pairs
+              FROM nation n1 JOIN nation n2
+                ON n1.n_regionkey = n2.n_regionkey
+               AND n1.n_nationkey < n2.n_nationkey
+              GROUP BY n1.n_regionkey ORDER BY regionkey""")),
+
+    // -- Exact percentiles (continuous interpolation in both engines).
+    Q("q20_percentile",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(round(expr("percentile(l_quantity, 0.5)"), 2).as("median_qty"),
+               round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+              round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- Time-bucketed aggregation over the events stream table.
+    Q("q21_time_bucket",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).cast("date").cast("string").as("day"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day, event_type,
+              count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // -- Min/max/first-last-free summary per group (fully deterministic).
+    Q("q22_minmax",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(min(col("o_orderdate")).cast("date").cast("string").as("first_date"),
+               max(col("o_orderdate")).cast("date").cast("string").as("last_date"),
+               round(min(col("o_totalprice")), 2).as("min_price"),
+               round(max(col("o_totalprice")), 2).as("max_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+              CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS first_date,
+              CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS last_date,
+              round(min(o_totalprice), 2) AS min_price,
+              round(max(o_totalprice), 2) AS max_price
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- Approximate aggregates (HLL / quantile sketch). Algorithms differ
+    //    engine-to-engine, so no value-level oracle — rows-only check.
+    Q("q23_approx",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+               expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
+  )
+}
