@@ -6,11 +6,13 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def sets: Seq[QuerySet] = Seq(Relational)
+  private def sets: Seq[QuerySet] = Seq(Relational, DruidQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Round-trips lineitem through the segment writer + DSv2 connector.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    DruidQueries.queries("dr3_lineitem_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Queries that exercise the flagship capability: round-trip the
+  * driver's tables through our Druid v9 segment writer, then query them
+  * through the DSv2 connector (`format("druid")`). The DuckDB oracle
+  * runs the same logic over the original parquet — so these verify the
+  * writer, the decoders, the connector, and the pushdowns end to end.
+  */
+object DruidQueries extends QuerySet {
+
+  private val written = scala.collection.mutable.Set[String]()
+
+  /** Write `df` (must carry a `__time` timestamp column) as a druid
+    * segment table once per JVM, returning its directory.
+    */
+  private def segTable(name: String, dir: String, df: => DataFrame): String =
+    synchronized {
+      val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$name"
+      if (!written.contains(out)) {
+        df.write.format("druid").mode("overwrite").save(out)
+        written += out
+      }
+      out
+    }
+
+  private def eventsSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("events", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"), col("user_id"),
+                col("value"), col("props"))
+        .repartition(4))
+    s.read.format("druid").load(path)
+  }
+
+  private def lineitemSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("lineitem", dir,
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_shipdate").as("__time"), col("l_orderkey"),
+                col("l_partkey"), col("l_quantity"), col("l_extendedprice"),
+                col("l_discount"), col("l_returnflag"))
+        .repartition(4))
+    s.read.format("druid").load(path)
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // -- Full pipeline: parquet -> segment writer -> DSv2 columnar scan
+    //    -> hash agg. Matches the oracle on the source parquet.
+    Q("dr1_roundtrip_agg",
+      (s, dir) => {
+        eventsSeg(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("total_value"),
+               countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+              count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -- __time range pushdown: the scan prunes whole segments by their
+    //    index.drd interval; Spark re-filters rows (residual) for edges.
+    Q("dr2_time_prune",
+      (s, dir) => {
+        eventsSeg(s, dir)
+          .filter(col("__time") >= lit(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+                  col("__time") < lit(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n FROM events
+              WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                AND ts < TIMESTAMP '2024-01-20 00:00:00'
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // -- TPC-H Q1 shape over segments: column pruning + dictionary
+    //    strings + double metrics through the vectorized reader.
+    Q("dr3_lineitem_agg",
+      (s, dir) => {
+        lineitemSeg(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+               round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+                 .as("revenue"),
+               count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+              count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- Segment scan joined against a parquet dim (mixed-source join).
+    Q("dr4_druid_join",
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part")
+        lineitemSeg(s, dir)
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_extendedprice")), 2).as("total_price"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+              round(sum(l_extendedprice), 2) AS total_price
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand ORDER BY p_brand""")),
+  )
+}

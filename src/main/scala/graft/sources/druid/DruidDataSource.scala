@@ -1,0 +1,108 @@
+package graft.sources.druid
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.format.{ColumnDescriptor, DruidSegment}
+
+/** Spark DataSource V2 for Druid v9 segment directories:
+  * `spark.read.format("druid").load(dir)` /
+  * `df.write.format("druid").save(dir)`.
+  *
+  * The reference exposes one segment as one DataFusion table with a
+  * single partition and projection-only pushdown
+  * (src/datafusion_ext/table_provider.rs:47-72,
+  * execution_plan.rs:42). This connector upgrades all three axes for
+  * cluster scale:
+  *  - a directory of segments is one table; each segment contributes
+  *    row-range splits at compressed-block granularity, so a 1000-executor
+  *    cluster parallelizes within and across segments;
+  *  - column pruning AND segment-interval time pruning AND limit
+  *    pushdown;
+  *  - vectorized ColumnarBatch reads feeding whole-stage codegen.
+  */
+class DruidDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "druid"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    if (p == null) throw new IllegalArgumentException("druid source requires a path")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DruidTableUtil.schemaFor(path(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new DruidTable(properties.get("path"), schema)
+}
+
+object DruidTableUtil {
+  /** A table path is either one segment dir or a directory whose
+    * subdirectories are segment dirs (the multi-segment layout the
+    * reference never supports).
+    */
+  def discoverSegments(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (DruidSegment.isSegmentDir(p)) Seq(root)
+    else if (Files.isDirectory(p)) {
+      val segs = Files.list(p).iterator().asScala
+        .filter(d => Files.isDirectory(d) && DruidSegment.isSegmentDir(d))
+        .map(_.toString).toSeq.sorted
+      if (segs.isEmpty)
+        throw new IllegalArgumentException(s"no druid segments under $root")
+      segs
+    } else throw new IllegalArgumentException(s"not a directory: $root")
+  }
+
+  def sparkType(valueType: String): DataType = valueType match {
+    case "STRING" => StringType
+    case "LONG" => LongType
+    case "FLOAT" => FloatType
+    case "DOUBLE" => DoubleType
+    case "COMPLEX" => BinaryType
+    case other => throw new IllegalArgumentException(s"unknown valueType $other")
+  }
+
+  /** Schema = `__time` as TimestampType plus every column from its JSON
+    * descriptor (reference src/segment/mod.rs:59-68,118-129). Read once
+    * on the driver from the first segment.
+    */
+  def schemaFor(root: String): StructType = {
+    val seg = DruidSegment.open(discoverSegments(root).head)
+    StructType(seg.columnNames.map { name =>
+      if (name == "__time") StructField("__time", TimestampType, nullable = false)
+      else {
+        val (desc, _, _) = seg.columnHeader(name)
+        StructField(name, sparkType(desc.valueType), nullable = true)
+      }
+    })
+  }
+}
+
+class DruidTable(root: String, schema0: StructType) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String = s"druid:$root"
+  override def schema(): StructType =
+    if (schema0 != null) schema0 else DruidTableUtil.schemaFor(root)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DruidScanBuilder(root, schema(), options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new DruidWriteBuilder(root, info.schema())
+}

@@ -1,0 +1,108 @@
+package graft.sources.druid
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+import graft.format._
+
+/** Executor-side vectorized reader. Opens the segment's mmap, decodes
+  * only the compressed blocks covering [rowStart, rowEnd), and emits
+  * ColumnarBatches that flow straight into whole-stage codegen.
+  *
+  * The reference decodes whole columns into one batch on a single
+  * thread (src/datafusion_ext/execution_plan.rs:95-116); here every
+  * split streams batchSize rows at a time with one cached block per
+  * column — memory per task is O(batch + one block per column).
+  */
+class DruidPartitionReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = true
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
+    new DruidColumnarReader(p.asInstanceOf[DruidInputPartition], required)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val columnar = createColumnarReader(p)
+    new PartitionReader[InternalRow] {
+      private var rows: java.util.Iterator[InternalRow] = _
+      override def next(): Boolean = {
+        while (rows == null || !rows.hasNext) {
+          if (!columnar.next()) return false
+          rows = columnar.get().rowIterator()
+        }
+        true
+      }
+      override def get(): InternalRow = rows.next()
+      override def close(): Unit = columnar.close()
+    }
+  }
+}
+
+class DruidColumnarReader(part: DruidInputPartition, required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+
+  private val segment = DruidSegment.open(part.dir)
+  private val columns: Array[ColumnData] =
+    required.fields.map(f => segment.column(f.name))
+  // dictionaries decoded once per split, not once per row
+  private val dictionaries: Array[Array[Array[Byte]]] = columns.map {
+    case StringColumnData(sc) => sc.dictionaryBytes
+    case _ => null
+  }
+
+  private var pos = part.rowStart
+  private val vectors: Array[OnHeapColumnVector] =
+    required.fields.map(f => new OnHeapColumnVector(part.batchSize, f.dataType))
+  private var batch: ColumnarBatch = _
+
+  override def next(): Boolean = {
+    if (pos >= part.rowEnd) return false
+    val n = math.min(part.batchSize, part.rowEnd - pos)
+    var c = 0
+    while (c < columns.length) {
+      val v = vectors(c)
+      v.reset()
+      columns(c) match {
+        case TimeColumnData(longs) =>
+          var i = 0
+          while (i < n) { v.putLong(i, longs.get(pos + i) * 1000L); i += 1 }
+        case LongColumnData(longs) =>
+          var i = 0
+          while (i < n) { v.putLong(i, longs.get(pos + i)); i += 1 }
+        case DoubleColumnData(doubles) =>
+          var i = 0
+          while (i < n) { v.putDouble(i, doubles.get(pos + i)); i += 1 }
+        case FloatColumnData(floats) =>
+          var i = 0
+          while (i < n) { v.putFloat(i, floats.get(pos + i)); i += 1 }
+        case StringColumnData(sc) =>
+          val dict = dictionaries(c)
+          val ids = sc.ids
+          var i = 0
+          while (i < n) {
+            val b = dict(ids.get(pos + i))
+            if (b == null) v.putNull(i) else v.putByteArray(i, b)
+            i += 1
+          }
+        case ComplexColumnData(gi) =>
+          var i = 0
+          while (i < n) {
+            val b = gi.bytesAt(pos + i)
+            if (b == null) v.putNull(i) else v.putByteArray(i, b)
+            i += 1
+          }
+      }
+      c += 1
+    }
+    batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
+    pos += n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = vectors.foreach(_.close())
+}

@@ -1,0 +1,131 @@
+package graft.sources.druid
+
+import java.util.OptionalLong
+
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.format.DruidSegment
+
+/** Scan builder with the three pushdowns the reference drops on the
+  * floor (filters+limit ignored at
+  * src/datafusion_ext/table_provider.rs:63-65):
+  *  - column pruning (the only one the reference has);
+  *  - `__time` range extraction -> whole-segment interval pruning
+  *    (filters stay residual, Spark re-evaluates them row-level, so
+  *    overlap at segment edges is still correct);
+  *  - limit -> per-partition row cap.
+  */
+class DruidScanBuilder(root: String, fullSchema: StructType,
+                       options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  private var timeMin: Long = Long.MinValue
+  private var timeMax: Long = Long.MaxValue // inclusive bounds, millis
+  private var limit: Int = -1
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def millis(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case d: java.time.LocalDateTime => // TimestampNTZ filters; session TZ is UTC
+      Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case GreaterThan("__time", v) => millis(v).foreach(m => timeMin = math.max(timeMin, m + 1))
+      case GreaterThanOrEqual("__time", v) => millis(v).foreach(m => timeMin = math.max(timeMin, m))
+      case LessThan("__time", v) => millis(v).foreach(m => timeMax = math.min(timeMax, m - 1))
+      case LessThanOrEqual("__time", v) => millis(v).foreach(m => timeMax = math.min(timeMax, m))
+      case EqualTo("__time", v) => millis(v).foreach { m =>
+        timeMin = math.max(timeMin, m); timeMax = math.min(timeMax, m)
+      }
+      case _ => ()
+    }
+    pushed = filters.filter {
+      case GreaterThan("__time", _) | GreaterThanOrEqual("__time", _) |
+           LessThan("__time", _) | LessThanOrEqual("__time", _) |
+           EqualTo("__time", _) => true
+      case _ => false
+    }
+    filters // all residual: we prune storage, Spark verifies rows
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // default isPartiallyPushed => Spark still applies the global limit
+
+  override def build(): Scan =
+    new DruidScan(root, required, timeMin, timeMax, limit,
+      options.getLong("rowsPerSplit", 4L * 1024 * 1024),
+      options.getInt("batchSize", 4096))
+}
+
+final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
+                                     limit: Int, batchSize: Int)
+    extends InputPartition
+
+class DruidScan(root: String, required: StructType,
+                timeMinMs: Long, timeMaxMs: Long, limit: Int,
+                rowsPerSplit: Long, batchSize: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
+      s"time=[$timeMinMs,$timeMaxMs], limit=$limit)"
+
+  private lazy val segments: Seq[String] = DruidTableUtil.discoverSegments(root)
+
+  /** Segments whose [start, end) interval intersects the pushed time
+    * range (interval from index.drd; reference src/segment/metadata.rs:22-23
+    * parses it but never uses it for pruning).
+    */
+  private lazy val prunedSegments: Seq[(String, Int)] = segments.flatMap { dir =>
+    val seg = DruidSegment.open(dir)
+    val m = seg.metadata
+    val intersects = m.intervalStartMs <= timeMaxMs && m.intervalEndMs > timeMinMs
+    if (intersects) Some(dir -> seg.numRows) else None
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = prunedSegments.flatMap { case (dir, rows) =>
+      // split on row ranges; readers decode only the compressed blocks
+      // covering their range, so splits parallelize within one segment
+      val per = math.max(1, math.min(rowsPerSplit, Int.MaxValue.toLong).toInt)
+      val capped = if (limit >= 0) math.min(rows, limit) else rows
+      (0 until capped by per).map { start =>
+        DruidInputPartition(dir, start, math.min(capped, start + per), limit, batchSize)
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DruidPartitionReaderFactory(required)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val totalRows = prunedSegments.map(_._2.toLong).sum
+    // ~bytes per row from schema (strings estimated at 16B)
+    private lazy val rowBytes = required.fields.map(_.dataType match {
+      case StringType => 16L
+      case DoubleType | LongType | TimestampType => 8L
+      case FloatType => 4L
+      case _ => 16L
+    }).sum.max(1L)
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(totalRows * rowBytes)
+    override def numRows(): OptionalLong = OptionalLong.of(totalRows)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.format.Compression
+import graft.write.SegmentWriter
+import graft.write.SegmentWriter._
+
+class DruidSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def writeFixture(n: Int): String = {
+    val dir = Files.createTempDirectory("graft-dsv2")
+    val time = Array.tabulate(n)(i => 1700000000000L + i * 60000L)
+    SegmentWriter.write(dir.resolve("seg-a"), time.take(n / 2), Seq(
+      "dim" -> StringValues(Array.tabulate(n / 2)(i => if (i % 11 == 0) null else s"k${i % 7}")),
+      "metric" -> LongValues(Array.tabulate(n / 2)(_.toLong)),
+      "score" -> DoubleValues(Array.tabulate(n / 2)(_ * 0.5))),
+      compression = Compression.LZ4)
+    SegmentWriter.write(dir.resolve("seg-b"), time.drop(n / 2), Seq(
+      "dim" -> StringValues(Array.tabulate(n - n / 2)(i => s"k${i % 5}")),
+      "metric" -> LongValues(Array.tabulate(n - n / 2)(i => (i + 1000).toLong)),
+      "score" -> DoubleValues(Array.tabulate(n - n / 2)(_ * 0.25))),
+      compression = Compression.ZSTD)
+    dir.toString
+  }
+
+  test("multi-segment read with schema, rows, values") {
+    val dir = writeFixture(2000)
+    val df = spark.read.format("druid").load(dir)
+    assert(df.columns.toSeq == Seq("__time", "dim", "metric", "score"))
+    assert(df.count() == 2000)
+    val nulls = df.filter(col("dim").isNull).count()
+    assert(nulls == (0 until 1000).count(_ % 11 == 0))
+    val sum = df.agg(org.apache.spark.sql.functions.sum("metric")).head.getLong(0)
+    assert(sum == (0 until 1000).map(_.toLong).sum + (0 until 1000).map(_ + 1000L).sum)
+  }
+
+  test("projection pruning and count(*) without decode") {
+    val dir = writeFixture(500)
+    val df = spark.read.format("druid").load(dir).select("metric")
+    assert(df.columns.toSeq == Seq("metric"))
+    assert(spark.read.format("druid").load(dir).count() == 500)
+  }
+
+  test("row-range splits produce multiple partitions") {
+    val dir = writeFixture(4000)
+    val df = spark.read.format("druid").option("rowsPerSplit", 256).load(dir)
+    assert(df.rdd.getNumPartitions >= 8)
+    assert(df.count() == 4000)
+    // values identical to an unsplit read
+    val whole = spark.read.format("druid").load(dir)
+      .agg(sum("metric"), sum("score")).head
+    val split = df.agg(sum("metric"), sum("score")).head
+    assert(whole == split)
+  }
+
+  test("time-range filter prunes segments and stays correct") {
+    val dir = writeFixture(2000)
+    // boundary inside seg-b's interval
+    val cut = new java.sql.Timestamp(1700000000000L + 1500L * 60000L)
+    val df = spark.read.format("druid").load(dir)
+      .filter(col("__time") >= lit(cut))
+    assert(df.count() == 500)
+    val explained = df.queryExecution.executedPlan.toString
+    assert(explained.contains("DruidScan"))
+  }
+
+  test("spark write -> druid -> read round-trip") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dsv2-write").toString + "/t"
+    val src = (0 until 1000).map(i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L),
+        s"u${i % 13}", i.toLong, i * 0.125))
+      .toDF("__time", "user", "n", "x")
+    src.repartition(3).write.format("druid").mode("overwrite").save(out)
+    val back = spark.read.format("druid").load(out)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("n")).head.getLong(0) == (0 until 1000).map(_.toLong).sum)
+    assert(back.select(countDistinct("user")).head.getLong(0) == 13)
+    // overwrite truncates
+    src.limit(10).write.format("druid").mode("overwrite").save(out)
+    assert(spark.read.format("druid").load(out).count() == 10)
+  }
+
+  test("limit pushdown caps partition work") {
+    val dir = writeFixture(2000)
+    val rows = spark.read.format("druid").load(dir).limit(5).collect()
+    assert(rows.length == 5)
+  }
+}
