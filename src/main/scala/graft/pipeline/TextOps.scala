@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators for large-scale training-data curation:
+  * shingling, MinHash+LSH, SimHash, exact n-gram Jaccard, language-ID,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All hashing is pure integer arithmetic over character n-gram codes
+  * ((a*x + b) mod P with P prime, BIGINT-safe in ANSI mode), so the
+  * exact same computation is expressible in portable SQL — the DuckDB
+  * oracles replay it bit-for-bit. At scale everything here is
+  * shuffle-lean: shingle explode is map-side, MinHash reduces
+  * (doc x gram x k) to (doc x k) with a partial min aggregate, and LSH
+  * turns the quadratic all-pairs problem into an equi-join on band
+  * signatures.
+  */
+object TextOps {
+
+  /** Hash-family constants, shared verbatim with the SQL oracles. */
+  val P = 1000003L
+  def aConst(j: Int): Long = (7919L * (j + 1)) % P
+  def bConst(j: Int): Long = (104729L * (j + 7)) % P
+
+  /** 5-gram integer code at 1-based position `i` of `text` (5 chars
+    * base-256; BIGINT to survive ANSI overflow checks). Identical text
+    * works in Spark SQL and DuckDB.
+    */
+  val gram5Sql: String =
+    "(((CAST(ascii(substring(text, i, 1)) AS BIGINT) * 256 + " +
+      "ascii(substring(text, i + 1, 1))) * 256 + " +
+      "ascii(substring(text, i + 2, 1))) * 256 + " +
+      "ascii(substring(text, i + 3, 1))) * 256 + " +
+      "ascii(substring(text, i + 4, 1))"
+
+  def minhashHashSql(j: Int): String = s"(${aConst(j)} * tg + ${bConst(j)}) % $P"
+
+  /** Distinct character 5-gram codes per document: (doc_id, tg). */
+  def grams5(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 4)")).as("i"))
+      .selectExpr("doc_id", s"$gram5Sql AS tg")
+      .distinct()
+
+  /** MinHash signatures: (doc_id, j, h) for j in [0, k). The partial min
+    * combines map-side, so the shuffle carries k rows per document.
+    */
+  def minhash(grams: DataFrame, k: Int): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val params = (0 until k).map(j => (j, aConst(j), bConst(j))).toDF("j", "a", "b")
+    grams.crossJoin(broadcast(params))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(expr(s"(a * tg + b) % $P")).as("h"))
+  }
+
+  /** LSH band signatures: fold each band of `bandSize` minhashes into
+    * one BIGINT (12-bit folds so 4 terms stay far under 2^63). Banding
+    * turns near-dup search into an equi-join: docs sharing any
+    * (band, sig) are candidates.
+    */
+  def bandSignatures(mh: DataFrame, bandSize: Int = 4): DataFrame =
+    mh.groupBy(col("doc_id"), expr(s"j div $bandSize").as("band"))
+      .agg(sum(expr(
+        "(h % 4096) * CAST(CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 4096 " +
+          "WHEN 2 THEN 16777216 ELSE 68719476736 END AS BIGINT)")).as("sig"))
+
+  /** Candidate pairs from shared band signatures (d1 < d2). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
+    val b = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig")).filter(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact Jaccard over 5-gram sets for given pairs. */
+  def exactJaccard(grams: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val g1 = grams.select(col("doc_id").as("d1"), col("tg"))
+    val g2 = grams.select(col("doc_id").as("d2"), col("tg"))
+    val inter = pairs.join(g1, "d1").join(g2, Seq("d2", "tg"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("ic"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), "d2")
+      .withColumn("jaccard", round(col("ic") / (col("sz1") + col("sz2") - col("ic")), 4))
+  }
+
+  /** SimHash signatures (nBits <= 16): per bit j, sign-sum of the j-th
+    * hash's parity over the doc's grams.
+    */
+  def simhash(grams: DataFrame, nBits: Int = 16): DataFrame = {
+    val spark = grams.sparkSession
+    import spark.implicits._
+    val params = (0 until nBits).map(j => (j, aConst(j), bConst(j))).toDF("j", "a", "b")
+    grams.crossJoin(broadcast(params))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(expr(s"CASE WHEN ((a * tg + b) % $P) % 2 = 1 THEN 1 ELSE -1 END")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END"))
+        .as("simhash"))
+  }
+
+  /** Word count from single-space-separated text (replace arithmetic —
+    * identical in every SQL dialect).
+    */
+  val wordCountSql: String =
+    "length(text) - length(replace(text, ' ', '')) + 1"
+
+  /** Occurrences of a marker word (space-padded match). */
+  def markerCountSql(w: String): String =
+    s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) div ${w.length + 2}"
+
+  /** DuckDB uses // for integer division; everything else is shared. */
+  def toDuck(sql: String): String = sql.replace(" div ", " // ")
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Dot products fold in ARRAY ORDER via `aggregate`/`zip_with` (ordered,
+  * codegen'd, no UDF), so double summation is bit-reproducible and the
+  * DuckDB oracle (ordered `range(dim)` sum) matches exactly.
+  *
+  * `bruteTopK` is the correctness baseline (O(Q*N) dot products — fine
+  * when Q is small or N fits a broadcast). `lshBuckets` is the scale
+  * path: random-hyperplane signs derived from the same arithmetic hash
+  * family bucket vectors so candidate generation is an equi-join on
+  * bucket id, O(N) + per-bucket work, exactly like MinHash-LSH for text.
+  */
+object VectorOps {
+
+  import TextOps.{P, aConst, bConst}
+
+  /** Ordered-fold dot product of two array<float> columns as double. */
+  def dotSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** L2 norm of an array<float> column (ordered fold). */
+  def normSql(a: String): String =
+    s"sqrt(${dotSql(a, a)})"
+
+  /** Exact cosine top-k: for each query vector, the k nearest others by
+    * cosine (rounded to 6 for cross-engine determinism; ties break on
+    * candidate id).
+    */
+  def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val cand = embeddings.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = q.crossJoin(cand)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+  }
+
+  /** Sign expression of hyperplane j at dimension i (SQL fragment shared
+    * with the oracle): pseudo-random +-1 from the arithmetic hash family.
+    */
+  def planeSignSql(j: Int, iExpr: String): String =
+    s"CASE WHEN ((${aConst(j)} * (($iExpr) + 1) + ${bConst(j)}) % $P) % 2 = 1 " +
+      "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
+
+  /** Projection of the embedding onto hyperplane j (ordered fold). */
+  def projectionSql(j: Int, dim: Int): String =
+    s"aggregate(zip_with(embedding, sequence(0, ${dim - 1}), " +
+      s"(x, i) -> CAST(x AS DOUBLE) * ${planeSignSql(j, "i")}), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Bucket id for LSH table `t` from `nPlanes` hyperplane sign bits
+    * (plane family offset by t*nPlanes so tables are independent).
+    */
+  def bucketSql(t: Int, nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN (${projectionSql(t * nPlanes + j, dim)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Vectors annotated with one bucket column per LSH table (b0..b{L-1}).
+    * Multi-table LSH is the standard recall lever: a true neighbor is a
+    * candidate if it collides in ANY table.
+    */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int, nTables: Int, dim: Int): DataFrame =
+    (0 until nTables).foldLeft(embeddings) { (df, t) =>
+      df.withColumn(s"b$t", expr(bucketSql(t, nPlanes, dim)))
+    }
+
+  /** ANN top-k: per-table equi-joins on bucket id, unioned and deduped —
+    * at scale this is L shuffle joins on small keys instead of a
+    * quadratic cross join; exact cosine only within collisions.
+    */
+  def lshTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
+              k: Int, nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
+    val bucketed = lshBuckets(embeddings, nPlanes, nTables, dim).cache()
+    val buckets = (0 until nTables).map(t => s"b$t")
+    val q = bucketed.filter(queryFilter)
+      .select(col("vec_id").as("query_id") +: col("embedding").as("qv") +:
+        buckets.map(b => col(b).as(s"q_$b")): _*)
+    val cand = bucketed
+      .select(col("vec_id").as("cand_id") +: col("embedding").as("cv") +:
+        buckets.map(col): _*)
+    val pairs = buckets.map { b =>
+      q.join(cand, col(s"q_$b") === col(b))
+        .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+    }.reduce(_ union _).distinct()
+    val scored = pairs
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+  }
+}

@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{Multimodal, TextOps, VectorOps}
+
+/** LLM-training-data pipeline operators as driver-checkable queries.
+  * Every hash/signature here is integer arithmetic shared verbatim with
+  * the oracle SQL, so even MinHash-LSH and hyperplane-LSH results are
+  * exact-matched against DuckDB (not just rows-only).
+  */
+object PipelineQueries extends QuerySet {
+
+  import TextOps.P
+
+  // ---- shared oracle fragments (DuckDB dialect) ----
+
+  private val duckGrams =
+    s"""tri AS (
+       |  SELECT DISTINCT doc_id, ${TextOps.gram5Sql} AS tg
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+       |        FROM documents WHERE length(text) >= 5))""".stripMargin
+
+  private def duckParams(k: Int) =
+    s"""params AS (
+       |  SELECT j, (7919 * (j + 1)) % $P AS a, (104729 * (j + 7)) % $P AS b
+       |  FROM (SELECT unnest(range(0, $k)) AS j))""".stripMargin
+
+  private val duckBands =
+    s"""mh AS (SELECT doc_id, j, min((a * tg + b) % $P) AS h
+       |       FROM tri, params GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |    CAST(sum((h % 4096) * CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 4096
+       |         WHEN 2 THEN 16777216 ELSE 68719476736 END) AS BIGINT) AS sig
+       |  FROM mh GROUP BY doc_id, j // 4)""".stripMargin
+
+  def all: Seq[Q] = Seq(
+
+    // ---- deduplication ----
+
+    // Exact dedup: canonical doc per distinct normalized text.
+    Q("d1_dedup_exact",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .groupBy(lower(col("text")).as("norm"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .groupBy(col("n_copies"))
+          .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("first_keep"))
+          .orderBy(col("n_copies"))
+      },
+      Some("""SELECT n_copies, count(*) AS n_groups, min(keep_id) AS first_keep
+              FROM (SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+                    FROM documents GROUP BY lower(text))
+              GROUP BY n_copies ORDER BY n_copies""")),
+
+    // MinHash (k=16) + LSH banding (4x4) near-dup candidates with exact
+    // 5-gram Jaccard — the linear-time near-dup path for 100 TB corpora.
+    Q("d2_dedup_minhash_lsh",
+      (s, dir) => {
+        val grams = TextOps.grams5(Tables.load(s, dir, "documents")).cache()
+        val cand = TextOps.lshCandidates(
+          TextOps.bandSignatures(TextOps.minhash(grams, 16)))
+        TextOps.exactJaccard(grams, cand)
+          .select(col("d1"), col("d2"), col("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH $duckGrams, ${duckParams(16)}, $duckBands,
+               |cand AS (
+               |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               |  FROM bands a JOIN bands b
+               |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+               |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+               |inter AS (
+               |  SELECT d1, d2, count(*) AS ic
+               |  FROM cand JOIN tri t1 ON d1 = t1.doc_id
+               |            JOIN tri t2 ON d2 = t2.doc_id AND t1.tg = t2.tg
+               |  GROUP BY d1, d2)
+               |SELECT d1, d2,
+               |  round(ic * CAST(1 AS DOUBLE) / (s1.sz + s2.sz - ic), 4) AS jaccard
+               |FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+               |           JOIN sizes s2 ON d2 = s2.doc_id
+               |ORDER BY d1, d2""".stripMargin)),
+
+    // SimHash 16-bit signatures per document.
+    Q("d3_dedup_simhash",
+      (s, dir) => {
+        TextOps.simhash(TextOps.grams5(Tables.load(s, dir, "documents")), 16)
+          .select(col("doc_id"), col("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckGrams, ${duckParams(16)},
+               |sgn AS (
+               |  SELECT doc_id, j,
+               |    sum(CASE WHEN ((a * tg + b) % $P) % 2 = 1 THEN 1 ELSE -1 END) AS s
+               |  FROM tri, params GROUP BY doc_id, j)
+               |SELECT doc_id,
+               |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+               |       AS BIGINT) AS simhash
+               |FROM sgn GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Exact n-gram Jaccard on a bounded candidate set (same source).
+    Q("d4_ngram_jaccard",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 120)
+        val grams = TextOps.grams5(docs)
+        val a = docs.select(col("doc_id").as("d1"), col("source"))
+        val b = docs.select(col("doc_id").as("d2"), col("source"))
+        val pairs = a.join(b, "source").filter(col("d1") < col("d2")).select("d1", "d2")
+        TextOps.exactJaccard(grams, pairs)
+          .filter(col("jaccard") >= 0.15)
+          .select(col("d1"), col("d2"), col("jaccard"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some(s"""WITH docs AS (SELECT * FROM documents WHERE doc_id < 120),
+               |tri AS (
+               |  SELECT DISTINCT doc_id, ${TextOps.gram5Sql} AS tg
+               |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+               |        FROM docs WHERE length(text) >= 5)),
+               |pairs AS (
+               |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM docs a
+               |  JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id),
+               |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+               |inter AS (
+               |  SELECT d1, d2, count(*) AS ic
+               |  FROM pairs JOIN tri t1 ON d1 = t1.doc_id
+               |             JOIN tri t2 ON d2 = t2.doc_id AND t1.tg = t2.tg
+               |  GROUP BY d1, d2)
+               |SELECT d1, d2, round(ic * CAST(1 AS DOUBLE) / (s1.sz + s2.sz - ic), 4) AS jaccard
+               |FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+               |           JOIN sizes s2 ON d2 = s2.doc_id
+               |WHERE round(ic * CAST(1 AS DOUBLE) / (s1.sz + s2.sz - ic), 4) >= 0.15
+               |ORDER BY d1, d2""".stripMargin)),
+
+    // ---- text analysis ----
+
+    // Language-ID by marker-word counts (replace-arithmetic n-gram
+    // heuristic; deterministic in any dialect).
+    Q("d5_langid",
+      (s, dir) => {
+        val en = TextOps.markerCountSql("the")
+        val art = TextOps.markerCountSql("a")
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id",
+            s"CAST($en AS BIGINT) AS en_score",
+            s"CAST($art AS BIGINT) AS art_score",
+            s"CASE WHEN ($en) + ($art) >= 8 THEN 'en' " +
+              s"WHEN ($en) + ($art) >= 3 THEN 'en-maybe' ELSE 'unk' END AS langid")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val en = TextOps.toDuck(TextOps.markerCountSql("the"))
+        val art = TextOps.toDuck(TextOps.markerCountSql("a"))
+        s"""SELECT doc_id, CAST($en AS BIGINT) AS en_score,
+           |CAST($art AS BIGINT) AS art_score,
+           |CASE WHEN ($en) + ($art) >= 8 THEN 'en'
+           |     WHEN ($en) + ($art) >= 3 THEN 'en-maybe' ELSE 'unk' END AS langid
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: length/word statistics + keep/drop label.
+    Q("d6_quality",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("doc_id",
+            "CAST(length(text) AS BIGINT) AS n_chars",
+            s"CAST(${TextOps.wordCountSql} AS BIGINT) AS n_words")
+          .selectExpr("doc_id", "n_chars", "n_words",
+            "round((n_chars - n_words + 1) * CAST(1 AS DOUBLE) / n_words, 4) AS avg_word_len")
+          .selectExpr("doc_id", "n_chars", "n_words", "avg_word_len",
+            "CASE WHEN n_words >= 40 AND avg_word_len BETWEEN 3.0 AND 8.0 THEN 'keep' " +
+              "WHEN n_words >= 10 THEN 'review' ELSE 'drop' END AS label")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""SELECT doc_id, n_chars, n_words,
+               |  round((n_chars - n_words + 1) * CAST(1 AS DOUBLE) / n_words, 4) AS avg_word_len,
+               |  CASE WHEN n_words >= 40
+               |         AND (n_chars - n_words + 1) * CAST(1 AS DOUBLE) / n_words BETWEEN 3 AND 8
+               |       THEN 'keep'
+               |       WHEN n_words >= 10 THEN 'review' ELSE 'drop' END AS label
+               |FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               |      CAST(${TextOps.wordCountSql} AS BIGINT) AS n_words
+               |      FROM documents)
+               |ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens + a bytes-per-token BPE estimate.
+    Q("d7_tokens",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("source",
+            s"CAST(${TextOps.wordCountSql} AS BIGINT) AS ws_tokens",
+            "CAST((length(text) + 3) div 4 AS BIGINT) AS bpe_est",
+            "CAST(length(text) AS BIGINT) AS n_chars")
+          .groupBy(col("source"))
+          .agg(sum(col("ws_tokens")).as("total_ws_tokens"),
+               sum(col("bpe_est")).as("total_bpe_est"),
+               round(sum(col("n_chars")) * 1.0 / sum(col("ws_tokens")), 4)
+                 .as("chars_per_token"))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source,
+               |  CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+               |  CAST(sum(bpe_est) AS BIGINT) AS total_bpe_est,
+               |  round(sum(n_chars) * CAST(1 AS DOUBLE) / sum(ws_tokens), 4) AS chars_per_token
+               |FROM (SELECT source, CAST(${TextOps.toDuck(TextOps.wordCountSql)} AS BIGINT) AS ws_tokens,
+               |      CAST((length(text) + 3) // 4 AS BIGINT) AS bpe_est,
+               |      CAST(length(text) AS BIGINT) AS n_chars FROM documents)
+               |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Document fingerprint from the gram-hash family (min-hash + sum fold).
+    Q("d8_fingerprint",
+      (s, dir) => {
+        TextOps.grams5(Tables.load(s, dir, "documents"))
+          .groupBy(col("doc_id"))
+          .agg(expr(s"min((${TextOps.aConst(0)} * tg + ${TextOps.bConst(0)}) % $P)").as("minh"),
+               expr(s"sum(tg) % $P").as("sumh"),
+               count(lit(1)).as("n_grams"))
+          .selectExpr("doc_id",
+            s"CAST((minh * 31 + sumh * 17 + n_grams) % 2147483647 AS BIGINT) AS fingerprint")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckGrams,
+               |agg AS (
+               |  SELECT doc_id,
+               |    min((${TextOps.aConst(0)} * tg + ${TextOps.bConst(0)}) % $P) AS minh,
+               |    CAST(sum(tg) % $P AS BIGINT) AS sumh, count(*) AS n_grams
+               |  FROM tri GROUP BY doc_id)
+               |SELECT doc_id,
+               |  CAST((minh * 31 + sumh * 17 + n_grams) % 2147483647 AS BIGINT) AS fingerprint
+               |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // ---- similarity search over embeddings ----
+
+    // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).
+    Q("e1_knn_brute",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        VectorOps.bruteTopK(emb, emb.filter(col("vec_id") < 3), 5)
+          .withColumn("rnk", col("rnk").cast("long"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH e AS (
+              |  SELECT vec_id, embedding,
+              |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+              |          FROM range(64) t(i))) AS nrm
+              |  FROM embeddings),
+              |scored AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+              |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
+              |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
+              |  FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+              |ranked AS (
+              |  SELECT query_id, cand_id, cos,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, cand_id) AS rnk
+              |  FROM scored)
+              |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
+              |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // Hyperplane-LSH ANN: multi-table bucket equi-joins instead of a
+    // cross join (the scale path; recall grows with table count).
+    Q("e2_knn_lsh",
+      (s, dir) => {
+        VectorOps.lshTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, 3, nPlanes = 6, nTables = 2, dim = 64)
+          .withColumn("rnk", col("rnk").cast("long"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some {
+        def proj(j: Int): String =
+          s"(SELECT sum(embedding[i+1]::DOUBLE * CASE WHEN " +
+            s"((${TextOps.aConst(j)} * (i + 1) + ${TextOps.bConst(j)}) % $P) % 2 = 1 " +
+            s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) FROM range(64) t(i))"
+        def bucket(t: Int): String = (0 until 6)
+          .map(j => s"(CASE WHEN ${proj(t * 6 + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, ${bucket(0)} AS b0, ${bucket(1)} AS b1,
+           |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+           |          FROM range(64) t(i))) AS nrm
+           |  FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
+           |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
+           |  FROM e q JOIN e c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+           |   AND q.vec_id < 3 AND q.vec_id <> c.vec_id),
+           |ranked AS (
+           |  SELECT query_id, cand_id, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM scored)
+           |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
+           |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+      }),
+
+    // ---- multimodal plumbing ----
+
+    // Binary payload column -> per-partition batch decode (STUB codec,
+    // real Dataset/encoder plumbing) -> typed metadata aggregation.
+    Q("m1_multimodal_meta",
+      (s, dir) => {
+        Multimodal.extractMetadata(Tables.load(s, dir, "documents"))
+          .toDF()
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("width")).as("total_w"),
+               sum(col("height")).as("total_h"),
+               sum(col("frames")).as("total_frames"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+              |  CAST(sum(strlen(text) % 64) AS BIGINT) AS total_w,
+              |  CAST(sum((strlen(text) // 64) % 64) AS BIGINT) AS total_h,
+              |  CAST(sum(1 + doc_id % 3) AS BIGINT) AS total_frames
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+  )
+}

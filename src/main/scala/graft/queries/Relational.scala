@@ -173,27 +173,36 @@ object Relational extends QuerySet {
               WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
     // -- Analytic window functions: running sum + lag over a time order.
+    //    (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    //    so pre-aggregate to unique keys — window results over tied
+    //    orderings are engine-dependent otherwise.
     Q("q8_window_running",
       (s, dir) => {
         val w = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("ship"), col("l_orderkey"), col("l_linenumber"))
         Tables.load(s, dir, "lineitem")
           .filter(col("l_suppkey") < 20)
+          .groupBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+          .agg(round(sum(col("l_quantity")), 2).as("qty"),
+               min(col("l_shipdate")).as("ship"))
           .withColumn("running_qty",
-            round(sum(col("l_quantity")).over(
+            round(sum(col("qty")).over(
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
-          .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+          .withColumn("prev_qty", lag(col("qty"), 1).over(w))
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
                   col("running_qty"), col("prev_qty"))
           .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-              round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+              round(sum(qty) OVER (PARTITION BY l_suppkey
+                ORDER BY ship, l_orderkey, l_linenumber
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
-              lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
-              FROM lineitem WHERE l_suppkey < 20
+              lag(qty, 1) OVER (PARTITION BY l_suppkey
+                ORDER BY ship, l_orderkey, l_linenumber) AS prev_qty
+              FROM (SELECT l_suppkey, l_orderkey, l_linenumber,
+                    round(sum(l_quantity), 2) AS qty, min(l_shipdate) AS ship
+                    FROM lineitem WHERE l_suppkey < 20
+                    GROUP BY l_suppkey, l_orderkey, l_linenumber) t
               ORDER BY l_suppkey, l_orderkey, l_linenumber""")),
 
     // -- Distinct aggregation (expand + two-phase agg in Spark).

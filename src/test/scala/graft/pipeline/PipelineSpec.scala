@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("grams5 produces distinct 5-gram codes in range") {
+    val g = TextOps.grams5(docs)
+    val row = g.agg(min("tg"), max("tg"), count(lit(1))).head
+    assert(row.getLong(0) >= 0)
+    assert(row.getLong(1) < (1L << 40))
+    assert(row.getLong(2) > 0)
+  }
+
+  test("minhash signature estimates jaccard within tolerance") {
+    val grams = TextOps.grams5(docs.filter(col("doc_id") < 40)).cache()
+    val mh = TextOps.minhash(grams, 16)
+    // pick the pair with the highest exact jaccard among doc_id < 40
+    val all = docs.filter(col("doc_id") < 40)
+    val pairs = all.select(col("doc_id").as("d1")).crossJoin(
+      all.select(col("doc_id").as("d2"))).filter(col("d1") < col("d2"))
+    val exact = TextOps.exactJaccard(grams, pairs)
+      .orderBy(col("jaccard").desc).limit(1).head
+    val (d1, d2, jac) = (exact.getLong(0), exact.getLong(1),
+      exact.getAs[Double]("jaccard"))
+    val sig = mh.filter(col("doc_id").isin(d1, d2))
+      .groupBy(col("j")).agg(countDistinct(col("h")).as("nh"))
+    val agree = sig.filter(col("nh") === 1).count() / 16.0
+    // 16 hashes -> crude estimate; just require same ballpark
+    assert(math.abs(agree - jac) < 0.45, s"est $agree vs exact $jac")
+  }
+
+  test("hyperplane LSH recall against brute force") {
+    val brute = VectorOps.bruteTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.lshTopK(emb, col("vec_id") < 10, 5,
+        nPlanes = 3, nTables = 4, dim = 64)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3 tables x 4 planes over the sf0.001 vectors: meaningful overlap
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.3, s"LSH recall $recall too low")
+    assert(lsh.nonEmpty)
+  }
+
+  test("multimodal stub metadata is deterministic and complete") {
+    val meta = Multimodal.extractMetadata(docs)
+    assert(meta.count() == docs.count())
+    val m = meta.filter(col("doc_id") === 0).head()
+    val m2 = Multimodal.extractMetadata(docs).filter(col("doc_id") === 0).head()
+    assert(m == m2)
+    assert(m.bytes > 0 && m.width == m.bytes % 64)
+  }
+
+  test("simhash hamming distance correlates with similarity") {
+    val sh = TextOps.simhash(TextOps.grams5(docs), 16)
+    assert(sh.count() == docs.count())
+    val distinctSigs = sh.select(countDistinct(col("simhash"))).head.getLong(0)
+    assert(distinctSigs > 1) // not everything collapses to one bucket
+  }
+}
