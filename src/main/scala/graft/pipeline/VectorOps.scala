@@ -90,12 +90,16 @@ object VectorOps {
     val cand = bucketed
       .select(col("vec_id").as("cand_id") +: col("embedding").as("cv") +:
         buckets.map(col): _*)
-    val pairs = buckets.map { b =>
-      q.join(cand, col(s"q_$b") === col(b))
-        .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+    // dedupe on the id pair only (cheap), then re-attach vectors
+    val idPairs = buckets.map { b =>
+      q.select(col("query_id"), col(s"q_$b").as("k"))
+        .join(cand.select(col("cand_id"), col(b).as("k")), "k")
+        .select(col("query_id"), col("cand_id"))
     }.reduce(_ union _).distinct()
-    val scored = pairs
+    val scored = idPairs
       .filter(col("query_id") =!= col("cand_id"))
+      .join(bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(bucketed.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), "cand_id")
       .withColumn("cos", round(
         expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
     val w = org.apache.spark.sql.expressions.Window

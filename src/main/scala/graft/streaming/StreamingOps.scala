@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface. The reference is strictly bounded
+  * (Boundedness::Bounded, reference src/datafusion_ext/execution_plan.rs:44);
+  * this is the planned extension (SURVEY.md §2.2 streaming row): the
+  * same engine operators over unbounded input, plus micro-batch segment
+  * ingest so a stream lands as druid segments our connector reads back.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums with a watermark for late data. */
+  def windowedAgg(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state: running per-user totals via
+    * mapGroupsWithState (KeyValueGroupedDataset custom state surface).
+    */
+  def runningUserTotals(events: Dataset[UserEvent]): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserAgg(user, prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Micro-batch segment ingest: every trigger's data becomes druid
+    * segments under `outDir` (append = new immutable segment dirs), so
+    * the stream is queryable through the batch connector as it lands —
+    * the Druid real-time-ingest shape on Spark primitives.
+    */
+  def segmentSink(stream: DataFrame, outDir: String, checkpoint: String,
+                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          batch.write.format("druid").mode("append").save(outDir)
+      }
+      .start()
+
+  /** File-watch stream over a parquet drop directory with an explicit
+    * schema (streaming needs one).
+    */
+  def parquetStream(spark: SparkSession, dir: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}
