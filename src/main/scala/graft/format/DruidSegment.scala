@@ -57,15 +57,24 @@ final class DruidSegment(val dir: Path) {
     (desc, buf, dataBase)
   }
 
+  /** Like columnHeader but also the logical-file end offset (needed to
+    * detect optional trailing sections like bitmap indexes).
+    */
+  def columnSlice(name: String): (ColumnDescriptor, ByteBuffer, Int, Int) = {
+    val (buf, base, len) = smoosh.slice(name)
+    val (desc, dataBase) = ColumnDescriptor.parse(buf, base)
+    (desc, buf, dataBase, base + len)
+  }
+
   /** Open decoded readers for a column. Each call builds fresh readers
     * (they hold a mutable cached block), so callers on different threads
     * get independent state over the same shared mmap.
     */
   def column(name: String): ColumnData = {
-    val (desc, buf, dataBase) = columnHeader(name)
+    val (desc, buf, dataBase, end) = columnSlice(name)
     if (name == "__time") TimeColumnData(new CompressedLongs(buf, dataBase))
     else desc.valueType match {
-      case "STRING" => StringColumnData(new StringColumn(buf, dataBase))
+      case "STRING" => StringColumnData(new StringColumn(buf, dataBase, end))
       case "LONG" => LongColumnData(new CompressedLongs(buf, dataBase))
       case "FLOAT" => FloatColumnData(new CompressedFloats(buf, dataBase))
       case "DOUBLE" => DoubleColumnData(new CompressedDoubles(buf, dataBase))

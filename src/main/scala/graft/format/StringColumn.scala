@@ -19,7 +19,7 @@ import java.nio.ByteBuffer
   * ColumnVector — per-row work is an int copy, and equality predicates
   * can be evaluated against the dictionary once per segment.
   */
-final class StringColumn(buf: ByteBuffer, base: Int) {
+final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
   private val version = buf.get(base) & 0xff
   private val dictBase = version match {
     case 0x00 => base + 1
@@ -31,6 +31,55 @@ final class StringColumn(buf: ByteBuffer, base: Int) {
   val ids: ColumnarInts = version match {
     case 0x00 => new VSizeInts(buf, dictBase + dictionary.totalSize)
     case _ => new CompressedInts(buf, dictBase + dictionary.totalSize)
+  }
+
+  /** Optional per-dictionary-value Roaring bitmap indexes after the ids
+    * (our extension; readers that stop after the ids — like the
+    * reference — simply ignore the trailer). Element i = serialized
+    * bitmap of rows whose id == i, prefixed by the 0x01 Roaring type
+    * byte the reference documents (src/column/bitmap.rs:5-14).
+    */
+  val bitmaps: Option[GenericIndexed] = {
+    val idsEnd = ids match {
+      case v: VSizeInts => dictBase + dictionary.totalSize + v.totalSize
+      case c: CompressedInts => dictBase + dictionary.totalSize + c.totalByteSize
+    }
+    if (end > idsEnd + GenericIndexed.HEADER &&
+        (buf.get(idsEnd) & 0xff) == GenericIndexed.VERSION)
+      Some(new GenericIndexed(buf, idsEnd))
+    else None
+  }
+
+  /** Rows where the value equals dictionary entry `dictId` (requires
+    * bitmap indexes; zero-copy view over the mmap).
+    */
+  def bitmapFor(dictId: Int): Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
+    bitmaps.map { gi =>
+      val (s, e) = gi.elementRange(dictId)
+      val len = buf.getInt(s)
+      if (len < 1 || (buf.get(s + 4) & 0xff) != 0x01)
+        fail(s"bitmap $dictId: bad type byte")
+      val dup = buf.duplicate()
+      dup.position(s + 5).limit(s + 4 + len)
+      new org.roaringbitmap.buffer.ImmutableRoaringBitmap(dup.slice())
+    }
+
+  /** Binary-search a value in the sorted dictionary; -1 if absent.
+    * (Writer sorts the dictionary with null first, Druid-style.)
+    */
+  def dictIdOf(value: String): Int = {
+    val n = dictionary.numElements
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val s = dictionary.stringAt(mid)
+      val cmp = if (s == null) -1 else s.compareTo(value)
+      if (cmp == 0) return mid
+      else if (cmp < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
   }
 
   def length: Int = ids.length
@@ -47,9 +96,11 @@ final class StringColumn(buf: ByteBuffer, base: Int) {
 
 object StringColumn {
   /** Write a v2 string column: sorted unique dictionary (null first if
-    * present, as Druid sorts nulls first) + LZ4-compressed id column.
+    * present, as Druid sorts nulls first) + LZ4-compressed id column +
+    * per-value Roaring bitmap indexes (value -> row set) enabling
+    * filter-pushdown row skipping at read time.
     */
-  def write(values: Seq[String]): Array[Byte] = {
+  def write(values: Seq[String], withBitmaps: Boolean = true): Array[Byte] = {
     val hasNull = values.contains(null)
     val distinct = values.filter(_ != null).distinct.sorted
     val dictValues: Seq[String] = (if (hasNull) Seq(null) else Nil) ++ distinct
@@ -63,6 +114,20 @@ object StringColumn {
     out.write(GenericIndexed.writeLengthPrefixed(
       dictValues.map(v => if (v == null) null else v.getBytes("UTF-8")), sorted = true))
     out.write(CompressedColumnar.writeInts(ids))
+    if (withBitmaps) {
+      val rowSets = Array.fill(dictValues.size)(new org.roaringbitmap.RoaringBitmap())
+      ids.zipWithIndex.foreach { case (id, row) => rowSets(id).add(row) }
+      val elements = rowSets.map { bm =>
+        bm.runOptimize()
+        val b = new ByteArrayOutputStream()
+        val d = new DataOutputStream(b)
+        d.writeByte(0x01) // Roaring type byte (reference src/column/bitmap.rs:11)
+        bm.serialize(d)
+        d.flush()
+        b.toByteArray
+      }
+      out.write(GenericIndexed.writeLengthPrefixed(elements.toSeq, sorted = false))
+    }
     out.flush(); bos.toByteArray
   }
 

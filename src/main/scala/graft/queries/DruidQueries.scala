@@ -96,6 +96,26 @@ object DruidQueries extends QuerySet {
               count(*) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // -- Dictionary-equality pushdown: the scan resolves the value
+    //    against the sorted dictionary and reads only the rows in that
+    //    value's Roaring bitmap (reference parses bitmaps but never uses
+    //    them — SURVEY.md §0 gap table).
+    Q("dr5_bitmap_filter",
+      (s, dir) => {
+        lineitemSeg(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_quantity")), 2).as("sum_qty"),
+               countDistinct(col("l_orderkey")).as("n_orders"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+              round(sum(l_quantity), 2) AS sum_qty,
+              count(DISTINCT l_orderkey) AS n_orders
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // -- Segment scan joined against a parquet dim (mixed-source join).
     Q("dr4_druid_join",
       (s, dir) => {

@@ -54,14 +54,53 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
     case _ => null
   }
 
-  private var pos = part.rowStart
+  /** Row selection for this split from the string columns' Roaring
+    * bitmap indexes (AND across filtered columns, OR across values).
+    * null = read every row in range. Rows excluded here never touch a
+    * compressed block; filters stay residual so bitmap absence is
+    * always safe.
+    */
+  private val selected: Array[Int] = {
+    val applicable = part.dimFilters.toSeq.flatMap { case (name, values) =>
+      if (!segment.columnNames.contains(name)) None
+      else segment.column(name) match {
+        case StringColumnData(sc) if sc.bitmaps.isDefined =>
+          val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+          values.map(sc.dictIdOf).filter(_ >= 0)
+            .foreach(id => sc.bitmapFor(id).foreach(acc.or))
+          Some(acc)
+        case _ => None
+      }
+    }
+    if (applicable.isEmpty) null
+    else {
+      val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+      range.add(part.rowStart.toLong, part.rowEnd.toLong)
+      applicable.foreach(range.and)
+      range.toArray
+    }
+  }
+
+  private var pos = part.rowStart // sequential cursor (selected == null)
+  private var cursor = 0          // cursor into selected
+  private val rowIdx = new Array[Int](part.batchSize)
   private val vectors: Array[OnHeapColumnVector] =
     required.fields.map(f => new OnHeapColumnVector(part.batchSize, f.dataType))
   private var batch: ColumnarBatch = _
 
   override def next(): Boolean = {
-    if (pos >= part.rowEnd) return false
-    val n = math.min(part.batchSize, part.rowEnd - pos)
+    val n =
+      if (selected == null) math.min(part.batchSize, part.rowEnd - pos)
+      else math.min(part.batchSize, selected.length - cursor)
+    if (n <= 0) return false
+    var i = 0
+    if (selected == null) {
+      while (i < n) { rowIdx(i) = pos + i; i += 1 }
+      pos += n
+    } else {
+      while (i < n) { rowIdx(i) = selected(cursor + i); i += 1 }
+      cursor += n
+    }
     var c = 0
     while (c < columns.length) {
       val v = vectors(c)
@@ -69,29 +108,29 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
       columns(c) match {
         case TimeColumnData(longs) =>
           var i = 0
-          while (i < n) { v.putLong(i, longs.get(pos + i) * 1000L); i += 1 }
+          while (i < n) { v.putLong(i, longs.get(rowIdx(i)) * 1000L); i += 1 }
         case LongColumnData(longs) =>
           var i = 0
-          while (i < n) { v.putLong(i, longs.get(pos + i)); i += 1 }
+          while (i < n) { v.putLong(i, longs.get(rowIdx(i))); i += 1 }
         case DoubleColumnData(doubles) =>
           var i = 0
-          while (i < n) { v.putDouble(i, doubles.get(pos + i)); i += 1 }
+          while (i < n) { v.putDouble(i, doubles.get(rowIdx(i))); i += 1 }
         case FloatColumnData(floats) =>
           var i = 0
-          while (i < n) { v.putFloat(i, floats.get(pos + i)); i += 1 }
+          while (i < n) { v.putFloat(i, floats.get(rowIdx(i))); i += 1 }
         case StringColumnData(sc) =>
           val dict = dictionaries(c)
           val ids = sc.ids
           var i = 0
           while (i < n) {
-            val b = dict(ids.get(pos + i))
+            val b = dict(ids.get(rowIdx(i)))
             if (b == null) v.putNull(i) else v.putByteArray(i, b)
             i += 1
           }
         case ComplexColumnData(gi) =>
           var i = 0
           while (i < n) {
-            val b = gi.bytesAt(pos + i)
+            val b = gi.bytesAt(rowIdx(i))
             if (b == null) v.putNull(i) else v.putByteArray(i, b)
             i += 1
           }
@@ -99,7 +138,6 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
       c += 1
     }
     batch = new ColumnarBatch(vectors.map(_.asInstanceOf[ColumnVector]), n)
-    pos += n
     true
   }
 

@@ -28,6 +28,16 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   private var timeMin: Long = Long.MinValue
   private var timeMax: Long = Long.MaxValue // inclusive bounds, millis
   private var limit: Int = -1
+  // AND across columns of (column IN values) — served by the string
+  // columns' Roaring bitmap indexes as row-skipping at read time
+  private var dimFilters: Map[String, Seq[String]] = Map.empty
+
+  private def isStringCol(name: String): Boolean =
+    fullSchema.fields.exists(f => f.name == name &&
+      f.dataType == org.apache.spark.sql.types.StringType)
+
+  private def addDimFilter(c: String, vs: Seq[String]): Unit =
+    dimFilters += c -> dimFilters.get(c).map(_.intersect(vs)).getOrElse(vs)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -50,12 +60,17 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualTo("__time", v) => millis(v).foreach { m =>
         timeMin = math.max(timeMin, m); timeMax = math.min(timeMax, m)
       }
+      case EqualTo(c, v: String) if isStringCol(c) => addDimFilter(c, Seq(v))
+      case In(c, vs) if isStringCol(c) && vs.forall(_.isInstanceOf[String]) =>
+        addDimFilter(c, vs.toSeq.map(_.asInstanceOf[String]))
       case _ => ()
     }
     pushed = filters.filter {
       case GreaterThan("__time", _) | GreaterThanOrEqual("__time", _) |
            LessThan("__time", _) | LessThanOrEqual("__time", _) |
            EqualTo("__time", _) => true
+      case EqualTo(c, _: String) => isStringCol(c)
+      case In(c, _) => isStringCol(c)
       case _ => false
     }
     filters // all residual: we prune storage, Spark verifies rows
@@ -69,23 +84,25 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   override def build(): Scan =
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
-      options.getInt("batchSize", 4096))
+      options.getInt("batchSize", 4096), dimFilters)
 }
 
 final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
-                                     limit: Int, batchSize: Int)
+                                     limit: Int, batchSize: Int,
+                                     dimFilters: Map[String, Seq[String]])
     extends InputPartition
 
 class DruidScan(root: String, required: StructType,
                 timeMinMs: Long, timeMaxMs: Long, limit: Int,
-                rowsPerSplit: Long, batchSize: Int)
+                rowsPerSplit: Long, batchSize: Int,
+                dimFilters: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
-      s"time=[$timeMinMs,$timeMaxMs], limit=$limit)"
+      s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters)"
 
   private lazy val segments: Seq[String] = DruidTableUtil.discoverSegments(root)
 
@@ -107,7 +124,8 @@ class DruidScan(root: String, required: StructType,
       val per = math.max(1, math.min(rowsPerSplit, Int.MaxValue.toLong).toInt)
       val capped = if (limit >= 0) math.min(rows, limit) else rows
       (0 until capped by per).map { start =>
-        DruidInputPartition(dir, start, math.min(capped, start + per), limit, batchSize)
+        DruidInputPartition(dir, start, math.min(capped, start + per), limit,
+          batchSize, dimFilters)
       }
     }
     parts.toArray

@@ -93,3 +93,49 @@ class DruidSourceSpec extends AnyFunSuite {
     assert(rows.length == 5)
   }
 }
+class DruidBitmapFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("string equality filter uses bitmap row skipping and stays correct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm").toString + "/t"
+    import spark.implicits._
+    val src = (0 until 20000).map(i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L),
+        s"k${i % 997}", i.toLong)).toDF("__time", "dim", "n")
+    src.repartition(2).write.format("druid").mode("overwrite").save(dir)
+
+    val df = spark.read.format("druid").load(dir)
+    val filtered = df.filter(col("dim") === "k13")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("dimFilters=Map(dim ->"), s"pushdown missing in: $plan")
+    val got = filtered.agg(count(lit(1)), sum("n")).head
+    val exp = src.filter(col("dim") === "k13").agg(count(lit(1)), sum("n")).head
+    assert(got == exp)
+
+    // IN filter
+    val got2 = df.filter(col("dim").isin("k1", "k2", "nope"))
+      .agg(count(lit(1)).as("c")).head.getLong(0)
+    val exp2 = src.filter(col("dim").isin("k1", "k2", "nope"))
+      .agg(count(lit(1)).as("c")).head.getLong(0)
+    assert(got2 == exp2)
+
+    // absent value -> empty, not error
+    assert(df.filter(col("dim") === "absent").count() == 0)
+  }
+
+  test("bitmap round-trip at the format layer") {
+    import graft.format._
+    val vals = Seq("b", "a", null, "b", "c", "a", "b")
+    val bytes = StringColumn.write(vals)
+    val col = new StringColumn(java.nio.ByteBuffer.wrap(bytes), 0, bytes.length)
+    assert(col.bitmaps.isDefined)
+    val idB = col.dictIdOf("b")
+    assert(idB >= 0)
+    val bm = col.bitmapFor(idB).get
+    assert(bm.toArray.toSeq == Seq(0, 3, 6))
+    assert(col.dictIdOf("zz") == -1)
+    // null sorts first; its bitmap covers row 2
+    assert(col.bitmapFor(0).get.toArray.toSeq == Seq(2))
+  }
+}
