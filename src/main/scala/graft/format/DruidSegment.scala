@@ -20,6 +20,9 @@ final case class FloatColumnData(floats: CompressedFloats) extends ColumnData {
 final case class StringColumnData(strings: StringColumn) extends ColumnData {
   def length: Int = strings.length
 }
+final case class MultiStringColumnData(strings: StringMultiColumn) extends ColumnData {
+  def length: Int = strings.length
+}
 /** Complex (sketch) columns: GenericIndexed of opaque byte blobs. The
   * reference errors on these (src/column/mod.rs:59-61); we surface them
   * as binary so sketch merge aggregators can consume them.
@@ -74,6 +77,8 @@ final class DruidSegment(val dir: Path) {
     val (desc, buf, dataBase, end) = columnSlice(name)
     if (name == "__time") TimeColumnData(new CompressedLongs(buf, dataBase))
     else desc.valueType match {
+      case "STRING" if desc.hasMultipleValues =>
+        MultiStringColumnData(new StringMultiColumn(buf, dataBase))
       case "STRING" => StringColumnData(new StringColumn(buf, dataBase, end))
       case "LONG" => LongColumnData(new CompressedLongs(buf, dataBase))
       case "FLOAT" => FloatColumnData(new CompressedFloats(buf, dataBase))

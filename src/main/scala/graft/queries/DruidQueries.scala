@@ -46,7 +46,32 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  private def docsMvSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("docs_mv", dir,
+      Tables.load(s, dir, "documents")
+        .select(timestamp_millis(col("doc_id") * 1000).as("__time"),
+                col("doc_id"), col("source"),
+                split(col("text"), " ").as("words")))
+    s.read.format("druid").load(path)
+  }
+
   def all: Seq[Q] = Seq(
+
+    // -- Multi-value string dimension (ArrayType round-trip + explode):
+    //    the format capability the reference parses but never implements
+    //    (hasMultipleValues, SURVEY.md §0 gap table).
+    Q("dr6_multivalue_explode",
+      (s, dir) => {
+        docsMvSeg(s, dir)
+          .select(explode(col("words")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 100)
+          .orderBy(col("word"))
+      },
+      Some("""SELECT word, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              GROUP BY word HAVING count(*) >= 100 ORDER BY word""")),
 
     // -- Full pipeline: parquet -> segment writer -> DSv2 columnar scan
     //    -> hash agg. Matches the oracle on the source parquet.
@@ -115,6 +140,28 @@ object DruidQueries extends QuerySet {
               count(DISTINCT l_orderkey) AS n_orders
               FROM lineitem WHERE l_returnflag = 'R'
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // -- Complex (sketch) columns end-to-end: per-group HLL sketches
+    //    built in Spark, landed in a segment COMPLEX column, read back,
+    //    merged and estimated in SQL. The reference hard-errors on
+    //    Complex columns (src/column/mod.rs:59-61). Rows-only check:
+    //    sketch estimates are engine-specific by nature.
+    Q("dr7_hll_sketch",
+      (s, dir) => {
+        import graft.sql.HllFunctions
+        val path = segTable("hll", dir,
+          Tables.load(s, dir, "lineitem")
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(HllFunctions.hllBuild(col("l_partkey")).as("sketch"))
+            .select(lit(new java.sql.Timestamp(0)).as("__time"),
+                    col("l_returnflag"), col("l_linestatus"), col("sketch")))
+        val seg = s.read.format("druid").load(path)
+        seg.groupBy(col("l_returnflag"))
+          .agg(HllFunctions.hllEstimate(
+            HllFunctions.hllMerge(col("sketch"))).as("approx_parts"))
+          .orderBy(col("l_returnflag"))
+      },
+      None),
 
     // -- Segment scan joined against a parquet dim (mixed-source join).
     Q("dr4_druid_join",

@@ -85,7 +85,11 @@ object DruidTableUtil {
       if (name == "__time") StructField("__time", TimestampType, nullable = false)
       else {
         val (desc, _, _) = seg.columnHeader(name)
-        StructField(name, sparkType(desc.valueType), nullable = true)
+        val t =
+          if (desc.valueType == "STRING" && desc.hasMultipleValues)
+            ArrayType(StringType, containsNull = true)
+          else sparkType(desc.valueType)
+        StructField(name, t, nullable = true)
       }
     })
   }

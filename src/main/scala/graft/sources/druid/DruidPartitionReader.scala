@@ -20,12 +20,19 @@ import graft.format._
 class DruidPartitionReaderFactory(required: StructType)
     extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = true
+  private def hasArray: Boolean =
+    required.fields.exists(_.dataType.isInstanceOf[ArrayType])
+
+  // multi-value (array) columns go through the row-based reader;
+  // everything else reads vectorized
+  override def supportColumnarReads(p: InputPartition): Boolean = !hasArray
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     new DruidColumnarReader(p.asInstanceOf[DruidInputPartition], required)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    if (hasArray)
+      return new DruidRowReader(p.asInstanceOf[DruidInputPartition], required)
     val columnar = createColumnarReader(p)
     new PartitionReader[InternalRow] {
       private var rows: java.util.Iterator[InternalRow] = _
@@ -40,6 +47,79 @@ class DruidPartitionReaderFactory(required: StructType)
       override def close(): Unit = columnar.close()
     }
   }
+}
+
+private[druid] object RowSelection {
+  /** Selected row positions for a split from bitmap-indexed string
+    * filters; null = all rows in [rowStart, rowEnd).
+    */
+  def build(segment: DruidSegment, part: DruidInputPartition): Array[Int] = {
+    val applicable = part.dimFilters.toSeq.flatMap { case (name, values) =>
+      if (!segment.columnNames.contains(name)) None
+      else segment.column(name) match {
+        case StringColumnData(sc) if sc.bitmaps.isDefined =>
+          val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+          values.map(sc.dictIdOf).filter(_ >= 0)
+            .foreach(id => sc.bitmapFor(id).foreach(acc.or))
+          Some(acc)
+        case _ => None
+      }
+    }
+    if (applicable.isEmpty) null
+    else {
+      val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+      range.add(part.rowStart.toLong, part.rowEnd.toLong)
+      applicable.foreach(range.and)
+      range.toArray
+    }
+  }
+}
+
+/** Row-based reader used when the projection includes multi-value
+  * (ArrayType) columns, which the vectorized path doesn't cover yet.
+  */
+class DruidRowReader(part: DruidInputPartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val segment = DruidSegment.open(part.dir)
+  private val columns: Array[ColumnData] =
+    required.fields.map(f => segment.column(f.name))
+  private val selected = RowSelection.build(segment, part)
+  private var i = 0
+  private val total =
+    if (selected == null) part.rowEnd - part.rowStart else selected.length
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (i >= total) return false
+    val row = if (selected == null) part.rowStart + i else selected(i)
+    val values = new Array[Any](columns.length)
+    var c = 0
+    while (c < columns.length) {
+      values(c) = columns(c) match {
+        case TimeColumnData(l) => l.get(row) * 1000L
+        case LongColumnData(l) => l.get(row)
+        case DoubleColumnData(d) => d.get(row)
+        case FloatColumnData(f) => f.get(row)
+        case StringColumnData(sc) =>
+          val s = sc.stringAt(row)
+          if (s == null) null else UTF8String.fromString(s)
+        case MultiStringColumnData(mc) =>
+          new GenericArrayData(mc.valuesAt(row).map(s =>
+            if (s == null) null else UTF8String.fromString(s)))
+        case ComplexColumnData(gi) => gi.bytesAt(row)
+      }
+      c += 1
+    }
+    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+    i += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 class DruidColumnarReader(part: DruidInputPartition, required: StructType)
@@ -60,26 +140,7 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
     * compressed block; filters stay residual so bitmap absence is
     * always safe.
     */
-  private val selected: Array[Int] = {
-    val applicable = part.dimFilters.toSeq.flatMap { case (name, values) =>
-      if (!segment.columnNames.contains(name)) None
-      else segment.column(name) match {
-        case StringColumnData(sc) if sc.bitmaps.isDefined =>
-          val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
-          values.map(sc.dictIdOf).filter(_ >= 0)
-            .foreach(id => sc.bitmapFor(id).foreach(acc.or))
-          Some(acc)
-        case _ => None
-      }
-    }
-    if (applicable.isEmpty) null
-    else {
-      val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
-      range.add(part.rowStart.toLong, part.rowEnd.toLong)
-      applicable.foreach(range.and)
-      range.toArray
-    }
-  }
+  private val selected: Array[Int] = RowSelection.build(segment, part)
 
   private var pos = part.rowStart // sequential cursor (selected == null)
   private var cursor = 0          // cursor into selected

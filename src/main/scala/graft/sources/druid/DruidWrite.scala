@@ -82,6 +82,10 @@ class DruidDataWriter(root: String, schema: StructType,
         case DoubleType => row.getDouble(i)
         case FloatType => row.getFloat(i)
         case BinaryType => row.getBinary(i)
+        case ArrayType(StringType, _) =>
+          val arr = row.getArray(i)
+          (0 until arr.numElements()).map(k =>
+            if (arr.isNullAt(k)) null else arr.getUTF8String(k).toString): Seq[String]
         case other => throw new IllegalArgumentException(
           s"druid writer: unsupported type $other for '${fields(i).name}'")
       })
@@ -114,6 +118,9 @@ class DruidDataWriter(root: String, schema: StructType,
             FloatValues(buf.map(v => if (v == null) 0f else v.asInstanceOf[Float]).toArray)
           case BinaryType =>
             ComplexValues("binary", buf.map(_.asInstanceOf[Array[Byte]]).toArray)
+          case ArrayType(StringType, _) =>
+            MultiStringValues(buf.map(v =>
+              if (v == null) null else v.asInstanceOf[Seq[String]]).toArray)
           case other => throw new IllegalArgumentException(s"unsupported $other")
         })
       }.toSeq

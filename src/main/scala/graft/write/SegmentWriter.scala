@@ -30,6 +30,9 @@ object SegmentWriter {
   final case class StringValues(values: Array[String]) extends ColumnValues {
     def length: Int = values.length
   }
+  final case class MultiStringValues(values: Array[Seq[String]]) extends ColumnValues {
+    def length: Int = values.length
+  }
   final case class ComplexValues(typeName: String, values: Array[Array[Byte]])
       extends ColumnValues {
     def length: Int = values.length
@@ -48,7 +51,10 @@ object SegmentWriter {
       "all columns must have the same row count")
     Files.createDirectories(dir)
 
-    val dims = columns.collect { case (n, _: StringValues) => n }
+    val dims = columns.collect {
+      case (n, _: StringValues) => n
+      case (n, _: MultiStringValues) => n
+    }
     val intervalStart = if (time.isEmpty) 0L else time.min
     val intervalEnd = if (time.isEmpty) 1L else time.max + 1
 
@@ -100,6 +106,9 @@ object SegmentWriter {
         "FLOAT", "floatV2", CompressedColumnar.writeFloats(v, compression))
       case StringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringDictionary", StringColumn.write(v.toSeq))
+      case MultiStringValues(v) => ColumnDescriptor.wrapColumn(
+        "STRING", "stringMultiV1", StringMultiColumn.write(v.toSeq),
+        hasMultipleValues = true)
       case ComplexValues(tn, v) => ColumnDescriptor.wrapColumn(
         "COMPLEX", tn, GenericIndexed.writeLengthPrefixed(v.toSeq, sorted = false))
     }

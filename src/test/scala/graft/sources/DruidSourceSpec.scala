@@ -139,3 +139,34 @@ class DruidBitmapFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(col.bitmapFor(0).get.toArray.toSeq == Seq(2))
   }
 }
+class DruidMultiValueSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("multi-value string dims round-trip as ArrayType and explode correctly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv").toString + "/t"
+    val src = (0 until 3000).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L),
+        (0 until i % 4).map(k => s"tag${(i + k) % 50}"),
+        i.toLong)
+    }.toDF("__time", "tags", "n")
+    src.repartition(2).write.format("druid").mode("overwrite").save(dir)
+
+    val back = spark.read.format("druid").load(dir)
+    assert(back.schema("tags").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, true))
+    assert(back.count() == 3000)
+
+    val gotTags = back.select(explode(col("tags")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expTags = src.select(explode(col("tags")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotTags == expTags)
+
+    // per-row array sizes survive
+    val gotSizes = back.select(col("n"), size(col("tags")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0 until 3000).forall(i => gotSizes(i.toLong) == i % 4))
+  }
+}
