@@ -24,9 +24,11 @@ object Tables {
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // integer division: ns epoch values exceed 2^53, so `/ 1000.0`
+        // double math would round the low microseconds
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
   }

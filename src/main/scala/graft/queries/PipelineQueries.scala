@@ -294,6 +294,38 @@ object PipelineQueries extends QuerySet {
            |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // ---- time-series joins ----
+
+    // Backward as-of join (operator Spark lacks): every purchase gets
+    // the latest prior click of the same user. Composed as union+window
+    // (one shuffle+sort, Catalyst-planned); oracle is DuckDB's native
+    // ASOF JOIN — two independent formulations, identical results.
+    Q("j1_asof_join",
+      (s, dir) => {
+        val ev = graft.Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(round(max(col("value")), 2).as("click_value"))
+          .withColumn("click_ts", col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        graft.pipeline.Joins.asOfBackward(purchases, clicks, "ts",
+            Seq("user_id"), Seq("click_value", "click_ts"))
+          .select(col("event_id"), unix_micros(col("ts")).as("p_ts"),
+                  unix_micros(col("click_ts")).as("c_ts"), col("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH clicks AS (
+              |  SELECT user_id, ts, round(max(value), 2) AS click_value
+              |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+              |p AS (SELECT user_id, ts, event_id FROM events
+              |      WHERE event_type = 'purchase')
+              |SELECT p.event_id, epoch_us(p.ts) AS p_ts, epoch_us(c.ts) AS c_ts,
+              |       c.click_value
+              |FROM p ASOF LEFT JOIN clicks c
+              |  ON p.user_id = c.user_id AND p.ts >= c.ts
+              |ORDER BY event_id""".stripMargin)),
+
     // ---- multimodal plumbing ----
 
     // Binary payload column -> per-partition batch decode (STUB codec,
