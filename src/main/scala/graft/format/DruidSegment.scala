@@ -8,13 +8,16 @@ sealed trait ColumnData { def length: Int }
 final case class TimeColumnData(longs: CompressedLongs) extends ColumnData {
   def length: Int = longs.length
 }
-final case class LongColumnData(longs: CompressedLongs) extends ColumnData {
+final case class LongColumnData(longs: CompressedLongs,
+    nulls: org.roaringbitmap.buffer.ImmutableRoaringBitmap = null) extends ColumnData {
   def length: Int = longs.length
 }
-final case class DoubleColumnData(doubles: CompressedDoubles) extends ColumnData {
+final case class DoubleColumnData(doubles: CompressedDoubles,
+    nulls: org.roaringbitmap.buffer.ImmutableRoaringBitmap = null) extends ColumnData {
   def length: Int = doubles.length
 }
-final case class FloatColumnData(floats: CompressedFloats) extends ColumnData {
+final case class FloatColumnData(floats: CompressedFloats,
+    nulls: org.roaringbitmap.buffer.ImmutableRoaringBitmap = null) extends ColumnData {
   def length: Int = floats.length
 }
 final case class StringColumnData(strings: StringColumn) extends ColumnData {
@@ -80,9 +83,15 @@ final class DruidSegment(val dir: Path) {
       case "STRING" if desc.hasMultipleValues =>
         MultiStringColumnData(new StringMultiColumn(buf, dataBase))
       case "STRING" => StringColumnData(new StringColumn(buf, dataBase, end))
-      case "LONG" => LongColumnData(new CompressedLongs(buf, dataBase))
-      case "FLOAT" => FloatColumnData(new CompressedFloats(buf, dataBase))
-      case "DOUBLE" => DoubleColumnData(new CompressedDoubles(buf, dataBase))
+      case "LONG" =>
+        val c = new CompressedLongs(buf, dataBase)
+        LongColumnData(c, NullTrailer.read(buf, dataBase + c.totalByteSize, end))
+      case "FLOAT" =>
+        val c = new CompressedFloats(buf, dataBase)
+        FloatColumnData(c, NullTrailer.read(buf, dataBase + c.totalByteSize, end))
+      case "DOUBLE" =>
+        val c = new CompressedDoubles(buf, dataBase)
+        DoubleColumnData(c, NullTrailer.read(buf, dataBase + c.totalByteSize, end))
       case "COMPLEX" => ComplexColumnData {
         val gi = new GenericIndexed(buf, dataBase)
         gi
@@ -98,6 +107,26 @@ final class DruidSegment(val dir: Path) {
   def numRows: Int = {
     val (_, buf, dataBase) = columnHeader(columnNames.head)
     buf.getInt(dataBase + 1) // CompressedColumnar header: [ver][totalSize]
+  }
+}
+
+/** Optional Roaring null-row trailer after a numeric container (our
+  * extension; the reference skips numeric null bitmaps entirely,
+  * src/column/long.rs:8-10).
+  */
+object NullTrailer {
+  def read(buf: java.nio.ByteBuffer, base: Int, end: Int):
+      org.roaringbitmap.buffer.ImmutableRoaringBitmap = {
+    if (end <= base + GenericIndexed.HEADER ||
+        (buf.get(base) & 0xff) != GenericIndexed.VERSION) return null
+    val gi = new GenericIndexed(buf, base)
+    if (gi.numElements != 1) return null
+    val (s, e) = gi.elementRange(0)
+    val len = buf.getInt(s)
+    if (len < 1 || (buf.get(s + 4) & 0xff) != 0x01) return null
+    val dup = buf.duplicate()
+    dup.position(s + 5).limit(s + 4 + len)
+    new org.roaringbitmap.buffer.ImmutableRoaringBitmap(dup.slice())
   }
 }
 

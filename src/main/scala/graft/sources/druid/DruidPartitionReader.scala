@@ -49,6 +49,18 @@ class DruidPartitionReaderFactory(required: StructType)
   }
 }
 
+/** Adapter exposing a decoded druid dictionary to Spark's vectorized
+  * dictionary mechanism (binary/string only).
+  */
+private[druid] final class GraftDictionary(bytes: Array[Array[Byte]])
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+  override def decodeToBinary(id: Int): Array[Byte] = bytes(id)
+  override def decodeToInt(id: Int): Int = throw new UnsupportedOperationException
+  override def decodeToLong(id: Int): Long = throw new UnsupportedOperationException
+  override def decodeToFloat(id: Int): Float = throw new UnsupportedOperationException
+  override def decodeToDouble(id: Int): Double = throw new UnsupportedOperationException
+}
+
 private[druid] object RowSelection {
   /** Selected row positions for a split from bitmap-indexed string
     * filters; null = all rows in [rowStart, rowEnd).
@@ -100,9 +112,12 @@ class DruidRowReader(part: DruidInputPartition, required: StructType)
     while (c < columns.length) {
       values(c) = columns(c) match {
         case TimeColumnData(l) => l.get(row) * 1000L
-        case LongColumnData(l) => l.get(row)
-        case DoubleColumnData(d) => d.get(row)
-        case FloatColumnData(f) => f.get(row)
+        case LongColumnData(l, nu) =>
+          if (nu != null && nu.contains(row)) null else l.get(row)
+        case DoubleColumnData(d, nu) =>
+          if (nu != null && nu.contains(row)) null else d.get(row)
+        case FloatColumnData(f, nu) =>
+          if (nu != null && nu.contains(row)) null else f.get(row)
         case StringColumnData(sc) =>
           val s = sc.stringAt(row)
           if (s == null) null else UTF8String.fromString(s)
@@ -170,22 +185,43 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
         case TimeColumnData(longs) =>
           var i = 0
           while (i < n) { v.putLong(i, longs.get(rowIdx(i)) * 1000L); i += 1 }
-        case LongColumnData(longs) =>
-          var i = 0
-          while (i < n) { v.putLong(i, longs.get(rowIdx(i))); i += 1 }
-        case DoubleColumnData(doubles) =>
-          var i = 0
-          while (i < n) { v.putDouble(i, doubles.get(rowIdx(i))); i += 1 }
-        case FloatColumnData(floats) =>
-          var i = 0
-          while (i < n) { v.putFloat(i, floats.get(rowIdx(i))); i += 1 }
-        case StringColumnData(sc) =>
-          val dict = dictionaries(c)
-          val ids = sc.ids
+        case LongColumnData(longs, nulls) =>
           var i = 0
           while (i < n) {
-            val b = dict(ids.get(rowIdx(i)))
-            if (b == null) v.putNull(i) else v.putByteArray(i, b)
+            val r = rowIdx(i)
+            if (nulls != null && nulls.contains(r)) v.putNull(i)
+            else v.putLong(i, longs.get(r))
+            i += 1
+          }
+        case DoubleColumnData(doubles, nulls) =>
+          var i = 0
+          while (i < n) {
+            val r = rowIdx(i)
+            if (nulls != null && nulls.contains(r)) v.putNull(i)
+            else v.putDouble(i, doubles.get(r))
+            i += 1
+          }
+        case FloatColumnData(floats, nulls) =>
+          var i = 0
+          while (i < n) {
+            val r = rowIdx(i)
+            if (nulls != null && nulls.contains(r)) v.putNull(i)
+            else v.putFloat(i, floats.get(r))
+            i += 1
+          }
+        case StringColumnData(sc) =>
+          // dictionary-encoded vector: per row we write one int id; the
+          // vector resolves bytes lazily from the shared dictionary
+          // (same trick Spark's parquet reader uses). Falls back to
+          // byte copies only when a dictionary entry is null.
+          val dict = dictionaries(c)
+          val ids = sc.ids
+          v.setDictionary(new GraftDictionary(dict))
+          val idVec = v.reserveDictionaryIds(n)
+          var i = 0
+          while (i < n) {
+            val id = ids.get(rowIdx(i))
+            if (dict(id) == null) v.putNull(i) else idVec.putInt(i, id)
             i += 1
           }
         case ComplexColumnData(gi) =>

@@ -102,6 +102,9 @@ class DruidDataWriter(root: String, schema: StructType,
       }.toArray
       else Array.fill(n)(0L)
 
+    def nullIdx(buf: ArrayBuffer[Any]): Array[Int] =
+      buf.iterator.zipWithIndex.collect { case (null, i) => i }.toArray
+
     val columns = fields.zipWithIndex
       .filter { case (_, i) => i != timeIdx }
       .map { case (f, i) =>
@@ -109,13 +112,17 @@ class DruidDataWriter(root: String, schema: StructType,
         f.name -> (f.dataType match {
           case StringType => StringValues(buf.map(_.asInstanceOf[String]).toArray)
           case LongType | IntegerType =>
-            LongValues(buf.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray)
+            LongValues(buf.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray,
+              nullIdx(buf))
           case TimestampType | TimestampNTZType =>
-            LongValues(buf.map(v => if (v == null) 0L else v.asInstanceOf[Long] / 1000L).toArray)
+            LongValues(buf.map(v => if (v == null) 0L else v.asInstanceOf[Long] / 1000L).toArray,
+              nullIdx(buf))
           case DoubleType =>
-            DoubleValues(buf.map(v => if (v == null) 0.0 else v.asInstanceOf[Double]).toArray)
+            DoubleValues(buf.map(v => if (v == null) 0.0 else v.asInstanceOf[Double]).toArray,
+              nullIdx(buf))
           case FloatType =>
-            FloatValues(buf.map(v => if (v == null) 0f else v.asInstanceOf[Float]).toArray)
+            FloatValues(buf.map(v => if (v == null) 0f else v.asInstanceOf[Float]).toArray,
+              nullIdx(buf))
           case BinaryType =>
             ComplexValues("binary", buf.map(_.asInstanceOf[Array[Byte]]).toArray)
           case ArrayType(StringType, _) =>

@@ -18,13 +18,20 @@ import graft.format._
 object SegmentWriter {
 
   sealed trait ColumnValues { def length: Int }
-  final case class LongValues(values: Array[Long]) extends ColumnValues {
+  /** Numeric columns carry an optional null-row set (the reference
+    * explicitly skips null bitmaps — src/column/long.rs:8-10; we write
+    * and honor them). Null slots hold 0 in the compressed data.
+    */
+  final case class LongValues(values: Array[Long],
+                              nulls: Array[Int] = Array.empty) extends ColumnValues {
     def length: Int = values.length
   }
-  final case class DoubleValues(values: Array[Double]) extends ColumnValues {
+  final case class DoubleValues(values: Array[Double],
+                                nulls: Array[Int] = Array.empty) extends ColumnValues {
     def length: Int = values.length
   }
-  final case class FloatValues(values: Array[Float]) extends ColumnValues {
+  final case class FloatValues(values: Array[Float],
+                               nulls: Array[Int] = Array.empty) extends ColumnValues {
     def length: Int = values.length
   }
   final case class StringValues(values: Array[String]) extends ColumnValues {
@@ -96,14 +103,34 @@ object SegmentWriter {
     new BufferedOutputStream(
       new FileOutputStream(dir.resolve(f"$i%05d.smoosh").toFile), 1 << 20)
 
+  /** Roaring null-row trailer appended after a numeric container (same
+    * one-element GenericIndexed shape as the string bitmap indexes).
+    */
+  private def nullTrailer(nulls: Array[Int]): Array[Byte] =
+    if (nulls.isEmpty) Array.emptyByteArray
+    else {
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      nulls.foreach(bm.add)
+      bm.runOptimize()
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(b)
+      d.writeByte(0x01)
+      bm.serialize(d)
+      d.flush()
+      GenericIndexed.writeLengthPrefixed(Seq(b.toByteArray), sorted = false)
+    }
+
   private def encodeColumn(vals: ColumnValues, compression: Byte): Array[Byte] =
     vals match {
-      case LongValues(v) => ColumnDescriptor.wrapColumn(
-        "LONG", "longV2", CompressedColumnar.writeLongs(v, compression))
-      case DoubleValues(v) => ColumnDescriptor.wrapColumn(
-        "DOUBLE", "doubleV2", CompressedColumnar.writeDoubles(v, compression))
-      case FloatValues(v) => ColumnDescriptor.wrapColumn(
-        "FLOAT", "floatV2", CompressedColumnar.writeFloats(v, compression))
+      case LongValues(v, nulls) => ColumnDescriptor.wrapColumn(
+        "LONG", "longV2",
+        CompressedColumnar.writeLongs(v, compression) ++ nullTrailer(nulls))
+      case DoubleValues(v, nulls) => ColumnDescriptor.wrapColumn(
+        "DOUBLE", "doubleV2",
+        CompressedColumnar.writeDoubles(v, compression) ++ nullTrailer(nulls))
+      case FloatValues(v, nulls) => ColumnDescriptor.wrapColumn(
+        "FLOAT", "floatV2",
+        CompressedColumnar.writeFloats(v, compression) ++ nullTrailer(nulls))
       case StringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringDictionary", StringColumn.write(v.toSeq))
       case MultiStringValues(v) => ColumnDescriptor.wrapColumn(

@@ -227,11 +227,11 @@ class SegmentRoundTripSpec extends AnyFunSuite {
 
     val TimeColumnData(t) = seg.column("__time"): @unchecked
     assert((0 until n).forall(i => t.get(i) == time(i)))
-    val LongColumnData(l) = seg.column("metric_l"): @unchecked
+    val LongColumnData(l, _) = seg.column("metric_l"): @unchecked
     assert((0 until n).forall(i => l.get(i) == longs(i)))
-    val DoubleColumnData(d) = seg.column("metric_d"): @unchecked
+    val DoubleColumnData(d, _) = seg.column("metric_d"): @unchecked
     assert((0 until n).forall(i => d.get(i) == doubles(i)))
-    val FloatColumnData(f) = seg.column("metric_f"): @unchecked
+    val FloatColumnData(f, _) = seg.column("metric_f"): @unchecked
     assert((0 until n).forall(i => f.get(i) == floats(i)))
     val StringColumnData(sc) = seg.column("dim_s"): @unchecked
     assert((0 until n).forall(i => sc.stringAt(i) == strings(i)))
@@ -247,7 +247,7 @@ class SegmentRoundTripSpec extends AnyFunSuite {
     assert(Files.list(dir).toArray.map(_.toString).count(_.endsWith(".smoosh")) > 2)
     val seg = DruidSegment.open(dir.toString)
     assert(seg.numRows == n)
-    val LongColumnData(l) = seg.column("v"): @unchecked
+    val LongColumnData(l, _) = seg.column("v"): @unchecked
     assert((0 until n).forall(i => l.get(i) == (i * 7919L) % 104729))
   }
 

@@ -170,3 +170,25 @@ class DruidMultiValueSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert((0 until 3000).forall(i => gotSizes(i.toLong) == i % 4))
   }
 }
+class DruidNumericNullSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("numeric nulls round-trip through null bitmaps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nn").toString + "/t"
+    val src = (0 until 5000).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L),
+        if (i % 7 == 0) None else Some(i.toLong),
+        if (i % 11 == 0) None else Some(i * 0.5))
+    }.toDF("__time", "n", "x")
+    src.repartition(2).write.format("druid").mode("overwrite").save(dir)
+
+    val back = spark.read.format("druid").load(dir)
+    assert(back.filter(col("n").isNull).count() == (0 until 5000).count(_ % 7 == 0))
+    assert(back.filter(col("x").isNull).count() == (0 until 5000).count(_ % 11 == 0))
+    val gotSum = back.agg(sum("n"), round(sum("x"), 2)).head
+    val expSum = src.agg(sum("n"), round(sum("x"), 2)).head
+    assert(gotSum == expSum)
+  }
+}
