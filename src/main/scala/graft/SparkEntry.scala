@@ -6,7 +6,8 @@ import graft.queries._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def sets: Seq[QuerySet] = Seq(Relational, DruidQueries, PipelineQueries)
+  private def sets: Seq[QuerySet] =
+    Seq(Relational, DruidQueries, PipelineQueries, StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Round-trips lineitem through the segment writer + DSv2 connector.

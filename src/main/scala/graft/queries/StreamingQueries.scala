@@ -1,0 +1,94 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.StreamingOps
+
+/** Structured Streaming, driver-checked: the streaming pipeline runs
+  * synchronously (AvailableNow) into a memory sink and the final table
+  * is compared against the equivalent batch SQL in DuckDB — the
+  * unbounded engine surface under the same correctness gate as batch.
+  */
+object StreamingQueries extends QuerySet {
+
+  private val staged = scala.collection.mutable.Map[String, String]()
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Stage events as a streaming drop directory (once per JVM). */
+  private def stageDir(s: SparkSession, dir: String): String = synchronized {
+    staged.getOrElseUpdate(dir, {
+      val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events"
+      Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
+  def all: Seq[Q] = Seq(
+
+    // Tumbling daily windows over the event stream, complete output mode
+    // (deterministic regardless of micro-batch order), checked against
+    // the batch equivalent.
+    Q("s1_stream_window",
+      (s, dir) => {
+        val in = stageDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s1_out_${nameCounter.incrementAndGet()}"
+        val q = StreamingOps.windowedAgg(
+            StreamingOps.parquetStream(s, in, schema), "1 day", "1 hour")
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(table)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.table(table)
+          .select(col("window_start").cast("date").cast("string").as("day"),
+                  col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("day"), col("event_type"))
+      },
+      Some("""SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+              event_type, count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY day, event_type ORDER BY day, event_type""")),
+
+    // Stateful streaming (mapGroupsWithState running totals): final
+    // per-user state vs the batch aggregate.
+    Q("s2_stream_state",
+      (s, dir) => {
+        import s.implicits._
+        val in = stageDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s2_out_${nameCounter.incrementAndGet()}"
+        val ds = StreamingOps.parquetStream(s, in, schema)
+          .select(col("user_id"), col("event_type"), col("value"))
+          .as[StreamingOps.UserEvent]
+        val q = StreamingOps.runningUserTotals(ds)
+          .writeStream.outputMode("update")
+          .format("memory").queryName(table)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        // update mode may emit a user several times; the LAST state per
+        // user is the running total
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("n_events").desc)
+        s.table(table)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n_events"),
+                  round(col("total_value"), 2).as("total_value"))
+          .filter(col("user_id") < 200)
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+              round(sum(value), 2) AS total_value
+              FROM events WHERE user_id < 200
+              GROUP BY user_id ORDER BY user_id""")),
+  )
+}
