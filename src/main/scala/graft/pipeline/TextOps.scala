@@ -43,7 +43,15 @@ object TextOps {
     * document. Materialize the char-code array once (O(n)) and slide
     * with O(1) element_at — same gram values, ~10x faster.
     */
-  def grams5(docs: DataFrame): DataFrame =
+  def grams5(docs: DataFrame): DataFrame = grams5Raw(docs).distinct()
+
+  /** Like grams5 but WITHOUT the per-doc distinct. MinHash is
+    * duplicate-insensitive (min over a multiset equals min over its
+    * set), so signature computation can skip the distinct's full-corpus
+    * shuffle — at scale the whole MinHash phase is then map + partial
+    * min-aggregate with only doc-level rows on the wire.
+    */
+  def grams5Raw(docs: DataFrame): DataFrame =
     docs.filter(length(col("text")) >= 5)
       .select(col("doc_id"),
         expr("transform(split(text, ''), c -> ascii(c))").as("codes"))
@@ -54,7 +62,6 @@ object TextOps {
           "element_at(codes, i + 3)) * 256 + " +
           "element_at(codes, i + 4)) * 256 + " +
           "element_at(codes, i + 5))")).as("tg"))
-      .distinct()
 
   /** MinHash signatures: (doc_id, j, h) for j in [0, k). Computed as ONE
     * wide aggregate of k min columns (map-side combined, no k-fold row

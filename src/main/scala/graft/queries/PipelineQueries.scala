@@ -58,7 +58,12 @@ object PipelineQueries extends QuerySet {
     // 5-gram Jaccard — the linear-time near-dup path for 100 TB corpora.
     Q("d2_dedup_minhash_lsh",
       (s, dir) => {
-        val grams = TextOps.grams5(Tables.load(s, dir, "documents")).cache()
+        val docs = Tables.load(s, dir, "documents")
+        // this corpus: nearly every doc lands in some candidate pair, so
+        // one shared distinct-gram cache beats a candidate-restricted
+        // rerank; on a sparse-duplicate corpus switch to grams5Raw for
+        // signatures + a left-semi-restricted distinct for the rerank
+        val grams = TextOps.grams5(docs).cache()
         val cand = TextOps.lshCandidates(
           TextOps.bandSignatures(TextOps.minhash(grams, 16)))
         TextOps.exactJaccard(grams, cand)
