@@ -26,6 +26,11 @@ import java.nio.ByteBuffer
 abstract class CompressedColumnar(buf: ByteBuffer, base: Int,
                                   elemSize: Int, hasNumBytes: Boolean) {
   private val version = buf.get(base) & 0xff
+  if (version != 0x01 && version != 0x02)
+    fail(f"CompressedColumnar: unsupported version 0x$version%02x")
+  private val minHeader = if (hasNumBytes) 11 else if (version == 0x01) 9 else 10
+  if (buf.capacity() - base < minHeader)
+    fail(s"CompressedColumnar: ${buf.capacity() - base} bytes, need >= $minHeader")
   val totalSize: Int = buf.getInt(base + 1)
   val sizePer: Int = buf.getInt(base + 5)
   protected val numBytes: Int = if (hasNumBytes) buf.get(base + 9) & 0xff else elemSize

@@ -65,16 +65,18 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     }
 
   /** Binary-search a value in the sorted dictionary; -1 if absent.
-    * (Writer sorts the dictionary with null first, Druid-style.)
+    * Order is unsigned UTF-8 byte order with null first — what Druid
+    * itself uses (UTF-16 String order differs for supplementary chars).
     */
   def dictIdOf(value: String): Int = {
+    val target = value.getBytes("UTF-8")
     val n = dictionary.numElements
     var lo = 0
     var hi = n - 1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      val s = dictionary.stringAt(mid)
-      val cmp = if (s == null) -1 else s.compareTo(value)
+      val b = dictionary.bytesAt(mid)
+      val cmp = if (b == null) -1 else StringColumn.compareUtf8(b, target)
       if (cmp == 0) return mid
       else if (cmp < 0) lo = mid + 1
       else hi = mid - 1
@@ -95,6 +97,23 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
 }
 
 object StringColumn {
+  /** Unsigned lexicographic UTF-8 byte comparison (Druid's dictionary
+    * sort order).
+    */
+  def compareUtf8(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val cmp = (a(i) & 0xff) - (b(i) & 0xff)
+      if (cmp != 0) return cmp
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private[format] implicit val utf8Order: Ordering[String] =
+    (x: String, y: String) => compareUtf8(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+
   /** Write a v2 string column: sorted unique dictionary (null first if
     * present, as Druid sorts nulls first) + LZ4-compressed id column +
     * per-value Roaring bitmap indexes (value -> row set) enabling
@@ -102,7 +121,7 @@ object StringColumn {
     */
   def write(values: Seq[String], withBitmaps: Boolean = true): Array[Byte] = {
     val hasNull = values.contains(null)
-    val distinct = values.filter(_ != null).distinct.sorted
+    val distinct = values.filter(_ != null).distinct.sorted(utf8Order)
     val dictValues: Seq[String] = (if (hasNull) Seq(null) else Nil) ++ distinct
     val dictIndex = dictValues.zipWithIndex.toMap
     val ids = values.map(dictIndex).toArray
@@ -136,7 +155,7 @@ object StringColumn {
     */
   def writeV0(values: Seq[String]): Array[Byte] = {
     val hasNull = values.contains(null)
-    val distinct = values.filter(_ != null).distinct.sorted
+    val distinct = values.filter(_ != null).distinct.sorted(utf8Order)
     val dictValues: Seq[String] = (if (hasNull) Seq(null) else Nil) ++ distinct
     val dictIndex = dictValues.zipWithIndex.toMap
     val ids = values.map(dictIndex)

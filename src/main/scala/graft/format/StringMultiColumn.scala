@@ -48,7 +48,7 @@ object StringMultiColumn {
 
   def write(values: Seq[Seq[String]]): Array[Byte] = {
     val hasNull = values.exists(row => row != null && row.contains(null))
-    val distinct = values.filter(_ != null).flatten.filter(_ != null).distinct.sorted
+    val distinct = values.filter(_ != null).flatten.filter(_ != null).distinct.sorted(StringColumn.utf8Order)
     val dictValues: Seq[String] = (if (hasNull) Seq(null) else Nil) ++ distinct
     val dictIndex = dictValues.zipWithIndex.toMap
 

@@ -263,3 +263,37 @@ class SegmentRoundTripSpec extends AnyFunSuite {
     assert(gi.bytesAt(5).toSeq == blobs(5).toSeq)
   }
 }
+
+class RobustnessSpec extends AnyFunSuite {
+  test("dictIdOf agrees with UTF-8 sort for supplementary chars") {
+    // '🙂' (emoji, U+1F642) sorts AFTER '￿' in UTF-8 byte
+    // order but BEFORE it in UTF-16 order — the classic divergence
+    val vals = Seq("a", "￿", new String(Character.toChars(0x1F642)), "b")
+    val bytes = StringColumn.write(vals)
+    val col = new StringColumn(ByteBuffer.wrap(bytes), 0, bytes.length)
+    vals.foreach { v =>
+      val id = col.dictIdOf(v)
+      assert(id >= 0 && col.dictionary.stringAt(id) == v, s"lookup failed for $v")
+    }
+  }
+
+  test("corrupt inputs raise DruidFormatException, not arbitrary errors") {
+    assertThrows[DruidFormatException](
+      new CompressedLongs(ByteBuffer.wrap(Array[Byte](0x07, 0, 0, 0, 1)), 0))
+    assertThrows[DruidFormatException](
+      new StringColumn(ByteBuffer.wrap(Array[Byte](0x05, 0, 0)), 0))
+    assertThrows[DruidFormatException](
+      new VSizeInts(ByteBuffer.wrap(Array[Byte](0, 9, 0, 0, 0, 4)), 0))
+  }
+
+  test("empty segment (0 rows) round-trips") {
+    val dir = Files.createTempDirectory("graft-empty")
+    SegmentWriter.write(dir, Array.emptyLongArray,
+      Seq("s" -> StringValues(Array.empty[String]),
+          "v" -> LongValues(Array.emptyLongArray)))
+    val seg = DruidSegment.open(dir.toString)
+    assert(seg.numRows == 0)
+    val StringColumnData(sc) = seg.column("s"): @unchecked
+    assert(sc.length == 0)
+  }
+}
