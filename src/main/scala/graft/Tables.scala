@@ -24,11 +24,13 @@ object Tables {
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer division: ns epoch values exceed 2^53, so `/ 1000.0`
-        // double math would round the low microseconds
+        // integer FLOOR division: ns epoch values exceed 2^53 (so no
+        // double math), and `div` truncates toward zero for pre-epoch
+        // values (so subtract the sign correction)
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+            org.apache.spark.sql.functions.expr(
+              "ts div 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")))
       case _ => df
     }
   }

@@ -164,7 +164,7 @@ object CompressedColumnar {
     val sizePer = sizePerOpt.getOrElse(0x10000 / numBytes)
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    writeHeader(out, values.length, sizePer, Some(numBytes), Compression.LZ4)
+    writeHeader(out, values.length, sizePer, Some(numBytes), compression)
     // pack at numBytes width, big-endian
     val nBlocks = (values.length + sizePer - 1) / sizePer
     val blocks = (0 until nBlocks).map { b =>
@@ -180,7 +180,7 @@ object CompressedColumnar {
         }
         i += 1
       }
-      Compression.compress(Compression.LZ4, raw)
+      Compression.compress(compression, raw)
     }
     out.write(GenericIndexed.writeRawWithLengthPrefix(blocks, sorted = false))
     out.flush(); bos.toByteArray

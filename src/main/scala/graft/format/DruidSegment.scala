@@ -81,7 +81,7 @@ final class DruidSegment(val dir: Path) {
     if (name == "__time") TimeColumnData(new CompressedLongs(buf, dataBase))
     else desc.valueType match {
       case "STRING" if desc.hasMultipleValues =>
-        MultiStringColumnData(new StringMultiColumn(buf, dataBase))
+        MultiStringColumnData(new StringMultiColumn(buf, dataBase, end))
       case "STRING" => StringColumnData(new StringColumn(buf, dataBase, end))
       case "LONG" =>
         val c = new CompressedLongs(buf, dataBase)
@@ -100,14 +100,13 @@ final class DruidSegment(val dir: Path) {
     }
   }
 
-  /** Row count without decoding any data: the __time container header
-    * carries totalSize (the reference decodes the whole column instead,
-    * src/segment/mod.rs:104-109).
+  /** Row count without decoding any data blocks: every ColumnData's
+    * length comes from container headers (the reference decodes the
+    * whole __time column instead, src/segment/mod.rs:104-109). Works on
+    * segments without a __time file too — the first column, whatever
+    * its type, knows its length.
     */
-  def numRows: Int = {
-    val (_, buf, dataBase) = columnHeader(columnNames.head)
-    buf.getInt(dataBase + 1) // CompressedColumnar header: [ver][totalSize]
-  }
+  def numRows: Int = column(columnNames.head).length
 }
 
 /** Optional Roaring null-row trailer after a numeric container (our

@@ -62,7 +62,9 @@ final class GenericIndexed(buf: ByteBuffer, val base: Int) {
     val (s, e) = elementRange(i)
     if (e - s < 4) fail(s"GenericIndexed: element $i too short for length prefix")
     val len = buf.getInt(s)
-    if (len < 0) null
+    if (len == -1) null
+    else if (len < -1 || len > e - s - 4)
+      fail(s"GenericIndexed: element $i length $len outside range ${e - s - 4}")
     else {
       val out = new Array[Byte](len)
       sliceInto(s + 4, out)

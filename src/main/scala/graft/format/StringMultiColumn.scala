@@ -18,7 +18,7 @@ import java.nio.ByteBuffer
   * }}}
   * Row r owns flat ids [ends[r-1], ends[r]).
   */
-final class StringMultiColumn(buf: ByteBuffer, base: Int) {
+final class StringMultiColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
   private val version = buf.get(base) & 0xff
   if (version != StringMultiColumn.VERSION)
     fail(f"StringMultiColumn: unsupported version 0x$version%02x")
@@ -27,6 +27,14 @@ final class StringMultiColumn(buf: ByteBuffer, base: Int) {
   private val flatBase = base + 1 + dictionary.totalSize
   val flatIds = new CompressedInts(buf, flatBase)
   val rowEnds = new CompressedInts(buf, flatBase + flatIds.totalByteSize)
+
+  /** Roaring set of rows that are NULL (as opposed to empty arrays) —
+    * optional trailer, same shape as the numeric null trailers.
+    */
+  val nulls: org.roaringbitmap.buffer.ImmutableRoaringBitmap =
+    NullTrailer.read(buf, flatBase + flatIds.totalByteSize + rowEnds.totalByteSize, end)
+
+  def isNullAt(r: Int): Boolean = nulls != null && nulls.contains(r)
 
   def length: Int = rowEnds.length
 
@@ -48,6 +56,7 @@ object StringMultiColumn {
 
   def write(values: Seq[Seq[String]]): Array[Byte] = {
     val hasNull = values.exists(row => row != null && row.contains(null))
+    val nullRows = values.zipWithIndex.collect { case (null, r) => r }
     val distinct = values.filter(_ != null).flatten.filter(_ != null).distinct.sorted(StringColumn.utf8Order)
     val dictValues: Seq[String] = (if (hasNull) Seq(null) else Nil) ++ distinct
     val dictIndex = dictValues.zipWithIndex.toMap
@@ -66,6 +75,17 @@ object StringMultiColumn {
       dictValues.map(v => if (v == null) null else v.getBytes("UTF-8")), sorted = true))
     out.write(CompressedColumnar.writeInts(flat.toArray))
     out.write(CompressedColumnar.writeInts(ends))
+    if (nullRows.nonEmpty) {
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      nullRows.foreach(bm.add)
+      bm.runOptimize()
+      val b = new ByteArrayOutputStream()
+      val d = new DataOutputStream(b)
+      d.writeByte(0x01)
+      bm.serialize(d)
+      d.flush()
+      out.write(GenericIndexed.writeLengthPrefixed(Seq(b.toByteArray), sorted = false))
+    }
     out.flush(); bos.toByteArray
   }
 }

@@ -81,11 +81,18 @@ object TextOps {
     * turns near-dup search into an equi-join: docs sharing any
     * (band, sig) are candidates.
     */
-  def bandSignatures(mh: DataFrame, bandSize: Int = 4): DataFrame =
+  def bandSignatures(mh: DataFrame, bandSize: Int = 4): DataFrame = {
+    // 12-bit folds: bandSize <= 5 keeps sum(4095 * 4096^k) under 2^63
+    require(bandSize >= 1 && bandSize <= 5, s"bandSize $bandSize not in [1,5]")
+    val arms = (0 until bandSize)
+      .map(k => s"WHEN $k THEN CAST(${4096L.pow(k)} AS BIGINT)").mkString(" ")
     mh.groupBy(col("doc_id"), expr(s"j div $bandSize").as("band"))
-      .agg(sum(expr(
-        "(h % 4096) * CAST(CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 4096 " +
-          "WHEN 2 THEN 16777216 ELSE 68719476736 END AS BIGINT)")).as("sig"))
+      .agg(sum(expr(s"(h % 4096) * (CASE j % $bandSize $arms END)")).as("sig"))
+  }
+
+  private implicit class LongPow(private val base: Long) {
+    def pow(e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * base)
+  }
 
   /** Candidate pairs from shared band signatures (d1 < d2). */
   def lshCandidates(bands: DataFrame): DataFrame = {

@@ -95,11 +95,15 @@ object VectorOps {
       q.select(col("query_id"), col(s"q_$b").as("k"))
         .join(cand.select(col("cand_id"), col(b).as("k")), "k")
         .select(col("query_id"), col("cand_id"))
-    }.reduce(_ union _).distinct()
+    }.reduce(_ union _).distinct().cache()
+    // materialize the (small) id-pair cache, then release the bucketed
+    // copy of the embeddings — vectors re-attach from the input below
+    idPairs.count()
+    bucketed.unpersist()
     val scored = idPairs
       .filter(col("query_id") =!= col("cand_id"))
-      .join(bucketed.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
-      .join(bucketed.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), "cand_id")
+      .join(embeddings.select(col("vec_id").as("query_id"), col("embedding").as("qv")), "query_id")
+      .join(embeddings.select(col("vec_id").as("cand_id"), col("embedding").as("cv")), "cand_id")
       .withColumn("cos", round(
         expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
     val w = org.apache.spark.sql.expressions.Window

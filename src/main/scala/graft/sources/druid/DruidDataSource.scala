@@ -57,9 +57,12 @@ object DruidTableUtil {
     val p = Paths.get(root)
     if (DruidSegment.isSegmentDir(p)) Seq(root)
     else if (Files.isDirectory(p)) {
-      val segs = Files.list(p).iterator().asScala
-        .filter(d => Files.isDirectory(d) && DruidSegment.isSegmentDir(d))
-        .map(_.toString).toSeq.sorted
+      val stream = Files.list(p)
+      val segs =
+        try stream.iterator().asScala
+          .filter(d => Files.isDirectory(d) && DruidSegment.isSegmentDir(d))
+          .map(_.toString).toSeq.sorted
+        finally stream.close()
       if (segs.isEmpty)
         throw new IllegalArgumentException(s"no druid segments under $root")
       segs
@@ -108,5 +111,6 @@ class DruidTable(root: String, schema0: StructType) extends Table
     new DruidScanBuilder(root, schema(), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new DruidWriteBuilder(root, info.schema())
+    new DruidWriteBuilder(root, info.schema(),
+      info.options().getBoolean("bitmapIndexes", true))
 }

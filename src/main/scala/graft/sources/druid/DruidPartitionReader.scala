@@ -122,7 +122,8 @@ class DruidRowReader(part: DruidInputPartition, required: StructType)
           val s = sc.stringAt(row)
           if (s == null) null else UTF8String.fromString(s)
         case MultiStringColumnData(mc) =>
-          new GenericArrayData(mc.valuesAt(row).map(s =>
+          if (mc.isNullAt(row)) null
+          else new GenericArrayData(mc.valuesAt(row).map(s =>
             if (s == null) null else UTF8String.fromString(s)))
         case ComplexColumnData(gi) => gi.bytesAt(row)
       }

@@ -52,10 +52,14 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // Bounds are CONSERVATIVE (inclusive of the floored millisecond):
+    // millis() floors sub-millisecond filter values, so tightening by
+    // ±1ms could prune a segment whose edge rows still satisfy the
+    // predicate — and residual filters can't resurrect pruned segments.
     filters.foreach {
-      case GreaterThan("__time", v) => millis(v).foreach(m => timeMin = math.max(timeMin, m + 1))
+      case GreaterThan("__time", v) => millis(v).foreach(m => timeMin = math.max(timeMin, m))
       case GreaterThanOrEqual("__time", v) => millis(v).foreach(m => timeMin = math.max(timeMin, m))
-      case LessThan("__time", v) => millis(v).foreach(m => timeMax = math.min(timeMax, m - 1))
+      case LessThan("__time", v) => millis(v).foreach(m => timeMax = math.min(timeMax, m))
       case LessThanOrEqual("__time", v) => millis(v).foreach(m => timeMax = math.min(timeMax, m))
       case EqualTo("__time", v) => millis(v).foreach { m =>
         timeMin = math.max(timeMin, m); timeMax = math.min(timeMax, m)

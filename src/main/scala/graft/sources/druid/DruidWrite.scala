@@ -23,19 +23,22 @@ import graft.write.SegmentWriter._
   * files, same as Druid's own indexer which builds per-segment in
   * memory) — size partitions accordingly.
   */
-class DruidWriteBuilder(root: String, schema: StructType)
+class DruidWriteBuilder(root: String, schema: StructType,
+                        bitmapIndexes: Boolean = true)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new DruidBatchWrite(root, schema, doTruncate)
+    override def toBatch: BatchWrite =
+      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes)
   }
 }
 
 final case class DruidCommitMessage(dir: String) extends WriterCommitMessage
 
-class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean)
+class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
+                      bitmapIndexes: Boolean)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -45,7 +48,7 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean)
         .forEach(p => Files.delete(p))
     }
     Files.createDirectories(rootPath)
-    new DruidDataWriterFactory(root, schema)
+    new DruidDataWriterFactory(root, schema, bitmapIndexes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -57,14 +60,16 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean)
     }
 }
 
-class DruidDataWriterFactory(root: String, schema: StructType)
+class DruidDataWriterFactory(root: String, schema: StructType,
+                             bitmapIndexes: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DruidDataWriter(root, schema, partitionId, taskId)
+    new DruidDataWriter(root, schema, partitionId, taskId, bitmapIndexes)
 }
 
 class DruidDataWriter(root: String, schema: StructType,
-                      partitionId: Int, taskId: Long)
+                      partitionId: Int, taskId: Long,
+                      bitmapIndexes: Boolean = true)
     extends DataWriter[InternalRow] {
 
   private val fields = schema.fields
@@ -98,7 +103,7 @@ class DruidDataWriter(root: String, schema: StructType,
     val time: Array[Long] =
       if (timeIdx >= 0) buffers(timeIdx).map {
         case null => 0L
-        case m: Long => m / 1000L // micros -> millis
+        case m: Long => Math.floorDiv(m, 1000L) // micros -> millis (floor, not truncate)
       }.toArray
       else Array.fill(n)(0L)
 
@@ -115,7 +120,7 @@ class DruidDataWriter(root: String, schema: StructType,
             LongValues(buf.map(v => if (v == null) 0L else v.asInstanceOf[Long]).toArray,
               nullIdx(buf))
           case TimestampType | TimestampNTZType =>
-            LongValues(buf.map(v => if (v == null) 0L else v.asInstanceOf[Long] / 1000L).toArray,
+            LongValues(buf.map(v => if (v == null) 0L else Math.floorDiv(v.asInstanceOf[Long], 1000L)).toArray,
               nullIdx(buf))
           case DoubleType =>
             DoubleValues(buf.map(v => if (v == null) 0.0 else v.asInstanceOf[Double]).toArray,
@@ -133,7 +138,7 @@ class DruidDataWriter(root: String, schema: StructType,
       }.toSeq
 
     val dir = Paths.get(root, f"segment-$partitionId%05d-$taskId")
-    SegmentWriter.write(dir, time, columns)
+    SegmentWriter.write(dir, time, columns, stringBitmaps = bitmapIndexes)
     DruidCommitMessage(dir.toString)
   }
 

@@ -53,7 +53,8 @@ object SegmentWriter {
   def write(dir: Path, time: Array[Long],
             columns: Seq[(String, ColumnValues)],
             compression: Byte = Compression.LZ4,
-            maxChunkSize: Int = Int.MaxValue): Unit = {
+            maxChunkSize: Int = Int.MaxValue,
+            stringBitmaps: Boolean = true): Unit = {
     require(columns.forall(_._2.length == time.length),
       "all columns must have the same row count")
     Files.createDirectories(dir)
@@ -69,7 +70,7 @@ object SegmentWriter {
     logicalFiles("__time") = ColumnDescriptor.wrapColumn(
       "LONG", "longV2", CompressedColumnar.writeLongs(time, compression))
     columns.foreach { case (name, vals) =>
-      logicalFiles(name) = encodeColumn(vals, compression)
+      logicalFiles(name) = encodeColumn(vals, compression, stringBitmaps)
     }
     logicalFiles("index.drd") = SegmentMetadata.write(SegmentMetadata(
       columns.map(_._1), dims, intervalStart, intervalEnd))
@@ -120,7 +121,8 @@ object SegmentWriter {
       GenericIndexed.writeLengthPrefixed(Seq(b.toByteArray), sorted = false)
     }
 
-  private def encodeColumn(vals: ColumnValues, compression: Byte): Array[Byte] =
+  private def encodeColumn(vals: ColumnValues, compression: Byte,
+                           stringBitmaps: Boolean): Array[Byte] =
     vals match {
       case LongValues(v, nulls) => ColumnDescriptor.wrapColumn(
         "LONG", "longV2",
@@ -132,7 +134,8 @@ object SegmentWriter {
         "FLOAT", "floatV2",
         CompressedColumnar.writeFloats(v, compression) ++ nullTrailer(nulls))
       case StringValues(v) => ColumnDescriptor.wrapColumn(
-        "STRING", "stringDictionary", StringColumn.write(v.toSeq))
+        "STRING", "stringDictionary",
+        StringColumn.write(v.toSeq, withBitmaps = stringBitmaps))
       case MultiStringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringMultiV1", StringMultiColumn.write(v.toSeq),
         hasMultipleValues = true)

@@ -192,3 +192,54 @@ class DruidNumericNullSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(gotSum == expSum)
   }
 }
+class ReviewFixesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("MV null rows round-trip as NULL, not empty array") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mvnull").toString + "/t"
+    val src = Seq(
+      (new java.sql.Timestamp(1000L), Some(Seq("a", "b")), 1L),
+      (new java.sql.Timestamp(2000L), None, 2L),                 // NULL array
+      (new java.sql.Timestamp(3000L), Some(Seq.empty[String]), 3L), // empty array
+      (new java.sql.Timestamp(4000L), Some(Seq("c")), 4L)
+    ).toDF("__time", "tags", "n")
+    src.coalesce(1).write.format("druid").mode("overwrite").save(dir)
+    val back = spark.read.format("druid").load(dir)
+    assert(back.filter(col("tags").isNull).select("n").head.getLong(0) == 2L)
+    assert(back.filter(col("tags").isNotNull && size(col("tags")) === 0)
+      .select("n").head.getLong(0) == 3L)
+  }
+
+  test("sub-millisecond __time filter bound never over-prunes segments") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-subms").toString + "/t"
+    val cut = 1700000000123L
+    Seq((new java.sql.Timestamp(cut), 1L), (new java.sql.Timestamp(cut + 5000), 2L))
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir)
+    // filter value 0.5ms past the row: < cut+0.0005s must include row 1
+    val t = new java.sql.Timestamp(cut)
+    t.setNanos(((cut % 1000) * 1000000 + 500000).toInt)
+    val got = spark.read.format("druid").load(dir)
+      .filter(col("__time") < lit(t)).select("n").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("bitmapIndexes=false write option skips bitmap trailers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nobm").toString + "/t"
+    (0 until 100).map(i => (new java.sql.Timestamp(i * 1000L), s"k$i"))
+      .toDF("__time", "dim").coalesce(1)
+      .write.format("druid").option("bitmapIndexes", "false")
+      .mode("overwrite").save(dir)
+    val seg = graft.format.DruidSegment.open(
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().next().toString)
+    val graft.format.StringColumnData(sc) = seg.column("dim"): @unchecked
+    assert(sc.bitmaps.isEmpty)
+    // reads still work, filters fall back to residual evaluation
+    assert(spark.read.format("druid").load(dir)
+      .filter(col("dim") === "k7").count() == 1)
+  }
+}
