@@ -97,10 +97,48 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
     extends InputPartition
 
 class DruidScan(root: String, required: StructType,
-                timeMinMs: Long, timeMaxMs: Long, limit: Int,
+                timeMinMs0: Long, timeMaxMs0: Long, limit: Int,
                 rowsPerSplit: Long, batchSize: Int,
-                dimFilters: Map[String, Seq[String]] = Map.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+                dimFilters0: Map[String, Seq[String]] = Map.empty)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // runtime (DPP-style) filters tighten these before planInputPartitions
+  private var timeMinMs: Long = timeMinMs0
+  private var timeMaxMs: Long = timeMaxMs0
+  private var dimFilters: Map[String, Seq[String]] = dimFilters0
+
+  /** Join-driven runtime filters: accept IN/EqualTo on string dims
+    * (served by the bitmap indexes) and on __time (segment pruning) —
+    * the dynamic-partition-pruning shape for segment tables.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    required.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType =>
+        Expressions.column(f.name)
+      case f if f.name == "__time" => Expressions.column(f.name)
+    }
+  }
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
+      val values = vs.toSeq.map(_.asInstanceOf[String])
+      dimFilters += c -> dimFilters.get(c).map(_.intersect(values)).getOrElse(values)
+    case EqualTo(c, v: String) =>
+      dimFilters += c -> dimFilters.get(c).map(_.intersect(Seq(v))).getOrElse(Seq(v))
+    case In("__time", vs) if vs.nonEmpty =>
+      val ms = vs.toSeq.flatMap {
+        case t: java.sql.Timestamp => Some(t.getTime)
+        case i: java.time.Instant => Some(i.toEpochMilli)
+        case _ => None
+      }
+      if (ms.nonEmpty) {
+        timeMinMs = math.max(timeMinMs, ms.min)
+        timeMaxMs = math.min(timeMaxMs, ms.max)
+      }
+    case _ => ()
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this

@@ -243,3 +243,31 @@ class ReviewFixesSpec extends org.scalatest.funsuite.AnyFunSuite {
       .filter(col("dim") === "k7").count() == 1)
   }
 }
+class RuntimeFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("runtime IN filter tightens partitions (DPP contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-rtf").toString + "/t"
+    (0 until 1000).map(i => (new java.sql.Timestamp(1700000000000L + i * 1000L), s"k${i % 10}", i.toLong))
+      .toDF("__time", "dim", "n").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir)
+
+    val schema = graft.sources.druid.DruidTableUtil.schemaFor(dir)
+    val builder = new graft.sources.druid.DruidScanBuilder(
+      dir, schema, new CaseInsensitiveStringMap(java.util.Map.of()))
+    val scan = builder.build()
+    assert(scan.isInstanceOf[SupportsRuntimeFiltering])
+    val rtf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    assert(rtf.filterAttributes().map(_.describe()).toSet == Set("__time", "dim"))
+    rtf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("dim", Array("k3", "k5"))))
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.nonEmpty)
+    val p = parts.head.asInstanceOf[graft.sources.druid.DruidInputPartition]
+    assert(p.dimFilters == Map("dim" -> Seq("k3", "k5")))
+  }
+}
