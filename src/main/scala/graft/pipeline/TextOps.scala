@@ -51,17 +51,11 @@ object TextOps {
     * shuffle — at scale the whole MinHash phase is then map + partial
     * min-aggregate with only doc-level rows on the wire.
     */
-  def grams5Raw(docs: DataFrame): DataFrame =
+  def grams5Raw(docs: DataFrame): DataFrame = {
+    graft.sql.Grams5.register(docs.sparkSession)
     docs.filter(length(col("text")) >= 5)
-      .select(col("doc_id"),
-        expr("transform(split(text, ''), c -> ascii(c))").as("codes"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(codes) - 5), i -> " +
-          "(((CAST(element_at(codes, i + 1) AS BIGINT) * 256 + " +
-          "element_at(codes, i + 2)) * 256 + " +
-          "element_at(codes, i + 3)) * 256 + " +
-          "element_at(codes, i + 4)) * 256 + " +
-          "element_at(codes, i + 5))")).as("tg"))
+      .select(col("doc_id"), explode(expr("grams5(text)")).as("tg"))
+  }
 
   /** MinHash signatures: (doc_id, j, h) for j in [0, k). Computed as ONE
     * wide aggregate of k min columns (map-side combined, no k-fold row
