@@ -25,12 +25,26 @@ class DruidPartitionReaderFactory(required: StructType)
 
   // multi-value (array) columns go through the row-based reader;
   // everything else reads vectorized
-  override def supportColumnarReads(p: InputPartition): Boolean = !hasArray
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !hasArray && !p.isInstanceOf[CountStarPartition]
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     new DruidColumnarReader(p.asInstanceOf[DruidInputPartition], required)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case CountStarPartition(count) =>
+        // pushed-down COUNT(*): one row from segment metadata
+        return new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](count))
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     if (hasArray)
       return new DruidRowReader(p.asInstanceOf[DruidInputPartition], required)
     val columnar = createColumnarReader(p)

