@@ -43,14 +43,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  private def millis(v: Any): Option[Long] = v match {
-    case t: java.sql.Timestamp => Some(t.getTime)
-    case i: java.time.Instant => Some(i.toEpochMilli)
-    case d: java.time.LocalDateTime => // TimestampNTZ filters; session TZ is UTC
-      Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
-    case l: Long => Some(l)
-    case _ => None
-  }
+  private def millis(v: Any): Option[Long] = DruidScanBuilder.millis(v)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // Bounds are CONSERVATIVE (inclusive of the floored millisecond):
@@ -111,6 +104,21 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       options.getInt("batchSize", 4096), dimFilters, countStarPushed)
 }
 
+object DruidScanBuilder {
+  /** Filter-value -> epoch millis, covering TZ (Timestamp/Instant), NTZ
+    * (LocalDateTime; session TZ is UTC), and raw long values. Shared by
+    * compile-time pushFilters and runtime (DPP) filter().
+    */
+  def millis(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(t.getTime)
+    case i: java.time.Instant => Some(i.toEpochMilli)
+    case d: java.time.LocalDateTime =>
+      Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    case l: Long => Some(l)
+    case _ => None
+  }
+}
+
 final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      limit: Int, batchSize: Int,
                                      dimFilters: Map[String, Seq[String]])
@@ -152,11 +160,7 @@ class DruidScan(root: String, required: StructType,
     case EqualTo(c, v: String) =>
       dimFilters += c -> dimFilters.get(c).map(_.intersect(Seq(v))).getOrElse(Seq(v))
     case In("__time", vs) if vs.nonEmpty =>
-      val ms = vs.toSeq.flatMap {
-        case t: java.sql.Timestamp => Some(t.getTime)
-        case i: java.time.Instant => Some(i.toEpochMilli)
-        case _ => None
-      }
+      val ms = vs.toSeq.flatMap(DruidScanBuilder.millis)
       if (ms.nonEmpty) {
         timeMinMs = math.max(timeMinMs, ms.min)
         timeMaxMs = math.min(timeMaxMs, ms.max)
@@ -172,7 +176,8 @@ class DruidScan(root: String, required: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
-      s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters)"
+      s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
+      s"countStarPushed=$countStarPushed)"
 
   private lazy val segments: Seq[String] = DruidTableUtil.discoverSegments(root)
 
@@ -180,7 +185,7 @@ class DruidScan(root: String, required: StructType,
     * range (interval from index.drd; reference src/segment/metadata.rs:22-23
     * parses it but never uses it for pruning).
     */
-  private lazy val prunedSegments: Seq[(String, Int)] = segments.flatMap { dir =>
+  private def prunedSegments: Seq[(String, Int)] = segments.flatMap { dir =>
     val seg = DruidSegment.open(dir)
     val m = seg.metadata
     val intersects = m.intervalStartMs <= timeMaxMs && m.intervalEndMs > timeMinMs
@@ -207,7 +212,8 @@ class DruidScan(root: String, required: StructType,
     new DruidPartitionReaderFactory(required)
 
   override def estimateStatistics(): Statistics = new Statistics {
-    private lazy val totalRows = prunedSegments.map(_._2.toLong).sum
+    private lazy val totalRows =
+      if (countStarPushed) 1L else prunedSegments.map(_._2.toLong).sum
     // ~bytes per row from schema (strings estimated at 16B)
     private lazy val rowBytes = required.fields.map(_.dataType match {
       case StringType => 16L

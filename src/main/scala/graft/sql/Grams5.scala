@@ -1,10 +1,11 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expression producing the base-256 code-point 5-gram codes of
@@ -19,6 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen anyway.
   */
 case class Grams5(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"grams5 requires a STRING argument, got ${child.dataType.sql}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
@@ -54,5 +59,8 @@ object Grams5 {
   /** Idempotent per-session SQL registration: `grams5(text)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "grams5", exprs => Grams5(exprs.head), "scala_udf")
+      "grams5", { exprs =>
+        require(exprs.length == 1, "grams5 expects exactly one argument")
+        Grams5(exprs.head)
+      }, "scala_udf")
 }

@@ -285,8 +285,10 @@ class CountPushdownSpec extends org.scalatest.funsuite.AnyFunSuite {
     val counted = df.agg(count(lit(1)))
     assert(counted.head.getLong(0) == 12345)
     val plan = counted.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedAggregation") || !plan.contains("HashAggregate") ||
-      counted.rdd.getNumPartitions <= 3, s"plan: $plan")
+    // complete pushdown: the scan itself outputs count(*) and no
+    // aggregate operator remains in the plan
+    assert(plan.contains("[count(*)") && !plan.contains("HashAggregate"),
+      s"pushdown missing in plan: $plan")
     // filtered count must NOT use the metadata shortcut (filters residual)
     assert(df.filter(col("n") < 100).count() == 100)
   }
