@@ -88,6 +88,22 @@ object TextOps {
     def pow(e: Int): Long = (0 until e).foldLeft(1L)((a, _) => a * base)
   }
 
+  /** Band signatures computed per-row in one pass with the native
+    * [[graft.sql.MinHashBands]] expression — same values as
+    * `bandSignatures(minhash(grams5Raw(docs), k), bandSize)` with ZERO
+    * shuffles: no gram explode, no wide min aggregate, no band
+    * re-aggregation. The only stateful operator left in LSH candidate
+    * generation is the band equi-join itself.
+    */
+  def bandSignaturesDirect(docs: DataFrame, k: Int = 16,
+                           bandSize: Int = 4): DataFrame = {
+    graft.sql.MinHashBands.register(docs.sparkSession)
+    docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"),
+        posexplode(expr(s"minhash_bands(text, $k, $bandSize)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+  }
+
   /** Candidate pairs from shared band signatures (d1 < d2). */
   def lshCandidates(bands: DataFrame): DataFrame = {
     val a = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))

@@ -55,6 +55,24 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  private def hllSeg(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.HllFunctions
+    val path = segTable("hll", dir,
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(HllFunctions.hllBuild(col("l_partkey")).as("sketch"))
+        .select(lit(new java.sql.Timestamp(0)).as("__time"),
+                col("l_returnflag"), col("l_linestatus"), col("sketch")))
+    s.read.format("druid").load(path)
+  }
+
+  /** Force all one-time segment-staging writes. Bench calls this before
+    * its timed loop so dr* timings measure scans, not the writer.
+    */
+  def stage(s: SparkSession, dir: String): Unit = {
+    eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
+  }
+
   def all: Seq[Q] = Seq(
 
     // -- Multi-value string dimension (ArrayType round-trip + explode):
@@ -149,14 +167,7 @@ object DruidQueries extends QuerySet {
     Q("dr7_hll_sketch",
       (s, dir) => {
         import graft.sql.HllFunctions
-        val path = segTable("hll", dir,
-          Tables.load(s, dir, "lineitem")
-            .groupBy(col("l_returnflag"), col("l_linestatus"))
-            .agg(HllFunctions.hllBuild(col("l_partkey")).as("sketch"))
-            .select(lit(new java.sql.Timestamp(0)).as("__time"),
-                    col("l_returnflag"), col("l_linestatus"), col("sketch")))
-        val seg = s.read.format("druid").load(path)
-        seg.groupBy(col("l_returnflag"))
+        hllSeg(s, dir).groupBy(col("l_returnflag"))
           .agg(HllFunctions.hllEstimate(
             HllFunctions.hllMerge(col("sketch"))).as("approx_parts"))
           .orderBy(col("l_returnflag"))

@@ -39,11 +39,17 @@ object PipelineQueries extends QuerySet {
 
     // ---- deduplication ----
 
-    // Exact dedup: canonical doc per distinct normalized text.
+    // Exact dedup: canonical doc per distinct normalized text. The
+    // shuffle key is (xxhash64, length) of the normalized text — 16
+    // bytes/row — NOT the text itself; at 100 TB the exchange carries
+    // only doc_id + hash, never the corpus. The oracle groups by
+    // lower(text) directly: identical groups barring a 64-bit-hash+
+    // length collision, so the outputs hash-match.
     Q("d1_dedup_exact",
       (s, dir) => {
         Tables.load(s, dir, "documents")
-          .groupBy(lower(col("text")).as("norm"))
+          .groupBy(xxhash64(lower(col("text"))).as("norm_hash"),
+                   length(col("text")).as("norm_len"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
           .groupBy(col("n_copies"))
           .agg(count(lit(1)).as("n_groups"), min(col("keep_id")).as("first_keep"))
@@ -59,13 +65,22 @@ object PipelineQueries extends QuerySet {
     Q("d2_dedup_minhash_lsh",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
-        // this corpus: nearly every doc lands in some candidate pair, so
-        // one shared distinct-gram cache beats a candidate-restricted
-        // rerank; on a sparse-duplicate corpus switch to grams5Raw for
-        // signatures + a left-semi-restricted distinct for the rerank
-        val grams = TextOps.grams5(docs).cache()
+        // Signatures come from the native one-pass minhash_bands
+        // expression — a pure per-row projection (no gram explode, no
+        // min aggregate, no band re-aggregation), so candidate
+        // generation's only shuffle is the band self-join. The rerank's
+        // distinct-gram build is restricted to candidate docs via a
+        // left-semi join BEFORE the gram explode: at 100 TB the distinct
+        // shuffle sees only the (small) candidate subset, never the
+        // whole corpus.
         val cand = TextOps.lshCandidates(
-          TextOps.bandSignatures(TextOps.minhash(grams, 16)))
+          TextOps.bandSignaturesDirect(docs, 16, 4)).cache()
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        // cached because exactJaccard scans it three times (sizes, each
+        // pair side); bounded by the candidate subset, so safe at scale
+        val grams = TextOps.grams5(
+          docs.join(candDocs, Seq("doc_id"), "left_semi")).cache()
         TextOps.exactJaccard(grams, cand)
           .select(col("d1"), col("d2"), col("jaccard"))
           .orderBy(col("d1"), col("d2"))

@@ -59,6 +59,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.bytes > 0 && m.width == m.bytes % 64)
   }
 
+  test("native minhash_bands matches the composable explode/agg pipeline") {
+    val composed = TextOps.bandSignatures(
+        TextOps.minhash(TextOps.grams5Raw(docs), 16), 4)
+      .select(col("doc_id"), col("band").cast("int").as("band"), col("sig"))
+    val direct = TextOps.bandSignaturesDirect(docs, 16, 4)
+      .select(col("doc_id"), col("band"), col("sig"))
+    assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
+      "band signatures diverge between native and composable paths")
+    assert(direct.count() == docs.filter(length(col("text")) >= 5).count() * 4)
+  }
+
+  test("minhash_bands returns null for strings with no 5-gram") {
+    graft.sql.MinHashBands.register(spark)
+    val r = spark.sql("SELECT minhash_bands('abcd', 16, 4) IS NULL, " +
+      "size(minhash_bands('abcde', 8, 4))").head
+    assert(r.getBoolean(0) && r.getInt(1) == 2)
+  }
+
   test("simhash hamming distance correlates with similarity") {
     val sh = TextOps.simhash(TextOps.grams5(docs), 16)
     assert(sh.count() == docs.count())
