@@ -114,23 +114,40 @@ final class DruidSegment(val dir: Path) {
   * src/column/long.rs:8-10).
   */
 object NullTrailer {
+  /** Validated, never-throwing parse: anything that is not exactly a
+    * one-element GenericIndexed holding a 0x01-typed Roaring bitmap
+    * that fits the logical file reads as "no null trailer" (nulls then
+    * surface as their 0-slot values — the pre-extension behavior —
+    * rather than a corrupted read of a foreign segment's trailer).
+    */
   def read(buf: java.nio.ByteBuffer, base: Int, end: Int):
       org.roaringbitmap.buffer.ImmutableRoaringBitmap = {
     if (end <= base + GenericIndexed.HEADER ||
         (buf.get(base) & 0xff) != GenericIndexed.VERSION) return null
-    val gi = new GenericIndexed(buf, base)
-    if (gi.numElements != 1) return null
+    val gi = try new GenericIndexed(buf, base) catch { case _: Exception => return null }
+    if (gi.numElements != 1 || base + gi.totalSize > end) return null
     val (s, e) = gi.elementRange(0)
+    if (e - s < 5 || e > end) return null
     val len = buf.getInt(s)
-    if (len < 1 || (buf.get(s + 4) & 0xff) != 0x01) return null
+    if (len < 1 || len > e - s - 4 || (buf.get(s + 4) & 0xff) != 0x01) return null
     val dup = buf.duplicate()
     dup.position(s + 5).limit(s + 4 + len)
-    new org.roaringbitmap.buffer.ImmutableRoaringBitmap(dup.slice())
+    try new org.roaringbitmap.buffer.ImmutableRoaringBitmap(dup.slice())
+    catch { case _: Exception => null }
   }
 }
 
 object DruidSegment {
-  def open(dir: String): DruidSegment = new DruidSegment(Paths.get(dir))
+  /** Test hook: per-directory open counts, for asserting scan planning
+    * opens each segment exactly once per query (not once per planning
+    * callback). Negligible overhead next to the mmap+header parse.
+    */
+  val openCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def open(dir: String): DruidSegment = {
+    openCounts.merge(dir, 1L, (a, b) => a + b)
+    new DruidSegment(Paths.get(dir))
+  }
 
   /** A directory is a segment if it has version.bin + meta.smoosh. */
   def isSegmentDir(dir: Path): Boolean =

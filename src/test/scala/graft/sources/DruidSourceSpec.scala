@@ -59,6 +59,23 @@ class DruidSourceSpec extends AnyFunSuite {
     assert(whole == split)
   }
 
+  test("scan planning opens each segment exactly once per query") {
+    import scala.jdk.CollectionConverters._
+    val dir = writeFixture(3000)
+    val df = spark.read.format("druid").load(dir)
+      .filter(col("metric") >= 0).groupBy("dim").count()
+    def opens(): Map[String, Long] = graft.format.DruidSegment.openCounts
+      .asScala.collect { case (d, n) if d.startsWith(dir) => d -> n.toLong }.toMap
+    val before = opens()
+    df.collect()
+    val delta = opens().map { case (d, n) => n - before.getOrElse(d, 0L) }
+    // per segment: 1 planner open (memoized across planInputPartitions +
+    // estimateStatistics) + 1 reader-task open (one row-range split each
+    // at 1500 rows/segment vs the 4M default rowsPerSplit)
+    assert(delta.size == 2 && delta.forall(_ == 2),
+      s"planning re-opened segments: per-segment opens = $delta")
+  }
+
   test("time-range filter prunes segments and stays correct") {
     val dir = writeFixture(2000)
     // boundary inside seg-b's interval
