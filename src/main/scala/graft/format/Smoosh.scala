@@ -23,17 +23,41 @@ final case class SmooshEntry(name: String, chunk: Int, start: Int, end: Int) {
   * gets only, so one mapping serves all columns with zero copies.
   */
 final class SmooshReader private (
+    dir: Path,
     val entries: SortedMap[String, SmooshEntry],
-    chunks: IndexedSeq[ByteBuffer]) {
+    val numChunks: Int,
+    val maxChunkSize: Long) {
 
   def fileNames: Iterable[String] = entries.keys
   def has(name: String): Boolean = entries.contains(name)
   def entry(name: String): Option[SmooshEntry] = entries.get(name)
 
+  // Chunk files are mapped LAZILY on first slice: metadata-only access
+  // (planning, `druid-tool info`, interop checks) never touches the
+  // data blobs, and a scan of two columns in one chunk never maps the
+  // others. Mapping is idempotent, so the unsynchronized memo is safe.
+  private val mapped = new Array[ByteBuffer](numChunks)
+
+  private def chunk(i: Int): ByteBuffer = {
+    if (i < 0 || i >= numChunks) fail(s"smoosh: chunk $i out of range [0,$numChunks)")
+    var buf = mapped(i)
+    if (buf == null) {
+      val path = dir.resolve(f"$i%05d.smoosh")
+      val raf = new RandomAccessFile(path.toFile, "r")
+      try {
+        val m = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, raf.length())
+        m.order(ByteOrder.BIG_ENDIAN)
+        buf = m
+      } finally raf.close()
+      mapped(i) = buf
+    }
+    buf
+  }
+
   /** (buffer, baseOffset, length) for a logical file. */
   def slice(name: String): (ByteBuffer, Int, Int) = {
     val e = entries.getOrElse(name, fail(s"smoosh: no logical file '$name'"))
-    val buf = chunks(e.chunk)
+    val buf = chunk(e.chunk)
     if (e.end > buf.capacity())
       fail(s"smoosh: '$name' end ${e.end} exceeds chunk size ${buf.capacity()}")
     (buf, e.start, e.size)
@@ -59,6 +83,7 @@ object SmooshReader {
     val header = metaLines.head.split(",")
     if (header.length < 3 || header(0) != "v1")
       fail(s"meta.smoosh: bad header '${metaLines.head}'")
+    val maxChunkSize = header(1).trim.toLong
     val numChunks = header(2).trim.toInt
 
     val entries = metaLines.tail.iterator
@@ -70,15 +95,6 @@ object SmooshReader {
       }
       .to(SortedMap)
 
-    val chunks = (0 until numChunks).map { i =>
-      val path = dir.resolve(f"$i%05d.smoosh")
-      val raf = new RandomAccessFile(path.toFile, "r")
-      try {
-        val mapped = raf.getChannel.map(FileChannel.MapMode.READ_ONLY, 0, raf.length())
-        mapped.order(ByteOrder.BIG_ENDIAN)
-        mapped: ByteBuffer
-      } finally raf.close()
-    }
-    new SmooshReader(entries, chunks)
+    new SmooshReader(dir, entries, numChunks, maxChunkSize)
   }
 }
