@@ -13,7 +13,12 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 final case class ColumnDescriptor(
     valueType: String, // STRING | LONG | FLOAT | DOUBLE | COMPLEX
     hasMultipleValues: Boolean,
-    partTypes: Seq[String])
+    partTypes: Seq[String],
+    // our extension: original logical type for columns whose physical
+    // storage widens (e.g. "timestamp_micros" for a non-__time timestamp
+    // stored as LONG micros). Absent in real Druid segments; unknown
+    // JSON fields are ignored by both sides, so interop is unaffected.
+    logicalType: Option[String] = None)
 
 object ColumnDescriptor {
   private val mapper = new ObjectMapper()
@@ -35,16 +40,19 @@ object ColumnDescriptor {
       valueType = node.get("valueType").asText(),
       hasMultipleValues =
         Option(node.get("hasMultipleValues")).exists(_.asBoolean(false)),
-      partTypes = parts)
+      partTypes = parts,
+      logicalType = Option(node.get("logicalType")).map(_.asText()))
     (desc, base + 4 + jsonLen)
   }
 
   /** Serialize a descriptor + column binary into one logical file. */
   def wrapColumn(valueType: String, partType: String,
                  binary: Array[Byte],
-                 hasMultipleValues: Boolean = false): Array[Byte] = {
+                 hasMultipleValues: Boolean = false,
+                 logicalType: Option[String] = None): Array[Byte] = {
+    val lt = logicalType.map(t => s""""logicalType":"$t",""").getOrElse("")
     val json =
-      s"""{"valueType":"$valueType","hasMultipleValues":$hasMultipleValues,""" +
+      s"""{"valueType":"$valueType",$lt"hasMultipleValues":$hasMultipleValues,""" +
         s""""parts":[{"type":"$partType"}]}"""
     val jsonBytes = json.getBytes(UTF_8)
     val out = ByteBuffer.allocate(4 + jsonBytes.length + binary.length)

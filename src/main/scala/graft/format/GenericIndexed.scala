@@ -38,14 +38,29 @@ final class GenericIndexed(buf: ByteBuffer, val base: Int) {
   private val valuesStart = base + HEADER + numElements * 4
 
   /** Bytes this structure occupies — for chaining compound layouts
-    * (reference :244-250). Uses the declared totalBytes, which real
-    * segments populate; equals last offset + header when they agree.
+    * (reference :244-250). DERIVED from the offset table, the way the
+    * reference's total_size() computes it: real Druid declares
+    * totalBytes as numElements-word + offsets + values (4 more than the
+    * offsets+values sum), so chaining on the declared field misaligns
+    * every compound read of a genuine segment by 4 bytes. The declared
+    * field is validated below as a cross-check instead.
     */
-  def totalSize: Int = HEADER + totalBytes
+  def totalSize: Int = totalSizeFromOffsets
 
   /** Size derived from the offset table (reference computes it this way). */
   def totalSizeFromOffsets: Int =
     if (numElements == 0) HEADER else HEADER + numElements * 4 + endOffset(numElements - 1)
+
+  // declared-size cross-check: accept real Druid's convention
+  // (4 + offsets + values) and the offsets+values form our own writer
+  // emitted before aligning with Druid — anything else means we are
+  // parsing bytes that are not a GenericIndexed
+  locally {
+    val ov = totalSizeFromOffsets - HEADER // offsets + values
+    if (totalBytes != ov && totalBytes != ov + 4)
+      fail(s"GenericIndexed: declared totalBytes $totalBytes matches neither " +
+        s"offsets+values $ov nor Druid's ${ov + 4}")
+  }
 
   private def endOffset(i: Int): Int = buf.getInt(base + HEADER + i * 4)
 
@@ -168,7 +183,10 @@ object GenericIndexed {
     out.writeByte(VERSION)
     out.writeByte(if (sorted) 0x01 else 0x00)
     val valuesSize = encoded.iterator.map(_.length).sum
-    out.writeInt(encoded.size * 4 + valuesSize) // totalBytes
+    // real Druid's convention: the declared size covers the
+    // numElements word + offsets + values (GenericIndexedWriter's
+    // numBytesUsed), so genuine Druid readers slice our output correctly
+    out.writeInt(4 + encoded.size * 4 + valuesSize) // totalBytes
     out.writeInt(encoded.size)
     var cum = 0
     encoded.foreach { e => cum += e.length; out.writeInt(cum) }

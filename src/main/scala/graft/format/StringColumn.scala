@@ -38,6 +38,13 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     * reference — simply ignore the trailer). Element i = serialized
     * bitmap of rows whose id == i, prefixed by the 0x01 Roaring type
     * byte the reference documents (src/column/bitmap.rs:5-14).
+    *
+    * Detection is VALIDATED, not sniffed: beyond the version byte, the
+    * structure must parse as a GenericIndexed whose element count
+    * equals the dictionary's and whose size fits the logical file.
+    * A foreign trailer that fails any check degrades to a full-range
+    * scan (filters are always residual, so correctness is unaffected);
+    * misreading one as bitmaps could silently DROP rows.
     */
   val bitmaps: Option[GenericIndexed] = {
     val idsEnd = ids match {
@@ -46,7 +53,15 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     }
     if (end > idsEnd + GenericIndexed.HEADER &&
         (buf.get(idsEnd) & 0xff) == GenericIndexed.VERSION)
-      Some(new GenericIndexed(buf, idsEnd))
+      scala.util.Try(new GenericIndexed(buf, idsEnd)).toOption.filter { gi =>
+        gi.numElements == dictionary.numElements &&
+          idsEnd + gi.totalSize <= end &&
+          // every element must hold a length-prefixed 0x01-typed bitmap
+          (gi.numElements == 0 || {
+            val (s, e) = gi.elementRange(0)
+            e - s >= 5 && buf.getInt(s) >= 1 && (buf.get(s + 4) & 0xff) == 0x01
+          })
+      }
     else None
   }
 

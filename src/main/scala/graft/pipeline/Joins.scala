@@ -25,23 +25,32 @@ object Joins {
   def asOfBackward(left: DataFrame, right: DataFrame, tsCol: String,
                    keys: Seq[String], payload: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    val otherLeft = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+    // The payload travels as ONE struct, null only on left-tagged rows:
+    // last(ignoreNulls) then latches onto the latest right ROW, so a
+    // matched right row whose payload values are genuinely NULL
+    // propagates those nulls instead of resurrecting an older row's
+    // non-null values (standard as-of semantics).
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     // tag: right rows sort BEFORE left rows at equal ts so "<=" matches
     val taggedRight = right.select(
-      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side")) ++
-        payload.map(col) ++ leftCols.filterNot(c => keys.contains(c) || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      (keys.map(col) :+ col(tsCol) :+ lit(0).as("__side")
+        :+ struct(payload.map(col): _*).as("__payload")) ++
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      (keys.map(col) :+ col(tsCol) :+ lit(1).as("__side")) ++
-        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col): _*)
+      (keys.map(col) :+ col(tsCol) :+ lit(1).as("__side")
+        :+ lit(null).cast(payloadType).as("__payload")) ++
+        otherLeft.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = payload.foldLeft(taggedRight.unionByName(taggedLeft)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((keys.map(col) :+ col(tsCol)) ++
+        payload.map(p => col(s"__payload.$p").as(p)) ++ otherLeft.map(col): _*)
   }
 }

@@ -91,7 +91,14 @@ object DruidTableUtil {
         val t =
           if (desc.valueType == "STRING" && desc.hasMultipleValues)
             ArrayType(StringType, containsNull = true)
-          else sparkType(desc.valueType)
+          else desc.logicalType match {
+            // LONG-backed micros written by our writer; restores the
+            // original Spark type (values need no conversion: Spark's
+            // internal timestamp representation IS epoch micros)
+            case Some("timestamp_micros") => TimestampType
+            case Some("timestamp_ntz_micros") => TimestampNTZType
+            case _ => sparkType(desc.valueType)
+          }
         StructField(name, t, nullable = true)
       }
     })

@@ -26,6 +26,16 @@ object SegmentWriter {
                               nulls: Array[Int] = Array.empty) extends ColumnValues {
     def length: Int = values.length
   }
+  /** Non-`__time` timestamp column: stored as a LONG column of epoch
+    * MICROS (full Spark precision) with `logicalType` recorded in the
+    * descriptor so reads restore TimestampType; a plain Druid reader
+    * sees an ordinary LONG column.
+    */
+  final case class TimestampValues(micros: Array[Long],
+                                   nulls: Array[Int] = Array.empty,
+                                   ntz: Boolean = false) extends ColumnValues {
+    def length: Int = micros.length
+  }
   final case class DoubleValues(values: Array[Double],
                                 nulls: Array[Int] = Array.empty) extends ColumnValues {
     def length: Int = values.length
@@ -127,6 +137,10 @@ object SegmentWriter {
       case LongValues(v, nulls) => ColumnDescriptor.wrapColumn(
         "LONG", "longV2",
         CompressedColumnar.writeLongs(v, compression) ++ nullTrailer(nulls))
+      case TimestampValues(v, nulls, ntz) => ColumnDescriptor.wrapColumn(
+        "LONG", "longV2",
+        CompressedColumnar.writeLongs(v, compression) ++ nullTrailer(nulls),
+        logicalType = Some(if (ntz) "timestamp_ntz_micros" else "timestamp_micros"))
       case DoubleValues(v, nulls) => ColumnDescriptor.wrapColumn(
         "DOUBLE", "doubleV2",
         CompressedColumnar.writeDoubles(v, compression) ++ nullTrailer(nulls))

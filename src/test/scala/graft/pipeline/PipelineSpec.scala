@@ -77,6 +77,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getInt(1) == 2)
   }
 
+  test("as-of join preserves a matched right row's genuinely-null payload") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, 10L, Some(5.0)),   // older, non-null
+      (1L, 20L, None),        // latest match: null payload must WIN
+      (2L, 10L, Some(7.0)))
+      .toDF("k", "ts", "v")
+    val left = Seq((1L, 25L, "a"), (2L, 15L, "b"), (3L, 9L, "c"))
+      .toDF("k", "ts", "tag")
+    val out = Joins.asOfBackward(left, right, "ts", Seq("k"), Seq("v"))
+      .orderBy("k").collect()
+    assert(out.length == 3)
+    assert(out(0).isNullAt(out(0).fieldIndex("v")),
+      "latest-match null payload was replaced by an older non-null row")
+    assert(out(1).getDouble(out(1).fieldIndex("v")) == 7.0)
+    assert(out(2).isNullAt(out(2).fieldIndex("v"))) // no match at all
+  }
+
   test("simhash hamming distance correlates with similarity") {
     val sh = TextOps.simhash(TextOps.grams5(docs), 16)
     assert(sh.count() == docs.count())

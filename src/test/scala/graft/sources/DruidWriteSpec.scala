@@ -1,0 +1,94 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** Write-path behavior: typed buffering at volume, staged atomic
+  * overwrite, and timestamp type fidelity across a round trip.
+  */
+class DruidWriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("non-__time timestamp columns round-trip as TimestampType with micros precision") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-ts").toString + "/t"
+    val src = (0 until 100).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L),
+        // sub-millisecond precision: micros must survive
+        java.time.Instant.ofEpochSecond(1700000000L + i, i * 1000L),
+        i.toLong)
+    }.toDF("__time", "seen_at", "n")
+    src.write.format("druid").mode("overwrite").save(out)
+
+    val back = spark.read.format("druid").load(out)
+    assert(back.schema("seen_at").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val diff = back.select(
+        sum(unix_micros(col("seen_at")) -
+          (lit(1700000000000000L) + col("n") * 1000000L + col("n"))))
+      .head.getLong(0)
+    assert(diff == 0L, "micros precision lost in round trip")
+  }
+
+  test("timestamp null slots round-trip as null") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-tsnull").toString + "/t"
+    (0 until 50).map { i =>
+      (new java.sql.Timestamp(1700000000000L + i),
+        if (i % 7 == 0) null
+        else new java.sql.Timestamp(1700000000000L + i * 3),
+        i.toLong)
+    }.toDF("__time", "seen_at", "n")
+      .write.format("druid").mode("overwrite").save(out)
+    val back = spark.read.format("druid").load(out)
+    assert(back.filter(col("seen_at").isNull).count() == (0 until 50).count(_ % 7 == 0))
+  }
+
+  test("failed overwrite job leaves the previous table intact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-atomic").toString + "/t"
+    val original = (0 until 500).map(i =>
+      (new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong))
+      .toDF("__time", "n")
+    original.write.format("druid").mode("overwrite").save(out)
+
+    // a source that blows up mid-job: task for the poisoned partition
+    // fails repeatedly, the job aborts, and commit() never runs
+    val bomb = udf((n: Long) => {
+      if (n == 400L) throw new RuntimeException("boom"); n
+    })
+    val failing = original.withColumn("n", bomb(col("n")))
+    intercept[Exception] {
+      failing.repartition(4).write.format("druid").mode("overwrite").save(out)
+    }
+
+    val back = spark.read.format("druid").load(out)
+    assert(back.count() == 500, "previous table lost after failed overwrite")
+    assert(back.agg(sum("n")).head.getLong(0) == (0 until 500).map(_.toLong).sum)
+    // no staging litter visible to discovery and none on disk
+    val staging = Files.list(java.nio.file.Paths.get(out)).toArray
+      .map(_.toString).filter(_.contains(".staging"))
+    assert(staging.isEmpty, s"staging dirs left behind: ${staging.toSeq}")
+  }
+
+  test("large partition write stays typed (1M rows, single partition)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-big").toString + "/t"
+    spark.range(1000000)
+      .select(timestamp_millis(lit(1700000000000L) + col("id")).as("__time"),
+        col("id").as("n"), (col("id") * 0.5).as("x"),
+        concat(lit("k"), col("id") % 31).as("dim"))
+      .coalesce(1)
+      .write.format("druid").mode("overwrite").save(out)
+    val back = spark.read.format("druid").load(out)
+    assert(back.count() == 1000000)
+    val r = back.agg(sum("n"), sum("x"), countDistinct("dim")).head
+    assert(r.getLong(0) == 499999500000L)
+    assert(math.abs(r.getDouble(1) - 499999500000L * 0.5) < 1e-3)
+    assert(r.getLong(2) == 31)
+  }
+}
