@@ -24,16 +24,23 @@ object DruidTool {
     DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
       .withZone(ZoneOffset.UTC).format(Instant.ofEpochMilli(ms))
 
-  private def sparkSession(): SparkSession = {
-    val s = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
-      .appName("druid-tool")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+  /** Run `f` with a SparkSession; stops it only if this call created it
+    * (embedding callers — tests, notebooks — keep their session alive).
+    */
+  private def withSpark[T](f: SparkSession => T): T = {
+    val existing = SparkSession.getDefaultSession.filterNot(_.sparkContext.isStopped)
+    val s = existing.getOrElse {
+      val created = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+        .appName("druid-tool")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      created.sparkContext.setLogLevel("ERROR")
+      created
+    }
+    try f(s) finally if (existing.isEmpty) s.stop()
   }
 
   def main(args: Array[String]): Unit = args.toList match {
@@ -64,6 +71,12 @@ object DruidTool {
       println(f"  $name%-24s $vt%-10s parts=${desc.partTypes.mkString(",")}")
     }
     println(s"Dimensions: ${seg.metadata.dimensions.mkString(", ")}")
+    seg.metadataDrd.foreach { m =>
+      println(s"Rollup: ${m.rollup}")
+      println(s"QueryGranularity: ${m.queryGranularity}")
+      if (m.aggregators.nonEmpty)
+        println(s"Aggregators: ${m.aggregators.mkString(", ")}")
+    }
   }
 
   /** Smoosh entry listing — reference cmd_files (src/main.rs:122-140). */
@@ -90,8 +103,7 @@ object DruidTool {
       case other :: _ => System.err.println(s"unknown arg $other"); sys.exit(2)
       case Nil => Nil
     }
-    val spark = sparkSession()
-    try {
+    withSpark { spark =>
       var df = spark.read.format("druid").load(dir)
       columns.foreach(cs => df = df.select(cs.map(org.apache.spark.sql.functions.col): _*))
       df = df.limit(limit)
@@ -103,18 +115,15 @@ object DruidTool {
           df.collect().foreach(r => println(r.toSeq.mkString(",")))
         case other => System.err.println(s"unknown format $other"); sys.exit(2)
       }
-    } finally spark.stop()
+    }
   }
 
   /** Arbitrary SQL with the segment registered as `segment` — reference
     * cmd_query (src/main.rs:186-195), running on Spark instead of
     * DataFusion.
     */
-  def query(dir: String, sql: String): Unit = {
-    val spark = sparkSession()
-    try {
-      spark.read.format("druid").load(dir).createOrReplaceTempView("segment")
-      spark.sql(sql).show(1000, truncate = false)
-    } finally spark.stop()
+  def query(dir: String, sql: String): Unit = withSpark { spark =>
+    spark.read.format("druid").load(dir).createOrReplaceTempView("segment")
+    spark.sql(sql).show(1000, truncate = false)
   }
 }

@@ -21,11 +21,22 @@ object Compression {
 
   private val lz4 = LZ4Factory.fastestInstance()
 
+  /** Test hook: data blocks decompressed per JVM — lets specs assert
+    * that metadata-answered queries decode NOTHING.
+    */
+  val blocksDecoded = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Decompress one block from `buf[srcPos, srcPos+srcLen)` into `dst`
     * (exactly `dstLen` bytes — block containers know the decoded size).
     */
   def decompress(id: Byte, buf: ByteBuffer, srcPos: Int, srcLen: Int,
-                 dst: Array[Byte], dstLen: Int): Unit = id match {
+                 dst: Array[Byte], dstLen: Int): Unit = {
+    blocksDecoded.incrementAndGet()
+    decompress0(id, buf, srcPos, srcLen, dst, dstLen)
+  }
+
+  private def decompress0(id: Byte, buf: ByteBuffer, srcPos: Int, srcLen: Int,
+                          dst: Array[Byte], dstLen: Int): Unit = id match {
     case LZ4 =>
       val srcDup = buf.duplicate()
       srcDup.position(srcPos).limit(srcPos + srcLen)

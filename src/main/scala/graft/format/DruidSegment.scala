@@ -107,6 +107,55 @@ final class DruidSegment(val dir: Path) {
     * its type, knows its length.
     */
   def numRows: Int = column(columnNames.head).length
+
+  /** Parsed `metadata.drd` (rollup / aggregators / granularity) — the
+    * file the reference only inspects from its test
+    * (tests/wikipedia_segment_test.rs:87-111, src has no parser).
+    * None when the file is absent or unparseable (it's advisory).
+    */
+  lazy val metadataDrd: Option[MetadataDrd] =
+    if (!smoosh.has("metadata.drd")) None
+    else scala.util.Try(MetadataDrd.parse(smoosh.readFully("metadata.drd"))).toOption
+}
+
+/** Segment-level metadata from `metadata.drd` (JSON). `exactInterval`
+  * is our writer's extension recording that index.drd's interval equals
+  * [min(__time), max(__time)+1] exactly — real Druid aligns intervals
+  * to the segment granularity, so foreign segments never set it and
+  * min/max pushdown stays off for them.
+  */
+final case class MetadataDrd(
+    rollup: Boolean,
+    queryGranularity: String,
+    aggregators: Seq[String],
+    timestampColumn: String,
+    numRows: Option[Long],
+    exactInterval: Boolean)
+
+object MetadataDrd {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def parse(bytes: Array[Byte]): MetadataDrd = {
+    val node = mapper.readTree(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    val aggs = Option(node.get("aggregators")).map { a =>
+      (0 until a.size()).map { i =>
+        val ag = a.get(i)
+        val name = Option(ag.get("name")).map(_.asText()).getOrElse("?")
+        val tpe = Option(ag.get("type")).map(_.asText()).getOrElse("?")
+        s"$name:$tpe"
+      }
+    }.getOrElse(Nil)
+    MetadataDrd(
+      rollup = Option(node.get("rollup")).exists(_.asBoolean(false)),
+      queryGranularity = Option(node.get("queryGranularity"))
+        .map(g => if (g.isObject && g.has("type")) g.get("type").asText() else g.asText())
+        .getOrElse("none"),
+      aggregators = aggs,
+      timestampColumn = Option(node.get("timestampSpec"))
+        .flatMap(t => Option(t.get("column")).map(_.asText())).getOrElse("__time"),
+      numRows = Option(node.get("numRows")).map(_.asLong()),
+      exactInterval = Option(node.get("exactInterval")).exists(_.asBoolean(false)))
+  }
 }
 
 /** Optional Roaring null-row trailer after a numeric container (our

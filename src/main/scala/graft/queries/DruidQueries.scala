@@ -174,6 +174,22 @@ object DruidQueries extends QuerySet {
       },
       None),
 
+    // -- MIN/MAX(__time) answered from index.drd interval bounds with
+    //    zero data decode (the builder verifies every segment's
+    //    exactInterval flag first). Millis-floored on write, so the
+    //    oracle floors too; floor is monotonic, so floor(min) ==
+    //    min(floor).
+    Q("dr8_time_bounds",
+      (s, dir) => {
+        eventsSeg(s, dir)
+          .agg(min(col("__time")).as("mn"), max(col("__time")).as("mx"),
+               count(lit(1)).as("n"))
+          .select(unix_millis(col("mn")).as("min_ms"),
+                  unix_millis(col("mx")).as("max_ms"), col("n"))
+      },
+      Some("""SELECT epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms,
+              count(*) AS n FROM events""")),
+
     // -- Segment scan joined against a parquet dim (mixed-source join).
     Q("dr4_druid_join",
       (s, dir) => {

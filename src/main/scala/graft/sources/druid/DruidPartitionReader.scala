@@ -20,33 +20,26 @@ import graft.format._
 class DruidPartitionReaderFactory(required: StructType)
     extends PartitionReaderFactory {
 
-  private def hasArray: Boolean =
-    required.fields.exists(_.dataType.isInstanceOf[ArrayType])
-
-  // multi-value (array) columns go through the row-based reader;
-  // everything else reads vectorized
+  // every column type reads vectorized (multi-value strings included)
   override def supportColumnarReads(p: InputPartition): Boolean =
-    !hasArray && !p.isInstanceOf[CountStarPartition]
+    !p.isInstanceOf[MetaAggPartition]
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     new DruidColumnarReader(p.asInstanceOf[DruidInputPartition], required)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     p match {
-      case CountStarPartition(count) =>
-        // pushed-down COUNT(*): one row from segment metadata
+      case MetaAggPartition(values) =>
+        // pushed-down count/min/max: one row from segment metadata
         return new PartitionReader[InternalRow] {
           private var emitted = false
           override def next(): Boolean = { val r = !emitted; emitted = true; r }
           override def get(): InternalRow =
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](count))
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           override def close(): Unit = ()
         }
       case _ => ()
     }
-    if (hasArray)
-      return new DruidRowReader(p.asInstanceOf[DruidInputPartition], required)
     val columnar = createColumnarReader(p)
     new PartitionReader[InternalRow] {
       private var rows: java.util.Iterator[InternalRow] = _
@@ -101,57 +94,6 @@ private[druid] object RowSelection {
   }
 }
 
-/** Row-based reader used when the projection includes multi-value
-  * (ArrayType) columns, which the vectorized path doesn't cover yet.
-  */
-class DruidRowReader(part: DruidInputPartition, required: StructType)
-    extends PartitionReader[InternalRow] {
-  import org.apache.spark.sql.catalyst.util.GenericArrayData
-  import org.apache.spark.unsafe.types.UTF8String
-
-  private val segment = DruidSegment.open(part.dir)
-  private val columns: Array[ColumnData] =
-    required.fields.map(f => segment.column(f.name))
-  private val selected = RowSelection.build(segment, part)
-  private var i = 0
-  private val total =
-    if (selected == null) part.rowEnd - part.rowStart else selected.length
-  private var current: InternalRow = _
-
-  override def next(): Boolean = {
-    if (i >= total) return false
-    val row = if (selected == null) part.rowStart + i else selected(i)
-    val values = new Array[Any](columns.length)
-    var c = 0
-    while (c < columns.length) {
-      values(c) = columns(c) match {
-        case TimeColumnData(l) => l.get(row) * 1000L
-        case LongColumnData(l, nu) =>
-          if (nu != null && nu.contains(row)) null else l.get(row)
-        case DoubleColumnData(d, nu) =>
-          if (nu != null && nu.contains(row)) null else d.get(row)
-        case FloatColumnData(f, nu) =>
-          if (nu != null && nu.contains(row)) null else f.get(row)
-        case StringColumnData(sc) =>
-          val s = sc.stringAt(row)
-          if (s == null) null else UTF8String.fromString(s)
-        case MultiStringColumnData(mc) =>
-          if (mc.isNullAt(row)) null
-          else new GenericArrayData(mc.valuesAt(row).map(s =>
-            if (s == null) null else UTF8String.fromString(s)))
-        case ComplexColumnData(gi) => gi.bytesAt(row)
-      }
-      c += 1
-    }
-    current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
-    i += 1
-    true
-  }
-
-  override def get(): InternalRow = current
-  override def close(): Unit = ()
-}
-
 class DruidColumnarReader(part: DruidInputPartition, required: StructType)
     extends PartitionReader[ColumnarBatch] {
 
@@ -161,6 +103,7 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
   // dictionaries decoded once per split, not once per row
   private val dictionaries: Array[Array[Array[Byte]]] = columns.map {
     case StringColumnData(sc) => sc.dictionaryBytes
+    case MultiStringColumnData(mc) => mc.dictionaryBytes
     case _ => null
   }
 
@@ -244,6 +187,32 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
           while (i < n) {
             val b = gi.bytesAt(rowIdx(i))
             if (b == null) v.putNull(i) else v.putByteArray(i, b)
+            i += 1
+          }
+        case MultiStringColumnData(mc) =>
+          // ArrayType(StringType): parent rows carry (offset, length)
+          // into the child string vector, filled append-style (appends
+          // auto-reserve). Dictionary bytes are decoded once per split.
+          val dict = dictionaries(c)
+          val child = v.getChild(0)
+            .asInstanceOf[org.apache.spark.sql.execution.vectorized.WritableColumnVector]
+          var childOff = 0
+          var i = 0
+          while (i < n) {
+            val r = rowIdx(i)
+            if (mc.isNullAt(r)) v.putNull(i)
+            else {
+              val (s, e) = mc.rowRange(r)
+              v.putArray(i, childOff, e - s)
+              var k = s
+              while (k < e) {
+                val b = dict(mc.flatIds.get(k))
+                if (b == null) child.appendNull()
+                else child.appendByteArray(b, 0, b.length)
+                k += 1
+              }
+              childOff += e - s
+            }
             i += 1
           }
       }

@@ -79,32 +79,72 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // default isPartiallyPushed => Spark still applies the global limit
 
-  private var countStarPushed = false
+  private var pushedAggs: Seq[String] = Nil
 
-  /** Complete COUNT(*) pushdown: answered from segment metadata with no
-    * data decode at all. Spark only attempts aggregate pushdown when no
-    * post-scan filters remain; we report every filter as residual, so
-    * this can only trigger on unfiltered scans — where the header-derived
-    * row counts are exact.
+  /** Complete pushdown of metadata-answerable aggregates, no data
+    * decode at all:
+    *  - COUNT(*): header-derived row counts (always exact);
+    *  - MIN/MAX(__time): index.drd interval bounds, ONLY when every
+    *    segment's metadata.drd carries our writer's `exactInterval`
+    *    flag — real Druid aligns intervals to granularity, so foreign
+    *    segments keep time bounds un-pushed (and correct).
+    * Spark only attempts aggregate pushdown when no post-scan filters
+    * remain; we report every filter as residual, so this can only
+    * trigger on unfiltered scans.
     */
-  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions()(0)
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    // one pushdown per builder: an OUTER aggregate stacked on an
+    // already-pushed one (e.g. `.agg(min,max).count()`) must be computed
+    // by Spark over our one-row result, not overwrite the pushed state
+    if (pushedAggs.nonEmpty) return false
+    val kinds = agg.aggregateExpressions().toSeq.map(DruidScanBuilder.aggKind)
+    // kinds.nonEmpty: an outer count() can prune a stacked aggregate's
+    // output to ZERO expressions — pushing that would make the scan
+    // produce 0 columns where Spark still expects a row shape
+    agg.groupByExpressions().isEmpty && kinds.nonEmpty && kinds.forall(_.isDefined) &&
+      (kinds.flatten.forall(_ == "count") || allIntervalsExact)
+  }
+
+  // opened once, only when a min/max(__time) pushdown is attempted
+  private lazy val allIntervalsExact: Boolean =
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      DruidTableUtil.discoverSegments(root).par.forall(d =>
+        DruidSegment.open(d).metadataDrd.exists(_.exactInterval))
+    } catch { case _: Exception => false }
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (!supportCompletePushDown(agg)) false
-    else { countStarPushed = true; true }
+    else {
+      pushedAggs = agg.aggregateExpressions().toSeq.flatMap(DruidScanBuilder.aggKind)
+      true
+    }
   }
 
   override def build(): Scan =
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
-      options.getInt("batchSize", 4096), dimFilters, countStarPushed)
+      options.getInt("batchSize", 4096), dimFilters, pushedAggs)
 }
 
 object DruidScanBuilder {
+  /** Metadata-answerable aggregate kinds: count | min_time | max_time. */
+  def aggKind(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[String] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    def isTime(c: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      c match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("__time"))
+        case _ => false
+      }
+    e match {
+      case _: CountStar => Some("count")
+      case m: Min if isTime(m.column) => Some("min_time")
+      case m: Max if isTime(m.column) => Some("max_time")
+      case _ => None
+    }
+  }
+
   /** Filter-value -> epoch millis, covering TZ (Timestamp/Instant), NTZ
     * (LocalDateTime; session TZ is UTC), and raw long values. Shared by
     * compile-time pushFilters and runtime (DPP) filter().
@@ -124,16 +164,20 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      dimFilters: Map[String, Seq[String]])
     extends InputPartition
 
-/** Single partition carrying a metadata-derived COUNT(*) answer. */
-final case class CountStarPartition(count: Long) extends InputPartition
+/** Single partition carrying metadata-derived aggregate answers (one
+  * value per pushed aggregate, in order; null = empty table).
+  */
+final case class MetaAggPartition(values: Array[Any]) extends InputPartition
 
 class DruidScan(root: String, required: StructType,
                 timeMinMs0: Long, timeMaxMs0: Long, limit: Int,
                 rowsPerSplit: Long, batchSize: Int,
                 dimFilters0: Map[String, Seq[String]] = Map.empty,
-                countStarPushed: Boolean = false)
+                pushedAggs: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  private def aggPushed: Boolean = pushedAggs.nonEmpty
 
   // runtime (DPP-style) filters tighten these before planInputPartitions
   private var timeMinMs: Long = timeMinMs0
@@ -153,7 +197,10 @@ class DruidScan(root: String, required: StructType,
     }
   }
 
-  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+  override def filter(filters: Array[Filter]): Unit = if (!aggPushed) filters.foreach {
+    // guard: a metadata-answered aggregate must cover ALL rows; runtime
+    // filters only narrow scanned data as an optimization, which is
+    // unsound when the "scan" is already the final answer
     case In(c, vs) if vs.forall(_.isInstanceOf[String]) =>
       val values = vs.toSeq.map(_.asInstanceOf[String])
       dimFilters += c -> dimFilters.get(c).map(_.intersect(values)).getOrElse(values)
@@ -169,15 +216,19 @@ class DruidScan(root: String, required: StructType,
   }
 
   override def readSchema(): StructType =
-    if (countStarPushed)
-      StructType(Seq(StructField("count(*)", org.apache.spark.sql.types.LongType,
-        nullable = false)))
+    if (aggPushed)
+      StructType(pushedAggs.map {
+        case "count" => StructField("count(*)", org.apache.spark.sql.types.LongType,
+          nullable = false)
+        case "min_time" => StructField("min(__time)", TimestampType, nullable = true)
+        case "max_time" => StructField("max(__time)", TimestampType, nullable = true)
+      })
     else required
   override def toBatch: Batch = this
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
-      s"countStarPushed=$countStarPushed)"
+      s"pushedAggs=${pushedAggs.mkString(",")})"
 
   private lazy val segments: Seq[String] = DruidTableUtil.discoverSegments(root)
 
@@ -209,8 +260,22 @@ class DruidScan(root: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (countStarPushed)
-      return Array(CountStarPartition(prunedSegments.map(_._2.toLong).sum))
+    if (aggPushed) {
+      // answers from the memoized (interval, rows) metadata only; the
+      // builder verified exactInterval before pushing min/max. Interval
+      // is [min, max+1] millis; timestamps are internal micros.
+      val segs = segmentMeta
+      val values: Array[Any] = pushedAggs.map {
+        case "count" => segs.map(_._4.toLong).sum: java.lang.Long
+        case "min_time" =>
+          if (segs.isEmpty) null
+          else (segs.map(_._2).min * 1000L): java.lang.Long
+        case "max_time" =>
+          if (segs.isEmpty) null
+          else ((segs.map(_._3).max - 1) * 1000L): java.lang.Long
+      }.toArray
+      return Array(MetaAggPartition(values))
+    }
     val parts = prunedSegments.flatMap { case (dir, rows) =>
       // split on row ranges; readers decode only the compressed blocks
       // covering their range, so splits parallelize within one segment
@@ -229,7 +294,7 @@ class DruidScan(root: String, required: StructType,
 
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val totalRows =
-      if (countStarPushed) 1L else prunedSegments.map(_._2.toLong).sum
+      if (aggPushed) 1L else prunedSegments.map(_._2.toLong).sum
     // ~bytes per row from schema (strings estimated at 16B)
     private lazy val rowBytes = required.fields.map(_.dataType match {
       case StringType => 16L

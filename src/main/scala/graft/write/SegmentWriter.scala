@@ -161,5 +161,10 @@ object SegmentWriter {
     (s"""{"container":{},"aggregators":[],"timestampSpec":""" +
       s"""{"column":"__time","format":"millis"},""" +
       s""""queryGranularity":{"type":"none"},"rollup":false,""" +
+      // our extension: this writer's interval is exactly
+      // [min(__time), max(__time)+1], so time-bound aggregates can be
+      // answered from index.drd alone (real Druid aligns intervals to
+      // granularity and never sets this)
+      s""""exactInterval":true,""" +
       s""""numRows":$rows}""").getBytes(UTF_8)
 }

@@ -185,6 +185,11 @@ class DruidMultiValueSpec extends org.scalatest.funsuite.AnyFunSuite {
     val gotSizes = back.select(col("n"), size(col("tags")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert((0 until 3000).forall(i => gotSizes(i.toLong) == i % 4))
+
+    // the multi-value projection reads through the VECTORIZED path:
+    // DSv2 columnar scans surface as ColumnarToRow in the physical plan
+    val plan = back.select(explode(col("tags"))).queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"), s"MV scan not columnar:\n$plan")
   }
 }
 class DruidNumericNullSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -308,5 +313,46 @@ class CountPushdownSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"pushdown missing in plan: $plan")
     // filtered count must NOT use the metadata shortcut (filters residual)
     assert(df.filter(col("n") < 100).count() == 100)
+  }
+
+  test("min/max(__time) answered from interval metadata with zero block decodes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mm").toString + "/t"
+    (0 until 5000).map(i => (new java.sql.Timestamp(1700000000000L + i * 777L), i.toLong))
+      .toDF("__time", "n").repartition(3)
+      .write.format("druid").mode("overwrite").save(dir)
+
+    val agg = spark.read.format("druid").load(dir)
+      .agg(min(col("__time")), max(col("__time")), count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("min(__time)") && !plan.contains("HashAggregate"),
+      s"time-bounds pushdown missing in plan: $plan")
+
+    val before = graft.format.Compression.blocksDecoded.get()
+    val r = agg.head
+    val decoded = graft.format.Compression.blocksDecoded.get() - before
+    assert(decoded == 0, s"metadata-answered aggregate decoded $decoded blocks")
+    assert(r.getTimestamp(0).getTime == 1700000000000L)
+    assert(r.getTimestamp(1).getTime == 1700000000000L + 4999L * 777L)
+    assert(r.getLong(2) == 5000L)
+
+    // the same aggregate WITH a filter takes the real scan path and agrees
+    val full = spark.read.format("druid").load(dir).filter(col("n") >= 0)
+      .agg(min(col("__time")), max(col("__time")), count(lit(1))).head
+    assert(full == r)
+  }
+
+  test("aggregates stacked on a pushed aggregate stay correct") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stack").toString + "/t"
+    (0 until 777).map(i => (new java.sql.Timestamp(1700000000000L + i), i.toLong))
+      .toDF("__time", "n").write.format("druid").mode("overwrite").save(dir)
+    val df = spark.read.format("druid").load(dir)
+    // count() over a complete-pushed aggregate: one row, not 777 — an
+    // outer count prunes the inner agg to ZERO expressions, which must
+    // not be accepted as a (vacuous) complete pushdown
+    assert(df.agg(count(lit(1))).count() == 1L)
+    assert(df.agg(min(col("__time")), max(col("__time"))).count() == 1L)
+    assert(df.agg(count(lit(1))).head.getLong(0) == 777L)
   }
 }
