@@ -140,6 +140,27 @@ object TextOps {
         .as("simhash"))
   }
 
+  /** SimHash computed per-row by the native [[graft.sql.Simhash5]]
+    * expression — same values as `simhash(grams5(docs), nBits)` with
+    * zero shuffles (the composable form explodes grams through a
+    * broadcast crossJoin and two aggregates).
+    */
+  def simhashDirect(docs: DataFrame, nBits: Int = 16): DataFrame = {
+    graft.sql.Simhash5.register(docs.sparkSession)
+    docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), expr(s"simhash5(text, $nBits)").as("simhash"))
+  }
+
+  /** Document fingerprint per-row via [[graft.sql.Fingerprint5]] — the
+    * d8 min/sum/count-over-distinct-grams arithmetic without the
+    * explode or group-by shuffle.
+    */
+  def fingerprintDirect(docs: DataFrame): DataFrame = {
+    graft.sql.Fingerprint5.register(docs.sparkSession)
+    docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), expr("fingerprint5(text)").as("fingerprint"))
+  }
+
   /** Word count from single-space-separated text (replace arithmetic —
     * identical in every SQL dialect).
     */

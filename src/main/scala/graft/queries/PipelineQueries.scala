@@ -102,11 +102,12 @@ object PipelineQueries extends QuerySet {
                |           JOIN sizes s2 ON d2 = s2.doc_id
                |ORDER BY d1, d2""".stripMargin)),
 
-    // SimHash 16-bit signatures per document.
+    // SimHash 16-bit signatures per document — a pure per-row
+    // projection (native one-pass expression), so at 100 TB the only
+    // stateful operator is the output sort.
     Q("d3_dedup_simhash",
       (s, dir) => {
-        TextOps.simhash(TextOps.grams5(Tables.load(s, dir, "documents")), 16)
-          .select(col("doc_id"), col("simhash"))
+        TextOps.simhashDirect(Tables.load(s, dir, "documents"), 16)
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH $duckGrams, ${duckParams(16)},
@@ -227,16 +228,11 @@ object PipelineQueries extends QuerySet {
                |      CAST(length(text) AS BIGINT) AS n_chars FROM documents)
                |GROUP BY source ORDER BY source""".stripMargin)),
 
-    // Document fingerprint from the gram-hash family (min-hash + sum fold).
+    // Document fingerprint from the gram-hash family (min-hash + sum
+    // fold) — per-row native expression, no explode/shuffle.
     Q("d8_fingerprint",
       (s, dir) => {
-        TextOps.grams5(Tables.load(s, dir, "documents"))
-          .groupBy(col("doc_id"))
-          .agg(expr(s"min((${TextOps.aConst(0)} * tg + ${TextOps.bConst(0)}) % $P)").as("minh"),
-               expr(s"sum(tg) % $P").as("sumh"),
-               count(lit(1)).as("n_grams"))
-          .selectExpr("doc_id",
-            s"CAST((minh * 31 + sumh * 17 + n_grams) % 2147483647 AS BIGINT) AS fingerprint")
+        TextOps.fingerprintDirect(Tables.load(s, dir, "documents"))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH $duckGrams,

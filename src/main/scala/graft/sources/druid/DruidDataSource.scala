@@ -119,5 +119,6 @@ class DruidTable(root: String, schema0: StructType) extends Table
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DruidWriteBuilder(root, info.schema(),
-      info.options().getBoolean("bitmapIndexes", true))
+      info.options().getBoolean("bitmapIndexes", true),
+      Option(info.options().get("segmentGranularity")))
 }

@@ -51,9 +51,21 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     // ±1ms could prune a segment whose edge rows still satisfy the
     // predicate — and residual filters can't resurrect pruned segments.
     filters.foreach {
-      case GreaterThan("__time", v) => millis(v).foreach(m => timeMin = math.max(timeMin, m))
+      case GreaterThan("__time", v) =>
+        // exclusive bound exactly on a millisecond -> tighten past it;
+        // sub-millisecond values stay at the floored (conservative) ms
+        DruidScanBuilder.exactMillis(v) match {
+          case Some(m) => timeMin = math.max(timeMin, m + 1)
+          case None => millis(v).foreach(m => timeMin = math.max(timeMin, m))
+        }
       case GreaterThanOrEqual("__time", v) => millis(v).foreach(m => timeMin = math.max(timeMin, m))
-      case LessThan("__time", v) => millis(v).foreach(m => timeMax = math.min(timeMax, m))
+      case LessThan("__time", v) =>
+        // the common day/hour-boundary window: `< boundary` must not
+        // drag in the whole next segment at that boundary
+        DruidScanBuilder.exactMillis(v) match {
+          case Some(m) => timeMax = math.min(timeMax, m - 1)
+          case None => millis(v).foreach(m => timeMax = math.min(timeMax, m))
+        }
       case LessThanOrEqual("__time", v) => millis(v).foreach(m => timeMax = math.min(timeMax, m))
       case EqualTo("__time", v) => millis(v).foreach { m =>
         timeMin = math.max(timeMin, m); timeMax = math.min(timeMax, m)
@@ -105,13 +117,11 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       (kinds.flatten.forall(_ == "count") || allIntervalsExact)
   }
 
-  // opened once, only when a min/max(__time) pushdown is attempted
+  // manifest read (or one-time parallel open), only when a
+  // min/max(__time) pushdown is attempted
   private lazy val allIntervalsExact: Boolean =
-    try {
-      import scala.collection.parallel.CollectionConverters._
-      DruidTableUtil.discoverSegments(root).par.forall(d =>
-        DruidSegment.open(d).metadataDrd.exists(_.exactInterval))
-    } catch { case _: Exception => false }
+    try SegmentCatalog.metaFor(root).forall(_.exactInterval)
+    catch { case _: Exception => false }
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (!supportCompletePushDown(agg)) false
@@ -153,6 +163,19 @@ object DruidScanBuilder {
     case t: java.sql.Timestamp => Some(t.getTime)
     case i: java.time.Instant => Some(i.toEpochMilli)
     case d: java.time.LocalDateTime =>
+      Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    case l: Long => Some(l)
+    case _ => None
+  }
+
+  /** Like millis, but only when the value sits EXACTLY on a millisecond
+    * boundary — lets exclusive bounds tighten by a full ms instead of
+    * conservatively including the boundary segment.
+    */
+  def exactMillis(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp if t.getNanos % 1000000 == 0 => Some(t.getTime)
+    case i: java.time.Instant if i.getNano % 1000000 == 0 => Some(i.toEpochMilli)
+    case d: java.time.LocalDateTime if d.getNano % 1000000 == 0 =>
       Some(d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
     case l: Long => Some(l)
     case _ => None
@@ -230,22 +253,13 @@ class DruidScan(root: String, required: StructType,
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
       s"pushedAggs=${pushedAggs.mkString(",")})"
 
-  private lazy val segments: Seq[String] = DruidTableUtil.discoverSegments(root)
-
-  /** (interval, rows) metadata per segment, opened ONCE per scan and in
-    * parallel: planning cost is bounded by max single-segment open time,
-    * not segments x callbacks. At 10^4-10^5 segments (100 TB) the serial
-    * re-open-per-callback this replaces would put minutes of wall time
-    * on the driver for every query.
+  /** (interval, rows) metadata per segment, resolved ONCE per scan:
+    * from the table manifest when valid (one small-file read, no
+    * segment opens at all), else one parallel metadata-open pass.
+    * At 10^4-10^5 segments (100 TB) per-query per-callback serial opens
+    * would put minutes of wall time on the driver; this is O(1) reads.
     */
-  private lazy val segmentMeta: Seq[(String, Long, Long, Int)] = {
-    import scala.collection.parallel.CollectionConverters._
-    segments.par.map { dir =>
-      val seg = DruidSegment.open(dir)
-      val m = seg.metadata
-      (dir, m.intervalStartMs, m.intervalEndMs, seg.numRows)
-    }.seq
-  }
+  private lazy val segmentMeta: Seq[SegMeta] = SegmentCatalog.metaFor(root)
 
   /** Segments whose [start, end) interval intersects the pushed time
     * range (interval from index.drd; reference src/segment/metadata.rs:22-23
@@ -255,8 +269,7 @@ class DruidScan(root: String, required: StructType,
     * re-filter without re-opening anything.
     */
   private def prunedSegments: Seq[(String, Int)] = segmentMeta.collect {
-    case (dir, startMs, endMs, rows)
-      if startMs <= timeMaxMs && endMs > timeMinMs => dir -> rows
+    case m if m.startMs <= timeMaxMs && m.endMs > timeMinMs => m.dir -> m.rows
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -266,13 +279,13 @@ class DruidScan(root: String, required: StructType,
       // is [min, max+1] millis; timestamps are internal micros.
       val segs = segmentMeta
       val values: Array[Any] = pushedAggs.map {
-        case "count" => segs.map(_._4.toLong).sum: java.lang.Long
+        case "count" => segs.map(_.rows.toLong).sum: java.lang.Long
         case "min_time" =>
           if (segs.isEmpty) null
-          else (segs.map(_._2).min * 1000L): java.lang.Long
+          else (segs.map(_.startMs).min * 1000L): java.lang.Long
         case "max_time" =>
           if (segs.isEmpty) null
-          else ((segs.map(_._3).max - 1) * 1000L): java.lang.Long
+          else ((segs.map(_.endMs).max - 1) * 1000L): java.lang.Long
       }.toArray
       return Array(MetaAggPartition(values))
     }

@@ -32,22 +32,50 @@ import graft.write.SegmentWriter._
   * data size, not boxed objects; size partitions accordingly.
   */
 class DruidWriteBuilder(root: String, schema: StructType,
-                        bitmapIndexes: Boolean = true)
+                        bitmapIndexes: Boolean = true,
+                        granularity: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes)
+      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity)
   }
 }
 
-final case class DruidCommitMessage(dir: String) extends WriterCommitMessage
+/** `segmentGranularity` write option: each task splits its rows into
+  * one segment per UTC time bucket, so segment intervals align with
+  * the granularity and `__time` range scans prune whole segments —
+  * Druid's own layout discipline, and the thing that makes a 100 TB
+  * time-series table cheap to query by window.
+  */
+object SegmentGranularity {
+  val supported = Set("hour", "day", "month", "year")
+
+  def bucketStart(ms: Long, g: String): Long = g match {
+    case "hour" => Math.floorDiv(ms, 3600000L) * 3600000L
+    case "day" => Math.floorDiv(ms, 86400000L) * 86400000L
+    case "month" | "year" =>
+      val t = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+      val start =
+        if (g == "month") t.toLocalDate.withDayOfMonth(1)
+        else t.toLocalDate.withDayOfYear(1)
+      start.atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    case other => throw new IllegalArgumentException(
+      s"segmentGranularity '$other' not in ${supported.mkString("/")}")
+  }
+}
+
+final case class DruidCommitMessage(segments: Seq[SegMeta]) extends WriterCommitMessage
 
 class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
-                      bitmapIndexes: Boolean)
+                      bitmapIndexes: Boolean,
+                      granularity: Option[String] = None)
     extends BatchWrite {
+
+  granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
+    s"segmentGranularity '$g' not in ${SegmentGranularity.supported.mkString("/")}"))
 
   // job-unique token: staging dir name + segment-name suffix, so repeat
   // writes to the same destination never collide on partition/task ids
@@ -56,7 +84,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stagingDir)
-    new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes)
+    new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
+      granularity)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -72,13 +101,37 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
       }
     // same-filesystem moves (staging lives under the destination): the
     // committed segments appear atomically, one directory at a time
-    messages.collect { case DruidCommitMessage(d) =>
-      val src = Paths.get(d)
-      Files.move(src, rootPath.resolve(src.getFileName),
-        StandardCopyOption.ATOMIC_MOVE)
-    }
+    val committed = messages.toSeq.collect { case DruidCommitMessage(segs) =>
+      segs.map { m =>
+        val src = Paths.get(m.dir)
+        val dst = rootPath.resolve(src.getFileName)
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        m.copy(dir = dst.toString)
+      }
+    }.flatten
     if (truncate) previous.foreach(deleteRecursively)
     deleteRecursively(stagingDir)
+    // refresh the planning manifest to cover exactly what is now
+    // present: this job's segments plus (append mode) whatever was
+    // already there — pre-existing segments without manifest entries
+    // get one parallel metadata pass now so every later query plans
+    // from the manifest alone
+    try {
+      val existing: Seq[SegMeta] =
+        if (truncate) Nil
+        else {
+          val dirs = {
+            val s = Files.list(rootPath)
+            try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+              graft.format.DruidSegment.isSegmentDir(p)).map(_.toString).toSeq
+            finally s.close()
+          }
+          val newNames = committed.map(m => Paths.get(m.dir).getFileName.toString).toSet
+          val old = dirs.filterNot(d => newNames.contains(Paths.get(d).getFileName.toString))
+          SegmentCatalog.load(root, old).getOrElse(SegmentCatalog.openAll(old))
+        }
+      SegmentCatalog.write(root, (existing ++ committed).sortBy(_.dir))
+    } catch { case _: Exception => () } // manifest is a cache; never fail the job
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -91,10 +144,12 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
 }
 
 class DruidDataWriterFactory(stagingRoot: String, jobId: String,
-                             schema: StructType, bitmapIndexes: Boolean)
+                             schema: StructType, bitmapIndexes: Boolean,
+                             granularity: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId, bitmapIndexes)
+    new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
+      bitmapIndexes, granularity)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -104,7 +159,8 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
   */
 class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       partitionId: Int, taskId: Long,
-                      bitmapIndexes: Boolean = true)
+                      bitmapIndexes: Boolean = true,
+                      granularity: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   // ---- typed builders ----
@@ -146,49 +202,72 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     def result(): Array[Float] = java.util.Arrays.copyOf(a, n)
   }
 
+  /** One typed column buffer. `values(sel)` materializes either all
+    * rows (sel == null) or the selected row indices — the granularity
+    * split picks per-bucket rows without re-boxing anything.
+    */
   private sealed trait ColBuf {
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit
-    def values(): ColumnValues
+    def values(sel: Array[Int]): ColumnValues
   }
+  private def pick[T](all: Array[T], sel: Array[Int])
+                     (implicit ct: scala.reflect.ClassTag[T]): Array[T] =
+    if (sel == null) all else { val out = new Array[T](sel.length)
+      var i = 0; while (i < sel.length) { out(i) = all(sel(i)); i += 1 }; out }
+  /** Remap absolute null-row indices into bucket-local positions. */
+  private def pickNulls(nulls: Array[Int], sel: Array[Int]): Array[Int] =
+    if (sel == null) nulls
+    else {
+      val set = nulls.toSet
+      val out = new IntBuilder
+      var i = 0
+      while (i < sel.length) { if (set.contains(sel(i))) out.add(i); i += 1 }
+      out.result()
+    }
   private final class LongBuf(fromInt: Boolean) extends ColBuf {
     val b = new LongBuilder; val nulls = new IntBuilder
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       if (row.isNullAt(i)) { nulls.add(rowIdx); b.add(0L) }
       else b.add(if (fromInt) row.getInt(i).toLong else row.getLong(i))
-    def values(): ColumnValues = LongValues(b.result(), nulls.result())
+    def values(sel: Array[Int]): ColumnValues =
+      LongValues(pick(b.result(), sel), pickNulls(nulls.result(), sel))
   }
   private final class TimestampBuf(ntz: Boolean) extends ColBuf {
     val b = new LongBuilder; val nulls = new IntBuilder
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       if (row.isNullAt(i)) { nulls.add(rowIdx); b.add(0L) }
       else b.add(row.getLong(i)) // micros, full precision
-    def values(): ColumnValues = TimestampValues(b.result(), nulls.result(), ntz)
+    def values(sel: Array[Int]): ColumnValues =
+      TimestampValues(pick(b.result(), sel), pickNulls(nulls.result(), sel), ntz)
   }
   private final class DoubleBuf extends ColBuf {
     val b = new DoubleBuilder; val nulls = new IntBuilder
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       if (row.isNullAt(i)) { nulls.add(rowIdx); b.add(0.0) }
       else b.add(row.getDouble(i))
-    def values(): ColumnValues = DoubleValues(b.result(), nulls.result())
+    def values(sel: Array[Int]): ColumnValues =
+      DoubleValues(pick(b.result(), sel), pickNulls(nulls.result(), sel))
   }
   private final class FloatBuf extends ColBuf {
     val b = new FloatBuilder; val nulls = new IntBuilder
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       if (row.isNullAt(i)) { nulls.add(rowIdx); b.add(0f) }
       else b.add(row.getFloat(i))
-    def values(): ColumnValues = FloatValues(b.result(), nulls.result())
+    def values(sel: Array[Int]): ColumnValues =
+      FloatValues(pick(b.result(), sel), pickNulls(nulls.result(), sel))
   }
   private final class StringBuf extends ColBuf {
     val b = new ArrayBuffer[String](1024)
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       b += (if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
-    def values(): ColumnValues = StringValues(b.toArray)
+    def values(sel: Array[Int]): ColumnValues = StringValues(pick(b.toArray, sel))
   }
   private final class BinaryBuf extends ColBuf {
     val b = new ArrayBuffer[Array[Byte]](1024)
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       b += (if (row.isNullAt(i)) null else row.getBinary(i))
-    def values(): ColumnValues = ComplexValues("binary", b.toArray)
+    def values(sel: Array[Int]): ColumnValues =
+      ComplexValues("binary", pick(b.toArray, sel))
   }
   private final class MultiStringBuf extends ColBuf {
     val b = new ArrayBuffer[Seq[String]](1024)
@@ -199,14 +278,15 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
         (0 until arr.numElements()).map(k =>
           if (arr.isNullAt(k)) null else arr.getUTF8String(k).toString)
       })
-    def values(): ColumnValues = MultiStringValues(b.toArray)
+    def values(sel: Array[Int]): ColumnValues =
+      MultiStringValues(pick(b.toArray, sel))
   }
   /** `__time`: epoch millis (floor from micros), Druid's native unit. */
   private final class TimeBuf extends ColBuf {
     val b = new LongBuilder
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       b.add(if (row.isNullAt(i)) 0L else Math.floorDiv(row.getLong(i), 1000L))
-    def values(): ColumnValues = LongValues(b.result())
+    def values(sel: Array[Int]): ColumnValues = LongValues(pick(b.result(), sel))
     def millis: Array[Long] = b.result()
   }
 
@@ -243,12 +323,38 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     val time: Array[Long] =
       if (timeIdx >= 0) bufs(timeIdx).asInstanceOf[TimeBuf].millis
       else new Array[Long](rowCount)
-    val columns = fields.indices
-      .filter(_ != timeIdx)
-      .map(i => fields(i).name -> bufs(i).values())
-    val dir = Paths.get(stagingRoot, f"segment-$partitionId%05d-$taskId-$jobId")
-    SegmentWriter.write(dir, time, columns, stringBitmaps = bitmapIndexes)
-    DruidCommitMessage(dir.toString)
+
+    def writeSegment(suffix: String, sel: Array[Int]): SegMeta = {
+      val columns = fields.indices
+        .filter(_ != timeIdx)
+        .map(i => fields(i).name -> bufs(i).values(sel))
+      val dir = Paths.get(stagingRoot,
+        f"segment-$partitionId%05d-$taskId-$jobId$suffix")
+      val t = pick(time, sel)
+      SegmentWriter.write(dir, t, columns, stringBitmaps = bitmapIndexes)
+      // mirror SegmentWriter's interval convention (empty -> [0, 1))
+      val start = if (t.isEmpty) 0L else t.min
+      val end = if (t.isEmpty) 1L else t.max + 1
+      SegMeta(dir.toString, start, end, t.length, exactInterval = true)
+    }
+
+    val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {
+      case None => Seq(writeSegment("", null))
+      case Some(g) =>
+        // one segment per UTC time bucket: intervals align with the
+        // granularity, so __time range scans prune whole segments
+        val buckets = new java.util.TreeMap[Long, IntBuilder]()
+        var r = 0
+        while (r < rowCount) {
+          buckets.computeIfAbsent(SegmentGranularity.bucketStart(time(r), g),
+            _ => new IntBuilder).add(r)
+          r += 1
+        }
+        buckets.entrySet().asScala.map { e =>
+          writeSegment(s"-${e.getKey}", e.getValue.result())
+        }.toSeq
+    }
+    DruidCommitMessage(segs)
   }
 
   override def abort(): Unit = ()

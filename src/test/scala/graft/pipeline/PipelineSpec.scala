@@ -101,4 +101,26 @@ class PipelineSpec extends AnyFunSuite {
     val distinctSigs = sh.select(countDistinct(col("simhash"))).head.getLong(0)
     assert(distinctSigs > 1) // not everything collapses to one bucket
   }
+
+  test("native simhash5 matches the composable explode/agg pipeline") {
+    val composed = TextOps.simhash(TextOps.grams5(docs), 16)
+      .select(col("doc_id"), col("simhash"))
+    val direct = TextOps.simhashDirect(docs, 16)
+    assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
+      "simhash diverges between native and composable paths")
+  }
+
+  test("native fingerprint5 matches the explode/groupBy pipeline") {
+    import TextOps.P
+    val composed = TextOps.grams5(docs)
+      .groupBy(col("doc_id"))
+      .agg(expr(s"min((${TextOps.aConst(0)} * tg + ${TextOps.bConst(0)}) % $P)").as("minh"),
+           expr(s"sum(tg) % $P").as("sumh"),
+           count(lit(1)).as("n_grams"))
+      .selectExpr("doc_id",
+        s"CAST((minh * 31 + sumh * 17 + n_grams) % 2147483647 AS BIGINT) AS fingerprint")
+    val direct = TextOps.fingerprintDirect(docs)
+    assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
+      "fingerprint diverges between native and composable paths")
+  }
 }

@@ -75,6 +75,37 @@ class DruidWriteSpec extends AnyFunSuite {
     assert(staging.isEmpty, s"staging dirs left behind: ${staging.toSeq}")
   }
 
+  test("segmentGranularity=day writes bucket-aligned segments that time-prune") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-gran").toString + "/t"
+    val day = 86400000L
+    val t0 = 1700006400000L // 2023-11-15T00:00:00Z, day-aligned
+    // 10 days of data, shuffled across the partition
+    (0 until 2400).map(i =>
+      (new java.sql.Timestamp(t0 + (i % 10) * day + (i / 10) * 1000L), i.toLong))
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").option("segmentGranularity", "day")
+      .mode("overwrite").save(out)
+
+    val segDirs = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(d => graft.format.DruidSegment.isSegmentDir(java.nio.file.Paths.get(d)))
+    assert(segDirs.length == 10, s"expected 10 day segments, got ${segDirs.length}")
+
+    val df = spark.read.format("druid").load(out)
+    assert(df.count() == 2400)
+    // a 2-day window must plan partitions for exactly 2 segments
+    val twoDays = df.filter(
+      col("__time") >= new java.sql.Timestamp(t0 + 3 * day) &&
+      col("__time") < new java.sql.Timestamp(t0 + 5 * day))
+    assert(twoDays.rdd.getNumPartitions == 2,
+      s"day pruning failed: ${twoDays.rdd.getNumPartitions} partitions")
+    assert(twoDays.count() == 480)
+    // per-bucket intervals are exact, so time-bound pushdown still works
+    val mm = df.agg(min("__time"), max("__time")).head
+    assert(mm.getTimestamp(0).getTime == t0)
+    assert(mm.getTimestamp(1).getTime == t0 + 9 * day + 239 * 1000L)
+  }
+
   test("large partition write stays typed (1M rows, single partition)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-big").toString + "/t"
