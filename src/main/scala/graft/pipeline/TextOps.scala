@@ -112,6 +112,27 @@ object TextOps {
       .select("d1", "d2").distinct()
   }
 
+  /** Exact Jaccard for candidate pairs via per-row sorted gram arrays
+    * and a native linear-merge intersection — two hash joins and a
+    * projection; no gram explode, no distinct, no group-by. `docs` need
+    * only the candidate-relevant rows (semi-join upstream if desired);
+    * the per-doc array is bounded by document length, so the join
+    * payload stays proportional to the candidate set.
+    */
+  def exactJaccardDirect(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    graft.sql.Grams5Distinct.register(docs.sparkSession)
+    graft.sql.IntersectCount.register(docs.sparkSession)
+    val arr = docs.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), expr("grams5_distinct(text)").as("g"))
+    val a = arr.select(col("doc_id").as("d1"), col("g").as("g1"))
+    val b = arr.select(col("doc_id").as("d2"), col("g").as("g2"))
+    pairs.join(a, "d1").join(b, "d2")
+      .withColumn("ic", expr("intersect_count(g1, g2)"))
+      .withColumn("jaccard",
+        round(col("ic") / (size(col("g1")) + size(col("g2")) - col("ic")), 4))
+      .drop("g1", "g2", "ic")
+  }
+
   /** Exact Jaccard over 5-gram sets for given pairs. */
   def exactJaccard(grams: DataFrame, pairs: DataFrame): DataFrame = {
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

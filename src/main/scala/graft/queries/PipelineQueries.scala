@@ -68,20 +68,17 @@ object PipelineQueries extends QuerySet {
         // Signatures come from the native one-pass minhash_bands
         // expression — a pure per-row projection (no gram explode, no
         // min aggregate, no band re-aggregation), so candidate
-        // generation's only shuffle is the band self-join. The rerank's
-        // distinct-gram build is restricted to candidate docs via a
-        // left-semi join BEFORE the gram explode: at 100 TB the distinct
-        // shuffle sees only the (small) candidate subset, never the
-        // whole corpus.
+        // generation's only shuffle is the band self-join. The rerank
+        // computes per-row SORTED gram arrays for candidate docs only
+        // (broadcast left-semi restriction — the corpus never shuffles)
+        // and scores each pair with a native linear-merge intersection:
+        // two hash joins + a projection, no explode, no group-by.
         val cand = TextOps.lshCandidates(
           TextOps.bandSignaturesDirect(docs, 16, 4)).cache()
         val candDocs = cand.select(col("d1").as("doc_id"))
           .union(cand.select(col("d2").as("doc_id"))).distinct()
-        // cached because exactJaccard scans it three times (sizes, each
-        // pair side); bounded by the candidate subset, so safe at scale
-        val grams = TextOps.grams5(
-          docs.join(candDocs, Seq("doc_id"), "left_semi")).cache()
-        TextOps.exactJaccard(grams, cand)
+        TextOps.exactJaccardDirect(
+            docs.join(candDocs, Seq("doc_id"), "left_semi"), cand)
           .select(col("d1"), col("d2"), col("jaccard"))
           .orderBy(col("d1"), col("d2"))
       },

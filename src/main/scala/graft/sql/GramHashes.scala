@@ -57,6 +57,91 @@ private[sql] object GramHashes {
       s"$name requires a STRING argument, got ${child.dataType.sql}")
 }
 
+/** Sorted distinct 5-gram codes per row:
+  * `grams5_distinct(text) -> array<bigint>` (null when no 5-gram).
+  * The per-row form of `grams5(...).distinct()` — sortedness is the
+  * contract [[IntersectCount]] exploits for a linear merge.
+  */
+case class Grams5Distinct(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GramHashes.requireString("grams5_distinct", child)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val g = GramHashes.distinctGrams(input)
+    if (g == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(g)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Grams5Distinct =
+    copy(child = c)
+}
+
+object Grams5Distinct {
+  /** Idempotent per-session SQL registration: `grams5_distinct(text)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "grams5_distinct", { exprs =>
+        require(exprs.length == 1, "grams5_distinct expects exactly one argument")
+        Grams5Distinct(exprs.head)
+      }, "scala_udf")
+}
+
+/** Linear-merge intersection size of two SORTED distinct bigint arrays:
+  * `intersect_count(a, b) -> bigint`. Replaces the
+  * explode + equi-join + count formulation of set intersection with a
+  * per-row merge — for candidate-pair reranking this turns the whole
+  * Jaccard stage into two hash joins plus a projection.
+  */
+case class IntersectCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"intersect_count requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectCount =
+    copy(left = l, right = r)
+}
+
+object IntersectCount {
+  /** Idempotent per-session SQL registration: `intersect_count(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_count", { exprs =>
+        require(exprs.length == 2, "intersect_count expects (a, b)")
+        IntersectCount(exprs.head, exprs(1))
+      }, "scala_udf")
+}
+
 /** Per-row SimHash over distinct 5-grams in ONE pass:
   * `simhash5(text, nBits) -> bigint`. Bit j is set when the sign-sum of
   * hash-j's parity over the document's distinct grams is positive —

@@ -102,6 +102,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(distinctSigs > 1) // not everything collapses to one bucket
   }
 
+  test("exactJaccardDirect matches the explode/join exactJaccard") {
+    val sub = docs.filter(col("doc_id") < 60)
+    val a = sub.select(col("doc_id").as("d1"), col("source"))
+    val b = sub.select(col("doc_id").as("d2"), col("source"))
+    val pairs = a.join(b, "source").filter(col("d1") < col("d2")).select("d1", "d2")
+    val composed = TextOps.exactJaccard(TextOps.grams5(sub), pairs)
+      .select("d1", "d2", "jaccard")
+    val direct = TextOps.exactJaccardDirect(sub, pairs)
+      .select("d1", "d2", "jaccard")
+    assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
+      "jaccard diverges between native-merge and explode/join paths")
+    assert(direct.count() > 0)
+  }
+
   test("native simhash5 matches the composable explode/agg pipeline") {
     val composed = TextOps.simhash(TextOps.grams5(docs), 16)
       .select(col("doc_id"), col("simhash"))
