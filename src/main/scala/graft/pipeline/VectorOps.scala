@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (Array[Float]).
   *
-  * Dot products fold in ARRAY ORDER via `aggregate`/`zip_with` (ordered,
-  * codegen'd, no UDF), so double summation is bit-reproducible and the
-  * DuckDB oracle (ordered `range(dim)` sum) matches exactly.
+  * Dot products fold in ARRAY ORDER — natively via [[graft.sql.DotFloat]]
+  * (one pass, double accumulator, no per-row intermediate arrays), with
+  * the `aggregate`/`zip_with` higher-order form kept as the
+  * equivalence-spec reference — so double summation is bit-reproducible
+  * and the DuckDB oracle (ordered `range(dim)` sum) matches exactly.
   *
   * `bruteTopK` is the correctness baseline (O(Q*N) dot products — fine
   * when Q is small or N fits a broadcast). `lshBuckets` is the scale
@@ -19,8 +21,20 @@ object VectorOps {
 
   import TextOps.{P, aConst, bConst}
 
-  /** Ordered-fold dot product of two array<float> columns as double. */
-  def dotSql(a: String, b: String): String =
+  private def registerExprs(df: DataFrame): Unit = {
+    graft.sql.DotFloat.register(df.sparkSession)
+    graft.sql.HyperplaneProjection.register(df.sparkSession)
+  }
+
+  /** Ordered-fold dot product of two array<float> columns as double
+    * (native one-pass expression).
+    */
+  def dotSql(a: String, b: String): String = s"dot_f($a, $b)"
+
+  /** Same fold via higher-order functions — the equivalence-spec
+    * reference for [[dotSql]].
+    */
+  def dotHofSql(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
       s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
@@ -33,6 +47,7 @@ object VectorOps {
     * candidate id).
     */
   def bruteTopK(embeddings: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    registerExprs(embeddings)
     val cand = embeddings.select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val scored = q.crossJoin(cand)
@@ -53,8 +68,13 @@ object VectorOps {
     s"CASE WHEN ((${aConst(j)} * (($iExpr) + 1) + ${bConst(j)}) % $P) % 2 = 1 " +
       "THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END"
 
-  /** Projection of the embedding onto hyperplane j (ordered fold). */
-  def projectionSql(j: Int, dim: Int): String =
+  /** Projection of the embedding onto hyperplane j (native ordered
+    * fold; `dim` retained for the HOF reference form).
+    */
+  def projectionSql(j: Int, dim: Int): String = s"hplane_proj(embedding, $j)"
+
+  /** HOF reference form of [[projectionSql]] for the equivalence spec. */
+  def projectionHofSql(j: Int, dim: Int): String =
     s"aggregate(zip_with(embedding, sequence(0, ${dim - 1}), " +
       s"(x, i) -> CAST(x AS DOUBLE) * ${planeSignSql(j, "i")}), " +
       "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
@@ -71,10 +91,12 @@ object VectorOps {
     * Multi-table LSH is the standard recall lever: a true neighbor is a
     * candidate if it collides in ANY table.
     */
-  def lshBuckets(embeddings: DataFrame, nPlanes: Int, nTables: Int, dim: Int): DataFrame =
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
+    registerExprs(embeddings)
     (0 until nTables).foldLeft(embeddings) { (df, t) =>
       df.withColumn(s"b$t", expr(bucketSql(t, nPlanes, dim)))
     }
+  }
 
   /** ANN top-k: per-table equi-joins on bucket id, unioned and deduped —
     * at scale this is L shuffle joins on small keys instead of a

@@ -57,6 +57,35 @@ object StreamingQueries extends QuerySet {
               event_type, count(*) AS n, round(sum(value), 2) AS total_value
               FROM events GROUP BY day, event_type ORDER BY day, event_type""")),
 
+    // Streaming ingest to druid segments: every micro-batch lands as
+    // immutable segment dirs (append), the table is read back through
+    // the batch connector, and the aggregate must match DuckDB over the
+    // original events — the Druid real-time-ingest shape, oracle-gated
+    // end to end (stream source -> foreachBatch -> segment writer ->
+    // manifest -> DSv2 scan).
+    Q("s3_stream_druid_ingest",
+      (s, dir) => {
+        val in = stageDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val n = nameCounter.incrementAndGet()
+        val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_ingest_$n"
+        val q = StreamingOps.segmentSink(
+          StreamingOps.parquetStream(s, in, schema)
+            .select(col("ts").as("__time"), col("event_type"),
+                    col("user_id"), col("value")),
+          out, s"${out}_cp")
+        q.awaitTermination(300000)
+        s.read.format("druid").load(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("total_value"),
+               countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+              count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Stateful streaming (mapGroupsWithState running totals): final
     // per-user state vs the batch aggregate.
     Q("s2_stream_state",

@@ -1,0 +1,115 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native vector arithmetic over embedding columns (array<float>).
+  *
+  * Both expressions fold IN ARRAY ORDER with a double accumulator —
+  * bit-identical to the `aggregate(zip_with(...))` higher-order-function
+  * forms they replace (and to the DuckDB oracles' ordered range() sums),
+  * minus the per-row intermediate arrays and interpreted lambda calls
+  * the HOF path pays.
+  */
+private[sql] object VectorExprs {
+  def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** Ordered-fold dot product: `dot_f(a, b) -> double` over two
+  * array<float> columns (length-mismatch folds over the shorter, same
+  * as zip_with's null-padding then +0 behavior never arises here —
+  * embeddings are fixed-dim).
+  */
+case class DotFloat(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.isFloatArray(left.dataType) &&
+        VectorExprs.isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_f requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFloat =
+    copy(left = l, right = r)
+}
+
+object DotFloat {
+  /** Idempotent per-session SQL registration: `dot_f(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_f", { exprs =>
+        require(exprs.length == 2, "dot_f expects (a, b)")
+        DotFloat(exprs.head, exprs(1))
+      }, "scala_udf")
+}
+
+/** Ordered-fold projection of an embedding onto pseudo-random
+  * hyperplane `j`: `hplane_proj(embedding, j) -> double`, where
+  * dimension i contributes `x_i * (+-1)` with the sign drawn from the
+  * shared arithmetic hash family
+  * (`((a_j * (i+1) + b_j) % P) % 2 == 1` => +1) — exactly
+  * [[graft.pipeline.VectorOps.planeSignSql]]'s arithmetic.
+  */
+case class HyperplaneProjection(child: Expression, j: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  import graft.pipeline.TextOps.{P, aConst, bConst}
+  private val a = aConst(j)
+  private val b = bConst(j)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorExprs.isFloatArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hplane_proj requires an ARRAY<FLOAT> argument, got ${child.dataType.sql}")
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val sign = if (((a * (i + 1) + b) % P) % 2 == 1) 1.0 else -1.0
+      acc += x.getFloat(i).toDouble * sign
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneProjection =
+    copy(child = c)
+}
+
+object HyperplaneProjection {
+  /** Idempotent per-session SQL registration: `hplane_proj(emb, j)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hplane_proj", { exprs =>
+        require(exprs.length == 2, "hplane_proj expects (embedding, j)")
+        HyperplaneProjection(exprs.head,
+          GramHashes.litInt(exprs(1), "hplane_proj j"))
+      }, "scala_udf")
+}

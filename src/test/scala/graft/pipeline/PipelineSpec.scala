@@ -102,6 +102,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(distinctSigs > 1) // not everything collapses to one bucket
   }
 
+  test("native dot_f and hplane_proj are bit-identical to the HOF folds") {
+    graft.sql.DotFloat.register(spark)
+    graft.sql.HyperplaneProjection.register(spark)
+    val pairs = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") < 3).select(col("embedding").as("b")))
+    val dotDiff = pairs.filter(
+      expr(VectorOps.dotSql("a", "b")) =!= expr(VectorOps.dotHofSql("a", "b"))).count()
+    assert(dotDiff == 0, "dot_f diverges from the zip_with fold")
+    val projDiff = emb.filter(
+      expr(VectorOps.projectionSql(3, 64)) =!= expr(VectorOps.projectionHofSql(3, 64))).count()
+    assert(projDiff == 0, "hplane_proj diverges from the zip_with fold")
+  }
+
   test("exactJaccardDirect matches the explode/join exactJaccard") {
     val sub = docs.filter(col("doc_id") < 60)
     val a = sub.select(col("doc_id").as("d1"), col("source"))
