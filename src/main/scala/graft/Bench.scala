@@ -19,6 +19,15 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet")
         .groupBy("r_name").count().collect()
     } catch { case _: Throwable => () } // warm-up is best-effort
+    // run every query once at the smallest SF to compile its whole-stage
+    // codegen / Janino classes outside the timer: rep1-vs-rep2 profiling
+    // shows 3-10x first-run JIT cost on the native-expression pipelines,
+    // which would otherwise be charged to whichever query runs first
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     // one-time segment staging (writer) happens OUTSIDE the timed loop:
     // dr* timings measure scans, not the writer; staging is its own metric
     val s0 = System.nanoTime()
