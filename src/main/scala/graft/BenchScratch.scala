@@ -17,10 +17,54 @@ object BenchScratch {
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val names = if (args.nonEmpty) args.toSeq else Seq("d2_dedup_minhash_lsh")
-    for (n <- names; rep <- 1 to 2) {
+    def t(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(n)(spark, sfDir).count()
-      println(f"[scratch] $n%-28s rep$rep ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+      val rows = f
+      println(f"[scratch] $label%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+    }
+    if (names.contains("d2parts")) {
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.TextOps
+      for (rep <- 1 to 2) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        val bands = TextOps.bandSignaturesDirect(docs, 16, 4)
+        t(s"d2.bands rep$rep")(bands.count())
+        val cand = TextOps.lshCandidates(bands).cache()
+        t(s"d2.cand rep$rep")(cand.count())
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        t(s"d2.candDocs rep$rep")(candDocs.count())
+        val rer = TextOps.exactJaccardDirect(
+          docs.join(candDocs, Seq("doc_id"), "left_semi"), cand)
+        t(s"d2.rerank rep$rep")(rer.count())
+        t(s"d2.full+sort rep$rep")(
+          SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sfDir).count())
+        cand.unpersist()
+      }
+    } else if (names.head == "jobs") {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          starts.put(js.jobId, (System.nanoTime(),
+            js.stageInfos.map(_.name.takeWhile(_ != '\n')).mkString("|").take(120)))
+        override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+          val (t0, desc) = starts.getOrDefault(je.jobId, (0L, "?"))
+          println(f"[job] ${je.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.3f s  $desc")
+        }
+      })
+      for (n <- names.tail; rep <- 1 to 2)
+        t(s"$n rep$rep")(SparkEntry.queries(n)(spark, sfDir).count())
+      Thread.sleep(500)
+    } else if (names.head == "warmed") {
+      for (n <- names.tail) {
+        try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+        t(s"$n warm@0.001->0.1")(SparkEntry.queries(n)(spark, sfDir).count())
+        t(s"$n rep2@0.1")(SparkEntry.queries(n)(spark, sfDir).count())
+      }
+    } else for (n <- names; rep <- 1 to 2) {
+      t(s"$n rep$rep")(SparkEntry.queries(n)(spark, sfDir).count())
     }
     spark.stop()
   }

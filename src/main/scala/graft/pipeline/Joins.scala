@@ -53,4 +53,38 @@ object Joins {
       .select((keys.map(col) :+ col(tsCol)) ++
         payload.map(p => col(s"__payload.$p").as(p)) ++ otherLeft.map(col): _*)
   }
+
+  /** Banded range join: every left row matched to the right rows with
+    * `right.rightTs` in `[left.leftTs - windowMicros, left.leftTs)` and
+    * equal join keys.
+    *
+    * The inequality predicate is re-expressed as an EQUI-join on
+    * (keys, time bucket) of width `windowMicros`: right rows land in
+    * their own bucket, each left row probes the two buckets covering
+    * its window, and the exact bounds run as a post-join filter. At
+    * scale this is one shuffle on small keys instead of the
+    * per-key-quadratic sort/cross plan Spark gives raw inequality
+    * joins; bucket width = window width caps the probe fan-out at 2.
+    *
+    * Column names (other than `keys`) must be disjoint between the two
+    * sides; `leftTs`/`rightTs` are post-1970 timestamp columns (bucket
+    * arithmetic uses integral division on epoch micros).
+    */
+  def rangeJoinPreceding(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String,
+                         keys: Seq[String], windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive: $windowMicros")
+    val l = left
+      .withColumn("__lus", unix_micros(col(leftTs)))
+      .withColumn("__bkt", explode(sequence(
+        expr(s"(__lus - $windowMicros) div $windowMicros"),
+        expr(s"__lus div $windowMicros"))))
+    val r = right
+      .withColumn("__rus", unix_micros(col(rightTs)))
+      .withColumn("__bkt", expr(s"__rus div $windowMicros"))
+    l.join(r, keys :+ "__bkt")
+      .filter(col("__rus") >= col("__lus") - windowMicros &&
+        col("__rus") < col("__lus"))
+      .drop("__lus", "__rus", "__bkt")
+  }
 }

@@ -98,6 +98,95 @@ object VectorOps {
     }
   }
 
+  /** Embedding-cosine near-duplicate pairs — the embedding-space member
+    * of the dedup family (exact / MinHash / SimHash / Jaccard / cosine).
+    * Candidates come from LSH bucket collisions in ANY table (equi-joins
+    * on bucket id — never the all-pairs cross join), deduped on the id
+    * pair alone, then exact cosine filters at `tau`. At scale this is
+    * the standard SemDeDup-style shape: O(N) bucketing + per-bucket
+    * pair work, with recall tuned by (nPlanes, nTables).
+    */
+  def cosineNearDup(embeddings: DataFrame, tau: Double,
+                    nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
+    val bucketed = lshBuckets(embeddings, nPlanes, nTables, dim)
+    val buckets = (0 until nTables).map(t => s"b$t")
+    // id+bucket only — vectors re-attach after the dedup so the
+    // candidate-join payload is two longs per row
+    val ids = bucketed.select(col("vec_id") +: buckets.map(col): _*)
+    val idPairs = buckets.map { bkt =>
+      ids.select(col("vec_id").as("v1"), col(bkt).as("k"))
+        .join(ids.select(col("vec_id").as("v2"), col(bkt).as("k")), "k")
+        .filter(col("v1") < col("v2")).select("v1", "v2")
+    }.reduce(_ union _).distinct()
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    idPairs
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("av")), "v1")
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("bv")), "v2")
+      .withColumn("cos", round(
+        expr(dotSql("av", "bv")) / (expr(normSql("av")) * expr(normSql("bv"))), 6))
+      .filter(col("cos") >= tau)
+      .select(col("v1"), col("v2"), col("cos"))
+  }
+
+  /** Cell assignment for IVF: nearest of the first `nCells` vectors
+    * (deterministic coarse quantizer — a fixed "training sample" in
+    * place of k-means, so the oracle can replay it) by rounded cosine,
+    * ties to the lowest centroid id. Plans as a broadcast of the tiny
+    * centroid table + a map-side-combined min-struct aggregate: the
+    * full corpus never shuffles vectors, only (vec_id, best-cell) rows.
+    */
+  def ivfAssign(embeddings: DataFrame, nCells: Int): DataFrame = {
+    registerExprs(embeddings)
+    val cent = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", round(
+        expr(dotSql("embedding", "cv")) / (expr(normSql("embedding")) * expr(normSql("cv"))), 6))
+      // max(struct) = highest cos, then highest -cid = LOWEST cid
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).as("cell"))
+  }
+
+  /** IVF ANN top-k — the partition-pruned scale path: vectors live in
+    * inverted lists keyed by their cell, each query probes only its
+    * `nProbe` nearest cells, and exact cosine runs inside those lists
+    * alone. The candidate join is an equi-join on cell id, so at 100 TB
+    * the lists shuffle once (or are pre-bucketed by cell on disk) and a
+    * query touches nProbe/nCells of the corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
+              k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val assign = ivfAssign(embeddings, nCells)
+    val cand = embeddings.select(col("vec_id"), col("embedding"))
+      .join(assign, "vec_id")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("cell"))
+    val cent = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
+    val probes = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    // a candidate has exactly ONE cell, so (query, cand) appears at most
+    // once across the probed cells — no dedup needed
+    val scored = probes.join(cand, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+  }
+
   /** ANN top-k: per-table equi-joins on bucket id, unioned and deduped —
     * at scale this is L shuffle joins on small keys instead of a
     * quadratic cross join; exact cosine only within collisions.

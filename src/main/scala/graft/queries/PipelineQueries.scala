@@ -307,6 +307,79 @@ object PipelineQueries extends QuerySet {
            |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
       }),
 
+    // Embedding-cosine near-dup (SemDeDup shape): LSH bucket collisions
+    // (2 tables x 8 planes) generate candidates as equi-joins — never
+    // all pairs — then exact cosine keeps pairs >= tau. tau=0.3 is
+    // calibrated to the synthetic embeddings (near-random, max pairwise
+    // cos ~0.6); production corpora use ~0.95+ with the same plan.
+    Q("d9_embed_neardup",
+      (s, dir) => {
+        VectorOps.cosineNearDup(Tables.load(s, dir, "embeddings"), 0.3,
+            nPlanes = 8, nTables = 2, dim = 64)
+          .orderBy(col("v1"), col("v2"))
+      },
+      Some {
+        def proj(j: Int): String =
+          s"(SELECT sum(embedding[i+1]::DOUBLE * CASE WHEN " +
+            s"((${TextOps.aConst(j)} * (i + 1) + ${TextOps.bConst(j)}) % $P) % 2 = 1 " +
+            s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END) FROM range(64) t(i))"
+        def bucket(t: Int): String = (0 until 8)
+          .map(j => s"(CASE WHEN ${proj(t * 8 + j)} > 0 THEN ${1L << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, embedding, ${bucket(0)} AS b0, ${bucket(1)} AS b1,
+           |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+           |          FROM range(64) t(i))) AS nrm
+           |  FROM embeddings)
+           |SELECT v1, v2, cos FROM (
+           |  SELECT q.vec_id AS v1, c.vec_id AS v2,
+           |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
+           |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
+           |  FROM e q JOIN e c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+           |    AND q.vec_id < c.vec_id)
+           |WHERE cos >= 0.3 ORDER BY v1, v2""".stripMargin
+      }),
+
+    // IVF ANN: deterministic coarse quantizer (first 8 vectors), each
+    // query probes its 2 nearest cells, exact cosine only inside those
+    // inverted lists — the partition-pruned scale path next to e2's LSH.
+    Q("e3_knn_ivf",
+      (s, dir) => {
+        VectorOps.ivfTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, 3, nCells = 8, nProbe = 2)
+          .withColumn("rnk", col("rnk").cast("long"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+              |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+              |          FROM range(64) t(i))) AS nrm
+              |  FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+              |         FROM e WHERE vec_id < 8),
+              |ac AS (SELECT v.vec_id, c.cid,
+              |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+              |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+              |  FROM e v, cent c),
+              |assign AS (SELECT vec_id, cid AS cell FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+              |    FROM ac) WHERE rn = 1),
+              |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+              |    FROM ac WHERE vec_id < 3) WHERE rn <= 2),
+              |scored AS (SELECT p.query_id, a2.vec_id AS cand_id,
+              |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
+              |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
+              |  FROM probe p JOIN assign a2 ON p.cell = a2.cell AND a2.vec_id <> p.query_id
+              |  JOIN e q ON q.vec_id = p.query_id JOIN e c ON c.vec_id = a2.vec_id),
+              |ranked AS (SELECT query_id, cand_id, cos,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, cand_id) AS rnk
+              |  FROM scored)
+              |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
+              |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- time-series joins ----
 
     // Backward as-of join (operator Spark lacks): every purchase gets
@@ -338,6 +411,32 @@ object PipelineQueries extends QuerySet {
               |FROM p ASOF LEFT JOIN clicks c
               |  ON p.user_id = c.user_id AND p.ts >= c.ts
               |ORDER BY event_id""".stripMargin)),
+
+    // Banded range join (operator Spark plans quadratically): per
+    // purchase, the same user's clicks in the preceding hour. Bucketized
+    // to an equi-join on (user_id, hour bucket); oracle is DuckDB's
+    // native inequality join — independent formulations.
+    Q("j2_range_join",
+      (s, dir) => {
+        val ev = graft.Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("value"))
+        graft.pipeline.Joins.rangeJoinPreceding(purchases, clicks,
+            "p_ts", "c_ts", Seq("user_id"), 3600L * 1000000L)
+          .groupBy(col("event_id"))
+          .agg(count(lit(1)).as("n_clicks"),
+               round(sum(col("value")), 2).as("click_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, count(*) AS n_clicks,
+              |  round(sum(c.value), 2) AS click_value
+              |FROM events p JOIN events c
+              |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+              | AND p.user_id = c.user_id
+              | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+              |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
     // ---- multimodal plumbing ----
 

@@ -69,6 +69,16 @@ object StreamingQueries extends QuerySet {
         val schema = s.read.parquet(in).schema
         val n = nameCounter.incrementAndGet()
         val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_ingest_$n"
+        // the counter restarts with each JVM, so a previous run may have
+        // left segments at this exact path — appending onto them would
+        // double every count; start from an empty destination
+        for (stale <- Seq(out, s"${out}_cp")) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(stale))
+        }
         val q = StreamingOps.segmentSink(
           StreamingOps.parquetStream(s, in, schema)
             .select(col("ts").as("__time"), col("event_type"),

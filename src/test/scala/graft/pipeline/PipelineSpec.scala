@@ -129,6 +129,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(direct.count() > 0)
   }
 
+  test("ivfTopK returns k candidates per query with decent recall") {
+    val brute = VectorOps.bruteTopK(emb, emb.filter(col("vec_id") < 3), 3)
+      .select("query_id", "cand_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(emb, col("vec_id") < 3, 3, nCells = 8, nProbe = 4)
+    val rows = ivf.collect()
+    assert(rows.length == 9, s"expected 3 queries x 3, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing half the cells of near-random vectors: require SOME overlap
+    assert((brute intersect got).nonEmpty, "IVF found none of the true top-k")
+  }
+
+  test("ivfAssign gives every vector exactly one cell in range") {
+    val assign = VectorOps.ivfAssign(emb, 8)
+    assert(assign.count() == emb.count())
+    assert(assign.select(countDistinct(col("vec_id"))).head.getLong(0) == emb.count())
+    val mm = assign.agg(min("cell"), max("cell")).head
+    assert(mm.getLong(0) >= 0 && mm.getLong(1) < 8)
+    // centroid vectors must sit in their own cell (cos=1 beats all ties)
+    val own = VectorOps.ivfAssign(emb, 8).filter(col("vec_id") < 8)
+      .filter(col("vec_id") =!= col("cell")).count()
+    assert(own == 0, "a centroid was not assigned to its own cell")
+  }
+
+  test("cosineNearDup pairs are exactly the LSH-colliding pairs above tau") {
+    val tau = 0.2 // low: sf0.001 vectors are near-random
+    val got = VectorOps.cosineNearDup(emb, tau, nPlanes = 4, nTables = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (v1, v2, c) => v1 < v2 && c >= tau })
+    // reference: brute-force pairs above tau restricted to collisions
+    val b = VectorOps.lshBuckets(emb, 4, 2, 64)
+      .select("vec_id", "b0", "b1").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue)).toMap
+    val all = emb.select(col("vec_id").as("v1"), col("embedding").as("av"))
+      .crossJoin(emb.select(col("vec_id").as("v2"), col("embedding").as("bv")))
+      .filter(col("v1") < col("v2"))
+      .withColumn("cos", round(
+        expr(VectorOps.dotSql("av", "bv")) /
+          (expr(VectorOps.normSql("av")) * expr(VectorOps.normSql("bv"))), 6))
+      .filter(col("cos") >= tau)
+      .select("v1", "v2", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (v1, v2, _) =>
+        (b(v1)._1 == b(v2)._1) || (b(v1)._2 == b(v2)._2) }
+    assert(got.toSet == all.toSet,
+      s"near-dup mismatch: got ${got.length}, expected ${all.length}")
+  }
+
+  test("rangeJoinPreceding matches the naive inequality join") {
+    import spark.implicits._
+    val w = 100L // micros
+    val left = Seq((1L, 250L, "p1"), (1L, 300L, "p2"), (2L, 100L, "p3"),
+        (3L, 50L, "p4"))
+      .toDF("k", "lu", "tag").withColumn("lts", timestamp_micros(col("lu")))
+    val right = Seq((1L, 150L, 1.0), (1L, 200L, 2.0), (1L, 250L, 3.0),
+        (1L, 299L, 4.0), (2L, 0L, 5.0), (2L, 99L, 6.0), (3L, 49L, 7.0))
+      .toDF("k", "ru", "v").withColumn("rts", timestamp_micros(col("ru")))
+    val banded = Joins.rangeJoinPreceding(left, right, "lts", "rts", Seq("k"), w)
+      .select("k", "tag", "ru", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val naive = left.join(right, Seq("k"))
+      .filter(col("ru") >= col("lu") - w && col("ru") < col("lu"))
+      .select("k", "tag", "ru", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(banded == naive, s"banded $banded != naive $naive")
+    // boundary semantics: ru = lu - w included, ru = lu excluded
+    assert(banded.contains((1L, "p1", 150L, 1.0)))
+    assert(!banded.exists { case (_, tag, ru, _) => tag == "p1" && ru == 250L })
+  }
+
   test("native simhash5 matches the composable explode/agg pipeline") {
     val composed = TextOps.simhash(TextOps.grams5(docs), 16)
       .select(col("doc_id"), col("simhash"))
