@@ -1,0 +1,48 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: registers the whole native function
+  * family at session-build time, so every session (and every
+  * `newSession()`) has them without per-session `register` calls —
+  * the idiomatic deployment is
+  *
+  * {{{
+  * spark.sql.extensions=graft.sql.GraftExtensions
+  * }}}
+  *
+  * The per-object `register(spark)` methods stay as the programmatic
+  * alternative for sessions built without the extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, build) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
+          usage, ""),
+        build))
+    }
+}
+
+object GraftExtensions {
+  /** (name, usage, builder) for every native SQL function. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("grams5", "grams5(text) - distinct 5-gram codes as array<bigint>",
+      Grams5.build),
+    ("grams5_distinct", "grams5_distinct(text) - sorted distinct 5-gram codes",
+      Grams5Distinct.build),
+    ("intersect_count", "intersect_count(a, b) - linear-merge |a ∩ b| of sorted arrays",
+      IntersectCount.build),
+    ("minhash_bands", "minhash_bands(text, k, bandSize) - LSH band signatures",
+      MinHashBands.build),
+    ("simhash5", "simhash5(text, nBits) - per-row SimHash over 5-grams",
+      Simhash5.build),
+    ("fingerprint5", "fingerprint5(text) - per-row document fingerprint",
+      Fingerprint5.build),
+    ("dot_f", "dot_f(a, b) - ordered-fold dot product of array<float>",
+      DotFloat.build),
+    ("hplane_proj", "hplane_proj(embedding, j) - hyperplane-j projection",
+      HyperplaneProjection.build))
+}

@@ -81,13 +81,16 @@ case class Grams5Distinct(child: Expression)
 }
 
 object Grams5Distinct {
+  /** SQL builder for `grams5_distinct(text)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "grams5_distinct expects exactly one argument")
+    Grams5Distinct(exprs.head)
+  }
+
   /** Idempotent per-session SQL registration: `grams5_distinct(text)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "grams5_distinct", { exprs =>
-        require(exprs.length == 1, "grams5_distinct expects exactly one argument")
-        Grams5Distinct(exprs.head)
-      }, "scala_udf")
+      "grams5_distinct", build, "scala_udf")
 }
 
 /** Linear-merge intersection size of two SORTED distinct bigint arrays:
@@ -133,13 +136,16 @@ case class IntersectCount(left: Expression, right: Expression)
 }
 
 object IntersectCount {
+  /** SQL builder for `intersect_count(a, b)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "intersect_count expects (a, b)")
+    IntersectCount(exprs.head, exprs(1))
+  }
+
   /** Idempotent per-session SQL registration: `intersect_count(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "intersect_count", { exprs =>
-        require(exprs.length == 2, "intersect_count expects (a, b)")
-        IntersectCount(exprs.head, exprs(1))
-      }, "scala_udf")
+      "intersect_count", build, "scala_udf")
 }
 
 /** Per-row SimHash over distinct 5-grams in ONE pass:
@@ -190,13 +196,16 @@ case class Simhash5(child: Expression, nBits: Int)
 }
 
 object Simhash5 {
+  /** SQL builder for `simhash5(text, nBits)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "simhash5 expects (text, nBits)")
+    Simhash5(exprs.head, GramHashes.litInt(exprs(1), "simhash5 nBits"))
+  }
+
   /** Idempotent per-session SQL registration: `simhash5(text, nBits)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash5", { exprs =>
-        require(exprs.length == 2, "simhash5 expects (text, nBits)")
-        Simhash5(exprs.head, GramHashes.litInt(exprs(1), "simhash5 nBits"))
-      }, "scala_udf")
+      "simhash5", build, "scala_udf")
 }
 
 /** Per-row document fingerprint over distinct 5-grams in ONE pass:
@@ -237,11 +246,14 @@ case class Fingerprint5(child: Expression)
 }
 
 object Fingerprint5 {
+  /** SQL builder for `fingerprint5(text)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "fingerprint5 expects exactly one argument")
+    Fingerprint5(exprs.head)
+  }
+
   /** Idempotent per-session SQL registration: `fingerprint5(text)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fingerprint5", { exprs =>
-        require(exprs.length == 1, "fingerprint5 expects exactly one argument")
-        Fingerprint5(exprs.head)
-      }, "scala_udf")
+      "fingerprint5", build, "scala_udf")
 }

@@ -56,11 +56,14 @@ case class Grams5(child: Expression) extends UnaryExpression with CodegenFallbac
 }
 
 object Grams5 {
+  /** SQL builder for `grams5(text)` (register / GraftExtensions). */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 1, "grams5 expects exactly one argument")
+    Grams5(exprs.head)
+  }
+
   /** Idempotent per-session SQL registration: `grams5(text)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "grams5", { exprs =>
-        require(exprs.length == 1, "grams5 expects exactly one argument")
-        Grams5(exprs.head)
-      }, "scala_udf")
+      "grams5", build, "scala_udf")
 }

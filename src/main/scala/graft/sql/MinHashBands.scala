@@ -101,14 +101,17 @@ object MinHashBands {
       s"minhash_bands $what must be an INT literal, got $other")
   }
 
+  /** SQL builder for `minhash_bands(text, k, bandSize)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      "minhash_bands expects (text, k, bandSize)")
+    MinHashBands(exprs.head, lit(exprs(1), "k"), lit(exprs(2), "bandSize"))
+  }
+
   /** Idempotent per-session SQL registration:
     * `minhash_bands(text, k, bandSize)`.
     */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands", { exprs =>
-        require(exprs.length == 3,
-          "minhash_bands expects (text, k, bandSize)")
-        MinHashBands(exprs.head, lit(exprs(1), "k"), lit(exprs(2), "bandSize"))
-      }, "scala_udf")
+      "minhash_bands", build, "scala_udf")
 }

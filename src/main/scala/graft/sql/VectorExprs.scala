@@ -57,13 +57,16 @@ case class DotFloat(left: Expression, right: Expression)
 }
 
 object DotFloat {
+  /** SQL builder for `dot_f(a, b)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "dot_f expects (a, b)")
+    DotFloat(exprs.head, exprs(1))
+  }
+
   /** Idempotent per-session SQL registration: `dot_f(a, b)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", { exprs =>
-        require(exprs.length == 2, "dot_f expects (a, b)")
-        DotFloat(exprs.head, exprs(1))
-      }, "scala_udf")
+      "dot_f", build, "scala_udf")
 }
 
 /** Ordered-fold projection of an embedding onto pseudo-random
@@ -104,12 +107,15 @@ case class HyperplaneProjection(child: Expression, j: Int)
 }
 
 object HyperplaneProjection {
+  /** SQL builder for `hplane_proj(emb, j)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "hplane_proj expects (embedding, j)")
+    HyperplaneProjection(exprs.head,
+      GramHashes.litInt(exprs(1), "hplane_proj j"))
+  }
+
   /** Idempotent per-session SQL registration: `hplane_proj(emb, j)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hplane_proj", { exprs =>
-        require(exprs.length == 2, "hplane_proj expects (embedding, j)")
-        HyperplaneProjection(exprs.head,
-          GramHashes.litInt(exprs(1), "hplane_proj j"))
-      }, "scala_udf")
+      "hplane_proj", build, "scala_udf")
 }

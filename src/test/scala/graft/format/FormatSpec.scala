@@ -153,6 +153,41 @@ class CompressedColumnarSpec extends AnyFunSuite {
     }
   }
 
+  test("lzf strategy round-trips through the block container") {
+    val vals = Array.tabulate(5000)(i => (i % 97).toLong) // compressible
+    val r = new CompressedLongs(
+      ByteBuffer.wrap(CompressedColumnar.writeLongs(vals, Compression.LZF, sizePer = 1024)), 0)
+    assert(vals.indices.forall(i => r.get(i) == vals(i)))
+  }
+
+  test("lzf codec interops with the ning stream format Druid uses") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 3, 5, 100, 5000, 70000)) {
+      val data = new Array[Byte](n)
+      // first half compressible runs, second half random bytes
+      for (i <- 0 until n)
+        data(i) = if (i < n / 2) (i % 13).toByte else rnd.nextInt().toByte
+      val ours = Compression.compress(Compression.LZF, data)
+      val ningDecoded = com.ning.compress.lzf.LZFDecoder.decode(ours)
+      assert(ningDecoded.sameElements(data), s"ning cannot decode our stream (n=$n)")
+      val ningEncoded = com.ning.compress.lzf.LZFEncoder.encode(data)
+      val dst = new Array[Byte](n)
+      Compression.decompress(Compression.LZF,
+        ByteBuffer.wrap(ningEncoded), 0, ningEncoded.length, dst, n)
+      assert(dst.sameElements(data), s"we cannot decode ning's stream (n=$n)")
+    }
+  }
+
+  test("lzf decoder handles hand-built back-reference code") {
+    // literal 'abc', then a match: len 5, distance 3 -> "abcabcab"
+    val raw = Array[Byte](2, 'a', 'b', 'c', ((5 - 2) << 5).toByte, 2)
+    val chunk = Array[Byte]('Z', 'V', 1, 0, raw.length.toByte, 0, 8) ++ raw
+    val dst = new Array[Byte](8)
+    Compression.decompress(Compression.LZF,
+      ByteBuffer.wrap(chunk), 0, chunk.length, dst, 8)
+    assert(new String(dst) == "abcabcab")
+  }
+
   test("randomized longs round-trip (fixed seed)") {
     val rnd = new scala.util.Random(42)
     for (_ <- 0 until 30) {
