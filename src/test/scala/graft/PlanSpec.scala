@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the 100 TB story lives in the plans, not
+  * just the results. These tests pin the plan shape each headline query
+  * relies on — parquet filter/column pushdown, broadcast dims, no
+  * cartesian products on the scale paths, whole-stage codegen coverage —
+  * so a regression that keeps results correct but wrecks the plan fails
+  * CI instead of only showing up at cluster scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // run THIS plan so AQE finalizes it (count() would plan anew)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("parquet scans push filters and prune columns (q2)") {
+    val p = plan(run("q2_filter_agg"))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters:\n$p")
+    assert(!p.contains("PushedFilters: []"),
+      s"filter did not reach the parquet scan:\n$p")
+    // the lineitem scan must not read all 16 columns for a 4-column agg
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toList
+    assert(readSchemas.nonEmpty && readSchemas.forall(_.count(_ == ',') < 8),
+      s"scan reads too many columns:\n$readSchemas")
+  }
+
+  test("small dimension tables broadcast (q5)") {
+    val p = plan(run("q5_broadcast_dims"))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"dim join fell back to sort-merge at tiny scale:\n$p")
+  }
+
+  test("top-k avoids a global sort (q3)") {
+    val p = plan(run("q3_join_topk"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit+orderBy did not plan as top-k:\n$p")
+  }
+
+  test("exact dedup shuffles hashes, not document text (d1)") {
+    val p = plan(run("d1_dedup_exact"))
+    assert(p.contains("xxhash64"), s"dedup key is not hashed:\n$p")
+    // no exchange may carry the text column — the shuffle key is the
+    // 16-byte (hash, length) pair, never the corpus
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty, s"expected a shuffle in d1:\n$p")
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("scale paths have no cartesian products (d2, d9, e2, e3, j2)") {
+    for (q <- Seq("d2_dedup_minhash_lsh", "d9_embed_neardup",
+        "e2_knn_lsh", "e3_knn_ivf", "j2_range_join")) {
+      val p = plan(run(q))
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n$p")
+    }
+  }
+
+  test("e1 brute force is the only sanctioned cross join") {
+    // e1 is the correctness baseline: the cross join is the POINT, but
+    // it must broadcast (queries are few) rather than shuffle both sides
+    val p = plan(run("e1_knn_brute"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+  }
+
+  test("druid scans stay columnar with pruned output (dr3)") {
+    val p = plan(run("dr3_lineitem_agg"))
+    assert(p.contains("Batched: true") || p.contains("ColumnarToRow"),
+      s"druid scan is not vectorized:\n$p")
+  }
+
+  test("whole-stage codegen covers the relational hot paths (q1)") {
+    val p = plan(run("q1_agg"))
+    // codegen spans print as "*(n) Operator" in the compact tree
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen spans:\n$p")
+  }
+
+  test("as-of join plans one shuffle+sort, not a range join (j1)") {
+    val p = plan(run("j1_asof_join"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of join fell back to a quadratic plan:\n$p")
+  }
+}
