@@ -48,9 +48,10 @@ object DruidTool {
     case "files" :: dir :: Nil => files(dir)
     case "dump" :: dir :: rest => dump(dir, rest)
     case "query" :: dir :: sql :: Nil => query(dir, sql)
+    case "compact" :: dir :: rest => compact(dir, rest)
     case _ =>
       System.err.println(
-        "usage: druid-tool (info|files|dump|query) <segmentDir> [args]")
+        "usage: druid-tool (info|files|dump|query|compact) <segmentDir> [args]")
       sys.exit(2)
   }
 
@@ -125,5 +126,27 @@ object DruidTool {
   def query(dir: String, sql: String): Unit = withSpark { spark =>
     spark.read.format("druid").load(dir).createOrReplaceTempView("segment")
     spark.sql(sql).show(1000, truncate = false)
+  }
+
+  /** Merge many small segments into ~target-row segments (maintenance
+    * for streaming-ingested tables; no reference counterpart — the
+    * reference is read-only).
+    */
+  def compact(dir: String, rest: List[String]): Unit = {
+    var targetRows = 5000000L
+    var opts = Map.empty[String, String]
+    var args = rest
+    while (args.nonEmpty) args = args match {
+      case "--target-rows" :: v :: tl => targetRows = v.toLong; tl
+      case "--option" :: kv :: tl if kv.contains("=") =>
+        val Array(k, v) = kv.split("=", 2); opts += (k -> v); tl
+      case other :: _ => System.err.println(s"unknown arg $other"); sys.exit(2)
+      case Nil => Nil
+    }
+    withSpark { spark =>
+      val st = graft.write.Compaction.compact(spark, dir, targetRows, opts)
+      println(s"compacted ${st.rows} rows: " +
+        s"${st.segmentsBefore} -> ${st.segmentsAfter} segments")
+    }
   }
 }

@@ -32,6 +32,18 @@ object StreamingQueries extends QuerySet {
     })
   }
 
+  /** Stage documents as a streaming drop directory (once per JVM). */
+  private def stageDocsDir(s: SparkSession, dir: String): String = synchronized {
+    staged.getOrElseUpdate(s"$dir#documents", {
+      val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_documents"
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
   def all: Seq[Q] = Seq(
 
     // Tumbling daily windows over the event stream, complete output mode
@@ -95,6 +107,30 @@ object StreamingQueries extends QuerySet {
       Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
               count(DISTINCT user_id) AS n_users
               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // Streaming exact dedup — continuous-ingest curation: documents
+    // arrive as a stream, dropDuplicates keeps state on the 16-byte
+    // (source, xxhash64(lower(text))) key (never the text), and the
+    // per-source unique count must match the batch DISTINCT. Complete
+    // output mode keeps the final table micro-batch-order independent.
+    Q("s4_stream_dedup",
+      (s, dir) => {
+        val in = stageDocsDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s4_out_${nameCounter.incrementAndGet()}"
+        val q = StreamingOps.parquetStream(s, in, schema)
+          .withColumn("h", xxhash64(lower(col("text"))))
+          .dropDuplicates("source", "h")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(table)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.table(table).select(col("source"), col("n_unique"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(DISTINCT lower(text)) AS n_unique
+              FROM documents GROUP BY source ORDER BY source""")),
 
     // Stateful streaming (mapGroupsWithState running totals): final
     // per-user state vs the batch aggregate.

@@ -281,11 +281,16 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     def values(sel: Array[Int]): ColumnValues =
       MultiStringValues(pick(b.toArray, sel))
   }
-  /** `__time`: epoch millis (floor from micros), Druid's native unit. */
-  private final class TimeBuf extends ColBuf {
+  /** `__time`: epoch millis, Druid's native unit — floored from micros
+    * when the column is a timestamp, taken verbatim when it is already
+    * a LONG of epoch millis.
+    */
+  private final class TimeBuf(fromMicros: Boolean) extends ColBuf {
     val b = new LongBuilder
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
-      b.add(if (row.isNullAt(i)) 0L else Math.floorDiv(row.getLong(i), 1000L))
+      b.add(if (row.isNullAt(i)) 0L
+        else if (fromMicros) Math.floorDiv(row.getLong(i), 1000L)
+        else row.getLong(i))
     def values(sel: Array[Int]): ColumnValues = LongValues(pick(b.result(), sel))
     def millis: Array[Long] = b.result()
   }
@@ -293,7 +298,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
   private val fields = schema.fields
   private val timeIdx = fields.indexWhere(_.name == "__time")
   private val bufs: Array[ColBuf] = fields.zipWithIndex.map { case (f, i) =>
-    if (i == timeIdx) new TimeBuf
+    if (i == timeIdx) new TimeBuf(fromMicros = f.dataType != LongType)
     else f.dataType match {
       case LongType => new LongBuf(fromInt = false)
       case IntegerType => new LongBuf(fromInt = true)

@@ -34,6 +34,32 @@ class DruidWriteSpec extends AnyFunSuite {
     assert(diff == 0L, "micros precision lost in round trip")
   }
 
+  test("compaction merges small segments and preserves every row") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    val src = (0 until 10000).map(i =>
+        (1700000000000L + i * 1000L, i.toLong, s"u${i % 97}"))
+      .toDF("__time", "n", "who")
+    // land as many tiny segments, the post-streaming-ingest shape
+    src.repartition(8).write.format("druid").mode("overwrite").save(out)
+    assert(graft.sources.druid.DruidTableUtil.discoverSegments(out).size == 8)
+
+    val st = graft.write.Compaction.compact(spark, out, targetRowsPerSegment = 5000)
+    assert(st == graft.write.Compaction.Stats(10000, 8, 2), s"got $st")
+
+    val back = spark.read.format("druid").load(out)
+    assert(back.count() == 10000)
+    val expected = src.select(col("__time"), col("n"), col("who"))
+    val actual = back.select(unix_millis(col("__time")).as("__time"),
+      col("n"), col("who"))
+    assert(actual.exceptAll(expected).isEmpty &&
+      expected.exceptAll(actual).isEmpty, "compaction changed the data")
+    // planning manifest refreshed for the new layout
+    assert(graft.sources.druid.SegmentCatalog
+      .load(out, graft.sources.druid.DruidTableUtil.discoverSegments(out))
+      .exists(_.size == 2))
+  }
+
   test("timestamp null slots round-trip as null") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-tsnull").toString + "/t"
