@@ -460,5 +460,122 @@ object Relational extends QuerySet {
           .orderBy(col("l_returnflag"))
       },
       None),
+
+    // -- Druid `timeseries` semantics: granular buckets ZERO-FILLED over
+    //    the full [min, max] range (Druid emits empty buckets; a bare
+    //    GROUP BY does not). The spine is generated from the 1-row
+    //    min/max aggregate via sequence+explode — bucket count is
+    //    range/granularity (tiny), so the fill join broadcasts; the only
+    //    data-sized shuffle is the bucket aggregate itself.
+    Q("q24_timeseries_fill",
+      (s, dir) => {
+        val buckets = Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+        val spine = buckets
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        spine.join(buckets, Seq("h"), "left")
+          .select(col("h").cast("string").as("h"),
+                  coalesce(col("n"), lit(0L)).as("n"),
+                  round(coalesce(col("sv"), lit(0.0)), 2).as("sv"))
+          .orderBy(col("h"))
+      },
+      Some("""WITH b AS (
+                SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+                       sum(value) AS sv
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              spine AS (
+                SELECT unnest(generate_series((SELECT min(h) FROM b),
+                  (SELECT max(h) FROM b), INTERVAL 1 HOUR)) AS h)
+              SELECT CAST(spine.h AS VARCHAR) AS h,
+                     coalesce(b.n, 0) AS n,
+                     round(coalesce(b.sv, 0), 2) AS sv
+              FROM spine LEFT JOIN b ON spine.h = b.h ORDER BY h""")),
+
+    // -- Druid LATEST/EARLIEST aggregators: the value carried by the
+    //    newest/oldest row per group (max_by/min_by — one hash agg, the
+    //    comparand rides along in the partial state; no window, no
+    //    self-join). `ts` is unique in the events table, so the result
+    //    is deterministic.
+    Q("q25_latest_earliest",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(round(max_by(col("value"), col("ts")), 2).as("latest_value"),
+               round(min_by(col("value"), col("ts")), 2).as("earliest_value"),
+               max(col("ts")).cast("string").as("latest_ts"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+              round(arg_max(value, ts), 2) AS latest_value,
+              round(arg_min(value, ts), 2) AS earliest_value,
+              CAST(max(ts) AS VARCHAR) AS latest_ts
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -- Pivot (wide rollup): weekly grain, event_type fanned out to
+    //    measure columns. Spark's relational pivot compiles to ONE hash
+    //    aggregate over (week) with pivot-filtered partials — same
+    //    shuffle profile as the plain GROUP BY, no per-value scans.
+    Q("q26_pivot",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(date_trunc("week", col("ts")).cast("date").cast("string")
+            .as("wk"))
+          .pivot("event_type", Seq("click", "purchase"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .orderBy(col("wk"))
+      },
+      Some("""SELECT CAST(CAST(date_trunc('week', ts) AS DATE) AS VARCHAR) AS wk,
+              count(*) FILTER (WHERE event_type = 'click') AS click_n,
+              round(sum(value) FILTER (WHERE event_type = 'click'), 2) AS click_sv,
+              count(*) FILTER (WHERE event_type = 'purchase') AS purchase_n,
+              round(sum(value) FILTER (WHERE event_type = 'purchase'), 2) AS purchase_sv
+              FROM events GROUP BY wk ORDER BY wk""")),
+
+    // -- Sessionization (gaps-and-islands): a session breaks after a
+    //    30-minute idle gap. One shuffle on user_id feeds the lag
+    //    window, the running session-id sum, and the per-session count;
+    //    the final histogram is a tiny second aggregate. Reported as
+    //    events-per-session distribution.
+    Q("q27_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, dir)
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev")) >
+                1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum(col("new_s")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_events"))
+      },
+      Some("""WITH t AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events),
+              s AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                              OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM t),
+              g AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+              per AS (
+                SELECT user_id, sid, count(*) AS n_events
+                FROM g GROUP BY user_id, sid)
+              SELECT n_events, count(*) AS n_sessions
+              FROM per GROUP BY n_events ORDER BY n_events""")),
   )
 }

@@ -93,4 +93,26 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"as-of join fell back to a quadratic plan:\n$p")
   }
+
+  test("timeseries zero-fill broadcasts the bucket spine (q24)") {
+    // the spine is range/granularity rows (tiny at any data scale) —
+    // the fill join must broadcast, never shuffle the aggregate
+    val p = plan(run("q24_timeseries_fill"))
+    assert(p.contains("BroadcastHashJoin"), s"fill join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fill join shuffles:\n$p")
+  }
+
+  test("sessionization reuses one user_id shuffle end-to-end (q27)") {
+    // lag window, running session-id sum, and per-session count all
+    // partition by user_id: exactly one data-sized hash exchange, plus
+    // the tiny final-histogram and sort exchanges
+    // only the AQE final plan — the dump repeats exchanges under
+    // "== Initial Plan =="
+    val p = plan(run("q27_sessionize")).split("== Initial Plan ==")(0)
+    val dataExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning"))
+      .filter(_.contains("user_id")).toList
+    assert(dataExchanges.size == 1,
+      s"expected one user_id exchange, got ${dataExchanges.size}:\n$p")
+  }
 }
