@@ -66,11 +66,29 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Per-(event_type, day) fixed-buckets histograms of `value` landed in
+    * a COMPLEX column — the ingest-time rollup shape: each group's raw
+    * rows collapse to one mergeable blob at write time, and queries
+    * merge blobs instead of rescanning rows.
+    */
+  private def histSeg(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.HistFunctions
+    val path = segTable("hist", dir,
+      Tables.events(s, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(date_trunc("day", col("ts")).as("__time"),
+                 col("event_type"))
+        .agg(HistFunctions.histBuild(col("value"), 25, 0.0, 500.0)
+          .as("hist")))
+    s.read.format("druid").load(path)
+  }
+
   /** Force all one-time segment-staging writes. Bench calls this before
     * its timed loop so dr* timings measure scans, not the writer.
     */
   def stage(s: SparkSession, dir: String): Unit = {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
+    histSeg(s, dir)
   }
 
   def all: Seq[Q] = Seq(
@@ -173,6 +191,36 @@ object DruidQueries extends QuerySet {
           .orderBy(col("l_returnflag"))
       },
       None),
+
+    // -- Fixed-buckets histogram sketches end-to-end, HASH-MATCHED: the
+    //    per-(event_type, day) blobs in the segment merge per event_type
+    //    and unpack to exact bucket counts, which must equal a direct
+    //    SQL histogram over the raw rows. Deterministic mergeable
+    //    sketches make the whole rollup pipeline (build → COMPLEX column
+    //    → cross-segment merge → unpack) oracle-exact, unlike dr7's
+    //    rows-only HLL gate. Bucket -1 = below-range, 25 = above-range.
+    Q("dr9_histogram_sketch",
+      (s, dir) => {
+        import graft.sql.HistFunctions
+        histSeg(s, dir).groupBy(col("event_type"))
+          .agg(HistFunctions.histMerge(col("hist"), 25, 0.0, 500.0)
+            .as("merged"))
+          .select(col("event_type"),
+                  posexplode(HistFunctions.histCounts(col("merged")))
+                    .as(Seq("pos", "n")))
+          .select(col("event_type"), (col("pos") - 1).cast("long").as("bucket"),
+                  col("n"))
+          .filter(col("n") > 0)
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""SELECT event_type,
+              CASE WHEN value < 0 THEN -1
+                   WHEN value >= 500 THEN 25
+                   ELSE CAST(floor(value / 20) AS BIGINT) END AS bucket,
+              count(*) AS n
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type, bucket
+              ORDER BY event_type, bucket""")),
 
     // -- MIN/MAX(__time) answered from index.drd interval bounds with
     //    zero data decode (the builder verifies every segment's
