@@ -577,5 +577,30 @@ object Relational extends QuerySet {
                 FROM g GROUP BY user_id, sid)
               SELECT n_events, count(*) AS n_sessions
               FROM per GROUP BY n_events ORDER BY n_events""")),
+
+    // -- Salted skew join: lineitem⋈orders through Skew.saltedJoin —
+    //    each orderkey spreads over 8 (key, salt) sub-keys, the orders
+    //    side replicated per salt. The RESULT is salt-invariant (the
+    //    oracle is the plain join); what salting changes is the
+    //    partition layout under a hot key, the manual fix when one key
+    //    exceeds an executor in a shuffled hash join and AQE's
+    //    sort-merge skew split can't apply.
+    Q("q28_salted_join",
+      (s, dir) => {
+        import graft.pipeline.Skew
+        Skew.saltedJoin(
+            Tables.load(s, dir, "lineitem"),
+            Tables.load(s, dir, "orders").select(col("o_orderkey"),
+              col("o_orderpriority")),
+            "l_orderkey", "o_orderkey", factor = 8, joinType = "inner")
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+               count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, round(sum(l_quantity), 2) AS sum_qty,
+              count(*) AS n
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
 }

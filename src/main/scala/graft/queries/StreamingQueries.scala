@@ -132,6 +132,49 @@ object StreamingQueries extends QuerySet {
       Some("""SELECT source, count(DISTINCT lower(text)) AS n_unique
               FROM documents GROUP BY source ORDER BY source""")),
 
+    // Streaming sessionization: session_window merges events separated
+    // by < 30 min of idle per user (a new session starts when the gap is
+    // >= the timeout — the oracle's gaps-and-islands uses >= to match).
+    // Complete mode keeps open sessions mergeable until end-of-stream,
+    // so the final table equals the batch computation. Output is the
+    // events-per-session histogram, the streaming twin of q27.
+    Q("s5_stream_sessions",
+      (s, dir) => {
+        val in = stageDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s5_out_${nameCounter.incrementAndGet()}"
+        val q = StreamingOps.parquetStream(s, in, schema)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(table)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.table(table)
+          .groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_events"))
+      },
+      Some("""WITH t AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events),
+              s AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                              OR ts - prev >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM t),
+              g AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+              per AS (
+                SELECT user_id, sid, count(*) AS n_events
+                FROM g GROUP BY user_id, sid)
+              SELECT n_events, count(*) AS n_sessions
+              FROM per GROUP BY n_events ORDER BY n_events""")),
+
     // Stateful streaming (mapGroupsWithState running totals): final
     // per-user state vs the batch aggregate.
     Q("s2_stream_state",
