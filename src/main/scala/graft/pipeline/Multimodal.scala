@@ -42,4 +42,71 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions(rows => rows.map(decodeStub)) // batchwise stub decode
   }
+
+  final case class Frame(doc_id: Long, lang: String, frame_idx: Int,
+                         data: Array[Byte])
+  final case class FrameFeature(doc_id: Long, lang: String, frame_idx: Int,
+                                feature: Array[Float])
+
+  /** Frame sampling: each payload splits into its `frames` equal byte
+    * slices (the stub's stand-in for video frame extraction) and every
+    * `everyN`-th frame is kept. flatMap keeps it partition-parallel and
+    * row-bounded — a doc fans out to at most ceil(frames/everyN) rows,
+    * never materializing all frames of a partition at once.
+    */
+  def sampleFrames(docs: DataFrame, everyN: Int): Dataset[Frame] = {
+    require(everyN > 0, s"everyN must be positive: $everyN")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("lang"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .flatMap { r =>
+        val n = decodeStub(r).frames
+        val len = r.payload.length
+        (0 until n by everyN).map { i =>
+          val from = (i.toLong * len / n).toInt
+          val until = ((i + 1).toLong * len / n).toInt
+          Frame(r.doc_id, r.lang, i,
+            java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+  }
+
+  /** STUB resize: normalize every frame to exactly `w*h` bytes
+    * (truncate or zero-pad) — the fixed-output-shape contract a real
+    * resize kernel would satisfy, so downstream stages can assume a
+    * constant per-frame size.
+    */
+  def resizeFrames(frames: Dataset[Frame], w: Int, h: Int): Dataset[Frame] = {
+    require(w > 0 && h > 0, s"bad target size ${w}x$h")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map(f => f.copy(data = java.util.Arrays.copyOf(f.data, w * h)))
+  }
+
+  /** Feature extraction: byte-value histogram folded into `dim`
+    * buckets, L2-normalized — deterministic and cheap, but a REAL
+    * (if crude) content feature, unlike the metadata stub. Zero-byte
+    * frames yield the zero vector.
+    */
+  def extractFeatures(frames: Dataset[Frame], dim: Int): Dataset[FrameFeature] = {
+    require(dim > 0, s"feature dim must be positive: $dim")
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.map { f =>
+      val hist = new Array[Float](dim)
+      var i = 0
+      while (i < f.data.length) {
+        hist((f.data(i) & 0xff) % dim) += 1f
+        i += 1
+      }
+      val norm = math.sqrt(hist.map(x => x.toDouble * x).sum)
+      if (norm > 0) {
+        var j = 0
+        while (j < dim) { hist(j) = (hist(j) / norm).toFloat; j += 1 }
+      }
+      FrameFeature(f.doc_id, f.lang, f.frame_idx, hist)
+    }
+  }
 }

@@ -458,5 +458,29 @@ object PipelineQueries extends QuerySet {
               |  CAST(sum((strlen(text) // 64) % 64) AS BIGINT) AS total_h,
               |  CAST(sum(1 + doc_id % 3) AS BIGINT) AS total_frames
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Full multimodal stage chain: payload -> frame-sample (every 2nd)
+    // -> resize to 8x8 -> byte-histogram features. The oracle pins the
+    // exactly-predictable plumbing invariants (frame fan-out from the
+    // sampling policy, the fixed resize shape, the feature dimension);
+    // feature VALUES are pinned by MultimodalSpec determinism tests.
+    Q("m2_multimodal_frames",
+      (s, dir) => {
+        val frames = Multimodal.sampleFrames(
+          Tables.load(s, dir, "documents"), everyN = 2)
+        val resized = Multimodal.resizeFrames(frames, 8, 8)
+        Multimodal.extractFeatures(resized, dim = 16)
+          .toDF()
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+               count(lit(1)).as("n_frames"),
+               max(size(col("feature"))).as("feat_dim"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang,
+              |  count(DISTINCT doc_id) AS n_docs,
+              |  CAST(sum((2 + doc_id % 3) // 2) AS BIGINT) AS n_frames,
+              |  CAST(16 AS INT) AS feat_dim
+              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }
