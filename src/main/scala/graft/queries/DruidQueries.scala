@@ -83,12 +83,27 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Per-(l_returnflag, l_linestatus) KMV theta sketches of the partkey
+    * set in a COMPLEX column — the Druid Theta-sketch rollup shape for
+    * set operations over pre-aggregated segments.
+    */
+  private def kmvSeg(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.KmvFunctions
+    val path = segTable("kmv", dir,
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(KmvFunctions.kmvBuild(col("l_partkey"), 64).as("theta"))
+        .select(lit(new java.sql.Timestamp(0)).as("__time"),
+                col("l_returnflag"), col("l_linestatus"), col("theta")))
+    s.read.format("druid").load(path)
+  }
+
   /** Force all one-time segment-staging writes. Bench calls this before
     * its timed loop so dr* timings measure scans, not the writer.
     */
   def stage(s: SparkSession, dir: String): Unit = {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
-    histSeg(s, dir)
+    histSeg(s, dir); kmvSeg(s, dir)
   }
 
   def all: Seq[Q] = Seq(
@@ -221,6 +236,33 @@ object DruidQueries extends QuerySet {
               FROM events WHERE value IS NOT NULL
               GROUP BY event_type, bucket
               ORDER BY event_type, bucket""")),
+
+    // -- KMV theta sketches end-to-end, HASH-MATCHED: per-(returnflag,
+    //    linestatus) bottom-64 sketches of the partkey set merge per
+    //    returnflag (sketch UNION), and the merged retained set must be
+    //    byte-identical to the k smallest distinct hashes computed
+    //    directly in SQL — the KMV union property ((k smallest of a
+    //    union of bottom-k sets) == (k smallest of the union)) under
+    //    the oracle gate. Hash family shared verbatim with TextOps.
+    Q("dr10_theta_sketch",
+      (s, dir) => {
+        import graft.sql.KmvFunctions
+        kmvSeg(s, dir).groupBy(col("l_returnflag"))
+          .agg(KmvFunctions.kmvMerge(col("theta"), 64).as("merged"))
+          .select(col("l_returnflag"),
+                  explode(KmvFunctions.kmvHashes(col("merged"))).as("h"))
+          .orderBy(col("l_returnflag"), col("h"))
+      },
+      Some("""WITH h AS (
+                SELECT DISTINCT l_returnflag,
+                  (7919 * (l_partkey % 1000003) + 733103) % 1000003 AS h
+                FROM lineitem),
+              r AS (
+                SELECT l_returnflag, h,
+                  row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+                FROM h)
+              SELECT l_returnflag, h FROM r WHERE rn <= 64
+              ORDER BY l_returnflag, h""")),
 
     // -- MIN/MAX(__time) answered from index.drd interval bounds with
     //    zero data decode (the builder verifies every segment's
