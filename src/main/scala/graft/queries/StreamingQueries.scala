@@ -25,7 +25,8 @@ object StreamingQueries extends QuerySet {
     staged.getOrElseUpdate(dir, {
       val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events"
       Tables.events(s, dir)
-        .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+        .select(col("event_id"), col("ts"), col("event_type"), col("user_id"),
+                col("value"))
         .repartition(4)
         .write.mode("overwrite").parquet(out)
       out
@@ -174,6 +175,46 @@ object StreamingQueries extends QuerySet {
                 FROM g GROUP BY user_id, sid)
               SELECT n_events, count(*) AS n_sessions
               FROM per GROUP BY n_events ORDER BY n_events""")),
+
+    // Stream-stream inner join: clicks joined to purchases of the same
+    // user within the following hour, both sides streaming. The
+    // time-range condition is what bounds join state at scale; the
+    // watermark here covers the full 30-day data span so no state is
+    // evicted mid-run (inner-join emission is eager, so the final pair
+    // set equals the batch join regardless of micro-batch boundaries —
+    // production would use a delay matched to real lateness).
+    Q("s6_stream_stream_join",
+      (s, dir) => {
+        val in = stageDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s6_out_${nameCounter.incrementAndGet()}"
+        def side(tpe: String, pfx: String) =
+          StreamingOps.parquetStream(s, in, schema)
+            .filter(col("event_type") === tpe)
+            .select(col("user_id").as(s"${pfx}_user"),
+                    col("ts").as(s"${pfx}_ts"),
+                    col("event_id").as(s"${pfx}_id"))
+            .withWatermark(s"${pfx}_ts", "35 days")
+        val q = side("click", "c").join(side("purchase", "p"),
+            col("c_user") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(table)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.table(table)
+          .agg(count(lit(1)).as("n_pairs"),
+               countDistinct(col("c_user")).as("n_users"),
+               countDistinct(col("c_id")).as("n_clicks"))
+      },
+      Some("""SELECT count(*) AS n_pairs,
+              count(DISTINCT c.user_id) AS n_users,
+              count(DISTINCT c.event_id) AS n_clicks
+              FROM events c JOIN events p
+                ON c.user_id = p.user_id
+               AND c.event_type = 'click' AND p.event_type = 'purchase'
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""")),
 
     // Stateful streaming (mapGroupsWithState running totals): final
     // per-user state vs the batch aggregate.
