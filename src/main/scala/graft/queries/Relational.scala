@@ -602,5 +602,27 @@ object Relational extends QuerySet {
               count(*) AS n
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- Semi-structured JSON column: extract a typed field from the
+    //    events `props` JSON and aggregate it. get_json_object is
+    //    codegen'd path extraction — no UDF, no full JSON parse into a
+    //    struct when one field is needed.
+    Q("q29_json_extract",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .select(col("event_type"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(col("k")).as("n"),
+               round(avg(col("k")), 2).as("avg_k"),
+               max(col("k")).as("max_k"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+              count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+              round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2)
+                AS avg_k,
+              max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+              FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }
