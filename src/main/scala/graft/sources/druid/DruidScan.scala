@@ -32,10 +32,40 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // AND across columns of (column IN values) — served by the string
   // columns' Roaring bitmap indexes as row-skipping at read time
   private var dimFilters: Map[String, Seq[String]] = Map.empty
+  // per-numeric-column REQUIRED value range (inclusive), from pushed
+  // range/equality filters — matched against manifest zone maps to skip
+  // whole segments at planning
+  private var zoneFilters: Map[String, (Double, Double)] = Map.empty
 
   private def isStringCol(name: String): Boolean =
     fullSchema.fields.exists(f => f.name == name &&
       f.dataType == org.apache.spark.sql.types.StringType)
+
+  private def isNumericCol(name: String): Boolean =
+    name != "__time" && fullSchema.fields.exists(f => f.name == name &&
+      (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DoubleType || f.dataType == FloatType))
+
+  /** Filter value as a double bound; None for NaN (sorts above +Inf in
+    * Spark — a range can't express it) and non-numerics.
+    */
+  private def numeric(v: Any): Option[Double] = v match {
+    case d: java.lang.Double => if (d.isNaN) None else Some(d)
+    case f: java.lang.Float => if (f.isNaN) None else Some(f.toDouble)
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
+  }
+
+  private def zoneLo(c: String, v: Double): Unit =
+    zoneFilters += c -> (zoneFilters.get(c) match {
+      case Some((lo, hi)) => (math.max(lo, v), hi)
+      case None => (v, Double.PositiveInfinity)
+    })
+  private def zoneHi(c: String, v: Double): Unit =
+    zoneFilters += c -> (zoneFilters.get(c) match {
+      case Some((lo, hi)) => (lo, math.min(hi, v))
+      case None => (Double.NegativeInfinity, v)
+    })
 
   private def addDimFilter(c: String, vs: Seq[String]): Unit =
     dimFilters += c -> dimFilters.get(c).map(_.intersect(vs)).getOrElse(vs)
@@ -73,6 +103,19 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualTo(c, v: String) if isStringCol(c) => addDimFilter(c, Seq(v))
       case In(c, vs) if isStringCol(c) && vs.forall(_.isInstanceOf[String]) =>
         addDimFilter(c, vs.toSeq.map(_.asInstanceOf[String]))
+      // numeric range/equality -> zone-map segment skipping. Exclusive
+      // bounds are recorded inclusively (conservative: an edge-equal
+      // segment survives and the residual filter drops its rows)
+      case GreaterThan(c, v) if isNumericCol(c) =>
+        numeric(v).foreach(zoneLo(c, _))
+      case GreaterThanOrEqual(c, v) if isNumericCol(c) =>
+        numeric(v).foreach(zoneLo(c, _))
+      case LessThan(c, v) if isNumericCol(c) =>
+        numeric(v).foreach(zoneHi(c, _))
+      case LessThanOrEqual(c, v) if isNumericCol(c) =>
+        numeric(v).foreach(zoneHi(c, _))
+      case EqualTo(c, v) if isNumericCol(c) =>
+        numeric(v).foreach { d => zoneLo(c, d); zoneHi(c, d) }
       case _ => ()
     }
     pushed = filters.filter {
@@ -81,6 +124,11 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
            EqualTo("__time", _) => true
       case EqualTo(c, _: String) => isStringCol(c)
       case In(c, _) => isStringCol(c)
+      case GreaterThan(c, _) => isNumericCol(c)
+      case GreaterThanOrEqual(c, _) => isNumericCol(c)
+      case LessThan(c, _) => isNumericCol(c)
+      case LessThanOrEqual(c, _) => isNumericCol(c)
+      case EqualTo(c, _) => isNumericCol(c)
       case _ => false
     }
     filters // all residual: we prune storage, Spark verifies rows
@@ -134,7 +182,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   override def build(): Scan =
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
-      options.getInt("batchSize", 4096), dimFilters, pushedAggs)
+      options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters)
 }
 
 object DruidScanBuilder {
@@ -196,7 +244,8 @@ class DruidScan(root: String, required: StructType,
                 timeMinMs0: Long, timeMaxMs0: Long, limit: Int,
                 rowsPerSplit: Long, batchSize: Int,
                 dimFilters0: Map[String, Seq[String]] = Map.empty,
-                pushedAggs: Seq[String] = Nil)
+                pushedAggs: Seq[String] = Nil,
+                zoneFilters: Map[String, (Double, Double)] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -251,7 +300,7 @@ class DruidScan(root: String, required: StructType,
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
-      s"pushedAggs=${pushedAggs.mkString(",")})"
+      s"zoneFilters=$zoneFilters, pushedAggs=${pushedAggs.mkString(",")})"
 
   /** (interval, rows) metadata per segment, resolved ONCE per scan:
     * from the table manifest when valid (one small-file read, no
@@ -268,8 +317,18 @@ class DruidScan(root: String, required: StructType,
     * the bounds between estimateStatistics and planInputPartitions
     * re-filter without re-opening anything.
     */
+  /** Zone-map test: a segment survives unless SOME zone-filtered column
+    * has a manifest zone disjoint from the required range. Columns
+    * without zone info never prune (fallback-indexed or non-numeric).
+    */
+  private def zonesAdmit(m: SegMeta): Boolean =
+    zoneFilters.forall { case (c, (flo, fhi)) =>
+      m.zones.get(c).forall { case (zlo, zhi) => zhi >= flo && zlo <= fhi }
+    }
+
   private def prunedSegments: Seq[(String, Int)] = segmentMeta.collect {
-    case m if m.startMs <= timeMaxMs && m.endMs > timeMinMs => m.dir -> m.rows
+    case m if m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
+      zonesAdmit(m) => m.dir -> m.rows
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -329,6 +329,37 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       if (timeIdx >= 0) bufs(timeIdx).asInstanceOf[TimeBuf].millis
       else new Array[Long](rowCount)
 
+    // per-numeric-column [min, max] over NON-NULL rows, widened one ulp
+    // so long->double rounding can never prune a matching segment; a
+    // column with no non-null rows gets no zone (no pruning for it)
+    def zonesOf(columns: Seq[(String, ColumnValues)]): Map[String, (Double, Double)] = {
+      def range(vs: Iterator[Double]): Option[(Double, Double)] = {
+        var lo = Double.PositiveInfinity; var hi = Double.NegativeInfinity
+        var any = false; var nan = false
+        vs.foreach { v =>
+          any = true
+          if (v.isNaN) nan = true
+          else { if (v < lo) lo = v; if (v > hi) hi = v }
+        }
+        // NaN sorts above +Infinity in Spark; a [lo, hi] zone can't
+        // represent it, so a NaN anywhere disables the column's zone
+        if (any && !nan) Some((Math.nextDown(lo), Math.nextUp(hi))) else None
+      }
+      def nonNull[T](vs: Array[T], nulls: Array[Int]): Iterator[Int] = {
+        val skip = nulls.toSet
+        vs.indices.iterator.filterNot(skip)
+      }
+      columns.flatMap {
+        case (name, LongValues(vs, nulls)) =>
+          range(nonNull(vs, nulls).map(vs(_).toDouble)).map(name -> _)
+        case (name, DoubleValues(vs, nulls)) =>
+          range(nonNull(vs, nulls).map(vs(_))).map(name -> _)
+        case (name, FloatValues(vs, nulls)) =>
+          range(nonNull(vs, nulls).map(vs(_).toDouble)).map(name -> _)
+        case _ => None
+      }.toMap
+    }
+
     def writeSegment(suffix: String, sel: Array[Int]): SegMeta = {
       val columns = fields.indices
         .filter(_ != timeIdx)
@@ -340,7 +371,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       // mirror SegmentWriter's interval convention (empty -> [0, 1))
       val start = if (t.isEmpty) 0L else t.min
       val end = if (t.isEmpty) 1L else t.max + 1
-      SegMeta(dir.toString, start, end, t.length, exactInterval = true)
+      SegMeta(dir.toString, start, end, t.length, exactInterval = true,
+        zones = zonesOf(columns))
     }
 
     val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {

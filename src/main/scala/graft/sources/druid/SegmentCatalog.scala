@@ -9,9 +9,19 @@ import graft.format.DruidSegment
 
 /** Per-segment planning metadata: everything a query needs to prune and
   * split without touching the segment itself.
+  *
+  * `zones` are per-numeric-column [min, max] value ranges (zone maps):
+  * a pushed range/equality filter outside a segment's zone skips the
+  * whole segment at planning — dimension-based segment skipping on top
+  * of the `__time` interval pruning. Bounds are conservatively widened
+  * one ulp at write time so long→double rounding can never prune a
+  * segment that still holds matching rows. Absent (empty) for segments
+  * indexed by the fallback open path — absence disables pruning, never
+  * correctness.
   */
 final case class SegMeta(dir: String, startMs: Long, endMs: Long,
-                         rows: Int, exactInterval: Boolean)
+                         rows: Int, exactInterval: Boolean,
+                         zones: Map[String, (Double, Double)] = Map.empty)
 
 /** Table-level segment manifest (`_graft_manifest.json` under the table
   * root), written by the DSv2 commit and read at planning time.
@@ -42,11 +52,23 @@ object SegmentCatalog {
       while (it.hasNext) {
         val name = it.next()
         val v = segs.get(name)
+        val zones = Option(v.get("zones")).filter(_.isObject).map { z =>
+          val zb = Map.newBuilder[String, (Double, Double)]
+          val zit = z.fieldNames()
+          while (zit.hasNext) {
+            val c = zit.next()
+            val arr = z.get(c)
+            if (arr.isArray && arr.size() == 2)
+              zb += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
+          }
+          zb.result()
+        }.getOrElse(Map.empty[String, (Double, Double)])
         names(name) = SegMeta(
           Paths.get(root, name).toString,
           v.get("start").asLong(), v.get("end").asLong(),
           v.get("rows").asInt(),
-          Option(v.get("exact")).exists(_.asBoolean(false)))
+          Option(v.get("exact")).exists(_.asBoolean(false)),
+          zones)
       }
       val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
       if (names.keySet != actual) None // stale: segments added/removed by hand
@@ -56,12 +78,22 @@ object SegmentCatalog {
 
   /** Write the manifest for exactly `entries` (names relative to root). */
   def write(root: String, entries: Seq[SegMeta]): Unit = {
-    val body = entries.map { m =>
+    val rootNode = mapper.createObjectNode()
+    val segsNode = rootNode.putObject("segments")
+    entries.foreach { m =>
       val name = Paths.get(m.dir).getFileName.toString
-      s""""$name":{"start":${m.startMs},"end":${m.endMs},""" +
-        s""""rows":${m.rows},"exact":${m.exactInterval}}"""
-    }.mkString(s"""{"segments":{""", ",", "}}")
-    Files.write(Paths.get(root, FileName), body.getBytes(UTF_8))
+      val n = segsNode.putObject(name)
+      n.put("start", m.startMs); n.put("end", m.endMs)
+      n.put("rows", m.rows); n.put("exact", m.exactInterval)
+      if (m.zones.nonEmpty) {
+        val z = n.putObject("zones")
+        m.zones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = z.putArray(c); a.add(lo); a.add(hi)
+        }
+      }
+    }
+    Files.write(Paths.get(root, FileName),
+      mapper.writeValueAsString(rootNode).getBytes(UTF_8))
   }
 
   /** Planning metadata for every segment under `root`: manifest when

@@ -257,7 +257,7 @@ class ReviewFixesSpec extends org.scalatest.funsuite.AnyFunSuite {
       .write.format("druid").option("bitmapIndexes", "false")
       .mode("overwrite").save(dir)
     val seg = graft.format.DruidSegment.open(
-      java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().next().toString)
+      graft.sources.druid.DruidTableUtil.discoverSegments(dir).head)
     val graft.format.StringColumnData(sc) = seg.column("dim"): @unchecked
     assert(sc.bitmaps.isEmpty)
     // reads still work, filters fall back to residual evaluation

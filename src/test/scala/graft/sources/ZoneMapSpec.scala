@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.druid.{DruidTableUtil, SegmentCatalog}
+
+class ZoneMapSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  /** 4 segments with disjoint `n` ranges (range-partitioned write). */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-zone").toString + "/t"
+    (0 until 4000)
+      .map(i => (1700000000000L + (i % 7) * 1000L, i.toLong, (i * 0.5) - 10,
+        s"u${i % 5}"))
+      .toDF("__time", "n", "x", "who")
+      .repartitionByRange(4, col("n"))
+      .write.format("druid").mode("overwrite").save(out)
+    out
+  }
+
+  test("manifest carries per-numeric-column zones") {
+    val metas = SegmentCatalog
+      .load(dir, DruidTableUtil.discoverSegments(dir)).get
+    assert(metas.size == 4)
+    for (m <- metas) {
+      assert(m.zones.contains("n") && m.zones.contains("x"),
+        s"missing zones in $m")
+      assert(!m.zones.contains("who"), "string column must not get a zone")
+      val (lo, hi) = m.zones("n")
+      // range partitioner boundaries are sample-approximate; segments
+      // must still be narrow slices, not the full [0, 4000) span
+      assert(hi - lo < 2000, s"range-partitioned segment zone too wide: $m")
+    }
+    // zones tile the full value range
+    assert(metas.map(_.zones("n")._1).min <= 0.0)
+    assert(metas.map(_.zones("n")._2).max >= 3999.0)
+  }
+
+  test("range filter on a zoned column skips disjoint segments") {
+    val df = spark.read.format("druid").load(dir)
+      .filter(col("n") >= 1000 && col("n") <= 1999)
+    // range-partitioner boundaries are sample-approximate, so the
+    // 1000-row window may straddle one boundary — but never 3 segments
+    assert(df.rdd.getNumPartitions <= 2,
+      s"zone pruning failed: ${df.rdd.getNumPartitions} partitions")
+    assert(df.count() == 1000)
+    // equality: single segment too
+    val one = spark.read.format("druid").load(dir).filter(col("n") === 2500)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.count() == 1)
+    // double column with an impossible range -> zero partitions
+    val none = spark.read.format("druid").load(dir).filter(col("x") > 1e9)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
+  test("edge-overlapping filters stay correct (residual re-check)") {
+    // boundary value 999/1000 straddles two segments; rows must be exact
+    val df = spark.read.format("druid").load(dir)
+      .filter(col("n") > 998 && col("n") < 1002)
+    assert(df.count() == 3) // 999, 1000, 1001
+    assert(df.select(sum(col("n"))).head().getLong(0) == 999L + 1000L + 1001L)
+  }
+
+  test("segments without zones are never pruned (fallback safety)") {
+    // strip the manifest: fallback open path yields zone-less metadata
+    val manifest = new java.io.File(dir, SegmentCatalog.FileName)
+    val body = Files.readAllBytes(manifest.toPath)
+    try {
+      assert(manifest.delete())
+      val df = spark.read.format("druid").load(dir)
+        .filter(col("n") >= 1000 && col("n") <= 1999)
+      assert(df.count() == 1000) // correct, just unpruned
+      assert(df.rdd.getNumPartitions == 4)
+    } finally Files.write(manifest.toPath, body)
+  }
+}
