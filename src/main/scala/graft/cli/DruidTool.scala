@@ -135,16 +135,19 @@ object DruidTool {
   def compact(dir: String, rest: List[String]): Unit = {
     var targetRows = 5000000L
     var opts = Map.empty[String, String]
+    var clusterBy: Option[String] = None
     var args = rest
     while (args.nonEmpty) args = args match {
       case "--target-rows" :: v :: tl => targetRows = v.toLong; tl
+      case "--cluster-by" :: c :: tl => clusterBy = Some(c); tl
       case "--option" :: kv :: tl if kv.contains("=") =>
         val Array(k, v) = kv.split("=", 2); opts += (k -> v); tl
       case other :: _ => System.err.println(s"unknown arg $other"); sys.exit(2)
       case Nil => Nil
     }
     withSpark { spark =>
-      val st = graft.write.Compaction.compact(spark, dir, targetRows, opts)
+      val st = graft.write.Compaction.compact(spark, dir, targetRows, opts,
+        clusterBy)
       println(s"compacted ${st.rows} rows: " +
         s"${st.segmentsBefore} -> ${st.segmentsAfter} segments")
     }

@@ -98,12 +98,26 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Lineitem range-clustered on l_orderkey: each segment covers a
+    * narrow key slice, so the manifest zone maps prune segments for key
+    * range scans — the clustered-table layout `Compaction.compact(
+    * clusterBy=...)` maintains.
+    */
+  private def lineitemClusteredSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("lineitem_clustered", dir,
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_shipdate").as("__time"), col("l_orderkey"),
+                col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(4, col("l_orderkey")))
+    s.read.format("druid").load(path)
+  }
+
   /** Force all one-time segment-staging writes. Bench calls this before
     * its timed loop so dr* timings measure scans, not the writer.
     */
   def stage(s: SparkSession, dir: String): Unit = {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
-    histSeg(s, dir); kmvSeg(s, dir)
+    histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
   }
 
   def all: Seq[Q] = Seq(
@@ -263,6 +277,24 @@ object DruidQueries extends QuerySet {
                 FROM h)
               SELECT l_returnflag, h FROM r WHERE rn <= 64
               ORDER BY l_returnflag, h""")),
+
+    // -- Zone-map segment skipping on a range-clustered table: the
+    //    l_orderkey range filter prunes segments whose manifest zones
+    //    are disjoint (ZoneMapSpec asserts the partition counts; here
+    //    the pruned scan must still produce exact results). The layout
+    //    is what Compaction.compact(clusterBy) maintains at scale.
+    Q("dr11_zone_pruned_scan",
+      (s, dir) => {
+        lineitemClusteredSeg(s, dir)
+          .filter(col("l_orderkey") >= 10000 && col("l_orderkey") < 20000)
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_quantity")), 2).as("sum_qty"),
+               round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      },
+      Some("""SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_price
+              FROM lineitem
+              WHERE l_orderkey >= 10000 AND l_orderkey < 20000""")),
 
     // -- MIN/MAX(__time) answered from index.drd interval bounds with
     //    zero data decode (the builder verifies every segment's

@@ -27,16 +27,28 @@ object Compaction {
     * rows. Pass writer options (e.g. `compression`, `bitmapIndexes`,
     * `segmentGranularity`) through `options`; note a granularity option
     * buckets each shuffle partition further by time.
+    *
+    * `clusterBy` range-partitions the rewrite on a column instead of
+    * round-robin: each output segment then covers a narrow value slice,
+    * so the manifest zone maps prune segments for range/point queries
+    * on that column — the OPTIMIZE/CLUSTER BY maintenance shape on
+    * segment tables.
     */
   def compact(spark: SparkSession, dir: String, targetRowsPerSegment: Long,
-              options: Map[String, String] = Map.empty): Stats = {
+              options: Map[String, String] = Map.empty,
+              clusterBy: Option[String] = None): Stats = {
     require(targetRowsPerSegment > 0,
       s"targetRowsPerSegment must be positive: $targetRowsPerSegment")
     val before = DruidTableUtil.discoverSegments(dir).size
     val df = spark.read.format("druid").load(dir)
     val rows = df.count() // manifest/metadata-answered: no block decodes
     val parts = math.max(1, math.ceil(rows.toDouble / targetRowsPerSegment).toInt)
-    val writer = df.repartition(parts).write.format("druid").mode("overwrite")
+    val shuffled = clusterBy match {
+      case Some(c) =>
+        df.repartitionByRange(parts, org.apache.spark.sql.functions.col(c))
+      case None => df.repartition(parts)
+    }
+    val writer = shuffled.write.format("druid").mode("overwrite")
     options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save(dir)
     Stats(rows, before, DruidTableUtil.discoverSegments(dir).size)
   }

@@ -67,6 +67,27 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(df.select(sum(col("n"))).head().getLong(0) == 999L + 1000L + 1001L)
   }
 
+  test("cluster-by compaction narrows zones and enables pruning") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-clu").toString + "/t"
+    // round-robin landing: every segment spans the full n range
+    (0 until 4000).map(i => (1700000000000L + i, i.toLong))
+      .toDF("__time", "n")
+      .repartition(4).write.format("druid").mode("overwrite").save(out)
+    val wide = spark.read.format("druid").load(out)
+      .filter(col("n") >= 1000 && col("n") <= 1999)
+    assert(wide.rdd.getNumPartitions == 4, "unclustered should not prune")
+
+    val st = graft.write.Compaction.compact(spark, out,
+      targetRowsPerSegment = 1000, clusterBy = Some("n"))
+    assert(st.segmentsAfter == 4)
+    val narrow = spark.read.format("druid").load(out)
+      .filter(col("n") >= 1000 && col("n") <= 1999)
+    assert(narrow.rdd.getNumPartitions <= 2,
+      s"clustered read did not prune: ${narrow.rdd.getNumPartitions}")
+    assert(narrow.count() == 1000)
+  }
+
   test("segments without zones are never pruned (fallback safety)") {
     // strip the manifest: fallback open path yields zone-less metadata
     val manifest = new java.io.File(dir, SegmentCatalog.FileName)
