@@ -112,12 +112,27 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Customer range-clustered on c_name: each segment's manifest
+    * carries a narrow [min, max] string envelope, so equality/IN
+    * predicates on the dimension skip whole segments at planning —
+    * the string twin of the numeric zone maps dr11 exercises.
+    */
+  private def custClusteredSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("customer_clustered", dir,
+      Tables.load(s, dir, "customer")
+        .select(timestamp_millis(col("c_custkey") * 1000).as("__time"),
+                col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        .repartitionByRange(4, col("c_name")))
+    s.read.format("druid").load(path)
+  }
+
   /** Force all one-time segment-staging writes. Bench calls this before
     * its timed loop so dr* timings measure scans, not the writer.
     */
   def stage(s: SparkSession, dir: String): Unit = {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
+    custClusteredSeg(s, dir)
   }
 
   def all: Seq[Q] = Seq(
@@ -295,6 +310,26 @@ object DruidQueries extends QuerySet {
               round(sum(l_extendedprice), 2) AS sum_price
               FROM lineitem
               WHERE l_orderkey >= 10000 AND l_orderkey < 20000""")),
+
+    // -- String-envelope segment skipping: on the name-clustered table
+    //    an IN predicate on the dimension plans only the segments whose
+    //    [min, max] string envelope holds a requested value (the
+    //    equality twin of dr11's numeric zones; RuntimeFilterSpec pins
+    //    the same pruning under join-delivered runtime filters). The
+    //    surviving segments then bitmap-skip to the matching rows.
+    Q("dr12_dim_pruned_scan",
+      (s, dir) => {
+        custClusteredSeg(s, dir)
+          .filter(col("c_name").isin("Customer#000000042", "Customer#000001007"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+              round(sum(c_acctbal), 2) AS bal
+              FROM customer
+              WHERE c_name IN ('Customer#000000042', 'Customer#000001007')
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // -- MIN/MAX(__time) answered from index.drd interval bounds with
     //    zero data decode (the builder verifies every segment's

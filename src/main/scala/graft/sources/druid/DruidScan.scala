@@ -326,9 +326,24 @@ class DruidScan(root: String, required: StructType,
       m.zones.get(c).forall { case (zlo, zhi) => zhi >= flo && zlo <= fhi }
     }
 
+  /** String-dimension zone test over the SAME dim filters the bitmap
+    * indexes serve row-level: a segment survives only if some required
+    * IN value falls inside its [min, max] string envelope (Java
+    * `compareTo`, matching the write side). Evaluated in
+    * `prunedSegments`, so runtime (DPP) filters that tighten dimFilters
+    * between estimateStatistics and planInputPartitions skip segments
+    * too — join-driven segment pruning, not just row skipping.
+    */
+  private def strZonesAdmit(m: SegMeta): Boolean =
+    dimFilters.forall { case (c, vs) =>
+      m.strZones.get(c).forall { case (lo, hi) =>
+        vs.exists(v => v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0)
+      }
+    }
+
   private def prunedSegments: Seq[(String, Int)] = segmentMeta.collect {
     case m if m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
-      zonesAdmit(m) => m.dir -> m.rows
+      zonesAdmit(m) && strZonesAdmit(m) => m.dir -> m.rows
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

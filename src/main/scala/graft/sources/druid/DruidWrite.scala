@@ -360,6 +360,27 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       }.toMap
     }
 
+    // per-string-column [min, max] over NON-NULL values, Java
+    // `compareTo` order (the prune side compares the same way — only
+    // self-consistency matters for a membership envelope); an all-null
+    // column gets no zone
+    def strZonesOf(columns: Seq[(String, ColumnValues)]): Map[String, (String, String)] =
+      columns.flatMap {
+        case (name, StringValues(vs)) =>
+          var lo: String = null; var hi: String = null
+          var i = 0
+          while (i < vs.length) {
+            val v = vs(i)
+            if (v != null) {
+              if (lo == null || v.compareTo(lo) < 0) lo = v
+              if (hi == null || v.compareTo(hi) > 0) hi = v
+            }
+            i += 1
+          }
+          if (lo == null) None else Some(name -> (lo, hi))
+        case _ => None
+      }.toMap
+
     def writeSegment(suffix: String, sel: Array[Int]): SegMeta = {
       val columns = fields.indices
         .filter(_ != timeIdx)
@@ -372,7 +393,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       val start = if (t.isEmpty) 0L else t.min
       val end = if (t.isEmpty) 1L else t.max + 1
       SegMeta(dir.toString, start, end, t.length, exactInterval = true,
-        zones = zonesOf(columns))
+        zones = zonesOf(columns), strZones = strZonesOf(columns))
     }
 
     val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {

@@ -18,10 +18,18 @@ import graft.format.DruidSegment
   * segment that still holds matching rows. Absent (empty) for segments
   * indexed by the fallback open path — absence disables pruning, never
   * correctness.
+  *
+  * `strZones` are the string-dimension analog: per-column [min, max]
+  * over non-null values, compared with `String.compareTo` on BOTH the
+  * write and prune sides (only self-consistency matters — the zone is
+  * a membership envelope, so equality/IN values outside it prove the
+  * segment holds no matching row; range predicates are never pruned
+  * with it because Spark orders strings by UTF-8 bytes, not UTF-16).
   */
 final case class SegMeta(dir: String, startMs: Long, endMs: Long,
                          rows: Int, exactInterval: Boolean,
-                         zones: Map[String, (Double, Double)] = Map.empty)
+                         zones: Map[String, (Double, Double)] = Map.empty,
+                         strZones: Map[String, (String, String)] = Map.empty)
 
 /** Table-level segment manifest (`_graft_manifest.json` under the table
   * root), written by the DSv2 commit and read at planning time.
@@ -63,12 +71,24 @@ object SegmentCatalog {
           }
           zb.result()
         }.getOrElse(Map.empty[String, (Double, Double)])
+        val strZones = Option(v.get("szones")).filter(_.isObject).map { z =>
+          val zb = Map.newBuilder[String, (String, String)]
+          val zit = z.fieldNames()
+          while (zit.hasNext) {
+            val c = zit.next()
+            val arr = z.get(c)
+            if (arr.isArray && arr.size() == 2 &&
+                arr.get(0).isTextual && arr.get(1).isTextual)
+              zb += c -> (arr.get(0).asText(), arr.get(1).asText())
+          }
+          zb.result()
+        }.getOrElse(Map.empty[String, (String, String)])
         names(name) = SegMeta(
           Paths.get(root, name).toString,
           v.get("start").asLong(), v.get("end").asLong(),
           v.get("rows").asInt(),
           Option(v.get("exact")).exists(_.asBoolean(false)),
-          zones)
+          zones, strZones)
       }
       val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
       if (names.keySet != actual) None // stale: segments added/removed by hand
@@ -88,6 +108,12 @@ object SegmentCatalog {
       if (m.zones.nonEmpty) {
         val z = n.putObject("zones")
         m.zones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = z.putArray(c); a.add(lo); a.add(hi)
+        }
+      }
+      if (m.strZones.nonEmpty) {
+        val z = n.putObject("szones")
+        m.strZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
           val a = z.putArray(c); a.add(lo); a.add(hi)
         }
       }

@@ -292,6 +292,33 @@ class RuntimeFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
     val p = parts.head.asInstanceOf[graft.sources.druid.DruidInputPartition]
     assert(p.dimFilters == Map("dim" -> Seq("k3", "k5")))
   }
+
+  test("runtime IN filter skips whole segments via string envelopes") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-rtz").toString + "/t"
+    // dim-clustered: 4 segments with disjoint key envelopes
+    (0 until 1000).map(i => (new java.sql.Timestamp(1700000000000L + i * 1000L), f"k$i%04d", i.toLong))
+      .toDF("__time", "dim", "n").repartitionByRange(4, col("dim"))
+      .write.format("druid").mode("overwrite").save(dir)
+
+    val schema = graft.sources.druid.DruidTableUtil.schemaFor(dir)
+    val builder = new graft.sources.druid.DruidScanBuilder(
+      dir, schema, new CaseInsensitiveStringMap(java.util.Map.of()))
+    val scan = builder.build()
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before >= 4, s"expected one partition per segment, got $before")
+    // a join-delivered runtime filter naming one key must plan exactly
+    // the one segment whose envelope holds it
+    val scan2 = new graft.sources.druid.DruidScanBuilder(
+      dir, schema, new CaseInsensitiveStringMap(java.util.Map.of())).build()
+    scan2.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("dim", Array("k0500"))))
+    assert(scan2.toBatch.planInputPartitions().length == 1,
+      "runtime string filter should prune to a single segment")
+  }
 }
 class CountPushdownSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._

@@ -88,6 +88,65 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(narrow.count() == 1000)
   }
 
+  test("manifest carries per-string-column envelopes") {
+    val metas = SegmentCatalog
+      .load(dir, DruidTableUtil.discoverSegments(dir)).get
+    for (m <- metas) {
+      assert(m.strZones.contains("who"), s"missing string zone in $m")
+      val (lo, hi) = m.strZones("who")
+      assert(lo == "u0" && hi == "u4") // every segment holds all 5 values
+      assert(!m.strZones.contains("n"), "numeric column must not get a string zone")
+    }
+  }
+
+  test("string equality on a dim-clustered table skips disjoint segments") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-szone").toString + "/t"
+    (0 until 4000).map(i => (1700000000000L + i, f"u$i%04d", i.toLong))
+      .toDF("__time", "who", "n")
+      .repartitionByRange(4, col("who"))
+      .write.format("druid").mode("overwrite").save(out)
+
+    val one = spark.read.format("druid").load(out).filter(col("who") === "u0100")
+    assert(one.rdd.getNumPartitions == 1,
+      s"string zone pruning failed: ${one.rdd.getNumPartitions}")
+    assert(one.count() == 1)
+
+    // IN across two distant values -> at most 2 segments
+    val two = spark.read.format("druid").load(out)
+      .filter(col("who").isin("u0100", "u3900"))
+    assert(two.rdd.getNumPartitions <= 2)
+    assert(two.count() == 2)
+
+    // values outside every envelope (below and above) -> zero partitions
+    for (v <- Seq("a", "zzz")) {
+      val none = spark.read.format("druid").load(out).filter(col("who") === v)
+      assert(none.rdd.getNumPartitions == 0, s"'$v' should prune everything")
+      assert(none.count() == 0)
+    }
+  }
+
+  test("string envelopes ignore nulls and all-null columns never prune") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-snull").toString + "/t"
+    (0 until 100)
+      .map(i => (1700000000000L + i,
+        if (i % 2 == 0) null else f"v$i%03d", null: String))
+      .toDF("__time", "who", "empty")
+      .repartition(2).write.format("druid").mode("overwrite").save(out)
+    val metas = SegmentCatalog
+      .load(out, DruidTableUtil.discoverSegments(out)).get
+    for (m <- metas) {
+      assert(m.strZones.contains("who"), "mixed-null column keeps its envelope")
+      assert(!m.strZones.contains("empty"), "all-null column must get no envelope")
+    }
+    val df = spark.read.format("druid").load(out).filter(col("who") === "v051")
+    assert(df.count() == 1)
+    val onEmpty = spark.read.format("druid").load(out).filter(col("empty") === "x")
+    assert(onEmpty.rdd.getNumPartitions == 2, "no envelope -> never pruned")
+    assert(onEmpty.count() == 0)
+  }
+
   test("segments without zones are never pruned (fallback safety)") {
     // strip the manifest: fallback open path yields zone-less metadata
     val manifest = new java.io.File(dir, SegmentCatalog.FileName)
