@@ -49,9 +49,10 @@ object DruidTool {
     case "dump" :: dir :: rest => dump(dir, rest)
     case "query" :: dir :: sql :: Nil => query(dir, sql)
     case "compact" :: dir :: rest => compact(dir, rest)
+    case "search" :: dir :: needle :: rest => search(dir, needle, rest)
     case _ =>
       System.err.println(
-        "usage: druid-tool (info|files|dump|query|compact) <segmentDir> [args]")
+        "usage: druid-tool (info|files|dump|query|compact|search) <segmentDir> [args]")
       sys.exit(2)
   }
 
@@ -150,6 +151,33 @@ object DruidTool {
         clusterBy)
       println(s"compacted ${st.rows} rows: " +
         s"${st.segmentsBefore} -> ${st.segmentsAfter} segments")
+    }
+  }
+
+  /** Druid SearchQuery: matching dimension values + exact row counts,
+    * answered from dictionaries/bitmaps only (DruidSearch). Columns
+    * default to every string column in the table schema.
+    */
+  def search(dir: String, needle: String, rest: List[String]): Unit = {
+    var columns: Option[Seq[String]] = None
+    var ignoreCase = false
+    var args = rest
+    while (args.nonEmpty) args = args match {
+      case "--columns" :: v :: tl => columns = Some(v.split(",").toSeq); tl
+      case "--ignore-case" :: tl => ignoreCase = true; tl
+      case other :: _ => System.err.println(s"unknown arg $other"); sys.exit(2)
+      case Nil => Nil
+    }
+    withSpark { spark =>
+      val cols = columns.getOrElse {
+        graft.sources.druid.DruidTableUtil.schemaFor(dir).fields
+          .filter(_.dataType == org.apache.spark.sql.types.StringType)
+          .map(_.name).toSeq
+      }
+      graft.sources.druid.DruidSearch
+        .search(spark, dir, cols, needle, caseSensitive = !ignoreCase)
+        .orderBy("dim", "value")
+        .show(1000, truncate = false)
     }
   }
 }

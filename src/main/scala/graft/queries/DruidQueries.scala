@@ -27,14 +27,15 @@ object DruidQueries extends QuerySet {
       out
     }
 
-  private def eventsSeg(s: SparkSession, dir: String): DataFrame = {
-    val path = segTable("events", dir,
+  private def eventsSegPath(s: SparkSession, dir: String): String =
+    segTable("events", dir,
       Tables.events(s, dir)
         .select(col("ts").as("__time"), col("event_type"), col("user_id"),
                 col("value"), col("props"))
         .repartition(4))
-    s.read.format("druid").load(path)
-  }
+
+  private def eventsSeg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("druid").load(eventsSegPath(s, dir))
 
   private def lineitemSeg(s: SparkSession, dir: String): DataFrame = {
     val path = segTable("lineitem", dir,
@@ -330,6 +331,26 @@ object DruidQueries extends QuerySet {
               FROM customer
               WHERE c_name IN ('Customer#000000042', 'Customer#000001007')
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- Druid SearchQuery: which dimension values match a substring,
+    //    with exact row counts — answered per segment from the sorted
+    //    dictionary + bitmap cardinalities, O(dictionary) not O(rows),
+    //    no row decode at all (DruidSearch; SearchSpec covers the
+    //    no-bitmap ids-only fallback and case-insensitive mode).
+    Q("dr13_search",
+      (s, dir) => {
+        graft.sources.druid.DruidSearch
+          .search(s, eventsSegPath(s, dir), Seq("event_type", "props"), "9")
+          .orderBy(col("dim"), col("value"))
+      },
+      Some("""SELECT dim, value, cnt FROM (
+                SELECT 'event_type' AS dim, event_type AS value,
+                       count(*) AS cnt
+                FROM events WHERE contains(event_type, '9') GROUP BY 2
+                UNION ALL
+                SELECT 'props', props, count(*)
+                FROM events WHERE contains(props, '9') GROUP BY 2)
+              ORDER BY dim, value""")),
 
     // -- MIN/MAX(__time) answered from index.drd interval bounds with
     //    zero data decode (the builder verifies every segment's

@@ -1,0 +1,84 @@
+package graft.sources.druid
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.sum
+
+import graft.format.{DruidSegment, StringColumnData}
+
+/** Druid's SearchQuery analog: which values of the given string
+  * dimensions match a substring, and in how many rows?
+  *
+  * The native engine family answers this from the dictionary alone;
+  * so do we — per segment, match against the (distinct, sorted)
+  * dictionary entries and take each matching value's row count from its
+  * Roaring bitmap cardinality. No row data is ever decoded: the work
+  * per segment is O(dictionary size), not O(rows), which is what makes
+  * a search over a 100 TB table cheap — dictionaries are a few KB per
+  * segment regardless of row count. Segments without bitmap indexes
+  * fall back to one pass over the compressed id column (ints only,
+  * still no string materialization).
+  *
+  * Distribution: one task per segment (segments are the unit of
+  * parallelism everywhere in the connector); per-segment partial counts
+  * merge with a tiny (dim, value) aggregation whose input cardinality
+  * is bounded by matching dictionary entries, not rows.
+  */
+object DruidSearch {
+
+  /** Search `columns` of the segment table at `root` for values
+    * containing `substring`. Returns (dim, value, cnt) — exact row
+    * counts per matching value per dimension. Non-string and missing
+    * columns are ignored (Druid's search does the same).
+    */
+  def search(spark: SparkSession, root: String, columns: Seq[String],
+             substring: String, caseSensitive: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val segments = DruidTableUtil.discoverSegments(root)
+    val needle = if (caseSensitive) substring else substring.toLowerCase
+    val cols = columns // stable local for closure capture
+    val cs = caseSensitive
+    val perSegment = spark.sparkContext
+      .parallelize(segments, math.max(1, segments.size))
+      .flatMap { dir =>
+        val seg = DruidSegment.open(dir)
+        val names = seg.columnNames.toSet
+        cols.iterator.filter(names).flatMap { c =>
+          seg.column(c) match {
+            case StringColumnData(sc) =>
+              val dictN = sc.dictionary.numElements
+              // matching dictionary ids first; most searches match few
+              val hits = (0 until dictN).iterator.flatMap { i =>
+                val v = sc.dictionary.stringAt(i)
+                if (v == null) None
+                else {
+                  val hay = if (cs) v else v.toLowerCase
+                  if (hay.contains(needle)) Some(i -> v) else None
+                }
+              }.toArray
+              if (hits.isEmpty) Iterator.empty
+              else if (sc.bitmaps.isDefined)
+                hits.iterator.map { case (i, v) =>
+                  (c, v, sc.bitmapFor(i).get.getCardinality.toLong)
+                }
+              else {
+                // ids-only fallback: one pass, count per matching id
+                val counts = new Array[Long](dictN)
+                val wanted = new Array[Boolean](dictN)
+                hits.foreach { case (i, _) => wanted(i) = true }
+                var r = 0
+                val len = sc.length
+                while (r < len) {
+                  val id = sc.ids.get(r)
+                  if (wanted(id)) counts(id) += 1
+                  r += 1
+                }
+                hits.iterator.map { case (i, v) => (c, v, counts(i)) }
+              }
+            case _ => Iterator.empty // only dictionary dims are searchable
+          }
+        }
+      }
+    perSegment.toDF("dim", "value", "cnt")
+      .groupBy("dim", "value").agg(sum("cnt").as("cnt"))
+  }
+}

@@ -71,6 +71,20 @@ class DruidToolSpec extends AnyFunSuite {
     assert(out.contains("20")) // 100 rows over 5 dims
   }
 
+  test("search prints matching dimension values with counts") {
+    spark
+    // parent table dir (search is a table-level operation)
+    val table = java.nio.file.Paths.get(dir).getParent.toString
+    val out = stdoutOf(DruidTool.main(Array("search", table, "k3")))
+    assert(out.contains("k3") && out.contains("20"))
+    assert(!out.contains("k1"))
+    val none = stdoutOf(DruidTool.main(Array("search", table, "K3")))
+    assert(!none.contains("k3"))
+    val ci = stdoutOf(DruidTool.main(Array("search", table, "K3",
+      "--ignore-case")))
+    assert(ci.contains("k3") && ci.contains("20"))
+  }
+
   test("CLI session reuse does not stop the caller's SparkSession") {
     spark
     stdoutOf(DruidTool.main(Array("dump", dir, "--limit", "1", "--format", "csv")))
