@@ -242,6 +242,90 @@ object PipelineQueries extends QuerySet {
                |  CAST((minh * 31 + sumh * 17 + n_grams) % 2147483647 AS BIGINT) AS fingerprint
                |FROM agg ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination: flag training docs whose word-trigram
+    // set overlaps a held-out benchmark (doc_id % 50 == 0 stands in for
+    // the eval suite). Scale shape: per-doc DISTINCT gram sets come
+    // from the one-pass native `word_ngrams` expression INSIDE the row
+    // (no corpus-wide distinct exchange — per-doc dedup never needs
+    // one), per-doc totals are a row-local size(), and the benchmark
+    // gram set is tiny relative to the corpus (eval suites always are)
+    // so it BROADCASTS: the train explode is map-side filtered and the
+    // only shuffle in the whole query is the per-doc count over
+    // broadcast-join survivors. Grams are the literal word trigrams
+    // here so DuckDB joins on identical keys; at 100 TB you'd xxhash64
+    // them to fix the key width.
+    Q("d10_decontaminate",
+      (s, dir) => {
+        graft.sql.WordNgrams.register(s)
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr("word_ngrams(text, 3)").as("tris"))
+          .filter(size(col("tris")) > 0)
+        val testG = docs.filter(col("doc_id") % 50 === 0)
+          .select(explode(col("tris")).as("g")).distinct()
+        val shared = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), size(col("tris")).cast("long").as("total"),
+                  explode(col("tris")).as("g"))
+          .join(broadcast(testG), "g")
+          .groupBy("doc_id", "total").agg(count(lit(1)).as("shared"))
+        shared
+          .filter(col("shared") / col("total") >= 0.05)
+          .select(col("doc_id"), col("shared"), col("total"),
+                  round(col("shared") / col("total"), 4).as("frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+              |tri AS (
+              |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+              |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)),
+              |test AS (SELECT DISTINCT g FROM tri WHERE doc_id % 50 = 0),
+              |train AS (SELECT * FROM tri WHERE doc_id % 50 <> 0),
+              |tot AS (SELECT doc_id, count(*) AS total FROM train GROUP BY 1),
+              |sh AS (SELECT t.doc_id, count(*) AS shared
+              |       FROM train t JOIN test te USING (g) GROUP BY 1)
+              |SELECT s.doc_id, shared, total,
+              |  round(shared * CAST(1 AS DOUBLE) / total, 4) AS frac
+              |FROM sh s JOIN tot USING (doc_id)
+              |WHERE shared * CAST(1 AS DOUBLE) / total >= 0.05
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals, computed per row with array
+    // expressions only — no explode, no shuffle, the whole thing is one
+    // codegen'd projection (the oracle re-derives the same stats the
+    // relational way, via unnest + group). At 100 TB this is the shape
+    // you want: quality filtering that streams through the scan.
+    Q("d11_gopher_repetition",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("words"),
+            expr("size(array_distinct(w))").cast("long").as("distinct_words"),
+            expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+              .cast("long").as("top_count"))
+          .select(col("doc_id"), col("words"), col("distinct_words"),
+            col("top_count"),
+            round(col("distinct_words") / col("words"), 4).as("distinct_ratio"),
+            round(col("top_count") / col("words"), 4).as("top_frac"),
+            when(col("distinct_words") / col("words") < 0.35 ||
+                 col("top_count") / col("words") > 0.15, 1L).otherwise(0L)
+              .as("flagged"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              |          FROM documents),
+              |per AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+              |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS words,
+              |              CAST(count(*) AS BIGINT) AS distinct_words,
+              |              CAST(max(c) AS BIGINT) AS top_count
+              |       FROM per GROUP BY 1)
+              |SELECT doc_id, words, distinct_words, top_count,
+              |  round(distinct_words * CAST(1 AS DOUBLE) / words, 4) AS distinct_ratio,
+              |  round(top_count * CAST(1 AS DOUBLE) / words, 4) AS top_frac,
+              |  CAST(CASE WHEN distinct_words * CAST(1 AS DOUBLE) / words < 0.35
+              |         OR top_count * CAST(1 AS DOUBLE) / words > 0.15
+              |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
+              |FROM st ORDER BY doc_id""".stripMargin)),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).

@@ -77,6 +77,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getInt(1) == 2)
   }
 
+  test("native word_ngrams matches the composable split/transform form") {
+    graft.sql.WordNgrams.register(spark)
+    val composed = docs.selectExpr("doc_id",
+      "array_distinct(transform(sequence(1, size(split(text, ' ')) - 2), " +
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))) AS tris")
+      .filter(size(col("tris")) > 0)
+      .select(col("doc_id"), explode(col("tris")).as("g"))
+    val direct = docs.selectExpr("doc_id", "word_ngrams(text, 3) AS tris")
+      .filter(size(col("tris")) > 0)
+      .select(col("doc_id"), explode(col("tris")).as("g"))
+    assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
+      "word trigrams diverge between native and composable paths")
+    // edge semantics: short inputs, unigrams, trailing-empty tokens
+    val r = spark.sql("SELECT word_ngrams('a b', 3), word_ngrams('x y x y', 2), " +
+      "word_ngrams('a b ', 3), word_ngrams('q', 1)").head
+    assert(r.getSeq[String](0) == Seq.empty)
+    assert(r.getSeq[String](1) == Seq("x y", "y x")) // distinct, order-of-first-occurrence
+    assert(r.getSeq[String](2) == Seq("a b ")) // trailing empty token kept
+    assert(r.getSeq[String](3) == Seq("q"))
+  }
+
   test("as-of join preserves a matched right row's genuinely-null payload") {
     import spark.implicits._
     val right = Seq(
