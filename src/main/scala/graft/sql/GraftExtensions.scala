@@ -41,6 +41,8 @@ object GraftExtensions {
       Simhash5.build),
     ("fingerprint5", "fingerprint5(text) - per-row document fingerprint",
       Fingerprint5.build),
+    ("word_ngrams", "word_ngrams(text, n) - distinct space-joined word n-grams",
+      WordNgrams.build),
     ("dot_f", "dot_f(a, b) - ordered-fold dot product of array<float>",
       DotFloat.build),
     ("hplane_proj", "hplane_proj(embedding, j) - hyperplane-j projection",
