@@ -78,12 +78,11 @@ object DruidTableUtil {
     case other => throw new IllegalArgumentException(s"unknown valueType $other")
   }
 
-  /** Schema = `__time` as TimestampType plus every column from its JSON
-    * descriptor (reference src/segment/mod.rs:59-68,118-129). Read once
-    * on the driver from the first segment.
+  /** One segment's schema: `__time` as TimestampType plus every column
+    * from its JSON descriptor (reference src/segment/mod.rs:59-68,
+    * 118-129).
     */
-  def schemaFor(root: String): StructType = {
-    val seg = DruidSegment.open(discoverSegments(root).head)
+  def segmentSchema(seg: DruidSegment): StructType =
     StructType(seg.columnNames.map { name =>
       if (name == "__time") StructField("__time", TimestampType, nullable = false)
       else {
@@ -102,7 +101,59 @@ object DruidTableUtil {
         StructField(name, t, nullable = true)
       }
     })
+
+  /** Union-merge per-segment schemas in first-seen order. A column
+    * missing from some segments reads as null there (schema evolution:
+    * a 100 TB table's segments accumulate columns over time); the same
+    * name with two different types is a hard error — silent coercion
+    * would corrupt numeric reads.
+    */
+  def unionSchema(schemas: Seq[StructType]): StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    schemas.foreach(_.fields.foreach { f =>
+      fields.get(f.name) match {
+        case None => fields(f.name) = f
+        case Some(prev) if prev.dataType == f.dataType => ()
+        case Some(prev) => throw new IllegalArgumentException(
+          s"column '${f.name}' has conflicting types across segments: " +
+            s"${prev.dataType.sql} vs ${f.dataType.sql}")
+      }
+    })
+    StructType(fields.values.toSeq)
   }
+
+  /** Table schema = the union over every segment: from the manifest
+    * when valid (zero segment opens), else one parallel open pass.
+    */
+  def schemaFor(root: String): StructType = {
+    val dirs = discoverSegments(root)
+    SegmentCatalog.loadSchema(root, dirs).getOrElse(unionSchemaOf(dirs))
+  }
+
+  /** Parallel-open fallback: union schema straight from segment
+    * headers.
+    */
+  def unionSchemaOf(dirs: Seq[String]): StructType = {
+    import scala.collection.parallel.CollectionConverters._
+    unionSchema(dirs.par.map(d => segmentSchema(DruidSegment.open(d))).seq)
+  }
+
+  /** The schema a DataFrame written with `writeSchema` reads back as —
+    * the writer's deterministic type mapping (DruidWrite buffers +
+    * descriptor logicalType), applied without opening anything.
+    */
+  def readSchemaOf(writeSchema: StructType): StructType =
+    StructType(writeSchema.fields.map { f =>
+      if (f.name == "__time") StructField("__time", TimestampType, nullable = false)
+      else {
+        val t = f.dataType match {
+          case IntegerType => LongType // widened by the long buffer
+          case ArrayType(StringType, _) => ArrayType(StringType, containsNull = true)
+          case other => other // long/double/float/string/binary/timestamp[_ntz]
+        }
+        StructField(f.name, t, nullable = true)
+      }
+    })
 }
 
 class DruidTable(root: String, schema0: StructType) extends Table

@@ -98,8 +98,11 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
     extends PartitionReader[ColumnarBatch] {
 
   private val segment = DruidSegment.open(part.dir)
+  // schema evolution: a column the table knows but this segment
+  // predates reads as all-null here (null marks it)
   private val columns: Array[ColumnData] =
-    required.fields.map(f => segment.column(f.name))
+    required.fields.map(f =>
+      if (segment.columnNames.contains(f.name)) segment.column(f.name) else null)
   // dictionaries decoded once per split, not once per row
   private val dictionaries: Array[Array[Array[Byte]]] = columns.map {
     case StringColumnData(sc) => sc.dictionaryBytes
@@ -140,6 +143,7 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
       val v = vectors(c)
       v.reset()
       columns(c) match {
+        case null => v.putNulls(0, n) // column absent from this segment
         case TimeColumnData(longs) =>
           var i = 0
           while (i < n) { v.putLong(i, longs.get(rowIdx(i)) * 1000L); i += 1 }

@@ -91,13 +91,30 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rootPath = Paths.get(root)
     // segments present before this job (overwrite deletes them LAST)
-    val previous: Seq[Path] =
-      if (!truncate) Nil
-      else {
-        val s = Files.list(rootPath)
-        try s.iterator().asScala.filter(p =>
-          Files.isDirectory(p) && graft.format.DruidSegment.isSegmentDir(p)).toSeq
-        finally s.close()
+    val previous: Seq[Path] = {
+      val s = Files.list(rootPath)
+      try s.iterator().asScala.filter(p =>
+        Files.isDirectory(p) && graft.format.DruidSegment.isSegmentDir(p)).toSeq
+      finally s.close()
+    }
+    // union read schema, computed BEFORE anything moves: an append
+    // whose columns conflict with the existing table's types fails
+    // fast here, leaving the destination untouched. Schema evolution
+    // (new/missing columns) unions cleanly; only a same-name type
+    // clash throws.
+    val newSchema = DruidTableUtil.readSchemaOf(schema)
+    val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      try {
+        if (truncate || previous.isEmpty) Some(newSchema)
+        else {
+          val oldDirs = previous.map(_.toString)
+          val old = SegmentCatalog.loadSchema(root, oldDirs)
+            .getOrElse(DruidTableUtil.unionSchemaOf(oldDirs))
+          Some(DruidTableUtil.unionSchema(Seq(old, newSchema)))
+        }
+      } catch {
+        case e: IllegalArgumentException => throw e // type conflict: fail the job
+        case _: Exception => None // unreadable old segment: skip the cache only
       }
     // same-filesystem moves (staging lives under the destination): the
     // committed segments appear atomically, one directory at a time
@@ -130,7 +147,7 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
           val old = dirs.filterNot(d => newNames.contains(Paths.get(d).getFileName.toString))
           SegmentCatalog.load(root, old).getOrElse(SegmentCatalog.openAll(old))
         }
-      SegmentCatalog.write(root, (existing ++ committed).sortBy(_.dir))
+      SegmentCatalog.write(root, (existing ++ committed).sortBy(_.dir), tableSchema)
     } catch { case _: Exception => () } // manifest is a cache; never fail the job
   }
 

@@ -96,9 +96,41 @@ object SegmentCatalog {
     } catch { case _: Exception => None }
   }
 
-  /** Write the manifest for exactly `entries` (names relative to root). */
-  def write(root: String, entries: Seq[SegMeta]): Unit = {
+  /** Table-level union read schema from the manifest, only when the
+    * manifest is present AND covers exactly `segmentDirs` (same
+    * staleness rule as `load` — a hand-copied segment could carry
+    * columns the cached schema doesn't know about).
+    */
+  def loadSchema(root: String,
+                 segmentDirs: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
+    val p = Paths.get(root, FileName)
+    if (!Files.isRegularFile(p)) return None
+    try {
+      val node = mapper.readTree(new String(Files.readAllBytes(p), UTF_8))
+      val schemaNode = node.get("schema")
+      if (schemaNode == null || !schemaNode.isTextual) return None
+      val segs = node.get("segments")
+      if (segs == null || !segs.isObject) return None
+      val names = scala.collection.mutable.Set[String]()
+      val it = segs.fieldNames()
+      while (it.hasNext) names += it.next()
+      val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
+      if (names != actual) return None
+      org.apache.spark.sql.types.DataType.fromJson(schemaNode.asText()) match {
+        case st: org.apache.spark.sql.types.StructType => Some(st)
+        case _ => None
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Write the manifest for exactly `entries` (names relative to root).
+    * `schema` is the table's union read schema; None omits the field
+    * (readers fall back to parallel opens).
+    */
+  def write(root: String, entries: Seq[SegMeta],
+            schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val rootNode = mapper.createObjectNode()
+    schema.foreach(st => rootNode.put("schema", st.json))
     val segsNode = rootNode.putObject("segments")
     entries.foreach { m =>
       val name = Paths.get(m.dir).getFileName.toString
