@@ -3,7 +3,7 @@ package graft.sources.druid
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.sum
 
-import graft.format.{DruidSegment, StringColumnData}
+import graft.format.{DruidSegment, GenericIndexed, MultiStringColumnData, StringColumnData}
 
 /** Druid's SearchQuery analog: which values of the given string
   * dimensions match a substring, and in how many rows?
@@ -37,6 +37,16 @@ object DruidSearch {
     val needle = if (caseSensitive) substring else substring.toLowerCase
     val cols = columns // stable local for closure capture
     val cs = caseSensitive
+    // matching dictionary ids first; most searches match few
+    def dictHits(dict: GenericIndexed): Array[(Int, String)] =
+      (0 until dict.numElements).iterator.flatMap { i =>
+        val v = dict.stringAt(i)
+        if (v == null) None
+        else {
+          val hay = if (cs) v else v.toLowerCase
+          if (hay.contains(needle)) Some(i -> v) else None
+        }
+      }.toArray
     val perSegment = spark.sparkContext
       .parallelize(segments, math.max(1, segments.size))
       .flatMap { dir =>
@@ -45,16 +55,7 @@ object DruidSearch {
         cols.iterator.filter(names).flatMap { c =>
           seg.column(c) match {
             case StringColumnData(sc) =>
-              val dictN = sc.dictionary.numElements
-              // matching dictionary ids first; most searches match few
-              val hits = (0 until dictN).iterator.flatMap { i =>
-                val v = sc.dictionary.stringAt(i)
-                if (v == null) None
-                else {
-                  val hay = if (cs) v else v.toLowerCase
-                  if (hay.contains(needle)) Some(i -> v) else None
-                }
-              }.toArray
+              val hits = dictHits(sc.dictionary)
               if (hits.isEmpty) Iterator.empty
               else if (sc.bitmaps.isDefined)
                 hits.iterator.map { case (i, v) =>
@@ -62,14 +63,42 @@ object DruidSearch {
                 }
               else {
                 // ids-only fallback: one pass, count per matching id
-                val counts = new Array[Long](dictN)
-                val wanted = new Array[Boolean](dictN)
+                val counts = new Array[Long](sc.dictionary.numElements)
+                val wanted = new Array[Boolean](counts.length)
                 hits.foreach { case (i, _) => wanted(i) = true }
                 var r = 0
                 val len = sc.length
                 while (r < len) {
                   val id = sc.ids.get(r)
                   if (wanted(id)) counts(id) += 1
+                  r += 1
+                }
+                hits.iterator.map { case (i, v) => (c, v, counts(i)) }
+              }
+            case MultiStringColumnData(mc) =>
+              // multi-value dims: count ROWS containing the value
+              // (Druid's search semantics), one pass over the flat ids
+              // with a last-row-counted guard against in-row repeats
+              val hits = dictHits(mc.dictionary)
+              if (hits.isEmpty) Iterator.empty
+              else {
+                val counts = new Array[Long](mc.dictionary.numElements)
+                val wanted = new Array[Boolean](counts.length)
+                val lastRow = new Array[Int](counts.length)
+                java.util.Arrays.fill(lastRow, -1)
+                hits.foreach { case (i, _) => wanted(i) = true }
+                var r = 0
+                val rows = mc.length
+                while (r < rows) {
+                  val (s, e) = mc.rowRange(r)
+                  var k = s
+                  while (k < e) {
+                    val id = mc.flatIds.get(k)
+                    if (wanted(id) && lastRow(id) != r) {
+                      counts(id) += 1; lastRow(id) = r
+                    }
+                    k += 1
+                  }
                   r += 1
                 }
                 hits.iterator.map { case (i, v) => (c, v, counts(i)) }

@@ -48,6 +48,24 @@ class SearchSpec extends AnyFunSuite {
     assert(withB.nonEmpty) // "am" hits gamma
   }
 
+  test("multi-value dims count rows containing the value, once per row") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-msearch").toString + "/t"
+    (0 until 90)
+      .map(i => (1700000000000L + i,
+        // row i: tags cycle; every 3rd row repeats its first tag
+        if (i % 3 == 0) Seq(s"t${i % 5}", s"t${i % 5}", "common")
+        else Seq(s"t${i % 5}", "common")))
+      .toDF("__time", "tags")
+      .repartition(2).write.format("druid").mode("overwrite").save(out)
+    val rows = DruidSearch.search(spark, out, Seq("tags"), "common").collect()
+    assert(rows.length == 1 && rows.head.getLong(2) == 90L,
+      "every row contains 'common' exactly once in the counts")
+    val t0 = DruidSearch.search(spark, out, Seq("tags"), "t0").collect()
+    // t0 appears in rows with i%5==0 (18 rows), repeats never double-count
+    assert(t0.head.getLong(2) == 18L)
+  }
+
   test("case-insensitive mode and unknown/non-string columns") {
     val dir = writeTable(bitmaps = true)
     val cs = DruidSearch.search(spark, dir, Seq("kind"), "ALPHA")
