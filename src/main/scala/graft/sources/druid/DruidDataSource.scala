@@ -37,7 +37,7 @@ class DruidDataSource extends TableProvider with DataSourceRegister {
   private def path(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
     if (p == null) throw new IllegalArgumentException("druid source requires a path")
-    p
+    DruidTableUtil.localPath(p)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -45,10 +45,33 @@ class DruidDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table =
-    new DruidTable(properties.get("path"), schema)
+    new DruidTable(DruidTableUtil.localPath(properties.get("path")), schema)
 }
 
 object DruidTableUtil {
+  /** Normalize a table path to a plain filesystem path: the SQL catalog
+    * hands DSv2 a URI-qualified location (`file:/x/y`), which
+    * java.nio would treat as a LITERAL relative directory named
+    * "file:" — segments would land inside the process cwd. Any
+    * non-file scheme is rejected explicitly (this connector is
+    * local/shared-filesystem only).
+    */
+  def localPath(p: String): String =
+    if (p == null || !p.contains(":")) p
+    else {
+      val colon = p.indexOf(':')
+      p.substring(0, colon) match {
+        case "file" =>
+          // tolerate file:/x, file:///x and percent-encoding
+          val rest = p.substring(colon + 1)
+          if (rest.startsWith("//")) new java.net.URI(p).getPath
+          else java.net.URLDecoder.decode(rest, "UTF-8")
+        case scheme if scheme.length > 1 => // single letter = windows drive
+          throw new IllegalArgumentException(
+            s"druid source supports local/shared filesystem paths only, got '$p'")
+        case _ => p
+      }
+    }
   /** A table path is either one segment dir or a directory whose
     * subdirectories are segment dirs (the multi-segment layout the
     * reference never supports).
