@@ -137,18 +137,27 @@ object DruidTool {
     var targetRows = 5000000L
     var opts = Map.empty[String, String]
     var clusterBy: Option[String] = None
+    var incremental = false
+    var minFill = 0.5
     var args = rest
     while (args.nonEmpty) args = args match {
       case "--target-rows" :: v :: tl => targetRows = v.toLong; tl
       case "--cluster-by" :: c :: tl => clusterBy = Some(c); tl
+      case "--incremental" :: tl => incremental = true; tl
+      case "--min-fill" :: v :: tl => minFill = v.toDouble; tl
       case "--option" :: kv :: tl if kv.contains("=") =>
         val Array(k, v) = kv.split("=", 2); opts += (k -> v); tl
       case other :: _ => System.err.println(s"unknown arg $other"); sys.exit(2)
       case Nil => Nil
     }
     withSpark { spark =>
-      val st = graft.write.Compaction.compact(spark, dir, targetRows, opts,
-        clusterBy)
+      val st =
+        if (incremental)
+          graft.write.Compaction.compactIncremental(spark, dir, targetRows,
+            opts, clusterBy, minFill)
+        else
+          graft.write.Compaction.compact(spark, dir, targetRows, opts,
+            clusterBy)
       println(s"compacted ${st.rows} rows: " +
         s"${st.segmentsBefore} -> ${st.segmentsAfter} segments")
     }

@@ -52,4 +52,74 @@ object Compaction {
     options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }.save(dir)
     Stats(rows, before, DruidTableUtil.discoverSegments(dir).size)
   }
+
+  /** Incremental compaction: merge ONLY segments under
+    * `minFillFraction * targetRowsPerSegment` rows and leave every
+    * full-sized segment untouched. At 100 TB this is the only shape
+    * that works — full `compact` rewrites the entire table to merge a
+    * few streaming stragglers, incremental rewrites just the
+    * stragglers (Druid's own compaction tasks and lakehouse OPTIMIZE
+    * behave the same way).
+    *
+    * Protocol: the merged replacement segments are written to a hidden
+    * scratch dir under the table (invisible to discovery), then
+    * swapped in with same-filesystem moves, then the merged-away small
+    * segments delete, then the manifest rewrites. A crash before the
+    * swap changes nothing; the windows between swap, delete, and
+    * manifest refresh are the same ones the batch writer has (the
+    * manifest self-heals: staleness falls back to parallel opens).
+    */
+  def compactIncremental(spark: SparkSession, dir: String,
+                         targetRowsPerSegment: Long,
+                         options: Map[String, String] = Map.empty,
+                         clusterBy: Option[String] = None,
+                         minFillFraction: Double = 0.5): Stats = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    require(targetRowsPerSegment > 0,
+      s"targetRowsPerSegment must be positive: $targetRowsPerSegment")
+    require(minFillFraction > 0 && minFillFraction <= 1,
+      s"minFillFraction must be in (0, 1]: $minFillFraction")
+    val metas = graft.sources.druid.SegmentCatalog.metaFor(dir)
+    val threshold = (targetRowsPerSegment * minFillFraction).toLong
+    val (small, keep) = metas.partition(_.rows < threshold)
+    if (small.size < 2) return Stats(0, metas.size, metas.size)
+
+    val rows = small.map(_.rows.toLong).sum
+    val parts = math.max(1, math.ceil(rows.toDouble / targetRowsPerSegment).toInt)
+    // read ONLY the undersized segments (each segment dir is a valid
+    // single-segment table); allowMissingColumns handles schema
+    // evolution between them
+    val df = small.map(m => spark.read.format("druid").load(m.dir))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    val shuffled = clusterBy match {
+      case Some(c) =>
+        df.repartitionByRange(parts, org.apache.spark.sql.functions.col(c))
+      case None => df.repartition(parts)
+    }
+    val scratch = Paths.get(dir, s".compact-${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      val writer = shuffled.write.format("druid").mode("overwrite")
+      options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+        .save(scratch.toString)
+      val merged = graft.sources.druid.SegmentCatalog.metaFor(scratch.toString)
+      // preserve the cached union schema across the manifest rewrite
+      val schema = graft.sources.druid.SegmentCatalog
+        .loadSchema(dir, metas.map(_.dir))
+      val moved = merged.map { m =>
+        val src = Paths.get(m.dir)
+        val dst = Paths.get(dir).resolve(src.getFileName)
+        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+        m.copy(dir = dst.toString)
+      }
+      small.foreach(m => deleteRecursively(Paths.get(m.dir)))
+      graft.sources.druid.SegmentCatalog.write(
+        dir, (keep ++ moved).sortBy(_.dir), schema)
+      Stats(rows, metas.size, keep.size + moved.size)
+    } finally deleteRecursively(scratch)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
 }

@@ -60,6 +60,40 @@ class DruidWriteSpec extends AnyFunSuite {
       .exists(_.size == 2))
   }
 
+  test("incremental compaction merges only undersized segments") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-inc").toString + "/t"
+    // 2 full segments + 6 stragglers (the post-streaming shape)
+    (0 until 10000).map(i => (1700000000000L + i, i.toLong))
+      .toDF("__time", "n").repartition(2)
+      .write.format("druid").mode("overwrite").save(out)
+    (10000 until 10600).map(i => (1700000000000L + i, i.toLong))
+      .toDF("__time", "n").repartition(6)
+      .write.format("druid").mode("append").save(out)
+    val bigDirs = graft.sources.druid.SegmentCatalog.metaFor(out)
+      .filter(_.rows >= 5000).map(_.dir).toSet
+    assert(bigDirs.size == 2)
+
+    val st = graft.write.Compaction.compactIncremental(spark, out,
+      targetRowsPerSegment = 5000)
+    // only the 600 straggler rows were rewritten; 8 -> 3 segments
+    assert(st == graft.write.Compaction.Stats(600, 8, 3), s"got $st")
+    val after = graft.sources.druid.SegmentCatalog.metaFor(out)
+    assert(bigDirs.subsetOf(after.map(_.dir).toSet),
+      "full-sized segments must not be rewritten")
+    val back = spark.read.format("druid").load(out)
+    assert(back.count() == 10600)
+    assert(back.select(sum(col("n"))).head().getLong(0) ==
+      (0L until 10600).sum)
+    // manifest covers the new layout exactly (no stale fallback)
+    assert(graft.sources.druid.SegmentCatalog
+      .load(out, graft.sources.druid.DruidTableUtil.discoverSegments(out))
+      .exists(_.size == 3))
+    // nothing left to do: a second run is a no-op
+    assert(graft.write.Compaction.compactIncremental(spark, out, 5000) ==
+      graft.write.Compaction.Stats(0, 3, 3))
+  }
+
   test("timestamp null slots round-trip as null") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-tsnull").toString + "/t"
