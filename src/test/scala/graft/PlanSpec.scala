@@ -102,6 +102,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"fill join shuffles:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark gram set (d10)") {
+    // the eval-suite gram set is tiny at any corpus scale: the train
+    // side must broadcast-join it, and no exchange may carry document
+    // text — only doc-level counters reach the one aggregation shuffle
+    val p = plan(run("d10_decontaminate"))
+    assert(p.contains("BroadcastHashJoin"), s"benchmark grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"gram join shuffles both sides:\n$p")
+    val exchanges = p.split("== Initial Plan ==")(0).linesIterator
+      .filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("gopher signals are one shuffle-free projection (d11)") {
+    val p = plan(run("d11_gopher_repetition")).split("== Initial Plan ==")(0)
+    // per-row quality scoring must stream through the scan: no hash
+    // exchange at all (the final orderBy's range exchange is allowed)
+    assert(!p.linesIterator.exists(_.contains("Exchange hashpartitioning")),
+      s"d11 shuffles:\n$p")
+  }
+
+  test("zone-pruned scans plan only surviving segments (dr11, dr12)") {
+    val p11 = plan(run("dr11_zone_pruned_scan"))
+    assert(p11.contains("zoneFilters=Map(l_orderkey"),
+      s"numeric zone filter missing from scan description:\n$p11")
+    val p12 = plan(run("dr12_dim_pruned_scan"))
+    assert(p12.contains("dimFilters=Map(c_name"),
+      s"dim filter missing from scan description:\n$p12")
+  }
+
   test("sessionization reuses one user_id shuffle end-to-end (q27)") {
     // lag window, running session-id sum, and per-session count all
     // partition by user_id: exactly one data-sized hash exchange, plus
