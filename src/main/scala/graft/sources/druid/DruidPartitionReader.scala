@@ -69,8 +69,12 @@ private[druid] final class GraftDictionary(bytes: Array[Array[Byte]])
 }
 
 private[druid] object RowSelection {
-  /** Selected row positions for a split from bitmap-indexed string
-    * filters; null = all rows in [rowStart, rowEnd).
+  /** Selected row positions for a split, from (a) bitmap-indexed string
+    * equality/IN filters (positive sets) and (b) pushed IS NOT NULL
+    * filters served by the null-bitmap trailers (negative sets). null =
+    * all rows in [rowStart, rowEnd); empty = the whole split skips
+    * (e.g. IS NOT NULL on a column this schema-evolved segment never
+    * had — every row is null there).
     */
   def build(segment: DruidSegment, part: DruidInputPartition): Array[Int] = {
     val applicable = part.dimFilters.toSeq.flatMap { case (name, values) =>
@@ -84,11 +88,23 @@ private[druid] object RowSelection {
         case _ => None
       }
     }
-    if (applicable.isEmpty) null
+    var absentNotNull = false
+    val nullSets = part.notNullCols.toSeq.flatMap { name =>
+      if (!segment.columnNames.contains(name)) { absentNotNull = true; None }
+      else segment.column(name) match {
+        case LongColumnData(_, nulls) if nulls != null => Some(nulls)
+        case DoubleColumnData(_, nulls) if nulls != null => Some(nulls)
+        case FloatColumnData(_, nulls) if nulls != null => Some(nulls)
+        case _ => None // no trailer = no nulls = nothing to skip
+      }
+    }
+    if (absentNotNull) return Array.emptyIntArray
+    if (applicable.isEmpty && nullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
       applicable.foreach(range.and)
+      nullSets.foreach(range.andNot)
       range.toArray
     }
   }

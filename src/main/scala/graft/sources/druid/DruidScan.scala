@@ -36,6 +36,11 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // range/equality filters — matched against manifest zone maps to skip
   // whole segments at planning
   private var zoneFilters: Map[String, (Double, Double)] = Map.empty
+  // columns with a pushed IS NOT NULL (Spark implies one for most
+  // predicates) — served by the numeric/timestamp null-bitmap trailers
+  // as row skipping, and by whole-split skipping where the column is
+  // absent from a schema-evolved segment (every row null there)
+  private var notNullCols: Set[String] = Set.empty
 
   private def isStringCol(name: String): Boolean =
     fullSchema.fields.exists(f => f.name == name &&
@@ -45,6 +50,13 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     name != "__time" && fullSchema.fields.exists(f => f.name == name &&
       (f.dataType == LongType || f.dataType == IntegerType ||
         f.dataType == DoubleType || f.dataType == FloatType))
+
+  // columns whose storage carries a null-bitmap trailer (numerics and
+  // LONG-backed timestamps)
+  private def hasNullTrailer(name: String): Boolean =
+    isNumericCol(name) || (name != "__time" &&
+      fullSchema.fields.exists(f => f.name == name &&
+        (f.dataType == TimestampType || f.dataType == TimestampNTZType)))
 
   /** Filter value as a double bound; None for NaN (sorts above +Inf in
     * Spark — a range can't express it) and non-numerics.
@@ -116,6 +128,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
         numeric(v).foreach(zoneHi(c, _))
       case EqualTo(c, v) if isNumericCol(c) =>
         numeric(v).foreach { d => zoneLo(c, d); zoneHi(c, d) }
+      case IsNotNull(c) if hasNullTrailer(c) => notNullCols += c
       case _ => ()
     }
     pushed = filters.filter {
@@ -129,6 +142,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case LessThan(c, _) => isNumericCol(c)
       case LessThanOrEqual(c, _) => isNumericCol(c)
       case EqualTo(c, _) => isNumericCol(c)
+      case IsNotNull(c) => hasNullTrailer(c)
       case _ => false
     }
     filters // all residual: we prune storage, Spark verifies rows
@@ -182,7 +196,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   override def build(): Scan =
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
-      options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters)
+      options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
+      notNullCols)
 }
 
 object DruidScanBuilder {
@@ -232,7 +247,8 @@ object DruidScanBuilder {
 
 final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      limit: Int, batchSize: Int,
-                                     dimFilters: Map[String, Seq[String]])
+                                     dimFilters: Map[String, Seq[String]],
+                                     notNullCols: Set[String] = Set.empty)
     extends InputPartition
 
 /** Single partition carrying metadata-derived aggregate answers (one
@@ -245,7 +261,8 @@ class DruidScan(root: String, required: StructType,
                 rowsPerSplit: Long, batchSize: Int,
                 dimFilters0: Map[String, Seq[String]] = Map.empty,
                 pushedAggs: Seq[String] = Nil,
-                zoneFilters: Map[String, (Double, Double)] = Map.empty)
+                zoneFilters: Map[String, (Double, Double)] = Map.empty,
+                notNullCols: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -300,7 +317,8 @@ class DruidScan(root: String, required: StructType,
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
-      s"zoneFilters=$zoneFilters, pushedAggs=${pushedAggs.mkString(",")})"
+      s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
+      s"pushedAggs=${pushedAggs.mkString(",")})"
 
   /** (interval, rows) metadata per segment, resolved ONCE per scan:
     * from the table manifest when valid (one small-file read, no
@@ -370,7 +388,7 @@ class DruidScan(root: String, required: StructType,
       val capped = if (limit >= 0) math.min(rows, limit) else rows
       (0 until capped by per).map { start =>
         DruidInputPartition(dir, start, math.min(capped, start + per), limit,
-          batchSize, dimFilters)
+          batchSize, dimFilters, notNullCols)
       }
     }
     parts.toArray
