@@ -58,9 +58,28 @@ object DruidTool {
 
   /** Interval, schema, dimensions, row count — reference cmd_info
     * (src/main.rs:97-120), but row count comes from the column header
-    * instead of a full decode.
+    * instead of a full decode. On a TABLE directory (not a single
+    * segment) it prints the manifest-level summary instead: segment
+    * count, total rows, interval span, union schema — all without
+    * opening a segment when the manifest is valid.
     */
   def info(dir: String): Unit = {
+    if (!DruidSegment.isSegmentDir(java.nio.file.Paths.get(dir))) {
+      val metas = graft.sources.druid.SegmentCatalog.metaFor(dir)
+      println(s"Table: $dir")
+      println(s"Segments: ${metas.size}")
+      println(s"Rows: ${metas.map(_.rows.toLong).sum}")
+      if (metas.nonEmpty)
+        println(s"Interval: ${fmtMillis(metas.map(_.startMs).min)} .. " +
+          fmtMillis(metas.map(_.endMs).max))
+      val schema = graft.sources.druid.DruidTableUtil.schemaFor(dir)
+      println("Columns:")
+      schema.fields.foreach(f =>
+        println(f"  ${f.name}%-24s ${f.dataType.sql}"))
+      val zoned = metas.flatMap(_.zones.keys).distinct.sorted
+      if (zoned.nonEmpty) println(s"Zoned columns: ${zoned.mkString(", ")}")
+      return
+    }
     val seg = DruidSegment.open(dir)
     println(s"Segment: $dir")
     println(s"Interval: ${fmtMillis(seg.metadata.intervalStartMs)} .. " +

@@ -88,22 +88,34 @@ private[druid] object RowSelection {
         case _ => None
       }
     }
-    var absentNotNull = false
-    val nullSets = part.notNullCols.toSeq.flatMap { name =>
-      if (!segment.columnNames.contains(name)) { absentNotNull = true; None }
-      else segment.column(name) match {
+    def trailerOf(name: String): Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
+      segment.column(name) match {
         case LongColumnData(_, nulls) if nulls != null => Some(nulls)
         case DoubleColumnData(_, nulls) if nulls != null => Some(nulls)
         case FloatColumnData(_, nulls) if nulls != null => Some(nulls)
-        case _ => None // no trailer = no nulls = nothing to skip
+        case _ => None // no trailer = the column has no nulls
       }
+    var emptySplit = false
+    val nullSets = part.notNullCols.toSeq.flatMap { name =>
+      // column absent from this schema-evolved segment: every row is
+      // null, IS NOT NULL matches nothing -> skip the split
+      if (!segment.columnNames.contains(name)) { emptySplit = true; None }
+      else trailerOf(name)
     }
-    if (absentNotNull) return Array.emptyIntArray
-    if (applicable.isEmpty && nullSets.isEmpty) null
+    // IS NULL uses the trailer POSITIVELY: only null rows survive. A
+    // present column without a trailer has no nulls -> empty split; an
+    // absent column is all-null -> no restriction
+    val onlyNullSets = part.isNullCols.toSeq
+      .filter(segment.columnNames.contains).map { name =>
+        trailerOf(name).getOrElse { emptySplit = true; null }
+      }.filter(_ != null)
+    if (emptySplit) return Array.emptyIntArray
+    if (applicable.isEmpty && nullSets.isEmpty && onlyNullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
       applicable.foreach(range.and)
+      onlyNullSets.foreach(range.and)
       nullSets.foreach(range.andNot)
       range.toArray
     }

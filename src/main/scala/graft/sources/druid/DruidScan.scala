@@ -41,6 +41,9 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // as row skipping, and by whole-split skipping where the column is
   // absent from a schema-evolved segment (every row null there)
   private var notNullCols: Set[String] = Set.empty
+  // pushed IS NULL: the trailer used positively (select ONLY null
+  // rows); a column with no trailer has no nulls, so the split skips
+  private var isNullCols: Set[String] = Set.empty
 
   private def isStringCol(name: String): Boolean =
     fullSchema.fields.exists(f => f.name == name &&
@@ -129,6 +132,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualTo(c, v) if isNumericCol(c) =>
         numeric(v).foreach { d => zoneLo(c, d); zoneHi(c, d) }
       case IsNotNull(c) if hasNullTrailer(c) => notNullCols += c
+      case IsNull(c) if hasNullTrailer(c) => isNullCols += c
       case _ => ()
     }
     pushed = filters.filter {
@@ -143,6 +147,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case LessThanOrEqual(c, _) => isNumericCol(c)
       case EqualTo(c, _) => isNumericCol(c)
       case IsNotNull(c) => hasNullTrailer(c)
+      case IsNull(c) => hasNullTrailer(c)
       case _ => false
     }
     filters // all residual: we prune storage, Spark verifies rows
@@ -197,7 +202,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
-      notNullCols)
+      notNullCols, isNullCols)
 }
 
 object DruidScanBuilder {
@@ -248,7 +253,8 @@ object DruidScanBuilder {
 final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      limit: Int, batchSize: Int,
                                      dimFilters: Map[String, Seq[String]],
-                                     notNullCols: Set[String] = Set.empty)
+                                     notNullCols: Set[String] = Set.empty,
+                                     isNullCols: Set[String] = Set.empty)
     extends InputPartition
 
 /** Single partition carrying metadata-derived aggregate answers (one
@@ -262,7 +268,8 @@ class DruidScan(root: String, required: StructType,
                 dimFilters0: Map[String, Seq[String]] = Map.empty,
                 pushedAggs: Seq[String] = Nil,
                 zoneFilters: Map[String, (Double, Double)] = Map.empty,
-                notNullCols: Set[String] = Set.empty)
+                notNullCols: Set[String] = Set.empty,
+                isNullCols: Set[String] = Set.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -318,6 +325,7 @@ class DruidScan(root: String, required: StructType,
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
+      s"isNull=${isNullCols.mkString(",")}, " +
       s"pushedAggs=${pushedAggs.mkString(",")})"
 
   /** (interval, rows) metadata per segment, resolved ONCE per scan:
@@ -388,7 +396,7 @@ class DruidScan(root: String, required: StructType,
       val capped = if (limit >= 0) math.min(rows, limit) else rows
       (0 until capped by per).map { start =>
         DruidInputPartition(dir, start, math.min(capped, start + per), limit,
-          batchSize, dimFilters, notNullCols)
+          batchSize, dimFilters, notNullCols, isNullCols)
       }
     }
     parts.toArray

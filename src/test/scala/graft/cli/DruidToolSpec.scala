@@ -71,6 +71,15 @@ class DruidToolSpec extends AnyFunSuite {
     assert(out.contains("20")) // 100 rows over 5 dims
   }
 
+  test("info on a table directory prints the manifest summary") {
+    val table = java.nio.file.Paths.get(dir).getParent.toString
+    val out = stdoutOf(DruidTool.main(Array("info", table)))
+    assert(out.contains("Segments: 1"))
+    assert(out.contains("Rows: 100"))
+    assert(out.contains("dim") && out.contains("n"))
+    assert(out.contains("Zoned columns: n"))
+  }
+
   test("search prints matching dimension values with counts") {
     spark
     // parent table dir (search is a table-level operation)

@@ -41,6 +41,22 @@ class NullSkipSpec extends AnyFunSuite {
       .filter(col("v") >= 500.0).count() == 50)
   }
 
+  test("IS NULL selects exactly the trailer rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-isn").toString + "/t"
+    (0 until 1000).map(i => (1700000000000L + i, i.toLong,
+      if (i % 10 == 0) Some(i.toDouble) else None))
+      .toDF("__time", "n", "v").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir)
+    val df = spark.read.format("druid").load(dir).filter(col("v").isNull)
+    assert(df.count() == 900)
+    assert(df.queryExecution.executedPlan.toString.contains("isNull=v"),
+      "IsNull not pushed to the scan")
+    // no-null column: IS NULL matches nothing, split skips entirely
+    assert(spark.read.format("druid").load(dir)
+      .filter(col("n").isNull).count() == 0)
+  }
+
   test("IS NOT NULL on a column a segment predates skips the whole split") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-nn2").toString + "/t"
