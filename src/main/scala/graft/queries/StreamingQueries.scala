@@ -109,6 +109,37 @@ object StreamingQueries extends QuerySet {
               count(DISTINCT user_id) AS n_users
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // Streaming READ of a segment table (the source half of s3's sink):
+    // micro-batches are the segments not yet seen, batch-style pruning
+    // applies per batch, offsets are segment-name sets. Complete output
+    // mode keeps the final table micro-batch-order independent.
+    Q("s7_stream_druid_tail",
+      (s, dir) => {
+        val seg = synchronized {
+          staged.getOrElseUpdate(s"$dir#tailsrc", {
+            val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_tailsrc"
+            Tables.events(s, dir)
+              .select(col("ts").as("__time"), col("event_type"), col("value"))
+              .repartition(4)
+              .write.format("druid").mode("overwrite").save(out)
+            out
+          })
+        }
+        val table = s"s7_out_${nameCounter.incrementAndGet()}"
+        val q = s.readStream.format("druid").load(seg)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("total_value"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(table)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.table(table).orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS total_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // Streaming exact dedup — continuous-ingest curation: documents
     // arrive as a stream, dropDuplicates keeps state on the 16-byte
     // (source, xxhash64(lower(text))) key (never the text), and the

@@ -367,9 +367,39 @@ class DruidScan(root: String, required: StructType,
       }
     }
 
-  private def prunedSegments: Seq[(String, Int)] = segmentMeta.collect {
-    case m if m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
-      zonesAdmit(m) && strZonesAdmit(m) => m.dir -> m.rows
+  private def admit(m: SegMeta): Boolean =
+    m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
+      zonesAdmit(m) && strZonesAdmit(m)
+
+  private def prunedSegments: Seq[(String, Int)] =
+    segmentMeta.collect { case m if admit(m) => m.dir -> m.rows }
+
+  /** Row-range splits for the given (dir, rows) segments — shared by
+    * the batch path and the micro-batch streaming source.
+    */
+  private def splitsFor(segs: Seq[(String, Int)]): Array[InputPartition] = {
+    val parts = segs.flatMap { case (dir, rows) =>
+      // split on row ranges; readers decode only the compressed blocks
+      // covering their range, so splits parallelize within one segment
+      val per = math.max(1, math.min(rowsPerSplit, Int.MaxValue.toLong).toInt)
+      val capped = if (limit >= 0) math.min(rows, limit) else rows
+      (0 until capped by per).map { start =>
+        DruidInputPartition(dir, start, math.min(capped, start + per), limit,
+          batchSize, dimFilters, notNullCols, isNullCols)
+      }
+    }
+    parts.toArray
+  }
+
+  /** Streaming tail of the segment table: micro-batches are the
+    * set-difference of segment names between offsets, with the same
+    * pushed pruning and split shape as the batch scan. Requires the
+    * table to be append-only while tailed (see DruidMicroBatchStream).
+    */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!aggPushed, "aggregate pushdown is a batch-only shape")
+    new DruidMicroBatchStream(root, admit, splitsFor,
+      () => createReaderFactory())
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -389,17 +419,7 @@ class DruidScan(root: String, required: StructType,
       }.toArray
       return Array(MetaAggPartition(values))
     }
-    val parts = prunedSegments.flatMap { case (dir, rows) =>
-      // split on row ranges; readers decode only the compressed blocks
-      // covering their range, so splits parallelize within one segment
-      val per = math.max(1, math.min(rowsPerSplit, Int.MaxValue.toLong).toInt)
-      val capped = if (limit >= 0) math.min(rows, limit) else rows
-      (0 until capped by per).map { start =>
-        DruidInputPartition(dir, start, math.min(capped, start + per), limit,
-          batchSize, dimFilters, notNullCols, isNullCols)
-      }
-    }
-    parts.toArray
+    splitsFor(prunedSegments)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
