@@ -319,6 +319,32 @@ class RuntimeFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(scan2.toBatch.planInputPartitions().length == 1,
       "runtime string filter should prune to a single segment")
   }
+
+  test("planner-driven DPP reaches the scan through a real join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dppe").toString + "/t"
+    (0 until 100000).map(i => (new java.sql.Timestamp(1700000000000L + i), f"k${i % 1000}%04d", i.toLong))
+      .toDF("__time", "dim", "n").repartitionByRange(8, col("dim"))
+      .write.format("druid").mode("overwrite").save(dir)
+    // dim side must be file-backed: a LocalRelation folds its filter
+    // away and Spark then sees no selective predicate to prune with
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dppd").toString + "/d"
+    (0 until 1000).map(i => (f"k$i%04d", if (i == 42) "yes" else "no"))
+      .toDF("dim", "label").write.mode("overwrite").parquet(dimPath)
+
+    val joined = spark.read.format("druid").load(dir)
+      .join(spark.read.parquet(dimPath).filter(col("label") === "yes"), "dim")
+      .groupBy(col("label")).agg(sum(col("n")).as("s"))
+    val rows = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic pruning subquery in plan:\n$plan")
+    assert(plan.contains("dimFilters=Map(dim -> "),
+      s"runtime filter never reached the druid scan:\n$plan")
+    // i % 1000 == 42 -> 100 rows: 42, 1042, ..., 99042
+    assert(rows.length == 1 &&
+      rows.head.getLong(1) == (0 until 100).map(k => 42L + 1000L * k).sum)
+  }
 }
 class CountPushdownSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
