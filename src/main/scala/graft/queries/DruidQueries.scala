@@ -127,13 +127,33 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Events day-bucketed (segmentGranularity=day): the layout where
+    * ORDER BY __time DESC LIMIT k touches only the newest day's
+    * segments via the top-N interval cut.
+    */
+  private def eventsDailySeg(s: SparkSession, dir: String): DataFrame = {
+    val path = synchronized {
+      val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events_daily"
+      if (!written.contains(out)) {
+        Tables.events(s, dir)
+          .select(col("ts").as("__time"), col("event_type"), col("value"))
+          .repartition(2)
+          .write.format("druid").option("segmentGranularity", "day")
+          .mode("overwrite").save(out)
+        written += out
+      }
+      out
+    }
+    s.read.format("druid").load(path)
+  }
+
   /** Force all one-time segment-staging writes. Bench calls this before
     * its timed loop so dr* timings measure scans, not the writer.
     */
   def stage(s: SparkSession, dir: String): Unit = {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
-    custClusteredSeg(s, dir)
+    custClusteredSeg(s, dir); eventsDailySeg(s, dir)
   }
 
   def all: Seq[Q] = Seq(
@@ -351,6 +371,20 @@ object DruidQueries extends QuerySet {
                 SELECT 'props', props, count(*)
                 FROM events WHERE contains(props, '9') GROUP BY 2)
               ORDER BY dim, value""")),
+
+    // -- Latest-k by time: ORDER BY __time DESC LIMIT k pushes a
+    //    partial top-N to the scan, which cuts to the newest segments
+    //    that provably contain the true top-k (TopNPushdownSpec pins
+    //    the segment counts; deterministic because event ts is unique).
+    Q("dr14_latest_k",
+      (s, dir) => {
+        eventsDailySeg(s, dir)
+          .orderBy(col("__time").desc).limit(20)
+          .select(unix_millis(col("__time")).as("t_ms"), col("event_type"),
+                  round(col("value"), 2).as("v"))
+      },
+      Some("""SELECT epoch_ms(ts) AS t_ms, event_type, round(value, 2) AS v
+              FROM events ORDER BY ts DESC LIMIT 20""")),
 
     // -- MIN/MAX(__time) answered from index.drd interval bounds with
     //    zero data decode (the builder verifies every segment's

@@ -22,6 +22,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
                        options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownLimit
+    with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
@@ -158,6 +159,35 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   override def pushLimit(l: Int): Boolean = { limit = l; true }
   // default isPartiallyPushed => Spark still applies the global limit
 
+  // ORDER BY __time [DESC] LIMIT k: scan only the interval-extreme
+  // segments that provably contain the true top-k (desc: Some(true))
+  private var topNTime: Option[(Boolean, Int)] = None
+
+  /** Partial top-N pushdown for time ordering — the "most recent k
+    * events" query a time-series table exists for. Only when NOTHING
+    * filters the scan (a residual filter could drop rows and leave
+    * fewer than k survivors in the cut set) and the single sort key is
+    * `__time`: then segments are cut by interval so a 100 TB table
+    * reads only its newest (oldest) segments, and Spark's own
+    * TakeOrdered still does the exact final ordering.
+    */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+                        l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
+      notNullCols.isEmpty && isNullCols.isEmpty &&
+      timeMin == Long.MinValue && timeMax == Long.MaxValue
+    if (!clean || orders.length != 1 || l <= 0) return false
+    val o = orders.head
+    o.expression() match {
+      case r: NamedReference if r.fieldNames.sameElements(Array("__time")) =>
+        topNTime = Some((o.direction() == SortDirection.DESCENDING, l))
+        true
+      case _ => false
+    }
+  }
+  override def isPartiallyPushed(): Boolean = true // Spark re-sorts exactly
+
   private var pushedAggs: Seq[String] = Nil
 
   /** Complete pushdown of metadata-answerable aggregates, no data
@@ -202,7 +232,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
-      notNullCols, isNullCols)
+      notNullCols, isNullCols, topNTime)
 }
 
 object DruidScanBuilder {
@@ -269,7 +299,8 @@ class DruidScan(root: String, required: StructType,
                 pushedAggs: Seq[String] = Nil,
                 zoneFilters: Map[String, (Double, Double)] = Map.empty,
                 notNullCols: Set[String] = Set.empty,
-                isNullCols: Set[String] = Set.empty)
+                isNullCols: Set[String] = Set.empty,
+                topNTime: Option[(Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -325,7 +356,7 @@ class DruidScan(root: String, required: StructType,
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
-      s"isNull=${isNullCols.mkString(",")}, " +
+      s"isNull=${isNullCols.mkString(",")}, topNTime=$topNTime, " +
       s"pushedAggs=${pushedAggs.mkString(",")})"
 
   /** (interval, rows) metadata per segment, resolved ONCE per scan:
@@ -371,8 +402,35 @@ class DruidScan(root: String, required: StructType,
     m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
       zonesAdmit(m) && strZonesAdmit(m)
 
+  /** Top-N-by-__time segment cut. Sound because: take segments from
+    * the time-extreme end until they hold >= k rows; every taken row's
+    * time is inside its segment interval, so >= k rows lie past the
+    * cutoff (the taken set's far interval edge); any true top-k row
+    * therefore lies past the cutoff too, and every segment whose
+    * interval crosses the cutoff is included. Overlapping intervals
+    * only ADD segments, never lose rows.
+    */
+  private def topNCut(metas: Seq[SegMeta]): Seq[SegMeta] = topNTime match {
+    case None => metas
+    case Some((desc, k)) =>
+      val ordered =
+        if (desc) metas.sortBy(-_.endMs) else metas.sortBy(_.startMs)
+      var acc = 0L
+      val taken = ordered.takeWhile { m =>
+        val need = acc < k
+        acc += m.rows
+        need
+      }
+      if (taken.isEmpty || acc < k) metas // fewer than k rows: scan all
+      else {
+        val cutoff =
+          if (desc) taken.map(_.startMs).min else taken.map(_.endMs).max
+        metas.filter(m => if (desc) m.endMs > cutoff else m.startMs < cutoff)
+      }
+  }
+
   private def prunedSegments: Seq[(String, Int)] =
-    segmentMeta.collect { case m if admit(m) => m.dir -> m.rows }
+    topNCut(segmentMeta.filter(admit)).map(m => m.dir -> m.rows)
 
   /** Row-range splits for the given (dir, rows) segments — shared by
     * the batch path and the micro-batch streaming source.
