@@ -193,6 +193,10 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   /** Complete pushdown of metadata-answerable aggregates, no data
     * decode at all:
     *  - COUNT(*): header-derived row counts (always exact);
+    *  - COUNT(col): rows minus the manifest null counts, ONLY when
+    *    every segment's manifest entry carries them (a missing key
+    *    under a present map = schema-evolved segment without the
+    *    column = all rows null there);
     *  - MIN/MAX(__time): index.drd interval bounds, ONLY when every
     *    segment's metadata.drd carries our writer's `exactInterval`
     *    flag — real Druid aligns intervals to granularity, so foreign
@@ -211,13 +215,21 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     // output to ZERO expressions — pushing that would make the scan
     // produce 0 columns where Spark still expects a row shape
     agg.groupByExpressions().isEmpty && kinds.nonEmpty && kinds.forall(_.isDefined) &&
-      (kinds.flatten.forall(_ == "count") || allIntervalsExact)
+      kinds.flatten.forall {
+        case "count" => true
+        case k if k.startsWith("count:") => allNullCountsKnown
+        case _ => allIntervalsExact
+      }
   }
 
   // manifest read (or one-time parallel open), only when a
   // min/max(__time) pushdown is attempted
   private lazy val allIntervalsExact: Boolean =
     try SegmentCatalog.metaFor(root).forall(_.exactInterval)
+    catch { case _: Exception => false }
+
+  private lazy val allNullCountsKnown: Boolean =
+    try SegmentCatalog.metaFor(root).forall(_.nullCounts.isDefined)
     catch { case _: Exception => false }
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -236,9 +248,11 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
 }
 
 object DruidScanBuilder {
-  /** Metadata-answerable aggregate kinds: count | min_time | max_time. */
+  /** Metadata-answerable aggregate kinds:
+    * count | count:<col> | min_time | max_time.
+    */
   def aggKind(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[String] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     def isTime(c: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       c match {
@@ -247,6 +261,12 @@ object DruidScanBuilder {
       }
     e match {
       case _: CountStar => Some("count")
+      case c: Count if !c.isDistinct =>
+        c.column match {
+          case r: NamedReference if r.fieldNames.length == 1 =>
+            Some(s"count:${r.fieldNames.head}")
+          case _ => None
+        }
       case m: Min if isTime(m.column) => Some("min_time")
       case m: Max if isTime(m.column) => Some("max_time")
       case _ => None
@@ -347,6 +367,9 @@ class DruidScan(root: String, required: StructType,
       StructType(pushedAggs.map {
         case "count" => StructField("count(*)", org.apache.spark.sql.types.LongType,
           nullable = false)
+        case k if k.startsWith("count:") =>
+          StructField(s"count(${k.stripPrefix("count:")})",
+            org.apache.spark.sql.types.LongType, nullable = false)
         case "min_time" => StructField("min(__time)", TimestampType, nullable = true)
         case "max_time" => StructField("max(__time)", TimestampType, nullable = true)
       })
@@ -398,9 +421,21 @@ class DruidScan(root: String, required: StructType,
       }
     }
 
+  /** All-null segment pruning for IS NOT NULL: when the manifest
+    * carries null counts, a segment where every row of the column is
+    * null (or that predates the column entirely) is skipped at
+    * planning — the reader-level trailer skip never even schedules.
+    */
+  private def notNullAdmit(m: SegMeta): Boolean =
+    m.nullCounts match {
+      case None => true
+      case Some(nc) => notNullCols.forall(c =>
+        nc.getOrElse(c, m.rows.toLong) < m.rows.toLong)
+    }
+
   private def admit(m: SegMeta): Boolean =
     m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
-      zonesAdmit(m) && strZonesAdmit(m)
+      zonesAdmit(m) && strZonesAdmit(m) && notNullAdmit(m)
 
   /** Top-N-by-__time segment cut. Sound because: take segments from
     * the time-extreme end until they hold >= k rows; every taken row's
@@ -468,6 +503,13 @@ class DruidScan(root: String, required: StructType,
       val segs = segmentMeta
       val values: Array[Any] = pushedAggs.map {
         case "count" => segs.map(_.rows.toLong).sum: java.lang.Long
+        case k if k.startsWith("count:") =>
+          // builder verified every segment carries nullCounts; a
+          // missing key = schema-evolved segment without the column =
+          // zero non-null rows there
+          val c = k.stripPrefix("count:")
+          segs.map(m => m.rows.toLong -
+            m.nullCounts.get.getOrElse(c, m.rows.toLong)).sum: java.lang.Long
         case "min_time" =>
           if (segs.isEmpty) null
           else (segs.map(_.startMs).min * 1000L): java.lang.Long

@@ -398,6 +398,20 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
         case _ => None
       }.toMap
 
+    // per-column null-ROW counts, EVERY stored column keyed (0
+    // included: key presence records column presence; __time is never
+    // null). Powers COUNT(col) pushdown + all-null segment pruning.
+    def nullCountsOf(columns: Seq[(String, ColumnValues)]): Map[String, Long] =
+      columns.map {
+        case (name, LongValues(_, nulls)) => name -> nulls.length.toLong
+        case (name, TimestampValues(_, nulls, _)) => name -> nulls.length.toLong
+        case (name, DoubleValues(_, nulls)) => name -> nulls.length.toLong
+        case (name, FloatValues(_, nulls)) => name -> nulls.length.toLong
+        case (name, StringValues(vs)) => name -> vs.count(_ == null).toLong
+        case (name, MultiStringValues(vs)) => name -> vs.count(_ == null).toLong
+        case (name, ComplexValues(_, vs)) => name -> vs.count(_ == null).toLong
+      }.toMap + ("__time" -> 0L)
+
     def writeSegment(suffix: String, sel: Array[Int]): SegMeta = {
       val columns = fields.indices
         .filter(_ != timeIdx)
@@ -410,7 +424,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       val start = if (t.isEmpty) 0L else t.min
       val end = if (t.isEmpty) 1L else t.max + 1
       SegMeta(dir.toString, start, end, t.length, exactInterval = true,
-        zones = zonesOf(columns), strZones = strZonesOf(columns))
+        zones = zonesOf(columns), strZones = strZonesOf(columns),
+        nullCounts = Some(nullCountsOf(columns)))
     }
 
     val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {

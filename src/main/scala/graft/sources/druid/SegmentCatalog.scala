@@ -25,11 +25,20 @@ import graft.format.DruidSegment
   * a membership envelope, so equality/IN values outside it prove the
   * segment holds no matching row; range predicates are never pruned
   * with it because Spark orders strings by UTF-8 bytes, not UTF-16).
+  *
+  * `nullCounts`, when present, maps EVERY column the segment stores to
+  * its null-row count (0 included — key presence doubles as a
+  * column-presence record, so a missing key under a present map means
+  * the segment predates the column and every row is null). Powers
+  * complete COUNT(col) pushdown and planning-time pruning of all-null
+  * segments under IS NOT NULL. None (old manifests, fallback opens)
+  * disables both, never correctness.
   */
 final case class SegMeta(dir: String, startMs: Long, endMs: Long,
                          rows: Int, exactInterval: Boolean,
                          zones: Map[String, (Double, Double)] = Map.empty,
-                         strZones: Map[String, (String, String)] = Map.empty)
+                         strZones: Map[String, (String, String)] = Map.empty,
+                         nullCounts: Option[Map[String, Long]] = None)
 
 /** Table-level segment manifest (`_graft_manifest.json` under the table
   * root), written by the DSv2 commit and read at planning time.
@@ -83,12 +92,21 @@ object SegmentCatalog {
           }
           zb.result()
         }.getOrElse(Map.empty[String, (String, String)])
+        val nullCounts = Option(v.get("nulls")).filter(_.isObject).map { z =>
+          val zb = Map.newBuilder[String, Long]
+          val zit = z.fieldNames()
+          while (zit.hasNext) {
+            val c = zit.next()
+            zb += c -> z.get(c).asLong()
+          }
+          zb.result()
+        }
         names(name) = SegMeta(
           Paths.get(root, name).toString,
           v.get("start").asLong(), v.get("end").asLong(),
           v.get("rows").asInt(),
           Option(v.get("exact")).exists(_.asBoolean(false)),
-          zones, strZones)
+          zones, strZones, nullCounts)
       }
       val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
       if (names.keySet != actual) None // stale: segments added/removed by hand
@@ -148,6 +166,10 @@ object SegmentCatalog {
         m.strZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
           val a = z.putArray(c); a.add(lo); a.add(hi)
         }
+      }
+      m.nullCounts.foreach { nc =>
+        val z = n.putObject("nulls")
+        nc.toSeq.sortBy(_._1).foreach { case (c, cnt) => z.put(c, cnt) }
       }
     }
     Files.write(Paths.get(root, FileName),

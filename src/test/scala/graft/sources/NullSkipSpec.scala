@@ -57,6 +57,44 @@ class NullSkipSpec extends AnyFunSuite {
       .filter(col("n").isNull).count() == 0)
   }
 
+  test("COUNT(col) answers from manifest null counts with no decode") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cntc").toString + "/t"
+    (0 until 1000).map(i => (1700000000000L + i, i.toLong,
+      if (i % 4 == 0) Some(i.toDouble) else None))
+      .toDF("__time", "n", "v").repartition(3)
+      .write.format("druid").mode("overwrite").save(dir)
+    val df = spark.read.format("druid").load(dir)
+    val counted = df.agg(count(col("v")), count(col("n")), count(lit(1)))
+    assert(counted.head().toSeq == Seq(250L, 1000L, 1000L))
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(plan.contains("count(v)") && !plan.contains("HashAggregate"),
+      s"count(col) not completely pushed:\n$plan")
+    // append a segment WITHOUT v: its rows count for n, zero for v
+    (0 until 100).map(i => (1700010000000L + i, i.toLong))
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").mode("append").save(dir)
+    val again = spark.read.format("druid").load(dir)
+      .agg(count(col("v")), count(col("n"))).head()
+    assert(again.toSeq == Seq(250L, 1100L))
+  }
+
+  test("IS NOT NULL prunes all-null segments at planning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-nnp").toString + "/t"
+    (0 until 100).map(i => (1700000000000L + i, i.toLong))
+      .toDF("__time", "a").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir)
+    (100 until 200).map(i => (1700000000000L + i, i.toLong, i.toLong))
+      .toDF("__time", "a", "b").coalesce(1)
+      .write.format("druid").mode("append").save(dir)
+    val df = spark.read.format("druid").load(dir).filter(col("b").isNotNull)
+    // only the segment that HAS b plans a partition
+    assert(df.rdd.getNumPartitions == 1,
+      s"all-null segment not pruned: ${df.rdd.getNumPartitions}")
+    assert(df.count() == 100)
+  }
+
   test("IS NOT NULL on a column a segment predates skips the whole split") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-nn2").toString + "/t"
