@@ -372,6 +372,20 @@ object DruidQueries extends QuerySet {
                 FROM events WHERE contains(props, '9') GROUP BY 2)
               ORDER BY dim, value""")),
 
+    // -- GROUP BY dim answered from dictionaries: the scan emits each
+    //    segment's (value, bitmap cardinality) pairs — O(dictionary)
+    //    partial rows, zero row decode — and Spark's final aggregate
+    //    merges them (GroupByPushdownSpec pins the plan shape).
+    Q("dr15_groupby_dict",
+      (s, dir) => {
+        eventsSeg(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
     // -- Latest-k by time: ORDER BY __time DESC LIMIT k pushes a
     //    partial top-N to the scan, which cuts to the newest segments
     //    that provably contain the true top-k (TopNPushdownSpec pins

@@ -22,7 +22,7 @@ class DruidPartitionReaderFactory(required: StructType)
 
   // every column type reads vectorized (multi-value strings included)
   override def supportColumnarReads(p: InputPartition): Boolean =
-    !p.isInstanceOf[MetaAggPartition]
+    !p.isInstanceOf[MetaAggPartition] && !p.isInstanceOf[GroupByDimPartition]
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] =
     new DruidColumnarReader(p.asInstanceOf[DruidInputPartition], required)
@@ -38,6 +38,7 @@ class DruidPartitionReaderFactory(required: StructType)
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
           override def close(): Unit = ()
         }
+      case g: GroupByDimPartition => return new GroupByDimReader(g)
       case _ => ()
     }
     val columnar = createColumnarReader(p)
@@ -54,6 +55,58 @@ class DruidPartitionReaderFactory(required: StructType)
       override def close(): Unit = columnar.close()
     }
   }
+}
+
+/** Partial GROUP BY <dim>, COUNT(*) over one segment: emits the
+  * dictionary's (value, count) pairs from bitmap cardinalities (ids
+  * pass when bitmaps are absent) — O(dictionary) output rows with zero
+  * row decode; Spark's final aggregate sums the per-segment partials.
+  * A schema-evolved segment without the column is one all-null group.
+  */
+private[druid] final class GroupByDimReader(part: GroupByDimPartition)
+    extends PartitionReader[InternalRow] {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val pairs: Iterator[(UTF8String, Long)] = {
+    val segment = DruidSegment.open(part.dir)
+    if (!segment.columnNames.contains(part.dim))
+      Iterator((null, part.rows.toLong)).filter(_._2 > 0)
+    else segment.column(part.dim) match {
+      case StringColumnData(sc) =>
+        val dictN = sc.dictionary.numElements
+        val counts: Int => Long =
+          if (sc.bitmaps.isDefined)
+            i => sc.bitmapFor(i).get.getCardinality.toLong
+          else {
+            val all = new Array[Long](dictN)
+            var r = 0
+            val len = sc.length
+            while (r < len) { all(sc.ids.get(r)) += 1; r += 1 }
+            all(_)
+          }
+        (0 until dictN).iterator.map { i =>
+          val b = sc.dictionary.bytesAt(i)
+          (if (b == null) null else UTF8String.fromBytes(b), counts(i))
+        }.filter(_._2 > 0)
+      case other => throw new IllegalStateException(
+        s"group-by pushdown on non-string column ${part.dim}: $other")
+    }
+  }
+
+  private var current: (UTF8String, Long) = _
+  override def next(): Boolean = {
+    if (!pairs.hasNext) return false
+    current = pairs.next(); true
+  }
+  override def get(): InternalRow = {
+    val row = new Array[Any](1 + part.nAggs)
+    row(0) = current._1
+    var i = 1
+    while (i <= part.nAggs) { row(i) = current._2: java.lang.Long; i += 1 }
+    new GenericInternalRow(row)
+  }
+  override def close(): Unit = ()
 }
 
 /** Adapter exposing a decoded druid dictionary to Spark's vectorized

@@ -232,19 +232,43 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     try SegmentCatalog.metaFor(root).forall(_.nullCounts.isDefined)
     catch { case _: Exception => false }
 
+  // PARTIAL pushdown: GROUP BY <string dim> with COUNT(*) aggregates.
+  // Each segment contributes its dictionary's (value, bitmap
+  // cardinality) pairs — O(dictionary) rows instead of O(rows) — and
+  // Spark's final aggregate sums the per-segment partials. The Druid
+  // groupBy/topN execution shape on Spark's own partial-agg contract.
+  private var groupByDim: Option[String] = None
+
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (!supportCompletePushDown(agg)) false
-    else {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (supportCompletePushDown(agg)) {
       pushedAggs = agg.aggregateExpressions().toSeq.flatMap(DruidScanBuilder.aggKind)
-      true
+      return true
     }
+    if (pushedAggs.nonEmpty || groupByDim.isDefined) return false
+    val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
+      notNullCols.isEmpty && isNullCols.isEmpty && limit < 0 &&
+      timeMin == Long.MinValue && timeMax == Long.MaxValue
+    val groupCols = agg.groupByExpressions().toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    val allCountStar = agg.aggregateExpressions().nonEmpty &&
+      agg.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+    if (clean && allCountStar && groupCols.length == 1 &&
+        groupCols.head.exists(isStringCol)) {
+      groupByDim = groupCols.head
+      pushedAggs = agg.aggregateExpressions().toSeq.map(_ => "count")
+      true
+    } else false
   }
 
   override def build(): Scan =
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
-      notNullCols, isNullCols, topNTime)
+      notNullCols, isNullCols, topNTime, groupByDim)
 }
 
 object DruidScanBuilder {
@@ -312,6 +336,15 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
   */
 final case class MetaAggPartition(values: Array[Any]) extends InputPartition
 
+/** One segment's contribution to a partially-pushed
+  * GROUP BY dim, COUNT(*): the dictionary's (value, cardinality)
+  * pairs. `rows` lets a schema-evolved segment without the column
+  * report its single all-null group.
+  */
+final case class GroupByDimPartition(dir: String, dim: String,
+                                     nAggs: Int, rows: Int)
+    extends InputPartition
+
 class DruidScan(root: String, required: StructType,
                 timeMinMs0: Long, timeMaxMs0: Long, limit: Int,
                 rowsPerSplit: Long, batchSize: Int,
@@ -320,7 +353,8 @@ class DruidScan(root: String, required: StructType,
                 zoneFilters: Map[String, (Double, Double)] = Map.empty,
                 notNullCols: Set[String] = Set.empty,
                 isNullCols: Set[String] = Set.empty,
-                topNTime: Option[(Boolean, Int)] = None)
+                topNTime: Option[(Boolean, Int)] = None,
+                groupByDim: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -363,7 +397,13 @@ class DruidScan(root: String, required: StructType,
   }
 
   override def readSchema(): StructType =
-    if (aggPushed)
+    if (groupByDim.isDefined)
+      StructType(
+        StructField(groupByDim.get, org.apache.spark.sql.types.StringType,
+          nullable = true) +:
+        pushedAggs.map(_ => StructField("count(*)",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    else if (aggPushed)
       StructType(pushedAggs.map {
         case "count" => StructField("count(*)", org.apache.spark.sql.types.LongType,
           nullable = false)
@@ -380,7 +420,7 @@ class DruidScan(root: String, required: StructType,
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
       s"isNull=${isNullCols.mkString(",")}, topNTime=$topNTime, " +
-      s"pushedAggs=${pushedAggs.mkString(",")})"
+      s"groupByDim=$groupByDim, pushedAggs=${pushedAggs.mkString(",")})"
 
   /** (interval, rows) metadata per segment, resolved ONCE per scan:
     * from the table manifest when valid (one small-file read, no
@@ -496,6 +536,13 @@ class DruidScan(root: String, required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    groupByDim.foreach { dim =>
+      // one partition per segment, each emitting its dictionary's
+      // (value, count) pairs — O(dictionary), not O(rows)
+      return prunedSegments.map { case (d, rows) =>
+        GroupByDimPartition(d, dim, pushedAggs.size, rows): InputPartition
+      }.toArray
+    }
     if (aggPushed) {
       // answers from the memoized (interval, rows) metadata only; the
       // builder verified exactInterval before pushing min/max. Interval
