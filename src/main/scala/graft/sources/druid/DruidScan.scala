@@ -210,7 +210,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     // already-pushed one (e.g. `.agg(min,max).count()`) must be computed
     // by Spark over our one-row result, not overwrite the pushed state
     if (pushedAggs.nonEmpty) return false
-    val kinds = agg.aggregateExpressions().toSeq.map(DruidScanBuilder.aggKind)
+    val kinds = agg.aggregateExpressions().toSeq
+      .map(DruidScanBuilder.aggKind(_, fullSchema))
     // kinds.nonEmpty: an outer count() can prune a stacked aggregate's
     // output to ZERO expressions — pushing that would make the scan
     // produce 0 columns where Spark still expects a row shape
@@ -218,9 +219,28 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       kinds.flatten.forall {
         case "count" => true
         case k if k.startsWith("count:") => allNullCountsKnown
+        case k if k.startsWith("min:") || k.startsWith("max:") =>
+          minMaxAnswerable(k.drop(6), k.charAt(4))
         case _ => allIntervalsExact
       }
   }
+
+  /** MIN/MAX(col) answers from exact zones ONLY when every segment
+    * either carries the exact zone or is provably all-null for the
+    * column (null count == rows, or the column absent under a present
+    * null-count map — min/max skip nulls). A zone missing for any
+    * other reason (old manifest, NaN-disabled, fallback open) blocks
+    * the pushdown: a NaN-holding segment has values a range can't
+    * represent.
+    */
+  private def minMaxAnswerable(col: String, typ: Char): Boolean =
+    try SegmentCatalog.metaFor(root).forall { m =>
+      val hasZone =
+        if (typ == 'L') m.exactLongZones.contains(col)
+        else m.exactDoubleZones.contains(col)
+      hasZone || m.nullCounts.exists(nc =>
+        nc.getOrElse(col, m.rows.toLong) == m.rows.toLong)
+    } catch { case _: Exception => false }
 
   // manifest read (or one-time parallel open), only when a
   // min/max(__time) pushdown is attempted
@@ -243,7 +263,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.CountStar
     if (supportCompletePushDown(agg)) {
-      pushedAggs = agg.aggregateExpressions().toSeq.flatMap(DruidScanBuilder.aggKind)
+      pushedAggs = agg.aggregateExpressions().toSeq
+        .flatMap(DruidScanBuilder.aggKind(_, fullSchema))
       return true
     }
     if (pushedAggs.nonEmpty || groupByDim.isDefined) return false
@@ -272,16 +293,30 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
 }
 
 object DruidScanBuilder {
-  /** Metadata-answerable aggregate kinds:
-    * count | count:<col> | min_time | max_time.
+  /** Metadata-answerable aggregate kinds: count | count:<col> |
+    * min_time | max_time | (min|max):(L|D|F):<col> (exact zone
+    * answers, typed long/double/float).
     */
-  def aggKind(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc): Option[String] = {
+  def aggKind(e: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc,
+              schema: StructType): Option[String] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     def isTime(c: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       c match {
         case r: NamedReference => r.fieldNames.sameElements(Array("__time"))
         case _ => false
+      }
+    def numericCol(c: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      c match {
+        case r: NamedReference if r.fieldNames.length == 1 &&
+            r.fieldNames.head != "__time" =>
+          val name = r.fieldNames.head
+          schema.fields.find(_.name == name).map(_.dataType).collect {
+            case LongType => s"L:$name"
+            case DoubleType => s"D:$name"
+            case FloatType => s"F:$name"
+          }
+        case _ => None
       }
     e match {
       case _: CountStar => Some("count")
@@ -293,6 +328,8 @@ object DruidScanBuilder {
         }
       case m: Min if isTime(m.column) => Some("min_time")
       case m: Max if isTime(m.column) => Some("max_time")
+      case m: Min => numericCol(m.column).map(t => s"min:$t")
+      case m: Max => numericCol(m.column).map(t => s"max:$t")
       case _ => None
     }
   }
@@ -412,6 +449,13 @@ class DruidScan(root: String, required: StructType,
             org.apache.spark.sql.types.LongType, nullable = false)
         case "min_time" => StructField("min(__time)", TimestampType, nullable = true)
         case "max_time" => StructField("max(__time)", TimestampType, nullable = true)
+        case k if k.startsWith("min:") || k.startsWith("max:") =>
+          val t = k.charAt(4) match {
+            case 'L' => LongType
+            case 'D' => DoubleType
+            case 'F' => FloatType
+          }
+          StructField(s"${k.take(3)}(${k.drop(6)})", t, nullable = true)
       })
     else required
   override def toBatch: Batch = this
@@ -563,6 +607,26 @@ class DruidScan(root: String, required: StructType,
         case "max_time" =>
           if (segs.isEmpty) null
           else ((segs.map(_.endMs).max - 1) * 1000L): java.lang.Long
+        case k if k.startsWith("min:") || k.startsWith("max:") =>
+          // builder verified every segment has the exact zone or is
+          // all-null for the column; all-null segments contribute
+          // nothing (min/max skip nulls), no contributions -> null
+          val isMin = k.startsWith("min:")
+          val col = k.drop(6)
+          k.charAt(4) match {
+            case 'L' =>
+              val vs = segs.flatMap(_.exactLongZones.get(col))
+                .map(z => if (isMin) z._1 else z._2)
+              if (vs.isEmpty) null
+              else (if (isMin) vs.min else vs.max): java.lang.Long
+            case t =>
+              val vs = segs.flatMap(_.exactDoubleZones.get(col))
+                .map(z => if (isMin) z._1 else z._2)
+              if (vs.isEmpty) null
+              else if (t == 'F')
+                (if (isMin) vs.min else vs.max).toFloat: java.lang.Float
+              else (if (isMin) vs.min else vs.max): java.lang.Double
+          }
       }.toArray
       return Array(MetaAggPartition(values))
     }

@@ -346,10 +346,17 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       if (timeIdx >= 0) bufs(timeIdx).asInstanceOf[TimeBuf].millis
       else new Array[Long](rowCount)
 
-    // per-numeric-column [min, max] over NON-NULL rows, widened one ulp
-    // so long->double rounding can never prune a matching segment; a
-    // column with no non-null rows gets no zone (no pruning for it)
-    def zonesOf(columns: Seq[(String, ColumnValues)]): Map[String, (Double, Double)] = {
+    // Per-numeric-column zone maps over NON-NULL rows, three forms:
+    //  - `zones` (pruning): double [min, max] widened one ulp so
+    //    long->double rounding can never prune a matching segment;
+    //  - `xl` (exact long min/max) and `xd` (exact double/float
+    //    min/max): complete MIN/MAX(col) pushdown answers.
+    // A column with no non-null rows gets no zone; a NaN anywhere
+    // disables the column's zones (NaN sorts above +Infinity in Spark
+    // and a [lo, hi] range can't represent it).
+    def zonesOf(columns: Seq[(String, ColumnValues)]):
+        (Map[String, (Double, Double)], Map[String, (Long, Long)],
+         Map[String, (Double, Double)]) = {
       def range(vs: Iterator[Double]): Option[(Double, Double)] = {
         var lo = Double.PositiveInfinity; var hi = Double.NegativeInfinity
         var any = false; var nan = false
@@ -358,23 +365,39 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
           if (v.isNaN) nan = true
           else { if (v < lo) lo = v; if (v > hi) hi = v }
         }
-        // NaN sorts above +Infinity in Spark; a [lo, hi] zone can't
-        // represent it, so a NaN anywhere disables the column's zone
-        if (any && !nan) Some((Math.nextDown(lo), Math.nextUp(hi))) else None
+        if (any && !nan) Some((lo, hi)) else None
       }
       def nonNull[T](vs: Array[T], nulls: Array[Int]): Iterator[Int] = {
         val skip = nulls.toSet
         vs.indices.iterator.filterNot(skip)
       }
-      columns.flatMap {
+      val widened = Map.newBuilder[String, (Double, Double)]
+      val xl = Map.newBuilder[String, (Long, Long)]
+      val xd = Map.newBuilder[String, (Double, Double)]
+      columns.foreach {
         case (name, LongValues(vs, nulls)) =>
-          range(nonNull(vs, nulls).map(vs(_).toDouble)).map(name -> _)
+          val idx = nonNull(vs, nulls).toArray
+          if (idx.nonEmpty) {
+            var lo = Long.MaxValue; var hi = Long.MinValue
+            idx.foreach { i =>
+              if (vs(i) < lo) lo = vs(i)
+              if (vs(i) > hi) hi = vs(i)
+            }
+            xl += name -> (lo, hi)
+            widened += name ->
+              (Math.nextDown(lo.toDouble), Math.nextUp(hi.toDouble))
+          }
         case (name, DoubleValues(vs, nulls)) =>
-          range(nonNull(vs, nulls).map(vs(_))).map(name -> _)
+          range(nonNull(vs, nulls).map(vs(_))).foreach { r =>
+            xd += name -> r; widened += name -> r
+          }
         case (name, FloatValues(vs, nulls)) =>
-          range(nonNull(vs, nulls).map(vs(_).toDouble)).map(name -> _)
-        case _ => None
-      }.toMap
+          range(nonNull(vs, nulls).map(vs(_).toDouble)).foreach { r =>
+            xd += name -> r; widened += name -> r
+          }
+        case _ => ()
+      }
+      (widened.result(), xl.result(), xd.result())
     }
 
     // per-string-column [min, max] over NON-NULL values, Java
@@ -423,9 +446,11 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       // mirror SegmentWriter's interval convention (empty -> [0, 1))
       val start = if (t.isEmpty) 0L else t.min
       val end = if (t.isEmpty) 1L else t.max + 1
+      val (widened, xl, xd) = zonesOf(columns)
       SegMeta(dir.toString, start, end, t.length, exactInterval = true,
-        zones = zonesOf(columns), strZones = strZonesOf(columns),
-        nullCounts = Some(nullCountsOf(columns)))
+        zones = widened, strZones = strZonesOf(columns),
+        nullCounts = Some(nullCountsOf(columns)),
+        exactLongZones = xl, exactDoubleZones = xd)
     }
 
     val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {

@@ -38,7 +38,9 @@ final case class SegMeta(dir: String, startMs: Long, endMs: Long,
                          rows: Int, exactInterval: Boolean,
                          zones: Map[String, (Double, Double)] = Map.empty,
                          strZones: Map[String, (String, String)] = Map.empty,
-                         nullCounts: Option[Map[String, Long]] = None)
+                         nullCounts: Option[Map[String, Long]] = None,
+                         exactLongZones: Map[String, (Long, Long)] = Map.empty,
+                         exactDoubleZones: Map[String, (Double, Double)] = Map.empty)
 
 /** Table-level segment manifest (`_graft_manifest.json` under the table
   * root), written by the DSv2 commit and read at planning time.
@@ -101,12 +103,34 @@ object SegmentCatalog {
           }
           zb.result()
         }
+        val xl = Option(v.get("xzonesl")).filter(_.isObject).map { z =>
+          val zb = Map.newBuilder[String, (Long, Long)]
+          val zit = z.fieldNames()
+          while (zit.hasNext) {
+            val c = zit.next()
+            val arr = z.get(c)
+            if (arr.isArray && arr.size() == 2)
+              zb += c -> (arr.get(0).asLong(), arr.get(1).asLong())
+          }
+          zb.result()
+        }.getOrElse(Map.empty[String, (Long, Long)])
+        val xd = Option(v.get("xzonesd")).filter(_.isObject).map { z =>
+          val zb = Map.newBuilder[String, (Double, Double)]
+          val zit = z.fieldNames()
+          while (zit.hasNext) {
+            val c = zit.next()
+            val arr = z.get(c)
+            if (arr.isArray && arr.size() == 2)
+              zb += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
+          }
+          zb.result()
+        }.getOrElse(Map.empty[String, (Double, Double)])
         names(name) = SegMeta(
           Paths.get(root, name).toString,
           v.get("start").asLong(), v.get("end").asLong(),
           v.get("rows").asInt(),
           Option(v.get("exact")).exists(_.asBoolean(false)),
-          zones, strZones, nullCounts)
+          zones, strZones, nullCounts, xl, xd)
       }
       val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
       if (names.keySet != actual) None // stale: segments added/removed by hand
@@ -170,6 +194,18 @@ object SegmentCatalog {
       m.nullCounts.foreach { nc =>
         val z = n.putObject("nulls")
         nc.toSeq.sortBy(_._1).foreach { case (c, cnt) => z.put(c, cnt) }
+      }
+      if (m.exactLongZones.nonEmpty) {
+        val z = n.putObject("xzonesl")
+        m.exactLongZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = z.putArray(c); a.add(lo); a.add(hi)
+        }
+      }
+      if (m.exactDoubleZones.nonEmpty) {
+        val z = n.putObject("xzonesd")
+        m.exactDoubleZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = z.putArray(c); a.add(lo); a.add(hi)
+        }
       }
     }
     Files.write(Paths.get(root, FileName),

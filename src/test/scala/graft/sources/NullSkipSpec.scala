@@ -79,6 +79,45 @@ class NullSkipSpec extends AnyFunSuite {
     assert(again.toSeq == Seq(250L, 1100L))
   }
 
+  test("MIN/MAX(col) answers from exact zones, null/NaN-safe") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mmx").toString + "/t"
+    (0 until 1000).map(i => (1700000000000L + i,
+      i.toLong * 3 - 500, i * 0.25 - 10,
+      if (i % 5 == 0) None else Some(i.toDouble)))
+      .toDF("__time", "n", "x", "sparse").repartition(3)
+      .write.format("druid").mode("overwrite").save(dir)
+    val df = spark.read.format("druid").load(dir)
+    val r = df.agg(min(col("n")), max(col("n")), min(col("x")), max(col("x")),
+                   min(col("sparse")), max(col("sparse"))).head()
+    assert(r.toSeq == Seq(-500L, 2497L, -10.0, 239.75, 1.0, 999.0))
+    val plan = df.agg(min(col("n")), max(col("n")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"min/max(col) not completely pushed:\n$plan")
+
+    // a NaN anywhere blocks the pushdown (range can't represent it)
+    // and the fallback scan still answers correctly
+    val dir2 = Files.createTempDirectory("graft-mmn").toString + "/t"
+    (0 until 100).map(i => (1700000000000L + i,
+      if (i == 50) Double.NaN else i.toDouble))
+      .toDF("__time", "d").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir2)
+    val nan = spark.read.format("druid").load(dir2)
+    val agg2 = nan.agg(max(col("d")))
+    assert(agg2.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "NaN column must not push min/max")
+    assert(agg2.head().getDouble(0).isNaN) // Spark: NaN > +Inf
+
+    // an all-null column yields null, still pushed
+    val dir3 = Files.createTempDirectory("graft-mme").toString + "/t"
+    (0 until 10).map(i => (1700000000000L + i, None: Option[Long]))
+      .toDF("__time", "empty").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir3)
+    assert(spark.read.format("druid").load(dir3)
+      .agg(min(col("empty"))).head().isNullAt(0))
+  }
+
   test("IS NOT NULL prunes all-null segments at planning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-nnp").toString + "/t"
