@@ -372,6 +372,25 @@ object DruidQueries extends QuerySet {
                 FROM events WHERE contains(props, '9') GROUP BY 2)
               ORDER BY dim, value""")),
 
+    // -- The full metadata-aggregate family in one query: COUNT(*),
+    //    COUNT(col), MIN/MAX(long col), SUM(long col) — every value
+    //    answered from the manifest (row counts, null counts, exact
+    //    zones, partial sums) with zero block decodes (NullSkipSpec
+    //    pins the no-HashAggregate plans).
+    Q("dr16_meta_aggs",
+      (s, dir) => {
+        lineitemSeg(s, dir)
+          .agg(count(lit(1)).as("n_rows"),
+               count(col("l_partkey")).as("n_partkey"),
+               min(col("l_orderkey")).as("min_ok"),
+               max(col("l_orderkey")).as("max_ok"),
+               sum(col("l_orderkey")).as("sum_ok"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(l_partkey) AS n_partkey,
+              min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+              sum(l_orderkey) AS sum_ok
+              FROM lineitem""")),
+
     // -- GROUP BY dim answered from dictionaries: the scan emits each
     //    segment's (value, bitmap cardinality) pairs — O(dictionary)
     //    partial rows, zero row decode — and Spark's final aggregate

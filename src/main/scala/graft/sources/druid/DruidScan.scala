@@ -221,9 +221,19 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
         case k if k.startsWith("count:") => allNullCountsKnown
         case k if k.startsWith("min:") || k.startsWith("max:") =>
           minMaxAnswerable(k.drop(6), k.charAt(4))
+        case k if k.startsWith("sum:") => sumAnswerable(k.drop(6))
         case _ => allIntervalsExact
       }
   }
+
+  /** SUM(long col): every segment must carry the partial sum or be
+    * provably all-null for the column (sum skips nulls).
+    */
+  private def sumAnswerable(col: String): Boolean =
+    try SegmentCatalog.metaFor(root).forall { m =>
+      m.longSums.contains(col) || m.nullCounts.exists(nc =>
+        nc.getOrElse(col, m.rows.toLong) == m.rows.toLong)
+    } catch { case _: Exception => false }
 
   /** MIN/MAX(col) answers from exact zones ONLY when every segment
     * either carries the exact zone or is provably all-null for the
@@ -330,6 +340,12 @@ object DruidScanBuilder {
       case m: Max if isTime(m.column) => Some("max_time")
       case m: Min => numericCol(m.column).map(t => s"min:$t")
       case m: Max => numericCol(m.column).map(t => s"max:$t")
+      case s: org.apache.spark.sql.connector.expressions.aggregate.Sum
+          if !s.isDistinct =>
+        // long columns only: integer partial sums merge exactly (mod
+        // 2^64 addition is associative, matching non-ANSI Spark sum);
+        // floating sums are order-dependent and stay un-pushed
+        numericCol(s.column).collect { case t if t.startsWith("L:") => s"sum:$t" }
       case _ => None
     }
   }
@@ -456,6 +472,8 @@ class DruidScan(root: String, required: StructType,
             case 'F' => FloatType
           }
           StructField(s"${k.take(3)}(${k.drop(6)})", t, nullable = true)
+        case k if k.startsWith("sum:") =>
+          StructField(s"sum(${k.drop(6)})", LongType, nullable = true)
       })
     else required
   override def toBatch: Batch = this
@@ -627,6 +645,10 @@ class DruidScan(root: String, required: StructType,
                 (if (isMin) vs.min else vs.max).toFloat: java.lang.Float
               else (if (isMin) vs.min else vs.max): java.lang.Double
           }
+        case k if k.startsWith("sum:") =>
+          val col = k.drop(6)
+          val vs = segs.flatMap(_.longSums.get(col))
+          if (vs.isEmpty) null else (vs.sum: java.lang.Long)
       }.toArray
       return Array(MetaAggPartition(values))
     }

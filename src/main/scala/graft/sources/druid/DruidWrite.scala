@@ -356,7 +356,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     // and a [lo, hi] range can't represent it).
     def zonesOf(columns: Seq[(String, ColumnValues)]):
         (Map[String, (Double, Double)], Map[String, (Long, Long)],
-         Map[String, (Double, Double)]) = {
+         Map[String, (Double, Double)], Map[String, Long]) = {
       def range(vs: Iterator[Double]): Option[(Double, Double)] = {
         var lo = Double.PositiveInfinity; var hi = Double.NegativeInfinity
         var any = false; var nan = false
@@ -374,16 +374,20 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       val widened = Map.newBuilder[String, (Double, Double)]
       val xl = Map.newBuilder[String, (Long, Long)]
       val xd = Map.newBuilder[String, (Double, Double)]
+      val ls = Map.newBuilder[String, Long]
       columns.foreach {
         case (name, LongValues(vs, nulls)) =>
           val idx = nonNull(vs, nulls).toArray
           if (idx.nonEmpty) {
             var lo = Long.MaxValue; var hi = Long.MinValue
+            var sum = 0L // wrap-around semantics match Spark's non-ANSI sum
             idx.foreach { i =>
               if (vs(i) < lo) lo = vs(i)
               if (vs(i) > hi) hi = vs(i)
+              sum += vs(i)
             }
             xl += name -> (lo, hi)
+            ls += name -> sum
             widened += name ->
               (Math.nextDown(lo.toDouble), Math.nextUp(hi.toDouble))
           }
@@ -397,7 +401,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
           }
         case _ => ()
       }
-      (widened.result(), xl.result(), xd.result())
+      (widened.result(), xl.result(), xd.result(), ls.result())
     }
 
     // per-string-column [min, max] over NON-NULL values, Java
@@ -446,11 +450,11 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       // mirror SegmentWriter's interval convention (empty -> [0, 1))
       val start = if (t.isEmpty) 0L else t.min
       val end = if (t.isEmpty) 1L else t.max + 1
-      val (widened, xl, xd) = zonesOf(columns)
+      val (widened, xl, xd, ls) = zonesOf(columns)
       SegMeta(dir.toString, start, end, t.length, exactInterval = true,
         zones = widened, strZones = strZonesOf(columns),
         nullCounts = Some(nullCountsOf(columns)),
-        exactLongZones = xl, exactDoubleZones = xd)
+        exactLongZones = xl, exactDoubleZones = xd, longSums = ls)
     }
 
     val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {

@@ -40,7 +40,8 @@ final case class SegMeta(dir: String, startMs: Long, endMs: Long,
                          strZones: Map[String, (String, String)] = Map.empty,
                          nullCounts: Option[Map[String, Long]] = None,
                          exactLongZones: Map[String, (Long, Long)] = Map.empty,
-                         exactDoubleZones: Map[String, (Double, Double)] = Map.empty)
+                         exactDoubleZones: Map[String, (Double, Double)] = Map.empty,
+                         longSums: Map[String, Long] = Map.empty)
 
 /** Table-level segment manifest (`_graft_manifest.json` under the table
   * root), written by the DSv2 commit and read at planning time.
@@ -125,12 +126,21 @@ object SegmentCatalog {
           }
           zb.result()
         }.getOrElse(Map.empty[String, (Double, Double)])
+        val lsums = Option(v.get("lsums")).filter(_.isObject).map { z =>
+          val zb = Map.newBuilder[String, Long]
+          val zit = z.fieldNames()
+          while (zit.hasNext) {
+            val c = zit.next()
+            zb += c -> z.get(c).asLong()
+          }
+          zb.result()
+        }.getOrElse(Map.empty[String, Long])
         names(name) = SegMeta(
           Paths.get(root, name).toString,
           v.get("start").asLong(), v.get("end").asLong(),
           v.get("rows").asInt(),
           Option(v.get("exact")).exists(_.asBoolean(false)),
-          zones, strZones, nullCounts, xl, xd)
+          zones, strZones, nullCounts, xl, xd, lsums)
       }
       val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
       if (names.keySet != actual) None // stale: segments added/removed by hand
@@ -206,6 +216,10 @@ object SegmentCatalog {
         m.exactDoubleZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
           val a = z.putArray(c); a.add(lo); a.add(hi)
         }
+      }
+      if (m.longSums.nonEmpty) {
+        val z = n.putObject("lsums")
+        m.longSums.toSeq.sortBy(_._1).foreach { case (c, s) => z.put(c, s) }
       }
     }
     Files.write(Paths.get(root, FileName),

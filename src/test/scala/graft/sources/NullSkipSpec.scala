@@ -118,6 +118,27 @@ class NullSkipSpec extends AnyFunSuite {
       .agg(min(col("empty"))).head().isNullAt(0))
   }
 
+  test("SUM(long col) answers from manifest partial sums; doubles stay un-pushed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sum").toString + "/t"
+    (0 until 1000).map(i => (1700000000000L + i, i.toLong * 7,
+      i * 0.5, if (i % 3 == 0) None else Some(i.toLong)))
+      .toDF("__time", "n", "d", "sparse").repartition(4)
+      .write.format("druid").mode("overwrite").save(dir)
+    val df = spark.read.format("druid").load(dir)
+    val pushedAgg = df.agg(sum(col("n")), sum(col("sparse")), count(lit(1)))
+    assert(pushedAgg.head().toSeq == Seq(
+      (0L until 1000).map(_ * 7).sum,
+      (0L until 1000).filter(_ % 3 != 0).sum,
+      1000L))
+    assert(!pushedAgg.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "sum(long) not completely pushed")
+    // double sums are order-dependent: must NOT push, still correct
+    val dsum = df.agg(sum(col("d")))
+    assert(dsum.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    assert(math.abs(dsum.head().getDouble(0) - (0 until 1000).map(_ * 0.5).sum) < 1e-6)
+  }
+
   test("IS NOT NULL prunes all-null segments at planning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-nnp").toString + "/t"

@@ -36,14 +36,22 @@ class SegmentCatalogSpec extends AnyFunSuite {
   test("queries plan from the manifest with ZERO planner segment opens") {
     val out = Files.createTempDirectory("graft-cat0").toString + "/t"
     write(out, 2000)
-    val df = spark.read.format("druid").load(out).groupBy().sum("n")
     def opens(): Long = graft.format.DruidSegment.openCounts.asScala
       .collect { case (d, c) if d.startsWith(out) => c.toLong }.sum
+    // sum of an EXPRESSION is not metadata-answerable: data must scan
+    val df = spark.read.format("druid").load(out)
+      .agg(sum(col("n") * 2).as("s"))
     val before = opens()
-    assert(df.head.getLong(0) == (0 until 2000).map(_.toLong).sum)
+    assert(df.head.getLong(0) == (0 until 2000).map(_.toLong * 2).sum)
     val delta = opens() - before
     // only the 2 reader tasks open segments; planning reads the manifest
     assert(delta == 2, s"expected 2 reader-only opens, got $delta")
+    // plain SUM(col) is answered entirely from the manifest: ZERO opens
+    val before2 = opens()
+    assert(spark.read.format("druid").load(out).groupBy().sum("n")
+      .head.getLong(0) == (0 until 2000).map(_.toLong).sum)
+    assert(opens() - before2 == 0,
+      "metadata-answered sum must not open any segment")
   }
 
   test("append keeps the manifest complete across jobs") {
