@@ -326,6 +326,47 @@ object PipelineQueries extends QuerySet {
               |       THEN 1 ELSE 0 END AS BIGINT) AS flagged
               |FROM st ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic corpus mixing (temperature resampling): per-source
+    // sampling thresholds from sqrt-scaled token mass (alpha = 0.5 —
+    // upweights small sources, the standard pretraining mix), applied
+    // by integer hash acceptance so the SAMPLE ITSELF is reproducible
+    // cross-engine, not just the rates. All per-source stats are tiny
+    // -> both joins broadcast; the corpus never shuffles. floor(sqrt)
+    // on integers is cross-engine exact (perfect squares are exact in
+    // doubles; irrationals can't sit on the floor boundary).
+    Q("d12_mix_resample",
+      (s, dir) => {
+        val wc = TextOps.wordCountSql
+        val docs = Tables.load(s, dir, "documents")
+        val bySrc = docs
+          .groupBy(col("source"))
+          .agg(sum(expr(s"CAST($wc AS BIGINT)")).as("toks"),
+               count(lit(1)).as("n_in"))
+        val thr = bySrc
+          .crossJoin(broadcast(bySrc.agg(
+            max(expr("CAST(floor(sqrt(toks)) AS BIGINT)")).as("mx"))))
+          .select(col("source"), col("n_in"),
+            expr("(10000 * CAST(floor(sqrt(toks)) AS BIGINT)) div mx").as("thr"))
+        docs.join(broadcast(thr), "source")
+          .filter(expr("((7919 * doc_id + 104729) % 1000003) % 10000") < col("thr"))
+          .groupBy(col("source"), col("n_in"), col("thr"))
+          .agg(count(lit(1)).as("kept"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH by_src AS (
+               |  SELECT source, CAST(sum(CAST(${TextOps.toDuck(TextOps.wordCountSql)} AS BIGINT)) AS BIGINT) AS toks,
+               |         count(*) AS n_in
+               |  FROM documents GROUP BY 1),
+               |mx AS (SELECT max(CAST(floor(sqrt(toks)) AS BIGINT)) AS mx FROM by_src),
+               |thr AS (
+               |  SELECT source, n_in,
+               |         (10000 * CAST(floor(sqrt(toks)) AS BIGINT)) // mx AS thr
+               |  FROM by_src, mx)
+               |SELECT t.source, t.n_in, t.thr, count(*) AS kept
+               |FROM documents d JOIN thr t ON d.source = t.source
+               |WHERE ((7919 * d.doc_id + 104729) % 1000003) % 10000 < t.thr
+               |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).
