@@ -367,6 +367,81 @@ object PipelineQueries extends QuerySet {
                |WHERE ((7919 * d.doc_id + 104729) % 1000003) % 10000 < t.thr
                |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
 
+    // THE END-TO-END CURATION PIPELINE in one query: language filter ->
+    // quality floor -> exact dedup (hash-keyed winners) -> LSH near-dup
+    // removal (jaccard >= 0.5 drops the higher doc_id) -> per-source
+    // corpus report. Each stage keeps its standalone query's scale
+    // shape: per-row filters stream through the scan, the exact-dedup
+    // exchange carries 16-byte hash keys, signatures are a per-row
+    // native projection, the rerank is candidate-restricted. What the
+    // composition itself adds is zero extra shuffles beyond the stages'
+    // own — survivors flow by left-semi/anti joins on doc_id.
+    Q("d13_curation_pipeline",
+      (s, dir) => {
+        val en = TextOps.markerCountSql("the")
+        val art = TextOps.markerCountSql("a")
+        val wc = TextOps.wordCountSql
+        val docs = Tables.load(s, dir, "documents")
+        val filtered = docs
+          .filter(expr(s"($en) + ($art) >= 3 AND ($wc) >= 10"))
+        val winners = filtered
+          .groupBy(xxhash64(lower(col("text"))).as("h"),
+                   length(col("text")).as("len"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val surv = filtered
+          .join(winners.select("doc_id"), Seq("doc_id"), "left_semi")
+        val cand = TextOps.lshCandidates(
+          TextOps.bandSignaturesDirect(surv, 16, 4)).cache()
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id"))).distinct()
+        val dups = TextOps.exactJaccardDirect(
+            surv.join(candDocs, Seq("doc_id"), "left_semi"), cand)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("d2").as("doc_id")).distinct()
+        surv.join(dups, Seq("doc_id"), "left_anti")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(expr(s"CAST($wc AS BIGINT)")).as("toks"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val en = TextOps.toDuck(TextOps.markerCountSql("the"))
+        val art = TextOps.toDuck(TextOps.markerCountSql("a"))
+        val wc = TextOps.toDuck(TextOps.wordCountSql)
+        s"""WITH filtered AS (
+           |  SELECT doc_id, source, text FROM documents
+           |  WHERE ($en) + ($art) >= 3 AND ($wc) >= 10),
+           |winners AS (
+           |  SELECT min(doc_id) AS doc_id FROM filtered GROUP BY lower(text)),
+           |surv AS (
+           |  SELECT f.doc_id, f.source, f.text
+           |  FROM filtered f JOIN winners USING (doc_id)),
+           |tri AS (
+           |  SELECT DISTINCT doc_id, ${TextOps.gram5Sql} AS tg
+           |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+           |        FROM surv WHERE length(text) >= 5)),
+           |${duckParams(16)},
+           |$duckBands,
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+           |inter AS (
+           |  SELECT d1, d2, count(*) AS ic
+           |  FROM cand JOIN tri t1 ON d1 = t1.doc_id
+           |            JOIN tri t2 ON d2 = t2.doc_id AND t1.tg = t2.tg
+           |  GROUP BY d1, d2),
+           |dups AS (
+           |  SELECT DISTINCT d2 FROM inter
+           |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+           |  WHERE round(ic * CAST(1 AS DOUBLE) / (s1.sz + s2.sz - ic), 4) >= 0.5)
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(CAST($wc AS BIGINT)) AS BIGINT) AS toks
+           |FROM surv WHERE doc_id NOT IN (SELECT d2 FROM dups)
+           |GROUP BY source ORDER BY source""".stripMargin
+      }),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).
