@@ -38,13 +38,24 @@ object Bench {
     // A single pass wobbles 20-30% run-to-run from JIT/GC/page-cache
     // noise at these sub-second scales; the min of two is the stable,
     // honest per-query figure (first-pass total is still disclosed).
+    // local-iteration filter (unset in driver runs → all queries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def pass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+    // queries that .cache() intermediates (d2/d13/e2) leave their blocks
+    // in storage memory; clear between passes so (a) pass2 pays its own
+    // cache builds instead of silently reusing pass1's via canonical-plan
+    // matching, and (b) accumulated blocks don't pressure GC for later
+    // queries in the same pass
+    spark.catalog.clearCache()
     val pass1 = pass()
+    spark.catalog.clearCache()
     val pass2 = pass().toMap
     val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -388,8 +388,13 @@ object PipelineQueries extends QuerySet {
           .groupBy(xxhash64(lower(col("text"))).as("h"),
                    length(col("text")).as("len"))
           .agg(min(col("doc_id")).as("doc_id"))
+        // Survivors feed four consumers (signatures, rerank restriction,
+        // anti-join, final report) — cache this checkpoint like a real
+        // curation pipeline materializes between stages, rather than
+        // re-scanning + re-filtering the corpus per consumer.
         val surv = filtered
           .join(winners.select("doc_id"), Seq("doc_id"), "left_semi")
+          .cache()
         val cand = TextOps.lshCandidates(
           TextOps.bandSignaturesDirect(surv, 16, 4)).cache()
         val candDocs = cand.select(col("d1").as("doc_id"))
