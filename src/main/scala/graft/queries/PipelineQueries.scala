@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.pipeline.{Multimodal, TextOps, VectorOps}
 
@@ -446,6 +447,87 @@ object PipelineQueries extends QuerySet {
            |FROM surv WHERE doc_id NOT IN (SELECT d2 FROM dups)
            |GROUP BY source ORDER BY source""".stripMargin
       }),
+
+    // Chunk-level (RefinedWeb-style span) dedup: docs split into
+    // disjoint 10-word chunks; a chunk is "duplicated" when its text
+    // occurs in >= 2 distinct docs. Scale shape: the chunk exchange
+    // carries 8-byte xxhash64 keys (never chunk text), the dup set is
+    // a hash-only aggregate joined back by hash, and the report is a
+    // per-source roll-up. The oracle groups by chunk text directly —
+    // identical barring a 64-bit collision (same argument as d1).
+    Q("d14_chunk_dedup",
+      (s, dir) => {
+        val chunkExpr =
+          "transform(sequence(0, CAST((size(split(text, ' ')) - 1) div 10 AS INT)), " +
+            "i -> array_join(slice(split(text, ' '), i * 10 + 1, 10), ' '))"
+        val chunks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(expr(chunkExpr)).as("chunk"))
+          .select(col("doc_id"), col("source"), xxhash64(col("chunk")).as("ch"))
+        val dup = chunks.groupBy(col("ch"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("ch"), lit(1L).as("isdup"))
+        chunks.join(dup, Seq("ch"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(coalesce(col("isdup"), lit(0L))).as("dup_chunks"))
+          .select(col("source"), col("n_chunks"), col("dup_chunks"),
+            round(col("dup_chunks") * lit(1.0) / col("n_chunks"), 4).as("dup_frac"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+             |ch AS (SELECT doc_id, source, array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk
+             |       FROM (SELECT doc_id, source, w,
+             |             unnest(range(0, (len(w)-1)//10 + 1)) AS i FROM ws)),
+             |dup AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2)
+             |SELECT source, count(*) AS n_chunks,
+             |  CAST(count(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup)) AS BIGINT)
+             |    AS dup_chunks,
+             |  round(count(*) FILTER (WHERE chunk IN (SELECT chunk FROM dup))
+             |        * CAST(1 AS DOUBLE) / count(*), 4) AS dup_frac
+             |FROM ch GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Corpus TF-IDF keyword extraction: top-3 terms per doc by
+    // tf * (N / df) with a linear idf. All ranking arithmetic is
+    // integer products and one IEEE division (correctly rounded →
+    // bit-identical across engines), so the window order is exact and
+    // the result hash-matches. Scale shape: term counts shuffle
+    // (doc_id, word) pairs AFTER map-side combine; the df table is
+    // vocabulary-sized and broadcast back; top-k is one window over
+    // the doc_id-partitioned term counts.
+    Q("d15_tfidf_keywords",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val tc = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf"))
+        val dfx = tc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+        val nn = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tc.join(broadcast(dfx), "word").crossJoin(broadcast(nn))
+          .withColumn("score",
+            col("tf") * col("n_docs").cast("double") / col("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("word"),
+                  round(col("score"), 4).as("tfidf"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""WITH terms AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |tc AS (SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word),
+             |dfx AS (SELECT word, count(*) AS df FROM tc GROUP BY word),
+             |nn AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (SELECT doc_id, word, tf * CAST(n_docs AS DOUBLE) / df AS score
+             |           FROM tc JOIN dfx USING (word) CROSS JOIN nn),
+             |rk AS (SELECT doc_id, word, score,
+             |       row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+             |       FROM scored)
+             |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, round(score, 4) AS tfidf
+             |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
     // ---- similarity search over embeddings ----
 

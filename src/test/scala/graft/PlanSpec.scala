@@ -132,6 +132,23 @@ class PlanSpec extends AnyFunSuite {
       s"dim filter missing from scan description:\n$p12")
   }
 
+  test("chunk dedup shuffles chunk hashes, not chunk text (d14)") {
+    val p = plan(run("d14_chunk_dedup")).split("== Initial Plan ==")(0)
+    assert(p.contains("xxhash64"), s"chunk key is not hashed:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty, s"expected shuffles in d14:\n$p")
+    assert(!exchanges.exists(e => e.contains("chunk") || e.contains("text")),
+      s"an exchange carries chunk/document text:\n${exchanges.mkString("\n")}")
+  }
+
+  test("tf-idf broadcasts the vocabulary-sized df table (d15)") {
+    val p = plan(run("d15_tfidf_keywords"))
+    assert(p.contains("BroadcastHashJoin"), s"df join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"vocabulary join shuffles the term counts:\n$p")
+    assert(!p.contains("CartesianProduct"), s"N join is a cartesian:\n$p")
+  }
+
   test("sessionization reuses one user_id shuffle end-to-end (q27)") {
     // lag window, running session-id sum, and per-session count all
     // partition by user_id: exactly one data-sized hash exchange, plus
