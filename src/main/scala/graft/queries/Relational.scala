@@ -624,5 +624,61 @@ object Relational extends QuerySet {
                 AS avg_k,
               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -- Bucketed co-located join: lineitem and orders pre-bucketed by
+    //    orderkey into the same bucket count, so the fact-fact join
+    //    needs NO exchange on either side — the 100 TB answer to
+    //    repeated large-table joins (pay one bucketed write, then every
+    //    downstream join on that key is shuffle-free; PlanSpec pins the
+    //    exchange-free plan). The merge hint forces SMJ so the demo
+    //    doesn't degenerate to broadcast at test scale; at real scale
+    //    SMJ is what the planner picks anyway.
+    Q("q30_bucketed_join",
+      (s, dir) => {
+        val (lt, ot) = stageBucketed(s, dir)
+        val l = s.table(lt).hint("merge")
+        val o = s.table(ot)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+               round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+                 .as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+              round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
   )
+
+  private val bucketedDone = scala.collection.mutable.Set[String]()
+
+  /** Write lineitem + orders as parquet tables bucketed by orderkey
+    * (8 buckets, one file per bucket via a matching repartition) once
+    * per JVM and scale dir; returns the two table names. External-table
+    * paths live under /tmp so nothing touches the repo or testdata.
+    */
+  def stageBucketed(s: SparkSession, dir: String): (String, String) =
+    synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (lt, ot) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      if (!bucketedDone.contains(tag)) {
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+          .repartition(8, col("l_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"/tmp/graft_bucketed/$tag/lineitem")
+          .saveAsTable(lt)
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority")
+          .repartition(8, col("o_orderkey"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"/tmp/graft_bucketed/$tag/orders")
+          .saveAsTable(ot)
+        bucketedDone += tag
+      }
+      (lt, ot)
+    }
 }

@@ -149,6 +149,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"N join is a cartesian:\n$p")
   }
 
+  test("bucketed fact-fact join is exchange-free on the join key (q30)") {
+    val p = plan(run("q30_bucketed_join")).split("== Initial Plan ==")(0)
+    assert(p.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$p")
+    val keyExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filter(_.contains("orderkey")).toList
+    assert(keyExchanges.isEmpty,
+      s"bucketed join still shuffles on the join key:\n${keyExchanges.mkString("\n")}")
+  }
+
   test("sessionization reuses one user_id shuffle end-to-end (q27)") {
     // lag window, running session-id sum, and per-session count all
     // partition by user_id: exactly one data-sized hash exchange, plus
