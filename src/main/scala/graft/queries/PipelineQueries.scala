@@ -529,6 +529,48 @@ object PipelineQueries extends QuerySet {
              |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, round(score, 4) AS tfidf
              |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
 
+    // Sequence packing: assign docs to fixed-budget (512-token)
+    // training sequences by a per-source running token count — the
+    // standard pretraining batch-prep step. A doc starts a new sequence
+    // when the running total crosses the budget (start-offset rule, so
+    // assignment is a pure integer window — exact cross-engine). Scale
+    // shape: ONE shuffle on source (the window partition key);
+    // everything else is per-row arithmetic + the final tiny roll-up.
+    // At 100 TB you'd partition by (source, shard) to bound partition
+    // width; the window itself never sees text, only token counts.
+    Q("d16_pack_sequences",
+      (s, dir) => {
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            expr("CAST((length(text) + 3) div 4 AS BIGINT)").as("tok"))
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = toks
+          .withColumn("cum", sum(col("tok")).over(w))
+          .withColumn("seq_id", expr("(cum - tok) div 512"))
+        packed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("seq_id")).as("n_seqs"),
+               sum(col("tok")).as("total_toks"))
+          .select(col("source"), col("n_docs"), col("n_seqs"), col("total_toks"),
+            round(col("total_toks") * lit(1.0) / (col("n_seqs") * lit(512)), 4)
+              .as("fill"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, source, (length(text) + 3) // 4 AS tok FROM documents),
+             |packed AS (
+             |  SELECT source, doc_id, tok,
+             |    (sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+             |                    ROWS UNBOUNDED PRECEDING) - tok) // 512 AS seq_id
+             |  FROM toks)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+             |  CAST(sum(tok) AS BIGINT) AS total_toks,
+             |  round(sum(tok) * CAST(1 AS DOUBLE) / (count(DISTINCT seq_id) * 512), 4)
+             |    AS fill
+             |FROM packed GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).
