@@ -99,6 +99,31 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     -1
   }
 
+  /** Dictionary id range [lo, hi) of values starting with `prefix`.
+    * The dictionary is UTF-8-byte sorted, so the prefix set is exactly
+    * the contiguous interval of entries >= prefix whose first
+    * prefix-many bytes match (null sorts first and never matches).
+    */
+  def dictIdRangeForPrefix(prefix: String): (Int, Int) = {
+    val p = prefix.getBytes("UTF-8")
+    val n = dictionary.numElements
+    var lo = 0
+    var hi = n
+    while (lo < hi) { // first id with bytes >= p
+      val mid = (lo + hi) >>> 1
+      val b = dictionary.bytesAt(mid)
+      val cmp = if (b == null) -1 else StringColumn.compareUtf8(b, p)
+      if (cmp < 0) lo = mid + 1 else hi = mid
+    }
+    var end = lo
+    while (end < n && {
+      val b = dictionary.bytesAt(end)
+      b != null && b.length >= p.length &&
+        java.util.Arrays.equals(b, 0, p.length, p, 0, p.length)
+    }) end += 1
+    (lo, end)
+  }
+
   def length: Int = ids.length
 
   /** Dictionary lookup for row i (null when dict entry is null). */

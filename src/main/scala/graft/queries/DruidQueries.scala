@@ -352,6 +352,26 @@ object DruidQueries extends QuerySet {
               WHERE c_name IN ('Customer#000000042', 'Customer#000001007')
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // -- Prefix (LIKE 'p%') pushdown on the name-clustered table: the
+    //    envelope test skips segments whose [min, max] range misses
+    //    [p, succ(p)), and surviving segments row-skip via one bitmap
+    //    union over the contiguous UTF-8 dictionary id range — Druid's
+    //    sorted dictionary is what makes a prefix a range scan
+    //    (PrefixPushdownSpec pins both prunings).
+    Q("dr17_prefix_scan",
+      (s, dir) => {
+        custClusteredSeg(s, dir)
+          .filter(col("c_name").startsWith("Customer#00000042"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+              round(sum(c_acctbal), 2) AS bal
+              FROM customer
+              WHERE c_name LIKE 'Customer#00000042%'
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // -- Druid SearchQuery: which dimension values match a substring,
     //    with exact row counts — answered per segment from the sorted
     //    dictionary + bitmap cardinalities, O(dictionary) not O(rows),

@@ -141,6 +141,23 @@ private[druid] object RowSelection {
         case _ => None
       }
     }
+    // prefix (LIKE 'p%') filters: the UTF-8-sorted dictionary makes the
+    // matching values a contiguous id range — one bitmap union per
+    // prefix, AND across prefixes/columns (same residual-verified
+    // contract as the equality sets above)
+    val prefixSets = part.prefixFilters.toSeq.flatMap { case (name, prefixes) =>
+      if (!segment.columnNames.contains(name)) Nil
+      else segment.column(name) match {
+        case StringColumnData(sc) if sc.bitmaps.isDefined =>
+          prefixes.map { p =>
+            val (lo, hi) = sc.dictIdRangeForPrefix(p)
+            val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            (lo until hi).foreach(id => sc.bitmapFor(id).foreach(acc.or))
+            acc
+          }
+        case _ => Nil
+      }
+    }
     def trailerOf(name: String): Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
       segment.column(name) match {
         case LongColumnData(_, nulls) if nulls != null => Some(nulls)
@@ -163,11 +180,13 @@ private[druid] object RowSelection {
         trailerOf(name).getOrElse { emptySplit = true; null }
       }.filter(_ != null)
     if (emptySplit) return Array.emptyIntArray
-    if (applicable.isEmpty && nullSets.isEmpty && onlyNullSets.isEmpty) null
+    if (applicable.isEmpty && prefixSets.isEmpty && nullSets.isEmpty &&
+        onlyNullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
       applicable.foreach(range.and)
+      prefixSets.foreach(range.and)
       onlyNullSets.foreach(range.and)
       nullSets.foreach(range.andNot)
       range.toArray

@@ -33,6 +33,10 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // AND across columns of (column IN values) — served by the string
   // columns' Roaring bitmap indexes as row-skipping at read time
   private var dimFilters: Map[String, Seq[String]] = Map.empty
+  // AND across columns of required value prefixes (LIKE 'p%') — served
+  // row-level by a contiguous dictionary-id range's bitmap union, and
+  // segment-level by the string zone envelopes
+  private var prefixFilters: Map[String, Seq[String]] = Map.empty
   // per-numeric-column REQUIRED value range (inclusive), from pushed
   // range/equality filters — matched against manifest zone maps to skip
   // whole segments at planning
@@ -134,6 +138,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
         numeric(v).foreach { d => zoneLo(c, d); zoneHi(c, d) }
       case IsNotNull(c) if hasNullTrailer(c) => notNullCols += c
       case IsNull(c) if hasNullTrailer(c) => isNullCols += c
+      case StringStartsWith(c, p) if isStringCol(c) && p.nonEmpty =>
+        prefixFilters += c -> (prefixFilters.getOrElse(c, Nil) :+ p)
       case _ => ()
     }
     pushed = filters.filter {
@@ -149,6 +155,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualTo(c, _) => isNumericCol(c)
       case IsNotNull(c) => hasNullTrailer(c)
       case IsNull(c) => hasNullTrailer(c)
+      case StringStartsWith(c, p) => isStringCol(c) && p.nonEmpty
       case _ => false
     }
     filters // all residual: we prune storage, Spark verifies rows
@@ -175,7 +182,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
                         l: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
-      notNullCols.isEmpty && isNullCols.isEmpty &&
+      notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     if (!clean || orders.length != 1 || l <= 0) return false
     val o = orders.head
@@ -279,7 +286,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     }
     if (pushedAggs.nonEmpty || groupByDim.isDefined) return false
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
-      notNullCols.isEmpty && isNullCols.isEmpty && limit < 0 &&
+      notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
+      limit < 0 &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     val groupCols = agg.groupByExpressions().toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
@@ -299,7 +307,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
-      notNullCols, isNullCols, topNTime, groupByDim)
+      notNullCols, isNullCols, topNTime, groupByDim, prefixFilters)
 }
 
 object DruidScanBuilder {
@@ -381,7 +389,9 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      limit: Int, batchSize: Int,
                                      dimFilters: Map[String, Seq[String]],
                                      notNullCols: Set[String] = Set.empty,
-                                     isNullCols: Set[String] = Set.empty)
+                                     isNullCols: Set[String] = Set.empty,
+                                     prefixFilters: Map[String, Seq[String]] =
+                                       Map.empty)
     extends InputPartition
 
 /** Single partition carrying metadata-derived aggregate answers (one
@@ -407,7 +417,8 @@ class DruidScan(root: String, required: StructType,
                 notNullCols: Set[String] = Set.empty,
                 isNullCols: Set[String] = Set.empty,
                 topNTime: Option[(Boolean, Int)] = None,
-                groupByDim: Option[String] = None)
+                groupByDim: Option[String] = None,
+                prefixFilters: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -480,6 +491,7 @@ class DruidScan(root: String, required: StructType,
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
+      s"prefixFilters=$prefixFilters, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
       s"isNull=${isNullCols.mkString(",")}, topNTime=$topNTime, " +
       s"groupByDim=$groupByDim, pushedAggs=${pushedAggs.mkString(",")})"
@@ -523,6 +535,22 @@ class DruidScan(root: String, required: StructType,
       }
     }
 
+  /** Prefix (LIKE 'p%') segment test against the string envelopes: a
+    * value starts with p only if p <= value < succ(p) (bump the last
+    * non-max char), so a segment whose [lo, hi] envelope misses that
+    * interval can't hold a match. Both bounds are conservative in the
+    * envelope's compareTo order; the residual filter re-verifies rows.
+    */
+  private def prefixZonesAdmit(m: SegMeta): Boolean =
+    prefixFilters.forall { case (c, ps) =>
+      m.strZones.get(c).forall { case (lo, hi) =>
+        ps.forall { p =>
+          hi.compareTo(p) >= 0 &&
+            DruidScan.prefixSucc(p).forall(s => lo.compareTo(s) < 0)
+        }
+      }
+    }
+
   /** All-null segment pruning for IS NOT NULL: when the manifest
     * carries null counts, a segment where every row of the column is
     * null (or that predates the column entirely) is skipped at
@@ -537,7 +565,8 @@ class DruidScan(root: String, required: StructType,
 
   private def admit(m: SegMeta): Boolean =
     m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
-      zonesAdmit(m) && strZonesAdmit(m) && notNullAdmit(m)
+      zonesAdmit(m) && strZonesAdmit(m) && prefixZonesAdmit(m) &&
+      notNullAdmit(m)
 
   /** Top-N-by-__time segment cut. Sound because: take segments from
     * the time-extreme end until they hold >= k rows; every taken row's
@@ -580,7 +609,7 @@ class DruidScan(root: String, required: StructType,
       val capped = if (limit >= 0) math.min(rows, limit) else rows
       (0 until capped by per).map { start =>
         DruidInputPartition(dir, start, math.min(capped, start + per), limit,
-          batchSize, dimFilters, notNullCols, isNullCols)
+          batchSize, dimFilters, notNullCols, isNullCols, prefixFilters)
       }
     }
     parts.toArray
@@ -670,5 +699,18 @@ class DruidScan(root: String, required: StructType,
     }).sum.max(1L)
     override def sizeInBytes(): OptionalLong = OptionalLong.of(totalRows * rowBytes)
     override def numRows(): OptionalLong = OptionalLong.of(totalRows)
+  }
+}
+
+object DruidScan {
+  /** Smallest string greater than every string starting with `p`: bump
+    * the last non-max char and drop the tail. None when every char is
+    * Char.MaxValue (no finite successor — only the lower bound prunes).
+    */
+  private[druid] def prefixSucc(p: String): Option[String] = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == Char.MaxValue) i -= 1
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 }

@@ -1,0 +1,83 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.format.StringColumn
+
+/** LIKE-'p%' pushdown: row selection from a contiguous UTF-8 dictionary
+  * id range's bitmap union, and whole-segment skipping from the string
+  * zone envelopes. Rows stay residual-verified by Spark, so every
+  * assertion here is about pruning, with counts proving correctness.
+  */
+class PrefixPushdownSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private val groups = Seq("aa", "ab", "ba", "bb")
+  private def nameOf(i: Int): String =
+    if (i % 997 == 0) null else groups(i / 1000) + f"${i % 1000}%03d"
+
+  /** 4 dim-clustered segments, one per two-letter prefix group (range
+    * boundaries are sample-approximate — tests allow one straddle).
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-prefix").toString + "/t"
+    (0 until 4000).map(i => (1700000000000L + i, nameOf(i), i.toLong))
+      .toDF("__time", "name", "n")
+      .repartitionByRange(4, col("name"))
+      .write.format("druid").mode("overwrite").save(out)
+    out
+  }
+
+  test("dictIdRangeForPrefix finds the contiguous matching range") {
+    val vals = Seq(null, "aa", "ab1", "ab2", "abc", "ac", "b")
+    val bytes = StringColumn.write(vals, withBitmaps = true)
+    val col = new StringColumn(ByteBuffer.wrap(bytes), 0, bytes.length)
+    // dict order: null, aa, ab1, ab2, abc, ac, b
+    assert(col.dictIdRangeForPrefix("ab") == ((2, 5)))
+    assert(col.dictIdRangeForPrefix("a") == ((1, 6)))
+    assert(col.dictIdRangeForPrefix("zz") == ((7, 7)))
+    assert(col.dictIdRangeForPrefix("ab1") == ((2, 3)))
+  }
+
+  test("startsWith selects exact rows and reaches the scan description") {
+    val df = spark.read.format("druid").load(dir)
+      .filter(col("name").startsWith("ab"))
+    val expected = (0 until 4000).count(i =>
+      nameOf(i) != null && nameOf(i).startsWith("ab"))
+    assert(df.count() == expected)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("prefixFilters=Map(name"),
+      s"prefix filter missing from scan description:\n$p")
+  }
+
+  test("conjunctive prefixes intersect") {
+    val df = spark.read.format("druid").load(dir)
+      .filter(col("name").startsWith("a") && col("name").startsWith("ab"))
+    val expected = (0 until 4000).count(i =>
+      nameOf(i) != null && nameOf(i).startsWith("ab"))
+    assert(df.count() == expected)
+  }
+
+  test("prefix envelope pruning skips disjoint segments") {
+    val df = spark.read.format("druid").load(dir)
+      .filter(col("name").startsWith("ab"))
+    assert(df.rdd.getNumPartitions <= 2, // one straddle allowed
+      s"prefix pruning failed: ${df.rdd.getNumPartitions} partitions")
+    val none = spark.read.format("druid").load(dir)
+      .filter(col("name").startsWith("zz"))
+    assert(none.rdd.getNumPartitions == 0,
+      s"above-envelope prefix must plan zero: ${none.rdd.getNumPartitions}")
+    assert(none.count() == 0)
+    val below = spark.read.format("druid").load(dir)
+      .filter(col("name").startsWith("A")) // below every envelope
+    assert(below.rdd.getNumPartitions == 0,
+      s"below-envelope prefix must plan zero: ${below.rdd.getNumPartitions}")
+    assert(below.count() == 0)
+  }
+}
