@@ -372,6 +372,25 @@ object DruidQueries extends QuerySet {
               WHERE c_name LIKE 'Customer#00000042%'
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // -- Contains/ends-with pushdown (the rest of the LIKE family):
+    //    no envelope can prune these, but each surviving segment
+    //    resolves matching rows from ONE pass over its dictionary
+    //    (cardinality << rows) + a bitmap union — zero row decode
+    //    before the residual re-check.
+    Q("dr18_pattern_scan",
+      (s, dir) => {
+        custClusteredSeg(s, dir)
+          .filter(col("c_name").endsWith("42"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+              round(sum(c_acctbal), 2) AS bal
+              FROM customer
+              WHERE c_name LIKE '%42'
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // -- Druid SearchQuery: which dimension values match a substring,
     //    with exact row counts — answered per segment from the sorted
     //    dictionary + bitmap cardinalities, O(dictionary) not O(rows),

@@ -141,6 +141,29 @@ private[druid] object RowSelection {
         case _ => None
       }
     }
+    // contains / ends-with: one pass over the dictionary (cardinality
+    // << rows), bitmap union of matching entries — Druid's LIKE family
+    // without decoding a single row
+    val patternSets = part.patternFilters.toSeq.flatMap { case (name, pats) =>
+      if (!segment.columnNames.contains(name)) Nil
+      else segment.column(name) match {
+        case StringColumnData(sc) if sc.bitmaps.isDefined =>
+          val n = sc.dictionary.numElements
+          pats.map { pat =>
+            val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            var id = 0
+            while (id < n) {
+              val v = sc.dictionary.stringAt(id)
+              if (v != null && (if (pat.kind == "contains") v.contains(pat.pattern)
+                                else v.endsWith(pat.pattern)))
+                sc.bitmapFor(id).foreach(acc.or)
+              id += 1
+            }
+            acc
+          }
+        case _ => Nil
+      }
+    }
     // prefix (LIKE 'p%') filters: the UTF-8-sorted dictionary makes the
     // matching values a contiguous id range — one bitmap union per
     // prefix, AND across prefixes/columns (same residual-verified
@@ -180,13 +203,14 @@ private[druid] object RowSelection {
         trailerOf(name).getOrElse { emptySplit = true; null }
       }.filter(_ != null)
     if (emptySplit) return Array.emptyIntArray
-    if (applicable.isEmpty && prefixSets.isEmpty && nullSets.isEmpty &&
-        onlyNullSets.isEmpty) null
+    if (applicable.isEmpty && prefixSets.isEmpty && patternSets.isEmpty &&
+        nullSets.isEmpty && onlyNullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
       applicable.foreach(range.and)
       prefixSets.foreach(range.and)
+      patternSets.foreach(range.and)
       onlyNullSets.foreach(range.and)
       nullSets.foreach(range.andNot)
       range.toArray

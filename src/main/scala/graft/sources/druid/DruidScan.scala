@@ -37,6 +37,9 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // row-level by a contiguous dictionary-id range's bitmap union, and
   // segment-level by the string zone envelopes
   private var prefixFilters: Map[String, Seq[String]] = Map.empty
+  // contains/ends-with predicates served by an O(dictionary) scan +
+  // bitmap union per segment (no envelope pruning possible)
+  private var patternFilters: Map[String, Seq[DimPattern]] = Map.empty
   // per-numeric-column REQUIRED value range (inclusive), from pushed
   // range/equality filters — matched against manifest zone maps to skip
   // whole segments at planning
@@ -140,6 +143,12 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case IsNull(c) if hasNullTrailer(c) => isNullCols += c
       case StringStartsWith(c, p) if isStringCol(c) && p.nonEmpty =>
         prefixFilters += c -> (prefixFilters.getOrElse(c, Nil) :+ p)
+      case StringContains(c, v) if isStringCol(c) && v.nonEmpty =>
+        patternFilters += c ->
+          (patternFilters.getOrElse(c, Nil) :+ DimPattern("contains", v))
+      case StringEndsWith(c, v) if isStringCol(c) && v.nonEmpty =>
+        patternFilters += c ->
+          (patternFilters.getOrElse(c, Nil) :+ DimPattern("ends", v))
       case _ => ()
     }
     pushed = filters.filter {
@@ -156,6 +165,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case IsNotNull(c) => hasNullTrailer(c)
       case IsNull(c) => hasNullTrailer(c)
       case StringStartsWith(c, p) => isStringCol(c) && p.nonEmpty
+      case StringContains(c, v) => isStringCol(c) && v.nonEmpty
+      case StringEndsWith(c, v) => isStringCol(c) && v.nonEmpty
       case _ => false
     }
     filters // all residual: we prune storage, Spark verifies rows
@@ -183,6 +194,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
+      patternFilters.isEmpty &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     if (!clean || orders.length != 1 || l <= 0) return false
     val o = orders.head
@@ -287,7 +299,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     if (pushedAggs.nonEmpty || groupByDim.isDefined) return false
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
-      limit < 0 &&
+      patternFilters.isEmpty && limit < 0 &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     val groupCols = agg.groupByExpressions().toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
@@ -307,7 +319,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     new DruidScan(root, required, timeMin, timeMax, limit,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
-      notNullCols, isNullCols, topNTime, groupByDim, prefixFilters)
+      notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
+      patternFilters)
 }
 
 object DruidScanBuilder {
@@ -391,8 +404,15 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      notNullCols: Set[String] = Set.empty,
                                      isNullCols: Set[String] = Set.empty,
                                      prefixFilters: Map[String, Seq[String]] =
+                                       Map.empty,
+                                     patternFilters: Map[String, Seq[DimPattern]] =
                                        Map.empty)
     extends InputPartition
+
+/** Dictionary-scan-served string predicate: kind is "contains" or
+  * "ends" — evaluated once per dictionary entry, never per row.
+  */
+final case class DimPattern(kind: String, pattern: String)
 
 /** Single partition carrying metadata-derived aggregate answers (one
   * value per pushed aggregate, in order; null = empty table).
@@ -418,7 +438,8 @@ class DruidScan(root: String, required: StructType,
                 isNullCols: Set[String] = Set.empty,
                 topNTime: Option[(Boolean, Int)] = None,
                 groupByDim: Option[String] = None,
-                prefixFilters: Map[String, Seq[String]] = Map.empty)
+                prefixFilters: Map[String, Seq[String]] = Map.empty,
+                patternFilters: Map[String, Seq[DimPattern]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -491,7 +512,7 @@ class DruidScan(root: String, required: StructType,
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
-      s"prefixFilters=$prefixFilters, " +
+      s"prefixFilters=$prefixFilters, patternFilters=$patternFilters, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
       s"isNull=${isNullCols.mkString(",")}, topNTime=$topNTime, " +
       s"groupByDim=$groupByDim, pushedAggs=${pushedAggs.mkString(",")})"
@@ -609,7 +630,8 @@ class DruidScan(root: String, required: StructType,
       val capped = if (limit >= 0) math.min(rows, limit) else rows
       (0 until capped by per).map { start =>
         DruidInputPartition(dir, start, math.min(capped, start + per), limit,
-          batchSize, dimFilters, notNullCols, isNullCols, prefixFilters)
+          batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
+          patternFilters)
       }
     }
     parts.toArray

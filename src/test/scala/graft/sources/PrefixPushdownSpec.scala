@@ -64,6 +64,36 @@ class PrefixPushdownSpec extends AnyFunSuite {
     assert(df.count() == expected)
   }
 
+  test("contains and endsWith row-skip via a dictionary scan") {
+    val base = spark.read.format("druid").load(dir)
+    val expectedC = (0 until 4000).count(i =>
+      nameOf(i) != null && nameOf(i).contains("b12"))
+    assert(base.filter(col("name").contains("b12")).count() == expectedC)
+    val expectedE = (0 until 4000).count(i =>
+      nameOf(i) != null && nameOf(i).endsWith("7"))
+    assert(base.filter(col("name").endsWith("7")).count() == expectedE)
+    val df = base.filter(col("name").contains("b12"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("patternFilters=Map(name"),
+      s"pattern filter missing from scan description:\n$p")
+  }
+
+  test("pattern filters stay correct without bitmap indexes (residual)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-nobm").toString + "/t"
+    (0 until 400).map(i => (1700000000000L + i, nameOf(i * 10), i.toLong))
+      .toDF("__time", "name", "n")
+      .write.format("druid").option("bitmapIndexes", "false")
+      .mode("overwrite").save(out)
+    val base = spark.read.format("druid").load(out)
+    val names = (0 until 400).map(i => nameOf(i * 10))
+    assert(base.filter(col("name").startsWith("ab")).count() ==
+      names.count(v => v != null && v.startsWith("ab")))
+    assert(base.filter(col("name").contains("b12")).count() ==
+      names.count(v => v != null && v.contains("b12")))
+  }
+
   test("prefix envelope pruning skips disjoint segments") {
     val df = spark.read.format("druid").load(dir)
       .filter(col("name").startsWith("ab"))
