@@ -186,7 +186,8 @@ class DruidTable(root: String, schema0: StructType) extends Table
     if (schema0 != null) schema0 else DruidTableUtil.schemaFor(root)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DruidScanBuilder(root, schema(), options)

@@ -41,7 +41,62 @@ class DruidWriteBuilder(root: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!doTruncate,
+        "druid streaming sink supports append output mode only")
+      new DruidStreamingWrite(root, schema, bitmapIndexes, granularity)
+    }
   }
+}
+
+/** Native Structured Streaming sink (`writeStream.format("druid")`),
+  * append mode: each epoch stages segments under an epoch-keyed dir
+  * and commits them with the same atomic per-segment moves as the
+  * batch path. Exactly-once across epoch REPLAYS comes from a marker
+  * file per committed epoch — a re-delivered commit for an epoch that
+  * already landed is dropped whole (its staging dir is discarded), so
+  * recovery after a failure between sink-commit and checkpoint-commit
+  * never duplicates rows.
+  */
+class DruidStreamingWrite(root: String, schema: StructType,
+                          bitmapIndexes: Boolean,
+                          granularity: Option[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def stagingFor(epochId: Long): Path =
+    Paths.get(root, s".staging-stream-ep$epochId")
+  private def markerFor(epochId: Long): Path =
+    Paths.get(root, ".epochs", epochId.toString)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(root, ".epochs"))
+    val (r, sch, bm, g) = (root, schema, bitmapIndexes, granularity)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+                                epochId: Long): DataWriter[InternalRow] =
+        new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
+          s"ep$epochId", sch, partitionId, taskId, bm, g)
+    }
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    if (Files.exists(markerFor(epochId))) {
+      // replayed epoch: everything in it already landed — drop it
+      DruidBatchWrite.deleteRecursively(stagingFor(epochId))
+      return
+    }
+    DruidBatchWrite.commitJob(root, schema, truncate = false,
+      stagingDir = stagingFor(epochId), messages = messages)
+    Files.createDirectories(markerFor(epochId).getParent)
+    Files.createFile(markerFor(epochId))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit =
+    DruidBatchWrite.deleteRecursively(stagingFor(epochId))
 }
 
 /** `segmentGranularity` write option: each task splits its rows into
@@ -88,7 +143,22 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
       granularity)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    DruidBatchWrite.commitJob(root, schema, truncate, stagingDir, messages)
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // nothing committed ever left staging: drop it, destination intact
+    DruidBatchWrite.deleteRecursively(stagingDir)
+}
+
+object DruidBatchWrite {
+  /** Shared job commit for the batch and streaming paths: fail-fast
+    * union-schema check, atomic per-segment moves out of `stagingDir`,
+    * (batch overwrite only) truncate-last deletion of prior segments,
+    * and a manifest refresh.
+    */
+  def commitJob(root: String, schema: StructType, truncate: Boolean,
+                stagingDir: Path, messages: Array[WriterCommitMessage]): Unit = {
     val rootPath = Paths.get(root)
     // segments present before this job (overwrite deletes them LAST)
     val previous: Seq[Path] = {
@@ -151,11 +221,7 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
     } catch { case _: Exception => () } // manifest is a cache; never fail the job
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    // nothing committed ever left staging: drop it, destination intact
-    deleteRecursively(stagingDir)
-
-  private def deleteRecursively(p: Path): Unit =
+  private[druid] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder()).forEach(f => Files.delete(f))
 }

@@ -42,22 +42,21 @@ object StreamingOps {
       }
   }
 
-  /** Micro-batch segment ingest: every trigger's data becomes druid
-    * segments under `outDir` (append = new immutable segment dirs), so
+  /** Micro-batch segment ingest through the NATIVE streaming sink
+    * (`writeStream.format("druid")`): every epoch's data becomes druid
+    * segments under `outDir` (append = new immutable segment dirs,
+    * idempotent across epoch replays via per-epoch commit markers), so
     * the stream is queryable through the batch connector as it lands —
     * the Druid real-time-ingest shape on Spark primitives.
     */
   def segmentSink(stream: DataFrame, outDir: String, checkpoint: String,
                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
+      .format("druid")
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          batch.write.format("druid").mode("append").save(outDir)
-      }
-      .start()
+      .start(outDir)
 
   /** File-watch stream over a parquet drop directory with an explicit
     * schema (streaming needs one).
