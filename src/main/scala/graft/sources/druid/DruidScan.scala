@@ -441,9 +441,27 @@ class DruidScan(root: String, required: StructType,
                 prefixFilters: Map[String, Seq[String]] = Map.empty,
                 patternFilters: Map[String, Seq[DimPattern]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
 
   private def aggPushed: Boolean = pushedAggs.nonEmpty
+
+  /** Per-partition __time ordering, reported only when EVERY segment
+    * was written time-sorted (manifest flag; Druid's own layout): row
+    * ranges and bitmap row selections both preserve ascending row
+    * position, so each split streams __time-ascending and Spark's
+    * RemoveRedundantSorts can drop explicit per-partition time sorts.
+    * Aggregate-pushdown shapes emit synthetic rows — no claim there.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val claimable = !aggPushed && groupByDim.isEmpty &&
+      readSchema().fieldNames.contains("__time") &&
+      segmentMeta.nonEmpty && segmentMeta.forall(_.timeSorted)
+    if (claimable)
+      Array(Expressions.sort(Expressions.column("__time"),
+        SortDirection.ASCENDING))
+    else Array.empty
+  }
 
   // runtime (DPP-style) filters tighten these before planInputPartitions
   private var timeMinMs: Long = timeMinMs0

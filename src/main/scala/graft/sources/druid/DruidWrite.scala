@@ -520,19 +520,51 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       SegMeta(dir.toString, start, end, t.length, exactInterval = true,
         zones = widened, strZones = strZonesOf(columns),
         nullCounts = Some(nullCountsOf(columns)),
-        exactLongZones = xl, exactDoubleZones = xd, longSums = ls)
+        exactLongZones = xl, exactDoubleZones = xd, longSums = ls,
+        timeSorted = true)
+    }
+
+    // rows land __time-ascending inside every segment, like Druid's own
+    // indexer: time-adjacent rows compress better, boundary intervals
+    // are tight, and the scan can report per-partition ordering
+    // (SupportsReportOrdering) so Spark drops redundant time sorts.
+    // `null` selection = already sorted input, zero-copy path.
+    val order: Array[Int] = {
+      var sorted = true
+      var r = 1
+      while (sorted && r < rowCount) {
+        if (time(r - 1) > time(r)) sorted = false
+        r += 1
+      }
+      if (sorted) null
+      else {
+        val idx = Array.tabulate(rowCount)(identity)
+        // boxed sort keeps stability (ties stay in arrival order)
+        val boxed = idx.map(Int.box)
+        java.util.Arrays.sort(boxed,
+          (a: Integer, b: Integer) => {
+            val c = java.lang.Long.compare(time(a), time(b))
+            if (c != 0) c else Integer.compare(a, b)
+          })
+        var i = 0
+        while (i < rowCount) { idx(i) = boxed(i); i += 1 }
+        idx
+      }
     }
 
     val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {
-      case None => Seq(writeSegment("", null))
+      case None => Seq(writeSegment("", order))
       case Some(g) =>
         // one segment per UTC time bucket: intervals align with the
-        // granularity, so __time range scans prune whole segments
+        // granularity, so __time range scans prune whole segments.
+        // Traversal follows the sorted order, so per-bucket selections
+        // stay time-ascending.
         val buckets = new java.util.TreeMap[Long, IntBuilder]()
         var r = 0
         while (r < rowCount) {
-          buckets.computeIfAbsent(SegmentGranularity.bucketStart(time(r), g),
-            _ => new IntBuilder).add(r)
+          val ri = if (order == null) r else order(r)
+          buckets.computeIfAbsent(SegmentGranularity.bucketStart(time(ri), g),
+            _ => new IntBuilder).add(ri)
           r += 1
         }
         buckets.entrySet().asScala.map { e =>

@@ -41,7 +41,8 @@ final case class SegMeta(dir: String, startMs: Long, endMs: Long,
                          nullCounts: Option[Map[String, Long]] = None,
                          exactLongZones: Map[String, (Long, Long)] = Map.empty,
                          exactDoubleZones: Map[String, (Double, Double)] = Map.empty,
-                         longSums: Map[String, Long] = Map.empty)
+                         longSums: Map[String, Long] = Map.empty,
+                         timeSorted: Boolean = false)
 
 /** Table-level segment manifest (`_graft_manifest.json` under the table
   * root), written by the DSv2 commit and read at planning time.
@@ -140,7 +141,8 @@ object SegmentCatalog {
           v.get("start").asLong(), v.get("end").asLong(),
           v.get("rows").asInt(),
           Option(v.get("exact")).exists(_.asBoolean(false)),
-          zones, strZones, nullCounts, xl, xd, lsums)
+          zones, strZones, nullCounts, xl, xd, lsums,
+          timeSorted = Option(v.get("sorted")).exists(_.asBoolean(false)))
       }
       val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
       if (names.keySet != actual) None // stale: segments added/removed by hand
@@ -189,6 +191,7 @@ object SegmentCatalog {
       val n = segsNode.putObject(name)
       n.put("start", m.startMs); n.put("end", m.endMs)
       n.put("rows", m.rows); n.put("exact", m.exactInterval)
+      n.put("sorted", m.timeSorted)
       if (m.zones.nonEmpty) {
         val z = n.putObject("zones")
         m.zones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
