@@ -104,10 +104,30 @@ object TextOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
 
-  /** Candidate pairs from shared band signatures (d1 < d2). */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("doc_id").as("d1"), col("band"), col("sig"))
-    val b = bands.select(col("doc_id").as("d2"), col("band"), col("sig"))
+  /** Candidate pairs from shared band signatures (d1 < d2).
+    *
+    * `maxBucket` (off by default) is the 100 TB skew guard: a bucket of
+    * n docs emits n^2/2 pairs, so one boilerplate signature shared by
+    * 10^6 docs means 5*10^11 pairs out of a single bucket — the
+    * self-join's output, not its shuffle, is what explodes. Capped runs
+    * drop over-size buckets BEFORE the join (count per key, anti-join
+    * the hot keys) — the standard MinHash-at-scale practice: a bucket
+    * that hot is boilerplate, and its members still pair in their
+    * other, less-degenerate bands. Deterministic (a size threshold, no
+    * sampling), but capped output is a declared approximation — keep it
+    * OFF when exact parity with an uncapped oracle is required.
+    */
+  def lshCandidates(bands: DataFrame, maxBucket: Option[Int] = None): DataFrame = {
+    val pruned = maxBucket match {
+      case None => bands
+      case Some(cap) =>
+        val hot = bands.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("bn")).filter(col("bn") > cap)
+          .select("band", "sig")
+        bands.join(hot, Seq("band", "sig"), "left_anti")
+    }
+    val a = pruned.select(col("doc_id").as("d1"), col("band"), col("sig"))
+    val b = pruned.select(col("doc_id").as("d2"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("d1") < col("d2"))
       .select("d1", "d2").distinct()
   }

@@ -136,6 +136,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(projDiff == 0, "hplane_proj diverges from the zip_with fold")
   }
 
+  test("lshCandidates maxBucket drops only over-size buckets") {
+    import spark.implicits._
+    // bucket (0, 7): 4 docs (hot); bucket (1, 9): 2 docs (cold)
+    val bands = Seq(
+      (1L, 0, 7L), (2L, 0, 7L), (3L, 0, 7L), (4L, 0, 7L),
+      (1L, 1, 9L), (2L, 1, 9L)
+    ).toDF("doc_id", "band", "sig")
+    val uncapped = TextOps.lshCandidates(bands).collect().length
+    assert(uncapped == 6) // C(4,2) from hot + (1,2) already counted
+    val capped = TextOps.lshCandidates(bands, maxBucket = Some(3))
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      s"cap should keep only the cold bucket's pair: $capped")
+    // cap above every bucket size changes nothing
+    val loose = TextOps.lshCandidates(bands, maxBucket = Some(10))
+      .collect().length
+    assert(loose == uncapped)
+  }
+
   test("exactJaccardDirect matches the explode/join exactJaccard") {
     val sub = docs.filter(col("doc_id") < 60)
     val a = sub.select(col("doc_id").as("d1"), col("source"))
