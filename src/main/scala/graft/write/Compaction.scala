@@ -28,12 +28,17 @@ object Compaction {
     * `segmentGranularity`) through `options`; note a granularity option
     * buckets each shuffle partition further by time.
     *
-    * `clusterBy` range-partitions the rewrite on a column instead of
-    * round-robin: each output segment then covers a narrow value slice,
-    * so the manifest zone maps prune segments for range/point queries
-    * on that column — the OPTIMIZE/CLUSTER BY maintenance shape on
-    * segment tables.
+    * `clusterBy` range-partitions the rewrite on a column (or a
+    * comma-separated composite key) instead of round-robin: each
+    * output segment then covers a narrow value slice, so the manifest
+    * zone maps prune segments for range/point queries on the leading
+    * column(s) — the OPTIMIZE/CLUSTER BY maintenance shape on segment
+    * tables.
     */
+  private def clusterCols(spec: String) =
+    spec.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(org.apache.spark.sql.functions.col).toSeq
+
   def compact(spark: SparkSession, dir: String, targetRowsPerSegment: Long,
               options: Map[String, String] = Map.empty,
               clusterBy: Option[String] = None): Stats = {
@@ -44,8 +49,7 @@ object Compaction {
     val rows = df.count() // manifest/metadata-answered: no block decodes
     val parts = math.max(1, math.ceil(rows.toDouble / targetRowsPerSegment).toInt)
     val shuffled = clusterBy match {
-      case Some(c) =>
-        df.repartitionByRange(parts, org.apache.spark.sql.functions.col(c))
+      case Some(c) => df.repartitionByRange(parts, clusterCols(c): _*)
       case None => df.repartition(parts)
     }
     val writer = shuffled.write.format("druid").mode("overwrite")
@@ -92,8 +96,7 @@ object Compaction {
     val df = small.map(m => spark.read.format("druid").load(m.dir))
       .reduce(_.unionByName(_, allowMissingColumns = true))
     val shuffled = clusterBy match {
-      case Some(c) =>
-        df.repartitionByRange(parts, org.apache.spark.sql.functions.col(c))
+      case Some(c) => df.repartitionByRange(parts, clusterCols(c): _*)
       case None => df.repartition(parts)
     }
     val scratch = Paths.get(dir, s".compact-${java.util.UUID.randomUUID().toString.take(8)}")

@@ -92,6 +92,27 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(narrow.count() == 1000)
   }
 
+  test("composite cluster-by narrows both columns' zones") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-clu2").toString + "/t"
+    // 4 groups x 1000 rows, arrival order interleaved across groups
+    (0 until 4000).map(i => (1700000000000L + i, s"g${i % 4}", (i / 4).toLong))
+      .toDF("__time", "who", "n")
+      .repartition(4).write.format("druid").mode("overwrite").save(out)
+    val st = graft.write.Compaction.compact(spark, out,
+      targetRowsPerSegment = 500, clusterBy = Some("who, n"))
+    // leading-column equality + secondary range prunes to that group's
+    // slice of segments; range boundaries are sample-approximate, so
+    // allow straddles — the invariant is pruning well below the table
+    // (round-robin segments would all survive)
+    val one = spark.read.format("druid").load(out)
+      .filter(col("who") === "g2" && col("n") < 100)
+    assert(one.rdd.getNumPartitions < st.segmentsAfter / 2,
+      s"composite clustering did not prune: ${one.rdd.getNumPartitions}" +
+        s" of ${st.segmentsAfter}")
+    assert(one.count() == 100)
+  }
+
   test("manifest carries per-string-column envelopes") {
     val metas = SegmentCatalog
       .load(dir, DruidTableUtil.discoverSegments(dir)).get
