@@ -139,6 +139,11 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
         numeric(v).foreach(zoneHi(c, _))
       case EqualTo(c, v) if isNumericCol(c) =>
         numeric(v).foreach { d => zoneLo(c, d); zoneHi(c, d) }
+      // numeric IN -> conservative [min, max] zone envelope (a segment
+      // between two requested values survives; residual drops its rows)
+      case In(c, vs) if isNumericCol(c) && vs.nonEmpty =>
+        val ds = vs.toSeq.flatMap(numeric)
+        if (ds.length == vs.length) { zoneLo(c, ds.min); zoneHi(c, ds.max) }
       case IsNotNull(c) if hasNullTrailer(c) => notNullCols += c
       case IsNull(c) if hasNullTrailer(c) => isNullCols += c
       case StringStartsWith(c, p) if isStringCol(c) && p.nonEmpty =>
@@ -156,7 +161,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
            LessThan("__time", _) | LessThanOrEqual("__time", _) |
            EqualTo("__time", _) => true
       case EqualTo(c, _: String) => isStringCol(c)
-      case In(c, _) => isStringCol(c)
+      case In(c, _) => isStringCol(c) || isNumericCol(c)
       case GreaterThan(c, _) => isNumericCol(c)
       case GreaterThanOrEqual(c, _) => isNumericCol(c)
       case LessThan(c, _) => isNumericCol(c)

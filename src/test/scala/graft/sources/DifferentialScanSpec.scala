@@ -84,6 +84,7 @@ class DifferentialScanSpec extends AnyFunSuite {
     "kitchen sink" -> (df => df.filter(col("who").contains("2") &&
       col("who").endsWith("5") && col("v").isNotNull &&
       col("__time") >= timestamp_millis(lit(t0 + 1000000L)))),
+    "numeric IN" -> (df => df.filter(col("v").isin(7L, 444L, 999L))),
     "disjunction (residual only)" -> (df => df.filter(col("who") === "u001" ||
       col("v") < 50)),
     "negation (residual only)" -> (df => df.filter(!(col("who") === "u001")))
