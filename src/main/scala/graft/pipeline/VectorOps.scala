@@ -157,8 +157,13 @@ object VectorOps {
     * query touches nProbe/nCells of the corpus.
     */
   def ivfTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
-              k: Int, nCells: Int, nProbe: Int): DataFrame = {
-    val assign = ivfAssign(embeddings, nCells)
+              k: Int, nCells: Int, nProbe: Int,
+              precomputedAssign: Option[DataFrame] = None): DataFrame = {
+    // index-serve split: pass a PERSISTED assignment table (built once,
+    // e.g. nightly) and the query-time plan probes without touching the
+    // quantizer — at 100 TB the inverted lists are bucketed by cell on
+    // disk and a probe reads nProbe/nCells of the corpus
+    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, nCells))
     val cand = embeddings.select(col("vec_id"), col("embedding"))
       .join(assign, "vec_id")
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("cell"))

@@ -36,6 +36,53 @@ object PipelineQueries extends QuerySet {
        |         WHEN 2 THEN 16777216 ELSE 68719476736 END) AS BIGINT) AS sig
        |  FROM mh GROUP BY doc_id, j // 4)""".stripMargin
 
+  private val ivfOracle: String =
+    """WITH e AS (SELECT vec_id, embedding,
+              |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+              |          FROM range(64) t(i))) AS nrm
+              |  FROM embeddings),
+              |cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+              |         FROM e WHERE vec_id < 8),
+              |ac AS (SELECT v.vec_id, c.cid,
+              |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+              |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+              |  FROM e v, cent c),
+              |assign AS (SELECT vec_id, cid AS cell FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+              |    FROM ac) WHERE rn = 1),
+              |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+              |    SELECT vec_id, cid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+              |    FROM ac WHERE vec_id < 3) WHERE rn <= 2),
+              |scored AS (SELECT p.query_id, a2.vec_id AS cand_id,
+              |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
+              |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
+              |  FROM probe p JOIN assign a2 ON p.cell = a2.cell AND a2.vec_id <> p.query_id
+              |  JOIN e q ON q.vec_id = p.query_id JOIN e c ON c.vec_id = a2.vec_id),
+              |ranked AS (SELECT query_id, cand_id, cos,
+              |    row_number() OVER (PARTITION BY query_id
+              |                       ORDER BY cos DESC, cand_id) AS rnk
+              |  FROM scored)
+              |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
+              |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  private val stagedIvf = scala.collection.mutable.Map[String, String]()
+
+  /** Persisted IVF assignment table (cell per vector), built once per
+    * JVM and scale dir — the "index build" half of e4's build/serve
+    * split. Lives under /tmp; nothing touches the repo or testdata.
+    */
+  def ivfIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    synchronized {
+      stagedIvf.getOrElseUpdate(dir, {
+        val out = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ivf"
+        VectorOps.ivfAssign(Tables.load(s, dir, "embeddings"), 8)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+
   def all: Seq[Q] = Seq(
 
     // ---- deduplication ----
@@ -679,35 +726,23 @@ object PipelineQueries extends QuerySet {
           .withColumn("rnk", col("rnk").cast("long"))
           .orderBy(col("query_id"), col("rnk"))
       },
-      Some("""WITH e AS (SELECT vec_id, embedding,
-              |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
-              |          FROM range(64) t(i))) AS nrm
-              |  FROM embeddings),
-              |cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
-              |         FROM e WHERE vec_id < 8),
-              |ac AS (SELECT v.vec_id, c.cid,
-              |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
-              |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
-              |  FROM e v, cent c),
-              |assign AS (SELECT vec_id, cid AS cell FROM (
-              |    SELECT vec_id, cid,
-              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-              |    FROM ac) WHERE rn = 1),
-              |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
-              |    SELECT vec_id, cid,
-              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
-              |    FROM ac WHERE vec_id < 3) WHERE rn <= 2),
-              |scored AS (SELECT p.query_id, a2.vec_id AS cand_id,
-              |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
-              |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
-              |  FROM probe p JOIN assign a2 ON p.cell = a2.cell AND a2.vec_id <> p.query_id
-              |  JOIN e q ON q.vec_id = p.query_id JOIN e c ON c.vec_id = a2.vec_id),
-              |ranked AS (SELECT query_id, cand_id, cos,
-              |    row_number() OVER (PARTITION BY query_id
-              |                       ORDER BY cos DESC, cand_id) AS rnk
-              |  FROM scored)
-              |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
-              |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+      Some(ivfOracle)),
+
+    // IVF with a PERSISTED index: the assignment table is built once
+    // (nightly index build) and the query-time plan only probes — same
+    // answer as e3, but the timed path never touches the quantizer.
+    // The serve-time shape for 100 TB embedding search: inverted lists
+    // bucketed by cell on disk, probes read nProbe/nCells of them.
+    Q("e4_knn_ivf_index",
+      (s, dir) => {
+        val assign = s.read.parquet(ivfIndexDir(s, dir))
+        VectorOps.ivfTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, 3, nCells = 8, nProbe = 2,
+            precomputedAssign = Some(assign))
+          .withColumn("rnk", col("rnk").cast("long"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(ivfOracle)),
 
     // ---- time-series joins ----
 
