@@ -50,10 +50,32 @@ object DruidTool {
     case "query" :: dir :: sql :: Nil => query(dir, sql)
     case "compact" :: dir :: rest => compact(dir, rest)
     case "search" :: dir :: needle :: rest => search(dir, needle, rest)
+    case "validate" :: dir :: Nil => validate(dir)
     case _ =>
       System.err.println(
-        "usage: druid-tool (info|files|dump|query|compact|search) <segmentDir> [args]")
+        "usage: druid-tool (info|files|dump|query|compact|search|validate) <segmentDir> [args]")
       sys.exit(2)
+  }
+
+  /** Deep integrity check: a single segment dir, or every segment of a
+    * table dir (+ manifest row counts). Exits 1 when issues are found.
+    */
+  private def validate(dir: String): Unit = {
+    val results =
+      if (DruidSegment.isSegmentDir(java.nio.file.Paths.get(dir)))
+        Seq(dir -> graft.format.SegmentValidator.validate(dir))
+      else graft.format.SegmentValidator.validateTable(dir)
+    var bad = 0
+    results.foreach { case (seg, issues) =>
+      if (issues.isEmpty) println(s"OK    $seg")
+      else {
+        bad += 1
+        println(s"BAD   $seg")
+        issues.foreach(i => println(s"      $i"))
+      }
+    }
+    println(s"${results.size - bad} ok, $bad bad")
+    if (bad > 0) sys.exit(1)
   }
 
   /** Interval, schema, dimensions, row count — reference cmd_info

@@ -1,0 +1,55 @@
+package graft.format
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SegmentValidatorSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def freshTable(): String = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-val").toString + "/t"
+    (0 until 2000).map(i => (1700000000000L + i,
+        if (i % 13 == 0) null else s"u${i % 7}",
+        if (i % 11 == 0) null else java.lang.Long.valueOf(i), i * 0.5))
+      .toDF("__time", "who", "v", "x")
+      .repartition(2).write.format("druid").mode("overwrite").save(out)
+    out
+  }
+
+  test("writer output validates clean (all column kinds)") {
+    val dir = freshTable()
+    val results = SegmentValidator.validateTable(dir)
+    assert(results.nonEmpty)
+    for ((seg, issues) <- results)
+      assert(issues.isEmpty, s"$seg: ${issues.mkString("; ")}")
+  }
+
+  test("corruption is detected") {
+    val dir = freshTable()
+    val seg = graft.sources.druid.DruidTableUtil.discoverSegments(dir).head
+    val smoosh = Paths.get(seg, "00000.smoosh")
+    // flip a run of bytes in the middle of the data file
+    val size = Files.size(smoosh)
+    val ch = java.nio.channels.FileChannel.open(smoosh, StandardOpenOption.WRITE)
+    try {
+      val garbage = java.nio.ByteBuffer.wrap(Array.fill[Byte](64)(0x5A))
+      ch.write(garbage, size / 2)
+    } finally ch.close()
+    val issues = SegmentValidator.validate(seg)
+    assert(issues.nonEmpty, "corrupted segment validated clean")
+  }
+
+  test("manifest row-count drift is detected") {
+    val dir = freshTable()
+    val segs = graft.sources.druid.DruidTableUtil.discoverSegments(dir)
+    val metas = graft.sources.druid.SegmentCatalog.load(dir, segs).get
+    val drifted = metas.head.copy(rows = metas.head.rows + 5) +: metas.tail
+    graft.sources.druid.SegmentCatalog.write(dir, drifted)
+    val bad = SegmentValidator.validateTable(dir).filter(_._2.nonEmpty)
+    assert(bad.exists(_._2.exists(_.contains("manifest rows"))),
+      s"drift not reported: $bad")
+  }
+}
