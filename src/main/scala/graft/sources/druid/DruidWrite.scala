@@ -88,6 +88,21 @@ class DruidStreamingWrite(root: String, schema: StructType,
       DruidBatchWrite.deleteRecursively(stagingFor(epochId))
       return
     }
+    // a crash mid-commit (some segments moved, marker not yet written)
+    // leaves partial "-ep<id>" segments behind; purge them before the
+    // replayed commit so the epoch lands exactly once. Segment names
+    // embed the epoch token as a standalone "-"-separated component
+    // (segment-<part>-<task>-ep<id>[-<bucket>]), so ep7 never matches
+    // ep72.
+    val token = s"ep$epochId"
+    val stale = {
+      val l = Files.list(Paths.get(root))
+      try l.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        graft.format.DruidSegment.isSegmentDir(p) &&
+        p.getFileName.toString.split("-").contains(token)).toSeq
+      finally l.close()
+    }
+    stale.foreach(DruidBatchWrite.deleteRecursively)
     DruidBatchWrite.commitJob(root, schema, truncate = false,
       stagingDir = stagingFor(epochId), messages = messages)
     Files.createDirectories(markerFor(epochId).getParent)

@@ -60,7 +60,9 @@ class DruidStreamingSinkSpec extends AnyFunSuite {
       bitmapIndexes = true, granularity = None)
 
     def stage(tag: String): DruidCommitMessage = {
-      val segDir = Paths.get(root, ".staging-stream-ep7", s"segment-$tag")
+      // mirror the real writers' naming: the epoch token is a
+      // standalone "-"-separated component
+      val segDir = Paths.get(root, ".staging-stream-ep7", s"segment-0-$tag-ep7")
       SegmentWriter.write(segDir, Array(1000L, 2000L, 3000L), Nil)
       DruidCommitMessage(Seq(
         SegMeta(segDir.toString, 1000L, 3001L, 3, exactInterval = true)))
@@ -83,5 +85,13 @@ class DruidStreamingSinkSpec extends AnyFunSuite {
     sink.commit(9L, Array(DruidCommitMessage(Seq(
       SegMeta(seg9.toString, 5000L, 5001L, 1, exactInterval = true)))))
     assert(spark.read.format("druid").load(root).count() == 4)
+
+    // crash mid-commit: epoch 7's segments moved but its marker never
+    // landed — the replay must purge the partial segments first, not
+    // stack a second copy on top
+    Files.delete(Paths.get(root, ".epochs", "7"))
+    sink.commit(7L, Array(stage("replayed")))
+    assert(spark.read.format("druid").load(root).count() == 4,
+      "partially-committed epoch duplicated rows on replay")
   }
 }
