@@ -588,7 +588,11 @@ class DruidScan(root: String, required: StructType,
   private def prefixZonesAdmit(m: SegMeta): Boolean =
     prefixFilters.forall { case (c, ps) =>
       m.strZones.get(c).forall { case (lo, hi) =>
-        ps.forall { p =>
+        ps.forall { p0 =>
+          // normalize through UTF-8 the way UTF8String does (a lone
+          // surrogate becomes '?') so the envelope test agrees with
+          // the byte-level comparison Spark's residual filter applies
+          val p = new String(p0.getBytes("UTF-8"), "UTF-8")
           hi.compareTo(p) >= 0 &&
             DruidScan.prefixSucc(p).forall(s => lo.compareTo(s) < 0)
         }

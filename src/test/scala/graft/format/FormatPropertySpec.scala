@@ -107,6 +107,41 @@ class FormatPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("dictIdRangeForPrefix equals the naive startsWith filter") {
+    val str = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.choose(0x20, 0x2FFF)).map(_.map(_.toChar).mkString),
+      Gen.const("é中😀"))
+    val gen = for {
+      vs <- Gen.nonEmptyListOf(Gen.oneOf(str, Gen.const(null: String)))
+      p <- Gen.oneOf(
+        str.suchThat(_.nonEmpty),
+        // prefixes OF actual values hit the interesting boundaries
+        Gen.oneOf(vs).suchThat(v => v != null && v.nonEmpty)
+          .flatMap(v => Gen.choose(1, v.length).map(v.take)))
+    } yield (vs, p)
+    // the reference predicate is BYTE-level startsWith: Spark's
+    // UTF8String compares UTF-8 bytes too (a prefix that splits a
+    // surrogate pair encodes its lone surrogate as '?', and neither
+    // Spark nor the storage treats it as a char-level prefix)
+    def bytesStartWith(v: String, p: Array[Byte]): Boolean = {
+      val b = v.getBytes("UTF-8")
+      b.length >= p.length &&
+        java.util.Arrays.equals(b, 0, p.length, p, 0, p.length)
+    }
+    check(Prop.forAllNoShrink(gen) { case (vs, prefix) =>
+      val bytes = StringColumn.write(vs, withBitmaps = true)
+      val col = new StringColumn(wrap(bytes), 0, bytes.length)
+      val (lo, hi) = col.dictIdRangeForPrefix(prefix)
+      val inRange = (lo until hi)
+        .map(col.dictionary.stringAt).toSet
+      val p = prefix.getBytes("UTF-8")
+      val expected = vs.filter(v => v != null && bytesStartWith(v, p)).toSet
+      assert(inRange == expected, "prefix range mismatch")
+      true
+    })
+  }
+
   test("StringMultiColumn round-trips arbitrary row shapes") {
     val row = Gen.oneOf(
       Gen.const(null: Seq[String]),
