@@ -92,4 +92,30 @@ class DifferentialScanSpec extends AnyFunSuite {
 
   for ((name, pred) <- cases)
     test(s"druid == parquet under: $name") { compare(name, pred) }
+
+  test("druid == parquet under 30 generated conjunctions") {
+    // deterministic pseudo-random 2-3 atom conjunctions over every
+    // pushdown family — the interaction coverage the hand-picked
+    // shapes above can't enumerate
+    val atoms: Vector[Column] = Vector(
+      col("__time") >= timestamp_millis(lit(t0 + 10000000L)),
+      col("__time") < timestamp_millis(lit(t0 + 70000000L)),
+      col("who").startsWith("u0"),
+      col("who").startsWith("u2"),
+      col("who").contains("3"),
+      col("who").endsWith("9"),
+      col("who") === "u015",
+      col("who").isin("u002", "u023"),
+      col("who").isNotNull,
+      col("v") >= 250, col("v") < 750, col("v").isin(3L, 500L, 997L),
+      col("v").isNull, col("v").isNotNull,
+      col("x") > 250.25, col("x") <= 600.0, col("x").isNull)
+    for (i <- 0 until 30) {
+      val n = 2 + (h(i, 11) % 2).toInt.abs
+      val picked = (0 until n)
+        .map(j => atoms(((h(i * 7 + j, 13) % atoms.length).toInt + atoms.length) % atoms.length))
+      val pred = picked.reduce(_ && _)
+      compare(s"conjunction #$i", df => df.filter(pred))
+    }
+  }
 }
