@@ -228,4 +228,72 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
   }
+
+  /** Per-subspace squared L2 distance between two array<float> columns
+    * over dims [8m, 8m+8) — an ordered fold, exact IEEE arithmetic, so
+    * the oracle's range(8) sum reproduces it (same argument as dotSql).
+    */
+  private def subDistSql(a: String, b: String, m: Int): String =
+    s"""aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (acc, i) ->
+       |  acc + (CAST($a[${8 * m} + i] AS DOUBLE) - CAST($b[${8 * m} + i] AS DOUBLE))
+       |      * (CAST($a[${8 * m} + i] AS DOUBLE) - CAST($b[${8 * m} + i] AS DOUBLE)))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Product-quantization ANN top-k: 64-dim vectors quantize to M=8
+    * one-byte codes (4 deterministic centroids per subspace — the
+    * sub-vectors of vec_id < 4, a fixed training sample the oracle can
+    * replay). Query-time ADC: the query's 8x4 distance table broadcasts
+    * and every candidate scores with 8 lookups + an ordered 8-term sum —
+    * no vector arithmetic per candidate. The 100 TB shape: the corpus
+    * compresses ~256x into codes that stay in memory next to the
+    * inverted lists; exactness is e1's job, PQ trades recall for a
+    * memory-resident scan.
+    */
+  def pqTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
+             k: Int): DataFrame = {
+    val M = 8
+    val cent = embeddings.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    // per (vector, centroid): the 8 per-subspace distances, then per
+    // (vector, m) argmin -> one byte code. when()-pivot keeps each
+    // subspace's distance a single-contribution aggregate (order-free).
+    val distCols = (0 until M).map(m =>
+      round(expr(subDistSql("embedding", "cv", m)), 6).as(s"d$m"))
+    val pairDists = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id") +: col("cid") +: distCols: _*)
+    val mExpr = explode(expr(
+      s"transform(sequence(0, ${M - 1}), m -> struct(m, element_at(" +
+        s"array(${(0 until M).map(m => s"d$m").mkString(",")}), m + 1) AS d))"))
+    val codes = pairDists
+      .select(col("vec_id"), col("cid"), mExpr.as("md"))
+      .select(col("vec_id"), col("cid"), col("md.m").as("m"), col("md.d").as("d"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max(struct((-col("d")).as("nd"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("vec_id"), col("m"), (-col("best.nc")).as("code"))
+    // query distance table: per (query, m, centroid) — tiny, broadcast
+    val qdist = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("query_id") +: col("cid") +: distCols: _*)
+      .select(col("query_id"), col("cid"), mExpr.as("md"))
+      .select(col("query_id"), col("cid").as("code"),
+        col("md.m").as("m"), col("md.d").as("qd"))
+    // ADC: 8 lookups per (query, candidate), one-contribution sums per
+    // subspace then an ordered 8-term total (exact cross-engine)
+    val mAggs = (0 until M).map(m =>
+      sum(when(col("m") === m, col("qd"))).as(s"s$m"))
+    val perM = codes.join(broadcast(qdist), Seq("m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val total = (0 until M).map(m => col(s"s$m")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
+    perM.select(col("query_id"), col("vec_id").as("cand_id"),
+        round(total, 6).as("adc"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("adc"), col("rnk"))
+  }
 }

@@ -744,6 +744,41 @@ object PipelineQueries extends QuerySet {
       },
       Some(ivfOracle)),
 
+    // Product-quantization ANN: vectors compress to 8 one-byte codes
+    // (4 deterministic centroids per 8-dim subspace), queries score
+    // candidates via an 8-lookup ADC sum over a broadcast distance
+    // table. The ~256x-compressed codes are what a 100 TB corpus keeps
+    // memory-resident; e1 stays the exactness baseline.
+    Q("e5_knn_pq",
+      (s, dir) => {
+        VectorOps.pqTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, 5)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+             |pd AS (
+             |  SELECT e.vec_id, c.cid, t.m,
+             |    round((SELECT sum((e.embedding[8*t.m+i+1]::DOUBLE - c.cv[8*t.m+i+1]::DOUBLE)
+             |               * (e.embedding[8*t.m+i+1]::DOUBLE - c.cv[8*t.m+i+1]::DOUBLE))
+             |           FROM range(8) s(i)), 6) AS d
+             |  FROM embeddings e, cent c, range(8) t(m)),
+             |codes AS (SELECT vec_id, m, cid AS code FROM (
+             |    SELECT vec_id, m, cid,
+             |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |    FROM pd) WHERE rn = 1),
+             |qd AS (SELECT vec_id AS query_id, cid AS code, m, d AS qd
+             |       FROM pd WHERE vec_id < 3),
+             |adc AS (
+             |  SELECT q.query_id, c.vec_id AS cand_id, round(sum(q.qd), 6) AS adc
+             |  FROM codes c JOIN qd q ON q.m = c.m AND q.code = c.code
+             |  GROUP BY q.query_id, c.vec_id),
+             |ranked AS (SELECT query_id, cand_id, adc,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk
+             |  FROM adc WHERE query_id <> cand_id)
+             |SELECT query_id, cand_id, adc, CAST(rnk AS BIGINT) AS rnk
+             |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- time-series joins ----
 
     // Backward as-of join (operator Spark lacks): every purchase gets

@@ -136,6 +136,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(projDiff == 0, "hplane_proj diverges from the zip_with fold")
   }
 
+  test("pqTopK gets decent recall against brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = VectorOps.bruteTopK(emb, queries, 10)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = VectorOps.pqTopK(emb, col("vec_id") < 5, 10)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ is a lossy 256x compression; on 64-dim synthetic data even
+    // modest overlap with the exact top-10 shows the codes carry signal
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall too low: $recall")
+  }
+
   test("lshCandidates maxBucket drops only over-size buckets") {
     import spark.implicits._
     // bucket (0, 7): 4 docs (hot); bucket (1, 9): 2 docs (cold)
