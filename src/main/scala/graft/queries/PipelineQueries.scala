@@ -618,6 +618,48 @@ object PipelineQueries extends QuerySet {
              |    AS fill
              |FROM packed GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Leakage-safe train/val/test split: the split is assigned per
+    // DUP-GROUP (canonical keep_id of the exact-dedup group), so a
+    // document and its duplicates can never straddle train and test —
+    // the contamination mode a naive per-doc split creates. Assignment
+    // is the shared integer hash family (reproducible cross-engine and
+    // cross-run); the group join carries 16-byte hash keys like d1.
+    Q("d17_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val groups = docs
+          .groupBy(xxhash64(lower(col("text"))).as("h"),
+                   length(col("text")).as("len"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        val assigned = docs
+          .withColumn("h", xxhash64(lower(col("text"))))
+          .withColumn("len", length(col("text")))
+          .join(groups, Seq("h", "len"))
+          .withColumn("bucket",
+            expr("((7919 * keep_id + 104729) % 1000003) % 10"))
+          .withColumn("split",
+            expr("CASE WHEN bucket < 8 THEN 'train' " +
+              "WHEN bucket = 8 THEN 'val' ELSE 'test' END"))
+        assigned.groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("keep_id")).as("n_groups"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH groups AS (
+             |  SELECT lower(text) AS key, min(doc_id) AS keep_id
+             |  FROM documents GROUP BY lower(text)),
+             |assigned AS (
+             |  SELECT d.source, g.keep_id,
+             |    CASE WHEN ((7919 * g.keep_id + 104729) % 1000003) % 10 < 8
+             |         THEN 'train'
+             |         WHEN ((7919 * g.keep_id + 104729) % 1000003) % 10 = 8
+             |         THEN 'val' ELSE 'test' END AS split
+             |  FROM documents d JOIN groups g ON lower(d.text) = g.key)
+             |SELECT source, split, count(*) AS n_docs,
+             |  CAST(count(DISTINCT keep_id) AS BIGINT) AS n_groups
+             |FROM assigned GROUP BY source, split
+             |ORDER BY source, split""".stripMargin)),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).
