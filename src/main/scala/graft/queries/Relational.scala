@@ -625,6 +625,44 @@ object Relational extends QuerySet {
               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // -- The rest of the window-function family over one unique
+    //    ordering: lag/lead, ntile, percent_rank, first/last value
+    //    (last over an explicit full frame — the default frame stops
+    //    at CURRENT ROW in both engines and would be a footgun).
+    Q("q31_window_family",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+        Tables.load(s, dir, "orders")
+          .filter(col("o_custkey") < 60)
+          .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+          .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pr", round(percent_rank().over(w), 4))
+          .withColumn("first_key", first(col("o_orderkey")).over(w))
+          .withColumn("last_key", last(col("o_orderkey")).over(wf))
+          .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+            col("next_price"), col("quartile"), col("pr"),
+            col("first_key"), col("last_key"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             |  round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  round(percent_rank() OVER w, 4) AS pr,
+             |  first_value(o_orderkey) OVER w AS first_key,
+             |  last_value(o_orderkey) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |    AS last_key
+             |FROM orders WHERE o_custkey < 60
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // -- Bucketed co-located join: lineitem and orders pre-bucketed by
     //    orderkey into the same bucket count, so the fact-fact join
     //    needs NO exchange on either side — the 100 TB answer to
