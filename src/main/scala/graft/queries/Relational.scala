@@ -663,6 +663,36 @@ object Relational extends QuerySet {
              |             ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // -- Higher-order array functions INSIDE the row (no explode, no
+    //    shuffle until the final tiny roll-up): filter / transform /
+    //    aggregate / exists over the split word array — codegen'd
+    //    lambda expressions, the "functions, not UDFs" discipline.
+    Q("q32_array_hof",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .selectExpr("source",
+            "size(filter(split(text, ' '), w -> length(w) > 4)) AS long_words",
+            "aggregate(transform(split(text, ' '), w -> length(w)), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x) AS total_chars",
+            "CASE WHEN exists(split(text, ' '), w -> w = 'spark') " +
+              "THEN 1 ELSE 0 END AS has_spark")
+          .groupBy(col("source"))
+          .agg(sum(col("long_words")).as("long_words"),
+               sum(col("total_chars")).as("word_chars"),
+               sum(col("has_spark")).as("docs_with_spark"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source,
+             |  CAST(sum(len(list_filter(string_split(text, ' '),
+             |                           w -> length(w) > 4))) AS BIGINT)
+             |    AS long_words,
+             |  CAST(sum(list_aggregate(list_transform(string_split(text, ' '),
+             |                                         w -> length(w)),
+             |                          'sum')) AS BIGINT) AS word_chars,
+             |  CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'spark')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_spark
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // -- Bucketed co-located join: lineitem and orders pre-bucketed by
     //    orderkey into the same bucket count, so the fact-fact join
     //    needs NO exchange on either side — the 100 TB answer to
