@@ -166,6 +166,33 @@ class DruidWriteSpec extends AnyFunSuite {
     assert(mm.getTimestamp(1).getTime == t0 + 9 * day + 239 * 1000L)
   }
 
+  test("concurrent appends both land; the manifest self-heals") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-concur").toString + "/t"
+    (0 until 100).map(i => (1700000000000L + i, i.toLong))
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir)
+    // two appends race: unique staging dirs + atomic per-segment moves
+    // mean both land; the manifest write races (last wins) but a stale
+    // manifest only falls back to parallel metadata opens, never loses
+    // rows
+    val jobs = Seq((100, 300), (300, 700)).map { case (from, until) =>
+      Future {
+        (from until until).map(i => (1700000000000L + i, i.toLong))
+          .toDF("__time", "n").coalesce(2)
+          .write.format("druid").mode("append").save(dir)
+      }
+    }
+    Await.result(Future.sequence(jobs), 120.seconds)
+    val back = spark.read.format("druid").load(dir)
+    assert(back.count() == 700)
+    assert(back.select("n").distinct().count() == 700)
+  }
+
   test("large partition write stays typed (1M rows, single partition)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-big").toString + "/t"
