@@ -67,6 +67,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("whole query surface plans no unsanctioned cartesian product") {
+    // e1 is the declared brute-force baseline — the only query allowed
+    // a (broadcast) cross product of data-sized sides. Everything else
+    // must keep cartesian-free plans as the surface grows: this sweep
+    // is the regression net for every future query.
+    val sanctioned = Set("e1_knn_brute")
+    val failures = Seq.newBuilder[String]
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+         if !sanctioned(name)) {
+      try {
+        val df = fn(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct"))
+          failures += s"$name plans CartesianProduct"
+      } catch {
+        case e: Throwable => failures += s"$name failed to run: $e"
+      }
+    }
+    assert(failures.result().isEmpty, failures.result().mkString("\n"))
+  }
+
   test("e1 brute force is the only sanctioned cross join") {
     // e1 is the correctness baseline: the cross join is the POINT, but
     // it must broadcast (queries are few) rather than shuffle both sides
