@@ -663,6 +663,31 @@ object Relational extends QuerySet {
              |             ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
+    // -- Explicit GROUPING SETS (the general form rollup/cube sugar):
+    //    two independent dimension breakdowns + grand total in ONE
+    //    pass over the fact table (Spark expands to a single
+    //    Expand+Aggregate — not three scans).
+    Q("q33_grouping_sets",
+      (s, dir) => {
+        Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderpriority, o_orderstatus,
+                 count(*) AS n, round(sum(o_totalprice), 2) AS total,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g1,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g2
+                 FROM orders_gs
+                 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+                 ORDER BY g1, g2, o_orderpriority NULLS LAST,
+                          o_orderstatus NULLS LAST""")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  CAST(grouping(o_orderpriority) AS BIGINT) AS g1,
+             |  CAST(grouping(o_orderstatus) AS BIGINT) AS g2
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY g1, g2, o_orderpriority NULLS LAST,
+             |         o_orderstatus NULLS LAST""".stripMargin)),
+
     // -- Higher-order array functions INSIDE the row (no explode, no
     //    shuffle until the final tiny roll-up): filter / transform /
     //    aggregate / exists over the split word array — codegen'd
