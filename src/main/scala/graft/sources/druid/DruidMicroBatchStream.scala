@@ -48,7 +48,7 @@ object DruidStreamOffset {
   */
 class DruidMicroBatchStream(root: String,
                             admit: SegMeta => Boolean,
-                            partitionsFor: Seq[(String, Int)] => Array[InputPartition],
+                            partitionsFor: Seq[SegMeta] => Array[InputPartition],
                             factory: () => org.apache.spark.sql.connector.read.PartitionReaderFactory)
     extends MicroBatchStream {
 
@@ -69,7 +69,7 @@ class DruidMicroBatchStream(root: String,
       val n = java.nio.file.Paths.get(m.dir).getFileName.toString
       !seen.contains(n) && until.contains(n)
     }
-    partitionsFor(metas.filter(admit).map(m => m.dir -> m.rows))
+    partitionsFor(metas.filter(admit))
   }
 
   override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =

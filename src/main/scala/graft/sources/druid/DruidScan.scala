@@ -411,8 +411,15 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      prefixFilters: Map[String, Seq[String]] =
                                        Map.empty,
                                      patternFilters: Map[String, Seq[DimPattern]] =
-                                       Map.empty)
-    extends InputPartition
+                                       Map.empty,
+                                     dayKey: Int = 0)
+    extends InputPartition with HasPartitionKey {
+  // meaningful only when the scan reports KeyGroupedPartitioning
+  // (day-aligned tables); int days-since-epoch, the days() result type
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](dayKey))
+}
 
 /** Dictionary-scan-served string predicate: kind is "contains" or
   * "ends" — evaluated once per dictionary entry, never per row.
@@ -446,7 +453,8 @@ class DruidScan(root: String, required: StructType,
                 prefixFilters: Map[String, Seq[String]] = Map.empty,
                 patternFilters: Map[String, Seq[DimPattern]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportOrdering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering
+    with SupportsReportPartitioning {
 
   private def aggPushed: Boolean = pushedAggs.nonEmpty
 
@@ -643,25 +651,58 @@ class DruidScan(root: String, required: StructType,
       }
   }
 
-  private def prunedSegments: Seq[(String, Int)] =
-    topNCut(segmentMeta.filter(admit)).map(m => m.dir -> m.rows)
+  private def prunedSegments: Seq[SegMeta] =
+    topNCut(segmentMeta.filter(admit))
 
-  /** Row-range splits for the given (dir, rows) segments — shared by
-    * the batch path and the micro-batch streaming source.
+  /** Row-range splits for the given segments — shared by the batch
+    * path and the micro-batch streaming source. Every split carries
+    * its segment's day key so day-aligned tables can report
+    * KeyGroupedPartitioning (storage-partitioned joins).
     */
-  private def splitsFor(segs: Seq[(String, Int)]): Array[InputPartition] = {
-    val parts = segs.flatMap { case (dir, rows) =>
+  private def splitsFor(segs: Seq[SegMeta]): Array[InputPartition] = {
+    val parts = segs.flatMap { m =>
       // split on row ranges; readers decode only the compressed blocks
       // covering their range, so splits parallelize within one segment
       val per = math.max(1, math.min(rowsPerSplit, Int.MaxValue.toLong).toInt)
-      val capped = if (limit >= 0) math.min(rows, limit) else rows
+      val capped = if (limit >= 0) math.min(m.rows, limit) else m.rows
+      val day = Math.floorDiv(m.startMs, 86400000L).toInt
       (0 until capped by per).map { start =>
-        DruidInputPartition(dir, start, math.min(capped, start + per), limit,
+        DruidInputPartition(m.dir, start, math.min(capped, start + per), limit,
           batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
-          patternFilters)
+          patternFilters, day)
       }
     }
     parts.toArray
+  }
+
+  /** Storage-partitioned-join readiness: every segment interval sits
+    * inside exactly one UTC day (what `segmentGranularity=day` writes),
+    * so days(__time) is constant per segment and the scan can report
+    * KeyGroupedPartitioning over it.
+    */
+  private lazy val dayAligned: Boolean =
+    segmentMeta.nonEmpty && segmentMeta.forall { m =>
+      m.exactInterval &&
+        m.endMs <= (Math.floorDiv(m.startMs, 86400000L) + 1) * 86400000L
+    }
+
+  /** Day-keyed partitioning for druid-druid joins on `__time`: when
+    * both sides are day-granularity tables resolved through a catalog
+    * that serves the `days` function (GraftCatalog), Spark's
+    * storage-partitioned join planning sees compatible
+    * KeyGroupedPartitioning on each side and plans the join with ZERO
+    * exchanges — co-located by layout, the DSv2 answer to bucketing.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val claimable = !aggPushed && groupByDim.isEmpty && topNTime.isEmpty &&
+      limit < 0 && dayAligned &&
+      required.fieldNames.contains("__time")
+    if (claimable)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(Expressions.days("__time")), splitsFor(prunedSegments).length)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   }
 
   /** Streaming tail of the segment table: micro-batches are the
@@ -679,8 +720,8 @@ class DruidScan(root: String, required: StructType,
     groupByDim.foreach { dim =>
       // one partition per segment, each emitting its dictionary's
       // (value, count) pairs — O(dictionary), not O(rows)
-      return prunedSegments.map { case (d, rows) =>
-        GroupByDimPartition(d, dim, pushedAggs.size, rows): InputPartition
+      return prunedSegments.map { m =>
+        GroupByDimPartition(m.dir, dim, pushedAggs.size, m.rows): InputPartition
       }.toArray
     }
     if (aggPushed) {
@@ -738,7 +779,7 @@ class DruidScan(root: String, required: StructType,
 
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val totalRows =
-      if (aggPushed) 1L else prunedSegments.map(_._2.toLong).sum
+      if (aggPushed) 1L else prunedSegments.map(_.rows.toLong).sum
     // ~bytes per row from schema (strings estimated at 16B)
     private lazy val rowBytes = required.fields.map(_.dataType match {
       case StringType => 16L

@@ -1,0 +1,120 @@
+package graft.sources.druid
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Catalog over a directory of segment tables
+  * (`spark.sql.catalog.<name>=graft.sources.druid.GraftCatalog`,
+  * `spark.sql.catalog.<name>.root=/path`): `<name>.t` resolves to the
+  * segment table at `<root>/t`. Also a FunctionCatalog serving the
+  * `days` partition transform — catalog-resolved tables are what lets
+  * Spark resolve the scan's day-keyed KeyGroupedPartitioning, so two
+  * day-granularity tables joined on `__time` plan a
+  * storage-partitioned join with ZERO exchanges (`SpjSpec`).
+  */
+class GraftCatalog extends TableCatalog with FunctionCatalog {
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root"))
+  }
+  override def name(): String = catName
+
+  private def pathOf(ident: Identifier): String =
+    Paths.get(root, (ident.namespace() :+ ident.name()): _*).toString
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(root, namespace: _*)
+    if (!Files.isDirectory(dir)) return Array.empty
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          DruidTableUtil.discoverSegments(p.toString).nonEmpty)
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    } finally s.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (DruidTableUtil.discoverSegments(p).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    new DruidTable(p, null)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "create via df.write.format(\"druid\").save(<root>/<table>)")
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = Paths.get(pathOf(ident))
+    if (!Files.isDirectory(p)) false
+    else {
+      import java.util.Comparator
+      Files.walk(p).sorted(Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    Files.move(Paths.get(pathOf(oldIdent)), Paths.get(pathOf(newIdent)))
+
+  // ---- FunctionCatalog: the partition transforms the scan reports ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "days"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "days") GraftCatalog.DaysFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+}
+
+object GraftCatalog {
+  /** days-since-epoch of a timestamp — the `days(col)` partition
+    * transform's evaluable form (UTC, floor), matching the day key the
+    * scan attaches to each split (floorDiv(startMs, 86400000)).
+    */
+  object DaysFunction extends UnboundFunction {
+    override def name(): String = "days"
+    override def description(): String =
+      "days(timestamp): UTC days since epoch (floor)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        (inputType.fields(0).dataType == TimestampType ||
+          inputType.fields(0).dataType == TimestampNTZType),
+        s"days() expects one timestamp argument, got $inputType")
+      DaysBound
+    }
+  }
+
+  object DaysBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(TimestampType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "days"
+    override def canonicalName(): String = "graft.days"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      Math.floorDiv(input.getLong(0), 86400000000L).toInt
+  }
+}

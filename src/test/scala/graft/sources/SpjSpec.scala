@@ -1,0 +1,74 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned join: two day-granularity segment tables
+  * resolved through GraftCatalog report day-keyed
+  * KeyGroupedPartitioning, so a join on `__time` plans with ZERO
+  * shuffle exchanges — layout-co-located joins, the DSv2 successor to
+  * bucketing (and the thing Iceberg/Delta call SPJ).
+  */
+class SpjSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private lazy val root: String = {
+    import spark.implicits._
+    val r = Files.createTempDirectory("graft-spj").toString
+    // 5 days of events, both tables share the same __time values
+    def df(vcol: String) = (0 until 5000)
+      .map(i => (1700000000000L + (i % 5) * 86400000L + (i / 5) * 1000L,
+        i.toLong))
+      .toDF("__time", vcol)
+    df("a").repartition(4).write.format("druid")
+      .option("segmentGranularity", "day").mode("overwrite").save(s"$r/ta")
+    df("b").repartition(4).write.format("druid")
+      .option("segmentGranularity", "day").mode("overwrite").save(s"$r/tb")
+    r
+  }
+
+  private def withSpj[T](f: => T): T = {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> conf.getOption("spark.sql.sources.v2.bucketing.enabled"),
+      "spark.sql.autoBroadcastJoinThreshold" -> conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      s"spark.sql.catalog.graftspj" -> conf.getOption("spark.sql.catalog.graftspj"),
+      s"spark.sql.catalog.graftspj.root" -> conf.getOption("spark.sql.catalog.graftspj.root"))
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.catalog.graftspj",
+      classOf[graft.sources.druid.GraftCatalog].getName)
+    conf.set("spark.sql.catalog.graftspj.root", root)
+    try f
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("day-aligned druid-druid join on __time plans zero exchanges") {
+    withSpj {
+      val a = spark.table("graftspj.ta")
+      val b = spark.table("graftspj.tb")
+      val j = a.join(b, "__time")
+      val n = j.count()
+      assert(n == 5000L, s"join row count: $n") // 1:1 on identical times
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"storage-partitioned join still shuffles:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    }
+  }
+
+  test("catalog lists and reads tables; non-aligned joins still work") {
+    withSpj {
+      val names = spark.sql("SHOW TABLES IN graftspj").collect()
+        .map(_.getString(1)).toSet
+      assert(names == Set("ta", "tb"))
+      assert(spark.table("graftspj.ta").count() == 5000)
+    }
+  }
+}
