@@ -153,8 +153,37 @@ object DruidQueries extends QuerySet {
   def stage(s: SparkSession, dir: String): Unit = {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
-    custClusteredSeg(s, dir); eventsDailySeg(s, dir)
+    custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
   }
+
+  /** Two day-granular tables under one GraftCatalog root (events and
+    * per-ts counts), staged once per JVM; returns the catalog name
+    * with confs set so `s.table("<cat>.events")` resolves — the
+    * storage-partitioned-join setup (dr19).
+    */
+  private def spjCatalog(s: SparkSession, dir: String): String =
+    synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/tmp/graft_spj/$tag"
+      val cat = s"graftq_$tag"
+      if (!written.contains(root)) {
+        val ev = Tables.events(s, dir)
+          .select(col("ts").as("__time"), col("event_type"), col("value"))
+        ev.repartition(4).write.format("druid")
+          .option("segmentGranularity", "day").mode("overwrite")
+          .save(s"$root/events")
+        ev.groupBy(col("__time")).agg(count(lit(1)).as("n_at_ts"))
+          .repartition(4).write.format("druid")
+          .option("segmentGranularity", "day").mode("overwrite")
+          .save(s"$root/ts_counts")
+        written += root
+      }
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.druid.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      cat
+    }
 
   def all: Seq[Q] = Seq(
 
@@ -390,6 +419,29 @@ object DruidQueries extends QuerySet {
               FROM customer
               WHERE c_name LIKE '%42'
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- Storage-partitioned join (dr19): both sides are day-granular
+    //    segment tables under GraftCatalog, so the __time equi-join
+    //    plans on the day-keyed KeyGroupedPartitioning with ZERO
+    //    exchanges (SpjSpec pins the plan; this query pins the
+    //    results). The oracle replays the join over the raw events.
+    Q("dr19_spj_join",
+      (s, dir) => {
+        val cat = spjCatalog(s, dir)
+        s.table(s"$cat.events")
+          .join(s.table(s"$cat.ts_counts"), "__time")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("n_at_ts")).as("sum_copies"),
+               round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH tc AS (SELECT ts, count(*) AS n_at_ts FROM events GROUP BY ts)
+              SELECT event_type, count(*) AS n,
+                CAST(sum(n_at_ts) AS BIGINT) AS sum_copies,
+                round(sum(value), 2) AS sum_value
+              FROM events JOIN tc USING (ts)
+              GROUP BY event_type ORDER BY event_type""")),
 
     // -- Druid SearchQuery: which dimension values match a substring,
     //    with exact row counts — answered per segment from the sorted
