@@ -469,7 +469,17 @@ class DruidScan(root: String, required: StructType,
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
     val claimable = !aggPushed && groupByDim.isEmpty &&
       readSchema().fieldNames.contains("__time") &&
-      segmentMeta.nonEmpty && segmentMeta.forall(_.timeSorted)
+      segmentMeta.nonEmpty && segmentMeta.forall(_.timeSorted) &&
+      // SPJ grouping caveat: when the scan also reports day-keyed
+      // KeyGroupedPartitioning, Spark may CONCATENATE same-day splits
+      // into one partition — ascending per split, not across splits.
+      // Claim ordering only when no two splits can share a day key, so
+      // the claim survives grouping (UnknownPartitioning can't group).
+      (!spjClaimable || {
+        val keys = splitsFor(prunedSegments)
+          .collect { case p: DruidInputPartition => p.dayKey }
+        keys.distinct.length == keys.length
+      })
     if (claimable)
       Array(Expressions.sort(Expressions.column("__time"),
         SortDirection.ASCENDING))
@@ -693,12 +703,14 @@ class DruidScan(root: String, required: StructType,
     * KeyGroupedPartitioning on each side and plans the join with ZERO
     * exchanges — co-located by layout, the DSv2 answer to bucketing.
     */
-  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    val claimable = !aggPushed && groupByDim.isEmpty && topNTime.isEmpty &&
+  private def spjClaimable: Boolean =
+    !aggPushed && groupByDim.isEmpty && topNTime.isEmpty &&
       limit < 0 && dayAligned &&
       required.fieldNames.contains("__time")
-    if (claimable)
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (spjClaimable)
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(Expressions.days("__time")), splitsFor(prunedSegments).length)
     else

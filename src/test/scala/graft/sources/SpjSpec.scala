@@ -63,6 +63,26 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("ordering claim yields to SPJ grouping (explicit sorts survive)") {
+    // several same-day segments may be CONCATENATED into one partition
+    // under KeyGroupedPartitioning — per-segment ascending, not across
+    // segments. The scan must therefore NOT claim per-partition time
+    // ordering here, so an explicit sort stays in the plan and rows
+    // really are monotonic.
+    withSpj {
+      val sorted = spark.table("graftspj.ta").sortWithinPartitions("__time")
+      val ok = sorted
+        .select("__time")
+        .as[java.sql.Timestamp](org.apache.spark.sql.Encoders.TIMESTAMP)
+        .mapPartitions { it =>
+          val a = it.map(_.getTime).toArray
+          Iterator.single(a.zip(a.drop(1)).forall { case (x, y) => x <= y })
+        }(org.apache.spark.sql.Encoders.scalaBoolean)
+        .collect()
+      assert(ok.forall(identity), "a partition lost its explicit time sort")
+    }
+  }
+
   test("catalog lists and reads tables; non-aligned joins still work") {
     withSpj {
       val names = spark.sql("SHOW TABLES IN graftspj").collect()
