@@ -100,6 +100,13 @@ object DruidTool {
         println(f"  ${f.name}%-24s ${f.dataType.sql}"))
       val zoned = metas.flatMap(_.zones.keys).distinct.sorted
       if (zoned.nonEmpty) println(s"Zoned columns: ${zoned.mkString(", ")}")
+      println(s"TimeSorted: ${metas.nonEmpty && metas.forall(_.timeSorted)}")
+      val dayAligned = metas.nonEmpty && metas.forall(m =>
+        m.exactInterval &&
+          m.endMs <= (Math.floorDiv(m.startMs, 86400000L) + 1) * 86400000L)
+      // day-aligned tables joined through GraftCatalog get
+      // storage-partitioned (zero-exchange) __time joins
+      println(s"DayAligned: $dayAligned")
       return
     }
     val seg = DruidSegment.open(dir)

@@ -78,6 +78,8 @@ class DruidToolSpec extends AnyFunSuite {
     assert(out.contains("Rows: 100"))
     assert(out.contains("dim") && out.contains("n"))
     assert(out.contains("Zoned columns: n"))
+    assert(out.contains("TimeSorted: true"))
+    assert(out.contains("DayAligned: "))
   }
 
   test("search prints matching dimension values with counts") {
