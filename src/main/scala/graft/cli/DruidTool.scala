@@ -51,9 +51,15 @@ object DruidTool {
     case "compact" :: dir :: rest => compact(dir, rest)
     case "search" :: dir :: needle :: rest => search(dir, needle, rest)
     case "validate" :: dir :: Nil => validate(dir)
+    case "retain" :: dir :: "--keep-after" :: cutoff :: Nil =>
+      val ms = cutoff.toLongOption.getOrElse(
+        java.time.Instant.parse(cutoff).toEpochMilli)
+      val st = graft.write.Retention.dropOlderThan(dir, ms)
+      println(s"dropped ${st.segmentsDropped} segments " +
+        s"(${st.rowsDropped} rows), kept ${st.segmentsKept}")
     case _ =>
       System.err.println(
-        "usage: druid-tool (info|files|dump|query|compact|search|validate) <segmentDir> [args]")
+        "usage: druid-tool (info|files|dump|query|compact|search|validate|retain) <segmentDir> [args]")
       sys.exit(2)
   }
 

@@ -1,0 +1,43 @@
+package graft.write
+
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+import graft.sources.druid.{DruidTableUtil, SegmentCatalog}
+
+/** Interval retention — the other maintenance operator a 100 TB
+  * time-series table needs: segments whose interval ends at or before
+  * the cutoff are deleted whole (no rewrite, no scan; dropping data by
+  * time is a metadata operation when the layout is time-partitioned —
+  * exactly why Druid buckets segments by interval). Segments that
+  * STRADDLE the cutoff are kept in full, matching Druid drop rules,
+  * which act on whole segments.
+  *
+  * Crash windows match the writer's: each segment dir deletes
+  * independently; the manifest refresh runs last and self-heals if a
+  * crash leaves it stale (staleness falls back to parallel opens).
+  */
+object Retention {
+
+  final case class Stats(segmentsDropped: Int, rowsDropped: Long,
+                         segmentsKept: Int)
+
+  /** Drop every segment with `endMs <= cutoffMs`; returns counts. */
+  def dropOlderThan(dir: String, cutoffMs: Long): Stats = {
+    val metas = SegmentCatalog.metaFor(dir)
+    val (drop, keep) = metas.partition(_.endMs <= cutoffMs)
+    if (drop.isEmpty) return Stats(0, 0L, keep.size)
+    // schema cache read BEFORE anything deletes (manifest covers the
+    // current segment set only while it is the current set)
+    val schema = SegmentCatalog.loadSchema(dir, metas.map(_.dir))
+    drop.foreach { m =>
+      val p = Paths.get(m.dir)
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    }
+    try SegmentCatalog.write(dir, keep.sortBy(_.dir), schema)
+    catch { case _: Exception => () } // cache only; never fail the drop
+    Stats(drop.size, drop.map(_.rows.toLong).sum, keep.size)
+  }
+}
