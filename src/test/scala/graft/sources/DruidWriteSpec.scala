@@ -166,6 +166,50 @@ class DruidWriteSpec extends AnyFunSuite {
     assert(mm.getTimestamp(1).getTime == t0 + 9 * day + 239 * 1000L)
   }
 
+  test("granularity bucket starts honor UTC calendar boundaries") {
+    import graft.sources.druid.SegmentGranularity.bucketStart
+    val t = java.time.Instant.parse("2023-07-15T13:45:30.123Z").toEpochMilli
+    assert(bucketStart(t, "hour") ==
+      java.time.Instant.parse("2023-07-15T13:00:00Z").toEpochMilli)
+    assert(bucketStart(t, "day") ==
+      java.time.Instant.parse("2023-07-15T00:00:00Z").toEpochMilli)
+    assert(bucketStart(t, "month") ==
+      java.time.Instant.parse("2023-07-01T00:00:00Z").toEpochMilli)
+    assert(bucketStart(t, "year") ==
+      java.time.Instant.parse("2023-01-01T00:00:00Z").toEpochMilli)
+    // pre-epoch floors DOWN (floorDiv, not truncation toward zero)
+    val pre = java.time.Instant.parse("1969-12-31T22:10:00Z").toEpochMilli
+    assert(bucketStart(pre, "day") ==
+      java.time.Instant.parse("1969-12-31T00:00:00Z").toEpochMilli)
+    assert(bucketStart(pre, "year") ==
+      java.time.Instant.parse("1969-01-01T00:00:00Z").toEpochMilli)
+    intercept[IllegalArgumentException](bucketStart(t, "week"))
+  }
+
+  test("month-granularity write buckets by calendar month and prunes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-month").toString + "/t"
+    // 3 calendar months of varying length
+    val jan = java.time.Instant.parse("2023-01-10T00:00:00Z").toEpochMilli
+    val feb = java.time.Instant.parse("2023-02-20T00:00:00Z").toEpochMilli
+    val mar = java.time.Instant.parse("2023-03-05T00:00:00Z").toEpochMilli
+    (Seq.fill(50)(jan) ++ Seq.fill(60)(feb) ++ Seq.fill(70)(mar))
+      .zipWithIndex.map { case (t, i) => (t + i, i.toLong) }
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").option("segmentGranularity", "month")
+      .mode("overwrite").save(dir)
+    assert(graft.sources.druid.DruidTableUtil.discoverSegments(dir).size == 3)
+    val feb0 = java.time.Instant.parse("2023-02-01T00:00:00Z")
+    val mar0 = java.time.Instant.parse("2023-03-01T00:00:00Z")
+    val febOnly = spark.read.format("druid").load(dir)
+      .filter(col("__time") >= java.sql.Timestamp.from(feb0) &&
+        col("__time") < java.sql.Timestamp.from(mar0))
+    assert(febOnly.rdd.getNumPartitions == 1,
+      s"month pruning failed: ${febOnly.rdd.getNumPartitions}")
+    assert(febOnly.count() == 60)
+  }
+
   test("concurrent appends both land; the manifest self-heals") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
