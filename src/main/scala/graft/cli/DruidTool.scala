@@ -224,10 +224,12 @@ object DruidTool {
   def search(dir: String, needle: String, rest: List[String]): Unit = {
     var columns: Option[Seq[String]] = None
     var ignoreCase = false
+    var prefix = false
     var args = rest
     while (args.nonEmpty) args = args match {
       case "--columns" :: v :: tl => columns = Some(v.split(",").toSeq); tl
       case "--ignore-case" :: tl => ignoreCase = true; tl
+      case "--prefix" :: tl => prefix = true; tl
       case other :: _ => System.err.println(s"unknown arg $other"); sys.exit(2)
       case Nil => Nil
     }
@@ -238,7 +240,8 @@ object DruidTool {
           .map(_.name).toSeq
       }
       graft.sources.druid.DruidSearch
-        .search(spark, dir, cols, needle, caseSensitive = !ignoreCase)
+        .search(spark, dir, cols, needle, caseSensitive = !ignoreCase,
+          prefix = prefix)
         .orderBy("dim", "value")
         .show(1000, truncate = false)
     }

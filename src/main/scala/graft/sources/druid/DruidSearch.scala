@@ -31,12 +31,14 @@ object DruidSearch {
     * columns are ignored (Druid's search does the same).
     */
   def search(spark: SparkSession, root: String, columns: Seq[String],
-             substring: String, caseSensitive: Boolean = true): DataFrame = {
+             substring: String, caseSensitive: Boolean = true,
+             prefix: Boolean = false): DataFrame = {
     import spark.implicits._
     val segments = DruidTableUtil.discoverSegments(root)
     val needle = if (caseSensitive) substring else substring.toLowerCase
     val cols = columns // stable local for closure capture
     val cs = caseSensitive
+    val pfx = prefix
     // matching dictionary ids first; most searches match few
     def dictHits(dict: GenericIndexed): Array[(Int, String)] =
       (0 until dict.numElements).iterator.flatMap { i =>
@@ -44,9 +46,18 @@ object DruidSearch {
         if (v == null) None
         else {
           val hay = if (cs) v else v.toLowerCase
-          if (hay.contains(needle)) Some(i -> v) else None
+          val hit = if (pfx) hay.startsWith(needle) else hay.contains(needle)
+          if (hit) Some(i -> v) else None
         }
       }.toArray
+    // case-sensitive PREFIX search on a single-value dim: the sorted
+    // dictionary makes matches one contiguous range — O(log n) + hits
+    // instead of the O(dictionary) scan
+    def stringHits(sc: graft.format.StringColumn): Array[(Int, String)] =
+      if (pfx && cs) {
+        val (lo, hi) = sc.dictIdRangeForPrefix(needle)
+        (lo until hi).map(i => i -> sc.dictionary.stringAt(i)).toArray
+      } else dictHits(sc.dictionary)
     val perSegment = spark.sparkContext
       .parallelize(segments, math.max(1, segments.size))
       .flatMap { dir =>
@@ -55,7 +66,7 @@ object DruidSearch {
         cols.iterator.filter(names).flatMap { c =>
           seg.column(c) match {
             case StringColumnData(sc) =>
-              val hits = dictHits(sc.dictionary)
+              val hits = stringHits(sc)
               if (hits.isEmpty) Iterator.empty
               else if (sc.bitmaps.isDefined)
                 hits.iterator.map { case (i, v) =>

@@ -39,6 +39,28 @@ class SearchSpec extends AnyFunSuite {
     assert(tags.length == 10 && tags.forall(_._3 == 30L))
   }
 
+  test("prefix mode = dictionary-range results, same counts as scan") {
+    val dir = writeTable(bitmaps = true)
+    val pfx = DruidSearch.search(spark, dir, Seq("kind", "tag"), "g",
+        prefix = true)
+      .orderBy("dim", "value").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // prefix "g": only gamma (contains-search would also hit tag strings
+    // with embedded g — none here — and "gamma" via contains too)
+    assert(pfx.toSeq == Seq(("kind", "gamma", 75L)))
+    // prefix matching is a strict subset of contains matching
+    val containsTag = DruidSearch.search(spark, dir, Seq("tag"), "ag")
+      .collect().map(_.getString(1)).toSet
+    val prefixTag = DruidSearch.search(spark, dir, Seq("tag"), "ag",
+        prefix = true).collect()
+    assert(containsTag.size == 10 && prefixTag.isEmpty)
+    // case-insensitive prefix falls back to the scan path, same answer
+    val ci = DruidSearch.search(spark, dir, Seq("kind"), "GAM",
+        caseSensitive = false, prefix = true)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(ci.toSeq == Seq(("gamma", 75L)))
+  }
+
   test("ids-only fallback matches bitmap counts when bitmaps are absent") {
     val withB = DruidSearch.search(spark, writeTable(bitmaps = true),
       Seq("kind", "tag"), "am").orderBy("dim", "value").collect().toSeq
