@@ -146,6 +146,14 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
         if (ds.length == vs.length) { zoneLo(c, ds.min); zoneHi(c, ds.max) }
       case IsNotNull(c) if hasNullTrailer(c) => notNullCols += c
       case IsNull(c) if hasNullTrailer(c) => isNullCols += c
+      // null-safe equality: a non-null operand prunes exactly like
+      // EqualTo (null rows are never in a value's bitmap / zone); a
+      // null operand IS an IS NULL
+      case EqualNullSafe(c, v: String) if isStringCol(c) =>
+        addDimFilter(c, Seq(v))
+      case EqualNullSafe(c, v) if v != null && isNumericCol(c) =>
+        numeric(v).foreach { d => zoneLo(c, d); zoneHi(c, d) }
+      case EqualNullSafe(c, null) if hasNullTrailer(c) => isNullCols += c
       case StringStartsWith(c, p) if isStringCol(c) && p.nonEmpty =>
         prefixFilters += c -> (prefixFilters.getOrElse(c, Nil) :+ p)
       case StringContains(c, v) if isStringCol(c) && v.nonEmpty =>
@@ -169,6 +177,9 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualTo(c, _) => isNumericCol(c)
       case IsNotNull(c) => hasNullTrailer(c)
       case IsNull(c) => hasNullTrailer(c)
+      case EqualNullSafe(c, v) =>
+        (v != null && (isStringCol(c) || isNumericCol(c))) ||
+          (v == null && hasNullTrailer(c))
       case StringStartsWith(c, p) => isStringCol(c) && p.nonEmpty
       case StringContains(c, v) => isStringCol(c) && v.nonEmpty
       case StringEndsWith(c, v) => isStringCol(c) && v.nonEmpty

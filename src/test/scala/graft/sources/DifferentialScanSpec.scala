@@ -85,6 +85,9 @@ class DifferentialScanSpec extends AnyFunSuite {
       col("who").endsWith("5") && col("v").isNotNull &&
       col("__time") >= timestamp_millis(lit(t0 + 1000000L)))),
     "numeric IN" -> (df => df.filter(col("v").isin(7L, 444L, 999L))),
+    "null-safe string eq" -> (df => df.filter(col("who") <=> "u015")),
+    "null-safe numeric eq" -> (df => df.filter(col("v") <=> 444L)),
+    "null-safe eq null" -> (df => df.filter(col("v") <=> lit(null).cast("long"))),
     "disjunction (residual only)" -> (df => df.filter(col("who") === "u001" ||
       col("v") < 50)),
     "negation (residual only)" -> (df => df.filter(!(col("who") === "u001")))
