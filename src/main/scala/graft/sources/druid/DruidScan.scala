@@ -52,6 +52,9 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // pushed IS NULL: the trailer used positively (select ONLY null
   // rows); a column with no trailer has no nulls, so the split skips
   private var isNullCols: Set[String] = Set.empty
+  // top-level OR trees: no single column bound holds, but a segment
+  // can still skip when NO disjunct could match its metadata
+  private var orFilters: Seq[Filter] = Nil
 
   private def isStringCol(name: String): Boolean =
     fullSchema.fields.exists(f => f.name == name &&
@@ -156,6 +159,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualNullSafe(c, null) if hasNullTrailer(c) => isNullCols += c
       case StringStartsWith(c, p) if isStringCol(c) && p.nonEmpty =>
         prefixFilters += c -> (prefixFilters.getOrElse(c, Nil) :+ p)
+      case o: Or => orFilters :+= o
       case StringContains(c, v) if isStringCol(c) && v.nonEmpty =>
         patternFilters += c ->
           (patternFilters.getOrElse(c, Nil) :+ DimPattern("contains", v))
@@ -181,6 +185,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
         (v != null && (isStringCol(c) || isNumericCol(c))) ||
           (v == null && hasNullTrailer(c))
       case StringStartsWith(c, p) => isStringCol(c) && p.nonEmpty
+      case _: Or => true // segment-level disjunctive pruning
       case StringContains(c, v) => isStringCol(c) && v.nonEmpty
       case StringEndsWith(c, v) => isStringCol(c) && v.nonEmpty
       case _ => false
@@ -336,7 +341,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
       notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
-      patternFilters)
+      patternFilters, orFilters)
 }
 
 object DruidScanBuilder {
@@ -385,6 +390,16 @@ object DruidScanBuilder {
         numericCol(s.column).collect { case t if t.startsWith("L:") => s"sum:$t" }
       case _ => None
     }
+  }
+
+  /** Filter value as a double bound for metadata tests; None for NaN
+    * and non-numerics (conservative: no pruning).
+    */
+  def numericOpt(v: Any): Option[Double] = v match {
+    case d: java.lang.Double => if (d.isNaN) None else Some(d)
+    case f: java.lang.Float => if (f.isNaN) None else Some(f.toDouble)
+    case n: java.lang.Number => Some(n.doubleValue())
+    case _ => None
   }
 
   /** Filter-value -> epoch millis, covering TZ (Timestamp/Instant), NTZ
@@ -462,7 +477,8 @@ class DruidScan(root: String, required: StructType,
                 topNTime: Option[(Boolean, Int)] = None,
                 groupByDim: Option[String] = None,
                 prefixFilters: Map[String, Seq[String]] = Map.empty,
-                patternFilters: Map[String, Seq[DimPattern]] = Map.empty)
+                patternFilters: Map[String, Seq[DimPattern]] = Map.empty,
+                orFilters: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering
     with SupportsReportPartitioning {
@@ -640,10 +656,70 @@ class DruidScan(root: String, required: StructType,
         nc.getOrElse(c, m.rows.toLong) < m.rows.toLong)
     }
 
+  /** Conservative could-this-segment-hold-a-match test for arbitrary
+    * filter trees — the disjunctive complement of the conjunctive
+    * bound maps above. Unknown shapes answer true; every leaf uses the
+    * same metadata (interval, zones, envelopes, null counts) as the
+    * specialized paths, so an OR of prunable predicates prunes when NO
+    * branch could match. Rows always stay residual-verified.
+    */
+  private def couldMatch(f: Filter, m: SegMeta): Boolean = f match {
+    case Or(a, b) => couldMatch(a, m) || couldMatch(b, m)
+    case And(a, b) => couldMatch(a, m) && couldMatch(b, m)
+    case EqualTo("__time", v) => DruidScanBuilder.millis(v)
+      .forall(t => t >= m.startMs && t < m.endMs)
+    case GreaterThan("__time", v) =>
+      DruidScanBuilder.millis(v).forall(t => m.endMs > t)
+    case GreaterThanOrEqual("__time", v) =>
+      DruidScanBuilder.millis(v).forall(t => m.endMs > t)
+    case LessThan("__time", v) =>
+      DruidScanBuilder.millis(v).forall(t => m.startMs < t)
+    case LessThanOrEqual("__time", v) =>
+      DruidScanBuilder.millis(v).forall(t => m.startMs <= t)
+    case EqualTo(c, v: String) =>
+      m.strZones.get(c).forall { case (lo, hi) =>
+        v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0
+      }
+    case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      m.strZones.get(c).forall { case (lo, hi) =>
+        vs.exists { case v: String =>
+          v.compareTo(lo) >= 0 && v.compareTo(hi) <= 0
+        }
+      }
+    case StringStartsWith(c, p) if p.nonEmpty =>
+      m.strZones.get(c).forall { case (lo, hi) =>
+        hi.compareTo(p) >= 0 &&
+          DruidScan.prefixSucc(p).forall(s => lo.compareTo(s) < 0)
+      }
+    case EqualTo(c, v) => DruidScanBuilder.numericOpt(v).forall { d =>
+      m.zones.get(c).forall { case (lo, hi) => d >= lo && d <= hi }
+    }
+    case In(c, vs) if vs.nonEmpty =>
+      val ds = vs.toSeq.flatMap(DruidScanBuilder.numericOpt)
+      ds.length != vs.length || m.zones.get(c).forall { case (lo, hi) =>
+        ds.exists(d => d >= lo && d <= hi)
+      }
+    case GreaterThan(c, v) => DruidScanBuilder.numericOpt(v).forall(d =>
+      m.zones.get(c).forall(_._2 >= d))
+    case GreaterThanOrEqual(c, v) => DruidScanBuilder.numericOpt(v).forall(d =>
+      m.zones.get(c).forall(_._2 >= d))
+    case LessThan(c, v) => DruidScanBuilder.numericOpt(v).forall(d =>
+      m.zones.get(c).forall(_._1 <= d))
+    case LessThanOrEqual(c, v) => DruidScanBuilder.numericOpt(v).forall(d =>
+      m.zones.get(c).forall(_._1 <= d))
+    case IsNotNull(c) => m.nullCounts.forall(nc =>
+      nc.getOrElse(c, 0L) < m.rows.toLong)
+    case IsNull(c) => m.nullCounts.forall(nc => nc.getOrElse(c, 1L) > 0L)
+    case _ => true // unknown shape: cannot prune on it
+  }
+
+  private def orAdmit(m: SegMeta): Boolean =
+    orFilters.forall(couldMatch(_, m))
+
   private def admit(m: SegMeta): Boolean =
     m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
       zonesAdmit(m) && strZonesAdmit(m) && prefixZonesAdmit(m) &&
-      notNullAdmit(m)
+      notNullAdmit(m) && orAdmit(m)
 
   /** Top-N-by-__time segment cut. Sound because: take segments from
     * the time-extreme end until they hold >= k rows; every taken row's

@@ -88,8 +88,14 @@ class DifferentialScanSpec extends AnyFunSuite {
     "null-safe string eq" -> (df => df.filter(col("who") <=> "u015")),
     "null-safe numeric eq" -> (df => df.filter(col("v") <=> 444L)),
     "null-safe eq null" -> (df => df.filter(col("v") <=> lit(null).cast("long"))),
-    "disjunction (residual only)" -> (df => df.filter(col("who") === "u001" ||
+    "disjunction" -> (df => df.filter(col("who") === "u001" ||
       col("v") < 50)),
+    "disjunction mixed" -> (df => df.filter(
+      (col("who").startsWith("u03") && col("v") > 500) ||
+        col("x").isNull || col("v") === 7L)),
+    "disjunction with time" -> (df => df.filter(
+      col("__time") < timestamp_millis(lit(t0 + 1800000L)) ||
+        col("who") === "u039")),
     "negation (residual only)" -> (df => df.filter(!(col("who") === "u001")))
   )
 

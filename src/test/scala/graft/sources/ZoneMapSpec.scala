@@ -113,6 +113,24 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(one.count() == 100)
   }
 
+  test("OR trees prune segments when no disjunct could match") {
+    // n-range-clustered: each segment holds a narrow n slice
+    val two = spark.read.format("druid").load(dir)
+      .filter(col("n") === 100 || col("n") === 3800)
+    assert(two.rdd.getNumPartitions <= 2,
+      s"disjunctive pruning failed: ${two.rdd.getNumPartitions}")
+    assert(two.count() == 2)
+    // an unprunable disjunct disables pruning but stays correct
+    val all = spark.read.format("druid").load(dir)
+      .filter(col("n") === 100 || col("who").contains("4"))
+    assert(all.count() == 1 + 800) // u4 rows: 4000/5
+    // OR of two impossible ranges -> zero partitions
+    val none = spark.read.format("druid").load(dir)
+      .filter(col("n") < -5L || col("n") > 10000000L)
+    assert(none.rdd.getNumPartitions == 0)
+    assert(none.count() == 0)
+  }
+
   test("manifest carries per-string-column envelopes") {
     val metas = SegmentCatalog
       .load(dir, DruidTableUtil.discoverSegments(dir)).get
