@@ -102,6 +102,23 @@ class DifferentialScanSpec extends AnyFunSuite {
   for ((name, pred) <- cases)
     test(s"druid == parquet under: $name") { compare(name, pred) }
 
+  test("druid == parquet under 30 generated disjunction mixes") {
+    // (a OR b) AND c — drives the could-match evaluator across every
+    // leaf family crossed with every conjunctive bound
+    val atoms: Vector[Column] = Vector(
+      col("__time") >= timestamp_millis(lit(t0 + 10000000L)),
+      col("who").startsWith("u0"), col("who").contains("3"),
+      col("who") === "u015", col("who").isin("u002", "u023"),
+      col("v") >= 250, col("v") < 750, col("v").isNull,
+      col("x") > 250.25, col("x").isNull, col("v") === 444L)
+    def pick(seed: Long): Column =
+      atoms(((h(seed, 17) % atoms.length).toInt + atoms.length) % atoms.length)
+    for (i <- 0 until 30) {
+      val pred = (pick(i * 3) || pick(i * 3 + 1)) && pick(i * 3 + 2)
+      compare(s"disjunction mix #$i", df => df.filter(pred))
+    }
+  }
+
   test("druid == parquet under 30 generated conjunctions") {
     // deterministic pseudo-random 2-3 atom conjunctions over every
     // pushdown family — the interaction coverage the hand-picked
