@@ -141,6 +141,77 @@ private[druid] object RowSelection {
         case _ => None
       }
     }
+    // OR/AND trees over dictionary predicates: Druid's filter model is
+    // boolean algebra over bitmap indexes, and so is this — leaves
+    // resolve to per-value bitmaps (equality, IN, the LIKE family),
+    // OR unions, AND intersects. A leaf the bitmaps can't serve makes
+    // its subtree a no-restriction superset (AND keeps the other side,
+    // OR gives up), which is always sound: Spark's residual re-check
+    // has the final word on every row.
+    def bitmapOf(f: org.apache.spark.sql.sources.Filter):
+        Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+      import org.apache.spark.sql.sources._
+      def stringCol(c: String):
+          Option[Either[Unit, graft.format.StringColumn]] =
+        if (!segment.columnNames.contains(c)) Some(Left(())) // absent: all null
+        else segment.column(c) match {
+          case StringColumnData(sc) if sc.bitmaps.isDefined => Some(Right(sc))
+          case _ => None
+        }
+      def ofValues(c: String, vs: Seq[String]):
+          Option[org.roaringbitmap.buffer.MutableRoaringBitmap] =
+        stringCol(c).map {
+          case Left(()) => new org.roaringbitmap.buffer.MutableRoaringBitmap()
+          case Right(sc) =>
+            val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            vs.map(sc.dictIdOf).filter(_ >= 0)
+              .foreach(id => sc.bitmapFor(id).foreach(acc.or))
+            acc
+        }
+      def ofDictScan(c: String, matches: String => Boolean):
+          Option[org.roaringbitmap.buffer.MutableRoaringBitmap] =
+        stringCol(c).map {
+          case Left(()) => new org.roaringbitmap.buffer.MutableRoaringBitmap()
+          case Right(sc) =>
+            val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            var id = 0
+            val n = sc.dictionary.numElements
+            while (id < n) {
+              val v = sc.dictionary.stringAt(id)
+              if (v != null && matches(v)) sc.bitmapFor(id).foreach(acc.or)
+              id += 1
+            }
+            acc
+        }
+      f match {
+        case Or(a, b) =>
+          for (x <- bitmapOf(a); y <- bitmapOf(b)) yield { x.or(y); x }
+        case And(a, b) => (bitmapOf(a), bitmapOf(b)) match {
+          case (Some(x), Some(y)) => x.and(y); Some(x)
+          case (Some(x), None) => Some(x) // superset: residual verifies
+          case (None, y) => y
+        }
+        case EqualTo(c, v: String) => ofValues(c, Seq(v))
+        case EqualNullSafe(c, v: String) => ofValues(c, Seq(v))
+        case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+          ofValues(c, vs.toSeq.map(_.asInstanceOf[String]))
+        case StringStartsWith(c, p) if p.nonEmpty =>
+          stringCol(c).map {
+            case Left(()) => new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            case Right(sc) =>
+              val (lo, hi) = sc.dictIdRangeForPrefix(p)
+              val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+              (lo until hi).foreach(id => sc.bitmapFor(id).foreach(acc.or))
+              acc
+          }
+        case StringContains(c, v) if v.nonEmpty =>
+          ofDictScan(c, _.contains(v))
+        case StringEndsWith(c, v) if v.nonEmpty =>
+          ofDictScan(c, _.endsWith(v))
+        case _ => None // numeric/time/null leaves: not bitmap-served
+      }
+    }
+    val orSets = part.orFilters.flatMap(bitmapOf)
     // contains / ends-with: one pass over the dictionary (cardinality
     // << rows), bitmap union of matching entries — Druid's LIKE family
     // without decoding a single row
@@ -204,13 +275,14 @@ private[druid] object RowSelection {
       }.filter(_ != null)
     if (emptySplit) return Array.emptyIntArray
     if (applicable.isEmpty && prefixSets.isEmpty && patternSets.isEmpty &&
-        nullSets.isEmpty && onlyNullSets.isEmpty) null
+        orSets.isEmpty && nullSets.isEmpty && onlyNullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
       applicable.foreach(range.and)
       prefixSets.foreach(range.and)
       patternSets.foreach(range.and)
+      orSets.foreach(range.and)
       onlyNullSets.foreach(range.and)
       nullSets.foreach(range.andNot)
       range.toArray

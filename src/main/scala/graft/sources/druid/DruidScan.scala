@@ -438,7 +438,8 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                        Map.empty,
                                      patternFilters: Map[String, Seq[DimPattern]] =
                                        Map.empty,
-                                     dayKey: Int = 0)
+                                     dayKey: Int = 0,
+                                     orFilters: Seq[Filter] = Nil)
     extends InputPartition with HasPartitionKey {
   // meaningful only when the scan reports KeyGroupedPartitioning
   // (day-aligned tables); int days-since-epoch, the days() result type
@@ -766,7 +767,7 @@ class DruidScan(root: String, required: StructType,
       (0 until capped by per).map { start =>
         DruidInputPartition(m.dir, start, math.min(capped, start + per), limit,
           batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
-          patternFilters, day)
+          patternFilters, day, orFilters)
       }
     }
     parts.toArray

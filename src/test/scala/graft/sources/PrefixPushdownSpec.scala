@@ -79,6 +79,42 @@ class PrefixPushdownSpec extends AnyFunSuite {
       s"pattern filter missing from scan description:\n$p")
   }
 
+  test("OR trees row-skip via bitmap algebra (exact selection)") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{And => FAnd, EqualTo => FEq, GreaterThan => FGt, Or => FOr, StringStartsWith => FSw}
+    val out = Files.createTempDirectory("graft-orbm").toString + "/t"
+    val rows = (0 until 300).map { i =>
+      (1700000000000L + i, Seq("alpha", "beta", "gamma")(i % 3),
+        s"tag${i % 10}", i.toLong)
+    }
+    rows.toDF("__time", "kind", "tag", "n").coalesce(1)
+      .write.format("druid").mode("overwrite").save(out)
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(out).head
+    val seg = graft.format.DruidSegment.open(segDir)
+
+    def sel(f: org.apache.spark.sql.sources.Filter): Seq[Int] = {
+      val part = graft.sources.druid.DruidInputPartition(
+        segDir, 0, rows.length, -1, 4096, Map.empty,
+        orFilters = Seq(f))
+      Option(graft.sources.druid.RowSelectionProbe.build(seg, part))
+        .map(_.toSeq).getOrElse(Seq.tabulate(rows.length)(identity))
+    }
+
+    val expect1 = rows.indices.filter(i =>
+      rows(i)._2 == "alpha" || rows(i)._3.startsWith("tag1"))
+    assert(sel(FOr(FEq("kind", "alpha"), FSw("tag", "tag1"))) == expect1)
+
+    // AND with a non-bitmap leaf degrades to the bitmap side (superset)
+    val expect2 = rows.indices.filter(i =>
+      rows(i)._2 == "beta" || rows(i)._2 == "gamma")
+    assert(sel(FOr(FAnd(FEq("kind", "beta"), FGt("n", 250L)),
+      FEq("kind", "gamma"))) == expect2)
+
+    // a fully non-bitmap disjunct -> no restriction (all rows)
+    assert(sel(FOr(FGt("n", 250L), FEq("kind", "alpha"))) ==
+      rows.indices.toSeq)
+  }
+
   test("pattern filters stay correct without bitmap indexes (residual)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-nobm").toString + "/t"
