@@ -121,11 +121,20 @@ class DruidStreamingWrite(root: String, schema: StructType,
   * time-series table cheap to query by window.
   */
 object SegmentGranularity {
-  val supported = Set("hour", "day", "month", "year")
+  val supported =
+    Set("minute", "fifteen_minute", "hour", "day", "week", "month", "year")
 
   def bucketStart(ms: Long, g: String): Long = g match {
+    case "minute" => Math.floorDiv(ms, 60000L) * 60000L
+    case "fifteen_minute" => Math.floorDiv(ms, 900000L) * 900000L
     case "hour" => Math.floorDiv(ms, 3600000L) * 3600000L
     case "day" => Math.floorDiv(ms, 86400000L) * 86400000L
+    case "week" =>
+      // ISO weeks (Monday start), Druid's WEEK granularity. Epoch day 0
+      // was a Thursday, so Mondays sit at day ≡ 4 (mod 7): shift by 4
+      // days and floor on 7-day periods.
+      Math.floorDiv(ms - 4L * 86400000L, 7L * 86400000L) * 7L * 86400000L +
+        4L * 86400000L
     case "month" | "year" =>
       val t = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
       val start =

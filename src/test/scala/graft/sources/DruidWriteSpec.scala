@@ -177,13 +177,26 @@ class DruidWriteSpec extends AnyFunSuite {
       java.time.Instant.parse("2023-07-01T00:00:00Z").toEpochMilli)
     assert(bucketStart(t, "year") ==
       java.time.Instant.parse("2023-01-01T00:00:00Z").toEpochMilli)
+    assert(bucketStart(t, "minute") ==
+      java.time.Instant.parse("2023-07-15T13:45:00Z").toEpochMilli)
+    assert(bucketStart(t, "fifteen_minute") ==
+      java.time.Instant.parse("2023-07-15T13:45:00Z").toEpochMilli)
+    // 2023-07-15 is a Saturday; its ISO week starts Monday 07-10
+    assert(bucketStart(t, "week") ==
+      java.time.Instant.parse("2023-07-10T00:00:00Z").toEpochMilli)
+    // a Monday is its own week start
+    val mon = java.time.Instant.parse("1970-01-05T07:00:00Z").toEpochMilli
+    assert(bucketStart(mon, "week") ==
+      java.time.Instant.parse("1970-01-05T00:00:00Z").toEpochMilli)
     // pre-epoch floors DOWN (floorDiv, not truncation toward zero)
     val pre = java.time.Instant.parse("1969-12-31T22:10:00Z").toEpochMilli
     assert(bucketStart(pre, "day") ==
       java.time.Instant.parse("1969-12-31T00:00:00Z").toEpochMilli)
     assert(bucketStart(pre, "year") ==
       java.time.Instant.parse("1969-01-01T00:00:00Z").toEpochMilli)
-    intercept[IllegalArgumentException](bucketStart(t, "week"))
+    assert(bucketStart(pre, "week") ==
+      java.time.Instant.parse("1969-12-29T00:00:00Z").toEpochMilli)
+    intercept[IllegalArgumentException](bucketStart(t, "quarter"))
   }
 
   test("month-granularity write buckets by calendar month and prunes") {
