@@ -9,7 +9,14 @@ package graft.format
   */
 object SegmentValidator {
 
-  def validate(dir: String): Seq[String] = {
+  def validate(dir: String): Seq[String] = validate(dir, expectTimeSorted = false)
+
+  /** As [[validate]]; with `expectTimeSorted` (the manifest's claim for
+    * this segment) also verifies `__time` is nondecreasing — a false
+    * sorted flag would let the scan report an ordering Spark then
+    * trusts to elide sorts.
+    */
+  def validate(dir: String, expectTimeSorted: Boolean): Seq[String] = {
     val issues = Seq.newBuilder[String]
     val seg =
       try DruidSegment.open(dir)
@@ -28,10 +35,15 @@ object SegmentValidator {
             if (longs.length != rows)
               issues += s"$name: length ${longs.length} != rows $rows"
             var r = 0
+            var prev = Long.MinValue
             while (r < longs.length) {
               val t = longs.get(r)
               if (t < interval._1 || t >= interval._2)
                 issues += s"$name: row $r time $t outside interval $interval"
+              if (expectTimeSorted && t < prev)
+                issues += s"$name: row $r time $t < previous $prev " +
+                  "but the manifest claims timeSorted"
+              prev = t
               r += 1
             }
           case LongColumnData(vs, nulls) =>
@@ -102,7 +114,11 @@ object SegmentValidator {
     */
   def validateTable(root: String): Seq[(String, Seq[String])] = {
     val dirs = graft.sources.druid.DruidTableUtil.discoverSegments(root)
-    val perSeg = dirs.map(d => d -> validate(d))
+    val sortedClaims: Map[String, Boolean] = graft.sources.druid.SegmentCatalog
+      .load(root, dirs).map(_.map(m => m.dir -> m.timeSorted).toMap)
+      .getOrElse(Map.empty)
+    val perSeg = dirs.map(d =>
+      d -> validate(d, sortedClaims.getOrElse(d, false)))
     val manifestIssues = graft.sources.druid.SegmentCatalog
       .load(root, dirs).toSeq.flatMap { metas =>
         metas.flatMap { m =>

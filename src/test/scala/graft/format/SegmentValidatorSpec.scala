@@ -42,6 +42,28 @@ class SegmentValidatorSpec extends AnyFunSuite {
     assert(issues.nonEmpty, "corrupted segment validated clean")
   }
 
+  test("a false timeSorted claim is detected") {
+    val dir = freshTable()
+    val segs = graft.sources.druid.DruidTableUtil.discoverSegments(dir)
+    // table IS sorted -> claims verify clean
+    assert(SegmentValidator.validateTable(dir).forall(_._2.isEmpty))
+    // an unsorted segment with a forged sorted flag must be flagged:
+    // descending rows written through the raw writer (which does not
+    // sort), then a manifest claiming timeSorted
+    val forged = java.nio.file.Paths.get(segs.head).getParent
+      .resolve("segment-forged")
+    graft.write.SegmentWriter.write(forged,
+      Array(5000L, 4000L, 3000L), Nil)
+    val metas = graft.sources.druid.SegmentCatalog
+      .load(dir, segs).get :+ graft.sources.druid.SegMeta(
+        forged.toString, 3000L, 5001L, 3, exactInterval = true,
+        timeSorted = true)
+    graft.sources.druid.SegmentCatalog.write(dir, metas.sortBy(_.dir))
+    val bad = SegmentValidator.validateTable(dir).filter(_._2.nonEmpty)
+    assert(bad.exists(_._2.exists(_.contains("claims timeSorted"))),
+      s"forged sorted flag not reported: $bad")
+  }
+
   test("manifest row-count drift is detected") {
     val dir = freshTable()
     val segs = graft.sources.druid.DruidTableUtil.discoverSegments(dir)
