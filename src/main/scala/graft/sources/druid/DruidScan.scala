@@ -126,6 +126,14 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualTo("__time", v) => millis(v).foreach { m =>
         timeMin = math.max(timeMin, m); timeMax = math.min(timeMax, m)
       }
+      // IN on __time -> conservative [min, max] interval bound (same
+      // shape the runtime-filter path already applies)
+      case In("__time", vs) if vs.nonEmpty =>
+        val ms = vs.toSeq.flatMap(millis)
+        if (ms.length == vs.length) {
+          timeMin = math.max(timeMin, ms.min)
+          timeMax = math.min(timeMax, ms.max)
+        }
       case EqualTo(c, v: String) if isStringCol(c) => addDimFilter(c, Seq(v))
       case In(c, vs) if isStringCol(c) && vs.forall(_.isInstanceOf[String]) =>
         addDimFilter(c, vs.toSeq.map(_.asInstanceOf[String]))
@@ -173,7 +181,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
            LessThan("__time", _) | LessThanOrEqual("__time", _) |
            EqualTo("__time", _) => true
       case EqualTo(c, _: String) => isStringCol(c)
-      case In(c, _) => isStringCol(c) || isNumericCol(c)
+      case In(c, _) => c == "__time" || isStringCol(c) || isNumericCol(c)
       case GreaterThan(c, _) => isNumericCol(c)
       case GreaterThanOrEqual(c, _) => isNumericCol(c)
       case LessThan(c, _) => isNumericCol(c)

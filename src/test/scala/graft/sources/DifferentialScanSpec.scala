@@ -85,6 +85,9 @@ class DifferentialScanSpec extends AnyFunSuite {
       col("who").endsWith("5") && col("v").isNotNull &&
       col("__time") >= timestamp_millis(lit(t0 + 1000000L)))),
     "numeric IN" -> (df => df.filter(col("v").isin(7L, 444L, 999L))),
+    "time IN" -> (df => df.filter(col("__time").isin(
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(t0 + 5000000L)),
+      java.sql.Timestamp.from(java.time.Instant.ofEpochMilli(t0 + 9000000L))))),
     "null-safe string eq" -> (df => df.filter(col("who") <=> "u015")),
     "null-safe numeric eq" -> (df => df.filter(col("v") <=> 444L)),
     "null-safe eq null" -> (df => df.filter(col("v") <=> lit(null).cast("long"))),
