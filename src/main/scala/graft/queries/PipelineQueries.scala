@@ -660,6 +660,41 @@ object PipelineQueries extends QuerySet {
              |FROM assigned GROUP BY source, split
              |ORDER BY source, split""".stripMargin)),
 
+    // Near-dup CLUSTERS, not just pairs: connected components over the
+    // LSH candidate graph (hash-min label propagation, O(diameter)
+    // rounds of id-only joins — graft.pipeline.Components). A~B and B~C
+    // must put A and C in one group even when A, C never shared a
+    // bucket; per-pair removal can't express that. The oracle replays
+    // the exact same graph with a recursive-CTE transitive closure —
+    // both engines label each component by its minimum doc_id, so the
+    // outputs are hash-exact.
+    Q("d18_neardup_components",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cand = TextOps.lshCandidates(
+          TextOps.bandSignaturesDirect(docs, 16, 4))
+        graft.pipeline.Components.connectedComponents(cand)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE $duckGrams, ${duckParams(16)}, $duckBands,
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           |edges AS (SELECT d1 AS u, d2 AS v FROM cand
+           |          UNION SELECT d2, d1 FROM cand),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u)
+           |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
+           |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).

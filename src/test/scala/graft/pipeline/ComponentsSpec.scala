@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def edges(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("d1", "d2")
+  }
+
+  private def comps(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Components.connectedComponents(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two disjoint components get their min ids") {
+    val m = comps(edges((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long chain needs multiple propagation rounds") {
+    // path 1-2-3-...-12: diameter 11, so hash-min must iterate; labels
+    // still converge to the global min at every node
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val m = comps(edges(chain: _*))
+    assert(m.size == 12)
+    assert(m.values.forall(_ == 1L))
+  }
+
+  test("bridged cliques merge into one component") {
+    // two cliques {1,2,3} and {7,8,9} bridged by (3,7) — the A~B, B~C
+    // case where pair-level dedup misclassifies
+    val m = comps(edges((1L, 2L), (1L, 3L), (2L, 3L),
+      (7L, 8L), (7L, 9L), (8L, 9L), (3L, 7L)))
+    assert(m.values.toSet == Set(1L))
+  }
+
+  test("empty edge list yields empty labeling") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Components.connectedComponents(empty).count() == 0)
+  }
+
+  test("self-loops and duplicate edges are harmless") {
+    val m = comps(edges((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
+    assert(m == Map(5L -> 5L, 6L -> 5L))
+  }
+}
