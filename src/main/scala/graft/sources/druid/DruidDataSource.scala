@@ -195,5 +195,12 @@ class DruidTable(root: String, schema0: StructType) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DruidWriteBuilder(root, info.schema(),
       info.options().getBoolean("bitmapIndexes", true),
-      Option(info.options().get("segmentGranularity")))
+      Option(info.options().get("segmentGranularity")),
+      // rollup=true pre-aggregates at ingest: rows sharing (__time
+      // floored to queryGranularity, all dims) collapse per task,
+      // numeric metrics summed — Druid's ingest-time rollup
+      rollupGran =
+        if (info.options().getBoolean("rollup", false))
+          Some(Option(info.options().get("queryGranularity")).getOrElse("none"))
+        else None)
 }

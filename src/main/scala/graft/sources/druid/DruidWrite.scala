@@ -33,18 +33,34 @@ import graft.write.SegmentWriter._
   */
 class DruidWriteBuilder(root: String, schema: StructType,
                         bitmapIndexes: Boolean = true,
-                        granularity: Option[String] = None)
+                        granularity: Option[String] = None,
+                        rollupGran: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
+  rollupGran.foreach { g =>
+    require(g == "none" || SegmentGranularity.supported.contains(g),
+      s"queryGranularity '$g' not in none/${SegmentGranularity.supported.mkString("/")}")
+    require(schema.fields.exists(_.name == "__time"),
+      "rollup requires a __time column")
+    schema.fields.filter(_.name != "__time").foreach { f =>
+      require(f.dataType != BinaryType &&
+        f.dataType != TimestampType && f.dataType != TimestampNTZType,
+        s"rollup: column '${f.name}' (${f.dataType.simpleString}) is neither " +
+          "a dimension (string/array<string>) nor a summable metric")
+    }
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity)
+      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity,
+        rollupGran)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "druid streaming sink supports append output mode only")
-      new DruidStreamingWrite(root, schema, bitmapIndexes, granularity)
+      new DruidStreamingWrite(root, schema, bitmapIndexes, granularity,
+        rollupGran)
     }
   }
 }
@@ -60,7 +76,8 @@ class DruidWriteBuilder(root: String, schema: StructType,
   */
 class DruidStreamingWrite(root: String, schema: StructType,
                           bitmapIndexes: Boolean,
-                          granularity: Option[String])
+                          granularity: Option[String],
+                          rollupGran: Option[String] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -72,12 +89,12 @@ class DruidStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root, ".epochs"))
-    val (r, sch, bm, g) = (root, schema, bitmapIndexes, granularity)
+    val (r, sch, bm, g, rg) = (root, schema, bitmapIndexes, granularity, rollupGran)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
-          s"ep$epochId", sch, partitionId, taskId, bm, g)
+          s"ep$epochId", sch, partitionId, taskId, bm, g, rg)
     }
   }
 
@@ -150,7 +167,8 @@ final case class DruidCommitMessage(segments: Seq[SegMeta]) extends WriterCommit
 
 class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       bitmapIndexes: Boolean,
-                      granularity: Option[String] = None)
+                      granularity: Option[String] = None,
+                      rollupGran: Option[String] = None)
     extends BatchWrite {
 
   granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
@@ -164,7 +182,7 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stagingDir)
     new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
-      granularity)
+      granularity, rollupGran)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -252,11 +270,12 @@ object DruidBatchWrite {
 
 class DruidDataWriterFactory(stagingRoot: String, jobId: String,
                              schema: StructType, bitmapIndexes: Boolean,
-                             granularity: Option[String] = None)
+                             granularity: Option[String] = None,
+                             rollupGran: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
-      bitmapIndexes, granularity)
+      bitmapIndexes, granularity, rollupGran)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -267,7 +286,8 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
 class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       partitionId: Int, taskId: Long,
                       bitmapIndexes: Boolean = true,
-                      granularity: Option[String] = None)
+                      granularity: Option[String] = None,
+                      rollupGran: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   // ---- typed builders ----
@@ -431,10 +451,126 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     rowCount += 1
   }
 
+  /** Apply a row selection to already-materialized column values (the
+    * granularity split picks per-bucket rows from ONE materialization).
+    */
+  private def selectValues(cv: ColumnValues, sel: Array[Int]): ColumnValues =
+    if (sel == null) cv
+    else cv match {
+      case LongValues(v, nulls) => LongValues(pick(v, sel), pickNulls(nulls, sel))
+      case TimestampValues(v, nulls, z) =>
+        TimestampValues(pick(v, sel), pickNulls(nulls, sel), z)
+      case DoubleValues(v, nulls) => DoubleValues(pick(v, sel), pickNulls(nulls, sel))
+      case FloatValues(v, nulls) => FloatValues(pick(v, sel), pickNulls(nulls, sel))
+      case StringValues(v) => StringValues(pick(v, sel))
+      case MultiStringValues(v) => MultiStringValues(pick(v, sel))
+      case ComplexValues(t, v) => ComplexValues(t, pick(v, sel))
+    }
+
+  /** Druid's ingest-time ("best-effort") rollup: within this task's
+    * buffer, rows with equal (__time floored to granularity `g`, every
+    * dimension value) collapse to one row whose numeric metrics are
+    * SUMMED (nulls ignored; an all-null group stays null — Spark's own
+    * sum semantics, so re-aggregating reads match the raw data).
+    * Rollup is deliberately NOT global across tasks — exactly like
+    * Druid, where rollup happens per in-memory index flush and a
+    * rolled-up table is always queried through re-aggregation, which
+    * merges whatever partial collapse the layout achieved. Task memory
+    * is O(distinct keys): the point of rolling up at ingest is that
+    * this is much smaller than the raw rows.
+    */
+  private def rollupRows(time: Array[Long],
+      cols: IndexedSeq[(String, ColumnValues)], g: String)
+      : (Array[Long], IndexedSeq[(String, ColumnValues)]) = {
+    val n = time.length
+    val dimIdx = cols.indices.filter(i => cols(i)._2 match {
+      case _: StringValues | _: MultiStringValues => true
+      case _ => false
+    })
+    val keyToGid = new java.util.HashMap[List[Any], Integer]()
+    val groupOf = new Array[Int](n)
+    val gTime = new LongBuilder
+    val firstRowB = new IntBuilder
+    var r = 0
+    while (r < n) {
+      val bucket =
+        if (g == "none") time(r) else SegmentGranularity.bucketStart(time(r), g)
+      val key = (bucket: Any) :: dimIdx.map(i => cols(i)._2 match {
+        case StringValues(v) => v(r): Any
+        case MultiStringValues(v) => v(r): Any
+        case _ => null
+      }).toList
+      var gid = keyToGid.get(key)
+      if (gid == null) {
+        gid = Integer.valueOf(keyToGid.size())
+        keyToGid.put(key, gid)
+        gTime.add(bucket)
+        firstRowB.add(r)
+      }
+      groupOf(r) = gid.intValue()
+      r += 1
+    }
+    val nG = keyToGid.size()
+    val first = firstRowB.result()
+    def nullBits(nulls: Array[Int]): java.util.BitSet = {
+      val b = new java.util.BitSet(); nulls.foreach(b.set); b
+    }
+    val outCols = cols.map { case (name, cv) =>
+      name -> (cv match {
+        case StringValues(v) => StringValues(first.map(v(_)))
+        case MultiStringValues(v) => MultiStringValues(first.map(v(_)))
+        case LongValues(v, nulls) =>
+          val ns = nullBits(nulls)
+          val sums = new Array[Long](nG) // wrap-around, like Spark non-ANSI sum
+          val any = new Array[Boolean](nG)
+          var i = 0
+          while (i < n) {
+            if (!ns.get(i)) { sums(groupOf(i)) += v(i); any(groupOf(i)) = true }
+            i += 1
+          }
+          LongValues(sums, (0 until nG).filterNot(any).toArray)
+        case DoubleValues(v, nulls) =>
+          val ns = nullBits(nulls)
+          val sums = new Array[Double](nG)
+          val any = new Array[Boolean](nG)
+          var i = 0
+          while (i < n) {
+            if (!ns.get(i)) { sums(groupOf(i)) += v(i); any(groupOf(i)) = true }
+            i += 1
+          }
+          DoubleValues(sums, (0 until nG).filterNot(any).toArray)
+        case FloatValues(v, nulls) =>
+          // accumulate in double, store back as float (the column type)
+          val ns = nullBits(nulls)
+          val sums = new Array[Double](nG)
+          val any = new Array[Boolean](nG)
+          var i = 0
+          while (i < n) {
+            if (!ns.get(i)) { sums(groupOf(i)) += v(i); any(groupOf(i)) = true }
+            i += 1
+          }
+          FloatValues(sums.map(_.toFloat), (0 until nG).filterNot(any).toArray)
+        case other => throw new IllegalStateException( // rejected at build()
+          s"rollup: unsupported column '$name' ${other.getClass.getSimpleName}")
+      })
+    }
+    (gTime.result(), outCols)
+  }
+
   override def commit(): WriterCommitMessage = {
-    val time: Array[Long] =
+    val rawTime: Array[Long] =
       if (timeIdx >= 0) bufs(timeIdx).asInstanceOf[TimeBuf].millis
       else new Array[Long](rowCount)
+    // materialize each column ONCE; bucket splits then select from this
+    // (the builders would otherwise re-materialize per bucket)
+    val rawCols: IndexedSeq[(String, ColumnValues)] = fields.indices
+      .filter(_ != timeIdx)
+      .map(i => fields(i).name -> bufs(i).values(null)).toIndexedSeq
+    val (time, matCols) = rollupGran match {
+      case Some(g) => rollupRows(rawTime, rawCols, g)
+      case None => (rawTime, rawCols)
+    }
+    val nRows = time.length
 
     // Per-numeric-column zone maps over NON-NULL rows, three forms:
     //  - `zones` (pruning): double [min, max] widened one ulp so
@@ -530,13 +666,13 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       }.toMap + ("__time" -> 0L)
 
     def writeSegment(suffix: String, sel: Array[Int]): SegMeta = {
-      val columns = fields.indices
-        .filter(_ != timeIdx)
-        .map(i => fields(i).name -> bufs(i).values(sel))
+      val columns = matCols.map { case (n, cv) => n -> selectValues(cv, sel) }
       val dir = Paths.get(stagingRoot,
         f"segment-$partitionId%05d-$taskId-$jobId$suffix")
       val t = pick(time, sel)
-      SegmentWriter.write(dir, t, columns, stringBitmaps = bitmapIndexes)
+      SegmentWriter.write(dir, t, columns, stringBitmaps = bitmapIndexes,
+        rollup = rollupGran.isDefined,
+        queryGranularity = rollupGran.getOrElse("none"))
       // mirror SegmentWriter's interval convention (empty -> [0, 1))
       val start = if (t.isEmpty) 0L else t.min
       val end = if (t.isEmpty) 1L else t.max + 1
@@ -556,13 +692,13 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     val order: Array[Int] = {
       var sorted = true
       var r = 1
-      while (sorted && r < rowCount) {
+      while (sorted && r < nRows) {
         if (time(r - 1) > time(r)) sorted = false
         r += 1
       }
       if (sorted) null
       else {
-        val idx = Array.tabulate(rowCount)(identity)
+        val idx = Array.tabulate(nRows)(identity)
         // boxed sort keeps stability (ties stay in arrival order)
         val boxed = idx.map(Int.box)
         java.util.Arrays.sort(boxed,
@@ -571,12 +707,12 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
             if (c != 0) c else Integer.compare(a, b)
           })
         var i = 0
-        while (i < rowCount) { idx(i) = boxed(i); i += 1 }
+        while (i < nRows) { idx(i) = boxed(i); i += 1 }
         idx
       }
     }
 
-    val segs = granularity.filter(_ => timeIdx >= 0 && rowCount > 0) match {
+    val segs = granularity.filter(_ => timeIdx >= 0 && nRows > 0) match {
       case None => Seq(writeSegment("", order))
       case Some(g) =>
         // one segment per UTC time bucket: intervals align with the
@@ -585,7 +721,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
         // stay time-ascending.
         val buckets = new java.util.TreeMap[Long, IntBuilder]()
         var r = 0
-        while (r < rowCount) {
+        while (r < nRows) {
           val ri = if (order == null) r else order(r)
           buckets.computeIfAbsent(SegmentGranularity.bucketStart(time(ri), g),
             _ => new IntBuilder).add(ri)

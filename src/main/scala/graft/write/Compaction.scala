@@ -26,7 +26,11 @@ object Compaction {
   /** Compact `dir` so each output segment holds ~`targetRowsPerSegment`
     * rows. Pass writer options (e.g. `compression`, `bitmapIndexes`,
     * `segmentGranularity`) through `options`; note a granularity option
-    * buckets each shuffle partition further by time.
+    * buckets each shuffle partition further by time. For a rolled-up
+    * table, pass the same `rollup`/`queryGranularity` options: the
+    * rewrite then re-collapses rows ACROSS the old segment boundaries
+    * (ingest rollup is per-task best-effort) — Druid's
+    * compaction-with-rollup.
     *
     * `clusterBy` range-partitions the rewrite on a column (or a
     * comma-separated composite key) instead of round-robin: each

@@ -64,7 +64,9 @@ object SegmentWriter {
             columns: Seq[(String, ColumnValues)],
             compression: Byte = Compression.LZ4,
             maxChunkSize: Int = Int.MaxValue,
-            stringBitmaps: Boolean = true): Unit = {
+            stringBitmaps: Boolean = true,
+            rollup: Boolean = false,
+            queryGranularity: String = "none"): Unit = {
     require(columns.forall(_._2.length == time.length),
       "all columns must have the same row count")
     Files.createDirectories(dir)
@@ -84,7 +86,8 @@ object SegmentWriter {
     }
     logicalFiles("index.drd") = SegmentMetadata.write(SegmentMetadata(
       columns.map(_._1), dims, intervalStart, intervalEnd))
-    logicalFiles("metadata.drd") = metadataDrd(time.length)
+    logicalFiles("metadata.drd") =
+      metadataDrd(time.length, rollup, queryGranularity)
 
     // smoosh packing with chunk rollover
     val meta = new StringBuilder()
@@ -157,10 +160,11 @@ object SegmentWriter {
         "COMPLEX", tn, GenericIndexed.writeLengthPrefixed(v.toSeq, sorted = false))
     }
 
-  private def metadataDrd(rows: Int): Array[Byte] =
+  private def metadataDrd(rows: Int, rollup: Boolean,
+                          queryGranularity: String): Array[Byte] =
     (s"""{"container":{},"aggregators":[],"timestampSpec":""" +
       s"""{"column":"__time","format":"millis"},""" +
-      s""""queryGranularity":{"type":"none"},"rollup":false,""" +
+      s""""queryGranularity":{"type":"$queryGranularity"},"rollup":$rollup,""" +
       // our extension: this writer's interval is exactly
       // [min(__time), max(__time)+1], so time-bound aggregates can be
       // answered from index.drd alone (real Druid aligns intervals to
