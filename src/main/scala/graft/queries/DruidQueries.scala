@@ -147,6 +147,32 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Events ingested with rollup=true / queryGranularity=hour: each
+    * write task collapses rows sharing (hour, event_type) and SUMS the
+    * metrics (`n_rows` is the explicit count metric, Druid's own
+    * convention) — the ingest-time pre-aggregation that makes Druid
+    * tables a fraction of their raw size. Rollup is per-task
+    * best-effort, exactly like Druid's per-flush rollup, so queries
+    * re-aggregate — and must match the raw data bit-for-bit.
+    */
+  private def eventsRollupSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = synchronized {
+      val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events_rollup"
+      if (!written.contains(out)) {
+        Tables.events(s, dir)
+          .select(col("ts").as("__time"), col("event_type"), col("value"),
+                  lit(1L).as("n_rows"))
+          .repartition(4)
+          .write.format("druid")
+          .option("rollup", "true").option("queryGranularity", "hour")
+          .mode("overwrite").save(out)
+        written += out
+      }
+      out
+    }
+    s.read.format("druid").load(path)
+  }
+
   /** Force all one-time segment-staging writes. Bench calls this before
     * its timed loop so dr* timings measure scans, not the writer.
     */
@@ -154,6 +180,7 @@ object DruidQueries extends QuerySet {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
+    eventsRollupSeg(s, dir)
   }
 
   /** Two day-granular tables under one GraftCatalog root (events and
@@ -343,6 +370,53 @@ object DruidQueries extends QuerySet {
               SELECT l_returnflag, h FROM r WHERE rn <= 64
               ORDER BY l_returnflag, h""")),
 
+    // -- Theta-sketch SET OPERATIONS (Druid's thetaSketchSetOp): the
+    //    per-(flag, status) KMV blobs merge per flag (union), then each
+    //    flag PAIR gets an intersection estimate — overlap of retained
+    //    sets below the common theta, scaled by P/theta. Every step is
+    //    deterministic modular arithmetic, so the oracle replays the
+    //    whole estimator in SQL and the estimates match EXACTLY.
+    Q("dr21_theta_intersect",
+      (s, dir) => {
+        import graft.sql.KmvFunctions
+        val m = kmvSeg(s, dir).groupBy(col("l_returnflag"))
+          .agg(KmvFunctions.kmvMerge(col("theta"), 64).as("sk"))
+        val a = m.select(col("l_returnflag").as("f1"), col("sk").as("s1"))
+        val b = m.select(col("l_returnflag").as("f2"), col("sk").as("s2"))
+        a.join(b, col("f1") < col("f2"))
+          .select(col("f1"), col("f2"),
+            KmvFunctions.kmvIntersect(col("s1"), col("s2")).as("inter_est"))
+          .orderBy(col("f1"), col("f2"))
+      },
+      Some("""WITH h AS (
+                SELECT DISTINCT l_returnflag AS f,
+                  (7919 * (l_partkey % 1000003) + 733103) % 1000003 AS h
+                FROM lineitem),
+              r AS (
+                SELECT f, h,
+                  row_number() OVER (PARTITION BY f ORDER BY h) AS rn
+                FROM h),
+              ret AS (SELECT f, h FROM r WHERE rn <= 64),
+              th AS (
+                SELECT f,
+                  CASE WHEN count(*) < 64 THEN 1000003 ELSE max(h) END AS theta
+                FROM ret GROUP BY f),
+              pairs AS (
+                SELECT t1.f AS f1, t2.f AS f2,
+                  least(t1.theta, t2.theta) AS theta
+                FROM th t1 JOIN th t2 ON t1.f < t2.f),
+              ov AS (
+                SELECT p.f1, p.f2, p.theta, count(*) AS c
+                FROM pairs p
+                JOIN ret r1 ON r1.f = p.f1 AND r1.h < p.theta
+                JOIN ret r2 ON r2.f = p.f2 AND r2.h = r1.h
+                GROUP BY p.f1, p.f2, p.theta)
+              SELECT p.f1, p.f2,
+                CAST(round(coalesce(o.c, 0) * 1000003.0 / p.theta) AS BIGINT)
+                  AS inter_est
+              FROM pairs p LEFT JOIN ov o ON p.f1 = o.f1 AND p.f2 = o.f2
+              ORDER BY p.f1, p.f2""")),
+
     // -- Zone-map segment skipping on a range-clustered table: the
     //    l_orderkey range filter prunes segments whose manifest zones
     //    are disjoint (ZoneMapSpec asserts the partition counts; here
@@ -525,6 +599,25 @@ object DruidQueries extends QuerySet {
       },
       Some("""SELECT epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms,
               count(*) AS n FROM events""")),
+
+    // -- Rollup ingestion end-to-end: events written with rollup=true /
+    //    queryGranularity=hour collapse at ingest (metrics summed per
+    //    (hour, event_type) within each task); the read re-aggregates
+    //    the partial rollup and must equal a direct GROUP BY over the
+    //    raw rows. sum(n_rows) recovers exact counts — the Druid
+    //    "count" metric pattern. RollupSpec pins that the segments
+    //    really did shrink.
+    Q("dr20_rollup_ingest",
+      (s, dir) => {
+        eventsRollupSeg(s, dir)
+          .groupBy(unix_millis(col("__time")).as("hour_ms"), col("event_type"))
+          .agg(sum(col("n_rows")).as("n"),
+               round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("hour_ms"), col("event_type"))
+      },
+      Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+              count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // -- Segment scan joined against a parquet dim (mixed-source join).
     Q("dr4_druid_join",

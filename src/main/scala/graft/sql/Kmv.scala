@@ -154,4 +154,11 @@ object KmvFunctions {
   def kmvHashes(c: Column): Column =
     functions.udf((b: Array[Byte]) =>
       if (b == null) Array.empty[Long] else Kmv.hashes(b)).apply(c)
+  /** Theta-sketch intersection estimate of two sketches (deterministic:
+    * retained sets and theta are order-independent, so the estimate is
+    * reproducible in SQL — unlike random-seeded sketch libraries).
+    */
+  def kmvIntersect(a: Column, b: Column): Column =
+    functions.udf((x: Array[Byte], y: Array[Byte]) =>
+      Kmv.intersectEstimate(x, y)).apply(a, b)
 }
