@@ -495,6 +495,52 @@ object Relational extends QuerySet {
                      round(coalesce(b.sv, 0), 2) AS sv
               FROM spine LEFT JOIN b ON spine.h = b.h ORDER BY h""")),
 
+    // -- Gap-fill by INTERPOLATION (LOCF): the carry-forward twin of
+    //    q24's zero-fill — a sparse hourly series (high-value events
+    //    only) on a dense per-type spine, empty hours taking the last
+    //    observed value via one windowed last(ignoreNulls). One shuffle
+    //    on event_type end-to-end: buckets, spine, join, and window all
+    //    share the key.
+    Q("q34_locf_fill",
+      (s, dir) => {
+        val buckets = Tables.events(s, dir)
+          .filter(col("value") >= 200)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(round(avg(col("value")), 4).as("v"))
+        val spine = buckets.groupBy(col("event_type"))
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(buckets, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            col("v").isNotNull.as("observed"),
+            last(col("v"), ignoreNulls = true).over(w).as("filled"))
+          .select(col("event_type"), col("h").cast("string").as("h"),
+            col("observed"), col("filled"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       round(avg(value), 4) AS v
+                FROM events WHERE value >= 200 GROUP BY 1, 2),
+              spine AS (
+                SELECT event_type,
+                  unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                FROM (SELECT event_type, min(h) AS lo, max(h) AS hi
+                      FROM b GROUP BY 1)),
+              j AS (
+                SELECT s.event_type, s.h, b.v
+                FROM spine s LEFT JOIN b USING (event_type, h))
+              SELECT event_type, CAST(h AS VARCHAR) AS h,
+                v IS NOT NULL AS observed,
+                last_value(v IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+              FROM j ORDER BY event_type, h""")),
+
     // -- Druid LATEST/EARLIEST aggregators: the value carried by the
     //    newest/oldest row per group (max_by/min_by — one hash agg, the
     //    comparand rides along in the partial state; no window, no
