@@ -296,4 +296,34 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("adc"), col("rnk"))
   }
+
+  /** Two-stage retrieval, the production embedding-search shape: PQ/ADC
+    * shortlists `kCand` candidates from compressed codes (memory-scan
+    * stage), then ONLY those pairs re-rank with the exact cosine over
+    * the original vectors (disk/exact stage). The rerank joins carry
+    * 16-byte id pairs and re-attach vectors by hash join, so its cost is
+    * kCand per query regardless of corpus size — compression errors in
+    * the shortlist order are repaired wherever the true vector
+    * disagrees, at a per-query price instead of a per-corpus one.
+    */
+  def pqRerankTopK(embeddings: DataFrame,
+                   queryFilter: org.apache.spark.sql.Column,
+                   kCand: Int, k: Int): DataFrame = {
+    registerExprs(embeddings)
+    val cand = pqTopK(embeddings, queryFilter, kCand)
+      .select(col("query_id"), col("cand_id"))
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val scored = cand
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        "query_id")
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("cv")),
+        "cand_id")
+      .withColumn("cos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+  }
 }

@@ -856,6 +856,54 @@ object PipelineQueries extends QuerySet {
              |SELECT query_id, cand_id, adc, CAST(rnk AS BIGINT) AS rnk
              |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
+    // Two-stage retrieval: PQ/ADC shortlists 10 candidates from the
+    // compressed codes, then exact cosine re-ranks ONLY those pairs on
+    // the original vectors — the memory-scan-then-exact-rerank shape of
+    // production embedding search. Rerank joins carry id pairs only;
+    // its cost is kCand per query, independent of corpus size.
+    Q("e6_knn_pq_rerank",
+      (s, dir) => {
+        VectorOps.pqRerankTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, kCand = 10, k = 3)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH cent AS (
+             |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+             |pd AS (
+             |  SELECT e.vec_id, c.cid, t.m,
+             |    round((SELECT sum((e.embedding[8*t.m+i+1]::DOUBLE - c.cv[8*t.m+i+1]::DOUBLE)
+             |               * (e.embedding[8*t.m+i+1]::DOUBLE - c.cv[8*t.m+i+1]::DOUBLE))
+             |           FROM range(8) s(i)), 6) AS d
+             |  FROM embeddings e, cent c, range(8) t(m)),
+             |codes AS (SELECT vec_id, m, cid AS code FROM (
+             |    SELECT vec_id, m, cid,
+             |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |    FROM pd) WHERE rn = 1),
+             |qd AS (SELECT vec_id AS query_id, cid AS code, m, d AS qd
+             |       FROM pd WHERE vec_id < 3),
+             |adc AS (
+             |  SELECT q.query_id, c.vec_id AS cand_id, round(sum(q.qd), 6) AS adc
+             |  FROM codes c JOIN qd q ON q.m = c.m AND q.code = c.code
+             |  GROUP BY q.query_id, c.vec_id),
+             |cand AS (SELECT query_id, cand_id FROM (
+             |    SELECT query_id, cand_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rn
+             |    FROM adc WHERE query_id <> cand_id) WHERE rn <= 10),
+             |e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |rr AS (SELECT c.query_id, c.cand_id,
+             |    round((SELECT sum(q.embedding[i+1]::DOUBLE * v.embedding[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (q.nrm * v.nrm), 6) AS cos
+             |  FROM cand c JOIN e q ON q.vec_id = c.query_id
+             |              JOIN e v ON v.vec_id = c.cand_id),
+             |fin AS (SELECT query_id, cand_id, cos,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rnk
+             |  FROM rr)
+             |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
+             |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
     // ---- time-series joins ----
 
     // Backward as-of join (operator Spark lacks): every purchase gets

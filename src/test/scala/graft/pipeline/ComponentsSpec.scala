@@ -49,4 +49,37 @@ class ComponentsSpec extends AnyFunSuite {
     val m = comps(edges((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
     assert(m == Map(5L -> 5L, 6L -> 5L))
   }
+
+  test("differential: random graphs match local union-find ground truth") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      // sparse random graph: long chains + cliques + isolated pairs
+      val n = 300 + trial * 100
+      val es = Seq.newBuilder[(Long, Long)]
+      (0 until n).foreach { _ =>
+        es += ((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      }
+      // a guaranteed long chain to force many propagation rounds
+      (0 until 40).foreach(i => es += ((n + i.toLong, n + i + 1L)))
+      val edgeList = es.result()
+
+      // ground truth: classic union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = parent.keys.map(x => x -> find(x)).toMap
+      // canonical label = min member id per root
+      val minOfRoot = truth.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val expected = truth.map { case (x, r) => x -> minOfRoot(r) }
+
+      val got = comps(edges(edgeList: _*))
+      assert(got == expected, s"trial $trial mismatch")
+    }
+  }
 }
