@@ -202,5 +202,7 @@ class DruidTable(root: String, schema0: StructType) extends Table
       rollupGran =
         if (info.options().getBoolean("rollup", false))
           Some(Option(info.options().get("queryGranularity")).getOrElse("none"))
-        else None)
+        else None,
+      codec = Option(info.options().get("compression"))
+        .map(WriteCodec.parse).getOrElse(graft.format.Compression.LZ4))
 }

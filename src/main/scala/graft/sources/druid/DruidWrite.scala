@@ -34,7 +34,8 @@ import graft.write.SegmentWriter._
 class DruidWriteBuilder(root: String, schema: StructType,
                         bitmapIndexes: Boolean = true,
                         granularity: Option[String] = None,
-                        rollupGran: Option[String] = None)
+                        rollupGran: Option[String] = None,
+                        codec: Byte = graft.format.Compression.LZ4)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -55,12 +56,12 @@ class DruidWriteBuilder(root: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity,
-        rollupGran)
+        rollupGran, codec)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "druid streaming sink supports append output mode only")
       new DruidStreamingWrite(root, schema, bitmapIndexes, granularity,
-        rollupGran)
+        rollupGran, codec)
     }
   }
 }
@@ -77,7 +78,8 @@ class DruidWriteBuilder(root: String, schema: StructType,
 class DruidStreamingWrite(root: String, schema: StructType,
                           bitmapIndexes: Boolean,
                           granularity: Option[String],
-                          rollupGran: Option[String] = None)
+                          rollupGran: Option[String] = None,
+                          codec: Byte = graft.format.Compression.LZ4)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -89,12 +91,13 @@ class DruidStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root, ".epochs"))
-    val (r, sch, bm, g, rg) = (root, schema, bitmapIndexes, granularity, rollupGran)
+    val (r, sch, bm, g, rg, cd) =
+      (root, schema, bitmapIndexes, granularity, rollupGran, codec)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
-          s"ep$epochId", sch, partitionId, taskId, bm, g, rg)
+          s"ep$epochId", sch, partitionId, taskId, bm, g, rg, cd)
     }
   }
 
@@ -163,12 +166,29 @@ object SegmentGranularity {
   }
 }
 
+/** `compression` write option: block codec for the numeric/time
+  * containers (strings keep their own id-container default, matching
+  * Druid where dictionary ids are compressed independently).
+  */
+object WriteCodec {
+  def parse(name: String): Byte = name.toLowerCase match {
+    case "lz4" => graft.format.Compression.LZ4
+    case "zstd" => graft.format.Compression.ZSTD
+    case "lzf" => graft.format.Compression.LZF
+    case "uncompressed" => graft.format.Compression.UNCOMPRESSED
+    case "none" => graft.format.Compression.NONE
+    case other => throw new IllegalArgumentException(
+      s"compression '$other' not in lz4/zstd/lzf/uncompressed/none")
+  }
+}
+
 final case class DruidCommitMessage(segments: Seq[SegMeta]) extends WriterCommitMessage
 
 class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       bitmapIndexes: Boolean,
                       granularity: Option[String] = None,
-                      rollupGran: Option[String] = None)
+                      rollupGran: Option[String] = None,
+                      codec: Byte = graft.format.Compression.LZ4)
     extends BatchWrite {
 
   granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
@@ -182,7 +202,7 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stagingDir)
     new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
-      granularity, rollupGran)
+      granularity, rollupGran, codec)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -271,11 +291,12 @@ object DruidBatchWrite {
 class DruidDataWriterFactory(stagingRoot: String, jobId: String,
                              schema: StructType, bitmapIndexes: Boolean,
                              granularity: Option[String] = None,
-                             rollupGran: Option[String] = None)
+                             rollupGran: Option[String] = None,
+                             codec: Byte = graft.format.Compression.LZ4)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
-      bitmapIndexes, granularity, rollupGran)
+      bitmapIndexes, granularity, rollupGran, codec)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -287,7 +308,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       partitionId: Int, taskId: Long,
                       bitmapIndexes: Boolean = true,
                       granularity: Option[String] = None,
-                      rollupGran: Option[String] = None)
+                      rollupGran: Option[String] = None,
+                      codec: Byte = graft.format.Compression.LZ4)
     extends DataWriter[InternalRow] {
 
   // ---- typed builders ----
@@ -670,7 +692,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       val dir = Paths.get(stagingRoot,
         f"segment-$partitionId%05d-$taskId-$jobId$suffix")
       val t = pick(time, sel)
-      SegmentWriter.write(dir, t, columns, stringBitmaps = bitmapIndexes,
+      SegmentWriter.write(dir, t, columns, compression = codec,
+        stringBitmaps = bitmapIndexes,
         rollup = rollupGran.isDefined,
         queryGranularity = rollupGran.getOrElse("none"))
       // mirror SegmentWriter's interval convention (empty -> [0, 1))

@@ -60,6 +60,31 @@ class DruidWriteSpec extends AnyFunSuite {
       .exists(_.size == 2))
   }
 
+  test("compression write option round-trips with every codec") {
+    import spark.implicits._
+    val src = (0 until 5000).map(i =>
+        (1700000000000L + i, i.toLong, i * 0.5, s"s${i % 11}"))
+      .toDF("__time", "n", "d", "s")
+    Seq("zstd", "lzf", "uncompressed", "none").foreach { c =>
+      val out = Files.createTempDirectory(s"graft-codec-$c").toString + "/t"
+      src.coalesce(1).write.format("druid")
+        .option("compression", c).mode("overwrite").save(out)
+      val back = spark.read.format("druid").load(out)
+        .agg(count(lit(1)), sum(col("n")), sum(col("d")),
+             countDistinct(col("s"))).head
+      assert(back.getLong(0) == 5000L, s"codec $c lost rows")
+      assert(back.getLong(1) == 4999L * 5000 / 2, s"codec $c corrupted longs")
+      assert(back.getDouble(2) == 4999L * 5000 / 4.0, s"codec $c corrupted doubles")
+      assert(back.getLong(3) == 11L, s"codec $c corrupted strings")
+    }
+    val err = intercept[Exception] {
+      src.write.format("druid").option("compression", "snappy")
+        .mode("overwrite")
+        .save(Files.createTempDirectory("graft-codec-bad").toString + "/t")
+    }
+    assert(err.getMessage.contains("compression"))
+  }
+
   test("incremental compaction merges only undersized segments") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-inc").toString + "/t"
