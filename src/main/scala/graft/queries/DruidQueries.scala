@@ -17,11 +17,13 @@ object DruidQueries extends QuerySet {
   /** Write `df` (must carry a `__time` timestamp column) as a druid
     * segment table once per JVM, returning its directory.
     */
-  private def segTable(name: String, dir: String, df: => DataFrame): String =
+  private def segTable(name: String, dir: String, df: => DataFrame,
+                       options: Map[String, String] = Map.empty): String =
     synchronized {
       val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$name"
       if (!written.contains(out)) {
-        df.write.format("druid").mode("overwrite").save(out)
+        val w = df.write.format("druid").mode("overwrite")
+        options.foldLeft(w) { case (a, (k, v)) => a.option(k, v) }.save(out)
         written += out
       }
       out
@@ -147,6 +149,20 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Orders written with compression=zstd: the foreign-codec read path
+    * (the reference declares Zstd but errors on it) under the oracle
+    * gate, not just unit tests.
+    */
+  private def ordersZstdSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("orders_zstd", dir,
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderdate").as("__time"), col("o_orderkey"),
+                col("o_custkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartition(2),
+      Map("compression" -> "zstd"))
+    s.read.format("druid").load(path)
+  }
+
   /** Events ingested with rollup=true / queryGranularity=hour: each
     * write task collapses rows sharing (hour, event_type) and SUMS the
     * metrics (`n_rows` is the explicit count metric, Druid's own
@@ -180,7 +196,7 @@ object DruidQueries extends QuerySet {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
-    eventsRollupSeg(s, dir)
+    eventsRollupSeg(s, dir); ordersZstdSeg(s, dir)
   }
 
   /** Two day-granular tables under one GraftCatalog root (events and
@@ -618,6 +634,28 @@ object DruidQueries extends QuerySet {
       Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
               count(*) AS n, round(sum(value), 2) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- Zstd-compressed segments end to end: written with
+    //    compression=zstd, scanned with time pruning + dictionary
+    //    strings + distinct agg — the codec the reference declares but
+    //    errors on, under the oracle gate.
+    Q("dr22_zstd_scan",
+      (s, dir) => {
+        ordersZstdSeg(s, dir)
+          .filter(col("__time") >=
+            lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("o_totalprice")), 2).as("total"),
+               countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+              round(sum(o_totalprice), 2) AS total,
+              count(DISTINCT o_custkey) AS n_cust
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // -- Segment scan joined against a parquet dim (mixed-source join).
     Q("dr4_druid_join",

@@ -164,6 +164,25 @@ class RollupSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rollup"))
   }
 
+  test("multi-value dimensions participate in the rollup key") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-rollup-mv").toString + "/t"
+    Seq(
+      (new java.sql.Timestamp(0L), Seq("a", "b"), 1L),
+      (new java.sql.Timestamp(1L), Seq("a", "b"), 2L),
+      (new java.sql.Timestamp(2L), Seq("b", "a"), 4L), // order matters (Druid MV equality is positional)
+      (new java.sql.Timestamp(3L), null.asInstanceOf[Seq[String]], 8L))
+      .toDF("__time", "tags", "m")
+      .coalesce(1).write.format("druid")
+      .option("rollup", "true").option("queryGranularity", "hour")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("druid").load(out).orderBy("m").collect()
+    assert(back.length == 3)
+    assert(back.map(_.getLong(2)).toSeq == Seq(3L, 4L, 8L))
+    assert(back(0).getSeq[String](1) == Seq("a", "b"))
+    assert(back(1).getSeq[String](1) == Seq("b", "a"))
+  }
+
   test("streaming sink rolls up per epoch") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
