@@ -163,6 +163,32 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Two-generation table for schema evolution under the oracle gate:
+    * January's first half lands WITHOUT `props`, the second half
+    * appends WITH it — old segments must read the new column as null.
+    */
+  private def evoSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = synchronized {
+      val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_evo"
+      if (!written.contains(out)) {
+        val ev = Tables.events(s, dir)
+        val cut = lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+        ev.filter(col("ts") < cut)
+          .select(col("ts").as("__time"), col("event_type"), col("value"))
+          .repartition(2)
+          .write.format("druid").mode("overwrite").save(out)
+        ev.filter(col("ts") >= cut)
+          .select(col("ts").as("__time"), col("event_type"), col("value"),
+                  col("props"))
+          .repartition(2)
+          .write.format("druid").mode("append").save(out)
+        written += out
+      }
+      out
+    }
+    s.read.format("druid").load(path)
+  }
+
   /** Events ingested with rollup=true / queryGranularity=hour: each
     * write task collapses rows sharing (hour, event_type) and SUMS the
     * metrics (`n_rows` is the explicit count metric, Druid's own
@@ -196,7 +222,7 @@ object DruidQueries extends QuerySet {
     eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
-    eventsRollupSeg(s, dir); ordersZstdSeg(s, dir)
+    eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
   }
 
   /** Two day-granular tables under one GraftCatalog root (events and
@@ -634,6 +660,25 @@ object DruidQueries extends QuerySet {
       Some("""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
               count(*) AS n, round(sum(value), 2) AS total_value
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- Schema evolution under the oracle gate: segments written
+    //    before the `props` column existed null-fill it on read, and
+    //    aggregates over the union schema (incl. the COUNT(col)
+    //    metadata path, where an absent column means zero non-nulls)
+    //    must match the raw data with the same time split.
+    Q("dr23_schema_evolution",
+      (s, dir) => {
+        evoSeg(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), count(col("props")).as("n_props"),
+               round(sum(col("value")), 2).as("sv"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              count(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                         THEN props END) AS n_props,
+              round(sum(value), 2) AS sv
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // -- Zstd-compressed segments end to end: written with
     //    compression=zstd, scanned with time pruning + dictionary
