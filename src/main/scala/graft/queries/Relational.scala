@@ -238,6 +238,34 @@ object Relational extends QuerySet {
                SELECT p_brand FROM part WHERE p_retailprice > 1500)
               ORDER BY p_brand""")),
 
+    // -- Multiset set ops (the ALL variants): intersectAll keeps
+    //    min(countA, countB) copies per value, exceptAll keeps
+    //    countA - countB — semantics q10's distinct ops can't express;
+    //    both plan as aggregate-join-generate without materializing
+    //    either side twice.
+    Q("q35_setops_all",
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+        val a = l.filter(col("l_quantity") <= 25).select(col("l_suppkey"))
+        val b = l.filter(col("l_discount") >= 0.05).select(col("l_suppkey"))
+        val ia = a.intersectAll(b).groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        val ea = a.exceptAll(b).groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        ia.union(ea).orderBy(col("op"), col("l_suppkey"))
+      },
+      Some("""WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity <= 25),
+              b AS (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05),
+              ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+              ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+              SELECT l_suppkey, n, op FROM (
+                SELECT l_suppkey, count(*) AS n, 'intersect_all' AS op
+                FROM ia GROUP BY l_suppkey
+                UNION ALL
+                SELECT l_suppkey, count(*) AS n, 'except_all' AS op
+                FROM ea GROUP BY l_suppkey)
+              ORDER BY op, l_suppkey""")),
+
     // -- ROLLUP with grouping_id.
     Q("q11_rollup",
       (s, dir) => {
