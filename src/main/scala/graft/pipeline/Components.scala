@@ -65,11 +65,15 @@ object Components {
         .join(labels.select(col("u").as("v"), col("component")), "v")
         .repartition(parts, col("u"))
         .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
-      // one-hop propagation: min over own and neighbors' labels
+      // one-hop propagation: min over own and neighbors' labels.
+      // Checkpointed BEFORE the self-join below — both join sides read
+      // prop, and without materialization the edge join + min aggregate
+      // above would execute twice per round.
       val prop = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("component").as("prev"),
           least(col("component"),
             coalesce(col("nbr_min"), col("component"))).as("component"))
+        .localCheckpoint()
       // pointer jump: adopt the label's OWN label (every label is a node
       // id inside the same component, so this stays in-component and
       // only decreases) — turns O(diameter) rounds into O(log diameter)

@@ -134,18 +134,11 @@ object DruidQueries extends QuerySet {
     * segments via the top-N interval cut.
     */
   private def eventsDailySeg(s: SparkSession, dir: String): DataFrame = {
-    val path = synchronized {
-      val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events_daily"
-      if (!written.contains(out)) {
-        Tables.events(s, dir)
-          .select(col("ts").as("__time"), col("event_type"), col("value"))
-          .repartition(2)
-          .write.format("druid").option("segmentGranularity", "day")
-          .mode("overwrite").save(out)
-        written += out
-      }
-      out
-    }
+    val path = segTable("events_daily", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"), col("value"))
+        .repartition(2),
+      Map("segmentGranularity" -> "day"))
     s.read.format("druid").load(path)
   }
 
@@ -198,20 +191,12 @@ object DruidQueries extends QuerySet {
     * re-aggregate — and must match the raw data bit-for-bit.
     */
   private def eventsRollupSeg(s: SparkSession, dir: String): DataFrame = {
-    val path = synchronized {
-      val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events_rollup"
-      if (!written.contains(out)) {
-        Tables.events(s, dir)
-          .select(col("ts").as("__time"), col("event_type"), col("value"),
-                  lit(1L).as("n_rows"))
-          .repartition(4)
-          .write.format("druid")
-          .option("rollup", "true").option("queryGranularity", "hour")
-          .mode("overwrite").save(out)
-        written += out
-      }
-      out
-    }
+    val path = segTable("events_rollup", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"), col("value"),
+                lit(1L).as("n_rows"))
+        .repartition(4),
+      Map("rollup" -> "true", "queryGranularity" -> "hour"))
     s.read.format("druid").load(path)
   }
 

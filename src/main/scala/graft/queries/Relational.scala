@@ -526,9 +526,10 @@ object Relational extends QuerySet {
     // -- Gap-fill by INTERPOLATION (LOCF): the carry-forward twin of
     //    q24's zero-fill — a sparse hourly series (high-value events
     //    only) on a dense per-type spine, empty hours taking the last
-    //    observed value via one windowed last(ignoreNulls). One shuffle
-    //    on event_type end-to-end: buckets, spine, join, and window all
-    //    share the key.
+    //    observed value via one windowed last(ignoreNulls). Exchanges
+    //    carry only the BUCKETED series (one row per (type, hour)),
+    //    never raw events — the spine build, join, and window re-cluster
+    //    that small series, so scale tracks the spine, not the corpus.
     Q("q34_locf_fill",
       (s, dir) => {
         val buckets = Tables.events(s, dir)

@@ -204,5 +204,10 @@ class DruidTable(root: String, schema0: StructType) extends Table
           Some(Option(info.options().get("queryGranularity")).getOrElse("none"))
         else None,
       codec = Option(info.options().get("compression"))
-        .map(WriteCodec.parse).getOrElse(graft.format.Compression.LZ4))
+        .map(WriteCodec.parse).getOrElse(graft.format.Compression.LZ4),
+      // numeric columns that GROUP rather than SUM under rollup
+      // (Druid's dimensionsSpec equivalent), comma-separated
+      rollupDims = Option(info.options().get("rollupDimensions"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty))
 }

@@ -35,7 +35,8 @@ class DruidWriteBuilder(root: String, schema: StructType,
                         bitmapIndexes: Boolean = true,
                         granularity: Option[String] = None,
                         rollupGran: Option[String] = None,
-                        codec: Byte = graft.format.Compression.LZ4)
+                        codec: Byte = graft.format.Compression.LZ4,
+                        rollupDims: Set[String] = Set.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
@@ -45,6 +46,10 @@ class DruidWriteBuilder(root: String, schema: StructType,
       s"queryGranularity '$g' not in none/${SegmentGranularity.supported.mkString("/")}")
     require(schema.fields.exists(_.name == "__time"),
       "rollup requires a __time column")
+    rollupDims.foreach { d =>
+      require(d != "__time" && schema.fields.exists(_.name == d),
+        s"rollupDimensions: no such column '$d'")
+    }
     schema.fields.filter(_.name != "__time").foreach { f =>
       require(f.dataType != BinaryType &&
         f.dataType != TimestampType && f.dataType != TimestampNTZType,
@@ -56,12 +61,12 @@ class DruidWriteBuilder(root: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity,
-        rollupGran, codec)
+        rollupGran, codec, rollupDims)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "druid streaming sink supports append output mode only")
       new DruidStreamingWrite(root, schema, bitmapIndexes, granularity,
-        rollupGran, codec)
+        rollupGran, codec, rollupDims)
     }
   }
 }
@@ -79,7 +84,8 @@ class DruidStreamingWrite(root: String, schema: StructType,
                           bitmapIndexes: Boolean,
                           granularity: Option[String],
                           rollupGran: Option[String] = None,
-                          codec: Byte = graft.format.Compression.LZ4)
+                          codec: Byte = graft.format.Compression.LZ4,
+                          rollupDims: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -91,13 +97,13 @@ class DruidStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root, ".epochs"))
-    val (r, sch, bm, g, rg, cd) =
-      (root, schema, bitmapIndexes, granularity, rollupGran, codec)
+    val (r, sch, bm, g, rg, cd, rd) =
+      (root, schema, bitmapIndexes, granularity, rollupGran, codec, rollupDims)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
-          s"ep$epochId", sch, partitionId, taskId, bm, g, rg, cd)
+          s"ep$epochId", sch, partitionId, taskId, bm, g, rg, cd, rd)
     }
   }
 
@@ -188,7 +194,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       bitmapIndexes: Boolean,
                       granularity: Option[String] = None,
                       rollupGran: Option[String] = None,
-                      codec: Byte = graft.format.Compression.LZ4)
+                      codec: Byte = graft.format.Compression.LZ4,
+                      rollupDims: Set[String] = Set.empty)
     extends BatchWrite {
 
   granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
@@ -202,7 +209,7 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stagingDir)
     new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
-      granularity, rollupGran, codec)
+      granularity, rollupGran, codec, rollupDims)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -292,11 +299,12 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
                              schema: StructType, bitmapIndexes: Boolean,
                              granularity: Option[String] = None,
                              rollupGran: Option[String] = None,
-                             codec: Byte = graft.format.Compression.LZ4)
+                             codec: Byte = graft.format.Compression.LZ4,
+                             rollupDims: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
-      bitmapIndexes, granularity, rollupGran, codec)
+      bitmapIndexes, granularity, rollupGran, codec, rollupDims)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -309,7 +317,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       bitmapIndexes: Boolean = true,
                       granularity: Option[String] = None,
                       rollupGran: Option[String] = None,
-                      codec: Byte = graft.format.Compression.LZ4)
+                      codec: Byte = graft.format.Compression.LZ4,
+                      rollupDims: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   // ---- typed builders ----
@@ -489,44 +498,102 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       case ComplexValues(t, v) => ComplexValues(t, pick(v, sel))
     }
 
+  /** Group key for the rollup hash map: time bucket + one dictionary
+    * id per dimension. Mutable so ONE probe instance serves every
+    * lookup; a fresh copy is allocated only on first sight of a key —
+    * per-row allocation is zero on the hot (duplicate) path, keeping
+    * the writer's no-per-value-boxing design.
+    */
+  private final class RollupKey(var bucket: Long, val ids: Array[Int]) {
+    override def hashCode: Int = {
+      var h = java.lang.Long.hashCode(bucket)
+      var i = 0
+      while (i < ids.length) { h = 31 * h + ids(i); i += 1 }
+      h
+    }
+    override def equals(o: Any): Boolean = o match {
+      case k: RollupKey =>
+        k.bucket == bucket && java.util.Arrays.equals(k.ids, ids)
+      case _ => false
+    }
+    def snapshot: RollupKey = new RollupKey(bucket, ids.clone())
+  }
+
   /** Druid's ingest-time ("best-effort") rollup: within this task's
     * buffer, rows with equal (__time floored to granularity `g`, every
     * dimension value) collapse to one row whose numeric metrics are
     * SUMMED (nulls ignored; an all-null group stays null — Spark's own
     * sum semantics, so re-aggregating reads match the raw data).
-    * Rollup is deliberately NOT global across tasks — exactly like
-    * Druid, where rollup happens per in-memory index flush and a
-    * rolled-up table is always queried through re-aggregation, which
-    * merges whatever partial collapse the layout achieved. Task memory
-    * is O(distinct keys): the point of rolling up at ingest is that
-    * this is much smaller than the raw rows.
+    * Dimensions are the string/array columns plus any column named in
+    * `extraDims` (Druid's dimensionsSpec equivalent — numeric ids that
+    * must group, not sum). Rollup is deliberately NOT global across
+    * tasks — exactly like Druid, where rollup happens per in-memory
+    * index flush and a rolled-up table is always queried through
+    * re-aggregation, which merges whatever partial collapse the layout
+    * achieved. Task memory is O(distinct keys): the point of rolling up
+    * at ingest is that this is much smaller than the raw rows.
+    *
+    * Grouping is allocation-lean: each dim column dictionary-encodes to
+    * an int id array in one pass (boxing O(distinct values), not
+    * O(rows)), and key probing reuses one mutable [[RollupKey]].
     */
   private def rollupRows(time: Array[Long],
-      cols: IndexedSeq[(String, ColumnValues)], g: String)
+      cols: IndexedSeq[(String, ColumnValues)], g: String,
+      extraDims: Set[String])
       : (Array[Long], IndexedSeq[(String, ColumnValues)]) = {
     val n = time.length
     val dimIdx = cols.indices.filter(i => cols(i)._2 match {
       case _: StringValues | _: MultiStringValues => true
-      case _ => false
+      case _ => extraDims.contains(cols(i)._1)
     })
-    val keyToGid = new java.util.HashMap[List[Any], Integer]()
+    // per-dim dictionary encoding: value -> dense int id; numeric null
+    // rows get the reserved id -1 (distinct from every real value)
+    val dimIds: Array[Array[Int]] = dimIdx.map { i =>
+      val ids = new Array[Int](n)
+      def encode[T](get: Int => T, nulls: java.util.BitSet): Unit = {
+        val m = new java.util.HashMap[T, Integer]()
+        var r = 0
+        while (r < n) {
+          ids(r) =
+            if (nulls != null && nulls.get(r)) -1
+            else m.computeIfAbsent(get(r), _ => Integer.valueOf(m.size))
+          r += 1
+        }
+      }
+      def bits(nulls: Array[Int]): java.util.BitSet = {
+        val b = new java.util.BitSet(); nulls.foreach(b.set); b
+      }
+      cols(i)._2 match {
+        case StringValues(v) => encode(v(_), null)
+        case MultiStringValues(v) => encode(v(_), null)
+        case LongValues(v, nulls) => encode(v(_), bits(nulls))
+        case DoubleValues(v, nulls) =>
+          // NaNs canonicalize via doubleToLongBits: all NaN rows group
+          encode(r => java.lang.Double.doubleToLongBits(v(r)), bits(nulls))
+        case FloatValues(v, nulls) =>
+          encode(r => java.lang.Float.floatToIntBits(v(r)), bits(nulls))
+        case other => throw new IllegalStateException( // rejected at build()
+          s"rollup: '${cols(i)._1}' (${other.getClass.getSimpleName}) " +
+            "cannot be a dimension")
+      }
+      ids
+    }.toArray
+    val keyToGid = new java.util.HashMap[RollupKey, Integer]()
+    val probe = new RollupKey(0L, new Array[Int](dimIdx.length))
     val groupOf = new Array[Int](n)
     val gTime = new LongBuilder
     val firstRowB = new IntBuilder
     var r = 0
     while (r < n) {
-      val bucket =
+      probe.bucket =
         if (g == "none") time(r) else SegmentGranularity.bucketStart(time(r), g)
-      val key = (bucket: Any) :: dimIdx.map(i => cols(i)._2 match {
-        case StringValues(v) => v(r): Any
-        case MultiStringValues(v) => v(r): Any
-        case _ => null
-      }).toList
-      var gid = keyToGid.get(key)
+      var d = 0
+      while (d < dimIds.length) { probe.ids(d) = dimIds(d)(r); d += 1 }
+      var gid = keyToGid.get(probe)
       if (gid == null) {
         gid = Integer.valueOf(keyToGid.size())
-        keyToGid.put(key, gid)
-        gTime.add(bucket)
+        keyToGid.put(probe.snapshot, gid)
+        gTime.add(probe.bucket)
         firstRowB.add(r)
       }
       groupOf(r) = gid.intValue()
@@ -537,28 +604,30 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     def nullBits(nulls: Array[Int]): java.util.BitSet = {
       val b = new java.util.BitSet(); nulls.foreach(b.set); b
     }
-    val outCols = cols.map { case (name, cv) =>
-      name -> (cv match {
-        case StringValues(v) => StringValues(first.map(v(_)))
-        case MultiStringValues(v) => MultiStringValues(first.map(v(_)))
+    val dimSet = dimIdx.toSet
+    val outCols = cols.zipWithIndex.map { case ((name, cv), i) =>
+      // dims (incl. declared numeric dims): constant within each group
+      // by construction — take the group's first row
+      if (dimSet.contains(i)) name -> selectValues(cv, first)
+      else name -> (cv match {
         case LongValues(v, nulls) =>
           val ns = nullBits(nulls)
           val sums = new Array[Long](nG) // wrap-around, like Spark non-ANSI sum
           val any = new Array[Boolean](nG)
-          var i = 0
-          while (i < n) {
-            if (!ns.get(i)) { sums(groupOf(i)) += v(i); any(groupOf(i)) = true }
-            i += 1
+          var r = 0
+          while (r < n) {
+            if (!ns.get(r)) { sums(groupOf(r)) += v(r); any(groupOf(r)) = true }
+            r += 1
           }
           LongValues(sums, (0 until nG).filterNot(any).toArray)
         case DoubleValues(v, nulls) =>
           val ns = nullBits(nulls)
           val sums = new Array[Double](nG)
           val any = new Array[Boolean](nG)
-          var i = 0
-          while (i < n) {
-            if (!ns.get(i)) { sums(groupOf(i)) += v(i); any(groupOf(i)) = true }
-            i += 1
+          var r = 0
+          while (r < n) {
+            if (!ns.get(r)) { sums(groupOf(r)) += v(r); any(groupOf(r)) = true }
+            r += 1
           }
           DoubleValues(sums, (0 until nG).filterNot(any).toArray)
         case FloatValues(v, nulls) =>
@@ -566,10 +635,10 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
           val ns = nullBits(nulls)
           val sums = new Array[Double](nG)
           val any = new Array[Boolean](nG)
-          var i = 0
-          while (i < n) {
-            if (!ns.get(i)) { sums(groupOf(i)) += v(i); any(groupOf(i)) = true }
-            i += 1
+          var r = 0
+          while (r < n) {
+            if (!ns.get(r)) { sums(groupOf(r)) += v(r); any(groupOf(r)) = true }
+            r += 1
           }
           FloatValues(sums.map(_.toFloat), (0 until nG).filterNot(any).toArray)
         case other => throw new IllegalStateException( // rejected at build()
@@ -589,7 +658,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       .filter(_ != timeIdx)
       .map(i => fields(i).name -> bufs(i).values(null)).toIndexedSeq
     val (time, matCols) = rollupGran match {
-      case Some(g) => rollupRows(rawTime, rawCols, g)
+      case Some(g) => rollupRows(rawTime, rawCols, g, rollupDims)
       case None => (rawTime, rawCols)
     }
     val nRows = time.length

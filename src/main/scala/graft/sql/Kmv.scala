@@ -157,8 +157,10 @@ object KmvFunctions {
   /** Theta-sketch intersection estimate of two sketches (deterministic:
     * retained sets and theta are order-independent, so the estimate is
     * reproducible in SQL — unlike random-seeded sketch libraries).
+    * A null sketch intersects to 0, like kmvEstimate's null handling.
     */
   def kmvIntersect(a: Column, b: Column): Column =
     functions.udf((x: Array[Byte], y: Array[Byte]) =>
-      Kmv.intersectEstimate(x, y)).apply(a, b)
+      if (x == null || y == null) 0L else Kmv.intersectEstimate(x, y))
+      .apply(a, b)
 }

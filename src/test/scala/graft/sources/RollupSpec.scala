@@ -164,6 +164,33 @@ class RollupSpec extends AnyFunSuite {
     assert(err.getMessage.contains("rollup"))
   }
 
+  test("rollupDimensions groups numeric id columns instead of summing them") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-rollup-numdim").toString + "/t"
+    Seq(
+      (new java.sql.Timestamp(0L), 7L, 1L),
+      (new java.sql.Timestamp(1L), 7L, 2L),
+      (new java.sql.Timestamp(2L), 9L, 4L),
+      (new java.sql.Timestamp(3L), 9L, 8L))
+      .toDF("__time", "user_id", "m")
+      .coalesce(1).write.format("druid")
+      .option("rollup", "true").option("queryGranularity", "hour")
+      .option("rollupDimensions", "user_id")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("druid").load(out).orderBy("user_id").collect()
+    // user_id grouped (NOT summed to 14/18); m summed per user
+    assert(back.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((7L, 3L), (9L, 12L)))
+    // unknown dimension name fails fast
+    val err = intercept[Exception] {
+      Seq((new java.sql.Timestamp(0L), 1L)).toDF("__time", "m")
+        .write.format("druid").option("rollup", "true")
+        .option("rollupDimensions", "nope").mode("overwrite")
+        .save(Files.createTempDirectory("graft-rollup-baddim").toString + "/t")
+    }
+    assert(err.getMessage.contains("rollupDimensions"))
+  }
+
   test("multi-value dimensions participate in the rollup key") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-rollup-mv").toString + "/t"
