@@ -179,15 +179,78 @@ object DruidTableUtil {
     })
 }
 
+/** `DELETE FROM t WHERE <__time range>` as a metadata-only operation:
+  * when the predicate is a pure `__time` range and every segment is
+  * either fully inside or fully outside it, matching segments delete
+  * whole — no scan, no rewrite (Druid's drop-by-interval through SQL).
+  * Any other predicate, or a segment straddling the range, makes
+  * `canDeleteWhere` return false and Spark rejects the DELETE rather
+  * than silently deleting the wrong rows.
+  */
+object DruidDelete {
+  import org.apache.spark.sql.sources._
+
+  /** Conjunctive `__time`-only filters → `[loMs, hiMs)`; None when any
+    * conjunct is not a `__time` range test. Sub-millisecond literal
+    * precision is honored against the millis-floored stored values.
+    */
+  def timeRange(filters: Array[Filter]): Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    // (floored millis, has sub-ms remainder)
+    def ms(v: Any): Option[(Long, Boolean)] = v match {
+      case t: java.sql.Timestamp =>
+        Some((t.getTime, t.getNanos % 1000000 != 0))
+      case i: java.time.Instant =>
+        Some((i.toEpochMilli, i.getNano % 1000000 != 0))
+      case _ => None
+    }
+    def apply(f: Filter): Boolean = f match {
+      case And(l, r) => apply(l) && apply(r)
+      case IsNotNull("__time") => true
+      case LessThan("__time", v) => ms(v).exists { case (m, sub) =>
+        hi = math.min(hi, if (sub) m + 1 else m); true }
+      case LessThanOrEqual("__time", v) => ms(v).exists { case (m, _) =>
+        hi = math.min(hi, m + 1); true }
+      case GreaterThan("__time", v) => ms(v).exists { case (m, _) =>
+        lo = math.max(lo, m + 1); true }
+      case GreaterThanOrEqual("__time", v) => ms(v).exists { case (m, sub) =>
+        lo = math.max(lo, if (sub) m + 1 else m); true }
+      case _ => false
+    }
+    if (filters.nonEmpty && filters.forall(apply)) Some((lo, hi)) else None
+  }
+}
+
 class DruidTable(root: String, schema0: StructType) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"druid:$root"
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    DruidDelete.timeRange(filters).exists { case (lo, hi) =>
+      // row-exact only if every segment is all-in or all-out; interval
+      // containment is sound whether or not intervals are exact (rows
+      // always lie inside their segment's interval)
+      SegmentCatalog.metaFor(root).forall(m =>
+        m.endMs <= lo || m.startMs >= hi ||
+          (m.startMs >= lo && m.endMs <= hi))
+    }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (lo, hi) = DruidDelete.timeRange(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        "druid DELETE supports only __time-range predicates"))
+    graft.write.Retention.dropContained(root, lo, hi)
+  }
   override def schema(): StructType =
     if (schema0 != null) schema0 else DruidTableUtil.schemaFor(root)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DruidScanBuilder(root, schema(), options)

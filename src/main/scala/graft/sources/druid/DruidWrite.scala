@@ -37,9 +37,29 @@ class DruidWriteBuilder(root: String, schema: StructType,
                         rollupGran: Option[String] = None,
                         codec: Byte = graft.format.Compression.LZ4,
                         rollupDims: Set[String] = Set.empty)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
+  private var replaceRange: Option[(Long, Long)] = None
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** Interval-scoped overwrite — the atomic day-backfill pattern
+    * (`df.writeTo(t).overwrite(cond)` / SQL `INSERT INTO t REPLACE
+    * WHERE cond`): replacement segments stage as usual, and at commit
+    * the prior segments CONTAINED in the `__time` range swap out. The
+    * commit fails fast (destination untouched) if the range would
+    * split a segment or the replacement data strays outside it.
+    */
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      { doTruncate = true; this }
+    else {
+      replaceRange = Some(DruidDelete.timeRange(filters).getOrElse(
+        throw new IllegalArgumentException(
+          "druid overwrite/REPLACE WHERE supports only __time-range predicates")))
+      this
+    }
+  }
 
   rollupGran.foreach { g =>
     require(g == "none" || SegmentGranularity.supported.contains(g),
@@ -61,7 +81,7 @@ class DruidWriteBuilder(root: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity,
-        rollupGran, codec, rollupDims)
+        rollupGran, codec, rollupDims, replaceRange)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "druid streaming sink supports append output mode only")
@@ -195,7 +215,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       granularity: Option[String] = None,
                       rollupGran: Option[String] = None,
                       codec: Byte = graft.format.Compression.LZ4,
-                      rollupDims: Set[String] = Set.empty)
+                      rollupDims: Set[String] = Set.empty,
+                      replaceRange: Option[(Long, Long)] = None)
     extends BatchWrite {
 
   granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
@@ -213,7 +234,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    DruidBatchWrite.commitJob(root, schema, truncate, stagingDir, messages)
+    DruidBatchWrite.commitJob(root, schema, truncate, stagingDir, messages,
+      replaceRange)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // nothing committed ever left staging: drop it, destination intact
@@ -227,7 +249,8 @@ object DruidBatchWrite {
     * and a manifest refresh.
     */
   def commitJob(root: String, schema: StructType, truncate: Boolean,
-                stagingDir: Path, messages: Array[WriterCommitMessage]): Unit = {
+                stagingDir: Path, messages: Array[WriterCommitMessage],
+                replaceRange: Option[(Long, Long)] = None): Unit = {
     val rootPath = Paths.get(root)
     // segments present before this job (overwrite deletes them LAST)
     val previous: Seq[Path] = {
@@ -235,6 +258,31 @@ object DruidBatchWrite {
       try s.iterator().asScala.filter(p =>
         Files.isDirectory(p) && graft.format.DruidSegment.isSegmentDir(p)).toSeq
       finally s.close()
+    }
+    // interval-scoped overwrite: validate BEFORE anything moves — a
+    // failed check leaves the destination exactly as it was
+    val newMetas = messages.toSeq
+      .collect { case DruidCommitMessage(segs) => segs }.flatten
+    val replaceDrop: Seq[Path] = replaceRange match {
+      case None => Nil
+      case Some((lo, hi)) =>
+        val stray = newMetas.filter(m =>
+          m.rows > 0 && (m.startMs < lo || m.endMs > hi))
+        require(stray.isEmpty,
+          s"REPLACE WHERE: replacement rows outside [$lo, $hi): " +
+            stray.map(_.dir).mkString(", "))
+        if (previous.isEmpty) Nil
+        else {
+          val metas = SegmentCatalog.metaFor(root)
+          val straddle = metas.filter(m =>
+            !(m.endMs <= lo || m.startMs >= hi) &&
+              !(m.startMs >= lo && m.endMs <= hi))
+          require(straddle.isEmpty,
+            s"REPLACE WHERE range [$lo, $hi) splits segments: " +
+              straddle.map(_.dir).mkString(", "))
+          metas.filter(m => m.startMs >= lo && m.endMs <= hi)
+            .map(m => Paths.get(m.dir))
+        }
     }
     // union read schema, computed BEFORE anything moves: an append
     // whose columns conflict with the existing table's types fails
@@ -266,6 +314,7 @@ object DruidBatchWrite {
       }
     }.flatten
     if (truncate) previous.foreach(deleteRecursively)
+    replaceDrop.foreach(deleteRecursively)
     deleteRecursively(stagingDir)
     // refresh the planning manifest to cover exactly what is now
     // present: this job's segments plus (append mode) whatever was

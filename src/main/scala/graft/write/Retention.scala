@@ -23,9 +23,19 @@ object Retention {
                          segmentsKept: Int)
 
   /** Drop every segment with `endMs <= cutoffMs`; returns counts. */
-  def dropOlderThan(dir: String, cutoffMs: Long): Stats = {
+  def dropOlderThan(dir: String, cutoffMs: Long): Stats =
+    dropContained(dir, Long.MinValue, cutoffMs)
+
+  /** Drop every segment whose interval is CONTAINED in `[loMs, hiMs)`;
+    * straddlers are kept whole (Druid drop rules act on segments).
+    * Also the engine of SQL `DELETE FROM t WHERE <__time range>`, which
+    * pre-checks via canDeleteWhere that no straddler exists so the
+    * delete is row-exact.
+    */
+  def dropContained(dir: String, loMs: Long, hiMs: Long): Stats = {
     val metas = SegmentCatalog.metaFor(dir)
-    val (drop, keep) = metas.partition(_.endMs <= cutoffMs)
+    val (drop, keep) =
+      metas.partition(m => m.startMs >= loMs && m.endMs <= hiMs)
     if (drop.isEmpty) return Stats(0, 0L, keep.size)
     // schema cache read BEFORE anything deletes (manifest covers the
     // current segment set only while it is the current set)

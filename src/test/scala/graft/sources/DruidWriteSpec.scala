@@ -60,6 +60,54 @@ class DruidWriteSpec extends AnyFunSuite {
       .exists(_.size == 2))
   }
 
+  test("interval-scoped overwrite (REPLACE WHERE) backfills one day atomically") {
+    import spark.implicits._
+    val base = 1700006400000L // UTC midnight
+    val day = 86400000L
+    val parent = Files.createTempDirectory("graft-replace").toString
+    val out = parent + "/t"
+    (0 until 300).map(i => (base + (i % 3) * day + (i / 3) * 1000L, i.toLong))
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").option("segmentGranularity", "day")
+      .mode("overwrite").save(out)
+    spark.conf.set("spark.sql.catalog.rwcat",
+      classOf[graft.sources.druid.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rwcat.root", parent)
+
+    def dayCond(d: Int) =
+      col("__time") >= lit(new java.sql.Timestamp(base + d * day)) &&
+        col("__time") < lit(new java.sql.Timestamp(base + (d + 1) * day))
+
+    // replace day 1 with 50 marker rows
+    (0 until 50).map(i => (new java.sql.Timestamp(base + day + i * 1000L),
+        1000L + i))
+      .toDF("__time", "n").coalesce(1)
+      .writeTo("rwcat.t").overwrite(dayCond(1))
+    val back = spark.read.format("druid").load(out)
+    assert(back.count() == 250)
+    val day1 = back.filter(dayCond(1)).agg(count(lit(1)), min(col("n"))).head
+    assert(day1.getLong(0) == 50 && day1.getLong(1) == 1000L,
+      "day 1 was not replaced by the marker rows")
+    assert(back.filter(dayCond(0)).count() == 100 &&
+      back.filter(dayCond(2)).count() == 100, "other days were touched")
+
+    // replacement rows straying outside the range: job fails, table intact
+    intercept[Exception] {
+      Seq((new java.sql.Timestamp(base), 9999L)).toDF("__time", "n")
+        .writeTo("rwcat.t").overwrite(dayCond(1))
+    }
+    assert(spark.read.format("druid").load(out).count() == 250)
+
+    // a range that splits a segment: rejected, table intact
+    intercept[Exception] {
+      Seq((new java.sql.Timestamp(base + 2 * day), 1L)).toDF("__time", "n")
+        .writeTo("rwcat.t")
+        .overwrite(col("__time") >= lit(new java.sql.Timestamp(base + 2 * day)) &&
+          col("__time") < lit(new java.sql.Timestamp(base + 2 * day + 1000L)))
+    }
+    assert(spark.read.format("druid").load(out).count() == 250)
+  }
+
   test("compression write option round-trips with every codec") {
     import spark.implicits._
     val src = (0 until 5000).map(i =>

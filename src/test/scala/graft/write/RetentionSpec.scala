@@ -60,4 +60,43 @@ class RetentionSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       DruidTableUtil.discoverSegments(dir))
   }
+
+  test("SQL DELETE by __time range is metadata-only; misaligned deletes are rejected") {
+    val dir = dayTable()
+    val root = java.nio.file.Paths.get(dir).getParent.toString
+    spark.conf.set("spark.sql.catalog.delcat",
+      classOf[graft.sources.druid.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.delcat.root", root)
+
+    // aligned range: days 1-2 delete whole, no data blocks decode
+    val before = graft.format.Compression.blocksDecoded.get()
+    spark.sql("DELETE FROM delcat.t WHERE __time < " +
+      s"timestamp_millis(${1700006400000L + 2 * 86400000L})")
+    assert(graft.format.Compression.blocksDecoded.get() == before,
+      "DELETE decoded data blocks — not metadata-only")
+    assert(SegmentCatalog.metaFor(dir).size == 3)
+    assert(spark.read.format("druid").load(dir).count() == 600)
+
+    // a cutoff inside day 3's data range would split a segment: refused,
+    // table unchanged
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM delcat.t WHERE __time < " +
+        s"timestamp_millis(${1700006400000L + 2 * 86400000L + 100000L})")
+    }
+    assert(err.getMessage.toLowerCase.contains("delete"), err.getMessage)
+    assert(SegmentCatalog.metaFor(dir).size == 3)
+
+    // non-time predicate: refused
+    intercept[Exception] {
+      spark.sql("DELETE FROM delcat.t WHERE n = 3")
+    }
+    assert(spark.read.format("druid").load(dir).count() == 600)
+
+    // bounded two-sided range aligned on day 4: deletes just that day
+    spark.sql("DELETE FROM delcat.t WHERE __time >= " +
+      s"timestamp_millis(${1700006400000L + 3 * 86400000L}) AND __time < " +
+      s"timestamp_millis(${1700006400000L + 4 * 86400000L})")
+    assert(SegmentCatalog.metaFor(dir).size == 2)
+    assert(spark.read.format("druid").load(dir).count() == 400)
+  }
 }
