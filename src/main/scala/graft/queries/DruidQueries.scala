@@ -208,7 +208,38 @@ object DruidQueries extends QuerySet {
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
     eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
+    delSeg(s, dir)
   }
+
+  /** A day-granular events table under its own catalog, staged once per
+    * JVM, with the UTC day 2024-01-03 dropped via SQL `DELETE FROM` —
+    * the metadata-only whole-segment delete path (SupportsDelete; the
+    * delete happens at staging, so dr24's timing measures the scan).
+    * Re-running the DELETE is a no-op: the contained segments are gone
+    * and every survivor sits fully outside the range.
+    */
+  private def delSeg(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"/tmp/graft_del/$tag"
+      val cat = s"graftdel_$tag"
+      if (!written.contains(root)) {
+        Tables.events(s, dir)
+          .select(col("ts").as("__time"), col("event_type"),
+                  col("user_id"), col("value"))
+          .repartition(4).write.format("druid")
+          .option("segmentGranularity", "day").mode("overwrite")
+          .save(s"$root/events_del")
+        s.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.sources.druid.GraftCatalog].getName)
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(s"DELETE FROM $cat.events_del WHERE " +
+          "__time >= TIMESTAMP '2024-01-03 00:00:00' AND " +
+          "__time < TIMESTAMP '2024-01-04 00:00:00'")
+        written += root
+      }
+      s.read.format("druid").load(s"$root/events_del")
+    }
 
   /** Two day-granular tables under one GraftCatalog root (events and
     * per-ts counts), staged once per JVM; returns the catalog name
@@ -240,6 +271,23 @@ object DruidQueries extends QuerySet {
     }
 
   def all: Seq[Q] = Seq(
+
+    // -- SQL DELETE under the oracle gate: a day-aligned __time range
+    //    drops whole segments metadata-only (SupportsDelete), and the
+    //    surviving table aggregates to exactly the oracle's
+    //    range-excluded answer over the raw parquet.
+    Q("dr24_sql_delete",
+      (s, dir) => {
+        delSeg(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value), 2) AS sv
+              FROM events
+              WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+                 OR ts >= TIMESTAMP '2024-01-04 00:00:00'
+              GROUP BY event_type ORDER BY event_type""")),
 
     // -- Multi-value string dimension (ArrayType round-trip + explode):
     //    the format capability the reference parses but never implements
