@@ -239,46 +239,74 @@ object VectorOps {
        |      * (CAST($a[${8 * m} + i] AS DOUBLE) - CAST($b[${8 * m} + i] AS DOUBLE)))"""
       .stripMargin.replace("\n", " ")
 
-  /** Product-quantization ANN top-k: 64-dim vectors quantize to M=8
-    * one-byte codes (4 deterministic centroids per subspace — the
-    * sub-vectors of vec_id < 4, a fixed training sample the oracle can
-    * replay). Query-time ADC: the query's 8x4 distance table broadcasts
-    * and every candidate scores with 8 lookups + an ordered 8-term sum —
-    * no vector arithmetic per candidate. The 100 TB shape: the corpus
-    * compresses ~256x into codes that stay in memory next to the
-    * inverted lists; exactness is e1's job, PQ trades recall for a
-    * memory-resident scan.
+  /** Number of PQ subspaces (64-dim vectors -> 8 codes of 8 dims). */
+  private val M = 8
+
+  /** The centroid table of the deterministic coarse quantizer: the
+    * sub-vectors of vec_id < 4 per 8-dim subspace (a fixed "training
+    * sample" the oracle can replay). 4 rows — always broadcast.
     */
-  def pqTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
-             k: Int): DataFrame = {
-    val M = 8
-    val cent = embeddings.filter(col("vec_id") < 4)
+  private def pqCentroids(embeddings: DataFrame): DataFrame =
+    embeddings.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // per (vector, centroid): the 8 per-subspace distances, then per
-    // (vector, m) argmin -> one byte code. when()-pivot keeps each
-    // subspace's distance a single-contribution aggregate (order-free).
+
+  /** Per-subspace distances of each row of `df` (id column `idCol`) to
+    * every centroid, exploded to (idCol, cid, m, d) — shared by the
+    * code build (full corpus, once) and the query distance table (a few
+    * rows, per query batch).
+    */
+  private def subspaceDists(df: DataFrame, idCol: String,
+                            cent: DataFrame): DataFrame = {
     val distCols = (0 until M).map(m =>
       round(expr(subDistSql("embedding", "cv", m)), 6).as(s"d$m"))
-    val pairDists = embeddings.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id") +: col("cid") +: distCols: _*)
     val mExpr = explode(expr(
       s"transform(sequence(0, ${M - 1}), m -> struct(m, element_at(" +
         s"array(${(0 until M).map(m => s"d$m").mkString(",")}), m + 1) AS d))"))
-    val codes = pairDists
-      .select(col("vec_id"), col("cid"), mExpr.as("md"))
-      .select(col("vec_id"), col("cid"), col("md.m").as("m"), col("md.d").as("d"))
+    df.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col(idCol) +: col("cid") +: distCols: _*)
+      .select(col(idCol), col("cid"), mExpr.as("md"))
+      .select(col(idCol), col("cid"), col("md.m").as("m"), col("md.d").as("d"))
+  }
+
+  /** The PQ "index build" half: one byte code per (vector, subspace) —
+    * per-(vector, m) argmin over the centroid distances. This is the
+    * one corpus-wide pass; persist its output (e.g. nightly, next to
+    * the IVF assignment table) and every query serves from the codes
+    * alone — at 100 TB the ~256x-compressed code table is what stays
+    * memory-resident, and the quantizer never reruns at query time.
+    */
+  def pqCodes(embeddings: DataFrame): DataFrame = {
+    registerExprs(embeddings)
+    subspaceDists(embeddings, "vec_id", pqCentroids(embeddings))
       .groupBy(col("vec_id"), col("m"))
       .agg(max(struct((-col("d")).as("nd"), (-col("cid")).as("nc"))).as("best"))
       .select(col("vec_id"), col("m"), (-col("best.nc")).as("code"))
+  }
+
+  /** Product-quantization ANN top-k: 64-dim vectors quantize to M=8
+    * one-byte codes ([[pqCodes]]). Query-time ADC: the query's 8x4
+    * distance table broadcasts and every candidate scores with 8
+    * lookups + an ordered 8-term sum — no vector arithmetic per
+    * candidate. The 100 TB shape: the corpus compresses ~256x into
+    * codes that stay in memory next to the inverted lists; exactness
+    * is e1's job, PQ trades recall for a memory-resident scan.
+    */
+  def pqTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
+             k: Int, precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    registerExprs(embeddings)
+    // index-serve split: pass a PERSISTED code table (pqCodes, built
+    // once) and the query-time plan never quantizes the corpus — only
+    // the query batch meets the (broadcast) centroids below
+    val codes = precomputedCodes.getOrElse(pqCodes(embeddings))
+    val cent = pqCentroids(embeddings)
     // query distance table: per (query, m, centroid) — tiny, broadcast
-    val qdist = embeddings.filter(queryFilter)
-      .select(col("vec_id").as("query_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .select(col("query_id") +: col("cid") +: distCols: _*)
-      .select(col("query_id"), col("cid"), mExpr.as("md"))
+    val qdist = subspaceDists(
+        embeddings.filter(queryFilter)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", cent)
       .select(col("query_id"), col("cid").as("code"),
-        col("md.m").as("m"), col("md.d").as("qd"))
+        col("m").as("m"), col("d").as("qd"))
     // ADC: 8 lookups per (query, candidate), one-contribution sums per
     // subspace then an ordered 8-term total (exact cross-engine)
     val mAggs = (0 until M).map(m =>
@@ -308,9 +336,10 @@ object VectorOps {
     */
   def pqRerankTopK(embeddings: DataFrame,
                    queryFilter: org.apache.spark.sql.Column,
-                   kCand: Int, k: Int): DataFrame = {
+                   kCand: Int, k: Int,
+                   precomputedCodes: Option[DataFrame] = None): DataFrame = {
     registerExprs(embeddings)
-    val cand = pqTopK(embeddings, queryFilter, kCand)
+    val cand = pqTopK(embeddings, queryFilter, kCand, precomputedCodes)
       .select(col("query_id"), col("cand_id"))
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val scored = cand

@@ -223,6 +223,9 @@ object DruidQueries extends QuerySet {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val root = s"/tmp/graft_del/$tag"
       val cat = s"graftdel_$tag"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.druid.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       if (!written.contains(root)) {
         Tables.events(s, dir)
           .select(col("ts").as("__time"), col("event_type"),
@@ -230,9 +233,6 @@ object DruidQueries extends QuerySet {
           .repartition(4).write.format("druid")
           .option("segmentGranularity", "day").mode("overwrite")
           .save(s"$root/events_del")
-        s.conf.set(s"spark.sql.catalog.$cat",
-          classOf[graft.sources.druid.GraftCatalog].getName)
-        s.conf.set(s"spark.sql.catalog.$cat.root", root)
         s.sql(s"DELETE FROM $cat.events_del WHERE " +
           "__time >= TIMESTAMP '2024-01-03 00:00:00' AND " +
           "__time < TIMESTAMP '2024-01-04 00:00:00'")
@@ -628,7 +628,7 @@ object DruidQueries extends QuerySet {
       },
       Some("""SELECT count(*) AS n_rows, count(l_partkey) AS n_partkey,
               min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
-              sum(l_orderkey) AS sum_ok
+              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
               FROM lineitem""")),
 
     // -- GROUP BY dim answered from dictionaries: the scan emits each

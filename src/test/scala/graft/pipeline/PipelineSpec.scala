@@ -150,6 +150,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"PQ recall too low: $recall")
   }
 
+  test("pqTopK serves from persisted codes: same answer, no corpus re-quantization") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    VectorOps.pqCodes(emb).write.mode("overwrite").parquet(dir)
+    val codes = spark.read.parquet(dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val served = VectorOps.pqTopK(emb, col("vec_id") < 5, 10, Some(codes))
+    assert(rows(served) == rows(VectorOps.pqTopK(emb, col("vec_id") < 5, 10)))
+    // the inline build pays TWO centroid cross joins (corpus-wide argmin
+    // + query distance table); the serve plan must keep only the query
+    // one — the corpus side is a hash join against the persisted codes
+    val servePlan = served.queryExecution.executedPlan.toString
+    val inlinePlan = VectorOps.pqTopK(emb, col("vec_id") < 5, 10)
+      .queryExecution.executedPlan.toString
+    def nCross(p: String) = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(nCross(inlinePlan) >= 2)
+    assert(nCross(servePlan) == 1,
+      s"serve plan re-quantizes the corpus:\n$servePlan")
+  }
+
   test("lshCandidates maxBucket drops only over-size buckets") {
     import spark.implicits._
     // bucket (0, 7): 4 docs (hot); bucket (1, 9): 2 docs (cold)
