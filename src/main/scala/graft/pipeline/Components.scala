@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * aggregate: shuffles carry ids only, never payloads, so a round costs
   * what a groupBy on the edge list costs. Near-dup graphs are unions of
   * LSH-bucket cliques, so diameters stay in the single digits and the
-  * round count is effectively constant; for adversarial long-chain
-  * graphs the known fix is alternating large-star/small-star
-  * contraction (Kiveris et al., "Connected Components in MapReduce"),
-  * which this API could swap in without changing its contract.
+  * round count is effectively constant; if hash-min ever exhausts its
+  * round budget (an adversarial graph), the driver falls back to
+  * alternating large-star/small-star contraction (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond"), which converges in
+  * O(log^2 n) rounds on ANY graph — same contract, same output.
   *
   * Each round ends in `localCheckpoint` — without it the loop's lineage
   * doubles per round and Catalyst re-analyzes an exponentially growing
@@ -89,7 +90,88 @@ object Components {
       labels = next.select(col("u"), col("component"))
       iter += 1
     }
-    require(done, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("u").as("doc_id"), col("component"))
+    if (done) labels.select(col("u").as("doc_id"), col("component"))
+    // adversarial-diameter fallback: restart with the star alternation,
+    // whose round count is O(log^2 n) regardless of graph shape
+    else connectedComponentsStar(edges, src, dst)
+  }
+
+  /** Connected components by alternating large-star/small-star edge
+    * contraction (Kiveris et al.) — the shape-independent alternative
+    * to hash-min propagation. Each round rewires edges toward local
+    * minima:
+    *
+    *  - large-star: every node u computes m = min(N(u) ∪ {u}) over the
+    *    symmetrized edge list and reconnects each STRICTLY LARGER
+    *    neighbor to m;
+    *  - small-star: edges orient high→low, every node reconnects its
+    *    non-larger neighbors (and itself) to its minimum neighbor.
+    *
+    * Both steps preserve connectivity and only ever decrease edge
+    * endpoints; the alternation converges — in O(log^2 n) rounds on any
+    * graph, independent of diameter — to a forest of stars whose
+    * centers are the component minima. Per round the work is two
+    * id-only equi-joins + min aggregates (exactly the hash-min shuffle
+    * cost), and the convergence check is an exact `except` on the
+    * 16-byte edge set, not a probabilistic hash compare.
+    *
+    * Same contract as [[connectedComponents]]: returns (doc_id,
+    * component = min reachable node id), one row per distinct node of
+    * `edges`.
+    */
+  def connectedComponentsStar(edges: DataFrame, src: String = "d1",
+                              dst: String = "d2",
+                              maxIter: Int = 50): DataFrame = {
+    val e0 = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .localCheckpoint()
+    val parts = math.max(1, (e0.count() / 2000000L).toInt)
+    // node set pinned from the INPUT (contraction rewires edges, so the
+    // final star edges alone don't enumerate every original node)
+    val nodes = e0.select(col("u")).union(e0.select(col("v")))
+      .distinct().repartition(parts, col("u")).localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+      val m = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val hiLo = e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = hiLo.groupBy(col("u")).agg(min(col("v")).as("m"))
+      hiLo.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = e0.filter(col("u") =!= col("v")).distinct()
+      .repartition(parts, col("u")).localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val next = smallStar(largeStar(e))
+        .repartition(parts, col("u")).localCheckpoint()
+      // exact fixed-point test: the edge set stopped changing
+      done = next.count() == e.count() &&
+        next.except(e).limit(1).count() == 0L
+      e = next
+      iter += 1
+    }
+    require(done, s"star contraction did not converge in $maxIter rounds")
+    // converged edges are (node -> component-min) stars; roots label
+    // themselves, as do nodes isolated by self-loop-only input edges
+    nodes.join(e.groupBy(col("u")).agg(min(col("v")).as("c")), Seq("u"), "left")
+      .select(col("u").as("doc_id"),
+        coalesce(col("c"), col("u")).as("component"))
   }
 }

@@ -33,6 +33,31 @@ object StreamingQueries extends QuerySet {
     })
   }
 
+  /** Stage events as a TIME-ORDERED streaming drop directory: range
+    * partitioning by ts into sequential files, each stamped with a
+    * strictly ascending modification time, so a file-watch source with
+    * maxFilesPerTrigger=1 replays the stream in event-time order — the
+    * realistic arrival pattern a production watermark assumes. Once per
+    * JVM.
+    */
+  private def stageOrderedDir(s: SparkSession, dir: String): String = synchronized {
+    staged.getOrElseUpdate(s"$dir#ordered", {
+      val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events_bytime"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("user_id"),
+                col("value"))
+        .repartitionByRange(10, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.mode("overwrite").parquet(out)
+      val files = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+      out
+    })
+  }
+
   /** Stage documents as a streaming drop directory (once per JVM). */
   private def stageDocsDir(s: SparkSession, dir: String): String = synchronized {
     staged.getOrElseUpdate(s"$dir#documents", {
@@ -208,28 +233,20 @@ object StreamingQueries extends QuerySet {
               FROM per GROUP BY n_events ORDER BY n_events""")),
 
     // Stream-stream inner join: clicks joined to purchases of the same
-    // user within the following hour, both sides streaming. The
-    // time-range condition is what bounds join state at scale; the
-    // watermark here covers the full 30-day data span so no state is
-    // evicted mid-run (inner-join emission is eager, so the final pair
-    // set equals the batch join regardless of micro-batch boundaries —
-    // production would use a delay matched to real lateness).
+    // user within the following hour, both sides streaming in
+    // EVENT-TIME ORDER (time-range-partitioned drop dir, one file per
+    // micro-batch) under a realistic 25-hour lateness watermark — NOT
+    // one sized to the corpus span. The watermark + time-range
+    // condition bound join state to ~(lateness + window) of events
+    // while the emitted pair set stays exactly the batch join
+    // (StreamingSpec pins state-row eviction via the progress metrics).
     Q("s6_stream_stream_join",
       (s, dir) => {
-        val in = stageDir(s, dir)
+        val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s6_out_${nameCounter.incrementAndGet()}"
-        def side(tpe: String, pfx: String) =
-          StreamingOps.parquetStream(s, in, schema)
-            .filter(col("event_type") === tpe)
-            .select(col("user_id").as(s"${pfx}_user"),
-                    col("ts").as(s"${pfx}_ts"),
-                    col("event_id").as(s"${pfx}_id"))
-            .withWatermark(s"${pfx}_ts", "35 days")
-        val q = side("click", "c").join(side("purchase", "p"),
-            col("c_user") === col("p_user") &&
-              col("p_ts") >= col("c_ts") &&
-              col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+        val q = StreamingOps.clickPurchaseJoin(s, in, schema,
+            lateness = "25 hours", maxFilesPerTrigger = Some(1))
           .writeStream.outputMode("append")
           .format("memory").queryName(table)
           .trigger(Trigger.AvailableNow()).start()

@@ -304,9 +304,14 @@ object DruidBatchWrite {
         case _: Exception => None // unreadable old segment: skip the cache only
       }
     // same-filesystem moves (staging lives under the destination): the
-    // committed segments appear atomically, one directory at a time
+    // committed segments appear atomically, one directory at a time.
+    // The planning sidecar is written while the segment is still in
+    // staging, so segment and metadata land together — a segment can
+    // never exist in the table without its sidecar
     val committed = messages.toSeq.collect { case DruidCommitMessage(segs) =>
       segs.map { m =>
+        try SegmentCatalog.writeSidecar(m)
+        catch { case _: Exception => () } // sidecar is a cache
         val src = Paths.get(m.dir)
         val dst = rootPath.resolve(src.getFileName)
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
@@ -316,26 +321,36 @@ object DruidBatchWrite {
     if (truncate) previous.foreach(deleteRecursively)
     replaceDrop.foreach(deleteRecursively)
     deleteRecursively(stagingDir)
-    // refresh the planning manifest to cover exactly what is now
-    // present: this job's segments plus (append mode) whatever was
-    // already there — pre-existing segments without manifest entries
-    // get one parallel metadata pass now so every later query plans
-    // from the manifest alone
+    // refresh the planning manifest. Overwrite rewrites the base
+    // snapshot (the old table state is gone). Append / REPLACE WHERE
+    // commit ONE small delta file — O(this job's segments), never a
+    // rewrite of the whole snapshot — unless some pre-existing segment
+    // has no cached metadata at all (hand-copied, no sidecar): then one
+    // parallel metadata pass folds everything into a fresh base so
+    // every later query plans from the manifest alone
     try {
-      val existing: Seq[SegMeta] =
-        if (truncate) Nil
-        else {
-          val dirs = {
-            val s = Files.list(rootPath)
-            try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
-              graft.format.DruidSegment.isSegmentDir(p)).map(_.toString).toSeq
-            finally s.close()
-          }
-          val newNames = committed.map(m => Paths.get(m.dir).getFileName.toString).toSet
-          val old = dirs.filterNot(d => newNames.contains(Paths.get(d).getFileName.toString))
-          SegmentCatalog.load(root, old).getOrElse(SegmentCatalog.openAll(old))
+      if (truncate)
+        SegmentCatalog.write(root, committed.sortBy(_.dir), tableSchema)
+      else {
+        val dirs = {
+          val s = Files.list(rootPath)
+          try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+            graft.format.DruidSegment.isSegmentDir(p)).map(_.toString).toSeq
+          finally s.close()
         }
-      SegmentCatalog.write(root, (existing ++ committed).sortBy(_.dir), tableSchema)
+        val newNames = committed.map(m => Paths.get(m.dir).getFileName.toString).toSet
+        val old = dirs.filterNot(d => newNames.contains(Paths.get(d).getFileName.toString))
+        val removed = replaceDrop.map(_.getFileName.toString)
+        SegmentCatalog.load(root, old) match {
+          case Some(_) =>
+            SegmentCatalog.appendDelta(root, committed.sortBy(_.dir),
+              removes = removed, schema = tableSchema)
+          case None =>
+            val existing = SegmentCatalog.openAll(old)
+            SegmentCatalog.write(root,
+              (existing ++ committed).sortBy(_.dir), tableSchema)
+        }
+      }
     } catch { case _: Exception => () } // manifest is a cache; never fail the job
   }
 

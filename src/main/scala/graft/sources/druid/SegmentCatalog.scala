@@ -1,9 +1,10 @@
 package graft.sources.druid
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{AtomicMoveNotSupportedException, Files, Path, Paths, StandardCopyOption}
 
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 
 import graft.format.DruidSegment
 
@@ -44,197 +45,385 @@ final case class SegMeta(dir: String, startMs: Long, endMs: Long,
                          longSums: Map[String, Long] = Map.empty,
                          timeSorted: Boolean = false)
 
-/** Table-level segment manifest (`_graft_manifest.json` under the table
-  * root), written by the DSv2 commit and read at planning time.
+/** Table-level planning metadata, in three layers that keep BOTH the
+  * per-commit cost and the per-query cost small at 100 TB:
   *
-  * At 100 TB a table holds 10^4-10^5 segments; opening each one on the
-  * driver per query — even in parallel — is minutes of planning. The
-  * manifest makes planning a single small-file read. It is strictly a
-  * CACHE: if it is absent, unreadable, or does not cover exactly the
-  * segment directories present (e.g. segments copied in by hand), the
-  * planner falls back to opening segment metadata in parallel.
+  *  1. `_graft_manifest.json` — the base snapshot (all segments +
+  *     cached union schema), rewritten only by whole-table operations
+  *     (overwrite, retention, compaction) and by periodic log
+  *     compaction. Written temp-file + ATOMIC_MOVE: readers see the
+  *     old manifest or the new one, never a torn file.
+  *  2. `_graft_log/&#42;.json` — an append-only commit log. Each append /
+  *     REPLACE WHERE / streaming epoch writes ONE small delta file
+  *     (its new segments + any removed names), also atomically, so a
+  *     commit is O(new segments) regardless of table size — a
+  *     streaming sink committing every few seconds never rewrites a
+  *     10^5-segment snapshot. Deltas replay in filename order on read;
+  *     once the log exceeds a small bound it folds into the base
+  *     snapshot (replay is idempotent, so a reader racing a compaction
+  *     at worst re-applies entries it already has).
+  *  3. `_graft_meta.json` inside each segment dir — a sidecar written
+  *     with the segment BEFORE its atomic move into the table, so a
+  *     segment can never exist without its planning metadata. Sidecars
+  *     make the fallback for a stale/torn/lost manifest a per-segment
+  *     small-file read instead of a binary metadata open, and make
+  *     hand-copied segment dirs self-describing.
+  *
+  * All three layers are strictly a CACHE of what is derivable from the
+  * segments themselves: any dir resolvable by none of them falls back
+  * to opening segment metadata in parallel. Correctness never depends
+  * on a manifest read winning a race.
   */
 object SegmentCatalog {
   val FileName = "_graft_manifest.json"
+  val LogDirName = "_graft_log"
+  val SidecarName = "_graft_meta.json"
+  /** Log files tolerated before a commit folds them into the base. */
+  private val CompactThreshold = 16
   private val mapper = new ObjectMapper()
 
-  /** Manifest entries when present AND consistent with the directory
-    * listing; None otherwise.
+  // ---------------------------------------------------------------- io
+
+  /** Write `bytes` to `target` via temp file + atomic rename: readers
+    * see the old content or the new, never a torn write; a crash leaves
+    * at worst an orphaned `.tmp` that later writes ignore.
     */
-  def load(root: String, segmentDirs: Seq[String]): Option[Seq[SegMeta]] = {
-    val p = Paths.get(root, FileName)
-    if (!Files.isRegularFile(p)) return None
+  private def writeAtomic(target: Path, bytes: Array[Byte]): Unit = {
+    val tmp = Files.createTempFile(target.getParent,
+      "." + target.getFileName.toString + ".", ".tmp")
     try {
-      val node = mapper.readTree(new String(Files.readAllBytes(p), UTF_8))
-      val segs = node.get("segments")
-      if (segs == null || !segs.isObject) return None
-      val names = scala.collection.mutable.LinkedHashMap[String, SegMeta]()
-      val it = segs.fieldNames()
-      while (it.hasNext) {
-        val name = it.next()
-        val v = segs.get(name)
-        val zones = Option(v.get("zones")).filter(_.isObject).map { z =>
-          val zb = Map.newBuilder[String, (Double, Double)]
-          val zit = z.fieldNames()
-          while (zit.hasNext) {
-            val c = zit.next()
-            val arr = z.get(c)
-            if (arr.isArray && arr.size() == 2)
-              zb += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
-          }
-          zb.result()
-        }.getOrElse(Map.empty[String, (Double, Double)])
-        val strZones = Option(v.get("szones")).filter(_.isObject).map { z =>
-          val zb = Map.newBuilder[String, (String, String)]
-          val zit = z.fieldNames()
-          while (zit.hasNext) {
-            val c = zit.next()
-            val arr = z.get(c)
-            if (arr.isArray && arr.size() == 2 &&
-                arr.get(0).isTextual && arr.get(1).isTextual)
-              zb += c -> (arr.get(0).asText(), arr.get(1).asText())
-          }
-          zb.result()
-        }.getOrElse(Map.empty[String, (String, String)])
-        val nullCounts = Option(v.get("nulls")).filter(_.isObject).map { z =>
-          val zb = Map.newBuilder[String, Long]
-          val zit = z.fieldNames()
-          while (zit.hasNext) {
-            val c = zit.next()
-            zb += c -> z.get(c).asLong()
-          }
-          zb.result()
-        }
-        val xl = Option(v.get("xzonesl")).filter(_.isObject).map { z =>
-          val zb = Map.newBuilder[String, (Long, Long)]
-          val zit = z.fieldNames()
-          while (zit.hasNext) {
-            val c = zit.next()
-            val arr = z.get(c)
-            if (arr.isArray && arr.size() == 2)
-              zb += c -> (arr.get(0).asLong(), arr.get(1).asLong())
-          }
-          zb.result()
-        }.getOrElse(Map.empty[String, (Long, Long)])
-        val xd = Option(v.get("xzonesd")).filter(_.isObject).map { z =>
-          val zb = Map.newBuilder[String, (Double, Double)]
-          val zit = z.fieldNames()
-          while (zit.hasNext) {
-            val c = zit.next()
-            val arr = z.get(c)
-            if (arr.isArray && arr.size() == 2)
-              zb += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
-          }
-          zb.result()
-        }.getOrElse(Map.empty[String, (Double, Double)])
-        val lsums = Option(v.get("lsums")).filter(_.isObject).map { z =>
-          val zb = Map.newBuilder[String, Long]
-          val zit = z.fieldNames()
-          while (zit.hasNext) {
-            val c = zit.next()
-            zb += c -> z.get(c).asLong()
-          }
-          zb.result()
-        }.getOrElse(Map.empty[String, Long])
-        names(name) = SegMeta(
-          Paths.get(root, name).toString,
-          v.get("start").asLong(), v.get("end").asLong(),
-          v.get("rows").asInt(),
-          Option(v.get("exact")).exists(_.asBoolean(false)),
-          zones, strZones, nullCounts, xl, xd, lsums,
-          timeSorted = Option(v.get("sorted")).exists(_.asBoolean(false)))
+      Files.write(tmp, bytes)
+      try Files.move(tmp, target,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: AtomicMoveNotSupportedException =>
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
       }
-      val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
-      if (names.keySet != actual) None // stale: segments added/removed by hand
-      else Some(segmentDirs.map(d => names(Paths.get(d).getFileName.toString)))
-    } catch { case _: Exception => None }
+    } finally { val _ = Files.deleteIfExists(tmp) }
   }
 
-  /** Table-level union read schema from the manifest, only when the
-    * manifest is present AND covers exactly `segmentDirs` (same
-    * staleness rule as `load` — a hand-copied segment could carry
-    * columns the cached schema doesn't know about).
+  private def readJson(p: Path): Option[JsonNode] =
+    try {
+      if (!Files.isRegularFile(p)) None
+      else Option(mapper.readTree(new String(Files.readAllBytes(p), UTF_8)))
+    } catch { case _: Exception => None }
+
+  // ------------------------------------------- entry (de)serialization
+
+  private def entryInto(n: ObjectNode, m: SegMeta): Unit = {
+    n.put("start", m.startMs); n.put("end", m.endMs)
+    n.put("rows", m.rows); n.put("exact", m.exactInterval)
+    n.put("sorted", m.timeSorted)
+    if (m.zones.nonEmpty) {
+      val z = n.putObject("zones")
+      m.zones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = z.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+    if (m.strZones.nonEmpty) {
+      val z = n.putObject("szones")
+      m.strZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = z.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+    m.nullCounts.foreach { nc =>
+      val z = n.putObject("nulls")
+      nc.toSeq.sortBy(_._1).foreach { case (c, cnt) => z.put(c, cnt) }
+    }
+    if (m.exactLongZones.nonEmpty) {
+      val z = n.putObject("xzonesl")
+      m.exactLongZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = z.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+    if (m.exactDoubleZones.nonEmpty) {
+      val z = n.putObject("xzonesd")
+      m.exactDoubleZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        val a = z.putArray(c); a.add(lo); a.add(hi)
+      }
+    }
+    if (m.longSums.nonEmpty) {
+      val z = n.putObject("lsums")
+      m.longSums.toSeq.sortBy(_._1).foreach { case (c, s) => z.put(c, s) }
+    }
+  }
+
+  private def entryFrom(dir: String, v: JsonNode): SegMeta = {
+    val zones = Option(v.get("zones")).filter(_.isObject).map { z =>
+      val zb = Map.newBuilder[String, (Double, Double)]
+      val zit = z.fieldNames()
+      while (zit.hasNext) {
+        val c = zit.next()
+        val arr = z.get(c)
+        if (arr.isArray && arr.size() == 2)
+          zb += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
+      }
+      zb.result()
+    }.getOrElse(Map.empty[String, (Double, Double)])
+    val strZones = Option(v.get("szones")).filter(_.isObject).map { z =>
+      val zb = Map.newBuilder[String, (String, String)]
+      val zit = z.fieldNames()
+      while (zit.hasNext) {
+        val c = zit.next()
+        val arr = z.get(c)
+        if (arr.isArray && arr.size() == 2 &&
+            arr.get(0).isTextual && arr.get(1).isTextual)
+          zb += c -> (arr.get(0).asText(), arr.get(1).asText())
+      }
+      zb.result()
+    }.getOrElse(Map.empty[String, (String, String)])
+    val nullCounts = Option(v.get("nulls")).filter(_.isObject).map { z =>
+      val zb = Map.newBuilder[String, Long]
+      val zit = z.fieldNames()
+      while (zit.hasNext) {
+        val c = zit.next()
+        zb += c -> z.get(c).asLong()
+      }
+      zb.result()
+    }
+    val xl = Option(v.get("xzonesl")).filter(_.isObject).map { z =>
+      val zb = Map.newBuilder[String, (Long, Long)]
+      val zit = z.fieldNames()
+      while (zit.hasNext) {
+        val c = zit.next()
+        val arr = z.get(c)
+        if (arr.isArray && arr.size() == 2)
+          zb += c -> (arr.get(0).asLong(), arr.get(1).asLong())
+      }
+      zb.result()
+    }.getOrElse(Map.empty[String, (Long, Long)])
+    val xd = Option(v.get("xzonesd")).filter(_.isObject).map { z =>
+      val zb = Map.newBuilder[String, (Double, Double)]
+      val zit = z.fieldNames()
+      while (zit.hasNext) {
+        val c = zit.next()
+        val arr = z.get(c)
+        if (arr.isArray && arr.size() == 2)
+          zb += c -> (arr.get(0).asDouble(), arr.get(1).asDouble())
+      }
+      zb.result()
+    }.getOrElse(Map.empty[String, (Double, Double)])
+    val lsums = Option(v.get("lsums")).filter(_.isObject).map { z =>
+      val zb = Map.newBuilder[String, Long]
+      val zit = z.fieldNames()
+      while (zit.hasNext) {
+        val c = zit.next()
+        zb += c -> z.get(c).asLong()
+      }
+      zb.result()
+    }.getOrElse(Map.empty[String, Long])
+    SegMeta(dir,
+      v.get("start").asLong(), v.get("end").asLong(),
+      v.get("rows").asInt(),
+      Option(v.get("exact")).exists(_.asBoolean(false)),
+      zones, strZones, nullCounts, xl, xd, lsums,
+      timeSorted = Option(v.get("sorted")).exists(_.asBoolean(false)))
+  }
+
+  /** Parse a `{"<name>": {entry}, ...}` object into (name -> SegMeta)
+    * with dirs resolved under `root`; entries that fail to parse are
+    * dropped (their dirs fall back to sidecar/open resolution).
+    */
+  private def entriesFrom(segs: JsonNode, root: String,
+                          into: scala.collection.mutable.LinkedHashMap[String, SegMeta]): Unit = {
+    val it = segs.fieldNames()
+    while (it.hasNext) {
+      val name = it.next()
+      try into(name) = entryFrom(Paths.get(root, name).toString, segs.get(name))
+      catch { case _: Exception => () }
+    }
+  }
+
+  // ------------------------------------------------------------ replay
+
+  private def logFiles(root: String): Seq[Path] = {
+    val d = Paths.get(root, LogDirName)
+    if (!Files.isDirectory(d)) Nil
+    else {
+      val s = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".json"))
+          .toSeq.sortBy(_.getFileName.toString)
+      } finally s.close()
+    }
+  }
+
+  /** The logical manifest: base snapshot + log deltas replayed in
+    * filename order. Unreadable/torn files are skipped — their segments
+    * resolve via sidecars or metadata opens instead.
+    */
+  private def replay(root: String)
+      : (scala.collection.mutable.LinkedHashMap[String, SegMeta], Option[String]) = {
+    val entries = scala.collection.mutable.LinkedHashMap[String, SegMeta]()
+    var schema: Option[String] = None
+    readJson(Paths.get(root, FileName)).foreach { node =>
+      Option(node.get("schema")).filter(_.isTextual)
+        .foreach(s => schema = Some(s.asText()))
+      Option(node.get("segments")).filter(_.isObject)
+        .foreach(entriesFrom(_, root, entries))
+    }
+    logFiles(root).foreach { f =>
+      readJson(f).foreach { node =>
+        Option(node.get("remove")).filter(_.isArray).foreach { r =>
+          val it = r.iterator()
+          while (it.hasNext) entries.remove(it.next().asText())
+        }
+        Option(node.get("add")).filter(_.isObject)
+          .foreach(entriesFrom(_, root, entries))
+        Option(node.get("schema")).filter(_.isTextual)
+          .foreach(s => schema = Some(s.asText()))
+      }
+    }
+    (entries, schema)
+  }
+
+  /** Sidecar read: the segment's own planning metadata, written with it
+    * at commit time.
+    */
+  private def sidecar(dir: String): Option[SegMeta] =
+    readJson(Paths.get(dir, SidecarName)).flatMap { node =>
+      try Some(entryFrom(dir, node)) catch { case _: Exception => None }
+    }
+
+  /** Resolve each dir via manifest+log, else its sidecar; None entries
+    * need a metadata open.
+    */
+  private def resolve(root: String,
+                      dirs: Seq[String]): Seq[(String, Option[SegMeta])] = {
+    val (entries, _) = replay(root)
+    dirs.map { d =>
+      val name = Paths.get(d).getFileName.toString
+      d -> entries.get(name).map(_.copy(dir = d)).orElse(sidecar(d))
+    }
+  }
+
+  /** All of `segmentDirs` resolved from manifest/log/sidecars; None if
+    * any dir has no cached metadata at all (callers open metadata).
+    */
+  def load(root: String, segmentDirs: Seq[String]): Option[Seq[SegMeta]] = {
+    val r = resolve(root, segmentDirs)
+    if (r.forall(_._2.isDefined)) Some(r.map(_._2.get)) else None
+  }
+
+  /** Table-level union read schema, only when the manifest+log cover
+    * EXACTLY `segmentDirs` (a hand-copied segment could carry columns
+    * the cached schema doesn't know about, and a schema cached for a
+    * superset could report columns none of these segments hold —
+    * sidecars identify rows but not the table schema, so they don't
+    * count here).
     */
   def loadSchema(root: String,
                  segmentDirs: Seq[String]): Option[org.apache.spark.sql.types.StructType] = {
-    val p = Paths.get(root, FileName)
-    if (!Files.isRegularFile(p)) return None
-    try {
-      val node = mapper.readTree(new String(Files.readAllBytes(p), UTF_8))
-      val schemaNode = node.get("schema")
-      if (schemaNode == null || !schemaNode.isTextual) return None
-      val segs = node.get("segments")
-      if (segs == null || !segs.isObject) return None
-      val names = scala.collection.mutable.Set[String]()
-      val it = segs.fieldNames()
-      while (it.hasNext) names += it.next()
-      val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
-      if (names != actual) return None
-      org.apache.spark.sql.types.DataType.fromJson(schemaNode.asText()) match {
+    val (entries, schema) = replay(root)
+    val actual = segmentDirs.map(d => Paths.get(d).getFileName.toString).toSet
+    if (entries.keySet != actual) return None
+    schema.flatMap { s =>
+      try org.apache.spark.sql.types.DataType.fromJson(s) match {
         case st: org.apache.spark.sql.types.StructType => Some(st)
         case _ => None
-      }
-    } catch { case _: Exception => None }
+      } catch { case _: Exception => None }
+    }
   }
 
-  /** Write the manifest for exactly `entries` (names relative to root).
-    * `schema` is the table's union read schema; None omits the field
-    * (readers fall back to parallel opens).
+  // ------------------------------------------------------------ writes
+
+  /** Write the segment's sidecar into its directory (call BEFORE the
+    * atomic move into the table, so segment and metadata land
+    * together).
+    */
+  def writeSidecar(m: SegMeta): Unit = {
+    val n = mapper.createObjectNode()
+    entryInto(n, m)
+    writeAtomic(Paths.get(m.dir, SidecarName),
+      mapper.writeValueAsString(n).getBytes(UTF_8))
+  }
+
+  /** Full-snapshot write for exactly `entries`: the base manifest
+    * replaces atomically, then the now-folded log clears. Whole-table
+    * operations (overwrite, retention, compaction, log compaction) use
+    * this; incremental commits use [[appendDelta]].
     */
   def write(root: String, entries: Seq[SegMeta],
             schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val folded = logFiles(root)
     val rootNode = mapper.createObjectNode()
     schema.foreach(st => rootNode.put("schema", st.json))
     val segsNode = rootNode.putObject("segments")
     entries.foreach { m =>
-      val name = Paths.get(m.dir).getFileName.toString
-      val n = segsNode.putObject(name)
-      n.put("start", m.startMs); n.put("end", m.endMs)
-      n.put("rows", m.rows); n.put("exact", m.exactInterval)
-      n.put("sorted", m.timeSorted)
-      if (m.zones.nonEmpty) {
-        val z = n.putObject("zones")
-        m.zones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          val a = z.putArray(c); a.add(lo); a.add(hi)
-        }
-      }
-      if (m.strZones.nonEmpty) {
-        val z = n.putObject("szones")
-        m.strZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          val a = z.putArray(c); a.add(lo); a.add(hi)
-        }
-      }
-      m.nullCounts.foreach { nc =>
-        val z = n.putObject("nulls")
-        nc.toSeq.sortBy(_._1).foreach { case (c, cnt) => z.put(c, cnt) }
-      }
-      if (m.exactLongZones.nonEmpty) {
-        val z = n.putObject("xzonesl")
-        m.exactLongZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          val a = z.putArray(c); a.add(lo); a.add(hi)
-        }
-      }
-      if (m.exactDoubleZones.nonEmpty) {
-        val z = n.putObject("xzonesd")
-        m.exactDoubleZones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          val a = z.putArray(c); a.add(lo); a.add(hi)
-        }
-      }
-      if (m.longSums.nonEmpty) {
-        val z = n.putObject("lsums")
-        m.longSums.toSeq.sortBy(_._1).foreach { case (c, s) => z.put(c, s) }
-      }
+      val n = segsNode.putObject(Paths.get(m.dir).getFileName.toString)
+      entryInto(n, m)
     }
-    Files.write(Paths.get(root, FileName),
+    writeAtomic(Paths.get(root, FileName),
       mapper.writeValueAsString(rootNode).getBytes(UTF_8))
+    // clear only the files folded into this snapshot: a delta landing
+    // concurrently with this write survives and replays on top
+    folded.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
   }
 
-  /** Planning metadata for every segment under `root`: manifest when
-    * valid, else parallel metadata opens (the manifest-less path).
+  /** O(new segments) commit: one small delta file (adds + removed
+    * names + refreshed schema cache), written atomically into the log.
+    * Folds the log into the base snapshot once it exceeds
+    * [[CompactThreshold]] files, so replay stays a bounded number of
+    * small reads no matter how many commits the table has seen.
+    */
+  def appendDelta(root: String, adds: Seq[SegMeta],
+                  removes: Seq[String] = Nil,
+                  schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val logDir = Paths.get(root, LogDirName)
+    Files.createDirectories(logDir)
+    val node = mapper.createObjectNode()
+    schema.foreach(st => node.put("schema", st.json))
+    if (removes.nonEmpty) {
+      val r = node.putArray("remove")
+      removes.foreach(r.add)
+    }
+    val addNode = node.putObject("add")
+    adds.foreach { m =>
+      val n = addNode.putObject(Paths.get(m.dir).getFileName.toString)
+      entryInto(n, m)
+    }
+    val name = f"${System.currentTimeMillis()}%016d-" +
+      java.util.UUID.randomUUID().toString.take(8) + ".json"
+    writeAtomic(logDir.resolve(name),
+      mapper.writeValueAsString(node).getBytes(UTF_8))
+    if (logFiles(root).size > CompactThreshold) compactLog(root)
+  }
+
+  /** Fold base + log into a fresh base snapshot and delete the folded
+    * delta files. Safe under races: replay is idempotent (re-applying a
+    * surviving delta on the new base lands the same entries), and
+    * [[write]] deletes only the files it folded.
+    */
+  def compactLog(root: String): Unit = {
+    val (entries, schema) = replay(root)
+    val st = schema.flatMap { s =>
+      try org.apache.spark.sql.types.DataType.fromJson(s) match {
+        case t: org.apache.spark.sql.types.StructType => Some(t)
+        case _ => None
+      } catch { case _: Exception => None }
+    }
+    write(root, entries.values.toSeq.sortBy(_.dir), st)
+  }
+
+  /** Number of pending log delta files (test/observability hook). */
+  def logSize(root: String): Int = logFiles(root).size
+
+  /** Planning metadata for every segment under `root`: manifest, log,
+    * and sidecars first; binary metadata opens ONLY for dirs none of
+    * those cover (and only those dirs — a single hand-copied segment
+    * costs one open, not a full-table rescan).
     */
   def metaFor(root: String): Seq[SegMeta] = {
     val dirs = DruidTableUtil.discoverSegments(root)
-    load(root, dirs).getOrElse(openAll(dirs))
+    val r = resolve(root, dirs)
+    if (r.forall(_._2.isDefined)) r.map(_._2.get)
+    else {
+      val opened = openAll(r.collect { case (d, None) => d })
+        .map(m => m.dir -> m).toMap
+      r.map { case (d, m) => m.getOrElse(opened(d)) }
+    }
   }
 
   /** Open segment metadata in parallel (bounded by the slowest single

@@ -59,9 +59,44 @@ object StreamingOps {
       .start(outDir)
 
   /** File-watch stream over a parquet drop directory with an explicit
-    * schema (streaming needs one).
+    * schema (streaming needs one). `maxFilesPerTrigger` bounds each
+    * micro-batch; the source replays files oldest-modification first,
+    * so a drop dir staged with ascending mtimes streams in that order.
     */
   def parquetStream(spark: SparkSession, dir: String,
-                    schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+                    schema: org.apache.spark.sql.types.StructType,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(dir)
+  }
+
+  /** Stream-stream inner join: clicks joined to purchases of the same
+    * user within the following hour, both sides streaming from the same
+    * event drop dir. The time-range condition plus the watermark is
+    * what bounds join state at scale: a click older than
+    * (watermark - 1 hour) can never match a future purchase, so the
+    * state store evicts it. `lateness` is the real knob — it should be
+    * the expected event lateness (hours), NOT the data span; with a
+    * time-ordered drop dir (ascending file mtimes + maxFilesPerTrigger)
+    * nothing ever arrives below the watermark, state stays bounded by
+    * (lateness + join window) of events, and the emitted pair set is
+    * exactly the batch join.
+    */
+  def clickPurchaseJoin(spark: SparkSession, dir: String,
+                        schema: org.apache.spark.sql.types.StructType,
+                        lateness: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    def side(tpe: String, pfx: String) =
+      parquetStream(spark, dir, schema, maxFilesPerTrigger)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${pfx}_user"),
+                col("ts").as(s"${pfx}_ts"),
+                col("event_id").as(s"${pfx}_id"))
+        .withWatermark(s"${pfx}_ts", lateness)
+    side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+  }
 }

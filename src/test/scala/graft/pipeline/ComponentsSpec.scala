@@ -50,6 +50,38 @@ class ComponentsSpec extends AnyFunSuite {
     assert(m == Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("star contraction matches hash-min on chains, cliques, and bridges") {
+    val cases = Seq(
+      (1L until 12L).map(i => (i, i + 1)),                       // path
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L),
+          (8L, 9L), (3L, 7L)),                                   // bridged cliques
+      Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))               // loops/dups
+    cases.foreach { es =>
+      val hashMin = comps(edges(es: _*))
+      val star = Components.connectedComponentsStar(edges(es: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == hashMin, s"star diverged on $es")
+    }
+  }
+
+  test("adversarial chain with diameter far past the round budget converges") {
+    // a 120-node shuffled path: diameter 119 >> hash-min's default 25
+    // rounds if pointer jumping were absent; both the star algorithm
+    // and the fallback path (maxIter=1 exhausts hash-min immediately)
+    // must label every node with the chain's minimum id
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((100L until 220L).toVector)
+    val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
+    val star = Components.connectedComponentsStar(edges(chain: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star.size == 120 && star.values.forall(_ == 100L))
+    val viaFallback = Components.connectedComponents(edges(chain: _*),
+        maxIter = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFallback == star,
+      "hash-min round exhaustion did not fall back to star contraction")
+  }
+
   test("differential: random graphs match local union-find ground truth") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {

@@ -307,9 +307,8 @@ class DruidWriteSpec extends AnyFunSuite {
       .toDF("__time", "n").coalesce(1)
       .write.format("druid").mode("overwrite").save(dir)
     // two appends race: unique staging dirs + atomic per-segment moves
-    // mean both land; the manifest write races (last wins) but a stale
-    // manifest only falls back to parallel metadata opens, never loses
-    // rows
+    // mean both land, and each commit writes its OWN delta file into
+    // the append-only log — no last-wins manifest race, no fallback
     val jobs = Seq((100, 300), (300, 700)).map { case (from, until) =>
       Future {
         (from until until).map(i => (1700000000000L + i, i.toLong))
@@ -321,6 +320,16 @@ class DruidWriteSpec extends AnyFunSuite {
     val back = spark.read.format("druid").load(dir)
     assert(back.count() == 700)
     assert(back.select("n").distinct().count() == 700)
+    // both racing commits are visible to the planner WITHOUT opening
+    // segment metadata: the log carries one delta per commit
+    import scala.jdk.CollectionConverters._
+    def opens(): Long = graft.format.DruidSegment.openCounts.asScala
+      .collect { case (d, c) if d.startsWith(dir) => c.toLong }.sum
+    val before = opens()
+    val metas = graft.sources.druid.SegmentCatalog.metaFor(dir)
+    assert(metas.size == 5 && metas.map(_.rows).sum == 700)
+    assert(opens() - before == 0,
+      "racing appends forced the planner into fallback metadata opens")
   }
 
   test("large partition write stays typed (1M rows, single partition)") {

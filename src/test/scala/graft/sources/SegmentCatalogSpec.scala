@@ -66,20 +66,88 @@ class SegmentCatalogSpec extends AnyFunSuite {
     assert(spark.read.format("druid").load(out).count() == 800)
   }
 
-  test("stale manifest (hand-copied segment) falls back to opening metadata") {
+  test("hand-copied segment resolves via its sidecar; without one, metadata opens") {
     val out = Files.createTempDirectory("graft-cats").toString + "/t"
     write(out, 400, parts = 1)
-    // hand-copy a segment dir the manifest does not know about
+    // hand-copy a segment dir the manifest does not know about — the
+    // copy carries the segment's sidecar, so planning stays open-free
     val seg = Files.list(Paths.get(out)).iterator().asScala
       .filter(p => graft.format.DruidSegment.isSegmentDir(p)).next()
     val copy = Paths.get(out, "segment-manual")
     Files.walk(seg).iterator().asScala.toSeq.foreach { p =>
       Files.copy(p, copy.resolve(seg.relativize(p).toString))
     }
-    assert(SegmentCatalog.load(out,
-      graft.sources.druid.DruidTableUtil.discoverSegments(out)).isEmpty)
-    // reads stay correct via the fallback path
+    val dirs = graft.sources.druid.DruidTableUtil.discoverSegments(out)
+    val viaSidecar = SegmentCatalog.load(out, dirs)
+    assert(viaSidecar.isDefined && viaSidecar.get.map(_.rows).sum == 800)
     assert(spark.read.format("druid").load(out).count() == 800)
+    // strip the copy's sidecar: now only a metadata open can describe it
+    Files.delete(copy.resolve(SegmentCatalog.SidecarName))
+    assert(SegmentCatalog.load(out, dirs).isEmpty)
+    // reads stay correct via the (single-segment) open fallback
+    assert(spark.read.format("druid").load(out).count() == 800)
+  }
+
+  test("append commits a delta file, not a snapshot rewrite") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-catd").toString + "/t"
+    write(out, 400, parts = 4)
+    val manifest = Paths.get(out, SegmentCatalog.FileName)
+    val baseBytes = Files.readAllBytes(manifest).toSeq
+    (0 until 100).map(i => (new java.sql.Timestamp(1900000000000L + i * 1000L), i.toLong))
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").mode("append").save(out)
+    // the base snapshot is untouched; the commit is one O(new) delta
+    assert(Files.readAllBytes(manifest).toSeq == baseBytes,
+      "append rewrote the base snapshot")
+    assert(SegmentCatalog.logSize(out) == 1)
+    val metas = SegmentCatalog.metaFor(out)
+    assert(metas.size == 5 && metas.map(_.rows).sum == 500)
+    assert(spark.read.format("druid").load(out).count() == 500)
+  }
+
+  test("the log folds into the base once it passes the threshold") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-catf").toString + "/t"
+    write(out, 10, parts = 1)
+    (0 until 20).foreach { j =>
+      Seq((new java.sql.Timestamp(1900000000000L + j * 100000L), j.toLong))
+        .toDF("__time", "n").coalesce(1)
+        .write.format("druid").mode("append").save(out)
+    }
+    // 20 appends with a compaction bound of 16: folded at least once
+    assert(SegmentCatalog.logSize(out) <= 16,
+      s"log never compacted: ${SegmentCatalog.logSize(out)} files")
+    val metas = SegmentCatalog.metaFor(out)
+    assert(metas.size == 21 && metas.map(_.rows).sum == 30)
+    // and the folded state still plans with ZERO segment opens
+    def opens(): Long = graft.format.DruidSegment.openCounts.asScala
+      .collect { case (d, c) if d.startsWith(out) => c.toLong }.sum
+    val before = opens()
+    assert(SegmentCatalog.metaFor(out).size == 21)
+    assert(opens() - before == 0)
+  }
+
+  test("a torn base manifest costs zero opens: sidecars carry full metadata") {
+    val out = Files.createTempDirectory("graft-catt").toString + "/t"
+    write(out, 300, parts = 2)
+    val manifest = Paths.get(out, SegmentCatalog.FileName)
+    // simulate a crash mid-write of a NON-atomic writer: truncate the
+    // snapshot halfway (the real writer moves a temp file atomically,
+    // so this state can only come from external interference)
+    val bytes = Files.readAllBytes(manifest)
+    Files.write(manifest, bytes.take(bytes.length / 2))
+    def opens(): Long = graft.format.DruidSegment.openCounts.asScala
+      .collect { case (d, c) if d.startsWith(out) => c.toLong }.sum
+    val before = opens()
+    val metas = SegmentCatalog.metaFor(out)
+    assert(metas.size == 2 && metas.map(_.rows).sum == 300)
+    // sidecar entries carry zones/null-counts, so pruning and
+    // metadata-aggregate answerability survive the torn snapshot too
+    assert(metas.forall(_.nullCounts.isDefined))
+    assert(opens() - before == 0,
+      "torn manifest forced metadata opens despite sidecars")
+    assert(spark.read.format("druid").load(out).count() == 300)
   }
 
   test("corrupt manifest is ignored, not fatal") {

@@ -191,15 +191,24 @@ class ZoneMapSpec extends AnyFunSuite {
   }
 
   test("segments without zones are never pruned (fallback safety)") {
-    // strip the manifest: fallback open path yields zone-less metadata
+    // strip the manifest AND every per-segment sidecar: only then does
+    // planning fall back to binary metadata opens, which carry no zones
     val manifest = new java.io.File(dir, SegmentCatalog.FileName)
     val body = Files.readAllBytes(manifest.toPath)
+    val sidecars = DruidTableUtil.discoverSegments(dir)
+      .map(d => new java.io.File(d, SegmentCatalog.SidecarName))
+      .filter(_.isFile)
+      .map(f => f -> Files.readAllBytes(f.toPath))
     try {
       assert(manifest.delete())
+      sidecars.foreach { case (f, _) => assert(f.delete()) }
       val df = spark.read.format("druid").load(dir)
         .filter(col("n") >= 1000 && col("n") <= 1999)
       assert(df.count() == 1000) // correct, just unpruned
       assert(df.rdd.getNumPartitions == 4)
-    } finally Files.write(manifest.toPath, body)
+    } finally {
+      Files.write(manifest.toPath, body)
+      sidecars.foreach { case (f, b) => Files.write(f.toPath, b) }
+    }
   }
 }

@@ -60,6 +60,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch.count())
   }
 
+  test("stream-stream join: realistic watermark evicts state, result stays exact") {
+    // time-ordered drop dir: range-partition by ts, ascending mtimes so
+    // maxFilesPerTrigger=1 replays micro-batches in event-time order
+    val dir = Files.createTempDirectory("graft-ss-join").toString
+    val batch = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("event_type"), col("user_id"),
+              col("value"))
+    batch.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingOps.clickPurchaseJoin(spark, dir, schema,
+        lateness = "25 hours", maxFilesPerTrigger = Some(1))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val progress = q.recentProgress.toSeq
+    // the 25 h watermark must actually clean up: join state rows are
+    // evicted as the watermark passes them, and peak state stays well
+    // under the total click+purchase row count (the 35-day-span corpus
+    // would otherwise accumulate everything)
+    val removed = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "watermark never evicted any join state")
+    val peak = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal).max
+    val joinSideRows = batch
+      .filter(col("event_type").isin("click", "purchase")).count()
+    assert(peak < joinSideRows,
+      s"state never shrank: peak $peak vs $joinSideRows join-side rows")
+    // and the emitted pairs are EXACTLY the batch join
+    val expected = batch.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("cts"),
+              col("event_id").as("cid"))
+      .join(batch.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u"), col("ts").as("pts")),
+        Seq("u"))
+      .filter(col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .count()
+    assert(spark.table("ssjoin_out").count() == expected)
+  }
+
   test("micro-batch segment ingest lands queryable druid segments") {
     val (dir, batch) = stageEvents()
     val schema = spark.read.parquet(dir).schema
