@@ -242,9 +242,10 @@ object DruidQueries extends QuerySet {
     }
 
   /** Two day-granular tables under one GraftCatalog root (events and
-    * per-ts counts), staged once per JVM; returns the catalog name
-    * with confs set so `s.table("<cat>.events")` resolves — the
-    * storage-partitioned-join setup (dr19).
+    * per-ts counts) plus hour-granular twins over the first two days,
+    * staged once per JVM; returns the catalog name with confs set so
+    * `s.table("<cat>.events")` resolves — the storage-partitioned-join
+    * setup (dr19 day-keyed, dr25 hour-keyed).
     */
   private def spjCatalog(s: SparkSession, dir: String): String =
     synchronized {
@@ -261,6 +262,16 @@ object DruidQueries extends QuerySet {
           .repartition(4).write.format("druid")
           .option("segmentGranularity", "day").mode("overwrite")
           .save(s"$root/ts_counts")
+        // hour-granularity twins (first two days, 48 segments each):
+        // the scan reports hours(__time) KeyGroupedPartitioning here
+        val ev2 = ev.filter(col("__time") < lit("2024-01-03").cast("timestamp"))
+        ev2.repartition(4).write.format("druid")
+          .option("segmentGranularity", "hour").mode("overwrite")
+          .save(s"$root/events_h")
+        ev2.groupBy(col("__time")).agg(count(lit(1)).as("n_at_ts"))
+          .repartition(4).write.format("druid")
+          .option("segmentGranularity", "hour").mode("overwrite")
+          .save(s"$root/ts_counts_h")
         written += root
       }
       s.conf.set(s"spark.sql.catalog.$cat",
@@ -590,6 +601,31 @@ object DruidQueries extends QuerySet {
                 CAST(sum(n_at_ts) AS BIGINT) AS sum_copies,
                 round(sum(value), 2) AS sum_value
               FROM events JOIN tc USING (ts)
+              GROUP BY event_type ORDER BY event_type""")),
+
+    // -- The same storage-partitioned join at HOUR segmentGranularity:
+    //    the scan reports hours(__time) KeyGroupedPartitioning (the
+    //    finest calendar bucket containing every segment), so the join
+    //    is exchange-free on hour-keyed layout too (SpjSpec pins the
+    //    plan shape; here the gate pins the result).
+    Q("dr25_spj_hour_join",
+      (s, dir) => {
+        val cat = spjCatalog(s, dir)
+        s.table(s"$cat.events_h")
+          .join(s.table(s"$cat.ts_counts_h"), "__time")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("n_at_ts")).as("sum_copies"),
+               round(sum(col("value")), 2).as("sum_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT * FROM events
+                         WHERE ts < TIMESTAMP '2024-01-03 00:00:00'),
+              tc AS (SELECT ts, count(*) AS n_at_ts FROM e GROUP BY ts)
+              SELECT event_type, count(*) AS n,
+                CAST(sum(n_at_ts) AS BIGINT) AS sum_copies,
+                round(sum(value), 2) AS sum_value
+              FROM e JOIN tc USING (ts)
               GROUP BY event_type ORDER BY event_type""")),
 
     // -- Druid SearchQuery: which dimension values match a substring,

@@ -450,7 +450,8 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      orFilters: Seq[Filter] = Nil)
     extends InputPartition with HasPartitionKey {
   // meaningful only when the scan reports KeyGroupedPartitioning
-  // (day-aligned tables); int days-since-epoch, the days() result type
+  // (granularity-aligned tables); int buckets-since-epoch of the
+  // table's alignment (hours/days/months), the transform's result type
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](dayKey))
@@ -771,45 +772,53 @@ class DruidScan(root: String, required: StructType,
       // covering their range, so splits parallelize within one segment
       val per = math.max(1, math.min(rowsPerSplit, Int.MaxValue.toLong).toInt)
       val capped = if (limit >= 0) math.min(m.rows, limit) else m.rows
-      val day = Math.floorDiv(m.startMs, 86400000L).toInt
+      val key = alignment.map(g => DruidScan.bucketKey(g, m.startMs)).getOrElse(0)
       (0 until capped by per).map { start =>
         DruidInputPartition(m.dir, start, math.min(capped, start + per), limit,
           batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
-          patternFilters, day, orFilters)
+          patternFilters, key, orFilters)
       }
     }
     parts.toArray
   }
 
-  /** Storage-partitioned-join readiness: every segment interval sits
-    * inside exactly one UTC day (what `segmentGranularity=day` writes),
-    * so days(__time) is constant per segment and the scan can report
-    * KeyGroupedPartitioning over it.
+  /** Storage-partitioned-join readiness: the FINEST calendar
+    * granularity (hour < day < month) whose buckets contain every
+    * segment interval whole — what `segmentGranularity=hour/day/month`
+    * writes — so <granularity>(__time) is constant per segment and the
+    * scan can report KeyGroupedPartitioning over it. None when segments
+    * straddle month bounds (week/year tables join through a shuffle).
     */
-  private lazy val dayAligned: Boolean =
-    segmentMeta.nonEmpty && segmentMeta.forall { m =>
-      m.exactInterval &&
-        m.endMs <= (Math.floorDiv(m.startMs, 86400000L) + 1) * 86400000L
-    }
+  private lazy val alignment: Option[String] =
+    if (segmentMeta.isEmpty || !segmentMeta.forall(_.exactInterval)) None
+    else Seq("hours", "days", "months").find(g =>
+      segmentMeta.forall(m =>
+        DruidScan.bucketKey(g, m.startMs) ==
+          DruidScan.bucketKey(g, m.endMs - 1)))
 
-  /** Day-keyed partitioning for druid-druid joins on `__time`: when
-    * both sides are day-granularity tables resolved through a catalog
-    * that serves the `days` function (GraftCatalog), Spark's
-    * storage-partitioned join planning sees compatible
+  /** Granularity-keyed partitioning for druid-druid joins on `__time`:
+    * when both sides are same-granularity tables resolved through a
+    * catalog that serves the hours/days/months functions (GraftCatalog),
+    * Spark's storage-partitioned join planning sees compatible
     * KeyGroupedPartitioning on each side and plans the join with ZERO
     * exchanges — co-located by layout, the DSv2 answer to bucketing.
     */
   private def spjClaimable: Boolean =
     !aggPushed && groupByDim.isEmpty && topNTime.isEmpty &&
-      limit < 0 && dayAligned &&
+      limit < 0 && alignment.isDefined &&
       required.fieldNames.contains("__time")
 
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    if (spjClaimable)
+    if (spjClaimable) {
+      val t = alignment.get match {
+        case "hours" => Expressions.hours("__time")
+        case "days" => Expressions.days("__time")
+        case "months" => Expressions.months("__time")
+      }
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-        Array(Expressions.days("__time")), splitsFor(prunedSegments).length)
-    else
+        Array(t), splitsFor(prunedSegments).length)
+    } else
       new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
   }
 
@@ -911,4 +920,21 @@ object DruidScan {
     if (i < 0) None
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
+
+  /** Buckets-since-epoch (UTC) of an epoch-millis instant for the SPJ
+    * partition transforms — must agree exactly with the catalog's
+    * hours/days/months ScalarFunctions (GraftCatalog), which evaluate
+    * the same transform over micros on the query side.
+    */
+  private[druid] def bucketKey(granularity: String, ms: Long): Int =
+    granularity match {
+      case "hours" => Math.floorDiv(ms, 3600000L).toInt
+      case "days" => Math.floorDiv(ms, 86400000L).toInt
+      case "months" =>
+        val d = java.time.Instant.ofEpochMilli(ms)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDate
+        (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+      case other =>
+        throw new IllegalArgumentException(s"unknown SPJ granularity $other")
+    }
 }

@@ -82,39 +82,54 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   // ---- FunctionCatalog: the partition transforms the scan reports ----
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "days"))
+    GraftCatalog.transforms.keys
+      .map(n => Identifier.of(Array.empty, n)).toArray
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name() == "days") GraftCatalog.DaysFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    GraftCatalog.transforms.getOrElse(ident.name(),
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 }
 
 object GraftCatalog {
-  /** days-since-epoch of a timestamp — the `days(col)` partition
-    * transform's evaluable form (UTC, floor), matching the day key the
-    * scan attaches to each split (floorDiv(startMs, 86400000)).
+  /** Buckets-since-epoch of a timestamp (UTC, floor) — the evaluable
+    * forms of the `hours`/`days`/`months` partition transforms the scan
+    * reports, matching the bucket key it attaches to each split
+    * (DruidScan.bucketKey over millis; these evaluate over micros).
     */
-  object DaysFunction extends UnboundFunction {
-    override def name(): String = "days"
+  private[druid] val transforms: Map[String, UnboundFunction] = Map(
+    "hours" -> new BucketFunction("hours",
+      us => Math.floorDiv(us, 3600000000L).toInt),
+    "days" -> new BucketFunction("days",
+      us => Math.floorDiv(us, 86400000000L).toInt),
+    "months" -> new BucketFunction("months", { us =>
+      val d = java.time.Instant.ofEpochMilli(Math.floorDiv(us, 1000L))
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+    }))
+
+  final class BucketFunction(fname: String, key: Long => Int)
+      extends UnboundFunction {
+    override def name(): String = fname
     override def description(): String =
-      "days(timestamp): UTC days since epoch (floor)"
+      s"$fname(timestamp): UTC $fname since epoch (floor)"
     override def bind(inputType: StructType): BoundFunction = {
       require(inputType.fields.length == 1 &&
         (inputType.fields(0).dataType == TimestampType ||
           inputType.fields(0).dataType == TimestampNTZType),
-        s"days() expects one timestamp argument, got $inputType")
-      DaysBound
+        s"$fname() expects one timestamp argument, got $inputType")
+      new BucketBound(fname, key)
     }
   }
 
-  object DaysBound extends ScalarFunction[Integer] {
+  final class BucketBound(fname: String, key: Long => Int)
+      extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(TimestampType)
     override def resultType(): DataType = IntegerType
-    override def name(): String = "days"
-    override def canonicalName(): String = "graft.days"
+    override def name(): String = fname
+    override def canonicalName(): String = s"graft.$fname"
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer =
-      Math.floorDiv(input.getLong(0), 86400000000L).toInt
+      key(input.getLong(0))
   }
 }

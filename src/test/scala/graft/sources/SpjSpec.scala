@@ -63,6 +63,70 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("hour-aligned druid-druid join on __time plans zero exchanges") {
+    import spark.implicits._
+    val r2 = Files.createTempDirectory("graft-spjh").toString
+    // 6 hours of events, both tables share the same __time values
+    def df(vcol: String) = (0 until 3000)
+      .map(i => (1700000000000L + (i % 6) * 3600000L + (i / 6) * 100L,
+        i.toLong))
+      .toDF("__time", vcol)
+    df("a").repartition(4).write.format("druid")
+      .option("segmentGranularity", "hour").mode("overwrite").save(s"$r2/ta")
+    df("b").repartition(4).write.format("druid")
+      .option("segmentGranularity", "hour").mode("overwrite").save(s"$r2/tb")
+    val conf = spark.conf
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.catalog.graftspjh",
+      classOf[graft.sources.druid.GraftCatalog].getName)
+    conf.set("spark.sql.catalog.graftspjh.root", r2)
+    try {
+      val j = spark.table("graftspjh.ta").join(spark.table("graftspjh.tb"),
+        "__time")
+      assert(j.count() == 3000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"hour-keyed storage-partitioned join still shuffles:\n$p")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("month-aligned druid-druid join on __time plans zero exchanges") {
+    import spark.implicits._
+    val r2 = Files.createTempDirectory("graft-spjm").toString
+    // 3 months of events; month buckets are calendar-shaped (uneven
+    // lengths), so this exercises the non-arithmetic bucket key
+    val m0 = java.time.Instant.parse("2023-10-01T00:00:00Z").toEpochMilli
+    def monthStart(k: Int) = java.time.Instant.parse(
+      f"2023-${10 + k}%02d-01T00:00:00Z").toEpochMilli
+    def df(vcol: String) = (0 until 3000)
+      .map(i => (monthStart(i % 3) + (i / 3) * 1000L, i.toLong))
+      .toDF("__time", vcol)
+    assert(m0 > 0)
+    df("a").repartition(4).write.format("druid")
+      .option("segmentGranularity", "month").mode("overwrite").save(s"$r2/ta")
+    df("b").repartition(4).write.format("druid")
+      .option("segmentGranularity", "month").mode("overwrite").save(s"$r2/tb")
+    val conf = spark.conf
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.catalog.graftspjm",
+      classOf[graft.sources.druid.GraftCatalog].getName)
+    conf.set("spark.sql.catalog.graftspjm.root", r2)
+    try {
+      val j = spark.table("graftspjm.ta").join(spark.table("graftspjm.tb"),
+        "__time")
+      assert(j.count() == 3000L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"month-keyed storage-partitioned join still shuffles:\n$p")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("ordering claim yields to SPJ grouping (explicit sorts survive)") {
     // several same-day segments may be CONCATENATED into one partition
     // under KeyGroupedPartitioning — per-segment ascending, not across
