@@ -69,6 +69,26 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Per-(day, event_type) Apache DataSketches HLL blobs (Spark's own
+    * hll_sketch_agg, datasketches-java wire format) landed in a COMPLEX
+    * column tagged typeName "HLLSketch" — REAL-Druid sketch interop:
+    * a druid-style rollup segment whose complex payloads any
+    * DataSketches reader (Druid itself included) can heapify and merge.
+    * Cardinality is bounded (user_id % 128) so the sketches stay in
+    * exact (coupon) mode and the estimate is DuckDB-replayable.
+    */
+  private def dsHllSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("dshll", dir,
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("__time"),
+                 col("event_type"))
+        .agg(hll_sketch_agg(col("user_id") % 128).as("users_hll"),
+             count(lit(1)).as("n_rows")),
+      options = Map("segmentGranularity" -> "day",
+                    "complexTypes" -> "users_hll:HLLSketch"))
+    s.read.format("druid").load(path)
+  }
+
   /** Per-(event_type, day) fixed-buckets histograms of `value` landed in
     * a COMPLEX column — the ingest-time rollup shape: each group's raw
     * rows collapse to one mergeable blob at write time, and queries
@@ -208,7 +228,7 @@ object DruidQueries extends QuerySet {
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
     eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
-    delSeg(s, dir)
+    delSeg(s, dir); dsHllSeg(s, dir)
   }
 
   /** A day-granular events table under its own catalog, staged once per
@@ -398,6 +418,29 @@ object DruidQueries extends QuerySet {
           .orderBy(col("l_returnflag"))
       },
       None),
+
+    // -- REAL-Druid sketch interop, HASH-MATCHED: the segment's COMPLEX
+    //    column carries Apache DataSketches HLL blobs (typeName
+    //    "HLLSketch" in the ColumnDescriptor — the wire format Druid's
+    //    own HLLSketchMergeAggregator consumes), merged across days with
+    //    Spark's native hll_union_agg and estimated. The bounded
+    //    cardinality keeps the sketches in exact coupon mode, so unlike
+    //    dr7 the estimate equals DuckDB's exact DISTINCT and the whole
+    //    build → COMPLEX column → heapify → union → estimate pipeline
+    //    sits under the hash gate. (DataSketchesInteropSpec additionally
+    //    heapifies the raw blobs with datasketches-java directly.)
+    Q("dr26_ds_hll_interop",
+      (s, dir) => {
+        dsHllSeg(s, dir).groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("users_hll")))
+                 .as("n_users"),
+               sum(col("n_rows")).as("n_rows"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+              count(DISTINCT user_id % 128) AS n_users,
+              count(*) AS n_rows
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // -- Fixed-buckets histogram sketches end-to-end, HASH-MATCHED: the
     //    per-(event_type, day) blobs in the segment merge per event_type

@@ -121,7 +121,14 @@ object DruidTableUtil {
             case Some("timestamp_ntz_micros") => TimestampNTZType
             case _ => sparkType(desc.valueType)
           }
-        StructField(name, t, nullable = true)
+        // surface the complex typeName (e.g. "HLLSketch") so consumers
+        // can tell sketch blobs from plain binary payloads
+        val meta = desc.partTypes.headOption
+          .filter(_ => desc.valueType == "COMPLEX").filter(_ != "binary")
+          .map(tn => new MetadataBuilder()
+            .putString("druid.complexType", tn).build())
+          .getOrElse(Metadata.empty)
+        StructField(name, t, nullable = true, meta)
       }
     })
 
@@ -165,7 +172,8 @@ object DruidTableUtil {
     * the writer's deterministic type mapping (DruidWrite buffers +
     * descriptor logicalType), applied without opening anything.
     */
-  def readSchemaOf(writeSchema: StructType): StructType =
+  def readSchemaOf(writeSchema: StructType,
+                   complexTypes: Map[String, String] = Map.empty): StructType =
     StructType(writeSchema.fields.map { f =>
       if (f.name == "__time") StructField("__time", TimestampType, nullable = false)
       else {
@@ -174,7 +182,14 @@ object DruidTableUtil {
           case ArrayType(StringType, _) => ArrayType(StringType, containsNull = true)
           case other => other // long/double/float/string/binary/timestamp[_ntz]
         }
-        StructField(f.name, t, nullable = true)
+        // mirror segmentSchema: tagged binary columns surface their
+        // complex typeName in the cached schema's metadata too
+        val meta = complexTypes.get(f.name)
+          .filter(_ => f.dataType == BinaryType)
+          .map(tn => new MetadataBuilder()
+            .putString("druid.complexType", tn).build())
+          .getOrElse(Metadata.empty)
+        StructField(f.name, t, nullable = true, meta)
       }
     })
 }
@@ -272,5 +287,12 @@ class DruidTable(root: String, schema0: StructType) extends Table
       // (Druid's dimensionsSpec equivalent), comma-separated
       rollupDims = Option(info.options().get("rollupDimensions"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty))
+        .getOrElse(Set.empty),
+      // binary columns tagged with a Druid complex typeName
+      // ("col:HLLSketch,other:thetaSketch") — recorded in each column's
+      // descriptor so readers can identify sketch blobs
+      complexTypes = Option(info.options().get("complexTypes"))
+        .map(_.split(",").map(_.trim).filter(_.contains(":")).map { kv =>
+          val Array(k, v) = kv.split(":", 2); k -> v
+        }.toMap).getOrElse(Map.empty))
 }

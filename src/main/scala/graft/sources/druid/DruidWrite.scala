@@ -36,7 +36,8 @@ class DruidWriteBuilder(root: String, schema: StructType,
                         granularity: Option[String] = None,
                         rollupGran: Option[String] = None,
                         codec: Byte = graft.format.Compression.LZ4,
-                        rollupDims: Set[String] = Set.empty)
+                        rollupDims: Set[String] = Set.empty,
+                        complexTypes: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceRange: Option[(Long, Long)] = None
@@ -81,12 +82,12 @@ class DruidWriteBuilder(root: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity,
-        rollupGran, codec, rollupDims, replaceRange)
+        rollupGran, codec, rollupDims, replaceRange, complexTypes)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "druid streaming sink supports append output mode only")
       new DruidStreamingWrite(root, schema, bitmapIndexes, granularity,
-        rollupGran, codec, rollupDims)
+        rollupGran, codec, rollupDims, complexTypes)
     }
   }
 }
@@ -105,7 +106,8 @@ class DruidStreamingWrite(root: String, schema: StructType,
                           granularity: Option[String],
                           rollupGran: Option[String] = None,
                           codec: Byte = graft.format.Compression.LZ4,
-                          rollupDims: Set[String] = Set.empty)
+                          rollupDims: Set[String] = Set.empty,
+                          complexTypes: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -117,13 +119,14 @@ class DruidStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root, ".epochs"))
-    val (r, sch, bm, g, rg, cd, rd) =
-      (root, schema, bitmapIndexes, granularity, rollupGran, codec, rollupDims)
+    val (r, sch, bm, g, rg, cd, rd, ct) =
+      (root, schema, bitmapIndexes, granularity, rollupGran, codec, rollupDims,
+        complexTypes)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
-          s"ep$epochId", sch, partitionId, taskId, bm, g, rg, cd, rd)
+          s"ep$epochId", sch, partitionId, taskId, bm, g, rg, cd, rd, ct)
     }
   }
 
@@ -150,7 +153,8 @@ class DruidStreamingWrite(root: String, schema: StructType,
     }
     stale.foreach(DruidBatchWrite.deleteRecursively)
     DruidBatchWrite.commitJob(root, schema, truncate = false,
-      stagingDir = stagingFor(epochId), messages = messages)
+      stagingDir = stagingFor(epochId), messages = messages,
+      complexTypes = complexTypes)
     Files.createDirectories(markerFor(epochId).getParent)
     Files.createFile(markerFor(epochId))
   }
@@ -216,7 +220,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       rollupGran: Option[String] = None,
                       codec: Byte = graft.format.Compression.LZ4,
                       rollupDims: Set[String] = Set.empty,
-                      replaceRange: Option[(Long, Long)] = None)
+                      replaceRange: Option[(Long, Long)] = None,
+                      complexTypes: Map[String, String] = Map.empty)
     extends BatchWrite {
 
   granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
@@ -230,12 +235,12 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stagingDir)
     new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
-      granularity, rollupGran, codec, rollupDims)
+      granularity, rollupGran, codec, rollupDims, complexTypes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DruidBatchWrite.commitJob(root, schema, truncate, stagingDir, messages,
-      replaceRange)
+      replaceRange, complexTypes)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // nothing committed ever left staging: drop it, destination intact
@@ -250,7 +255,8 @@ object DruidBatchWrite {
     */
   def commitJob(root: String, schema: StructType, truncate: Boolean,
                 stagingDir: Path, messages: Array[WriterCommitMessage],
-                replaceRange: Option[(Long, Long)] = None): Unit = {
+                replaceRange: Option[(Long, Long)] = None,
+                complexTypes: Map[String, String] = Map.empty): Unit = {
     val rootPath = Paths.get(root)
     // segments present before this job (overwrite deletes them LAST)
     val previous: Seq[Path] = {
@@ -289,7 +295,7 @@ object DruidBatchWrite {
     // fast here, leaving the destination untouched. Schema evolution
     // (new/missing columns) unions cleanly; only a same-name type
     // clash throws.
-    val newSchema = DruidTableUtil.readSchemaOf(schema)
+    val newSchema = DruidTableUtil.readSchemaOf(schema, complexTypes)
     val tableSchema: Option[org.apache.spark.sql.types.StructType] =
       try {
         if (truncate || previous.isEmpty) Some(newSchema)
@@ -364,7 +370,8 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
                              granularity: Option[String] = None,
                              rollupGran: Option[String] = None,
                              codec: Byte = graft.format.Compression.LZ4,
-                             rollupDims: Set[String] = Set.empty)
+                             rollupDims: Set[String] = Set.empty,
+                          complexTypes: Map[String, String] = Map.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
@@ -382,7 +389,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       granularity: Option[String] = None,
                       rollupGran: Option[String] = None,
                       codec: Byte = graft.format.Compression.LZ4,
-                      rollupDims: Set[String] = Set.empty)
+                      rollupDims: Set[String] = Set.empty,
+                      complexTypes: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
 
   // ---- typed builders ----
@@ -484,12 +492,12 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       b += (if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
     def values(sel: Array[Int]): ColumnValues = StringValues(pick(b.toArray, sel))
   }
-  private final class BinaryBuf extends ColBuf {
+  private final class BinaryBuf(typeName: String) extends ColBuf {
     val b = new ArrayBuffer[Array[Byte]](1024)
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
       b += (if (row.isNullAt(i)) null else row.getBinary(i))
     def values(sel: Array[Int]): ColumnValues =
-      ComplexValues("binary", pick(b.toArray, sel))
+      ComplexValues(typeName, pick(b.toArray, sel))
   }
   private final class MultiStringBuf extends ColBuf {
     val b = new ArrayBuffer[Seq[String]](1024)
@@ -529,7 +537,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       case DoubleType => new DoubleBuf
       case FloatType => new FloatBuf
       case StringType => new StringBuf
-      case BinaryType => new BinaryBuf
+      case BinaryType => new BinaryBuf(complexTypes.getOrElse(f.name, "binary"))
       case ArrayType(StringType, _) => new MultiStringBuf
       case other => throw new IllegalArgumentException(
         s"druid writer: unsupported type $other for '${f.name}'")

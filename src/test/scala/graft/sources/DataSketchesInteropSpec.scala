@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real-Druid sketch interop: COMPLEX columns tagged typeName
+  * "HLLSketch" carry genuine Apache DataSketches HLL payloads — the
+  * wire format Druid's own datasketches extension reads and writes.
+  * This spec bypasses Spark's sketch functions on the read side and
+  * heapifies the raw segment bytes with datasketches-java directly,
+  * proving the blobs round-trip the segment COMPLEX column unmodified
+  * and stay consumable by ANY DataSketches reader.
+  */
+class DataSketchesInteropSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("COMPLEX HLLSketch blobs heapify with datasketches-java") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dshll").toString + "/t"
+    // two groups, known exact cardinalities (20 and 80 distinct ids: even ids mod 40, odd mod 160)
+    (0 until 2000)
+      .map(i => (1700000000000L + i, if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) (i % 40).toLong else (i % 160).toLong))
+      .toDF("__time", "grp", "uid")
+      .groupBy(col("__time") % 1000, col("grp"))
+      .agg(min(col("__time")).as("__time"), first(col("grp")).as("g"),
+        hll_sketch_agg(col("uid")).as("users_hll"))
+      .select(col("__time"), col("g").as("grp"), col("users_hll"))
+      .coalesce(1)
+      .write.format("druid")
+      .option("complexTypes", "users_hll:HLLSketch")
+      .mode("overwrite").save(out)
+
+    val back = spark.read.format("druid").load(out)
+    // the descriptor's complex typeName surfaces as column metadata
+    val meta = back.schema("users_hll").metadata
+    assert(meta.contains("druid.complexType") &&
+      meta.getString("druid.complexType") == "HLLSketch")
+
+    // heapify every raw blob with datasketches-java (no Spark sketch
+    // function in the path) and union per group: estimates must equal
+    // the known exact cardinalities (small n => coupon-exact mode)
+    val perGroup = back.select(col("grp"), col("users_hll")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val u = new org.apache.datasketches.hll.Union(12)
+        rows.foreach { r =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            r.getAs[Array[Byte]]("users_hll")))
+        }
+        g -> math.round(u.getEstimate)
+      }
+    assert(perGroup == Map("a" -> 20L, "b" -> 80L), s"got $perGroup")
+
+    // and Spark's native union/estimate over the same segment agrees
+    val viaSpark = back.groupBy(col("grp"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSpark == Map("a" -> 20L, "b" -> 80L))
+  }
+
+  test("untagged binary columns keep the plain 'binary' typeName") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-plainbin").toString + "/t"
+    Seq((1700000000000L, Array[Byte](1, 2, 3)))
+      .toDF("__time", "payload").coalesce(1)
+      .write.format("druid").mode("overwrite").save(out)
+    val f = spark.read.format("druid").load(out).schema("payload")
+    assert(!f.metadata.contains("druid.complexType"))
+  }
+}
