@@ -89,6 +89,27 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Per-(day, event_type) Apache DataSketches THETA blobs (the wire
+    * format of Druid's `thetaSketch` aggregator) in a COMPLEX column
+    * tagged "thetaSketch" — the set-operation sketch family's
+    * real-interop twin of [[dsHllSeg]]. Bounded cardinality keeps the
+    * sketches in exact mode (k=4096 default), so union/intersection/
+    * difference estimates are DuckDB-replayable.
+    */
+  private def dsThetaSeg(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.DsThetaFunctions.register(s)
+    val path = segTable("dstheta", dir,
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("__time"),
+                 col("event_type"))
+        .agg(collect_set(col("user_id") % 128).as("uids"))
+        .select(col("__time"), col("event_type"),
+                expr("ds_theta_from_vals(uids)").as("users_theta")),
+      options = Map("segmentGranularity" -> "day",
+                    "complexTypes" -> "users_theta:thetaSketch"))
+    s.read.format("druid").load(path)
+  }
+
   /** Per-(event_type, day) fixed-buckets histograms of `value` landed in
     * a COMPLEX column — the ingest-time rollup shape: each group's raw
     * rows collapse to one mergeable blob at write time, and queries
@@ -228,7 +249,7 @@ object DruidQueries extends QuerySet {
     histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
     eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
-    delSeg(s, dir); dsHllSeg(s, dir)
+    delSeg(s, dir); dsHllSeg(s, dir); dsThetaSeg(s, dir)
   }
 
   /** A day-granular events table under its own catalog, staged once per
@@ -441,6 +462,55 @@ object DruidQueries extends QuerySet {
               count(DISTINCT user_id % 128) AS n_users,
               count(*) AS n_rows
               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -- DataSketches THETA interop, HASH-MATCHED: per-day blobs in the
+    //    segment (Druid thetaSketch wire format) union per event_type
+    //    and estimate — the merge half of Druid's thetaSketch
+    //    aggregator, replayable because bounded cardinality keeps the
+    //    sketches exact.
+    Q("dr27_ds_theta_interop",
+      (s, dir) => {
+        import graft.sql.DsThetaFunctions
+        dsThetaSeg(s, dir).groupBy(col("event_type"))
+          .agg(DsThetaFunctions.thetaEstimate(
+            DsThetaFunctions.thetaUnion(col("users_theta"))).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id % 128) AS n_users
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -- DataSketches THETA set operations, HASH-MATCHED: the click and
+    //    purchase audiences merge from per-day blobs via conditional
+    //    aggregation, then intersection and A-not-B run sketch-side —
+    //    Druid's thetaSketchSetOp post-aggregator on Spark, exact below
+    //    k and therefore oracle-replayable.
+    Q("dr28_ds_theta_setops",
+      (s, dir) => {
+        import graft.sql.DsThetaFunctions._
+        val seg = dsThetaSeg(s, dir)
+        seg.agg(
+            thetaUnion(when(col("event_type") === "click",
+              col("users_theta"))).as("click_sk"),
+            thetaUnion(when(col("event_type") === "purchase",
+              col("users_theta"))).as("purchase_sk"))
+          .select(
+            thetaEstimate(col("click_sk")).as("n_click"),
+            thetaEstimate(col("purchase_sk")).as("n_purchase"),
+            thetaEstimate(thetaIntersect(col("click_sk"),
+              col("purchase_sk"))).as("n_both"),
+            thetaEstimate(thetaANotB(col("click_sk"),
+              col("purchase_sk"))).as("n_click_only"))
+      },
+      Some("""WITH c AS (SELECT DISTINCT user_id % 128 AS u FROM events
+                         WHERE event_type = 'click'),
+              p AS (SELECT DISTINCT user_id % 128 AS u FROM events
+                         WHERE event_type = 'purchase')
+              SELECT (SELECT count(*) FROM c) AS n_click,
+                     (SELECT count(*) FROM p) AS n_purchase,
+                     (SELECT count(*) FROM c WHERE u IN (SELECT u FROM p))
+                       AS n_both,
+                     (SELECT count(*) FROM c WHERE u NOT IN (SELECT u FROM p))
+                       AS n_click_only""")),
 
     // -- Fixed-buckets histogram sketches end-to-end, HASH-MATCHED: the
     //    per-(event_type, day) blobs in the segment merge per event_type

@@ -61,6 +61,59 @@ class DataSketchesInteropSpec extends AnyFunSuite {
     assert(viaSpark == Map("a" -> 20L, "b" -> 80L))
   }
 
+  test("COMPLEX thetaSketch blobs heapify and set-operate with datasketches-java") {
+    import spark.implicits._
+    graft.sql.DsThetaFunctions.register(spark)
+    val out = Files.createTempDirectory("graft-dstheta").toString + "/t"
+    // group a holds ids 0..39, group b holds 20..59: |a|=40, |b|=40,
+    // |a∩b|=20, |a\b|=20 — all exact below k
+    (0 until 2000)
+      .map(i => (1700000000000L + i, if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) ((i / 2) % 40).toLong else ((i / 2) % 40 + 20).toLong))
+      .toDF("__time", "grp", "uid")
+      .groupBy(col("__time") % 500, col("grp"))
+      .agg(min(col("__time")).as("__time"), first(col("grp")).as("g"),
+        collect_set(col("uid")).as("uids"))
+      .select(col("__time"), col("g").as("grp"),
+        expr("ds_theta_from_vals(uids)").as("users_theta"))
+      .coalesce(1)
+      .write.format("druid")
+      .option("complexTypes", "users_theta:thetaSketch")
+      .mode("overwrite").save(out)
+
+    val back = spark.read.format("druid").load(out)
+    assert(back.schema("users_theta").metadata
+      .getString("druid.complexType") == "thetaSketch")
+
+    // raw-bytes path: heapify every blob with datasketches-java, union
+    // per group, then intersect/difference across groups
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    import org.apache.datasketches.memory.Memory
+    val unions = back.select(col("grp"), col("users_theta")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val u = SetOperation.builder().buildUnion()
+        rows.foreach(r =>
+          u.union(Memory.wrap(r.getAs[Array[Byte]]("users_theta"))))
+        g -> u.getResult(true, null)
+      }
+    assert(math.round(unions("a").getEstimate) == 40L)
+    assert(math.round(unions("b").getEstimate) == 40L)
+    val i = SetOperation.builder().buildIntersection()
+    i.intersect(unions("a")); i.intersect(unions("b"))
+    assert(math.round(i.getResult(true, null).getEstimate) == 20L)
+    // and the registered SQL surface agrees end to end
+    val viaSql = back.agg(
+        expr("ds_theta_union_agg(CASE WHEN grp = 'a' THEN users_theta END)")
+          .as("a_sk"),
+        expr("ds_theta_union_agg(CASE WHEN grp = 'b' THEN users_theta END)")
+          .as("b_sk"))
+      .selectExpr("ds_theta_estimate(ds_theta_intersect(a_sk, b_sk)) AS nb",
+        "ds_theta_estimate(ds_theta_anotb(a_sk, b_sk)) AS na")
+      .head
+    assert(viaSql.getLong(0) == 20L && viaSql.getLong(1) == 20L)
+  }
+
   test("untagged binary columns keep the plain 'binary' typeName") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-plainbin").toString + "/t"
