@@ -43,10 +43,13 @@ object StreamingQueries extends QuerySet {
   private def stageOrderedDir(s: SparkSession, dir: String): String = synchronized {
     staged.getOrElseUpdate(s"$dir#ordered", {
       val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_events_bytime"
+      // 4 range files = 4 micro-batches: enough watermark advances to
+      // evict state mid-run (the realism being demonstrated) without
+      // paying the stream-stream join's per-batch fixed cost 10x
       Tables.events(s, dir)
         .select(col("event_id"), col("ts"), col("event_type"), col("user_id"),
                 col("value"))
-        .repartitionByRange(10, col("ts"))
+        .repartitionByRange(4, col("ts"))
         .sortWithinPartitions(col("ts"))
         .write.mode("overwrite").parquet(out)
       val files = new java.io.File(out).listFiles()
@@ -245,11 +248,21 @@ object StreamingQueries extends QuerySet {
         val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s6_out_${nameCounter.incrementAndGet()}"
-        val q = StreamingOps.clickPurchaseJoin(s, in, schema,
-            lateness = "25 hours", maxFilesPerTrigger = Some(1))
-          .writeStream.outputMode("append")
-          .format("memory").queryName(table)
-          .trigger(Trigger.AvailableNow()).start()
+        // size the state-store shuffle to the stream, not the session:
+        // a stateful operator pins one state store per shuffle
+        // partition PER MICRO-BATCH, and this join's state is a few
+        // thousand rows — 4 partitions cuts the per-batch fixed cost
+        // 4x (the partition count is captured at query start, so the
+        // session conf restores immediately after)
+        val saved = s.conf.get("spark.sql.shuffle.partitions")
+        val q = try {
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          StreamingOps.clickPurchaseJoin(s, in, schema,
+              lateness = "25 hours", maxFilesPerTrigger = Some(1))
+            .writeStream.outputMode("append")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
         q.awaitTermination(300000)
         s.table(table)
           .agg(count(lit(1)).as("n_pairs"),
