@@ -214,4 +214,32 @@ object TextOps {
 
   /** DuckDB uses // for integer division; everything else is shared. */
   def toDuck(sql: String): String = sql.replace(" div ", " // ")
+
+  /** PII patterns for [[redactPii]] — the RE2-compatible subset (no
+    * backrefs/lookaround) so Java regex (Spark) and RE2 (DuckDB) agree
+    * byte-for-byte: email, NANP-style phone, dotted-quad IPv4.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** PII redaction — the curation stage every released training corpus
+    * runs: per-class match counts + in-place replacement with typed
+    * placeholders. Order matters (emails contain dot-runs an IPv4
+    * pattern could bite): counts are taken on the ORIGINAL text per
+    * class, then replacements apply email -> phone -> ip. A pure
+    * per-row projection — no shuffle, no UDF; at 100 TB this is a
+    * map-only pass fused into whatever scan precedes it.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(docs) { case (df, (name, pat, _)) =>
+      df.withColumn(s"n_$name",
+        regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+    val red = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("redacted", red)
+  }
 }

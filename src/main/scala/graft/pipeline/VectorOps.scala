@@ -325,6 +325,66 @@ object VectorOps {
       .select(col("query_id"), col("cand_id"), col("adc"), col("rnk"))
   }
 
+  /** IVF+PQ combined ANN top-k — the canonical large-corpus serving
+    * shape (FAISS `IVFPQ`): the IVF assignment prunes the candidate set
+    * to the query's `nProbe` nearest cells, and PQ/ADC scores ONLY
+    * those candidates from the compressed code table — no exact vector
+    * arithmetic and no full-code scan. Both index halves are built once
+    * ([[ivfAssign]], [[pqCodes]]) and passed in persisted; at 100 TB
+    * the codes live bucketed by cell next to the inverted lists, so a
+    * probe reads nProbe/nCells of a ~256x-compressed corpus. The
+    * candidate restriction is an equi-join on cell id and the ADC
+    * lookup a broadcast join on (query, subspace, code) — the full
+    * corpus never shuffles and never decompresses.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
+                k: Int, nCells: Int, nProbe: Int,
+                precomputedAssign: Option[DataFrame] = None,
+                precomputedCodes: Option[DataFrame] = None): DataFrame = {
+    registerExprs(embeddings)
+    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, nCells))
+    val codes = precomputedCodes.getOrElse(pqCodes(embeddings))
+    // probe selection: identical to ivfTopK's (broadcast centroids,
+    // top-nProbe cells by rounded cosine, ties to the lowest cell id)
+    val cent = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
+    val probes = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+    // query ADC distance table: tiny (queries x M x 4 centroids), broadcast
+    val qdist = subspaceDists(
+        embeddings.filter(queryFilter)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", pqCentroids(embeddings))
+      .select(col("query_id"), col("cid").as("code"),
+        col("m").as("m"), col("d").as("qd"))
+    // candidates = codes of vectors whose cell one of the query's
+    // probes hits; a vector has ONE cell, so no dedup is needed
+    val mAggs = (0 until M).map(m =>
+      sum(when(col("m") === m, col("qd"))).as(s"s$m"))
+    val perM = probes
+      .join(codes.join(assign, "vec_id"), "cell")
+      .join(broadcast(qdist), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val total = (0 until M).map(m => col(s"s$m")).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
+    perM.select(col("query_id"), col("vec_id").as("cand_id"),
+        round(total, 6).as("adc"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("adc"), col("rnk"))
+  }
+
   /** Two-stage retrieval, the production embedding-search shape: PQ/ADC
     * shortlists `kCand` candidates from compressed codes (memory-scan
     * stage), then ONLY those pairs re-rank with the exact cosine over

@@ -743,6 +743,59 @@ object PipelineQueries extends QuerySet {
            |SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
            |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
 
+    // PII redaction (the release-gate curation stage): per-class match
+    // counts on the original text + typed-placeholder replacement,
+    // email -> phone -> IPv4, all RE2-compatible patterns so Java
+    // regex and DuckDB's RE2 agree byte-for-byte. The synthetic corpus
+    // carries no PII, so the query plants deterministic PII on a
+    // doc_id-keyed subset first (mod-3 emails, mod-5 phones, mod-7
+    // IPs) — both engines replay the same injection, and rows without
+    // a class exercise the zero-match path. Pure per-row projection:
+    // no shuffle, no UDF; a map-only pass at any corpus size.
+    Q("d19_pii_redact",
+      (s, dir) => {
+        val aug = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .withColumn("text", concat(
+            col("text"),
+            when(col("doc_id") % 3 === 0, concat(lit(" contact u"),
+              col("doc_id").cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0, concat(lit(" call 555-867-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0, concat(lit(" from 10.0."),
+              (col("doc_id") % 256).cast("string"), lit("."),
+              ((col("doc_id") * 7) % 256).cast("string")))
+              .otherwise(lit(""))))
+        TextOps.redactPii(aug)
+          .select(col("doc_id"), col("n_email"), col("n_phone"),
+                  col("n_ip"), col("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val Seq(em, ph, ip) = TextOps.piiPatterns.map(_._2)
+        s"""WITH aug AS (
+           |  SELECT doc_id, text ||
+           |    CASE WHEN doc_id % 3 = 0 THEN ' contact u' ||
+           |      CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+           |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' ||
+           |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+           |    CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' ||
+           |      CAST(doc_id % 256 AS VARCHAR) || '.' ||
+           |      CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS text
+           |  FROM documents WHERE doc_id < 200)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+           |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+           |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '$em', '<EMAIL>', 'g'),
+           |    '$ph', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g') AS redacted
+           |FROM aug ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).
@@ -956,6 +1009,68 @@ object PipelineQueries extends QuerySet {
              |  FROM rr)
              |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
              |FROM fin WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin)),
+
+    // IVF+PQ combined (FAISS IVFPQ shape): the query probes its 2
+    // nearest of 8 cells via the PERSISTED assignment table, and ADC
+    // scores ONLY the candidates in those cells from the PERSISTED
+    // code table — cell pruning x 256x compression in one plan, both
+    // index halves built once. The candidate restriction is an
+    // equi-join on cell id; the corpus neither shuffles nor rescans.
+    Q("e7_knn_ivf_pq",
+      (s, dir) => {
+        val assign = s.read.parquet(ivfIndexDir(s, dir))
+        val codes = s.read.parquet(pqIndexDir(s, dir))
+        VectorOps.ivfPqTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, 5, nCells = 8, nProbe = 2,
+            precomputedAssign = Some(assign),
+            precomputedCodes = Some(codes))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |centv AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+             |          FROM e WHERE vec_id < 8),
+             |ac AS (SELECT v.vec_id, c.cid,
+             |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+             |  FROM e v, centv c),
+             |assign AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+             |    FROM ac) WHERE rn = 1),
+             |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+             |    FROM ac WHERE vec_id < 3) WHERE rn <= 2),
+             |cent AS (
+             |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4),
+             |pd AS (
+             |  SELECT e.vec_id, c.cid, t.m,
+             |    round((SELECT sum((e.embedding[8*t.m+i+1]::DOUBLE - c.cv[8*t.m+i+1]::DOUBLE)
+             |               * (e.embedding[8*t.m+i+1]::DOUBLE - c.cv[8*t.m+i+1]::DOUBLE))
+             |           FROM range(8) s(i)), 6) AS d
+             |  FROM embeddings e, cent c, range(8) t(m)),
+             |codes AS (SELECT vec_id, m, cid AS code FROM (
+             |    SELECT vec_id, m, cid,
+             |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+             |    FROM pd) WHERE rn = 1),
+             |qd AS (SELECT vec_id AS query_id, cid AS code, m, d AS qd
+             |       FROM pd WHERE vec_id < 3),
+             |adc AS (
+             |  SELECT q.query_id, c.vec_id AS cand_id, round(sum(q.qd), 6) AS adc
+             |  FROM codes c
+             |  JOIN assign a ON a.vec_id = c.vec_id
+             |  JOIN probe p ON p.cell = a.cell
+             |  JOIN qd q ON q.query_id = p.query_id
+             |            AND q.m = c.m AND q.code = c.code
+             |  GROUP BY q.query_id, c.vec_id),
+             |ranked AS (SELECT query_id, cand_id, adc,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk
+             |  FROM adc WHERE query_id <> cand_id)
+             |SELECT query_id, cand_id, adc, CAST(rnk AS BIGINT) AS rnk
+             |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- time-series joins ----
 

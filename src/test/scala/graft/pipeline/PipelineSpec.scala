@@ -171,6 +171,53 @@ class PipelineSpec extends AnyFunSuite {
       s"serve plan re-quantizes the corpus:\n$servePlan")
   }
 
+  test("ivfPqTopK with full probing equals plain pqTopK") {
+    // nProbe = nCells means no candidate is pruned, so the combined
+    // IVF+PQ plan must reduce to the pure ADC ranking
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("query_id"), col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val full = VectorOps.ivfPqTopK(emb, col("vec_id") < 3, 5,
+      nCells = 8, nProbe = 8)
+    assert(rows(full) == rows(VectorOps.pqTopK(emb, col("vec_id") < 3, 5)))
+  }
+
+  test("ivfPqTopK candidates stay inside the probed cells") {
+    // nProbe=1: every candidate must live in the query's own cell
+    // (queries are corpus members, so ivfAssign gives their top cell)
+    val assign = VectorOps.ivfAssign(emb, 8)
+    val got = VectorOps.ivfPqTopK(emb, col("vec_id") < 3, 5,
+        nCells = 8, nProbe = 1,
+        precomputedAssign = Some(assign))
+      .join(assign.withColumnRenamed("vec_id", "query_id")
+              .withColumnRenamed("cell", "qcell"), "query_id")
+      .join(assign.withColumnRenamed("vec_id", "cand_id")
+              .withColumnRenamed("cell", "ccell"), "cand_id")
+    assert(got.count() > 0)
+    assert(got.filter(col("qcell") =!= col("ccell")).count() == 0,
+      "a candidate escaped the probed cell")
+  }
+
+  test("redactPii counts and replaces each class, leaves clean text alone") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "mail me at a.b+c@x-corp.io or ops@a.co today"),
+      (2L, "call 415-555-2671 x2 or 212-555-0100"),
+      (3L, "host 10.0.200.7 gateway 192.168.1.254"),
+      (4L, "nothing sensitive here at all"),
+      (5L, "mixed: u@v.com 303-555-1234 1.2.3.4")
+    ).toDF("doc_id", "text")
+    val out = TextOps.redactPii(in).orderBy("doc_id")
+      .select("doc_id", "n_email", "n_phone", "n_ip", "redacted")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out(0) == ((1L, 2L, 0L, 0L, "mail me at <EMAIL> or <EMAIL> today")))
+    assert(out(1) == ((2L, 0L, 2L, 0L, "call <PHONE> x2 or <PHONE>")))
+    assert(out(2) == ((3L, 0L, 0L, 2L, "host <IP> gateway <IP>")))
+    assert(out(3) == ((4L, 0L, 0L, 0L, "nothing sensitive here at all")))
+    assert(out(4) == ((5L, 1L, 1L, 1L, "mixed: <EMAIL> <PHONE> <IP>")))
+  }
+
   test("lshCandidates maxBucket drops only over-size buckets") {
     import spark.implicits._
     // bucket (0, 7): 4 docs (hot); bucket (1, 9): 2 docs (cold)
