@@ -27,7 +27,7 @@ import java.nio.charset.StandardCharsets.UTF_8
   * `base` is the absolute position of the structure inside `buf`; all
   * reads are absolute so one mmap ByteBuffer can be shared read-only.
   */
-final class GenericIndexed(buf: ByteBuffer, val base: Int) {
+final class GenericIndexed(buf: ByteBuffer, val base: Int) extends StringDict {
   import GenericIndexed._
 
   private val version = buf.get(base) & 0xff

@@ -26,8 +26,13 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     case 0x02 | 0x03 => base + 5 // version(1) + flags/featureMask(4)
     case other => fail(f"String column: unsupported version 0x$other%02x")
   }
+  /** v3 featureMask; bit 0 = front-coded dictionary. */
+  private val features: Int = if (version == 0x03) buf.getInt(base + 1) else 0
 
-  val dictionary = new GenericIndexed(buf, dictBase)
+  val dictionary: StringDict =
+    if ((features & StringColumn.FEATURE_FRONT_CODED) != 0)
+      new FrontCodedIndexed(buf, dictBase)
+    else new GenericIndexed(buf, dictBase)
   val ids: ColumnarInts = version match {
     case 0x00 => new VSizeInts(buf, dictBase + dictionary.totalSize)
     case _ => new CompressedInts(buf, dictBase + dictionary.totalSize)
@@ -132,8 +137,7 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
   /** Materialized dictionary as UTF-8 byte arrays (null entries stay
     * null) — decoded once per column per partition by the scan.
     */
-  def dictionaryBytes: Array[Array[Byte]] =
-    Array.tabulate(dictionary.numElements)(dictionary.bytesAt)
+  def dictionaryBytes: Array[Array[Byte]] = dictionary.allBytes
 }
 
 object StringColumn {
@@ -154,12 +158,23 @@ object StringColumn {
   private[format] implicit val utf8Order: Ordering[String] =
     (x: String, y: String) => compareUtf8(x.getBytes("UTF-8"), y.getBytes("UTF-8"))
 
+  /** v3 featureMask bit: the dictionary is a [[FrontCodedIndexed]]
+    * instead of a GenericIndexed.
+    */
+  val FEATURE_FRONT_CODED = 0x01
+
   /** Write a v2 string column: sorted unique dictionary (null first if
     * present, as Druid sorts nulls first) + LZ4-compressed id column +
     * per-value Roaring bitmap indexes (value -> row set) enabling
     * filter-pushdown row skipping at read time.
+    *
+    * `frontCodedDict` switches the dictionary to prefix-compressed
+    * front-coded buckets (v3 + featureMask bit, like real Druid's
+    * `stringEncodingStrategy: frontCoded` column option); ids and
+    * bitmap trailer are unchanged.
     */
-  def write(values: Seq[String], withBitmaps: Boolean = true): Array[Byte] = {
+  def write(values: Seq[String], withBitmaps: Boolean = true,
+            frontCodedDict: Boolean = false): Array[Byte] = {
     val hasNull = values.contains(null)
     val distinct = values.filter(_ != null).distinct.sorted(utf8Order)
     val dictValues: Seq[String] = (if (hasNull) Seq(null) else Nil) ++ distinct
@@ -168,9 +183,12 @@ object StringColumn {
 
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeByte(0x02)
-    out.writeInt(0) // flags
-    out.write(GenericIndexed.writeLengthPrefixed(
+    out.writeByte(if (frontCodedDict) 0x03 else 0x02)
+    out.writeInt(if (frontCodedDict) FEATURE_FRONT_CODED else 0)
+    if (frontCodedDict)
+      out.write(FrontCodedIndexed.write(
+        distinct.map(_.getBytes("UTF-8")), hasNull))
+    else out.write(GenericIndexed.writeLengthPrefixed(
       dictValues.map(v => if (v == null) null else v.getBytes("UTF-8")), sorted = true))
     out.write(CompressedColumnar.writeInts(ids))
     if (withBitmaps) {

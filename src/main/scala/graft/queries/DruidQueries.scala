@@ -197,6 +197,23 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Customer written with stringEncoding=frontCoded: every string
+    * dictionary is prefix-compressed front-coded buckets (Druid's
+    * `stringEncodingStrategy: frontCoded`, which the reference cannot
+    * read at all). TPC-H customer names share the 'Customer#0000'
+    * prefix — the dictionary shrinks severalfold while equality/prefix
+    * pushdown keeps using the same bitmap indexes.
+    */
+  private def custFrontCodedSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("customer_fc", dir,
+      Tables.load(s, dir, "customer")
+        .select(timestamp_millis(col("c_custkey") * 1000).as("__time"),
+                col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        .repartition(2),
+      Map("stringEncoding" -> "frontCoded"))
+    s.read.format("druid").load(path)
+  }
+
   /** Two-generation table for schema evolution under the oracle gate:
     * January's first half lands WITHOUT `props`, the second half
     * appends WITH it — old segments must read the new column as null.
@@ -250,6 +267,7 @@ object DruidQueries extends QuerySet {
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
     eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
     delSeg(s, dir); dsHllSeg(s, dir); dsThetaSeg(s, dir)
+    custFrontCodedSeg(s, dir)
   }
 
   /** A day-granular events table under its own catalog, staged once per
@@ -883,6 +901,30 @@ object DruidQueries extends QuerySet {
               FROM orders
               WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // -- Front-coded string dictionaries end to end: written with
+    //    stringEncoding=frontCoded, scanned with a prefix predicate
+    //    (pushed down to the dictionary-range + bitmap row selection)
+    //    and a dictionary-vector group-by — real Druid's frontCoded
+    //    encoding option, which the reference cannot read, under the
+    //    oracle gate.
+    Q("dr29_frontcoded_scan",
+      (s, dir) => {
+        custFrontCodedSeg(s, dir)
+          .filter(col("c_name").startsWith("Customer#0000000"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("c_acctbal")), 2).as("sum_bal"),
+               min(col("c_name")).as("min_name"),
+               max(col("c_name")).as("max_name"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+              round(sum(c_acctbal), 2) AS sum_bal,
+              min(c_name) AS min_name, max(c_name) AS max_name
+              FROM customer
+              WHERE c_name LIKE 'Customer#0000000%'
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // -- Segment scan joined against a parquet dim (mixed-source join).
     Q("dr4_druid_join",

@@ -273,6 +273,14 @@ class DruidTable(root: String, schema0: StructType) extends Table
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new DruidWriteBuilder(root, info.schema(),
       info.options().getBoolean("bitmapIndexes", true),
+      // string dictionary encoding: "generic" (default) or "frontCoded"
+      // (prefix-compressed buckets, like Druid's stringEncodingStrategy)
+      Option(info.options().get("stringEncoding")) match {
+        case None | Some("generic") => false
+        case Some("frontCoded") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"stringEncoding '$other' not in generic/frontCoded")
+      },
       Option(info.options().get("segmentGranularity")),
       // rollup=true pre-aggregates at ingest: rows sharing (__time
       // floored to queryGranularity, all dims) collapse per task,

@@ -40,7 +40,7 @@ object DruidSearch {
     val cs = caseSensitive
     val pfx = prefix
     // matching dictionary ids first; most searches match few
-    def dictHits(dict: GenericIndexed): Array[(Int, String)] =
+    def dictHits(dict: graft.format.StringDict): Array[(Int, String)] =
       (0 until dict.numElements).iterator.flatMap { i =>
         val v = dict.stringAt(i)
         if (v == null) None

@@ -33,6 +33,7 @@ import graft.write.SegmentWriter._
   */
 class DruidWriteBuilder(root: String, schema: StructType,
                         bitmapIndexes: Boolean = true,
+                        frontCodedStrings: Boolean = false,
                         granularity: Option[String] = None,
                         rollupGran: Option[String] = None,
                         codec: Byte = graft.format.Compression.LZ4,
@@ -81,13 +82,14 @@ class DruidWriteBuilder(root: String, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes, granularity,
+      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes,
+        frontCodedStrings, granularity,
         rollupGran, codec, rollupDims, replaceRange, complexTypes)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "druid streaming sink supports append output mode only")
-      new DruidStreamingWrite(root, schema, bitmapIndexes, granularity,
-        rollupGran, codec, rollupDims, complexTypes)
+      new DruidStreamingWrite(root, schema, bitmapIndexes, frontCodedStrings,
+        granularity, rollupGran, codec, rollupDims, complexTypes)
     }
   }
 }
@@ -103,7 +105,8 @@ class DruidWriteBuilder(root: String, schema: StructType,
   */
 class DruidStreamingWrite(root: String, schema: StructType,
                           bitmapIndexes: Boolean,
-                          granularity: Option[String],
+                          frontCodedStrings: Boolean = false,
+                          granularity: Option[String] = None,
                           rollupGran: Option[String] = None,
                           codec: Byte = graft.format.Compression.LZ4,
                           rollupDims: Set[String] = Set.empty,
@@ -119,14 +122,14 @@ class DruidStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root, ".epochs"))
-    val (r, sch, bm, g, rg, cd, rd, ct) =
-      (root, schema, bitmapIndexes, granularity, rollupGran, codec, rollupDims,
-        complexTypes)
+    val (r, sch, bm, fc, g, rg, cd, rd, ct) =
+      (root, schema, bitmapIndexes, frontCodedStrings, granularity, rollupGran,
+        codec, rollupDims, complexTypes)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
-          s"ep$epochId", sch, partitionId, taskId, bm, g, rg, cd, rd, ct)
+          s"ep$epochId", sch, partitionId, taskId, bm, fc, g, rg, cd, rd, ct)
     }
   }
 
@@ -216,6 +219,7 @@ final case class DruidCommitMessage(segments: Seq[SegMeta]) extends WriterCommit
 
 class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       bitmapIndexes: Boolean,
+                      frontCodedStrings: Boolean = false,
                       granularity: Option[String] = None,
                       rollupGran: Option[String] = None,
                       codec: Byte = graft.format.Compression.LZ4,
@@ -235,7 +239,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(stagingDir)
     new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
-      granularity, rollupGran, codec, rollupDims, complexTypes)
+      frontCodedStrings, granularity, rollupGran, codec, rollupDims,
+      complexTypes)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -367,6 +372,7 @@ object DruidBatchWrite {
 
 class DruidDataWriterFactory(stagingRoot: String, jobId: String,
                              schema: StructType, bitmapIndexes: Boolean,
+                             frontCodedStrings: Boolean = false,
                              granularity: Option[String] = None,
                              rollupGran: Option[String] = None,
                              codec: Byte = graft.format.Compression.LZ4,
@@ -375,7 +381,8 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
-      bitmapIndexes, granularity, rollupGran, codec, rollupDims)
+      bitmapIndexes, frontCodedStrings, granularity, rollupGran, codec,
+      rollupDims)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -386,6 +393,7 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
 class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       partitionId: Int, taskId: Long,
                       bitmapIndexes: Boolean = true,
+                      frontCodedStrings: Boolean = false,
                       granularity: Option[String] = None,
                       rollupGran: Option[String] = None,
                       codec: Byte = graft.format.Compression.LZ4,
@@ -835,6 +843,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       val t = pick(time, sel)
       SegmentWriter.write(dir, t, columns, compression = codec,
         stringBitmaps = bitmapIndexes,
+        frontCodedStrings = frontCodedStrings,
         rollup = rollupGran.isDefined,
         queryGranularity = rollupGran.getOrElse("none"))
       // mirror SegmentWriter's interval convention (empty -> [0, 1))

@@ -65,6 +65,7 @@ object SegmentWriter {
             compression: Byte = Compression.LZ4,
             maxChunkSize: Int = Int.MaxValue,
             stringBitmaps: Boolean = true,
+            frontCodedStrings: Boolean = false,
             rollup: Boolean = false,
             queryGranularity: String = "none"): Unit = {
     require(columns.forall(_._2.length == time.length),
@@ -82,7 +83,8 @@ object SegmentWriter {
     logicalFiles("__time") = ColumnDescriptor.wrapColumn(
       "LONG", "longV2", CompressedColumnar.writeLongs(time, compression))
     columns.foreach { case (name, vals) =>
-      logicalFiles(name) = encodeColumn(vals, compression, stringBitmaps)
+      logicalFiles(name) =
+        encodeColumn(vals, compression, stringBitmaps, frontCodedStrings)
     }
     logicalFiles("index.drd") = SegmentMetadata.write(SegmentMetadata(
       columns.map(_._1), dims, intervalStart, intervalEnd))
@@ -135,7 +137,8 @@ object SegmentWriter {
     }
 
   private def encodeColumn(vals: ColumnValues, compression: Byte,
-                           stringBitmaps: Boolean): Array[Byte] =
+                           stringBitmaps: Boolean,
+                           frontCodedStrings: Boolean): Array[Byte] =
     vals match {
       case LongValues(v, nulls) => ColumnDescriptor.wrapColumn(
         "LONG", "longV2",
@@ -152,7 +155,8 @@ object SegmentWriter {
         CompressedColumnar.writeFloats(v, compression) ++ nullTrailer(nulls))
       case StringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringDictionary",
-        StringColumn.write(v.toSeq, withBitmaps = stringBitmaps))
+        StringColumn.write(v.toSeq, withBitmaps = stringBitmaps,
+          frontCodedDict = frontCodedStrings))
       case MultiStringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringMultiV1", StringMultiColumn.write(v.toSeq),
         hasMultipleValues = true)
