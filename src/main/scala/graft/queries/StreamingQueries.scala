@@ -277,6 +277,57 @@ object StreamingQueries extends QuerySet {
                AND c.event_type = 'click' AND p.event_type = 'purchase'
                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""")),
 
+    // Druid-to-druid streaming relay — the streaming-ETL shape that
+    // composes BOTH custom halves end to end: readStream tails the
+    // source segment table (micro-batches = unseen segments), a
+    // stateless transform filters and derives a value-class dimension,
+    // and writeStream lands the result as segments through the atomic
+    // epoch-marker sink. The final table is read back by the batch
+    // connector and must match DuckDB over the raw events — exactly-
+    // once across the whole source -> transform -> sink chain. At
+    // scale this is continuous segment-table to segment-table ETL:
+    // per-epoch work is bounded by new segments, never the table.
+    Q("s8_stream_druid_relay",
+      (s, dir) => {
+        val seg = synchronized {
+          staged.getOrElseUpdate(s"$dir#tailsrc", {
+            val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_tailsrc"
+            Tables.events(s, dir)
+              .select(col("ts").as("__time"), col("event_type"), col("value"))
+              .repartition(4)
+              .write.format("druid").mode("overwrite").save(out)
+            out
+          })
+        }
+        val n = nameCounter.incrementAndGet()
+        val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_relay_$n"
+        for (stale <- Seq(out, s"${out}_cp")) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(new java.io.File(stale))
+        }
+        val q = StreamingOps.segmentSink(
+          s.readStream.format("druid").load(seg)
+            .filter(col("event_type") =!= "view")
+            .withColumn("vclass",
+              when(col("value") >= 250, "high").otherwise("low")),
+          out, s"${out}_cp")
+        q.awaitTermination(300000)
+        s.read.format("druid").load(out)
+          .groupBy(col("event_type"), col("vclass"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("event_type"), col("vclass"))
+      },
+      Some("""SELECT event_type,
+              CASE WHEN value >= 250 THEN 'high' ELSE 'low' END AS vclass,
+              count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events WHERE event_type <> 'view'
+              GROUP BY event_type, vclass
+              ORDER BY event_type, vclass""")),
+
     // Stateful streaming (mapGroupsWithState running totals): final
     // per-user state vs the batch aggregate.
     Q("s2_stream_state",
