@@ -41,6 +41,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { graft.queries.PipelineQueries.lshBandsDir(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { graft.queries.PipelineQueries.ivfPqIndexDir(spark, sfDir) }
+    catch { case _: Throwable => () }
     val staging = (System.nanoTime() - s0) / 1e9
     // two timed passes, report the per-query MIN: steady-state latency.
     // A single pass wobbles 20-30% run-to-run from JIT/GC/page-cache

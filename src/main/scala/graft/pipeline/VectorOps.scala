@@ -340,10 +340,18 @@ object VectorOps {
   def ivfPqTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
                 k: Int, nCells: Int, nProbe: Int,
                 precomputedAssign: Option[DataFrame] = None,
-                precomputedCodes: Option[DataFrame] = None): DataFrame = {
+                precomputedCodes: Option[DataFrame] = None,
+                precomputedCellCodes: Option[DataFrame] = None): DataFrame = {
     registerExprs(embeddings)
-    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, nCells))
-    val codes = precomputedCodes.getOrElse(pqCodes(embeddings))
+    // the serving index: (vec_id, cell, m, code). Pass it PRE-JOINED
+    // ([[ivfPqCellCodes]], persisted at build time, bucketed by cell on
+    // disk at scale) and the query plan contains NO corpus-wide join —
+    // only the cell-pruned probe join and the broadcast ADC lookup.
+    val cellCodes = precomputedCellCodes.getOrElse {
+      val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, nCells))
+      val codes = precomputedCodes.getOrElse(pqCodes(embeddings))
+      codes.join(assign, "vec_id")
+    }
     // probe selection: identical to ivfTopK's (broadcast centroids,
     // top-nProbe cells by rounded cosine, ties to the lowest cell id)
     val cent = embeddings.filter(col("vec_id") < nCells)
@@ -370,7 +378,7 @@ object VectorOps {
     val mAggs = (0 until M).map(m =>
       sum(when(col("m") === m, col("qd"))).as(s"s$m"))
     val perM = probes
-      .join(codes.join(assign, "vec_id"), "cell")
+      .join(cellCodes, "cell")
       .join(broadcast(qdist), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(mAggs.head, mAggs.tail: _*)
@@ -384,6 +392,16 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("adc"), col("rnk"))
   }
+
+  /** The IVF+PQ serving index: per-vector PQ codes pre-joined with the
+    * IVF cell assignment — (vec_id, cell, m, code), built once next to
+    * the two component indexes. At 100 TB this table is what lives
+    * bucketed by cell on disk: a probe's equi-join on cell reads
+    * nProbe/nCells of it and nothing else, with no join between index
+    * tables at query time.
+    */
+  def ivfPqCellCodes(embeddings: DataFrame, nCells: Int): DataFrame =
+    pqCodes(embeddings).join(ivfAssign(embeddings, nCells), "vec_id")
 
   /** Two-stage retrieval, the production embedding-search shape: PQ/ADC
     * shortlists `kCand` candidates from compressed codes (memory-scan

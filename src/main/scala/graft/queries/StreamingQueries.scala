@@ -20,6 +20,15 @@ object StreamingQueries extends QuerySet {
   private val staged = scala.collection.mutable.Map[String, String]()
   private val nameCounter = new AtomicInteger(0)
 
+  /** Recursive delete of a possibly-stale destination/checkpoint dir. */
+  private def deleteDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(path))
+  }
+
   /** Stage events as a streaming drop directory (once per JVM). */
   private def stageDir(s: SparkSession, dir: String): String = synchronized {
     staged.getOrElseUpdate(dir, {
@@ -113,13 +122,7 @@ object StreamingQueries extends QuerySet {
         // the counter restarts with each JVM, so a previous run may have
         // left segments at this exact path — appending onto them would
         // double every count; start from an empty destination
-        for (stale <- Seq(out, s"${out}_cp")) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(new java.io.File(stale))
-        }
+        Seq(out, s"${out}_cp").foreach(deleteDir)
         val q = StreamingOps.segmentSink(
           StreamingOps.parquetStream(s, in, schema)
             .select(col("ts").as("__time"), col("event_type"),
@@ -301,13 +304,7 @@ object StreamingQueries extends QuerySet {
         }
         val n = nameCounter.incrementAndGet()
         val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_relay_$n"
-        for (stale <- Seq(out, s"${out}_cp")) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete()
-          }
-          rm(new java.io.File(stale))
-        }
+        Seq(out, s"${out}_cp").foreach(deleteDir)
         val q = StreamingOps.segmentSink(
           s.readStream.format("druid").load(seg)
             .filter(col("event_type") =!= "view")

@@ -782,19 +782,31 @@ class DruidScan(root: String, required: StructType,
     parts.toArray
   }
 
-  /** Storage-partitioned-join readiness: the FINEST calendar
-    * granularity (hour < day < month) whose buckets contain every
-    * segment interval whole — what `segmentGranularity=hour/day/month`
-    * writes — so <granularity>(__time) is constant per segment and the
-    * scan can report KeyGroupedPartitioning over it. None when segments
-    * straddle month bounds (week/year tables join through a shuffle).
+  /** Storage-partitioned-join readiness. The partition transform comes
+    * from the DECLARED segmentGranularity when every segment carries
+    * the same one (validated against the intervals, never trusted
+    * blindly) — inference from the intervals alone could report
+    * `hours` for a day-granularity table whose rows happen to cluster
+    * within an hour per day, and the transform mismatch against a
+    * sibling day table would silently forfeit the exchange-free join.
+    * Undeclared (foreign / unbucketed) tables fall back to the FINEST
+    * calendar granularity (hour < day < month) whose buckets contain
+    * every segment interval whole. None when segments straddle month
+    * bounds (week/year tables join through a shuffle).
     */
   private lazy val alignment: Option[String] =
     if (segmentMeta.isEmpty || !segmentMeta.forall(_.exactInterval)) None
-    else Seq("hours", "days", "months").find(g =>
-      segmentMeta.forall(m =>
+    else {
+      def contained(g: String): Boolean = segmentMeta.forall(m =>
         DruidScan.bucketKey(g, m.startMs) ==
-          DruidScan.bucketKey(g, m.endMs - 1)))
+          DruidScan.bucketKey(g, m.endMs - 1))
+      val declared = segmentMeta.map(_.granularity).distinct match {
+        case Seq(Some(g)) => DruidScan.spjTransformOf(g).filter(contained)
+        case _ => None
+      }
+      declared.orElse(
+        Seq("hours", "days", "months").find(contained))
+    }
 
   /** Granularity-keyed partitioning for druid-druid joins on `__time`:
     * when both sides are same-granularity tables resolved through a
@@ -920,6 +932,19 @@ object DruidScan {
     if (i < 0) None
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
+
+  /** SPJ partition transform implied by a declared segmentGranularity:
+    * sub-hour granularities are hour-contained so they key by hours;
+    * week/year buckets straddle month bounds — no calendar transform
+    * below them holds, those tables join through a shuffle.
+    */
+  private[druid] def spjTransformOf(segmentGranularity: String): Option[String] =
+    segmentGranularity match {
+      case "minute" | "fifteen_minute" | "hour" => Some("hours")
+      case "day" => Some("days")
+      case "month" => Some("months")
+      case _ => None
+    }
 
   /** Buckets-since-epoch (UTC) of an epoch-millis instant for the SPJ
     * partition transforms — must agree exactly with the catalog's

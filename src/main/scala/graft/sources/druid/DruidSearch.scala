@@ -40,11 +40,14 @@ object DruidSearch {
     val cs = caseSensitive
     val pfx = prefix
     // matching dictionary ids first; most searches match few
+    // one sequential allBytes pass: on a front-coded dictionary per-id
+    // stringAt would re-decode each bucket's prefix chain (O(n x
+    // bucketSize)); materializing once keeps the scan O(dictionary)
     def dictHits(dict: graft.format.StringDict): Array[(Int, String)] =
-      (0 until dict.numElements).iterator.flatMap { i =>
-        val v = dict.stringAt(i)
-        if (v == null) None
+      dict.allBytes.iterator.zipWithIndex.flatMap { case (b, i) =>
+        if (b == null) None
         else {
+          val v = new String(b, "UTF-8")
           val hay = if (cs) v else v.toLowerCase
           val hit = if (pfx) hay.startsWith(needle) else hay.contains(needle)
           if (hit) Some(i -> v) else None

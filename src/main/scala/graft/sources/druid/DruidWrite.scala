@@ -354,8 +354,13 @@ object DruidBatchWrite {
         val removed = replaceDrop.map(_.getFileName.toString)
         SegmentCatalog.load(root, old) match {
           case Some(_) =>
+            // tableSchema = None means the union could not be computed
+            // (unreadable old segment) — the delta must then CLEAR the
+            // cached base schema, or readers would be served a stale
+            // schema missing this append's new columns
             SegmentCatalog.appendDelta(root, committed.sortBy(_.dir),
-              removes = removed, schema = tableSchema)
+              removes = removed, schema = tableSchema,
+              invalidateSchema = tableSchema.isEmpty)
           case None =>
             val existing = SegmentCatalog.openAll(old)
             SegmentCatalog.write(root,
@@ -382,7 +387,7 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
       bitmapIndexes, frontCodedStrings, granularity, rollupGran, codec,
-      rollupDims)
+      rollupDims, complexTypes)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -854,7 +859,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
         zones = widened, strZones = strZonesOf(columns),
         nullCounts = Some(nullCountsOf(columns)),
         exactLongZones = xl, exactDoubleZones = xd, longSums = ls,
-        timeSorted = true)
+        timeSorted = true, granularity = granularity)
     }
 
     // rows land __time-ascending inside every segment, like Druid's own

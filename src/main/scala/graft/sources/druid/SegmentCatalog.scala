@@ -43,7 +43,13 @@ final case class SegMeta(dir: String, startMs: Long, endMs: Long,
                          exactLongZones: Map[String, (Long, Long)] = Map.empty,
                          exactDoubleZones: Map[String, (Double, Double)] = Map.empty,
                          longSums: Map[String, Long] = Map.empty,
-                         timeSorted: Boolean = false)
+                         timeSorted: Boolean = false,
+                         /** segmentGranularity DECLARED at write time
+                           * (None: unbucketed / foreign segment). SPJ
+                           * alignment prefers this over interval
+                           * inference so same-granularity tables always
+                           * report the same partition transform. */
+                         granularity: Option[String] = None)
 
 /** Table-level planning metadata, in three layers that keep BOTH the
   * per-commit cost and the per-query cost small at 100 TB:
@@ -114,6 +120,7 @@ object SegmentCatalog {
     n.put("start", m.startMs); n.put("end", m.endMs)
     n.put("rows", m.rows); n.put("exact", m.exactInterval)
     n.put("sorted", m.timeSorted)
+    m.granularity.foreach(g => n.put("gran", g))
     if (m.zones.nonEmpty) {
       val z = n.putObject("zones")
       m.zones.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
@@ -217,7 +224,8 @@ object SegmentCatalog {
       v.get("rows").asInt(),
       Option(v.get("exact")).exists(_.asBoolean(false)),
       zones, strZones, nullCounts, xl, xd, lsums,
-      timeSorted = Option(v.get("sorted")).exists(_.asBoolean(false)))
+      timeSorted = Option(v.get("sorted")).exists(_.asBoolean(false)),
+      granularity = Option(v.get("gran")).filter(_.isTextual).map(_.asText()))
   }
 
   /** Parse a `{"<name>": {entry}, ...}` object into (name -> SegMeta)
@@ -250,11 +258,11 @@ object SegmentCatalog {
     }
   }
 
-  /** The logical manifest: base snapshot + log deltas replayed in
-    * filename order. Unreadable/torn files are skipped — their segments
-    * resolve via sidecars or metadata opens instead.
+  /** The logical manifest: base snapshot + the GIVEN log deltas
+    * replayed in filename order. Unreadable/torn files are skipped —
+    * their segments resolve via sidecars or metadata opens instead.
     */
-  private def replay(root: String)
+  private def replayFiles(root: String, files: Seq[Path])
       : (scala.collection.mutable.LinkedHashMap[String, SegMeta], Option[String]) = {
     val entries = scala.collection.mutable.LinkedHashMap[String, SegMeta]()
     var schema: Option[String] = None
@@ -264,7 +272,7 @@ object SegmentCatalog {
       Option(node.get("segments")).filter(_.isObject)
         .foreach(entriesFrom(_, root, entries))
     }
-    logFiles(root).foreach { f =>
+    files.foreach { f =>
       readJson(f).foreach { node =>
         Option(node.get("remove")).filter(_.isArray).foreach { r =>
           val it = r.iterator()
@@ -272,12 +280,18 @@ object SegmentCatalog {
         }
         Option(node.get("add")).filter(_.isObject)
           .foreach(entriesFrom(_, root, entries))
-        Option(node.get("schema")).filter(_.isTextual)
-          .foreach(s => schema = Some(s.asText()))
+        // textual = refreshed cache; explicit null = invalidation (the
+        // committing writer could not compute the new union schema)
+        Option(node.get("schema")).foreach(s =>
+          schema = if (s.isTextual) Some(s.asText()) else None)
       }
     }
     (entries, schema)
   }
+
+  private def replay(root: String)
+      : (scala.collection.mutable.LinkedHashMap[String, SegMeta], Option[String]) =
+    replayFiles(root, logFiles(root))
 
   /** Sidecar read: the segment's own planning metadata, written with it
     * at commit time.
@@ -340,14 +354,9 @@ object SegmentCatalog {
       mapper.writeValueAsString(n).getBytes(UTF_8))
   }
 
-  /** Full-snapshot write for exactly `entries`: the base manifest
-    * replaces atomically, then the now-folded log clears. Whole-table
-    * operations (overwrite, retention, compaction, log compaction) use
-    * this; incremental commits use [[appendDelta]].
-    */
-  def write(root: String, entries: Seq[SegMeta],
-            schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
-    val folded = logFiles(root)
+  /** Write the base snapshot file atomically (no log changes). */
+  private def writeSnapshot(root: String, entries: Seq[SegMeta],
+                            schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val rootNode = mapper.createObjectNode()
     schema.foreach(st => rootNode.put("schema", st.json))
     val segsNode = rootNode.putObject("segments")
@@ -357,9 +366,23 @@ object SegmentCatalog {
     }
     writeAtomic(Paths.get(root, FileName),
       mapper.writeValueAsString(rootNode).getBytes(UTF_8))
-    // clear only the files folded into this snapshot: a delta landing
-    // concurrently with this write survives and replays on top
-    folded.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
+  }
+
+  /** Full-snapshot write for exactly `entries`: the base manifest
+    * replaces atomically and the log clears. For WHOLE-TABLE operations
+    * (overwrite, retention, compaction) the snapshot IS the table, so
+    * every pending delta is superseded by definition and clearing the
+    * whole log is the correct semantics (a delta from a racing append
+    * would resurrect segments the operation just replaced; the racer's
+    * segments still resolve by sidecar if their dirs survive).
+    * Incremental commits use [[appendDelta]]; pure cache folding uses
+    * [[compactLog]], which deletes only what it provably replayed.
+    */
+  def write(root: String, entries: Seq[SegMeta],
+            schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val superseded = logFiles(root)
+    writeSnapshot(root, entries, schema)
+    superseded.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
   }
 
   /** O(new segments) commit: one small delta file (adds + removed
@@ -367,14 +390,22 @@ object SegmentCatalog {
     * Folds the log into the base snapshot once it exceeds
     * [[CompactThreshold]] files, so replay stays a bounded number of
     * small reads no matter how many commits the table has seen.
+    *
+    * `invalidateSchema` writes an explicit null schema into the delta,
+    * clearing any cached base schema on replay — for commits that
+    * changed the column set but could NOT compute the new union (an
+    * unreadable old segment): leaving the stale base schema in place
+    * would serve readers a cached schema missing the new columns.
     */
   def appendDelta(root: String, adds: Seq[SegMeta],
                   removes: Seq[String] = Nil,
-                  schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+                  schema: Option[org.apache.spark.sql.types.StructType] = None,
+                  invalidateSchema: Boolean = false): Unit = {
     val logDir = Paths.get(root, LogDirName)
     Files.createDirectories(logDir)
     val node = mapper.createObjectNode()
-    schema.foreach(st => node.put("schema", st.json))
+    if (invalidateSchema) node.putNull("schema")
+    else schema.foreach(st => node.put("schema", st.json))
     if (removes.nonEmpty) {
       val r = node.putArray("remove")
       removes.foreach(r.add)
@@ -391,20 +422,24 @@ object SegmentCatalog {
     if (logFiles(root).size > CompactThreshold) compactLog(root)
   }
 
-  /** Fold base + log into a fresh base snapshot and delete the folded
-    * delta files. Safe under races: replay is idempotent (re-applying a
-    * surviving delta on the new base lands the same entries), and
-    * [[write]] deletes only the files it folded.
+  /** Fold base + log into a fresh base snapshot and delete EXACTLY the
+    * delta files that were replayed into it — a delta landing after the
+    * listing (a racing append) is never deleted unfolded, it survives
+    * and replays on top of the new base. Replay is idempotent, so a
+    * reader racing the compaction at worst re-applies entries it
+    * already has.
     */
   def compactLog(root: String): Unit = {
-    val (entries, schema) = replay(root)
+    val files = logFiles(root)
+    val (entries, schema) = replayFiles(root, files)
     val st = schema.flatMap { s =>
       try org.apache.spark.sql.types.DataType.fromJson(s) match {
         case t: org.apache.spark.sql.types.StructType => Some(t)
         case _ => None
       } catch { case _: Exception => None }
     }
-    write(root, entries.values.toSeq.sortBy(_.dir), st)
+    writeSnapshot(root, entries.values.toSeq.sortBy(_.dir), st)
+    files.foreach(f => try Files.deleteIfExists(f) catch { case _: Exception => () })
   }
 
   /** Number of pending log delta files (test/observability hook). */

@@ -36,10 +36,16 @@ object DsTheta {
     sk.compact(true, null).toByteArray
   }
 
-  def unionBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+  def unionBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    unionAll(Seq(a, b))
+
+  /** One Union pass over many blobs — theta union is associative and
+    * the ordered compact result is fold-structure-independent, so
+    * batched folding gives bit-identical output to pairwise folding.
+    */
+  def unionAll(bs: Seq[Array[Byte]]): Array[Byte] = {
     val u = SetOperation.builder().buildUnion()
-    u.union(Memory.wrap(a))
-    u.union(Memory.wrap(b))
+    bs.foreach(b => u.union(Memory.wrap(b)))
     u.getResult(true, null).toByteArray
   }
 
@@ -63,14 +69,37 @@ object DsTheta {
 /** Merge pre-built DataSketches theta blobs (a segment's COMPLEX
   * column) — the Druid thetaSketchMerge aggregator on Spark. Null
   * inputs (conditional aggregation) are skipped.
+  *
+  * The buffer collects input blobs and folds them through ONE live
+  * Union per batch of 256 (and once at finish) instead of
+  * heapify + re-union + re-compact per row — per-group cost is
+  * O(rows + retained log k), not O(rows x retained). Union is
+  * associative and ordered-compact output is fold-structure
+  * independent, so results are bit-identical to the pairwise fold.
+  * The typed-aggregator buffer lives as an object between updates
+  * (TypedImperativeAggregate); kryo only runs at shuffle boundaries.
   */
-class DsThetaUnionAgg extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
-  def zero: Array[Byte] = DsTheta.empty
-  def reduce(b: Array[Byte], v: Array[Byte]): Array[Byte] =
-    if (v == null) b else DsTheta.unionBytes(b, v)
-  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = DsTheta.unionBytes(a, b)
-  def finish(r: Array[Byte]): Array[Byte] = r
-  def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+class DsThetaUnionAgg extends Aggregator[Array[Byte],
+    scala.collection.mutable.ArrayBuffer[Array[Byte]], Array[Byte]] {
+  private type Buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]
+  private val foldAt = 256
+  private def foldInPlace(b: Buf): Buf = {
+    val folded = DsTheta.unionAll(b.toSeq)
+    b.clear()
+    b += folded
+  }
+  def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
+  def reduce(b: Buf, v: Array[Byte]): Buf =
+    if (v == null) b
+    else { b += v; if (b.length >= foldAt) foldInPlace(b) else b }
+  def merge(a: Buf, b: Buf): Buf = {
+    a ++= b
+    if (a.length >= foldAt) foldInPlace(a) else a
+  }
+  def finish(r: Buf): Array[Byte] =
+    if (r.isEmpty) DsTheta.empty else DsTheta.unionAll(r.toSeq)
+  def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Array[Byte]]] =
+    Encoders.kryo[scala.collection.mutable.ArrayBuffer[Array[Byte]]]
   def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }
 

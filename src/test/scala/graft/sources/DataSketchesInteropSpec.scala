@@ -61,6 +61,37 @@ class DataSketchesInteropSpec extends AnyFunSuite {
     assert(viaSpark == Map("a" -> 20L, "b" -> 80L))
   }
 
+  test("complex typeName lives in the segment descriptor, not just the manifest") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-dsdesc").toString + "/t"
+    (0 until 100)
+      .map(i => (1700000000000L + i, (i % 10).toLong))
+      .toDF("__time", "uid")
+      .groupBy(col("__time") % 10)
+      .agg(min(col("__time")).as("__time"), hll_sketch_agg(col("uid")).as("h"))
+      .select(col("__time"), col("h"))
+      .coalesce(1)
+      .write.format("druid")
+      .option("complexTypes", "h:HLLSketch")
+      .mode("overwrite").save(out)
+    // kill every catalog cache layer except the segments themselves:
+    // the manifest is documented as losable, so the tag must survive
+    // from the segment's own column descriptor
+    Files.deleteIfExists(java.nio.file.Paths.get(out, "_graft_manifest.json"))
+    val log = java.nio.file.Paths.get(out, "_graft_log")
+    if (Files.isDirectory(log)) {
+      val s = Files.list(log)
+      try s.forEach(p => Files.deleteIfExists(p)) finally s.close()
+    }
+    val segs = druid.DruidTableUtil.discoverSegments(out)
+    segs.foreach(d =>
+      Files.deleteIfExists(java.nio.file.Paths.get(d, "_graft_meta.json")))
+    val meta = spark.read.format("druid").load(out).schema("h").metadata
+    assert(meta.contains("druid.complexType") &&
+      meta.getString("druid.complexType") == "HLLSketch",
+      "descriptor lost the complex typeName once the manifest cache was gone")
+  }
+
   test("COMPLEX thetaSketch blobs heapify and set-operate with datasketches-java") {
     import spark.implicits._
     graft.sql.DsThetaFunctions.register(spark)

@@ -66,6 +66,40 @@ class SegmentCatalogSpec extends AnyFunSuite {
     assert(spark.read.format("druid").load(out).count() == 800)
   }
 
+  test("a schema-invalidating delta clears the cached schema, not serves it stale") {
+    val out = Files.createTempDirectory("graft-catinv").toString + "/t"
+    write(out, 100, parts = 1)
+    val dirs = druid.DruidTableUtil.discoverSegments(out)
+    assert(SegmentCatalog.loadSchema(out, dirs).isDefined)
+    // a commit that changed the column set but could not compute the
+    // union schema must drop the cache — readers re-derive instead of
+    // being served a schema missing the new columns
+    SegmentCatalog.appendDelta(out, Nil, invalidateSchema = true)
+    assert(SegmentCatalog.loadSchema(out, dirs).isEmpty,
+      "stale cached schema survived an invalidating delta")
+    // and the entries themselves are untouched
+    assert(SegmentCatalog.metaFor(out).map(_.rows).sum == 100)
+  }
+
+  test("log folding preserves delta entries; later deltas replay on top") {
+    val out = Files.createTempDirectory("graft-catfold").toString + "/t"
+    write(out, 100, parts = 1)
+    val metas = SegmentCatalog.metaFor(out)
+    val dirX = metas.head.dir + "-x"
+    val dirY = metas.head.dir + "-y"
+    SegmentCatalog.appendDelta(out, Seq(metas.head.copy(dir = dirX)), Nil)
+    SegmentCatalog.compactLog(out)
+    assert(SegmentCatalog.logSize(out) == 0)
+    // the folded delta's entry now lives in the base snapshot
+    assert(SegmentCatalog.load(out, Seq(dirX)).isDefined,
+      "folded delta entry lost from the base snapshot")
+    // a delta written after the fold replays on top of the new base
+    SegmentCatalog.appendDelta(out, Seq(metas.head.copy(dir = dirY)), Nil)
+    assert(SegmentCatalog.logSize(out) == 1)
+    assert(SegmentCatalog.load(out, Seq(dirX, dirY)).isDefined,
+      "entries lost across fold + later delta")
+  }
+
   test("hand-copied segment resolves via its sidecar; without one, metadata opens") {
     val out = Files.createTempDirectory("graft-cats").toString + "/t"
     write(out, 400, parts = 1)

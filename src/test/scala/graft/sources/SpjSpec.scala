@@ -93,6 +93,42 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("declared granularity beats interval inference for the SPJ transform") {
+    import spark.implicits._
+    val r2 = Files.createTempDirectory("graft-spjd2").toString
+    // BOTH tables are day-granularity, but tb's rows all fall inside
+    // one hour of each day — interval inference alone would report
+    // hours(tb) vs days(ta), a transform mismatch that silently
+    // forfeits the exchange-free join. The declared write granularity
+    // recorded in the segment metadata must win.
+    val base = 86400000L * 19676 // day-aligned epoch millis
+    def df(vcol: String, spreadMs: Long) = (0 until 2000)
+      .map(i => (base + (i % 4) * 86400000L + (i / 4) * spreadMs, i.toLong))
+      .toDF("__time", vcol)
+    df("a", 150000L).repartition(4).write.format("druid") // ~21 h per day
+      .option("segmentGranularity", "day").mode("overwrite").save(s"$r2/ta")
+    df("b", 5000L).repartition(4).write.format("druid") // ~42 min per day
+      .option("segmentGranularity", "day").mode("overwrite").save(s"$r2/tb")
+    val conf = spark.conf
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.catalog.graftspjd2",
+      classOf[graft.sources.druid.GraftCatalog].getName)
+    conf.set("spark.sql.catalog.graftspjd2.root", r2)
+    try {
+      val j = spark.table("graftspjd2.ta").join(spark.table("graftspjd2.tb"),
+        "__time")
+      // times match when (i/4)*150000 == (j/4)*5000: j/4 = 30*(i/4),
+      // so i/4 in 0..16 (x4 day residues) -> 68 matching pairs
+      assert(j.count() == 68L)
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"declared-granularity SPJ still shuffles:\n$p")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("month-aligned druid-druid join on __time plans zero exchanges") {
     import spark.implicits._
     val r2 = Files.createTempDirectory("graft-spjm").toString
