@@ -63,6 +63,13 @@ object BenchScratch {
         t(s"$n warm@0.001->0.1")(SparkEntry.queries(n)(spark, sfDir).count())
         t(s"$n rep2@0.1")(SparkEntry.queries(n)(spark, sfDir).count())
       }
+    } else if (names.head == "explain") {
+      for (n <- names.tail) {
+        println(s"==== $n ====")
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.collect() // resolve AQE final plan
+        println(df.queryExecution.executedPlan.toString.take(8000))
+      }
     } else for (n <- names; rep <- 1 to 2) {
       t(s"$n rep$rep")(SparkEntry.queries(n)(spark, sfDir).count())
     }

@@ -11,8 +11,8 @@ import java.nio.ByteBuffer
   * drops it). This is our own layout in the same idiom as the
   * single-value column:
   * {{{
-  * [version u8 = 0x04]
-  * [dictionary: GenericIndexed, length-prefixed, null = len -1]
+  * [version u8 = 0x04 | 0x05]
+  * [dictionary: GenericIndexed (v4) | FrontCodedIndexed (v5)]
   * [flat ids: CompressedInts]       // all rows' values concatenated
   * [row ends: CompressedInts]       // cumulative value-count per row
   * }}}
@@ -20,10 +20,14 @@ import java.nio.ByteBuffer
   */
 final class StringMultiColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
   private val version = buf.get(base) & 0xff
-  if (version != StringMultiColumn.VERSION)
+  if (version != StringMultiColumn.VERSION &&
+      version != StringMultiColumn.VERSION_FC)
     fail(f"StringMultiColumn: unsupported version 0x$version%02x")
 
-  val dictionary = new GenericIndexed(buf, base + 1)
+  val dictionary: StringDict =
+    if (version == StringMultiColumn.VERSION_FC)
+      new FrontCodedIndexed(buf, base + 1)
+    else new GenericIndexed(buf, base + 1)
   private val flatBase = base + 1 + dictionary.totalSize
   val flatIds = new CompressedInts(buf, flatBase)
   val rowEnds = new CompressedInts(buf, flatBase + flatIds.totalByteSize)
@@ -47,14 +51,16 @@ final class StringMultiColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     Array.tabulate(e - s)(k => dictionary.stringAt(flatIds.get(s + k)))
   }
 
-  def dictionaryBytes: Array[Array[Byte]] =
-    Array.tabulate(dictionary.numElements)(dictionary.bytesAt)
+  def dictionaryBytes: Array[Array[Byte]] = dictionary.allBytes
 }
 
 object StringMultiColumn {
   val VERSION = 0x04
+  /** Front-coded-dictionary variant (stringEncoding=frontCoded). */
+  val VERSION_FC = 0x05
 
-  def write(values: Seq[Seq[String]]): Array[Byte] = {
+  def write(values: Seq[Seq[String]],
+            frontCodedDict: Boolean = false): Array[Byte] = {
     val hasNull = values.exists(row => row != null && row.contains(null))
     val nullRows = values.zipWithIndex.collect { case (null, r) => r }
     val distinct = values.filter(_ != null).flatten.filter(_ != null).distinct.sorted(StringColumn.utf8Order)
@@ -70,8 +76,11 @@ object StringMultiColumn {
 
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeByte(VERSION)
-    out.write(GenericIndexed.writeLengthPrefixed(
+    out.writeByte(if (frontCodedDict) VERSION_FC else VERSION)
+    if (frontCodedDict)
+      out.write(FrontCodedIndexed.write(
+        distinct.map(_.getBytes("UTF-8")), hasNull))
+    else out.write(GenericIndexed.writeLengthPrefixed(
       dictValues.map(v => if (v == null) null else v.getBytes("UTF-8")), sorted = true))
     out.write(CompressedColumnar.writeInts(flat.toArray))
     out.write(CompressedColumnar.writeInts(ends))

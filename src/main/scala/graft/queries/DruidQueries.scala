@@ -214,6 +214,21 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** The docs multi-value table written with stringEncoding=frontCoded:
+    * BOTH dictionary shapes (single-value source dim + multi-value
+    * words dim) land as front-coded buckets — the v5 multi-value read
+    * path under the oracle gate.
+    */
+  private def docsMvFcSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("docs_mv_fc", dir,
+      Tables.load(s, dir, "documents")
+        .select(timestamp_millis(col("doc_id") * 1000).as("__time"),
+                col("doc_id"), col("source"),
+                split(col("text"), " ").as("words")),
+      Map("stringEncoding" -> "frontCoded"))
+    s.read.format("druid").load(path)
+  }
+
   /** Two-generation table for schema evolution under the oracle gate:
     * January's first half lands WITHOUT `props`, the second half
     * appends WITH it — old segments must read the new column as null.
@@ -267,7 +282,7 @@ object DruidQueries extends QuerySet {
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
     eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
     delSeg(s, dir); dsHllSeg(s, dir); dsThetaSeg(s, dir)
-    custFrontCodedSeg(s, dir)
+    custFrontCodedSeg(s, dir); docsMvFcSeg(s, dir)
   }
 
   /** A day-granular events table under its own catalog, staged once per
@@ -925,6 +940,26 @@ object DruidQueries extends QuerySet {
               FROM customer
               WHERE c_name LIKE 'Customer#0000000%'
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // -- Multi-value dims with front-coded dictionaries: the same
+    //    explode+agg as dr6 but over a stringEncoding=frontCoded
+    //    table, so BOTH the v5 multi-value and v3 single-value
+    //    dictionary paths (plus a per-source filter over the
+    //    front-coded single-value dim) are oracle-gated end to end.
+    Q("dr30_frontcoded_mv",
+      (s, dir) => {
+        docsMvFcSeg(s, dir)
+          .filter(col("source") =!= "src7")
+          .select(explode(col("words")).as("word"))
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 50)
+          .orderBy(col("word"))
+      },
+      Some("""SELECT word, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents WHERE source <> 'src7')
+              GROUP BY word HAVING count(*) >= 50 ORDER BY word""")),
 
     // -- Segment scan joined against a parquet dim (mixed-source join).
     Q("dr4_druid_join",

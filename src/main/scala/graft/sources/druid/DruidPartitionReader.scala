@@ -85,8 +85,9 @@ private[druid] final class GroupByDimReader(part: GroupByDimPartition)
             while (r < len) { all(sc.ids.get(r)) += 1; r += 1 }
             all(_)
           }
-        (0 until dictN).iterator.map { i =>
-          val b = sc.dictionary.bytesAt(i)
+        // one sequential dictionary pass (front-coded dictionaries
+        // decode per bucket, not per id)
+        sc.dictionary.allBytes.iterator.zipWithIndex.map { case (b, i) =>
           (if (b == null) null else UTF8String.fromBytes(b), counts(i))
         }.filter(_._2 > 0)
       case other => throw new IllegalStateException(
@@ -174,11 +175,12 @@ private[druid] object RowSelection {
           case Left(()) => new org.roaringbitmap.buffer.MutableRoaringBitmap()
           case Right(sc) =>
             val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            val all = sc.dictionary.allBytes // one pass, bucket-decoded
             var id = 0
-            val n = sc.dictionary.numElements
-            while (id < n) {
-              val v = sc.dictionary.stringAt(id)
-              if (v != null && matches(v)) sc.bitmapFor(id).foreach(acc.or)
+            while (id < all.length) {
+              val b = all(id)
+              if (b != null && matches(new String(b, "UTF-8")))
+                sc.bitmapFor(id).foreach(acc.or)
               id += 1
             }
             acc
@@ -219,15 +221,18 @@ private[druid] object RowSelection {
       if (!segment.columnNames.contains(name)) Nil
       else segment.column(name) match {
         case StringColumnData(sc) if sc.bitmaps.isDefined =>
-          val n = sc.dictionary.numElements
+          val all = sc.dictionary.allBytes // one pass, bucket-decoded
           pats.map { pat =>
             val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
             var id = 0
-            while (id < n) {
-              val v = sc.dictionary.stringAt(id)
-              if (v != null && (if (pat.kind == "contains") v.contains(pat.pattern)
-                                else v.endsWith(pat.pattern)))
-                sc.bitmapFor(id).foreach(acc.or)
+            while (id < all.length) {
+              val b = all(id)
+              if (b != null) {
+                val v = new String(b, "UTF-8")
+                if (if (pat.kind == "contains") v.contains(pat.pattern)
+                    else v.endsWith(pat.pattern))
+                  sc.bitmapFor(id).foreach(acc.or)
+              }
               id += 1
             }
             acc

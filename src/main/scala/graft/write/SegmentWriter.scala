@@ -158,7 +158,8 @@ object SegmentWriter {
         StringColumn.write(v.toSeq, withBitmaps = stringBitmaps,
           frontCodedDict = frontCodedStrings))
       case MultiStringValues(v) => ColumnDescriptor.wrapColumn(
-        "STRING", "stringMultiV1", StringMultiColumn.write(v.toSeq),
+        "STRING", "stringMultiV1",
+        StringMultiColumn.write(v.toSeq, frontCodedDict = frontCodedStrings),
         hasMultipleValues = true)
       case ComplexValues(tn, v) => ColumnDescriptor.wrapColumn(
         "COMPLEX", tn, GenericIndexed.writeLengthPrefixed(v.toSeq, sorted = false))

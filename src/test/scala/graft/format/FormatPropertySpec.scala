@@ -162,4 +162,33 @@ class FormatPropertySpec extends AnyFunSuite {
       true
     })
   }
+
+  test("FrontCodedIndexed round-trips arbitrary unicode value sets") {
+    val gen = for {
+      vs <- Gen.listOf(Gen.oneOf(
+        Gen.asciiPrintableStr,
+        Gen.identifier, // shared-prefix-heavy
+        Gen.listOf(Gen.oneOf('a', 'b', 'é', '中')).map(_.mkString)))
+      hasNull <- Gen.oneOf(true, false)
+      bucket <- Gen.oneOf(1, 2, 4, 8, 16, 32, 64, 128)
+    } yield (vs.distinct.sorted(StringColumn.utf8Order), hasNull, bucket)
+    check(Prop.forAllNoShrink(gen) { case (vs, hasNull, bucket) =>
+      val bytes = FrontCodedIndexed.write(
+        vs.map(_.getBytes("UTF-8")), hasNull, bucket)
+      val d = new FrontCodedIndexed(wrap(bytes), 0)
+      val off = if (hasNull) 1 else 0
+      assert(d.totalSize == bytes.length)
+      assert(d.numElements == vs.length + off)
+      if (hasNull) assert(d.bytesAt(0) == null)
+      vs.zipWithIndex.foreach { case (v, i) =>
+        assert(d.stringAt(i + off) == v, s"bucket=$bucket id=$i")
+      }
+      val all = d.allBytes
+      assert(all.length == d.numElements)
+      vs.zipWithIndex.foreach { case (v, i) =>
+        assert(new String(all(i + off), "UTF-8") == v)
+      }
+      true
+    })
+  }
 }

@@ -138,6 +138,24 @@ class FrontCodedSpec extends AnyFunSuite {
       (0 until 4000).count(i => nameOf(i) == null))
   }
 
+  test("multi-value column with front-coded dictionary round-trips") {
+    val rows: Seq[Seq[String]] = Seq(
+      Seq("tag-alpha", "tag-beta"), Seq("tag-beta"), null,
+      Seq("tag-alpha", "tag-gamma", "tag-delta"), Seq(), Seq("tag-delta"))
+    val plain = StringMultiColumn.write(rows)
+    val coded = StringMultiColumn.write(rows, frontCodedDict = true)
+    assert(coded.length < plain.length)
+    val mc = new StringMultiColumn(ByteBuffer.wrap(coded), 0, coded.length)
+    assert(mc.dictionary.isInstanceOf[FrontCodedIndexed])
+    rows.zipWithIndex.foreach {
+      case (null, r) => assert(mc.isNullAt(r))
+      case (vs, r) => assert(mc.valuesAt(r).toSeq == vs)
+    }
+    val gc = new StringMultiColumn(ByteBuffer.wrap(plain), 0, plain.length)
+    assert(mc.dictionaryBytes.map(new String(_, "UTF-8")).toSeq ==
+      gc.dictionaryBytes.map(new String(_, "UTF-8")).toSeq)
+  }
+
   test("generic and front-coded columns decode identically") {
     val rows: Seq[String] = (0 until 500).map {
       case i if i % 17 == 0 => null
