@@ -110,6 +110,28 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Per-(day, event_type) Apache DataSketches QUANTILES blobs
+    * (DoublesSketch, the wire format of Druid's quantilesDoublesSketch
+    * aggregator) in a COMPLEX column — the third real-interop sketch
+    * family next to HLL and Theta. k=2048 keeps the merged
+    * per-event-type sketches (~2400 values at sf0.01) inside the exact
+    * regime (n <= 2k), where every quantile is an exact order
+    * statistic the oracle replays with a window rank.
+    */
+  private def dsQuantilesSeg(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.DsQuantilesFunctions.register(s)
+    val path = segTable("dsquant", dir,
+      Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("__time"),
+                 col("event_type"))
+        .agg(collect_list(col("value")).as("vs"))
+        .select(col("__time"), col("event_type"),
+                expr("ds_quantiles_from_vals(vs)").as("value_qs")),
+      options = Map("segmentGranularity" -> "day",
+                    "complexTypes" -> "value_qs:quantilesDoublesSketch"))
+    s.read.format("druid").load(path)
+  }
+
   /** Per-(event_type, day) fixed-buckets histograms of `value` landed in
     * a COMPLEX column — the ingest-time rollup shape: each group's raw
     * rows collapse to one mergeable blob at write time, and queries
@@ -282,7 +304,7 @@ object DruidQueries extends QuerySet {
     custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
     eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
     delSeg(s, dir); dsHllSeg(s, dir); dsThetaSeg(s, dir)
-    custFrontCodedSeg(s, dir); docsMvFcSeg(s, dir)
+    custFrontCodedSeg(s, dir); docsMvFcSeg(s, dir); dsQuantilesSeg(s, dir)
   }
 
   /** A day-granular events table under its own catalog, staged once per
@@ -544,6 +566,44 @@ object DruidQueries extends QuerySet {
                        AS n_both,
                      (SELECT count(*) FROM c WHERE u NOT IN (SELECT u FROM p))
                        AS n_click_only""")),
+
+    // -- DataSketches QUANTILES interop, HASH-MATCHED: per-(day,
+    //    event_type) DoublesSketch blobs (Druid's
+    //    quantilesDoublesSketch wire format) merge across segments per
+    //    event_type via DoublesUnion and answer n/p25/p50/p90/p99. In
+    //    the exact regime (n <= 2k) each quantile is the order
+    //    statistic at rank max(1, ceil(q*n)) — replayed by the
+    //    oracle's window rank over the raw rows.
+    Q("dr31_ds_quantiles_interop",
+      (s, dir) => {
+        graft.sql.DsQuantilesFunctions.register(s)
+        dsQuantilesSeg(s, dir)
+          .groupBy(col("event_type"))
+          .agg(expr("ds_quantiles_union_agg(value_qs)").as("merged"))
+          .select(col("event_type"),
+            expr("ds_quantiles_n(merged)").as("n"),
+            round(expr("ds_quantiles_quantile(merged, 0.25D)"), 2).as("p25"),
+            round(expr("ds_quantiles_quantile(merged, 0.5D)"), 2).as("p50"),
+            round(expr("ds_quantiles_quantile(merged, 0.9D)"), 2).as("p90"),
+            round(expr("ds_quantiles_quantile(merged, 0.99D)"), 2).as("p99"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        def pick(q: String): String =
+          s"round(max(CASE WHEN rn = greatest(1, CAST(ceil($q * n) AS BIGINT)) " +
+            s"THEN value END), 2)"
+        s"""WITH c AS (SELECT event_type, count(*) AS n FROM events
+           |           GROUP BY event_type),
+           |r AS (SELECT event_type, value,
+           |        row_number() OVER (PARTITION BY event_type
+           |                           ORDER BY value) AS rn
+           |      FROM events)
+           |SELECT r.event_type, max(c.n) AS n,
+           |  ${pick("0.25")} AS p25, ${pick("0.5")} AS p50,
+           |  ${pick("0.9")} AS p90, ${pick("0.99")} AS p99
+           |FROM r JOIN c ON r.event_type = c.event_type
+           |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin
+      }),
 
     // -- Fixed-buckets histogram sketches end-to-end, HASH-MATCHED: the
     //    per-(event_type, day) blobs in the segment merge per event_type

@@ -61,6 +61,56 @@ class DataSketchesInteropSpec extends AnyFunSuite {
     assert(viaSpark == Map("a" -> 20L, "b" -> 80L))
   }
 
+  test("COMPLEX quantilesDoublesSketch blobs wrap with datasketches-java") {
+    import spark.implicits._
+    graft.sql.DsQuantilesFunctions.register(spark)
+    val out = Files.createTempDirectory("graft-dsq").toString + "/t"
+    // 2 groups x 2 time buckets; values are a shuffled arithmetic
+    // sequence so every quantile has a known closed form
+    (0 until 400)
+      .map(i => (1700000000000L + (i % 2) * 1000L,
+        if (i % 2 == 0) "a" else "b", ((i * 37) % 400) * 0.5))
+      .toDF("__time", "grp", "v")
+      .groupBy(col("__time"), col("grp"))
+      .agg(collect_list(col("v")).as("vs"))
+      .select(col("__time"), col("grp"),
+        expr("ds_quantiles_from_vals(vs)").as("qs"))
+      .coalesce(1)
+      .write.format("druid")
+      .option("complexTypes", "qs:quantilesDoublesSketch")
+      .mode("overwrite").save(out)
+    val back = spark.read.format("druid").load(out)
+    assert(back.schema("qs").metadata.getString("druid.complexType") ==
+      "quantilesDoublesSketch")
+    // merge the raw blobs per group OUTSIDE Spark (plain
+    // datasketches-java), exactly what Druid's own aggregator does
+    val perGroup = back.select(col("grp"), col("qs")).collect()
+      .groupBy(_.getString(0))
+      .map { case (g, rows) =>
+        val u = org.apache.datasketches.quantiles.DoublesUnion.builder()
+          .setMaxK(2048).build()
+        rows.foreach { r =>
+          u.union(org.apache.datasketches.quantiles.DoublesSketch.wrap(
+            org.apache.datasketches.memory.Memory.wrap(
+              r.getAs[Array[Byte]]("qs"))))
+        }
+        val sk = u.getResult
+        (g, sk.getN, sk.getQuantile(0.5,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+      }
+    // group "a" holds the 200 even multiples of 37 mod 400 halved...
+    // simpler: each group's value set is known exactly — recompute
+    val vals = (0 until 400).map(i =>
+      (if (i % 2 == 0) "a" else "b", ((i * 37) % 400) * 0.5))
+    for ((g, n, p50) <- perGroup) {
+      val mine = vals.filter(_._1 == g).map(_._2).sorted
+      assert(n == mine.length)
+      val rank = math.max(1, math.ceil(0.5 * mine.length).toInt)
+      assert(p50 == mine(rank - 1),
+        s"group $g: sketch p50 $p50 vs exact ${mine(rank - 1)}")
+    }
+  }
+
   test("complex typeName lives in the segment descriptor, not just the manifest") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-dsdesc").toString + "/t"
