@@ -17,10 +17,20 @@ trait StringDict {
   /** UTF-8 bytes of entry i; null for the null entry. */
   def bytesAt(i: Int): Array[Byte]
   def stringAt(i: Int): String
-  /** All entries in id order; override when sequential decode beats
-    * per-id random access.
+  /** All entries in id order, lazily — O(1) amortized per entry on
+    * both dictionary shapes (front coding overrides this with a
+    * per-bucket sequential decode). Full-dictionary scans should use
+    * this instead of per-id random access, which costs O(bucketSize)
+    * per entry on front-coded dictionaries, and instead of
+    * [[allBytes]], which pins every entry on heap at once.
     */
-  def allBytes: Array[Array[Byte]] = Array.tabulate(numElements)(bytesAt)
+  def entriesIterator: Iterator[Array[Byte]] =
+    (0 until numElements).iterator.map(bytesAt)
+
+  /** All entries in id order, materialized (the dictionary-vector
+    * path, which needs the array anyway).
+    */
+  def allBytes: Array[Array[Byte]] = entriesIterator.toArray
 }
 
 /** Front-coded string dictionary: sorted values grouped into buckets of
@@ -130,39 +140,40 @@ final class FrontCodedIndexed(buf: ByteBuffer, base: Int) extends StringDict {
     if (b == null) null else new String(b, UTF_8)
   }
 
-  /** One sequential pass over all buckets — what dictionary-vector
-    * materialization uses instead of numElements random accesses.
-    */
-  override def allBytes: Array[Array[Byte]] = {
-    val out = new Array[Array[Byte]](numElements)
-    val off = if (hasNull) 1 else 0
-    var b = 0
-    var i = 0
-    while (b < nBuckets) {
-      var p = blobStart + bucketStart(b)
-      val (headLen, p1) = vbyte(p)
-      var prev = sliceBytes(p1, headLen)
-      p = p1 + headLen
-      out(off + i) = prev
-      i += 1
-      var k = 1
-      while (k < bucketSize && i < numValues) {
-        val (prefixLen, p2) = vbyte(p)
-        val (suffixLen, p3) = vbyte(p2)
-        val v = new Array[Byte](prefixLen + suffixLen)
-        System.arraycopy(prev, 0, v, 0, prefixLen)
-        val dup = buf.duplicate()
-        dup.position(p3)
-        dup.get(v, prefixLen, suffixLen)
-        p = p3 + suffixLen
-        out(off + i) = v
-        prev = v
-        i += 1
-        k += 1
-      }
-      b += 1
+  /** Decode one whole bucket sequentially — O(bucket bytes). */
+  private def decodeBucket(b: Int): Array[Array[Byte]] = {
+    val count = math.min(bucketSize, numValues - b * bucketSize)
+    val out = new Array[Array[Byte]](count)
+    var p = blobStart + bucketStart(b)
+    val (headLen, p1) = vbyte(p)
+    var prev = sliceBytes(p1, headLen)
+    p = p1 + headLen
+    out(0) = prev
+    var k = 1
+    while (k < count) {
+      val (prefixLen, p2) = vbyte(p)
+      val (suffixLen, p3) = vbyte(p2)
+      val v = new Array[Byte](prefixLen + suffixLen)
+      System.arraycopy(prev, 0, v, 0, prefixLen)
+      val dup = buf.duplicate()
+      dup.position(p3)
+      dup.get(v, prefixLen, suffixLen)
+      p = p3 + suffixLen
+      out(k) = v
+      prev = v
+      k += 1
     }
     out
+  }
+
+  /** Lazy sequential walk, one decoded bucket in memory at a time —
+    * full-dictionary scans pay O(n) total instead of O(n x bucketSize)
+    * random accesses, without materializing the whole dictionary.
+    */
+  override def entriesIterator: Iterator[Array[Byte]] = {
+    val nullIt: Iterator[Array[Byte]] =
+      if (hasNull) Iterator.single(null) else Iterator.empty
+    nullIt ++ (0 until nBuckets).iterator.flatMap(decodeBucket)
   }
 }
 

@@ -124,15 +124,19 @@ object PipelineQueries extends QuerySet {
 
   /** Persisted IVF+PQ serving index — PQ codes pre-joined with the IVF
     * cell assignment, (vec_id, cell, m, code) — built once per JVM and
-    * scale dir. The e7 query plan then contains NO corpus-wide join:
-    * only the cell-pruned probe equi-join and the broadcast ADC lookup.
-    * At 100 TB this is the table bucketed by cell on disk.
+    * scale dir by JOINING THE TWO PERSISTED HALVES (ivfIndexDir x
+    * pqIndexDir), not by re-quantizing the corpus: the combined index
+    * is byte-derived from exactly what e4/e5/e6 serve from. The e7
+    * query plan then contains NO corpus-wide join: only the
+    * cell-pruned probe equi-join and the broadcast ADC lookup. At
+    * 100 TB this is the table bucketed by cell on disk.
     */
   def ivfPqIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
     synchronized {
       stagedIvfPq.getOrElseUpdate(dir, {
         val out = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ivfpq"
-        VectorOps.ivfPqCellCodes(Tables.load(s, dir, "embeddings"), 8)
+        s.read.parquet(pqIndexDir(s, dir))
+          .join(s.read.parquet(ivfIndexDir(s, dir)), "vec_id")
           .write.mode("overwrite").parquet(out)
         out
       })

@@ -85,9 +85,9 @@ private[druid] final class GroupByDimReader(part: GroupByDimPartition)
             while (r < len) { all(sc.ids.get(r)) += 1; r += 1 }
             all(_)
           }
-        // one sequential dictionary pass (front-coded dictionaries
-        // decode per bucket, not per id)
-        sc.dictionary.allBytes.iterator.zipWithIndex.map { case (b, i) =>
+        // one lazy sequential dictionary pass (front-coded dictionaries
+        // decode per bucket, not per id; nothing materializes)
+        sc.dictionary.entriesIterator.zipWithIndex.map { case (b, i) =>
           (if (b == null) null else UTF8String.fromBytes(b), counts(i))
         }.filter(_._2 > 0)
       case other => throw new IllegalStateException(
@@ -175,13 +175,11 @@ private[druid] object RowSelection {
           case Left(()) => new org.roaringbitmap.buffer.MutableRoaringBitmap()
           case Right(sc) =>
             val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
-            val all = sc.dictionary.allBytes // one pass, bucket-decoded
-            var id = 0
-            while (id < all.length) {
-              val b = all(id)
-              if (b != null && matches(new String(b, "UTF-8")))
-                sc.bitmapFor(id).foreach(acc.or)
-              id += 1
+            // lazy sequential pass: O(dictionary) on both dict shapes
+            sc.dictionary.entriesIterator.zipWithIndex.foreach {
+              case (b, id) =>
+                if (b != null && matches(new String(b, "UTF-8")))
+                  sc.bitmapFor(id).foreach(acc.or)
             }
             acc
         }
@@ -221,19 +219,17 @@ private[druid] object RowSelection {
       if (!segment.columnNames.contains(name)) Nil
       else segment.column(name) match {
         case StringColumnData(sc) if sc.bitmaps.isDefined =>
-          val all = sc.dictionary.allBytes // one pass, bucket-decoded
           pats.map { pat =>
             val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
-            var id = 0
-            while (id < all.length) {
-              val b = all(id)
-              if (b != null) {
-                val v = new String(b, "UTF-8")
-                if (if (pat.kind == "contains") v.contains(pat.pattern)
-                    else v.endsWith(pat.pattern))
-                  sc.bitmapFor(id).foreach(acc.or)
-              }
-              id += 1
+            // lazy sequential pass per pattern: O(dictionary) each
+            sc.dictionary.entriesIterator.zipWithIndex.foreach {
+              case (b, id) =>
+                if (b != null) {
+                  val v = new String(b, "UTF-8")
+                  if (if (pat.kind == "contains") v.contains(pat.pattern)
+                      else v.endsWith(pat.pattern))
+                    sc.bitmapFor(id).foreach(acc.or)
+                }
             }
             acc
           }

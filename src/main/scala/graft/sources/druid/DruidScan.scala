@@ -793,6 +793,14 @@ class DruidScan(root: String, required: StructType,
     * calendar granularity (hour < day < month) whose buckets contain
     * every segment interval whole. None when segments straddle month
     * bounds (week/year tables join through a shuffle).
+    *
+    * Known limit: a declared table joined against an UNDECLARED one
+    * whose inference lands on a different granularity plans through a
+    * shuffle (correct, just not exchange-free) — the transform is
+    * table metadata, and only declaration can guarantee two tables
+    * agree on it. Declare segmentGranularity on both sides for a
+    * guaranteed SPJ; tables written before the writer recorded
+    * granularity re-gain it on their next overwrite/compaction.
     */
   private lazy val alignment: Option[String] =
     if (segmentMeta.isEmpty || !segmentMeta.forall(_.exactInterval)) None

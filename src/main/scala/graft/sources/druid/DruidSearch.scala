@@ -40,11 +40,12 @@ object DruidSearch {
     val cs = caseSensitive
     val pfx = prefix
     // matching dictionary ids first; most searches match few
-    // one sequential allBytes pass: on a front-coded dictionary per-id
+    // one lazy sequential pass: on a front-coded dictionary per-id
     // stringAt would re-decode each bucket's prefix chain (O(n x
-    // bucketSize)); materializing once keeps the scan O(dictionary)
+    // bucketSize)); the iterator keeps the scan O(dictionary) without
+    // pinning every entry on heap
     def dictHits(dict: graft.format.StringDict): Array[(Int, String)] =
-      dict.allBytes.iterator.zipWithIndex.flatMap { case (b, i) =>
+      dict.entriesIterator.zipWithIndex.flatMap { case (b, i) =>
         if (b == null) None
         else {
           val v = new String(b, "UTF-8")

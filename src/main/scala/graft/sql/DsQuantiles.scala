@@ -1,7 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions
 
 import org.apache.datasketches.memory.Memory
@@ -37,41 +36,33 @@ object DsQuantiles {
     u.getResult.toByteArray(true)
   }
 
-  def n(b: Array[Byte]): Long =
-    DoublesSketch.wrap(Memory.wrap(b)).getN
+  /** Empty-sketch blob (the all-null-group result). */
+  def empty(k: Int): Array[Byte] =
+    DoublesSketch.builder().setK(k).build().toByteArray(true)
 
-  def quantile(b: Array[Byte], q: Double): Double =
-    DoublesSketch.wrap(Memory.wrap(b)).getQuantile(q,
-      QuantileSearchCriteria.INCLUSIVE)
+  def n(b: Array[Byte]): Long =
+    if (b == null) 0L else DoublesSketch.wrap(Memory.wrap(b)).getN
+
+  /** Quantile, or null for a null/empty sketch (datasketches throws on
+    * getQuantile over an empty sketch; every sibling sketch reader
+    * degrades instead of crashing, so this one does too).
+    */
+  def quantile(b: Array[Byte], q: Double): java.lang.Double = {
+    if (b == null) return null
+    val sk = DoublesSketch.wrap(Memory.wrap(b))
+    if (sk.isEmpty) null
+    else sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE)
+  }
 }
 
 /** Merge pre-built DoublesSketch blobs (a segment's COMPLEX column) —
-  * Druid's quantilesDoublesSketch merge aggregator on Spark. Same
-  * batched-fold shape as [[DsThetaUnionAgg]]: blobs buffer and fold
-  * through one live DoublesUnion per 256 (and once at finish), so
-  * per-group cost is O(rows), not O(rows x retained).
+  * Druid's quantilesDoublesSketch merge aggregator on Spark, batched
+  * via [[BlobFoldAgg]].
   */
-class DsQuantilesUnionAgg(maxK: Int) extends Aggregator[Array[Byte],
-    scala.collection.mutable.ArrayBuffer[Array[Byte]], Array[Byte]] {
-  private type Buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]
-  private val foldAt = 256
-  private def foldInPlace(b: Buf): Buf = {
-    val folded = DsQuantiles.unionAll(b.toSeq, maxK)
-    b.clear()
-    b += folded
-  }
-  def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
-  def reduce(b: Buf, v: Array[Byte]): Buf =
-    if (v == null) b
-    else { b += v; if (b.length >= foldAt) foldInPlace(b) else b }
-  def merge(a: Buf, b: Buf): Buf = {
-    a ++= b
-    if (a.length >= foldAt) foldInPlace(a) else a
-  }
-  def finish(r: Buf): Array[Byte] = DsQuantiles.unionAll(r.toSeq, maxK)
-  def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Array[Byte]]] =
-    Encoders.kryo[scala.collection.mutable.ArrayBuffer[Array[Byte]]]
-  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+class DsQuantilesUnionAgg(maxK: Int) extends BlobFoldAgg {
+  protected def foldAll(bs: Seq[Array[Byte]]): Array[Byte] =
+    DsQuantiles.unionAll(bs, maxK)
+  protected def onEmpty: Array[Byte] = DsQuantiles.empty(maxK)
 }
 
 object DsQuantilesFunctions {

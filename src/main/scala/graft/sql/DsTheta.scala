@@ -1,7 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{Column, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions
 
 import org.apache.datasketches.memory.Memory
@@ -68,39 +67,15 @@ object DsTheta {
 
 /** Merge pre-built DataSketches theta blobs (a segment's COMPLEX
   * column) — the Druid thetaSketchMerge aggregator on Spark. Null
-  * inputs (conditional aggregation) are skipped.
-  *
-  * The buffer collects input blobs and folds them through ONE live
-  * Union per batch of 256 (and once at finish) instead of
-  * heapify + re-union + re-compact per row — per-group cost is
-  * O(rows + retained log k), not O(rows x retained). Union is
-  * associative and ordered-compact output is fold-structure
-  * independent, so results are bit-identical to the pairwise fold.
-  * The typed-aggregator buffer lives as an object between updates
-  * (TypedImperativeAggregate); kryo only runs at shuffle boundaries.
+  * inputs (conditional aggregation) are skipped; batched folding via
+  * [[BlobFoldAgg]] keeps per-group cost O(rows), bit-identical to the
+  * pairwise fold (theta union is associative, ordered-compact output
+  * is fold-structure independent).
   */
-class DsThetaUnionAgg extends Aggregator[Array[Byte],
-    scala.collection.mutable.ArrayBuffer[Array[Byte]], Array[Byte]] {
-  private type Buf = scala.collection.mutable.ArrayBuffer[Array[Byte]]
-  private val foldAt = 256
-  private def foldInPlace(b: Buf): Buf = {
-    val folded = DsTheta.unionAll(b.toSeq)
-    b.clear()
-    b += folded
-  }
-  def zero: Buf = scala.collection.mutable.ArrayBuffer.empty
-  def reduce(b: Buf, v: Array[Byte]): Buf =
-    if (v == null) b
-    else { b += v; if (b.length >= foldAt) foldInPlace(b) else b }
-  def merge(a: Buf, b: Buf): Buf = {
-    a ++= b
-    if (a.length >= foldAt) foldInPlace(a) else a
-  }
-  def finish(r: Buf): Array[Byte] =
-    if (r.isEmpty) DsTheta.empty else DsTheta.unionAll(r.toSeq)
-  def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[Array[Byte]]] =
-    Encoders.kryo[scala.collection.mutable.ArrayBuffer[Array[Byte]]]
-  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+class DsThetaUnionAgg extends BlobFoldAgg {
+  protected def foldAll(bs: Seq[Array[Byte]]): Array[Byte] =
+    DsTheta.unionAll(bs)
+  protected def onEmpty: Array[Byte] = DsTheta.empty
 }
 
 object DsThetaFunctions {
