@@ -149,6 +149,42 @@ object VectorOps {
       .select(col("vec_id"), (-col("best.nc")).as("cell"))
   }
 
+  /** One Lloyd refinement round over the IVF assignment — the
+    * cluster-balancing step of semantic-curation pipelines (assign to
+    * seed centroids, recompute centroids as per-cell means, reassign):
+    * returns (vec_id, cell, cell2) with the seed and refined cells.
+    * Deterministic cross-engine: the seed assignment is [[ivfAssign]]
+    * (rounded cosine, ties to the lowest cell), refreshed centroid
+    * means round to 4 decimals BEFORE reuse (so float-summation order
+    * can never leak through the later exact arithmetic), and
+    * reassignment rounds its cosines to 6. Plans as one map-side
+    * explode + mean aggregate (centroids: nCells x dim rows) plus one
+    * broadcast of the tiny centroid table — the corpus never shuffles
+    * vectors, exactly like the assignment it refines.
+    */
+  def kmeansRefine(embeddings: DataFrame, nCells: Int): DataFrame = {
+    registerExprs(embeddings)
+    val a1 = ivfAssign(embeddings, nCells)
+    val cent2 = embeddings.join(a1, "vec_id")
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("v")), 4).as("cv1"))
+      .groupBy(col("cell"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)")
+        .as("cv"))
+    val reassigned = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent2.withColumnRenamed("cell", "c2")))
+      .withColumn("cos", round(
+        expr(dotHofSql("embedding", "cv")) /
+          (expr(normSql("embedding")) *
+            expr(s"sqrt(${dotHofSql("cv", "cv")})")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("c2")).as("nc"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).as("cell2"))
+    a1.join(reassigned, "vec_id")
+  }
+
   /** IVF ANN top-k — the partition-pruned scale path: vectors live in
     * inverted lists keyed by their cell, each query probes only its
     * `nProbe` nearest cells, and exact cosine runs inside those lists

@@ -818,6 +818,62 @@ object PipelineQueries extends QuerySet {
            |FROM aug ORDER BY doc_id""".stripMargin
       }),
 
+    // K-means refinement (one Lloyd round over the IVF seed): the
+    // cluster-balancing step of semantic curation — assign to seed
+    // centroids, recompute per-cell mean centroids (rounded to 4
+    // before reuse so float summation order can't leak cross-engine),
+    // reassign by rounded cosine. Output is integer-only (per refined
+    // cell: size, how many vectors moved, id range) so the oracle
+    // replays the full two-step estimator with no float output at all.
+    Q("d20_kmeans_refine",
+      (s, dir) => {
+        VectorOps.kmeansRefine(Tables.load(s, dir, "embeddings"), 8)
+          .groupBy(col("cell2"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("cell") =!= col("cell2"), 1L).otherwise(0L))
+                 .as("moved"),
+               min(col("vec_id")).as("min_vec"),
+               max(col("vec_id")).as("max_vec"))
+          .orderBy(col("cell2"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |centv AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+             |          FROM e WHERE vec_id < 8),
+             |ac AS (SELECT v.vec_id, c.cid,
+             |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+             |  FROM e v, centv c),
+             |a1 AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+             |    FROM ac) WHERE rn = 1),
+             |dimvals AS (SELECT a1.cell, t.i AS pos,
+             |    e2.embedding[t.i+1]::DOUBLE AS v
+             |  FROM embeddings e2 JOIN a1 USING (vec_id), range(64) t(i)),
+             |cmean AS (SELECT cell, pos, round(avg(v), 4) AS cv1
+             |          FROM dimvals GROUP BY cell, pos),
+             |cent2 AS (SELECT cell, list(cv1 ORDER BY pos) AS cv
+             |          FROM cmean GROUP BY cell),
+             |a2sc AS (SELECT v.vec_id, c.cell,
+             |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1])
+             |           FROM range(64) t(i))
+             |      / (v.nrm * sqrt((SELECT sum(c.cv[i+1] * c.cv[i+1])
+             |                       FROM range(64) t(i)))), 6) AS cos
+             |  FROM e v, cent2 c),
+             |a2 AS (SELECT vec_id, cell AS cell2 FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+             |    FROM a2sc) WHERE rn = 1)
+             |SELECT a2.cell2, count(*) AS n,
+             |  CAST(sum(CASE WHEN a1.cell <> a2.cell2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS moved,
+             |  min(a2.vec_id) AS min_vec, max(a2.vec_id) AS max_vec
+             |FROM a2 JOIN a1 USING (vec_id)
+             |GROUP BY a2.cell2 ORDER BY a2.cell2""".stripMargin)),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).

@@ -275,6 +275,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(own == 0, "a centroid was not assigned to its own cell")
   }
 
+  test("kmeansRefine partitions every vector into a refined cell") {
+    val r = VectorOps.kmeansRefine(emb, 8)
+    assert(r.count() == emb.count())
+    assert(r.select(countDistinct(col("vec_id"))).head.getLong(0) == emb.count())
+    val mm = r.agg(min(col("cell2")), max(col("cell2"))).head
+    assert(mm.getLong(0) >= 0 && mm.getLong(1) < 8)
+    // mean centroids differ from the arbitrary seed vectors, so on
+    // near-random data at least one vector must change cells
+    assert(r.filter(col("cell") =!= col("cell2")).count() > 0,
+      "refinement round was a no-op")
+  }
+
   test("cosineNearDup pairs are exactly the LSH-colliding pairs above tau") {
     val tau = 0.2 // low: sf0.001 vectors are near-random
     val got = VectorOps.cosineNearDup(emb, tau, nPlanes = 4, nTables = 2, dim = 64)
