@@ -1036,5 +1036,145 @@ object DruidQueries extends QuerySet {
               round(sum(l_extendedprice), 2) AS total_price
               FROM lineitem JOIN part ON l_partkey = p_partkey
               GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- Druid NATIVE QUERY JSON (graft.query.NativeQuery) ----
+    // Druid's primary wire API; the reference accepts only SQL
+    // (/root/reference/src/main.rs:65,186-191). Each query below is the
+    // verbatim JSON a Druid client would POST, compiled to a DataFrame
+    // plan over the segment table — filters and intervals flow into the
+    // DSv2 scan's pushdowns (NativeQuerySpec pins the plans). The
+    // wrappers only convert timestamps to epoch-millis and round
+    // doubles, the repo's oracle-compare conventions.
+
+    // -- timeseries: day buckets, in-filter, filtered aggregator,
+    //    arithmetic post-aggregator (Druid's /-by-zero→0 rule).
+    Q("dr32_native_timeseries",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": "day",
+          "intervals": ["2024-01-05T00:00:00.000Z/2024-01-15T00:00:00.000Z"],
+          "filter": {"type": "in", "dimension": "event_type",
+                     "values": ["click", "view", "purchase"]},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+            {"type": "filtered", "filter":
+              {"type": "selector", "dimension": "event_type", "value": "click"},
+             "aggregator": {"type": "count", "name": "n_click"}}],
+          "postAggregations": [
+            {"type": "arithmetic", "name": "avg_value", "fn": "/",
+             "fields": [{"type": "fieldAccess", "fieldName": "total_value"},
+                        {"type": "fieldAccess", "fieldName": "n"}]}]
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("day_ms"), col("n"),
+                  round(col("total_value"), 2).as("total_value"), col("n_click"),
+                  round(col("avg_value"), 4).as("avg_value"))
+      },
+      Some("""SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS n,
+              round(sum(value), 2) AS total_value,
+              count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+              round(sum(value) / count(*), 4) AS avg_value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+                AND ts < TIMESTAMP '2024-01-15 00:00:00'
+                AND event_type IN ('click', 'view', 'purchase')
+              GROUP BY 1 ORDER BY 1""")),
+
+    // -- topN: exact groupBy-sort-limit (one shuffle); metric ties
+    //    break by dimension, so the result set is deterministic.
+    Q("dr33_native_topn",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "topN", "dataSource": "events",
+          "dimension": "event_type", "metric": "total_value",
+          "threshold": 3, "granularity": "all",
+          "intervals": ["2024-01-01T00:00:00.000Z/2024-02-01T00:00:00.000Z"],
+          "aggregations": [
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"},
+            {"type": "count", "name": "n"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), round(col("total_value"), 2).as("total_value"),
+                  col("n"))
+      },
+      Some("""SELECT event_type, round(sum(value), 2) AS total_value,
+              count(*) AS n FROM events
+              GROUP BY event_type ORDER BY sum(value) DESC, event_type
+              LIMIT 3""")),
+
+    // -- groupBy: expression virtual column, having, ordered limitSpec.
+    Q("dr34_native_groupby",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "virtualColumns": [{"type": "expression", "name": "user_bucket",
+                              "expression": "user_id % 10"}],
+          "dimensions": ["event_type",
+            {"type": "default", "dimension": "user_bucket",
+             "outputName": "bucket"}],
+          "aggregations": [{"type": "count", "name": "n"},
+            {"type": "longMax", "name": "max_user", "fieldName": "user_id"}],
+          "having": {"type": "greaterThan", "aggregation": "n", "value": 200},
+          "limitSpec": {"type": "default", "limit": 20, "columns":
+            [{"dimension": "n", "direction": "descending"}]}
+        }""", _ => eventsSeg(s, dir))
+      },
+      Some("""SELECT event_type, user_id % 10 AS bucket, count(*) AS n,
+              max(user_id) AS max_user
+              FROM events GROUP BY 1, 2 HAVING count(*) > 200
+              ORDER BY n DESC, event_type, bucket LIMIT 20""")),
+
+    // -- scan: projection + numeric bound filter + __time order + limit
+    //    (limit sized above the match count, so the set is exact).
+    Q("dr35_native_scan",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "scan", "dataSource": "events",
+          "columns": ["__time", "event_type", "user_id", "value"],
+          "intervals": ["2024-01-10T00:00:00.000Z/2024-01-13T00:00:00.000Z"],
+          "filter": {"type": "bound", "dimension": "value", "lower": "150",
+                     "lowerStrict": true, "ordering": "numeric"},
+          "order": "descending", "limit": 500
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("ts_ms"), col("event_type"),
+                  col("user_id"), col("value"))
+      },
+      Some("""SELECT epoch_ms(ts) AS ts_ms, event_type, user_id, value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+                AND ts < TIMESTAMP '2024-01-13 00:00:00'
+                AND value > 150
+              ORDER BY ts DESC LIMIT 500""")),
+
+    // -- search: per-dimension value counts for a case-insensitive
+    //    contains query (Druid's search result shape).
+    Q("dr36_native_search",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "search", "dataSource": "events",
+          "searchDimensions": ["event_type"],
+          "query": {"type": "insensitive_contains", "value": "C"}
+        }""", _ => eventsSeg(s, dir))
+          .select(col("dimension"), col("value"), col("count").as("n"))
+      },
+      Some("""SELECT 'event_type' AS dimension, event_type AS value,
+              count(*) AS n FROM events
+              WHERE lower(event_type) LIKE '%c%'
+              GROUP BY 2 ORDER BY 1, 2""")),
+
+    // -- timeBoundary: min/max(__time) — answered from segment interval
+    //    metadata via the complete-aggregate pushdown, zero decode
+    //    (NativeQuerySpec asserts no HashAggregate in the plan).
+    Q("dr37_native_timeboundary",
+      (s, dir) => {
+        graft.query.NativeQuery.run(
+          """{"queryType": "timeBoundary", "dataSource": "events"}""",
+          _ => eventsSeg(s, dir))
+          .select(unix_millis(col("minTime")).as("min_ms"),
+                  unix_millis(col("maxTime")).as("max_ms"))
+      },
+      Some("""SELECT epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
+              FROM events""")),
   )
 }

@@ -1,0 +1,554 @@
+package graft.query
+
+import java.sql.Timestamp
+import java.time.{Instant, LocalDateTime, ZoneOffset}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Compiler from Druid NATIVE QUERY JSON to a Spark DataFrame plan.
+  *
+  * Druid's primary wire API is not SQL but native JSON queries
+  * (timeseries / topN / groupBy / scan / search / timeBoundary); every
+  * Druid SQL statement is itself planned into one of these. The
+  * reference bridge only accepts SQL (/root/reference/src/main.rs:65,
+  * 186-191), so a Druid user's existing dashboards and native-query
+  * clients cannot run against it. This object closes that gap the
+  * Spark-first way: the JSON is compiled into a declarative
+  * DataFrame plan — filters become `Column` predicates that flow
+  * through the DSv2 connector's pushdowns (interval zone pruning,
+  * dictionary bitmap selection, metadata aggregates), aggregations
+  * become Catalyst aggregate expressions, and Catalyst/Tungsten pick
+  * the physical strategy. Nothing here executes row-at-a-time.
+  *
+  * Supported surface (unsupported constructs throw
+  * `IllegalArgumentException` naming the construct — never silently
+  * wrong):
+  *
+  *  - query types: `timeseries`, `topN`, `groupBy`, `scan`, `search`,
+  *    `timeBoundary`
+  *  - `intervals`: ISO-8601 `start/end` ranges (plain array or
+  *    `{"type":"intervals"}` object), OR-ed, end-exclusive
+  *  - `filter`: selector, equals, in, bound (numeric + lexicographic),
+  *    range, like, regex, search (contains / insensitive_contains /
+  *    fragment), null, interval, and/or/not, and `expression` for the
+  *    SQL-compatible subset of the Druid expression language
+  *  - `virtualColumns`: type `expression`, again the SQL-compatible
+  *    subset (Druid expressions and Spark SQL share arithmetic,
+  *    comparison, `concat`, `substring`, ... syntax)
+  *  - `granularity`: `all`, the simple string granularities
+  *    second/minute/hour/day/week/month/quarter/year, and
+  *    `{"type":"period"}` for their ISO-period spellings
+  *  - `aggregations`: count, longSum/doubleSum/floatSum,
+  *    longMin/longMax/doubleMin/doubleMax/floatMin/floatMax, and
+  *    `filtered` wrapping any of those
+  *  - `postAggregations`: arithmetic (+ - * / with Druid's
+  *    divide-by-zero→0 rule, and `quotient` for plain FP division),
+  *    fieldAccess / finalizingFieldAccess, constant, expression
+  *  - timeseries empty-bucket fill (context `skipEmptyBuckets` absent
+  *    or false): bucket spine generated with `sequence()` and
+  *    left-joined; count-family aggregates fill with 0, value
+  *    aggregates with NULL — Druid's SQL-compatible null mode. Fill
+  *    needs exactly one interval and a real granularity; otherwise
+  *    only the non-empty buckets are returned.
+  *  - search runs over string dimensions and (beyond Druid) multi-value
+  *    dimensions by exploding them; result rows are
+  *    (dimension, value, count) like Druid's.
+  *
+  * Documented deviations, chosen for engine determinism:
+  *  - topN is exact, not approximate (Druid's topN trades accuracy for
+  *    per-node heaps; on Spark the exact groupBy-sort-limit is one
+  *    shuffle anyway), and ties on the metric break by dimension value
+  *    ascending (Druid leaves ties unspecified).
+  *  - groupBy with no `limitSpec` sorts by the dimensions ascending
+  *    (Druid's default ordering); a `limitSpec` ordering gets the
+  *    remaining dimensions appended ascending as tie-breaks.
+  *  - `granularity: "all"` timeseries returns the bare aggregate row
+  *    without a synthetic interval-start timestamp column.
+  */
+object NativeQuery {
+
+  private val mapper = new ObjectMapper()
+
+  /** Compile and run `json` against tables resolved by name. */
+  def run(json: String, resolve: String => DataFrame): DataFrame = {
+    val q = mapper.readTree(json)
+    val base0 = resolve(dataSourceName(q))
+    val base1 = withVirtualColumns(base0, q)
+    val base = applyWhere(base1, q)
+    q.path("queryType").asText() match {
+      case "timeseries"   => timeseries(base, q)
+      case "topN"         => topN(base, q)
+      case "groupBy"      => groupByQuery(base, q)
+      case "scan"         => scan(base, q)
+      case "search"       => search(base, q)
+      case "timeBoundary" => timeBoundary(base, q)
+      case other =>
+        fail(s"queryType '$other' (supported: timeseries, topN, groupBy, scan, search, timeBoundary)")
+    }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"native query: unsupported $msg")
+
+  private def dataSourceName(q: JsonNode): String = {
+    val ds = q.path("dataSource")
+    if (ds.isTextual) ds.asText()
+    else if (ds.isObject) ds.path("name").asText()
+    else fail("dataSource (need a table name)")
+  }
+
+  // ---- time intervals ----------------------------------------------------
+
+  /** "2024-01-05T00:00:00.000Z/2024-01-15T00:00:00.000Z" (or zoneless,
+    * read as UTC — the engine runs sessions in UTC).
+    */
+  private def parseInstant(s: String): Instant =
+    if (s.endsWith("Z") || s.contains("+")) Instant.parse(s)
+    else LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+
+  private def intervalsOf(q: JsonNode): Seq[(Instant, Instant)] = {
+    val node0 = q.path("intervals")
+    val node = if (node0.isObject) node0.path("intervals") else node0
+    if (node.isMissingNode || node.isNull) Seq.empty
+    else node.elements().asScala.map { iv =>
+      iv.asText().split('/') match {
+        case Array(a, b) => (parseInstant(a), parseInstant(b))
+        case _           => fail(s"interval '${iv.asText()}'")
+      }
+    }.toSeq
+  }
+
+  private def intervalPred(ivs: Seq[(Instant, Instant)]): Option[Column] =
+    ivs.map { case (a, b) =>
+      col("__time") >= lit(Timestamp.from(a)) &&
+        col("__time") < lit(Timestamp.from(b))
+    }.reduceOption(_ || _)
+
+  private def applyWhere(df: DataFrame, q: JsonNode): DataFrame = {
+    val time = intervalPred(intervalsOf(q))
+    val f = q.path("filter")
+    val pred = (time, if (f.isMissingNode || f.isNull) None else Some(compileFilter(f))) match {
+      case (Some(t), Some(p)) => Some(t && p)
+      case (t, p)             => t.orElse(p)
+    }
+    pred.fold(df)(df.filter)
+  }
+
+  // ---- filters -----------------------------------------------------------
+
+  private def textSeq(node: JsonNode): Seq[String] =
+    node.elements().asScala.map(_.asText()).toSeq
+
+  /** One Druid filter node → one Catalyst predicate. Kept total over
+    * the documented surface; everything else fails loudly.
+    */
+  def compileFilter(f: JsonNode): Column = f.path("type").asText() match {
+    case "selector" =>
+      val d = col(f.path("dimension").asText())
+      val v = f.path("value")
+      if (v.isMissingNode || v.isNull) d.isNull else d === lit(v.asText())
+    case "equals" =>
+      val c = col(f.path("column").asText())
+      f.path("matchValueType").asText() match {
+        case "LONG"             => c === lit(f.path("matchValue").asLong())
+        case "DOUBLE" | "FLOAT" => c === lit(f.path("matchValue").asDouble())
+        case _                  => c === lit(f.path("matchValue").asText())
+      }
+    case "in" =>
+      col(f.path("dimension").asText()).isin(textSeq(f.path("values")): _*)
+    case "bound" =>
+      val c = col(f.path("dimension").asText())
+      val numeric = f.path("ordering").asText("lexicographic") == "numeric"
+      def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
+        val v = f.path(key)
+        if (v.isMissingNode || v.isNull) None
+        else {
+          val strict = f.path(strictKey).asBoolean(false)
+          val (lhs, rhs) =
+            if (numeric) (c.cast("double"), lit(v.asText().toDouble))
+            else (c.cast("string"), lit(v.asText()))
+          Some((lower, strict) match {
+            case (true, true)   => lhs > rhs
+            case (true, false)  => lhs >= rhs
+            case (false, true)  => lhs < rhs
+            case (false, false) => lhs <= rhs
+          })
+        }
+      }
+      val sides = side("lower", "lowerStrict", lower = true).toSeq ++
+        side("upper", "upperStrict", lower = false).toSeq
+      if (sides.isEmpty) fail("bound filter with neither lower nor upper")
+      sides.reduce(_ && _)
+    case "range" =>
+      val c = col(f.path("column").asText())
+      val numeric = f.path("matchValueType").asText("STRING") match {
+        case "LONG" | "DOUBLE" | "FLOAT" => true
+        case _                           => false
+      }
+      def side(key: String, openKey: String, lower: Boolean): Option[Column] = {
+        val v = f.path(key)
+        if (v.isMissingNode || v.isNull) None
+        else {
+          val open = f.path(openKey).asBoolean(false)
+          val (lhs, rhs) =
+            if (numeric) (c.cast("double"), lit(v.asDouble()))
+            else (c.cast("string"), lit(v.asText()))
+          Some((lower, open) match {
+            case (true, true)   => lhs > rhs
+            case (true, false)  => lhs >= rhs
+            case (false, true)  => lhs < rhs
+            case (false, false) => lhs <= rhs
+          })
+        }
+      }
+      val sides = side("lower", "lowerOpen", lower = true).toSeq ++
+        side("upper", "upperOpen", lower = false).toSeq
+      if (sides.isEmpty) fail("range filter with neither lower nor upper")
+      sides.reduce(_ && _)
+    case "like" =>
+      col(f.path("dimension").asText()).like(f.path("pattern").asText())
+    case "regex" =>
+      col(f.path("dimension").asText()).rlike(f.path("pattern").asText())
+    case "search" =>
+      searchPredicate(col(f.path("dimension").asText()), f.path("query"))
+    case "null" =>
+      col(f.path("column").asText()).isNull
+    case "interval" =>
+      val d = col(f.path("dimension").asText())
+      f.path("intervals").elements().asScala.map { iv =>
+        iv.asText().split('/') match {
+          case Array(a, b) =>
+            d >= lit(Timestamp.from(parseInstant(a))) &&
+              d < lit(Timestamp.from(parseInstant(b)))
+          case _ => fail(s"interval '${iv.asText()}'")
+        }
+      }.reduceOption(_ || _).getOrElse(fail("interval filter with no intervals"))
+    case "and" =>
+      f.path("fields").elements().asScala.map(compileFilter).reduce(_ && _)
+    case "or" =>
+      f.path("fields").elements().asScala.map(compileFilter).reduce(_ || _)
+    case "not" =>
+      !compileFilter(f.path("field"))
+    case "expression" =>
+      expr(f.path("expression").asText())
+    case other => fail(s"filter type '$other'")
+  }
+
+  /** The search-query sub-object shared by the search filter and the
+    * search query type.
+    */
+  private def searchPredicate(c: Column, qn: JsonNode): Column =
+    qn.path("type").asText() match {
+      case "insensitive_contains" =>
+        lower(c).contains(lower(lit(qn.path("value").asText())))
+      case "contains" =>
+        if (qn.path("caseSensitive").asBoolean(true))
+          c.contains(lit(qn.path("value").asText()))
+        else lower(c).contains(lower(lit(qn.path("value").asText())))
+      case "fragment" =>
+        val cs = qn.path("caseSensitive").asBoolean(true)
+        textSeq(qn.path("values"))
+          .map(v => if (cs) c.contains(lit(v)) else lower(c).contains(lower(lit(v))))
+          .reduceOption(_ && _)
+          .getOrElse(fail("fragment search with no values"))
+      case other => fail(s"search query type '$other'")
+    }
+
+  // ---- virtual columns ---------------------------------------------------
+
+  private def withVirtualColumns(df: DataFrame, q: JsonNode): DataFrame = {
+    val vcs = q.path("virtualColumns")
+    if (vcs.isMissingNode || vcs.isNull) df
+    else vcs.elements().asScala.foldLeft(df) { (d, vc) =>
+      vc.path("type").asText() match {
+        case "expression" =>
+          d.withColumn(vc.path("name").asText(), expr(vc.path("expression").asText()))
+        case other => fail(s"virtualColumn type '$other'")
+      }
+    }
+  }
+
+  // ---- granularity -------------------------------------------------------
+
+  private val periodUnits = Map(
+    "PT1S" -> "second", "PT1M" -> "minute", "PT1H" -> "hour",
+    "P1D" -> "day", "P1W" -> "week", "P1M" -> "month",
+    "P3M" -> "quarter", "P1Y" -> "year")
+
+  private val simpleUnits =
+    Set("second", "minute", "hour", "day", "week", "month", "quarter", "year")
+
+  /** None = granularity "all" (a single bucket). */
+  private def truncUnit(q: JsonNode): Option[String] = {
+    val g = q.path("granularity")
+    val name =
+      if (g.isMissingNode || g.isNull) "all"
+      else if (g.isTextual) g.asText()
+      else g.path("type").asText() match {
+        case "all" => "all"
+        case "period" =>
+          periodUnits.getOrElse(g.path("period").asText(),
+            fail(s"period granularity '${g.path("period").asText()}'"))
+        case other => fail(s"granularity type '$other'")
+      }
+    name match {
+      case "all"                          => None
+      case u if simpleUnits.contains(u)   => Some(u)
+      case other                          => fail(s"granularity '$other'")
+    }
+  }
+
+  private val unitStep = Map(
+    "second" -> "interval 1 second", "minute" -> "interval 1 minute",
+    "hour" -> "interval 1 hour", "day" -> "interval 1 day",
+    "week" -> "interval 7 day", "month" -> "interval 1 month",
+    "quarter" -> "interval 3 month", "year" -> "interval 1 year")
+
+  // ---- aggregations ------------------------------------------------------
+
+  /** (output name, aggregate column, fills-with-zero-on-empty-bucket). */
+  private case class Agg(name: String, column: Column, countLike: Boolean)
+
+  private def aggsOf(q: JsonNode): Seq[Agg] = {
+    val node = q.path("aggregations")
+    if (node.isMissingNode || node.isNull) Seq.empty
+    else node.elements().asScala.map(compileAgg(_, pred = None)).toSeq
+  }
+
+  private def compileAgg(a: JsonNode, pred: Option[Column]): Agg = {
+    val name = a.path("name").asText()
+    def field: Column = {
+      val c = col(a.path("fieldName").asText())
+      pred.fold(c)(p => when(p, c))
+    }
+    a.path("type").asText() match {
+      case "count" =>
+        Agg(name, pred.fold(count(lit(1)))(p => count(when(p, lit(1)))), countLike = true)
+      case "longSum"              => Agg(name, sum(field.cast("long")), countLike = false)
+      case "doubleSum" | "floatSum" => Agg(name, sum(field.cast("double")), countLike = false)
+      case "longMin"              => Agg(name, min(field.cast("long")), countLike = false)
+      case "longMax"              => Agg(name, max(field.cast("long")), countLike = false)
+      case "doubleMin" | "floatMin" => Agg(name, min(field.cast("double")), countLike = false)
+      case "doubleMax" | "floatMax" => Agg(name, max(field.cast("double")), countLike = false)
+      case "filtered" =>
+        if (pred.isDefined) fail("nested filtered aggregator")
+        val p = compileFilter(a.path("filter"))
+        val inner = compileAgg(a.path("aggregator"), pred = Some(p))
+        // Druid names a filtered aggregator by the INNER aggregator's
+        // name; an outer "name" (some clients set both) wins if present.
+        Agg(if (name.nonEmpty) name else inner.name, inner.column, inner.countLike)
+      case other => fail(s"aggregation type '$other'")
+    }
+  }
+
+  // ---- post-aggregations -------------------------------------------------
+
+  private def postAggsOf(q: JsonNode): Seq[(String, Column)] = {
+    val node = q.path("postAggregations")
+    if (node.isMissingNode || node.isNull) Seq.empty
+    else node.elements().asScala
+      .map(p => p.path("name").asText() -> compilePost(p)).toSeq
+  }
+
+  private def compilePost(p: JsonNode): Column = p.path("type").asText() match {
+    case "fieldAccess" | "finalizingFieldAccess" => col(p.path("fieldName").asText())
+    case "constant"   => lit(p.path("value").asDouble())
+    case "expression" => expr(p.path("expression").asText())
+    case "arithmetic" =>
+      val fields = p.path("fields").elements().asScala.map(compilePost).toSeq
+      if (fields.isEmpty) fail("arithmetic post-aggregator with no fields")
+      p.path("fn").asText() match {
+        case "+" => fields.reduce(_ + _)
+        case "-" => fields.reduce(_ - _)
+        case "*" => fields.reduce(_ * _)
+        // Druid's "/" yields 0 on division by zero; "quotient" is plain
+        // floating-point division (Inf/NaN allowed).
+        case "/" =>
+          fields.reduce((a, b) =>
+            when(b.cast("double") === 0.0, lit(0.0)).otherwise(a.cast("double") / b.cast("double")))
+        case "quotient" => fields.reduce(_.cast("double") / _.cast("double"))
+        case other      => fail(s"arithmetic fn '$other'")
+      }
+    case other => fail(s"post-aggregation type '$other'")
+  }
+
+  private def applyPost(df: DataFrame, q: JsonNode): DataFrame =
+    postAggsOf(q).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  // ---- dimension specs ---------------------------------------------------
+
+  /** (source column, output name). */
+  private def dimensionSpec(d: JsonNode): (Column, String) =
+    if (d.isTextual) (col(d.asText()), d.asText())
+    else d.path("type").asText() match {
+      case "default" =>
+        val dim = d.path("dimension").asText()
+        val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
+        (col(dim), out)
+      case other => fail(s"dimension spec type '$other'")
+    }
+
+  // ---- query types -------------------------------------------------------
+
+  private def timeseries(base: DataFrame, q: JsonNode): DataFrame = {
+    val aggs = aggsOf(q)
+    if (aggs.isEmpty) fail("timeseries with no aggregations")
+    val aggCols = aggs.map(a => a.column.as(a.name))
+    truncUnit(q) match {
+      case None =>
+        applyPost(base.agg(aggCols.head, aggCols.tail: _*), q)
+      case Some(unit) =>
+        val grouped = base
+          .groupBy(date_trunc(unit, col("__time")).as("__time"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val skipEmpty = q.path("context").path("skipEmptyBuckets").asBoolean(false)
+        val ivs = intervalsOf(q)
+        val filled =
+          if (skipEmpty || ivs.size != 1) grouped
+          else {
+            // Bucket spine: granularity-aligned from trunc(start), end-
+            // exclusive. Left join + identity fill = Druid's default
+            // dense timeseries (count-family 0, value aggregates NULL).
+            val (start, end) = ivs.head
+            val spine = base.sparkSession.range(1).select(
+              explode(sequence(
+                date_trunc(unit, lit(Timestamp.from(start))),
+                lit(Timestamp.from(end)),
+                expr(unitStep(unit)))).as("__time"))
+              .filter(col("__time") < lit(Timestamp.from(end)))
+            spine.join(grouped, Seq("__time"), "left").select(
+              col("__time") +: aggs.map(a =>
+                if (a.countLike) coalesce(col(a.name), lit(0L).cast("long")).as(a.name)
+                else col(a.name)): _*)
+          }
+        val ordered = applyPost(filled, q)
+        if (q.path("descending").asBoolean(false)) ordered.orderBy(col("__time").desc)
+        else ordered.orderBy(col("__time"))
+    }
+  }
+
+  private def topN(base: DataFrame, q: JsonNode): DataFrame = {
+    val (dimCol, outName) = dimensionSpec(q.path("dimension"))
+    val threshold = q.path("threshold").asInt()
+    if (threshold <= 0) fail("topN threshold <= 0")
+    val aggs = aggsOf(q)
+    if (aggs.isEmpty) fail("topN with no aggregations")
+    val aggCols = aggs.map(a => a.column.as(a.name))
+    val grouped = applyPost(
+      base.groupBy(dimCol.as(outName)).agg(aggCols.head, aggCols.tail: _*), q)
+    val metric = q.path("metric")
+    val order: Seq[Column] =
+      if (metric.isTextual) Seq(col(metric.asText()).desc, col(outName).asc)
+      else metric.path("type").asText() match {
+        case "numeric" => Seq(col(metric.path("metric").asText()).desc, col(outName).asc)
+        case "inverted" =>
+          val inner = metric.path("metric")
+          val m = if (inner.isTextual) inner.asText() else inner.path("metric").asText()
+          Seq(col(m).asc, col(outName).asc)
+        case "dimension" | "lexicographic" => Seq(col(outName).asc)
+        case other => fail(s"topN metric type '$other'")
+      }
+    grouped.orderBy(order: _*).limit(threshold)
+  }
+
+  private def groupByQuery(base: DataFrame, q: JsonNode): DataFrame = {
+    val dims = q.path("dimensions").elements().asScala.map(dimensionSpec).toSeq
+    if (dims.isEmpty) fail("groupBy with no dimensions (use timeseries)")
+    val aggs = aggsOf(q)
+    val aggCols = aggs.map(a => a.column.as(a.name))
+    val unit = truncUnit(q)
+    val keys = unit.map(u => date_trunc(u, col("__time")).as("__time")).toSeq ++
+      dims.map { case (c, n) => c.as(n) }
+    val grouped0 = base.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+    val grouped = applyPost(grouped0, q)
+    val havingNode = q.path("having")
+    val held =
+      if (havingNode.isMissingNode || havingNode.isNull) grouped
+      else grouped.filter(compileHaving(havingNode))
+    val dimNames = unit.map(_ => "__time").toSeq ++ dims.map(_._2)
+    val limitSpec = q.path("limitSpec")
+    if (limitSpec.isMissingNode || limitSpec.isNull)
+      held.orderBy(dimNames.map(col): _*)
+    else {
+      val cols = limitSpec.path("columns").elements().asScala.map { c =>
+        if (c.isTextual) col(c.asText()).asc
+        else {
+          val base = col(c.path("dimension").asText())
+          if (c.path("direction").asText("ascending") == "descending") base.desc
+          else base.asc
+        }
+      }.toSeq
+      val named = limitSpec.path("columns").elements().asScala.map { c =>
+        if (c.isTextual) c.asText() else c.path("dimension").asText()
+      }.toSet
+      val tieBreak = dimNames.filterNot(named).map(col(_).asc)
+      val sorted = held.orderBy(cols ++ tieBreak: _*)
+      val lim = limitSpec.path("limit")
+      if (lim.isMissingNode || lim.isNull) sorted else sorted.limit(lim.asInt())
+    }
+  }
+
+  private def compileHaving(h: JsonNode): Column = h.path("type").asText() match {
+    case "greaterThan" => col(h.path("aggregation").asText()) > lit(h.path("value").asDouble())
+    case "lessThan"    => col(h.path("aggregation").asText()) < lit(h.path("value").asDouble())
+    case "equalTo"     => col(h.path("aggregation").asText()) === lit(h.path("value").asDouble())
+    case "and" => h.path("havingSpecs").elements().asScala.map(compileHaving).reduce(_ && _)
+    case "or"  => h.path("havingSpecs").elements().asScala.map(compileHaving).reduce(_ || _)
+    case "not" => !compileHaving(h.path("havingSpec"))
+    case "filter" => compileFilter(h.path("filter"))
+    case other => fail(s"having type '$other'")
+  }
+
+  private def scan(base: DataFrame, q: JsonNode): DataFrame = {
+    val colsNode = q.path("columns")
+    val projected =
+      if (colsNode.isMissingNode || colsNode.isNull || !colsNode.elements().hasNext) base
+      else base.select(textSeq(colsNode).map(col): _*)
+    val ordered = q.path("order").asText("none") match {
+      case "none"       => projected
+      case "ascending"  => projected.orderBy(col("__time").asc)
+      case "descending" => projected.orderBy(col("__time").desc)
+      case other        => fail(s"scan order '$other'")
+    }
+    val off = q.path("offset")
+    val shifted = if (off.isMissingNode || off.isNull) ordered else ordered.offset(off.asInt())
+    val lim = q.path("limit")
+    if (lim.isMissingNode || lim.isNull) shifted else shifted.limit(lim.asInt())
+  }
+
+  private def search(base: DataFrame, q: JsonNode): DataFrame = {
+    val dims = textSeq(q.path("searchDimensions"))
+    if (dims.isEmpty) fail("search with no searchDimensions")
+    val qn = q.path("query")
+    val perDim = dims.map { d =>
+      // Multi-value (array) dimensions explode to per-value rows first —
+      // Druid's search counts value occurrences the same way.
+      val isArray = base.schema.fields.exists(f =>
+        f.name == d && f.dataType.isInstanceOf[ArrayType])
+      val values =
+        if (isArray) base.select(explode(col(d)).as("value"))
+        else base.select(col(d).cast("string").as("value"))
+      values.filter(searchPredicate(col("value"), qn))
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("count"))
+        .select(lit(d).as("dimension"), col("value"), col("count"))
+    }
+    val all = perDim.reduce(_.unionAll(_)).orderBy(col("dimension"), col("value"))
+    val lim = q.path("limit")
+    if (lim.isMissingNode || lim.isNull) all else all.limit(lim.asInt())
+  }
+
+  private def timeBoundary(base: DataFrame, q: JsonNode): DataFrame =
+    q.path("bound").asText("") match {
+      case "minTime" => base.agg(min(col("__time")).as("minTime"))
+      case "maxTime" => base.agg(max(col("__time")).as("maxTime"))
+      case "" =>
+        base.agg(min(col("__time")).as("minTime"), max(col("__time")).as("maxTime"))
+      case other => fail(s"timeBoundary bound '$other'")
+    }
+}

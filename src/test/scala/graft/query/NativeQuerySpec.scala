@@ -1,0 +1,246 @@
+package graft.query
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the Druid native-query JSON compiler. The resolver is
+  * just name→DataFrame, so most tests run over in-memory frames; the
+  * last tests prove that a compiled query over a real segment table
+  * flows into the DSv2 scan's pushdowns (interval pruning, dictionary
+  * filters, metadata time bounds) — the compiler emits declarative
+  * plans, it never executes anything itself.
+  */
+class NativeQuerySpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** 8 rows, 4 days, two event types, a multi-value tags column. */
+  private lazy val events: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("2024-01-01 01:00:00", "click", 1L, 10.0, Seq("a", "b")),
+      ("2024-01-01 02:00:00", "view", 2L, 20.0, Seq("b")),
+      ("2024-01-02 01:00:00", "click", 3L, 30.0, Seq("a")),
+      ("2024-01-02 02:00:00", "click", 1L, 40.0, Seq("c")),
+      ("2024-01-03 01:00:00", "view", 2L, 50.0, Seq("a", "c")),
+      ("2024-01-03 02:00:00", "view", 3L, 60.0, Seq("b")),
+      ("2024-01-05 01:00:00", "click", 4L, 70.0, Seq("a")),
+      ("2024-01-05 02:00:00", "error", 4L, 80.0, Seq("d")))
+      .toDF("t", "event_type", "user_id", "value", "tags")
+      .select(to_timestamp(col("t")).as("__time"), col("event_type"),
+              col("user_id"), col("value"), col("tags"))
+  }
+
+  private def run(json: String): DataFrame =
+    NativeQuery.run(json, _ => events)
+
+  test("timeseries: day buckets, filter, filtered agg, post-agg, fill") {
+    val out = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "day",
+      "intervals": ["2024-01-01T00:00:00.000Z/2024-01-06T00:00:00.000Z"],
+      "filter": {"type": "in", "dimension": "event_type",
+                 "values": ["click", "view"]},
+      "aggregations": [
+        {"type": "count", "name": "n"},
+        {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        {"type": "filtered", "filter":
+          {"type": "selector", "dimension": "event_type", "value": "click"},
+         "aggregator": {"type": "count", "name": "n_click"}}],
+      "postAggregations": [
+        {"type": "arithmetic", "name": "avg", "fn": "/",
+         "fields": [{"type": "fieldAccess", "fieldName": "total"},
+                    {"type": "fieldAccess", "fieldName": "n"}]}]
+    }""").collect()
+    // 5 day buckets (fill: Jan 4 has no rows; Jan 5's error row filtered)
+    assert(out.length == 5)
+    val jan1 = out(0)
+    assert(jan1.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    assert(jan1.getLong(1) == 2 && jan1.getDouble(2) == 30.0 &&
+      jan1.getLong(3) == 1 && jan1.getDouble(4) == 15.0)
+    val jan4 = out(3)
+    assert(jan4.getLong(1) == 0, "count fills with 0")
+    assert(jan4.isNullAt(2), "sum fills with null")
+    assert(jan4.getDouble(4) == 0.0, "post-agg / by zero-count is 0 (Druid rule)")
+  }
+
+  test("timeseries: skipEmptyBuckets drops the empty day; descending orders") {
+    val out = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1D"},
+      "descending": true,
+      "context": {"skipEmptyBuckets": true},
+      "intervals": ["2024-01-01T00:00:00.000Z/2024-01-06T00:00:00.000Z"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(out.length == 4)
+    assert(out.head.getTimestamp(0) == ts("2024-01-05 00:00:00"))
+  }
+
+  test("timeseries: granularity all returns the single aggregate row") {
+    val out = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "aggregations": [{"type": "longSum", "name": "s", "fieldName": "value"},
+                       {"type": "doubleMax", "name": "mx", "fieldName": "value"}]
+    }""").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 360L &&
+      out.head.getDouble(1) == 80.0)
+  }
+
+  test("topN: numeric metric descending with dimension tie-break; inverted flips") {
+    val json = """{
+      "queryType": "topN", "dataSource": "events",
+      "dimension": "event_type", "threshold": 2, "granularity": "all",
+      "metric": %s,
+      "aggregations": [{"type": "doubleSum", "name": "total", "fieldName": "value"}]
+    }"""
+    val top = run(json.format(""""total"""")).collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("click", "view"))
+    assert(top.head.getDouble(1) == 150.0)
+    val inv = run(json.format("""{"type": "inverted", "metric": "total"}""")).collect()
+    assert(inv.map(_.getString(0)).toSeq == Seq("error", "view"))
+  }
+
+  test("groupBy: virtual column, having, limitSpec ordering") {
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "odd_user",
+                          "expression": "user_id % 2"}],
+      "dimensions": ["event_type",
+        {"type": "default", "dimension": "odd_user", "outputName": "odd"}],
+      "aggregations": [{"type": "count", "name": "n"},
+                       {"type": "longMax", "name": "mx", "fieldName": "user_id"}],
+      "having": {"type": "greaterThan", "aggregation": "n", "value": 1},
+      "limitSpec": {"type": "default", "limit": 10, "columns":
+        [{"dimension": "n", "direction": "descending"}]}
+    }""").collect()
+    // groups with n>1: (click,1)=2 rows [users 1,3? no — odd: 1,3,1 → (click,odd=1) n=3], (view,0) n=1...
+    // recompute: click users 1,3,1,4 → odd 1,1,1,0; view users 2,3,2 → odd 0,1,0; error 4 → 0
+    // (click,1) n=3; (view,0) n=2; others n=1 → kept: those two, desc by n
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("click", 1L, 3L), ("view", 0L, 2L)))
+    assert(out.head.getLong(3) == 3L)
+  }
+
+  test("groupBy with granularity buckets __time as a leading key") {
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "day",
+      "dimensions": ["event_type"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(out.length == 6) // (day,type) pairs with rows, dim-sorted
+    assert(out.head.getTimestamp(0) == ts("2024-01-01 00:00:00") &&
+      out.head.getString(1) == "click")
+  }
+
+  test("scan: columns, bound filter, order, offset, limit") {
+    val out = run("""{
+      "queryType": "scan", "dataSource": "events",
+      "columns": ["__time", "value"],
+      "filter": {"type": "bound", "dimension": "value", "lower": "20",
+                 "lowerStrict": true, "ordering": "numeric"},
+      "order": "descending", "offset": 1, "limit": 3
+    }""").collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(70.0, 60.0, 50.0))
+  }
+
+  test("search: insensitive_contains over string and multi-value dims") {
+    val out = run("""{
+      "queryType": "search", "dataSource": "events",
+      "searchDimensions": ["event_type", "tags"],
+      "query": {"type": "insensitive_contains", "value": "C"}
+    }""").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("event_type", "click", 4L), ("tags", "c", 2L)))
+  }
+
+  test("timeBoundary: both bounds and single-bound variants") {
+    val both = run("""{"queryType": "timeBoundary", "dataSource": "events"}""")
+      .collect().head
+    assert(both.getTimestamp(0) == ts("2024-01-01 01:00:00"))
+    assert(both.getTimestamp(1) == ts("2024-01-05 02:00:00"))
+    val mx = run("""{"queryType": "timeBoundary", "dataSource": "events",
+                     "bound": "maxTime"}""").collect().head
+    assert(mx.getTimestamp(0) == ts("2024-01-05 02:00:00"))
+  }
+
+  test("filter zoo: like, regex, fragment, null, interval, not/or, expression") {
+    def n(filter: String): Long = run(s"""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all", "filter": $filter,
+      "aggregations": [{"type": "count", "name": "n"}]}""")
+      .collect().head.getLong(0)
+    assert(n("""{"type": "like", "dimension": "event_type", "pattern": "%ick"}""") == 4)
+    assert(n("""{"type": "regex", "dimension": "event_type", "pattern": "^(view|error)$"}""") == 4)
+    assert(n("""{"type": "search", "dimension": "event_type",
+                 "query": {"type": "fragment", "values": ["ie", "w"]}}""") == 3)
+    assert(n("""{"type": "not", "field":
+                 {"type": "selector", "dimension": "event_type", "value": "click"}}""") == 4)
+    assert(n("""{"type": "or", "fields": [
+                 {"type": "selector", "dimension": "event_type", "value": "error"},
+                 {"type": "equals", "column": "user_id", "matchValueType": "LONG",
+                  "matchValue": 2}]}""") == 3)
+    assert(n("""{"type": "interval", "dimension": "__time", "intervals":
+                 ["2024-01-02T00:00:00Z/2024-01-03T00:00:00Z"]}""") == 2)
+    assert(n("""{"type": "expression", "expression": "value > 50 AND user_id = 4"}""") == 2)
+    assert(n("""{"type": "range", "column": "value", "matchValueType": "DOUBLE",
+                 "lower": 30, "upper": 60, "upperOpen": true}""") == 3)
+  }
+
+  test("unsupported constructs fail loudly, not silently wrong") {
+    intercept[IllegalArgumentException](run("""{"queryType": "segmentMetadata",
+      "dataSource": "events"}"""))
+    intercept[IllegalArgumentException](run("""{"queryType": "timeseries",
+      "dataSource": "events", "granularity": "all",
+      "filter": {"type": "spatial", "dimension": "x"},
+      "aggregations": [{"type": "count", "name": "n"}]}"""))
+    intercept[IllegalArgumentException](run("""{"queryType": "timeseries",
+      "dataSource": "events", "granularity": "all",
+      "aggregations": [{"type": "cardinality", "name": "n"}]}"""))
+  }
+
+  test("native filters reach the druid scan's pushdowns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-nq").toString + "/t"
+    (0 until 1000).map(i => (1704067200000L + i * 3600000L,
+      if (i % 3 == 0) "click" else "view", i.toLong))
+      .toDF("__time", "event_type", "user_id").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir)
+
+    val df = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "t",
+      "granularity": "all",
+      "context": {"skipEmptyBuckets": true},
+      "intervals": ["2024-01-01T00:00:00.000Z/2024-01-08T00:00:00.000Z"],
+      "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""", _ => spark.read.format("druid").load(dir))
+    assert(df.collect().head.getLong(0) == 56) // i in [0,168) with i%3==0
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dimFilters=") && plan.contains("click"),
+      s"selector filter did not reach the scan:\n$plan")
+    assert(plan.contains("time=[1704067200000,"),
+      s"interval did not reach the scan's time bounds:\n$plan")
+  }
+
+  test("native timeBoundary answers from segment metadata (no decode)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-nqtb").toString + "/t"
+    (0 until 100).map(i => (1704067200000L + i * 1000L, i.toLong))
+      .toDF("__time", "n").coalesce(1)
+      .write.format("druid").mode("overwrite").save(dir)
+    val df = NativeQuery.run(
+      """{"queryType": "timeBoundary", "dataSource": "t"}""",
+      _ => spark.read.format("druid").load(dir))
+    assert(df.collect().head.getTimestamp(0).getTime == 1704067200000L)
+    // complete min/max(__time) pushdown: no Spark-side HashAggregate
+    assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"),
+      "timeBoundary should answer from interval metadata")
+  }
+}
