@@ -358,5 +358,38 @@ object StreamingQueries extends QuerySet {
               round(sum(value), 2) AS total_value
               FROM events WHERE user_id < 200
               GROUP BY user_id ORDER BY user_id""")),
+
+    // TTL'd streaming dedup: dropDuplicatesWithinWatermark keeps dedup
+    // state only until the watermark passes it — the bounded-state
+    // variant of s4's dropDuplicates, whose state otherwise grows with
+    // every key ever seen (the thing that falls over at 100 TB). The
+    // dedup key embeds the event-time day, so duplicate copies of a key
+    // are at most 24 h apart in event time; with a 2-day delay over the
+    // time-ordered drop dir, no copy arrives after its key's state
+    // expired, and the emitted set is EXACTLY the batch distinct
+    // (StreamingSpec additionally pins that state rows get evicted
+    // mid-run). Watermark = expected lateness, NOT the corpus span.
+    Q("s9_stream_dedup_ttl",
+      (s, dir) => {
+        val in = stageOrderedDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s9_out_${nameCounter.incrementAndGet()}"
+        val q = StreamingOps.parquetStream(s, in, schema,
+            maxFilesPerTrigger = Some(1))
+          .withColumn("day", date_trunc("day", col("ts")))
+          .withWatermark("ts", "2 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(table)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(300000)
+        s.table(table).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_unique"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n_unique FROM (
+                SELECT DISTINCT event_type, user_id,
+                       date_trunc('day', ts) AS day FROM events)
+              GROUP BY event_type ORDER BY event_type""")),
   )
 }

@@ -108,6 +108,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ssjoin_out").count() == expected)
   }
 
+  test("TTL'd dedup: watermark evicts state mid-run, result is exact distinct") {
+    // time-ordered drop dir (ascending mtimes), one file per micro-batch
+    val dir = Files.createTempDirectory("graft-ttl-dedup").toString
+    val batch = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    batch.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingOps.parquetStream(spark, dir, schema,
+        maxFilesPerTrigger = Some(1))
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ttl_dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // exact: emitted rows = batch distinct (user, type, day) keys
+    val expected = batch
+      .select(col("user_id"), col("event_type"),
+              date_trunc("day", col("ts")).as("day"))
+      .distinct().count()
+    assert(spark.table("ttl_dedup_out").count() == expected)
+    // bounded: the 2-day watermark must evict dedup state mid-run —
+    // peak state well under the total key count (s4's plain
+    // dropDuplicates would hold every key ever seen)
+    val progress = q.recentProgress.toSeq
+    val removed = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "watermark never evicted any dedup state")
+    val peak = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsTotal).max
+    assert(peak < expected,
+      s"state never shrank: peak $peak vs $expected distinct keys")
+  }
+
   test("micro-batch segment ingest lands queryable druid segments") {
     val (dir, batch) = stageEvents()
     val schema = spark.read.parquet(dir).schema
