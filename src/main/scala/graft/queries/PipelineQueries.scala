@@ -36,6 +36,27 @@ object PipelineQueries extends QuerySet {
        |         WHEN 2 THEN 16777216 ELSE 68719476736 END) AS BIGINT) AS sig
        |  FROM mh GROUP BY doc_id, j // 4)""".stripMargin
 
+  /** Decontamination semantics shared by d10 (exact broadcast) and d22
+    * (Bloom-prefiltered): the Bloom path has no false negatives and
+    * exact-confirms its false positives away, so BOTH queries must
+    * hash-match this one oracle.
+    */
+  private val decontamOracle =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tri AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)),
+      |test AS (SELECT DISTINCT g FROM tri WHERE doc_id % 50 = 0),
+      |train AS (SELECT * FROM tri WHERE doc_id % 50 <> 0),
+      |tot AS (SELECT doc_id, count(*) AS total FROM train GROUP BY 1),
+      |sh AS (SELECT t.doc_id, count(*) AS shared
+      |       FROM train t JOIN test te USING (g) GROUP BY 1)
+      |SELECT s.doc_id, shared, total,
+      |  round(shared * CAST(1 AS DOUBLE) / total, 4) AS frac
+      |FROM sh s JOIN tot USING (doc_id)
+      |WHERE shared * CAST(1 AS DOUBLE) / total >= 0.05
+      |ORDER BY doc_id""".stripMargin
+
   private val ivfOracle: String =
     """WITH e AS (SELECT vec_id, embedding,
               |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
@@ -381,20 +402,7 @@ object PipelineQueries extends QuerySet {
                   round(col("shared") / col("total"), 4).as("frac"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-              |tri AS (
-              |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
-              |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM w)),
-              |test AS (SELECT DISTINCT g FROM tri WHERE doc_id % 50 = 0),
-              |train AS (SELECT * FROM tri WHERE doc_id % 50 <> 0),
-              |tot AS (SELECT doc_id, count(*) AS total FROM train GROUP BY 1),
-              |sh AS (SELECT t.doc_id, count(*) AS shared
-              |       FROM train t JOIN test te USING (g) GROUP BY 1)
-              |SELECT s.doc_id, shared, total,
-              |  round(shared * CAST(1 AS DOUBLE) / total, 4) AS frac
-              |FROM sh s JOIN tot USING (doc_id)
-              |WHERE shared * CAST(1 AS DOUBLE) / total >= 0.05
-              |ORDER BY doc_id""".stripMargin)),
+      Some(decontamOracle)),
 
     // Gopher-style repetition signals, computed per row with array
     // expressions only — no explode, no shuffle, the whole thing is one
@@ -873,6 +881,116 @@ object PipelineQueries extends QuerySet {
              |  min(a2.vec_id) AS min_vec, max(a2.vec_id) AS max_vec
              |FROM a2 JOIN a1 USING (vec_id)
              |GROUP BY a2.cell2 ORDER BY a2.cell2""".stripMargin)),
+
+    // Incremental dedup: admit an incoming batch (doc_id % 10 == 0
+    // stands in for today's crawl) against the EXISTING corpus without
+    // ever re-hashing the corpus — the nightly-ingest shape at 100 TB.
+    // The corpus side comes from the persisted LSH band index
+    // (lshBandsDir, the build half of the build/serve split); only the
+    // new batch computes signatures, candidate generation is the
+    // band-bucketed equi-join of batch bands against the index, and
+    // the exact-Jaccard confirm touches candidate docs only (semi-join
+    // restriction). Per batch doc: candidate count, best confirmed
+    // jaccard vs the corpus, and the admit/reject decision at 0.5.
+    // Within-batch duplicates are deliberately out of scope here
+    // (that's d1/d2 run on the batch alone).
+    Q("d21_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val idx = s.read.parquet(lshBandsDir(s, dir))
+          .filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id").as("d1"), col("band"), col("sig"))
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val batchBands = TextOps.bandSignaturesDirect(batch, 16, 4)
+          .select(col("doc_id").as("d2"), col("band"), col("sig"))
+        val cand = batchBands.join(idx, Seq("band", "sig"))
+          .select("d1", "d2").distinct()
+        val candDocs = cand.select(col("d1").as("doc_id"))
+          .union(cand.select(col("d2").as("doc_id")))
+        val scored = TextOps.exactJaccardDirect(
+          docs.join(candDocs, Seq("doc_id"), "left_semi"), cand)
+        val per = scored.groupBy(col("d2").as("doc_id"))
+          .agg(count(lit(1)).as("n_cand"), max(col("jaccard")).as("best_j"))
+        batch.filter(length(col("text")) >= 5).select("doc_id")
+          .join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            round(coalesce(col("best_j"), lit(0.0)), 4).as("best_j"),
+            when(coalesce(col("best_j"), lit(0.0)) >= 0.5, 0L).otherwise(1L)
+              .as("admitted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckGrams, ${duckParams(16)}, $duckBands,
+               |cand AS (
+               |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+               |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+               |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+               |inter AS (
+               |  SELECT d1, d2, count(*) AS ic
+               |  FROM cand JOIN tri t1 ON d1 = t1.doc_id
+               |            JOIN tri t2 ON d2 = t2.doc_id AND t1.tg = t2.tg
+               |  GROUP BY d1, d2),
+               |scored AS (
+               |  SELECT d1, d2,
+               |    round(ic * CAST(1 AS DOUBLE) / (s1.sz + s2.sz - ic), 4) AS j
+               |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+               |             JOIN sizes s2 ON d2 = s2.doc_id),
+               |per AS (
+               |  SELECT c.d2 AS doc_id, count(*) AS n_cand,
+               |         max(coalesce(s.j, 0)) AS best_j
+               |  FROM cand c LEFT JOIN scored s ON c.d1 = s.d1 AND c.d2 = s.d2
+               |  GROUP BY c.d2)
+               |SELECT b.doc_id,
+               |  CAST(coalesce(p.n_cand, 0) AS BIGINT) AS n_cand,
+               |  round(coalesce(p.best_j, 0), 4) AS best_j,
+               |  CAST(CASE WHEN coalesce(p.best_j, 0) >= 0.5 THEN 0 ELSE 1 END
+               |       AS BIGINT) AS admitted
+               |FROM (SELECT doc_id FROM documents
+               |      WHERE doc_id % 10 = 0 AND length(text) >= 5) b
+               |LEFT JOIN per p USING (doc_id)
+               |ORDER BY b.doc_id""".stripMargin)),
+
+    // Bloom-prefiltered decontamination: same semantics (and the SAME
+    // oracle) as d10, but the scale shape for when the reference set's
+    // exact gram table is too big to broadcast: build an ~8-bits/key
+    // Bloom filter with Spark's own BloomFilterAggregate (a scalar
+    // subquery — one distributed aggregate, a few-KB blob out), probe
+    // it map-side at the scan (`bloom_might` over xxhash64, no false
+    // negatives), and exact-confirm only the surviving fraction to
+    // strip false positives. The train-side explode never shuffles a
+    // row the Bloom can reject.
+    Q("d22_bloom_decontaminate",
+      (s, dir) => {
+        graft.sql.WordNgrams.register(s)
+        graft.sql.BloomFns.register(s)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr("word_ngrams(text, 3)").as("tris"))
+          .filter(size(col("tris")) > 0)
+          .createOrReplaceTempView("graft_d22_docs")
+        s.sql("""
+          WITH test AS (
+            SELECT DISTINCT explode(tris) AS g
+            FROM graft_d22_docs WHERE doc_id % 50 = 0),
+          train AS (
+            SELECT doc_id, CAST(size(tris) AS BIGINT) AS total,
+                   explode(tris) AS g
+            FROM graft_d22_docs WHERE doc_id % 50 != 0),
+          pre AS (
+            SELECT * FROM train
+            WHERE bloom_might(
+              (SELECT bloom_agg(xxhash64(g), 4096L, 32768L) FROM test),
+              xxhash64(g))),
+          sh AS (
+            SELECT doc_id, total, count(*) AS shared
+            FROM pre JOIN test USING (g)
+            GROUP BY doc_id, total)
+          SELECT doc_id, shared, total, round(shared / total, 4) AS frac
+          FROM sh WHERE shared / total >= 0.05
+          ORDER BY doc_id
+        """)
+      },
+      Some(decontamOracle)),
 
     // ---- similarity search over embeddings ----
 
