@@ -748,9 +748,11 @@ object PipelineQueries extends QuerySet {
     // outputs are hash-exact.
     Q("d18_neardup_components",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
+        // candidate edges start from the PERSISTED band index (same
+        // build/serve split as d2/d21) — clustering never re-hashes
+        // the corpus
         val cand = TextOps.lshCandidates(
-          TextOps.bandSignaturesDirect(docs, 16, 4))
+          s.read.parquet(lshBandsDir(s, dir)))
         graft.pipeline.Components.connectedComponents(cand)
           .groupBy(col("component"))
           .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))

@@ -29,6 +29,23 @@ object StreamingQueries extends QuerySet {
     rm(new java.io.File(path))
   }
 
+  /** Run `body` (which must START its streaming query before
+    * returning) with the state-store shuffle sized to the stream, not
+    * the session: a stateful operator pins one state store per shuffle
+    * partition PER MICRO-BATCH, and these queries' state is a few
+    * thousand rows — 4 partitions cuts the per-batch fixed cost 8x.
+    * The partition count is captured at query START, so the session
+    * conf can be restored as soon as `body` returns; at real scale this
+    * is `spark.sql.streaming.statePartitions` (or a right-sized
+    * session), the point being that state partitioning should track
+    * key cardinality, not batch-query parallelism.
+    */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
+    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** Stage events as a streaming drop directory (once per JVM). */
   private def stageDir(s: SparkSession, dir: String): String = synchronized {
     staged.getOrElseUpdate(dir, {
@@ -92,11 +109,13 @@ object StreamingQueries extends QuerySet {
         val in = stageDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s1_out_${nameCounter.incrementAndGet()}"
-        val q = StreamingOps.windowedAgg(
-            StreamingOps.parquetStream(s, in, schema), "1 day", "1 hour")
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(table)
-          .trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 4) {
+          StreamingOps.windowedAgg(
+              StreamingOps.parquetStream(s, in, schema), "1 day", "1 hour")
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination(300000)
         s.table(table)
           .select(col("window_start").cast("date").cast("string").as("day"),
@@ -181,13 +200,15 @@ object StreamingQueries extends QuerySet {
         val in = stageDocsDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s4_out_${nameCounter.incrementAndGet()}"
-        val q = StreamingOps.parquetStream(s, in, schema)
-          .withColumn("h", xxhash64(lower(col("text"))))
-          .dropDuplicates("source", "h")
-          .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(table)
-          .trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 4) {
+          StreamingOps.parquetStream(s, in, schema)
+            .withColumn("h", xxhash64(lower(col("text"))))
+            .dropDuplicates("source", "h")
+            .groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination(300000)
         s.table(table).select(col("source"), col("n_unique"))
           .orderBy(col("source"))
@@ -206,12 +227,14 @@ object StreamingQueries extends QuerySet {
         val in = stageDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s5_out_${nameCounter.incrementAndGet()}"
-        val q = StreamingOps.parquetStream(s, in, schema)
-          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-          .agg(count(lit(1)).as("n_events"))
-          .writeStream.outputMode("complete")
-          .format("memory").queryName(table)
-          .trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 4) {
+          StreamingOps.parquetStream(s, in, schema)
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination(300000)
         s.table(table)
           .groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
@@ -251,21 +274,13 @@ object StreamingQueries extends QuerySet {
         val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s6_out_${nameCounter.incrementAndGet()}"
-        // size the state-store shuffle to the stream, not the session:
-        // a stateful operator pins one state store per shuffle
-        // partition PER MICRO-BATCH, and this join's state is a few
-        // thousand rows — 4 partitions cuts the per-batch fixed cost
-        // 4x (the partition count is captured at query start, so the
-        // session conf restores immediately after)
-        val saved = s.conf.get("spark.sql.shuffle.partitions")
-        val q = try {
-          s.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = withStatePartitions(s, 4) {
           StreamingOps.clickPurchaseJoin(s, in, schema,
               lateness = "25 hours", maxFilesPerTrigger = Some(1))
             .writeStream.outputMode("append")
             .format("memory").queryName(table)
             .trigger(Trigger.AvailableNow()).start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+        }
         q.awaitTermination(300000)
         s.table(table)
           .agg(count(lit(1)).as("n_pairs"),
@@ -336,10 +351,12 @@ object StreamingQueries extends QuerySet {
         val ds = StreamingOps.parquetStream(s, in, schema)
           .select(col("user_id"), col("event_type"), col("value"))
           .as[StreamingOps.UserEvent]
-        val q = StreamingOps.runningUserTotals(ds)
-          .writeStream.outputMode("update")
-          .format("memory").queryName(table)
-          .trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 4) {
+          StreamingOps.runningUserTotals(ds)
+            .writeStream.outputMode("update")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination(300000)
         // update mode may emit a user several times; the LAST state per
         // user is the running total
@@ -374,14 +391,16 @@ object StreamingQueries extends QuerySet {
         val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s9_out_${nameCounter.incrementAndGet()}"
-        val q = StreamingOps.parquetStream(s, in, schema,
-            maxFilesPerTrigger = Some(1))
-          .withColumn("day", date_trunc("day", col("ts")))
-          .withWatermark("ts", "2 days")
-          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
-          .writeStream.outputMode("append")
-          .format("memory").queryName(table)
-          .trigger(Trigger.AvailableNow()).start()
+        val q = withStatePartitions(s, 4) {
+          StreamingOps.parquetStream(s, in, schema,
+              maxFilesPerTrigger = Some(1))
+            .withColumn("day", date_trunc("day", col("ts")))
+            .withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
         q.awaitTermination(300000)
         s.table(table).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n_unique"))
