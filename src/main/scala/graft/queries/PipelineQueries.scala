@@ -994,6 +994,56 @@ object PipelineQueries extends QuerySet {
       },
       Some(decontamOracle)),
 
+    // Model-based quality scoring — the fastText-inference shape that
+    // filters most modern pretraining corpora: a linear classifier over
+    // hashed n-gram features. The "learned" weight table is derived
+    // deterministically from the seed docs (doc_id < 100) so both
+    // engines replay it, but the PLUMBING is the real thing: a vocab
+    // weight table small enough to BROADCAST, per-doc feature sets from
+    // the one-pass native grams5_distinct (no corpus-wide distinct),
+    // map-side weight lookup, and one doc-keyed aggregate. Weights are
+    // INTEGERS and the score is a single end-of-pipe division, so
+    // cross-engine float summation order can never break the hash; the
+    // accept/reject label compares the exact integer sum.
+    Q("d23_quality_classifier",
+      (s, dir) => {
+        graft.sql.Grams5Distinct.register(s)
+        val docs = Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 5)
+          .select(col("doc_id"), expr("grams5_distinct(text)").as("g"))
+        val vocab = docs.filter(col("doc_id") < 100)
+          .select(explode(col("g")).as("tg")).distinct()
+          .withColumn("w",
+            (lit(7919L) * col("tg") + lit(104729L)) % lit(P) - lit((P - 1) / 2))
+        docs
+          .select(col("doc_id"), size(col("g")).cast("long").as("n_feats"),
+                  explode(col("g")).as("tg"))
+          .join(broadcast(vocab), Seq("tg"), "left")
+          .groupBy(col("doc_id"), col("n_feats"))
+          .agg(count(col("w")).as("n_known"),
+               coalesce(sum(col("w")), lit(0L)).as("sw"))
+          .select(col("doc_id"), col("n_feats"), col("n_known"),
+            round(col("sw").cast("double") /
+              (col("n_feats").cast("double") * lit(P.toDouble)), 6).as("score"),
+            when(col("sw") >= 0, 1L).otherwise(0L).as("label"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckGrams,
+               |vocab AS (
+               |  SELECT DISTINCT tg,
+               |    (7919 * tg + 104729) % $P - ${(P - 1) / 2} AS w
+               |  FROM tri WHERE doc_id < 100),
+               |per AS (
+               |  SELECT t.doc_id, count(*) AS n_feats, count(v.w) AS n_known,
+               |         coalesce(sum(v.w), 0) AS sw
+               |  FROM tri t LEFT JOIN vocab v USING (tg)
+               |  GROUP BY t.doc_id)
+               |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+               |  CAST(n_known AS BIGINT) AS n_known,
+               |  round(sw * CAST(1 AS DOUBLE) / (n_feats * $P.0), 6) AS score,
+               |  CAST(CASE WHEN sw >= 0 THEN 1 ELSE 0 END AS BIGINT) AS label
+               |FROM per ORDER BY doc_id""".stripMargin)),
+
     // ---- similarity search over embeddings ----
 
     // Brute-force cosine top-5 (ordered-fold dot products, bit-exact).
