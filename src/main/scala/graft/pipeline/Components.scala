@@ -59,21 +59,31 @@ object Components {
       .withColumn("component", col("u"))
       .repartition(parts, col("u"))
       .localCheckpoint()
+    // one-hop min propagation as a plan fragment: min over own and
+    // neighbors' labels; preserves any extra columns (prev)
+    def hop(lbl: DataFrame): DataFrame = {
+      val nbrMin = und
+        .join(lbl.select(col("u").as("v"), col("component")), "v")
+        .repartition(parts, col("u"))
+        .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
+      lbl.join(nbrMin, Seq("u"), "left")
+        .withColumn("component",
+          least(col("component"), coalesce(col("nbr_min"), col("component"))))
+        .drop("nbr_min")
+    }
     var iter = 0
     var done = false
     while (!done && iter < maxIter) {
-      val nbrMin = und
-        .join(labels.select(col("u").as("v"), col("component")), "v")
-        .repartition(parts, col("u"))
-        .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
-      // one-hop propagation: min over own and neighbors' labels.
-      // Checkpointed BEFORE the self-join below — both join sides read
-      // prop, and without materialization the edge join + min aggregate
-      // above would execute twice per round.
-      val prop = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), col("component").as("prev"),
-          least(col("component"),
-            coalesce(col("nbr_min"), col("component"))).as("component"))
+      // THREE hops per round before the pointer jump. The chain is one
+      // plan (no checkpoint between hops): at scale that triples
+      // per-round shuffle volume, but rounds — each a fixed-cost convoy
+      // of 3 driver actions — drop proportionally (measured 9 -> 4 at
+      // sf0.1), and on real near-dup graphs (many small components) the
+      // round count is what dominates. Checkpointed BEFORE the
+      // self-join below — both join sides read prop, and without
+      // materialization the hop chain above would execute twice per
+      // round.
+      val prop = hop(hop(hop(labels.withColumn("prev", col("component")))))
         .localCheckpoint()
       // pointer jump: adopt the label's OWN label (every label is a node
       // id inside the same component, so this stays in-component and
@@ -90,6 +100,8 @@ object Components {
       labels = next.select(col("u"), col("component"))
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      println(s"[cc] converged=$done after $iter rounds")
     if (done) labels.select(col("u").as("doc_id"), col("component"))
     // adversarial-diameter fallback: restart with the star alternation,
     // whose round count is O(log^2 n) regardless of graph shape

@@ -46,5 +46,11 @@ object GraftExtensions {
     ("dot_f", "dot_f(a, b) - ordered-fold dot product of array<float>",
       DotFloat.build),
     ("hplane_proj", "hplane_proj(embedding, j) - hyperplane-j projection",
-      HyperplaneProjection.build))
+      HyperplaneProjection.build),
+    ("bloom_agg",
+      "bloom_agg(hash, estimatedNumItems, numBits) - aggregate xxhash64 values into a Bloom filter",
+      BloomFns.buildAgg),
+    ("bloom_might",
+      "bloom_might(bloom, hash) - Bloom membership probe (no false negatives)",
+      BloomFns.buildMight))
 }

@@ -28,6 +28,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getBoolean(4) && r.getBoolean(5))
     assert(r.getDouble(6) == 11.0)
     assert(r.getBoolean(7))
+    val bloom = fresh.sql(
+      """WITH m AS (SELECT explode(sequence(0L, 99L)) AS k)
+        |SELECT count(*) FROM m
+        |WHERE NOT bloom_might(
+        |  (SELECT bloom_agg(xxhash64(k), 128L, 2048L) FROM m), xxhash64(k))
+        |""".stripMargin).head.getLong(0)
+    assert(bloom == 0L, s"$bloom false negatives through the extension path")
   }
 
   test("injected and temp-registered builders agree") {
