@@ -1421,5 +1421,38 @@ object PipelineQueries extends QuerySet {
               |  CAST(sum((2 + doc_id % 3) // 2) AS BIGINT) AS n_frames,
               |  CAST(16 AS INT) AS feat_dim
               |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Exact media dedup by content hash — the storage-dedup pass image/
+    // audio corpora run before any decode: group binary payloads by
+    // (xxhash64, byte length) so the exchange carries 12 bytes per
+    // payload, NEVER the media bytes (at 100 TB of images the payloads
+    // must stay in place; only hashes travel). Reports the per-lang
+    // dedup ledger: total payloads, unique payloads, bytes reclaimable
+    // by keeping one copy per group. The oracle groups by the payload's
+    // SOURCE text (this corpus is ASCII, so strlen == byte length —
+    // the same invariant m1's oracle already uses): identical groups
+    // barring a 64-bit-hash+length collision, same construction as d1.
+    Q("m3_multimodal_dedup",
+      (s, dir) => {
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), encode(col("text"), "UTF-8").as("payload"))
+          .select(col("lang"), xxhash64(col("payload")).as("h"),
+                  length(col("payload")).cast("long").as("bytes"))
+          .groupBy(col("lang"), col("h"), col("bytes"))
+          .agg(count(lit(1)).as("copies"))
+          .groupBy(col("lang"))
+          .agg(sum(col("copies")).as("n_payloads"),
+               count(lit(1)).as("n_unique"),
+               sum((col("copies") - 1) * col("bytes")).as("dup_bytes"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH g AS (
+              |  SELECT lang, text, count(*) AS copies,
+              |         CAST(strlen(text) AS BIGINT) AS bytes
+              |  FROM documents GROUP BY lang, text)
+              |SELECT lang, CAST(sum(copies) AS BIGINT) AS n_payloads,
+              |  count(*) AS n_unique,
+              |  CAST(sum((copies - 1) * bytes) AS BIGINT) AS dup_bytes
+              |FROM g GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -274,7 +274,7 @@ object StreamingQueries extends QuerySet {
         val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s6_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, 2) {
           StreamingOps.clickPurchaseJoin(s, in, schema,
               lateness = "25 hours", maxFilesPerTrigger = Some(1))
             .writeStream.outputMode("append")
