@@ -1176,5 +1176,40 @@ object DruidQueries extends QuerySet {
       },
       Some("""SELECT epoch_ms(min(ts)) AS min_ms, epoch_ms(max(ts)) AS max_ms
               FROM events""")),
+
+    // -- groupBy with EXTRACTION dimension specs (Druid's per-dimension
+    //    rewrite functions): substring of a string dim + timeFormat over
+    //    __time as a daily string dim — the idiomatic Druid "group by
+    //    formatted time" shape. Both compile to plain Catalyst column
+    //    transforms ahead of the aggregate, so pruning/pushdown below
+    //    them is untouched.
+    Q("dr38_native_extraction",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "intervals": ["2024-01-01T00:00:00.000Z/2024-01-08T00:00:00.000Z"],
+          "dimensions": [
+            {"type": "extraction", "dimension": "event_type",
+             "outputName": "et2",
+             "extractionFn": {"type": "substring", "index": 0, "length": 2}},
+            {"type": "extraction", "dimension": "__time",
+             "outputName": "day",
+             "extractionFn": {"type": "timeFormat", "format": "yyyy-MM-dd"}}],
+          "aggregations": [{"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value",
+             "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("et2"), col("day"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+          .orderBy(col("et2"), col("day"))
+      },
+      Some("""SELECT substring(event_type, 1, 2) AS et2,
+              strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                AND ts < TIMESTAMP '2024-01-08 00:00:00'
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 }

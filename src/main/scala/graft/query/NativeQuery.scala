@@ -390,7 +390,46 @@ object NativeQuery {
         val dim = d.path("dimension").asText()
         val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
         (col(dim), out)
+      case "extraction" =>
+        val dim = d.path("dimension").asText()
+        val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
+        (extractionFn(col(dim), d.path("extractionFn")), out)
       case other => fail(s"dimension spec type '$other'")
+    }
+
+  /** Druid extractionFn -> Column transform (the dimension-rewrite half
+    * of Druid's extraction dimension specs). Druid's contract is
+    * string-in/string-out, so numeric results (strlen) cast back to
+    * string.
+    */
+  private def extractionFn(c: Column, fn: JsonNode): Column =
+    fn.path("type").asText() match {
+      case "substring" =>
+        // Druid: 0-based index, optional length; out-of-range -> null
+        val index = fn.path("index").asInt(0)
+        val len =
+          if (fn.hasNonNull("length")) fn.path("length").asInt()
+          else Int.MaxValue
+        when(length(c) > index, c.substr(lit(index + 1), lit(len)))
+      case "lower" => lower(c)
+      case "upper" => upper(c)
+      case "strlen" => length(c).cast("string")
+      case "regex" =>
+        // group 1 of the match; Druid's default replaceMissingValue=false
+        // keeps the original value when the pattern misses
+        val pat = fn.path("expr").asText()
+        val g = regexp_extract(c, pat, 1)
+        if (fn.path("replaceMissingValue").asBoolean(false))
+          when(g =!= "", g).otherwise(
+            if (fn.hasNonNull("replaceMissingValueWith"))
+              lit(fn.path("replaceMissingValueWith").asText())
+            else lit(null).cast("string"))
+        else when(g =!= "", g).otherwise(c)
+      case "timeFormat" =>
+        // Joda patterns restricted to the JDK-compatible subset
+        val pat = fn.path("format").asText("yyyy-MM-dd")
+        date_format(c, pat)
+      case other => fail(s"extractionFn type '$other'")
     }
 
   // ---- query types -------------------------------------------------------

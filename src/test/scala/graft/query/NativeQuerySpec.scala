@@ -193,6 +193,48 @@ class NativeQuerySpec extends AnyFunSuite {
                  "lower": 30, "upper": 60, "upperOpen": true}""") == 3)
   }
 
+  test("extraction dimension specs: substring, strlen, regex, timeFormat") {
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "extraction", "dimension": "event_type", "outputName": "e2",
+         "extractionFn": {"type": "substring", "index": 0, "length": 2}},
+        {"type": "extraction", "dimension": "event_type", "outputName": "len",
+         "extractionFn": {"type": "strlen"}},
+        {"type": "extraction", "dimension": "event_type", "outputName": "tail",
+         "extractionFn": {"type": "regex", "expr": "c(.*)"}},
+        {"type": "extraction", "dimension": "__time", "outputName": "day",
+         "extractionFn": {"type": "timeFormat", "format": "yyyy-MM-dd"}}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").orderBy("day", "e2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+                 r.getString(3), r.getLong(4)))
+    // regex misses keep the original value (Druid replaceMissingValue=false)
+    assert(out.contains(("cl", "5", "lick", "2024-01-01", 1L)))
+    assert(out.contains(("vi", "4", "view", "2024-01-01", 1L)))
+    assert(out.contains(("er", "5", "error", "2024-01-05", 1L)))
+    // substring out of range -> null (Druid contract)
+    val nulls = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "extraction", "dimension": "event_type", "outputName": "far",
+         "extractionFn": {"type": "substring", "index": 40}}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(0))
+    // replaceMissingValue substitutes on a miss
+    val sub = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "extraction", "dimension": "event_type", "outputName": "m",
+         "extractionFn": {"type": "regex", "expr": "z(.*)",
+                          "replaceMissingValue": true,
+                          "replaceMissingValueWith": "none"}}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(sub.length == 1 && sub.head.getString(0) == "none")
+  }
+
   test("unsupported constructs fail loudly, not silently wrong") {
     intercept[IllegalArgumentException](run("""{"queryType": "segmentMetadata",
       "dataSource": "events"}"""))
