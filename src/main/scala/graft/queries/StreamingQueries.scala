@@ -410,5 +410,60 @@ object StreamingQueries extends QuerySet {
                 SELECT DISTINCT event_type, user_id,
                        date_trunc('day', ts) AS day FROM events)
               GROUP BY event_type ORDER BY event_type""")),
+
+    // Streaming CURATION pipeline — the composition a production
+    // training-data system runs continuously: documents stream in,
+    // per-row quality stats (d6's formula) gate admission map-side (no
+    // state, no shuffle — quality filtering streams through the scan),
+    // survivors land in a druid segment table via the streaming sink's
+    // atomic epochs, and the gate checks the CURATED TABLE read back
+    // through the batch connector against DuckDB applying the same
+    // filter to the raw corpus. Event time is synthesized
+    // deterministically from doc_id so the segment time axis (and its
+    // round trip) is oracle-checkable.
+    Q("s10_stream_curation",
+      (s, dir) => {
+        val in = stageDocsDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val n = nameCounter.incrementAndGet()
+        val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_curated_$n"
+        Seq(out, s"${out}_cp").foreach(deleteDir)
+        val q = StreamingOps.segmentSink(
+          StreamingOps.parquetStream(s, in, schema)
+            .selectExpr("doc_id", "source",
+              "CAST(length(text) AS BIGINT) AS n_chars",
+              s"CAST(${graft.pipeline.TextOps.wordCountSql} AS BIGINT) AS n_words")
+            .withColumn("avg_word_len",
+              (col("n_chars") - col("n_words") + 1).cast("double") /
+                col("n_words"))
+            .filter(col("n_words") >= 40 &&
+              col("avg_word_len") >= 3.0 && col("avg_word_len") <= 8.0)
+            .select(timestamp_seconds(lit(1704067200L) + col("doc_id"))
+                      .as("__time"),
+                    col("doc_id"), col("source"), col("n_chars"),
+                    col("n_words")),
+          out, s"${out}_cp")
+        q.awaitTermination(300000)
+        s.read.format("druid").load(out)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+               sum(col("n_chars")).as("total_chars"),
+               unix_seconds(max(col("__time"))).as("last_epoch"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH st AS (
+                SELECT source, doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(length(text) - length(replace(text, ' ', '')) + 1
+                            AS BIGINT) AS n_words
+                FROM documents)
+              SELECT source, count(*) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                CAST(1704067200 + max(doc_id) AS BIGINT) AS last_epoch
+              FROM st
+              WHERE n_words >= 40
+                AND (n_chars - n_words + 1) * CAST(1 AS DOUBLE) / n_words
+                    BETWEEN 3 AND 8
+              GROUP BY source ORDER BY source""")),
   )
 }

@@ -429,6 +429,29 @@ object NativeQuery {
         // Joda patterns restricted to the JDK-compatible subset
         val pat = fn.path("format").asText("yyyy-MM-dd")
         date_format(c, pat)
+      case "lookup" =>
+        // inline map lookup; retainMissingValue=true keeps unmapped
+        // values, otherwise they become replaceMissingValueWith/null.
+        // The map compiles to a literal Catalyst CreateMap — at scale
+        // this is Druid's broadcast lookup join expressed as a
+        // partition-local expression, no shuffle.
+        val lk = fn.path("lookup")
+        if (lk.path("type").asText() != "map")
+          fail(s"lookup type '${lk.path("type").asText()}'")
+        val entries = lk.path("map").fields().asScala.toSeq
+          .flatMap(e => Seq(lit(e.getKey), lit(e.getValue.asText())))
+        val mapped =
+          if (entries.isEmpty) lit(null).cast("string")
+          else element_at(map(entries: _*), c)
+        if (fn.path("retainMissingValue").asBoolean(false))
+          coalesce(mapped, c)
+        else if (fn.hasNonNull("replaceMissingValueWith"))
+          coalesce(mapped, lit(fn.path("replaceMissingValueWith").asText()))
+        else mapped
+      case "cascade" =>
+        // left-to-right composition of extraction functions
+        fn.path("extractionFns").elements().asScala
+          .foldLeft(c)((acc, sub) => extractionFn(acc, sub))
       case other => fail(s"extractionFn type '$other'")
     }
 

@@ -235,6 +235,37 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(sub.length == 1 && sub.head.getString(0) == "none")
   }
 
+  test("extraction: lookup map and cascade composition") {
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "extraction", "dimension": "event_type", "outputName": "kind",
+         "extractionFn": {"type": "lookup", "retainMissingValue": true,
+           "lookup": {"type": "map",
+             "map": {"click": "engagement", "view": "engagement"}}}},
+        {"type": "extraction", "dimension": "event_type", "outputName": "k3",
+         "extractionFn": {"type": "cascade", "extractionFns": [
+           {"type": "upper"},
+           {"type": "substring", "index": 0, "length": 3}]}}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").orderBy("k3").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("engagement", "CLI", 4L), ("error", "ERR", 1L),
+      ("engagement", "VIE", 3L)))
+    // unmapped without retain -> replaceMissingValueWith
+    val repl = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "extraction", "dimension": "event_type", "outputName": "kind",
+         "extractionFn": {"type": "lookup",
+           "replaceMissingValueWith": "other",
+           "lookup": {"type": "map", "map": {"click": "engagement"}}}}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(repl == Map("engagement" -> 4L, "other" -> 4L))
+  }
+
   test("unsupported constructs fail loudly, not silently wrong") {
     intercept[IllegalArgumentException](run("""{"queryType": "segmentMetadata",
       "dataSource": "events"}"""))
