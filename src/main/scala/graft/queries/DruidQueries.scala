@@ -1211,5 +1211,83 @@ object DruidQueries extends QuerySet {
               WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
                 AND ts < TIMESTAMP '2024-01-08 00:00:00'
               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- Druid SQL text, verbatim: TIME_FLOOR / TIME_IN_INTERVAL /
+    //    TIME_EXTRACT / LOOKUP / EARLIEST / LATEST / SAFE_DIVIDE over
+    //    the segment table through spark.sql — the surface a Druid
+    //    user's dashboards actually emit (the reference delegates SQL
+    //    wholesale and has none of these functions). Everything except
+    //    the inline lookup CASE is native Catalyst, and the time
+    //    predicates land in the DSv2 interval pruning unchanged.
+    Q("dr39_druid_sql",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        graft.sql.DruidLookups.register("event_kind", Map(
+          "click" -> "engagement", "view" -> "engagement",
+          "purchase" -> "conversion"))
+        eventsSeg(s, dir).createOrReplaceTempView("graft_dr39_events")
+        s.sql("""
+          SELECT unix_millis(time_floor(__time, 'P1W')) AS wk_ms,
+                 lookup(event_type, 'event_kind', 'other') AS kind,
+                 count(*) AS n,
+                 round(latest(value), 2) AS last_value,
+                 round(earliest(value), 2) AS first_value,
+                 round(safe_divide(sum(value), count(value)), 4) AS avg_value
+          FROM graft_dr39_events
+          WHERE time_in_interval(__time, '2024-01-01/P4W')
+            AND time_extract(__time, 'DOW') <= 5
+          GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some("""SELECT epoch_ms(ts) - (epoch_ms(ts) % 604800000) AS wk_ms,
+              CASE event_type WHEN 'click' THEN 'engagement'
+                   WHEN 'view' THEN 'engagement'
+                   WHEN 'purchase' THEN 'conversion'
+                   ELSE 'other' END AS kind,
+              count(*) AS n,
+              round(arg_max(value, ts), 2) AS last_value,
+              round(arg_min(value, ts), 2) AS first_value,
+              round(sum(value) / count(value), 4) AS avg_value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                AND ts < TIMESTAMP '2024-01-29 00:00:00'
+                AND isodow(ts) <= 5
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- Druid SQL MV_* functions over a real multi-value dimension
+    //    (the format capability the reference parses but never
+    //    implements): length/contains/overlap/filter/slice compose as
+    //    codegen'd array expressions over the dictionary-decoded
+    //    ArrayType column.
+    Q("dr40_druid_sql_mv",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        docsMvSeg(s, dir).createOrReplaceTempView("graft_dr40_docs")
+        s.sql("""
+          SELECT source,
+                 count(*) AS n_docs,
+                 sum(CAST(mv_length(words) AS BIGINT)) AS total_words,
+                 sum(CAST(mv_contains(words, 'the') AS BIGINT)) AS has_the,
+                 round(avg(mv_length(
+                   mv_filter_none(words, array('the','a','of','and')))), 3)
+                   AS avg_content_words,
+                 sum(CAST(mv_overlap(words, array('data','model')) AS BIGINT))
+                   AS mentions,
+                 max(mv_to_string(mv_slice(words, 0, 3), ' ')) AS max_prefix3
+          FROM graft_dr40_docs
+          GROUP BY source ORDER BY source""")
+      },
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS words
+                         FROM documents)
+              SELECT source, count(*) AS n_docs,
+              CAST(sum(len(words)) AS BIGINT) AS total_words,
+              CAST(sum(CAST(list_contains(words, 'the') AS BIGINT)) AS BIGINT)
+                AS has_the,
+              round(avg(len(list_filter(words,
+                x -> NOT list_contains(['the','a','of','and'], x)))), 3)
+                AS avg_content_words,
+              CAST(sum(CAST(list_has_any(words, ['data','model']) AS BIGINT))
+                AS BIGINT) AS mentions,
+              max(array_to_string(list_slice(words, 1, 3), ' ')) AS max_prefix3
+              FROM w GROUP BY source ORDER BY source""")),
   )
 }

@@ -1,0 +1,244 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{HllSketchAgg, MaxBy, MinBy}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Session-registered LOOKUP tables — Druid's `LOOKUP(expr, name)` /
+  * native `registeredLookup` extraction. A real Druid cluster broadcasts
+  * lookup maps to every node; here small maps compile INLINE into the
+  * plan as a codegen'd `CASE key WHEN ...` switch, and larger maps ride
+  * the task closure (serialized once per executor — the same broadcast
+  * shape, no shuffle, no join).
+  */
+object DruidLookups {
+  private val maps =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
+  def register(name: String, map: Map[String, String]): Unit =
+    maps.put(name, map)
+  def unregister(name: String): Unit = maps.remove(name)
+  def get(name: String): Option[Map[String, String]] = Option(maps.get(name))
+
+  /** Entries at or below this size inline into the plan. */
+  private val InlineThreshold = 64
+
+  /** The mapping expression: null for unmapped keys (callers layer
+    * retain/replace semantics with Coalesce).
+    */
+  def lookupExpr(key: Expression, name: String): Expression =
+    get(name) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"lookup '$name' is not registered (DruidLookups.register)")
+      case Some(m) if m.isEmpty => Literal(null, StringType)
+      case Some(m) if m.size <= InlineThreshold =>
+        // deterministic branch order for plan stability
+        val branches = m.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          Seq(Literal(k), Literal(v))
+        }
+        CaseKeyWhen(key, branches)
+      case Some(m) =>
+        DruidSqlCompat.udfExpr(s"lookup_$name", StringType,
+          (s: String) => if (s == null) null else m.get(s).orNull, Seq(key))
+    }
+}
+
+/** The rest of the Druid SQL compatibility surface (beyond
+  * [[DruidTime]] / [[DruidMv]]): grouping-time aggregators
+  * (EARLIEST/LATEST families), DataSketches aggregator/post-aggregator
+  * names (APPROX_COUNT_DISTINCT_DS_HLL, DS_THETA, THETA_SKETCH_*,
+  * APPROX_QUANTILE_DS, ...), LOOKUP, and SAFE_DIVIDE — so a Druid
+  * user's SQL runs on the engine unchanged. Everything resolves to
+  * native Catalyst aggregates/expressions; the only closures are the
+  * few-rows-per-group sketch unpack shims (the same post-aggregate
+  * pattern the existing ds_theta_* functions use).
+  */
+object DruidSqlCompat {
+
+  private def litInt(e: Expression, what: String, default: Int): Int =
+    e match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType)   => v.toInt
+      case l: Literal if l.foldable && l.value != null =>
+        l.value.toString.toDouble.toInt
+      case other =>
+        throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+    }
+
+  private def litString(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  /** A deterministic ScalaUDF over catalyst children — the
+    * FunctionRegistry-friendly form of `functions.udf` (no Column
+    * wrapping, legacy type converters for the simple
+    * binary/string/numeric signatures used here).
+    */
+  private[sql] def udfExpr(name: String, dt: DataType, f: AnyRef,
+                           children: Seq[Expression]): Expression =
+    ScalaUDF(f, dt, children, Nil, None, Some(name),
+      nullable = true, udfDeterministic = true)
+
+  /** EARLIEST(expr[, maxBytes]) — implicit `__time` ordering, like
+    * Druid; the maxBytes argument (string truncation budget) is
+    * accepted and ignored.
+    */
+  private val earliest: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2, "earliest(expr[, maxBytes])")
+    MinBy(e.head, UnresolvedAttribute("__time"))
+  }
+  private val latest: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2, "latest(expr[, maxBytes])")
+    MaxBy(e.head, UnresolvedAttribute("__time"))
+  }
+  private val earliestBy: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3, "earliest_by(expr, ts[, maxBytes])")
+    MinBy(e(0), e(1))
+  }
+  private val latestBy: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3, "latest_by(expr, ts[, maxBytes])")
+    MaxBy(e(0), e(1))
+  }
+
+  /** SAFE_DIVIDE: null (never error) on zero/null denominator. */
+  private val safeDivide: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "safe_divide(x, y) takes 2 args")
+    Divide(e(0), new NullIf(e(1), Literal(0)))
+  }
+
+  private val lookup: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3,
+      "lookup(expr, lookupName[, replaceMissingValueWith])")
+    val mapped = DruidLookups.lookupExpr(e(0), litString(e(1), "lookup name"))
+    e.lift(2).fold(mapped)(repl => Coalesce(Seq(mapped, repl)))
+  }
+
+  // ---- DataSketches aggregator names ------------------------------------
+
+  private val dsHll: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2, "ds_hll(expr[, lgK])")
+    HllSketchAgg(e.head, e.lift(1).getOrElse(Literal(12)))
+  }
+
+  private val approxCountDistinctDsHll: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2,
+      "approx_count_distinct_ds_hll(expr[, lgK])")
+    HllSketchEstimate(
+      HllSketchAgg(e.head, e.lift(1).getOrElse(Literal(12)))
+        .toAggregateExpression())
+  }
+
+  private val dsTheta: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2, "ds_theta(expr[, size])")
+    ThetaSketchAgg(e.head,
+      e.lift(1).map(litInt(_, "ds_theta size", 4096)).getOrElse(4096))
+  }
+
+  private val approxCountDistinctDsTheta: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2,
+      "approx_count_distinct_ds_theta(expr[, size])")
+    val agg = ThetaSketchAgg(e.head,
+      e.lift(1).map(litInt(_, "size", 4096)).getOrElse(4096))
+      .toAggregateExpression()
+    udfExpr("theta_estimate", LongType,
+      (b: Array[Byte]) => if (b == null) 0L else DsTheta.estimate(b), Seq(agg))
+  }
+
+  private val thetaSketchEstimate: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "theta_sketch_estimate(sketch)")
+    udfExpr("theta_sketch_estimate", DoubleType,
+      (b: Array[Byte]) => DsTheta.estimateDouble(b), Seq(e.head))
+  }
+  private def binBinShim(name: String, f: (Array[Byte], Array[Byte]) => Array[Byte])
+      : Seq[Expression] => Expression = { e =>
+    require(e.length == 2, s"$name(sketch, sketch) takes 2 args")
+    udfExpr(name, BinaryType, f, Seq(e(0), e(1)))
+  }
+
+  private val dsQuantilesSketch: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2, "ds_quantiles_sketch(expr[, k])")
+    QuantilesSketchAgg(e.head,
+      e.lift(1).map(litInt(_, "ds_quantiles_sketch k", 128)).getOrElse(128))
+  }
+
+  private val approxQuantileDs: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3,
+      "approx_quantile_ds(expr, prob[, k])")
+    val agg = QuantilesSketchAgg(e.head,
+      e.lift(2).map(litInt(_, "k", 128)).getOrElse(128))
+      .toAggregateExpression()
+    udfExpr("ds_get_quantile", DoubleType,
+      (b: Array[Byte], q: Double) => DsQuantiles.quantile(b, q),
+      Seq(agg, Cast(e(1), DoubleType)))
+  }
+
+  private val dsGetQuantile: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "ds_get_quantile(sketch, prob)")
+    udfExpr("ds_get_quantile", DoubleType,
+      (b: Array[Byte], q: Double) => DsQuantiles.quantile(b, q),
+      Seq(e(0), Cast(e(1), DoubleType)))
+  }
+
+  val functions0: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("earliest", "earliest(expr[, maxBytes]) - Druid EARLIEST (by __time)",
+      earliest),
+    ("latest", "latest(expr[, maxBytes]) - Druid LATEST (by __time)", latest),
+    ("earliest_by", "earliest_by(expr, ts[, maxBytes]) - Druid EARLIEST_BY",
+      earliestBy),
+    ("latest_by", "latest_by(expr, ts[, maxBytes]) - Druid LATEST_BY",
+      latestBy),
+    ("safe_divide", "safe_divide(x, y) - null on zero/null denominator",
+      safeDivide),
+    ("lookup", "lookup(expr, lookupName[, replaceMissing]) - Druid LOOKUP",
+      lookup),
+    ("ds_hll", "ds_hll(expr[, lgK]) - DataSketches HLL build aggregate",
+      dsHll),
+    ("approx_count_distinct_ds_hll",
+      "approx_count_distinct_ds_hll(expr[, lgK]) - Druid HLL count-distinct",
+      approxCountDistinctDsHll),
+    ("ds_theta", "ds_theta(expr[, size]) - DataSketches Theta build aggregate",
+      dsTheta),
+    ("approx_count_distinct_ds_theta",
+      "approx_count_distinct_ds_theta(expr[, size]) - Druid Theta count-distinct",
+      approxCountDistinctDsTheta),
+    ("theta_sketch_estimate",
+      "theta_sketch_estimate(sketch) - Druid THETA_SKETCH_ESTIMATE (double)",
+      thetaSketchEstimate),
+    ("theta_sketch_union",
+      "theta_sketch_union(a, b) - Druid THETA_SKETCH_UNION",
+      binBinShim("theta_sketch_union", DsTheta.unionBytes)),
+    ("theta_sketch_intersect",
+      "theta_sketch_intersect(a, b) - Druid THETA_SKETCH_INTERSECT",
+      binBinShim("theta_sketch_intersect", DsTheta.intersectBytes)),
+    ("theta_sketch_not",
+      "theta_sketch_not(a, b) - Druid THETA_SKETCH_NOT",
+      binBinShim("theta_sketch_not", DsTheta.aNotBBytes)),
+    ("ds_quantiles_sketch",
+      "ds_quantiles_sketch(expr[, k]) - DataSketches quantiles build aggregate",
+      dsQuantilesSketch),
+    ("approx_quantile_ds",
+      "approx_quantile_ds(expr, prob[, k]) - Druid APPROX_QUANTILE_DS",
+      approxQuantileDs),
+    ("ds_get_quantile",
+      "ds_get_quantile(sketch, prob) - Druid DS_GET_QUANTILE",
+      dsGetQuantile))
+
+  /** The full Druid SQL compat family (time + mv + the rest). */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] =
+    DruidTime.functions ++ DruidMv.functions ++ functions0
+
+  /** Idempotent per-session registration (programmatic alternative to
+    * the `spark.sql.extensions=graft.sql.GraftExtensions` deployment).
+    */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, build) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, build, "scala_udf")
+    }
+}

@@ -63,6 +63,10 @@ object DsTheta {
   }
 
   def estimate(b: Array[Byte]): Long = math.round(heap(b).getEstimate)
+
+  /** Unrounded estimate — Druid's THETA_SKETCH_ESTIMATE returns DOUBLE. */
+  def estimateDouble(b: Array[Byte]): java.lang.Double =
+    if (b == null) null else heap(b).getEstimate
 }
 
 /** Merge pre-built DataSketches theta blobs (a segment's COMPLEX

@@ -52,5 +52,6 @@ object GraftExtensions {
       BloomFns.buildAgg),
     ("bloom_might",
       "bloom_might(bloom, hash) - Bloom membership probe (no false negatives)",
-      BloomFns.buildMight))
+      BloomFns.buildMight)) ++
+    DruidSqlCompat.functions
 }
