@@ -1289,5 +1289,146 @@ object DruidQueries extends QuerySet {
                 AS BIGINT) AS mentions,
               max(array_to_string(list_slice(words, 1, 3), ' ')) AS max_prefix3
               FROM w GROUP BY source ORDER BY source""")),
+
+    // -- JOIN datasource + LOOKUP datasource: Druid's broadcast join.
+    //    The right side is a registered lookup exposed with Druid's
+    //    (k, v) schema, prefixed "l."; the condition is Druid
+    //    expression syntax with the double-quoted prefixed column.
+    //    Spark plans the tiny right side as a BroadcastHashJoin — the
+    //    exact execution model Druid uses for joinable datasources, so
+    //    the fact side never shuffles at any corpus size.
+    Q("dr41_native_join_lookup",
+      (s, dir) => {
+        graft.sql.DruidLookups.register("event_kind41", Map(
+          "click" -> "engagement", "view" -> "engagement",
+          "purchase" -> "conversion"))
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy",
+          "dataSource": {"type": "join",
+            "left": "events",
+            "right": {"type": "lookup", "lookup": "event_kind41"},
+            "rightPrefix": "l.",
+            "condition": "event_type == \"l.k\"",
+            "joinType": "LEFT"},
+          "granularity": "all",
+          "virtualColumns": [{"type": "expression", "name": "kind",
+                              "expression": "coalesce(`l.v`, 'other')"}],
+          "dimensions": ["kind"],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("kind"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT coalesce(l.v, 'other') AS kind, count(*) AS n,
+              round(sum(value), 2) AS total_value
+              FROM events LEFT JOIN (VALUES
+                ('click', 'engagement'), ('purchase', 'conversion'),
+                ('view', 'engagement')) l(k, v)
+                ON event_type = l.k
+              GROUP BY 1 ORDER BY 1""")),
+
+    // -- QUERY datasource: Druid's nested groupBy. The inner day ×
+    //    event_type groupBy feeds the outer per-type aggregate as a
+    //    plain subplan — Catalyst fuses both into one job with two
+    //    aggregation stages, no materialization boundary.
+    Q("dr42_native_nested_groupby",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy",
+          "dataSource": {"type": "query", "query": {
+            "queryType": "groupBy", "dataSource": "events",
+            "granularity": "day",
+            "intervals": ["2024-01-01T00:00:00.000Z/2024-01-15T00:00:00.000Z"],
+            "dimensions": ["event_type"],
+            "aggregations": [{"type": "count", "name": "daily_n"},
+              {"type": "doubleSum", "name": "daily_value",
+               "fieldName": "value"}]}},
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "aggregations": [
+            {"type": "longSum", "name": "total_n", "fieldName": "daily_n"},
+            {"type": "longMax", "name": "max_daily", "fieldName": "daily_n"},
+            {"type": "count", "name": "n_days"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), col("total_n"), col("max_daily"),
+                  col("n_days"))
+      },
+      Some("""WITH daily AS (
+                SELECT date_trunc('day', ts) AS d, event_type,
+                       count(*) AS daily_n
+                FROM events
+                WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+                GROUP BY 1, 2)
+              SELECT event_type, CAST(sum(daily_n) AS BIGINT) AS total_n,
+                     CAST(max(daily_n) AS BIGINT) AS max_daily,
+                     count(*) AS n_days
+              FROM daily GROUP BY 1 ORDER BY 1""")),
+
+    // -- UNION datasource + INLINE datasource: late-arriving literal
+    //    rows appended to the segment table; unionByName aligns by
+    //    column name and null-fills what the inline member lacks
+    //    (Druid's union semantics).
+    Q("dr43_native_union_inline",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy",
+          "dataSource": {"type": "union", "dataSources": [
+            "events",
+            {"type": "inline",
+             "columnNames": ["event_type", "value"],
+             "columnTypes": ["STRING", "DOUBLE"],
+             "rows": [["promo", 1.5], ["promo", 2.5], ["click", 10.0]]}]},
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""WITH u AS (
+                SELECT event_type, value FROM events
+                UNION ALL
+                SELECT * FROM (VALUES
+                  ('promo', 1.5), ('promo', 2.5), ('click', 10.0))
+                  v(event_type, value))
+              SELECT event_type, count(*) AS n,
+                     round(sum(value), 2) AS total_value
+              FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // -- subtotalsSpec: Druid's grouping sets. One Expand-fed
+    //    aggregate computes all three sets in a single shuffle
+    //    (never one scan per set); dimensions outside a set come
+    //    back null, the granularity bucket would stay in every set.
+    Q("dr44_native_subtotals",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "intervals": ["2024-01-01T00:00:00.000Z/2024-01-08T00:00:00.000Z"],
+          "virtualColumns": [{"type": "expression", "name": "bucket",
+                              "expression": "user_id % 3"}],
+          "dimensions": ["event_type", "bucket"],
+          "subtotalsSpec": [["event_type", "bucket"], ["event_type"], []],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), col("bucket"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""WITH b AS (
+                SELECT event_type, user_id % 3 AS bucket, value FROM events
+                WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                  AND ts < TIMESTAMP '2024-01-08 00:00:00')
+              SELECT event_type, bucket, count(*) AS n,
+                     round(sum(value), 2) AS total_value
+              FROM b
+              GROUP BY GROUPING SETS ((event_type, bucket), (event_type), ())
+              ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""")),
   )
 }

@@ -6,9 +6,9 @@ import java.time.{Instant, LocalDateTime, ZoneOffset}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.ArrayType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, StringType, StructField, StructType}
 
 /** Compiler from Druid NATIVE QUERY JSON to a Spark DataFrame plan.
   *
@@ -75,9 +75,11 @@ object NativeQuery {
   private val mapper = new ObjectMapper()
 
   /** Compile and run `json` against tables resolved by name. */
-  def run(json: String, resolve: String => DataFrame): DataFrame = {
-    val q = mapper.readTree(json)
-    val base0 = resolve(dataSourceName(q))
+  def run(json: String, resolve: String => DataFrame): DataFrame =
+    runNode(mapper.readTree(json), resolve)
+
+  private def runNode(q: JsonNode, resolve: String => DataFrame): DataFrame = {
+    val base0 = resolveDataSource(q.path("dataSource"), resolve)
     val base1 = withVirtualColumns(base0, q)
     val base = applyWhere(base1, q)
     q.path("queryType").asText() match {
@@ -95,11 +97,130 @@ object NativeQuery {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"native query: unsupported $msg")
 
-  private def dataSourceName(q: JsonNode): String = {
-    val ds = q.path("dataSource")
-    if (ds.isTextual) ds.asText()
-    else if (ds.isObject) ds.path("name").asText()
-    else fail("dataSource (need a table name)")
+  /** Column reference by Druid name. Prefixed join columns ("l.v")
+    * contain dots, which Spark's bare `col` would read as struct
+    * access — backtick anything beyond plain identifiers.
+    */
+  private def ref(name: String): Column =
+    if (name.forall(c => c.isLetterOrDigit || c == '_')) col(name)
+    else col(s"`$name`")
+
+  // ---- datasources -------------------------------------------------------
+
+  /** Druid's datasource tree → a DataFrame. Beyond plain table names
+    * this covers the composite datasources a real Druid cluster serves
+    * (the reference accepts only a single segment directory):
+    *
+    *  - `table` / bare string — resolved by name
+    *  - `union` — unionByName over the members (Druid aligns by column
+    *    name and null-fills columns a member lacks)
+    *  - `query` — a nested native query, compiled recursively (Druid's
+    *    groupBy-on-groupBy shape); the inner plan stays declarative so
+    *    Catalyst fuses it with the outer aggregation
+    *  - `join` — Druid's broadcast-style join: right columns take
+    *    `rightPrefix`, the condition is a Druid expression over
+    *    left columns and prefixed right columns. INNER and LEFT only,
+    *    like Druid. At scale Spark plans the small right side (lookup /
+    *    inline / sub-aggregate) as a broadcast hash join — exactly
+    *    Druid's execution model for joinable datasources.
+    *  - `inline` — literal rows shipped in the query (columnNames /
+    *    columnTypes / rows)
+    *  - `lookup` — a registered [[graft.sql.DruidLookups]] map exposed
+    *    with Druid's (k, v) schema
+    */
+  private def resolveDataSource(ds: JsonNode, resolve: String => DataFrame): DataFrame =
+    if (ds.isTextual) resolve(ds.asText())
+    else if (!ds.isObject) fail("dataSource (need a table name or datasource object)")
+    else ds.path("type").asText() match {
+      case "table" => resolve(ds.path("name").asText())
+      case "" if ds.hasNonNull("name") => resolve(ds.path("name").asText())
+      case "union" =>
+        val parts = ds.path("dataSources").elements().asScala
+          .map(resolveDataSource(_, resolve)).toSeq
+        if (parts.isEmpty) fail("union dataSource with no members")
+        parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      case "query" => runNode(ds.path("query"), resolve)
+      case "join" =>
+        val left = resolveDataSource(ds.path("left"), resolve)
+        val prefix = ds.path("rightPrefix").asText()
+        if (prefix.isEmpty) fail("join dataSource without rightPrefix")
+        val right0 = resolveDataSource(ds.path("right"), resolve)
+        val right = right0.columns.foldLeft(right0)((d, c) =>
+          d.withColumnRenamed(c, prefix + c))
+        val joinType = ds.path("joinType").asText("INNER").toUpperCase match {
+          case "INNER" => "inner"
+          case "LEFT"  => "left"
+          case other   => fail(s"joinType '$other' (Druid joins are INNER or LEFT)")
+        }
+        left.join(right, joinCondition(ds.path("condition").asText()), joinType)
+      case "inline" =>
+        val names = textSeq(ds.path("columnNames"))
+        if (names.isEmpty) fail("inline dataSource with no columnNames")
+        val types = textSeq(ds.path("columnTypes")).map(_.toUpperCase)
+        val fields = names.zip(types.padTo(names.size, "STRING")).map { case (n, t) =>
+          StructField(n, t match {
+            case "STRING" => StringType
+            case "LONG"   => LongType
+            case "DOUBLE" => DoubleType
+            case "FLOAT"  => FloatType
+            case other    => fail(s"inline columnType '$other'")
+          })
+        }
+        val rows: java.util.List[Row] = ds.path("rows").elements().asScala.map { r =>
+          Row.fromSeq(r.elements().asScala.zip(fields.iterator).map { case (v, f) =>
+            if (v.isNull) null
+            else f.dataType match {
+              case StringType => v.asText()
+              case LongType   => v.asLong()
+              case DoubleType => v.asDouble()
+              case FloatType  => v.asDouble().toFloat
+              case _          => v.asText()
+            }
+          }.toSeq)
+        }.toSeq.asJava
+        SparkSession.active.createDataFrame(rows, StructType(fields))
+      case "lookup" =>
+        val name = ds.path("lookup").asText()
+        val m = graft.sql.DruidLookups.get(name).getOrElse(
+          fail(s"lookup dataSource '$name' (not registered)"))
+        val rows: java.util.List[Row] =
+          m.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v): Row }.asJava
+        SparkSession.active.createDataFrame(rows, StructType(Seq(
+          StructField("k", StringType), StructField("v", StringType))))
+      case other => fail(s"dataSource type '$other'")
+    }
+
+  /** Druid join-condition expression → Catalyst. Druid quotes
+    * prefixed right-column identifiers with double quotes
+    * (`channel == "j.k"`); Spark quotes identifiers with backticks.
+    * Outside single-quoted string literals: `"..."` → `` `...` ``,
+    * `==` → `=`, `&&`/`||` → AND/OR.
+    */
+  private def joinCondition(s: String): Column = {
+    if (s.isEmpty) fail("join dataSource without condition")
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { out.append(c); if (c == '\'') inStr = false; i += 1 }
+      else c match {
+        case '\'' => inStr = true; out.append(c); i += 1
+        case '"' =>
+          val j = s.indexOf('"', i + 1)
+          if (j < 0) fail(s"join condition '$s' (unterminated identifier quote)")
+          out.append('`').append(s.substring(i + 1, j)).append('`')
+          i = j + 1
+        case '=' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
+          out.append('='); i += 2
+        case '&' if i + 1 < s.length && s.charAt(i + 1) == '&' =>
+          out.append(" AND "); i += 2
+        case '|' if i + 1 < s.length && s.charAt(i + 1) == '|' =>
+          out.append(" OR "); i += 2
+        case _ => out.append(c); i += 1
+      }
+    }
+    expr(out.toString)
   }
 
   // ---- time intervals ----------------------------------------------------
@@ -149,18 +270,18 @@ object NativeQuery {
     */
   def compileFilter(f: JsonNode): Column = f.path("type").asText() match {
     case "selector" =>
-      val d = col(f.path("dimension").asText())
+      val d = ref(f.path("dimension").asText())
       val v = f.path("value")
       if (v.isMissingNode || v.isNull) d.isNull else d === lit(v.asText())
     case "equals" =>
-      val c = col(f.path("column").asText())
+      val c = ref(f.path("column").asText())
       f.path("matchValueType").asText() match {
         case "LONG"             => c === lit(f.path("matchValue").asLong())
         case "DOUBLE" | "FLOAT" => c === lit(f.path("matchValue").asDouble())
         case _                  => c === lit(f.path("matchValue").asText())
       }
     case "in" =>
-      col(f.path("dimension").asText()).isin(textSeq(f.path("values")): _*)
+      ref(f.path("dimension").asText()).isin(textSeq(f.path("values")): _*)
     case "bound" =>
       val c = col(f.path("dimension").asText())
       val numeric = f.path("ordering").asText("lexicographic") == "numeric"
@@ -185,7 +306,7 @@ object NativeQuery {
       if (sides.isEmpty) fail("bound filter with neither lower nor upper")
       sides.reduce(_ && _)
     case "range" =>
-      val c = col(f.path("column").asText())
+      val c = ref(f.path("column").asText())
       val numeric = f.path("matchValueType").asText("STRING") match {
         case "LONG" | "DOUBLE" | "FLOAT" => true
         case _                           => false
@@ -211,15 +332,15 @@ object NativeQuery {
       if (sides.isEmpty) fail("range filter with neither lower nor upper")
       sides.reduce(_ && _)
     case "like" =>
-      col(f.path("dimension").asText()).like(f.path("pattern").asText())
+      ref(f.path("dimension").asText()).like(f.path("pattern").asText())
     case "regex" =>
-      col(f.path("dimension").asText()).rlike(f.path("pattern").asText())
+      ref(f.path("dimension").asText()).rlike(f.path("pattern").asText())
     case "search" =>
-      searchPredicate(col(f.path("dimension").asText()), f.path("query"))
+      searchPredicate(ref(f.path("dimension").asText()), f.path("query"))
     case "null" =>
-      col(f.path("column").asText()).isNull
+      ref(f.path("column").asText()).isNull
     case "interval" =>
-      val d = col(f.path("dimension").asText())
+      val d = ref(f.path("dimension").asText())
       f.path("intervals").elements().asScala.map { iv =>
         iv.asText().split('/') match {
           case Array(a, b) =>
@@ -323,7 +444,7 @@ object NativeQuery {
   private def compileAgg(a: JsonNode, pred: Option[Column]): Agg = {
     val name = a.path("name").asText()
     def field: Column = {
-      val c = col(a.path("fieldName").asText())
+      val c = ref(a.path("fieldName").asText())
       pred.fold(c)(p => when(p, c))
     }
     a.path("type").asText() match {
@@ -356,7 +477,7 @@ object NativeQuery {
   }
 
   private def compilePost(p: JsonNode): Column = p.path("type").asText() match {
-    case "fieldAccess" | "finalizingFieldAccess" => col(p.path("fieldName").asText())
+    case "fieldAccess" | "finalizingFieldAccess" => ref(p.path("fieldName").asText())
     case "constant"   => lit(p.path("value").asDouble())
     case "expression" => expr(p.path("expression").asText())
     case "arithmetic" =>
@@ -384,16 +505,16 @@ object NativeQuery {
 
   /** (source column, output name). */
   private def dimensionSpec(d: JsonNode): (Column, String) =
-    if (d.isTextual) (col(d.asText()), d.asText())
+    if (d.isTextual) (ref(d.asText()), d.asText())
     else d.path("type").asText() match {
       case "default" =>
         val dim = d.path("dimension").asText()
         val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
-        (col(dim), out)
+        (ref(dim), out)
       case "extraction" =>
         val dim = d.path("dimension").asText()
         val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
-        (extractionFn(col(dim), d.path("extractionFn")), out)
+        (extractionFn(ref(dim), d.path("extractionFn")), out)
       case other => fail(s"dimension spec type '$other'")
     }
 
@@ -526,7 +647,27 @@ object NativeQuery {
     val unit = truncUnit(q)
     val keys = unit.map(u => date_trunc(u, col("__time")).as("__time")).toSeq ++
       dims.map { case (c, n) => c.as(n) }
-    val grouped0 = base.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+    val subtotals = q.path("subtotalsSpec")
+    val grouped0 =
+      if (subtotals.isMissingNode || subtotals.isNull)
+        base.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+      else {
+        // Druid subtotalsSpec = SQL GROUPING SETS over the dimension
+        // OUTPUT names: each listed set is grouped independently and
+        // dimensions outside the set come back null. The granularity
+        // time bucket (when present) stays in every set, as in Druid.
+        // One pass, one shuffle — Spark's Expand feeds a single
+        // aggregate rather than re-scanning per set.
+        val keyed = (unit.map(u => ("__time", date_trunc(u, col("__time")))).toSeq ++
+          dims.map { case (c, n) => (n, c) })
+          .foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
+        val keyNames = unit.map(_ => "__time").toSeq ++ dims.map(_._2)
+        val sets = subtotals.elements().asScala.map(setNode =>
+          (unit.map(_ => "__time").toSeq ++ textSeq(setNode)).map(col)).toSeq
+        if (sets.isEmpty) fail("subtotalsSpec with no sets")
+        keyed.groupingSets(sets, keyNames.map(col): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+      }
     val grouped = applyPost(grouped0, q)
     val havingNode = q.path("having")
     val held =
@@ -570,7 +711,7 @@ object NativeQuery {
     val colsNode = q.path("columns")
     val projected =
       if (colsNode.isMissingNode || colsNode.isNull || !colsNode.elements().hasNext) base
-      else base.select(textSeq(colsNode).map(col): _*)
+      else base.select(textSeq(colsNode).map(ref): _*)
     val ordered = q.path("order").asText("none") match {
       case "none"       => projected
       case "ascending"  => projected.orderBy(col("__time").asc)
@@ -593,8 +734,8 @@ object NativeQuery {
       val isArray = base.schema.fields.exists(f =>
         f.name == d && f.dataType.isInstanceOf[ArrayType])
       val values =
-        if (isArray) base.select(explode(col(d)).as("value"))
-        else base.select(col(d).cast("string").as("value"))
+        if (isArray) base.select(explode(ref(d)).as("value"))
+        else base.select(ref(d).cast("string").as("value"))
       values.filter(searchPredicate(col("value"), qn))
         .groupBy(col("value"))
         .agg(count(lit(1)).as("count"))

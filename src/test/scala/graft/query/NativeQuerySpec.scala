@@ -302,6 +302,114 @@ class NativeQuerySpec extends AnyFunSuite {
       s"interval did not reach the scan's time bounds:\n$plan")
   }
 
+  test("join datasource: lookup right side broadcasts, prefixed columns resolve") {
+    graft.sql.DruidLookups.register("nq_kind", Map(
+      "click" -> "engagement", "view" -> "engagement"))
+    val df = run("""{
+      "queryType": "groupBy",
+      "dataSource": {"type": "join",
+        "left": "events",
+        "right": {"type": "lookup", "lookup": "nq_kind"},
+        "rightPrefix": "l.",
+        "condition": "event_type == \"l.k\"",
+        "joinType": "LEFT"},
+      "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "kind",
+                          "expression": "coalesce(`l.v`, 'other')"}],
+      "dimensions": ["kind"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("engagement", 7L), ("other", 1L)))
+    // the small lookup side must broadcast: Druid's join execution model
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "lookup right side should plan as a broadcast hash join")
+    // INNER drops the unmatched error row
+    val inner = run("""{
+      "queryType": "timeseries",
+      "dataSource": {"type": "join",
+        "left": "events",
+        "right": {"type": "lookup", "lookup": "nq_kind"},
+        "rightPrefix": "l.",
+        "condition": "event_type == \"l.k\"",
+        "joinType": "INNER"},
+      "granularity": "all",
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""")
+    assert(inner.collect().head.getLong(0) == 7L)
+  }
+
+  test("query datasource: nested groupBy feeds the outer aggregate") {
+    val df = run("""{
+      "queryType": "groupBy",
+      "dataSource": {"type": "query", "query": {
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "day",
+        "dimensions": ["event_type"],
+        "aggregations": [{"type": "count", "name": "daily_n"}]}},
+      "granularity": "all",
+      "dimensions": ["event_type"],
+      "aggregations": [
+        {"type": "longSum", "name": "total", "fieldName": "daily_n"},
+        {"type": "count", "name": "n_days"}]
+    }""")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("click", 4L, 3L), ("error", 1L, 1L), ("view", 3L, 2L)))
+  }
+
+  test("union + inline datasources: aligned by name, null-filled") {
+    val df = run("""{
+      "queryType": "groupBy",
+      "dataSource": {"type": "union", "dataSources": [
+        "events",
+        {"type": "inline",
+         "columnNames": ["event_type", "value"],
+         "columnTypes": ["STRING", "DOUBLE"],
+         "rows": [["promo", 1.0], ["promo", 2.0]]}]},
+      "granularity": "all",
+      "dimensions": ["event_type"],
+      "aggregations": [{"type": "count", "name": "n"},
+        {"type": "doubleSum", "name": "total", "fieldName": "value"}]
+    }""")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("click", 4L, 150.0), ("error", 1L, 80.0),
+      ("promo", 2L, 3.0), ("view", 3L, 130.0)))
+  }
+
+  test("subtotalsSpec: grouping sets in one Expand-fed aggregate") {
+    val df = run("""{
+      "queryType": "groupBy", "dataSource": "events",
+      "granularity": "all",
+      "dimensions": ["event_type"],
+      "subtotalsSpec": [["event_type"], []],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""")
+    val rows = df.collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(rows == Seq((None, 8L), (Some("click"), 4L),
+      (Some("error"), 1L), (Some("view"), 3L)))
+    // one pass: a single Expand node, never one scan per set
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"expected grouping-sets Expand:\n$plan")
+    assert(!plan.contains("Union"), s"subtotals must not re-scan per set:\n$plan")
+  }
+
+  test("join condition translation: string literals survive, && splits") {
+    graft.sql.DruidLookups.register("nq_kind2", Map("click" -> "engagement"))
+    // condition with a conjunction and a single-quoted literal containing ==
+    val df = run("""{
+      "queryType": "timeseries",
+      "dataSource": {"type": "join",
+        "left": "events",
+        "right": {"type": "lookup", "lookup": "nq_kind2"},
+        "rightPrefix": "j.",
+        "condition": "event_type == \"j.k\" && \"j.v\" != 'a == b'",
+        "joinType": "INNER"},
+      "granularity": "all",
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""")
+    assert(df.collect().head.getLong(0) == 4L)
+  }
+
   test("native timeBoundary answers from segment metadata (no decode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-nqtb").toString + "/t"
