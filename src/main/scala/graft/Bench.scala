@@ -50,13 +50,20 @@ object Bench {
     // honest per-query figure (first-pass total is still disclosed).
     // local-iteration filter (unset in driver runs → all queries)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a query that THROWS must never report its fail-fast latency as a
+    // timing (a crash would read as a 100x win); record it as an error
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count()
+              name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
+          name -> Double.NaN
+        }
       }
     // queries that .cache() intermediates (d2/d13/e2) leave their blocks
     // in storage memory; clear between passes so (a) pass2 pays its own
@@ -67,12 +74,26 @@ object Bench {
     val pass1 = pass()
     spark.catalog.clearCache()
     val pass2 = pass().toMap
-    val results = pass1.map { case (k, v) => k -> math.min(v, pass2(k)) }
+    // min of the two VALID timings; a query that failed in either pass
+    // is reported as -1 in `queries` and listed under `errors`
+    val results = pass1.map { case (k, v) =>
+      val both = Seq(v, pass2(k)).filterNot(_.isNaN)
+      k -> (if (errors.contains(k)) -1.0 else both.min)
+    }
+    val ok = results.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val total1 = pass1.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"policy":"min_of_2","first_pass_total":$total1,"staging":$staging,"queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
+    val total1 = pass1.filterNot(_._2.isNaN).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"policy":"min_of_2","first_pass_total":$total1,"staging":$staging,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // loud on stderr but exit 0: the JSON line above IS the artifact,
+    // and it already tags every failure (-1 + errors map)
+    if (errors.nonEmpty)
+      System.err.println(s"[bench] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
   }
 }

@@ -8,17 +8,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * these become many-file scans and the same code path holds.
   */
 object Tables {
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.types.TimestampNTZType
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Timestamp columns in the driver's parquet have shifted physical
+    * annotation between rounds (nanos → tz-less micros). Parquet
+    * `timestamp[us]` WITHOUT timezone reads as TIMESTAMP_NTZ, which
+    * `unix_micros` / `withWatermark` reject at analysis. Session TZ is
+    * pinned UTC everywhere (Verify/Bench/specs), so casting NTZ →
+    * TimestampType is value-preserving; queries see one schema
+    * regardless of the file's annotation.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == TimestampNTZType) match {
+      case Array() => df
+      case ntz => df.withColumns(
+        ntz.map(f => f.name -> col(f.name).cast("timestamp")).toMap)
+    }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    * Verify/Bench). Normalize to TimestampType (micros) here so queries
-    * see one schema either way.
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** `events.ts` was once parquet TIMESTAMP(NANOS), which Spark only
+    * reads as a raw long (spark.sql.legacy.parquet.nanosAsLong=true, set
+    * in Verify/Bench). Normalize that too, so queries see TimestampType
+    * whichever shape the driver generated.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
