@@ -1430,5 +1430,84 @@ object DruidQueries extends QuerySet {
               FROM b
               GROUP BY GROUPING SETS ((event_type, bucket), (event_type), ())
               ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""")),
+
+    // -- Native JSON with Druid's SKETCH aggregators — the construct a
+    //    real Druid dashboard sends first (thetaSketch / HLLSketchBuild
+    //    / quantilesDoublesSketch / cardinality + their post-
+    //    aggregators), compiled to the same registered DataSketches
+    //    Catalyst aggregates the SQL compat layer uses: raw mergeable
+    //    blobs feed the post-aggs, result columns finalize per Druid's
+    //    contract. Oracle-exact because every sketch stays in its exact
+    //    regime at gate scale (theta/HLL below k over 150 users;
+    //    quantiles n <= 2k with k=2048 over ~2k rows/group) — the same
+    //    regime-pinning discipline as dr27/dr31. At 100 TB the sketches
+    //    leave the exact regime and degrade to Druid-compatible
+    //    approximation with map-side partials and binary shuffle blobs.
+    Q("dr45_native_sketch_aggs",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "thetaSketch", "name": "theta_users",
+             "fieldName": "user_id"},
+            {"type": "HLLSketchBuild", "name": "hll_users",
+             "fieldName": "user_id", "round": true},
+            {"type": "quantilesDoublesSketch", "name": "n_vals",
+             "fieldName": "value", "k": 2048},
+            {"type": "cardinality", "name": "card_tuples", "byRow": true,
+             "round": true, "fields": ["event_type", "user_id"]},
+            {"type": "cardinality", "name": "card_union", "round": true,
+             "fields": ["event_type", "user_id"]}],
+          "postAggregations": [
+            {"type": "thetaSketchEstimate", "name": "theta_est",
+             "field": {"type": "fieldAccess", "fieldName": "theta_users"}},
+            {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+             "field": {"type": "fieldAccess", "fieldName": "n_vals"},
+             "fraction": 0.5},
+            {"type": "quantilesDoublesSketchToQuantile", "name": "p90",
+             "field": {"type": "fieldAccess", "fieldName": "n_vals"},
+             "fraction": 0.9}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), col("n"),
+            col("theta_users").cast("long").as("theta_users"),
+            col("hll_users"),
+            col("n_vals"),
+            col("card_tuples"),
+            col("card_union"),
+            round(col("theta_est"), 1).as("theta_est"),
+            round(col("p50"), 2).as("p50"),
+            round(col("p90"), 2).as("p90"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        def pick(q: String): String =
+          s"round(max(CASE WHEN rn = greatest(1, CAST(ceil($q * c.nv) AS BIGINT)) " +
+            s"THEN value END), 2)"
+        s"""WITH c AS (SELECT event_type, count(*) AS n,
+           |             count(DISTINCT user_id) AS du,
+           |             count(value) AS nv
+           |           FROM events GROUP BY event_type),
+           |r AS (SELECT event_type, value,
+           |        row_number() OVER (PARTITION BY event_type
+           |                           ORDER BY value) AS rn
+           |      FROM events WHERE value IS NOT NULL),
+           |q AS (SELECT r.event_type,
+           |        ${pick("0.5")} AS p50, ${pick("0.9")} AS p90
+           |      FROM r JOIN c ON r.event_type = c.event_type
+           |      GROUP BY r.event_type)
+           |SELECT c.event_type, c.n,
+           |  CAST(c.du AS BIGINT) AS theta_users,
+           |  CAST(c.du AS BIGINT) AS hll_users,
+           |  CAST(c.nv AS BIGINT) AS n_vals,
+           |  CAST(c.du AS BIGINT) AS card_tuples,
+           |  CAST(c.du + 1 AS BIGINT) AS card_union,
+           |  round(CAST(c.du AS DOUBLE), 1) AS theta_est,
+           |  q.p50, q.p90
+           |FROM c JOIN q ON c.event_type = q.event_type
+           |ORDER BY c.event_type""".stripMargin
+      }),
   )
 }

@@ -44,11 +44,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    second/minute/hour/day/week/month/quarter/year, and
   *    `{"type":"period"}` for their ISO-period spellings
   *  - `aggregations`: count, longSum/doubleSum/floatSum,
-  *    longMin/longMax/doubleMin/doubleMax/floatMin/floatMax, and
-  *    `filtered` wrapping any of those
+  *    longMin/longMax/doubleMin/doubleMax/floatMin/floatMax, the
+  *    sketch family — `thetaSketch` (build over raw values, merge over
+  *    COMPLEX blobs; real DataSketches wire format),
+  *    `quantilesDoublesSketch`, `HLLSketchBuild`, `hyperUnique`
+  *    (mapped to DataSketches HLL), `cardinality` (byRow and by-value)
+  *    — and `filtered` wrapping any of those. Sketch aggregators
+  *    follow Druid's finalization contract: raw mergeable blobs feed
+  *    the post-aggregators, and result columns finalize to
+  *    estimate / stream-length unless `context.finalize: false`.
   *  - `postAggregations`: arithmetic (+ - * / with Druid's
   *    divide-by-zero→0 rule, and `quotient` for plain FP division),
-  *    fieldAccess / finalizingFieldAccess, constant, expression
+  *    fieldAccess / finalizingFieldAccess, constant, expression,
+  *    thetaSketchEstimate, thetaSketchSetOp (UNION/INTERSECT/NOT),
+  *    quantilesDoublesSketchToQuantile(s), hllSketchEstimate
   *  - timeseries empty-bucket fill (context `skipEmptyBuckets` absent
   *    or false): bucket spine generated with `sequence()` and
   *    left-joined; count-family aggregates fill with 0, value
@@ -432,8 +441,38 @@ object NativeQuery {
 
   // ---- aggregations ------------------------------------------------------
 
-  /** (output name, aggregate column, fills-with-zero-on-empty-bucket). */
-  private case class Agg(name: String, column: Column, countLike: Boolean)
+  /** (output name, aggregate column, fills-with-zero-on-empty-bucket,
+    * finalizer applied to the raw aggregate in the query result).
+    *
+    * `finalizer` is the Druid sketch-aggregator contract: the
+    * aggregation itself produces the raw sketch blob (so
+    * post-aggregators can `fieldAccess` it for set ops / quantiles),
+    * and the RESULT column is the finalized value — estimate for
+    * theta/HLL, stream length n for quantiles — unless the query sets
+    * `context.finalize: false`.
+    */
+  private case class Agg(name: String, column: Column, countLike: Boolean,
+                         finalizer: Option[Column => Column] = None)
+
+  /** Sketch aggregates compile to the same registered Catalyst
+    * aggregates the Druid SQL compat layer uses (SketchBuildAggs /
+    * DsTheta / DsQuantiles / Spark's own DataSketches HLL) — real
+    * DataSketches wire blobs, map-side partial aggregation, binary
+    * merge at shuffle boundaries. Registration is idempotent.
+    */
+  private def sketchFns(): Unit = {
+    val s = SparkSession.active
+    graft.sql.DruidSqlCompat.register(s)
+    graft.sql.DsQuantilesFunctions.register(s)
+  }
+
+  /** Druid HLL estimates are doubles unless `round: true`; Spark's
+    * `hll_sketch_estimate` is already integral (long), so round just
+    * picks the output type.
+    */
+  private def hllEstimate(c: Column, round: Boolean): Column =
+    if (round) call_udf("hll_sketch_estimate", c)
+    else call_udf("hll_sketch_estimate", c).cast("double")
 
   private def aggsOf(q: JsonNode): Seq[Agg] = {
     val node = q.path("aggregations")
@@ -447,6 +486,8 @@ object NativeQuery {
       val c = ref(a.path("fieldName").asText())
       pred.fold(c)(p => when(p, c))
     }
+    def intOpt(key: String, dflt: Int): Int =
+      if (a.hasNonNull(key)) a.path(key).asInt() else dflt
     a.path("type").asText() match {
       case "count" =>
         Agg(name, pred.fold(count(lit(1)))(p => count(when(p, lit(1)))), countLike = true)
@@ -456,32 +497,87 @@ object NativeQuery {
       case "longMax"              => Agg(name, max(field.cast("long")), countLike = false)
       case "doubleMin" | "floatMin" => Agg(name, min(field.cast("double")), countLike = false)
       case "doubleMax" | "floatMax" => Agg(name, max(field.cast("double")), countLike = false)
+      case "thetaSketch" | "thetaSketchBuild" | "thetaSketchMerge" =>
+        // build over raw values OR merge over COMPLEX blobs — the
+        // registered ThetaSketchAgg dispatches on child type, exactly
+        // Druid's overload rule for the thetaSketch aggregator
+        sketchFns()
+        Agg(name, call_udf("ds_theta", field, lit(intOpt("size", 16384))),
+          countLike = false,
+          finalizer = Some(c => call_udf("theta_sketch_estimate", c)))
+      case "quantilesDoublesSketch" =>
+        sketchFns()
+        Agg(name, call_udf("ds_quantiles_sketch", field, lit(intOpt("k", 128))),
+          countLike = false,
+          // Druid finalizes a quantiles sketch to its stream length n
+          finalizer = Some(c => call_udf("ds_quantiles_n", c)))
+      case "HLLSketchBuild" | "hyperUnique" =>
+        // hyperUnique (Druid's legacy HyperLogLogCollector) maps to the
+        // DataSketches HLL build — same semantics, exact in the
+        // low-cardinality regime, documented substitute encoding
+        sketchFns()
+        val round = a.path("round").asBoolean(false)
+        Agg(name, call_udf("ds_hll", field, lit(intOpt("lgK", 12))),
+          countLike = false, finalizer = Some(c => hllEstimate(c, round)))
+      case "cardinality" =>
+        sketchFns()
+        val fields = a.path("fields").elements().asScala.toSeq.map { f =>
+          if (f.isTextual) ref(f.asText()) else dimensionSpec(f)._1
+        }
+        if (fields.isEmpty) fail("cardinality aggregator with no fields")
+        val round = a.path("round").asBoolean(false)
+        def sk(c: Column) =
+          call_udf("ds_hll", pred.fold(c)(p => when(p, c)), lit(12))
+        val sketch =
+          if (fields.size == 1) sk(fields.head.cast("string"))
+          else if (a.path("byRow").asBoolean(false))
+            // distinct field TUPLES: one update per row over the
+            // separator-joined values (Druid hashes the value tuple)
+            sk(concat_ws("\u0001", fields.map(_.cast("string")): _*))
+          else
+            // distinct values across ALL fields: per-field sketches
+            // unioned with Spark's binary hll_union — still one
+            // aggregation pass, map-side partials per field
+            fields.map(c => sk(c.cast("string")))
+              .reduce((x, y) => call_udf("hll_union", x, y))
+        Agg(name, sketch, countLike = false,
+          finalizer = Some(c => hllEstimate(c, round)))
       case "filtered" =>
         if (pred.isDefined) fail("nested filtered aggregator")
         val p = compileFilter(a.path("filter"))
         val inner = compileAgg(a.path("aggregator"), pred = Some(p))
         // Druid names a filtered aggregator by the INNER aggregator's
         // name; an outer "name" (some clients set both) wins if present.
-        Agg(if (name.nonEmpty) name else inner.name, inner.column, inner.countLike)
+        Agg(if (name.nonEmpty) name else inner.name, inner.column,
+          inner.countLike, inner.finalizer)
       case other => fail(s"aggregation type '$other'")
     }
   }
 
   // ---- post-aggregations -------------------------------------------------
 
-  private def postAggsOf(q: JsonNode): Seq[(String, Column)] = {
+  private def postAggsOf(q: JsonNode,
+                         fins: Map[String, Column => Column]): Seq[(String, Column)] = {
     val node = q.path("postAggregations")
     if (node.isMissingNode || node.isNull) Seq.empty
     else node.elements().asScala
-      .map(p => p.path("name").asText() -> compilePost(p)).toSeq
+      .map(p => p.path("name").asText() -> compilePost(p, fins)).toSeq
   }
 
-  private def compilePost(p: JsonNode): Column = p.path("type").asText() match {
-    case "fieldAccess" | "finalizingFieldAccess" => ref(p.path("fieldName").asText())
+  private def compilePost(p: JsonNode,
+                          fins: Map[String, Column => Column]): Column =
+    p.path("type").asText() match {
+    case "fieldAccess" => ref(p.path("fieldName").asText())
+    case "finalizingFieldAccess" =>
+      // finalized view of the referenced aggregator: the estimate / n
+      // for sketches, the raw value for everything else
+      val f = p.path("fieldName").asText()
+      fins.get(f).fold(ref(f))(fin => fin(ref(f)))
     case "constant"   => lit(p.path("value").asDouble())
     case "expression" => expr(p.path("expression").asText())
     case "arithmetic" =>
-      val fields = p.path("fields").elements().asScala.map(compilePost).toSeq
+      val fields = p.path("fields").elements().asScala
+        .map(compilePost(_, fins)).toSeq
       if (fields.isEmpty) fail("arithmetic post-aggregator with no fields")
       p.path("fn").asText() match {
         case "+" => fields.reduce(_ + _)
@@ -495,11 +591,55 @@ object NativeQuery {
         case "quotient" => fields.reduce(_.cast("double") / _.cast("double"))
         case other      => fail(s"arithmetic fn '$other'")
       }
+    case "thetaSketchEstimate" =>
+      sketchFns()
+      call_udf("theta_sketch_estimate", compilePost(p.path("field"), fins))
+    case "thetaSketchSetOp" =>
+      sketchFns()
+      val fields = p.path("fields").elements().asScala
+        .map(compilePost(_, fins)).toSeq
+      if (fields.size < 2) fail("thetaSketchSetOp with fewer than 2 fields")
+      val fn = p.path("func").asText().toUpperCase match {
+        case "UNION"     => "theta_sketch_union"
+        case "INTERSECT" => "theta_sketch_intersect"
+        case "NOT"       => "theta_sketch_not"
+        case other       => fail(s"thetaSketchSetOp func '$other'")
+      }
+      fields.reduce((a, b) => call_udf(fn, a, b))
+    case "quantilesDoublesSketchToQuantile" =>
+      sketchFns()
+      call_udf("ds_get_quantile", compilePost(p.path("field"), fins),
+        lit(p.path("fraction").asDouble()))
+    case "quantilesDoublesSketchToQuantiles" =>
+      sketchFns()
+      val f = compilePost(p.path("field"), fins)
+      val fractions = p.path("fractions").elements().asScala
+        .map(_.asDouble()).toSeq
+      if (fractions.isEmpty) fail("quantilesDoublesSketchToQuantiles with no fractions")
+      array(fractions.map(fr => call_udf("ds_get_quantile", f, lit(fr))): _*)
+    case "hllSketchEstimate" =>
+      sketchFns()
+      hllEstimate(compilePost(p.path("field"), fins),
+        p.path("round").asBoolean(false))
     case other => fail(s"post-aggregation type '$other'")
   }
 
-  private def applyPost(df: DataFrame, q: JsonNode): DataFrame =
-    postAggsOf(q).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+  /** Post-aggregations over the RAW aggregate columns, then Druid's
+    * result finalization: each sketch aggregator's output column is
+    * replaced by its finalized value unless `context.finalize: false`
+    * keeps the blobs (the shape a client uses to fetch mergeable
+    * sketches for its own set operations).
+    */
+  private def applyPost(df: DataFrame, q: JsonNode, aggs: Seq[Agg]): DataFrame = {
+    val fins = aggs.collect { case Agg(n, _, _, Some(f)) => n -> f }.toMap
+    val posted = postAggsOf(q, fins).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    if (!q.path("context").path("finalize").asBoolean(true)) posted
+    else fins.foldLeft(posted) { case (d, (n, f)) =>
+      if (d.columns.contains(n)) d.withColumn(n, f(col(n))) else d
+    }
+  }
 
   // ---- dimension specs ---------------------------------------------------
 
@@ -584,7 +724,7 @@ object NativeQuery {
     val aggCols = aggs.map(a => a.column.as(a.name))
     truncUnit(q) match {
       case None =>
-        applyPost(base.agg(aggCols.head, aggCols.tail: _*), q)
+        applyPost(base.agg(aggCols.head, aggCols.tail: _*), q, aggs)
       case Some(unit) =>
         val grouped = base
           .groupBy(date_trunc(unit, col("__time")).as("__time"))
@@ -609,7 +749,7 @@ object NativeQuery {
                 if (a.countLike) coalesce(col(a.name), lit(0L).cast("long")).as(a.name)
                 else col(a.name)): _*)
           }
-        val ordered = applyPost(filled, q)
+        val ordered = applyPost(filled, q, aggs)
         if (q.path("descending").asBoolean(false)) ordered.orderBy(col("__time").desc)
         else ordered.orderBy(col("__time"))
     }
@@ -623,7 +763,7 @@ object NativeQuery {
     if (aggs.isEmpty) fail("topN with no aggregations")
     val aggCols = aggs.map(a => a.column.as(a.name))
     val grouped = applyPost(
-      base.groupBy(dimCol.as(outName)).agg(aggCols.head, aggCols.tail: _*), q)
+      base.groupBy(dimCol.as(outName)).agg(aggCols.head, aggCols.tail: _*), q, aggs)
     val metric = q.path("metric")
     val order: Seq[Column] =
       if (metric.isTextual) Seq(col(metric.asText()).desc, col(outName).asc)
@@ -668,7 +808,7 @@ object NativeQuery {
         keyed.groupingSets(sets, keyNames.map(col): _*)
           .agg(aggCols.head, aggCols.tail: _*)
       }
-    val grouped = applyPost(grouped0, q)
+    val grouped = applyPost(grouped0, q, aggs)
     val havingNode = q.path("having")
     val held =
       if (havingNode.isMissingNode || havingNode.isNull) grouped

@@ -410,6 +410,94 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(df.collect().head.getLong(0) == 4L)
   }
 
+  test("sketch aggregators: theta/quantiles/hll/cardinality build + finalize") {
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events",
+      "granularity": "all",
+      "dimensions": ["event_type"],
+      "aggregations": [
+        {"type": "thetaSketch", "name": "theta_users", "fieldName": "user_id"},
+        {"type": "quantilesDoublesSketch", "name": "vq", "fieldName": "value"},
+        {"type": "HLLSketchBuild", "name": "hll_users",
+         "fieldName": "user_id", "round": true},
+        {"type": "cardinality", "name": "card_tuple", "byRow": true,
+         "round": true, "fields": ["event_type", "user_id"]},
+        {"type": "cardinality", "name": "card_union", "round": true,
+         "fields": ["event_type", "user_id"]}],
+      "postAggregations": [
+        {"type": "thetaSketchEstimate", "name": "theta_est",
+         "field": {"type": "fieldAccess", "fieldName": "theta_users"}},
+        {"type": "quantilesDoublesSketchToQuantile", "name": "p50",
+         "field": {"type": "fieldAccess", "fieldName": "vq"}, "fraction": 0.5}]
+    }""").collect()
+    // click: users {1,3,4}, values (10,30,40,70); view: users {2,3},
+    // values (20,50,60); error: user {4}, value (80)
+    val byType = out.map(r => r.getString(0) -> r).toMap
+    // finalized thetaSketch column = estimate (double)
+    assert(byType("click").getDouble(1) == 3.0)
+    assert(byType("view").getDouble(1) == 2.0)
+    assert(byType("error").getDouble(1) == 1.0)
+    // finalized quantiles sketch = stream length n
+    assert(byType("click").getLong(2) == 4L)
+    // rounded HLL estimate (long)
+    assert(byType("click").getLong(3) == 3L)
+    // cardinality byRow: distinct (event_type, user_id) tuples per group
+    assert(byType("click").getLong(4) == 3L)
+    // cardinality by value: distinct values across both fields
+    // (1 event_type string + the user ids)
+    assert(byType("click").getLong(5) == 4L)
+    // post-aggs over the RAW sketches
+    assert(byType("click").getDouble(6) == 3.0)   // theta_est
+    assert(byType("click").getDouble(7) == 30.0)  // p50 (inclusive rank 2)
+    assert(byType("view").getDouble(7) == 50.0)
+  }
+
+  test("theta set-op post-aggs over filtered sketch aggregators") {
+    val row = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "aggregations": [
+        {"type": "filtered",
+         "filter": {"type": "selector", "dimension": "event_type", "value": "click"},
+         "aggregator": {"type": "thetaSketch", "name": "click_users",
+                        "fieldName": "user_id"}},
+        {"type": "filtered",
+         "filter": {"type": "selector", "dimension": "event_type", "value": "view"},
+         "aggregator": {"type": "thetaSketch", "name": "view_users",
+                        "fieldName": "user_id"}}],
+      "postAggregations": [
+        {"type": "thetaSketchEstimate", "name": "n_both",
+         "field": {"type": "thetaSketchSetOp", "name": "i", "func": "INTERSECT",
+           "fields": [{"type": "fieldAccess", "fieldName": "click_users"},
+                      {"type": "fieldAccess", "fieldName": "view_users"}]}},
+        {"type": "thetaSketchEstimate", "name": "n_any",
+         "field": {"type": "thetaSketchSetOp", "name": "u", "func": "UNION",
+           "fields": [{"type": "fieldAccess", "fieldName": "click_users"},
+                      {"type": "fieldAccess", "fieldName": "view_users"}]}}]
+    }""").collect().head
+    // click users {1,3,4}, view users {2,3}
+    assert(row.getDouble(0) == 3.0) // click_users finalized
+    assert(row.getDouble(1) == 2.0) // view_users finalized
+    assert(row.getDouble(2) == 1.0) // intersect {3}
+    assert(row.getDouble(3) == 4.0) // union {1,2,3,4}
+  }
+
+  test("context.finalize=false keeps raw mergeable sketch blobs") {
+    val df = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "context": {"finalize": false},
+      "aggregations": [
+        {"type": "thetaSketch", "name": "users", "fieldName": "user_id"}]
+    }""")
+    assert(df.schema("users").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    // the blob round-trips through the estimate function
+    graft.sql.DruidSqlCompat.register(spark)
+    assert(df.select(expr("theta_sketch_estimate(users)")).collect()
+      .head.getDouble(0) == 4.0)
+  }
+
   test("native timeBoundary answers from segment metadata (no decode)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-nqtb").toString + "/t"
