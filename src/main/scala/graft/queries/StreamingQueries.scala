@@ -261,6 +261,59 @@ object StreamingQueries extends QuerySet {
               SELECT n_events, count(*) AS n_sessions
               FROM per GROUP BY n_events ORDER BY n_events""")),
 
+    // APPEND-mode sessionization — s5's bounded-state twin: session
+    // windows with a realistic 25-hour lateness watermark over the
+    // time-ordered drop dir. Each session is emitted exactly once when
+    // the watermark passes its end and its state row is evicted
+    // (StreamingSpec pins the eviction); sessions still open within the
+    // lateness horizon of the stream head remain in state, so the
+    // oracle applies the same emission cutoff to the batch
+    // gaps-and-islands replay. This is the shape that runs forever at
+    // 100 TB/day: state is (lateness + gap) of events per user, never
+    // the stream's history.
+    Q("s11_stream_sessions_append",
+      (s, dir) => {
+        val in = stageOrderedDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s11_out_${nameCounter.incrementAndGet()}"
+        val q = withStatePartitions(s, 4) {
+          StreamingOps.sessionWindowAppend(
+              StreamingOps.parquetStream(s, in, schema,
+                maxFilesPerTrigger = Some(1)),
+              gap = "30 minutes", lateness = "25 hours")
+            .writeStream.outputMode("append")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination(300000)
+        s.table(table)
+          .groupBy(col("n_events")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_events"))
+      },
+      Some("""WITH t AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events),
+              s AS (
+                SELECT user_id, ts,
+                       CASE WHEN prev IS NULL
+                              OR ts - prev >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM t),
+              g AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+              per AS (
+                SELECT user_id, sid, count(*) AS n_events,
+                       max(ts) + INTERVAL 30 MINUTE AS s_end
+                FROM g GROUP BY user_id, sid),
+              m AS (SELECT max(ts) - INTERVAL 25 HOUR AS wm FROM events)
+              SELECT n_events, count(*) AS n_sessions
+              FROM per, m WHERE s_end <= wm
+              GROUP BY n_events ORDER BY n_events""")),
+
     // Stream-stream inner join: clicks joined to purchases of the same
     // user within the following hour, both sides streaming in
     // EVENT-TIME ORDER (time-range-partitioned drop dir, one file per

@@ -57,10 +57,10 @@ object BloomFns {
   }
 
   /** Idempotent per-session SQL registration. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_agg", buildAgg, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_might", buildMight, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit = Registration.once(spark, "bloom_fns") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_agg", buildAgg, "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "bloom_might", buildMight, "scala_udf")
+    }
 }

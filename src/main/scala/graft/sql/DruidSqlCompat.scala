@@ -237,8 +237,10 @@ object DruidSqlCompat {
     * the `spark.sql.extensions=graft.sql.GraftExtensions` deployment).
     */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (name, _, build) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, build, "scala_udf")
+    Registration.once(spark, "druid_sql_compat") {
+      functions.foreach { case (name, _, build) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, build, "scala_udf")
+      }
     }
 }

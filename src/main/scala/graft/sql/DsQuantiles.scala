@@ -70,7 +70,8 @@ object DsQuantilesFunctions {
     * ds_quantiles_n / ds_quantiles_quantile. `k` is fixed at
     * registration (Druid's aggregator takes it the same way).
     */
-  def register(spark: SparkSession, k: Int = 2048): Unit = {
+  def register(spark: SparkSession, k: Int = 2048): Unit =
+      Registration.once(spark, s"ds_quantiles_fns/$k") {
     spark.udf.register("ds_quantiles_from_vals",
       functions.udf((vs: Seq[Double]) => DsQuantiles.fromValues(vs, k)))
     spark.udf.register("ds_quantiles_union_agg",

@@ -148,12 +148,13 @@ object HistFunctions {
       }).apply(c)
 
   /** Register SQL names with a fixed config (programmatic sessions). */
-  def register(spark: SparkSession, n: Int, lo: Double, hi: Double): Unit = {
-    spark.udf.register("hist_build", functions.udaf(new HistBuildAgg(n, lo, hi)))
-    spark.udf.register("hist_merge_agg",
-      functions.udaf(new HistMergeAgg(n, lo, hi)))
-    spark.udf.register("hist_quantile",
-      functions.udf((b: Array[Byte], phi: Double) =>
-        if (b == null) Double.NaN else FixedHistogram.quantile(b, phi)))
-  }
+  def register(spark: SparkSession, n: Int, lo: Double, hi: Double): Unit =
+    Registration.once(spark, s"hist_fns/$n/$lo/$hi") {
+      spark.udf.register("hist_build", functions.udaf(new HistBuildAgg(n, lo, hi)))
+      spark.udf.register("hist_merge_agg",
+        functions.udaf(new HistMergeAgg(n, lo, hi)))
+      spark.udf.register("hist_quantile",
+        functions.udf((b: Array[Byte], phi: Double) =>
+          if (b == null) Double.NaN else FixedHistogram.quantile(b, phi)))
+    }
 }

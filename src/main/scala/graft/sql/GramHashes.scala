@@ -89,8 +89,10 @@ object Grams5Distinct {
 
   /** Idempotent per-session SQL registration: `grams5_distinct(text)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "grams5_distinct", build, "scala_udf")
+    Registration.once(spark, "grams5_distinct") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "grams5_distinct", build, "scala_udf")
+    }
 }
 
 /** Linear-merge intersection size of two SORTED distinct bigint arrays:
@@ -144,8 +146,10 @@ object IntersectCount {
 
   /** Idempotent per-session SQL registration: `intersect_count(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "intersect_count", build, "scala_udf")
+    Registration.once(spark, "intersect_count") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "intersect_count", build, "scala_udf")
+    }
 }
 
 /** Per-row SimHash over distinct 5-grams in ONE pass:
@@ -204,8 +208,10 @@ object Simhash5 {
 
   /** Idempotent per-session SQL registration: `simhash5(text, nBits)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash5", build, "scala_udf")
+    Registration.once(spark, "simhash5") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash5", build, "scala_udf")
+    }
 }
 
 /** Per-row document fingerprint over distinct 5-grams in ONE pass:
@@ -254,6 +260,8 @@ object Fingerprint5 {
 
   /** Idempotent per-session SQL registration: `fingerprint5(text)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fingerprint5", build, "scala_udf")
+    Registration.once(spark, "fingerprint5") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "fingerprint5", build, "scala_udf")
+    }
 }

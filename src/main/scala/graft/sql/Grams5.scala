@@ -64,6 +64,8 @@ object Grams5 {
 
   /** Idempotent per-session SQL registration: `grams5(text)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "grams5", build, "scala_udf")
+    Registration.once(spark, "grams5") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "grams5", build, "scala_udf")
+    }
 }

@@ -112,6 +112,8 @@ object MinHashBands {
     * `minhash_bands(text, k, bandSize)`.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands", build, "scala_udf")
+    Registration.once(spark, "minhash_bands") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "minhash_bands", build, "scala_udf")
+    }
 }

@@ -65,8 +65,10 @@ object DotFloat {
 
   /** Idempotent per-session SQL registration: `dot_f(a, b)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_f", build, "scala_udf")
+    Registration.once(spark, "dot_f") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_f", build, "scala_udf")
+    }
 }
 
 /** Ordered-fold projection of an embedding onto pseudo-random
@@ -116,6 +118,8 @@ object HyperplaneProjection {
 
   /** Idempotent per-session SQL registration: `hplane_proj(emb, j)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hplane_proj", build, "scala_udf")
+    Registration.once(spark, "hplane_proj") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "hplane_proj", build, "scala_udf")
+    }
 }

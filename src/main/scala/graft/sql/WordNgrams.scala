@@ -80,6 +80,8 @@ object WordNgrams {
 
   /** Idempotent per-session SQL registration: `word_ngrams(text, n)`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_ngrams", build, "scala_udf")
+    Registration.once(spark, "word_ngrams") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "word_ngrams", build, "scala_udf")
+    }
 }

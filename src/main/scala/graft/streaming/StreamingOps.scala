@@ -21,6 +21,28 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-user session windows in APPEND mode — the sessionization shape
+    * that survives an unbounded stream. Complete-mode session_window
+    * (s5) re-emits the whole result every micro-batch and keeps every
+    * session ever seen in state; with a watermark + append output a
+    * session is emitted once, when the watermark passes its end
+    * (last event + gap), and its state row is evicted. State is bounded
+    * by (lateness + gap) of events per key, not by the stream's
+    * history. The trade is the streaming-canonical one: sessions still
+    * open within `lateness` of the stream head stay in state, unemitted
+    * — the batch replay must apply the same emission cutoff
+    * (session_end <= max(ts) - lateness).
+    */
+  def sessionWindowAppend(events: DataFrame, gap: String,
+                          lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("user_id"), col("n_events"))
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
 

@@ -27,6 +27,32 @@ class SegmentValidatorSpec extends AnyFunSuite {
       assert(issues.isEmpty, s"$seg: ${issues.mkString("; ")}")
   }
 
+  test("front-coded string columns validate clean and corruption is caught") {
+    // first contact with a production segment runs `druid-tool validate`;
+    // that has to cover front-coded dictionaries (v3/v5) the same as
+    // plain GenericIndexed ones
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-val-fc").toString + "/t"
+    (0 until 2000).map(i => (1700000000000L + i,
+        s"prefix_shared_${i % 23}", s"tag${i % 5}"))
+      .toDF("__time", "who", "tag")
+      .repartition(2).write.format("druid").mode("overwrite")
+      .option("stringEncoding", "frontCoded").save(out)
+    val results = SegmentValidator.validateTable(out)
+    assert(results.nonEmpty)
+    for ((seg, issues) <- results)
+      assert(issues.isEmpty, s"$seg: ${issues.mkString("; ")}")
+    // corrupt one segment's data blob: validate must flag it
+    val seg = graft.sources.druid.DruidTableUtil.discoverSegments(out).head
+    val smoosh = Paths.get(seg, "00000.smoosh")
+    val ch = java.nio.channels.FileChannel.open(smoosh, StandardOpenOption.WRITE)
+    try ch.write(java.nio.ByteBuffer.wrap(Array.fill[Byte](48)(0x33)),
+      Files.size(smoosh) / 3)
+    finally ch.close()
+    assert(SegmentValidator.validate(seg).nonEmpty,
+      "corrupted front-coded segment validated clean")
+  }
+
   test("corruption is detected") {
     val dir = freshTable()
     val seg = graft.sources.druid.DruidTableUtil.discoverSegments(dir).head

@@ -357,6 +357,41 @@ class NativeQuerySpec extends AnyFunSuite {
       Seq(("click", 4L, 3L), ("error", 1L, 1L), ("view", 3L, 2L)))
   }
 
+  test("query-datasource join right side broadcasts at bench-like scale") {
+    // a fact table two orders of magnitude past the spec fixtures: the
+    // join planner must still pick BHJ when the right side is a small
+    // sub-aggregate (Druid's joinable-datasource execution model), not
+    // fall back to a sort-merge shuffle of the fact side
+    import spark.implicits._
+    val fact = spark.range(100000)
+      .select((col("id") % 97).as("k"), (col("id") % 5).cast("string").as("g"),
+              col("id").cast("double").as("v"))
+    val df = NativeQuery.run("""{
+      "queryType": "groupBy",
+      "dataSource": {"type": "join",
+        "left": "fact",
+        "right": {"type": "query", "query": {
+          "queryType": "groupBy", "dataSource": "fact",
+          "granularity": "all",
+          "dimensions": ["g"],
+          "aggregations": [{"type": "doubleSum", "name": "gv", "fieldName": "v"}]}},
+        "rightPrefix": "r.",
+        "condition": "g == \"r.g\"",
+        "joinType": "INNER"},
+      "granularity": "all",
+      "dimensions": ["g"],
+      "aggregations": [{"type": "count", "name": "n"},
+        {"type": "doubleMax", "name": "share", "fieldName": "r.gv"}]
+    }""", _ => fact)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small sub-aggregate right side should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "query-datasource join must not shuffle the fact side")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1) == (0 to 4).map(i => (i.toString, 20000L)))
+  }
+
   test("union + inline datasources: aligned by name, null-filled") {
     val df = run("""{
       "queryType": "groupBy",

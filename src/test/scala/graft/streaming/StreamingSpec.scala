@@ -108,6 +108,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("ssjoin_out").count() == expected)
   }
 
+  test("append-mode session windows: emitted once, state evicted, cutoff exact") {
+    // time-ordered drop dir (ascending mtimes), one file per micro-batch
+    val dir = Files.createTempDirectory("graft-sess-append").toString
+    val batch = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    batch.repartitionByRange(8, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    val q = StreamingOps.sessionWindowAppend(
+        StreamingOps.parquetStream(spark, dir, schema,
+          maxFilesPerTrigger = Some(1)),
+        gap = "30 minutes", lateness = "25 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_append_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // batch replay: gaps-and-islands sessions, emitted iff the final
+    // watermark (max ts - lateness) passed the session end (last + gap)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = batch
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull ||
+          col("ts") >= col("prev") + expr("INTERVAL 30 MINUTE"), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+           (max(col("ts")) + expr("INTERVAL 30 MINUTE")).as("s_end"))
+    val wm = batch.agg(max(col("ts")) - expr("INTERVAL 25 HOUR")).collect()
+      .head.getTimestamp(0)
+    val expected = sessions.filter(col("s_end") <= lit(wm)).count()
+    val emitted = spark.table("sess_append_out").count()
+    assert(emitted == expected,
+      s"append sessions: emitted $emitted vs batch cutoff $expected")
+    // some sessions stayed open (within the lateness horizon) — the
+    // bounded-state contract means NOT everything is emitted
+    assert(emitted < sessions.count())
+    // and emission evicted session state
+    val progress = q.recentProgress.toSeq
+    val removed = progress.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "no session state was ever evicted")
+  }
+
   test("TTL'd dedup: watermark evicts state mid-run, result is exact distinct") {
     // time-ordered drop dir (ascending mtimes), one file per micro-batch
     val dir = Files.createTempDirectory("graft-ttl-dedup").toString
