@@ -1509,5 +1509,77 @@ object DruidQueries extends QuerySet {
            |FROM c JOIN q ON c.event_type = q.event_type
            |ORDER BY c.event_type""".stripMargin
       }),
+
+    // -- segmentMetadata: Druid's schema-discovery query (the first
+    //    thing the console and client libraries send). Merged analysis
+    //    relationalized to one row per column — type, multi-value flag,
+    //    dictionary cardinality (string dims), stringified min/max
+    //    (__time as epoch micros), numRows. All aggregates land in ONE
+    //    declarative pass over one scan; `analysisTypes` scales the
+    //    work down exactly as in Druid.
+    Q("dr46_native_segment_metadata",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "segmentMetadata", "dataSource": "events"
+        }""", _ => eventsSeg(s, dir))
+      },
+      Some("""SELECT '__time' AS "column", 'LONG' AS type,
+                false AS hasMultipleValues, CAST(NULL AS BIGINT) AS cardinality,
+                CAST(epoch_ms(min(ts)) AS VARCHAR) AS minValue,
+                CAST(epoch_ms(max(ts)) AS VARCHAR) AS maxValue,
+                count(*) AS numRows FROM events
+              UNION ALL SELECT 'event_type', 'STRING', false,
+                count(DISTINCT event_type), min(event_type), max(event_type),
+                count(*) FROM events
+              UNION ALL SELECT 'props', 'STRING', false,
+                count(DISTINCT props), min(props), max(props),
+                count(*) FROM events
+              UNION ALL SELECT 'user_id', 'LONG', false, NULL,
+                CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR),
+                count(*) FROM events
+              UNION ALL SELECT 'value', 'DOUBLE', false, NULL,
+                CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR),
+                count(*) FROM events
+              ORDER BY 1""")),
+
+    // -- The Druid expression DIALECT verbatim: timestamp_floor /
+    //    timestamp_format / case_searched / strlen / substring with
+    //    0-based offsets / && / == / ! — the wire syntax every real
+    //    native query carries in virtualColumns and expression filters,
+    //    which plain Spark SQL cannot parse. DruidExpr translates it
+    //    into Catalyst expressions; the whole thing stays one
+    //    declarative groupBy.
+    Q("dr47_native_druid_exprs",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "intervals": ["2024-01-01T00:00:00.000Z/2024-02-15T00:00:00.000Z"],
+          "virtualColumns": [
+            {"type": "expression", "name": "day",
+             "expression": "timestamp_format(timestamp_floor(__time, 'P1D'), 'yyyy-MM-dd')"},
+            {"type": "expression", "name": "vclass",
+             "expression": "case_searched(value >= 300, 'high', value >= 100, 'mid', 'low')"},
+            {"type": "expression", "name": "et2",
+             "expression": "substring(event_type, 0, 2)"}],
+          "filter": {"type": "expression",
+            "expression": "strlen(event_type) >= 4 && !(event_type == 'view')"},
+          "dimensions": ["day", "vclass", "et2"],
+          "aggregations": [{"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("day"), col("vclass"), col("et2"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              CASE WHEN value >= 300 THEN 'high'
+                   WHEN value >= 100 THEN 'mid' ELSE 'low' END AS vclass,
+              substring(event_type, 1, 2) AS et2,
+              count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events
+              WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                AND ts < TIMESTAMP '2024-02-15 00:00:00'
+                AND length(event_type) >= 4 AND event_type <> 'view'
+              GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
   )
 }

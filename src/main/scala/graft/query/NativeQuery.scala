@@ -30,16 +30,21 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   * wrong):
   *
   *  - query types: `timeseries`, `topN`, `groupBy`, `scan`, `search`,
-  *    `timeBoundary`
+  *    `timeBoundary`, `segmentMetadata` (merged, relationalized),
+  *    `dataSourceMetadata`
   *  - `intervals`: ISO-8601 `start/end` ranges (plain array or
   *    `{"type":"intervals"}` object), OR-ed, end-exclusive
   *  - `filter`: selector, equals, in, bound (numeric + lexicographic),
   *    range, like, regex, search (contains / insensitive_contains /
-  *    fragment), null, interval, and/or/not, and `expression` for the
-  *    SQL-compatible subset of the Druid expression language
-  *  - `virtualColumns`: type `expression`, again the SQL-compatible
-  *    subset (Druid expressions and Spark SQL share arithmetic,
-  *    comparison, `concat`, `substring`, ... syntax)
+  *    fragment), null, interval, and/or/not, and `expression` in
+  *    Druid's native expression language (translated by [[DruidExpr]];
+  *    plain Spark SQL also accepted as a fallback). Dimension filters
+  *    (selector/in/bound/like/regex/search) honor an attached
+  *    `extractionFn`, comparing the transformed value like Druid.
+  *  - `virtualColumns`: type `expression`, same dialect handling —
+  *    `timestamp_floor(__time, 'P1D')`, `case_searched`, `&&`/`==`,
+  *    double-quoted identifiers, 0-based substring/strpos all work as
+  *    a real Druid client sends them
   *  - `granularity`: `all`, the simple string granularities
   *    second/minute/hour/day/week/month/quarter/year, and
   *    `{"type":"period"}` for their ISO-period spellings
@@ -98,8 +103,10 @@ object NativeQuery {
       case "scan"         => scan(base, q)
       case "search"       => search(base, q)
       case "timeBoundary" => timeBoundary(base, q)
+      case "segmentMetadata"    => segmentMetadata(base, q)
+      case "dataSourceMetadata" => dataSourceMetadata(base, q)
       case other =>
-        fail(s"queryType '$other' (supported: timeseries, topN, groupBy, scan, search, timeBoundary)")
+        fail(s"queryType '$other' (supported: timeseries, topN, groupBy, scan, search, timeBoundary, segmentMetadata, dataSourceMetadata)")
     }
   }
 
@@ -113,6 +120,18 @@ object NativeQuery {
   private def ref(name: String): Column =
     if (name.forall(c => c.isLetterOrDigit || c == '_')) col(name)
     else col(s"`$name`")
+
+  /** A Druid expression-language string → Catalyst. Translated by
+    * [[DruidExpr]] (the real wire dialect: `==`, `&&`, `^`,
+    * double-quoted identifiers, 0-based offsets, `timestamp_floor`,
+    * `case_searched`, ...); text that is not parseable Druid-expr
+    * falls back to Spark SQL verbatim, so SQL-leaning clients keep
+    * working. Either way the result is a declarative expression —
+    * never a row-at-a-time evaluator.
+    */
+  private def druidExpr(s: String): Column =
+    try expr(DruidExpr.toSparkSql(s))
+    catch { case _: IllegalArgumentException => expr(s) }
 
   // ---- datasources -------------------------------------------------------
 
@@ -199,37 +218,14 @@ object NativeQuery {
       case other => fail(s"dataSource type '$other'")
     }
 
-  /** Druid join-condition expression → Catalyst. Druid quotes
-    * prefixed right-column identifiers with double quotes
-    * (`channel == "j.k"`); Spark quotes identifiers with backticks.
-    * Outside single-quoted string literals: `"..."` → `` `...` ``,
-    * `==` → `=`, `&&`/`||` → AND/OR.
+  /** Druid join-condition expression → Catalyst. A join condition is a
+    * Druid expression over left columns and double-quote-prefixed
+    * right columns (`channel == "j.k"`); [[DruidExpr]] handles the
+    * full dialect (and the SQL fallback, via [[druidExpr]]).
     */
   private def joinCondition(s: String): Column = {
     if (s.isEmpty) fail("join dataSource without condition")
-    val out = new StringBuilder
-    var i = 0
-    var inStr = false
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (inStr) { out.append(c); if (c == '\'') inStr = false; i += 1 }
-      else c match {
-        case '\'' => inStr = true; out.append(c); i += 1
-        case '"' =>
-          val j = s.indexOf('"', i + 1)
-          if (j < 0) fail(s"join condition '$s' (unterminated identifier quote)")
-          out.append('`').append(s.substring(i + 1, j)).append('`')
-          i = j + 1
-        case '=' if i + 1 < s.length && s.charAt(i + 1) == '=' =>
-          out.append('='); i += 2
-        case '&' if i + 1 < s.length && s.charAt(i + 1) == '&' =>
-          out.append(" AND "); i += 2
-        case '|' if i + 1 < s.length && s.charAt(i + 1) == '|' =>
-          out.append(" OR "); i += 2
-        case _ => out.append(c); i += 1
-      }
-    }
-    expr(out.toString)
+    druidExpr(s)
   }
 
   // ---- time intervals ----------------------------------------------------
@@ -277,9 +273,17 @@ object NativeQuery {
   /** One Druid filter node → one Catalyst predicate. Kept total over
     * the documented surface; everything else fails loudly.
     */
-  def compileFilter(f: JsonNode): Column = f.path("type").asText() match {
+  def compileFilter(f: JsonNode): Column = {
+    // dimension filters may carry an extractionFn (older dashboards
+    // send these constantly): the filter compares the TRANSFORMED value
+    def dim(f: JsonNode): Column = {
+      val base = ref(f.path("dimension").asText())
+      val ef = f.path("extractionFn")
+      if (ef.isMissingNode || ef.isNull) base else extractionFn(base, ef)
+    }
+    f.path("type").asText() match {
     case "selector" =>
-      val d = ref(f.path("dimension").asText())
+      val d = dim(f)
       val v = f.path("value")
       if (v.isMissingNode || v.isNull) d.isNull else d === lit(v.asText())
     case "equals" =>
@@ -290,9 +294,9 @@ object NativeQuery {
         case _                  => c === lit(f.path("matchValue").asText())
       }
     case "in" =>
-      ref(f.path("dimension").asText()).isin(textSeq(f.path("values")): _*)
+      dim(f).isin(textSeq(f.path("values")): _*)
     case "bound" =>
-      val c = col(f.path("dimension").asText())
+      val c = dim(f)
       val numeric = f.path("ordering").asText("lexicographic") == "numeric"
       def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
         val v = f.path(key)
@@ -341,11 +345,11 @@ object NativeQuery {
       if (sides.isEmpty) fail("range filter with neither lower nor upper")
       sides.reduce(_ && _)
     case "like" =>
-      ref(f.path("dimension").asText()).like(f.path("pattern").asText())
+      dim(f).like(f.path("pattern").asText())
     case "regex" =>
-      ref(f.path("dimension").asText()).rlike(f.path("pattern").asText())
+      dim(f).rlike(f.path("pattern").asText())
     case "search" =>
-      searchPredicate(ref(f.path("dimension").asText()), f.path("query"))
+      searchPredicate(dim(f), f.path("query"))
     case "null" =>
       ref(f.path("column").asText()).isNull
     case "interval" =>
@@ -365,8 +369,9 @@ object NativeQuery {
     case "not" =>
       !compileFilter(f.path("field"))
     case "expression" =>
-      expr(f.path("expression").asText())
+      druidExpr(f.path("expression").asText())
     case other => fail(s"filter type '$other'")
+    }
   }
 
   /** The search-query sub-object shared by the search filter and the
@@ -397,7 +402,8 @@ object NativeQuery {
     else vcs.elements().asScala.foldLeft(df) { (d, vc) =>
       vc.path("type").asText() match {
         case "expression" =>
-          d.withColumn(vc.path("name").asText(), expr(vc.path("expression").asText()))
+          d.withColumn(vc.path("name").asText(),
+            druidExpr(vc.path("expression").asText()))
         case other => fail(s"virtualColumn type '$other'")
       }
     }
@@ -574,7 +580,7 @@ object NativeQuery {
       val f = p.path("fieldName").asText()
       fins.get(f).fold(ref(f))(fin => fin(ref(f)))
     case "constant"   => lit(p.path("value").asDouble())
-    case "expression" => expr(p.path("expression").asText())
+    case "expression" => druidExpr(p.path("expression").asText())
     case "arithmetic" =>
       val fields = p.path("fields").elements().asScala
         .map(compilePost(_, fins)).toSeq
@@ -704,6 +710,21 @@ object NativeQuery {
         val mapped =
           if (entries.isEmpty) lit(null).cast("string")
           else element_at(map(entries: _*), c)
+        if (fn.path("retainMissingValue").asBoolean(false))
+          coalesce(mapped, c)
+        else if (fn.hasNonNull("replaceMissingValueWith"))
+          coalesce(mapped, lit(fn.path("replaceMissingValueWith").asText()))
+        else mapped
+      case "registeredLookup" =>
+        // session-registered lookup by name — the form dashboards send
+        // (the inline-map "lookup" type above is the ad-hoc variant).
+        // Compiles through DruidLookups: small maps inline as a
+        // codegen'd CASE switch, larger ones ride the task closure —
+        // Druid's broadcast-lookup execution shape, no shuffle.
+        val name = fn.path("lookup").asText()
+        if (graft.sql.DruidLookups.get(name).isEmpty)
+          fail(s"registeredLookup '$name' (not registered)")
+        val mapped = graft.sql.DruidLookups.lookupColumn(c, name)
         if (fn.path("retainMissingValue").asBoolean(false))
           coalesce(mapped, c)
         else if (fn.hasNonNull("replaceMissingValueWith"))
@@ -894,4 +915,90 @@ object NativeQuery {
         base.agg(min(col("__time")).as("minTime"), max(col("__time")).as("maxTime"))
       case other => fail(s"timeBoundary bound '$other'")
     }
+
+  /** Druid's schema-discovery query (what the console and most client
+    * libraries send first). MERGED analysis relationalized: one row per
+    * column with the Druid type name, multi-value flag, cardinality
+    * (string/multi-value dimensions only — Druid reports dictionary
+    * cardinality; numerics get null like Druid's -1), and stringified
+    * min/max (timestamps as epoch millis — Druid's time unit). A
+    * trailing `numRows` field carries the total row count on every row.
+    *
+    * One declarative pass: every per-column aggregate lands in a single
+    * `agg(...)` over one scan (count-distinct columns get Spark's
+    * Expand-based planning; at 100 TB you'd request fewer
+    * `analysisTypes`, exactly as in Druid). `analysisTypes` controls
+    * the work: default [cardinality, minmax]; an empty list answers
+    * from the schema + row count alone.
+    */
+  private def segmentMetadata(base: DataFrame, q: JsonNode): DataFrame = {
+    import org.apache.spark.sql.types._
+    val at = q.path("analysisTypes")
+    val analyses: Set[String] =
+      if (at.isMissingNode || at.isNull) Set("cardinality", "minmax")
+      else textSeq(at).toSet
+    val colsIn = q.path("toInclude") match {
+      case n if n.isObject && n.path("type").asText() == "list" =>
+        val keep = textSeq(n.path("columns")).toSet
+        base.columns.filter(keep)
+      case _ => base.columns
+    }
+    def druidType(dt: DataType): (String, Boolean) = dt match {
+      case StringType                    => ("STRING", false)
+      case ArrayType(StringType, _)      => ("STRING", true)
+      case LongType | IntegerType        => ("LONG", false)
+      case TimestampType                 => ("LONG", false) // __time: epoch millis
+      case DoubleType                    => ("DOUBLE", false)
+      case FloatType                     => ("FLOAT", false)
+      case BinaryType                    => ("COMPLEX", false)
+      case other                         => (other.sql, false)
+    }
+    def str(c: Column, dt: DataType): Column = dt match {
+      // epoch millis — Druid's time unit (and segment __time precision)
+      case TimestampType => unix_millis(c).cast("string")
+      case _             => c.cast("string")
+    }
+    val fields = colsIn.map(n => base.schema(n))
+    val aggCols = fields.flatMap { f =>
+      val (_, multi) = druidType(f.dataType)
+      val card =
+        if (!analyses("cardinality")) Nil
+        else f.dataType match {
+          case StringType =>
+            Seq(countDistinct(col(f.name)).as(s"__card_${f.name}"))
+          case ArrayType(StringType, _) =>
+            // dictionary cardinality of a multi-value dim = distinct VALUES
+            Seq(size(array_distinct(flatten(collect_set(col(f.name)))))
+              .cast("long").as(s"__card_${f.name}"))
+          case _ => Nil
+        }
+      val minmax =
+        if (!analyses("minmax") || multi || f.dataType == BinaryType) Nil
+        else Seq(str(min(col(f.name)), f.dataType).as(s"__min_${f.name}"),
+                 str(max(col(f.name)), f.dataType).as(s"__max_${f.name}"))
+      card ++ minmax
+    } :+ count(lit(1)).as("__numRows")
+    val one = base.agg(aggCols.head, aggCols.tail: _*)
+    val hasCol = one.columns.toSet
+    def opt(name: String): Column =
+      if (hasCol(name)) col(name) else lit(null)
+    val rows = fields.map { f =>
+      val (tpe, multi) = druidType(f.dataType)
+      struct(lit(f.name).as("column"), lit(tpe).as("type"),
+        lit(multi).as("hasMultipleValues"),
+        opt(s"__card_${f.name}").cast("long").as("cardinality"),
+        opt(s"__min_${f.name}").cast("string").as("minValue"),
+        opt(s"__max_${f.name}").cast("string").as("maxValue"),
+        col("__numRows").as("numRows"))
+    }
+    one.select(explode(array(rows: _*)).as("c")).select(col("c.*"))
+      .orderBy(col("column"))
+  }
+
+  /** maxIngestedEventTime — Druid's dataSourceMetadata query. Over a
+    * segment table this answers from interval metadata like
+    * timeBoundary (no decode).
+    */
+  private def dataSourceMetadata(base: DataFrame, q: JsonNode): DataFrame =
+    base.agg(max(col("__time")).as("maxIngestedEventTime"))
 }

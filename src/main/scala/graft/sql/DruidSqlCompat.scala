@@ -45,6 +45,29 @@ object DruidLookups {
         DruidSqlCompat.udfExpr(s"lookup_$name", StringType,
           (s: String) => if (s == null) null else m.get(s).orNull, Seq(key))
     }
+
+  /** Column-level twin of [[lookupExpr]] for DataFrame-side callers
+    * (the native-query compiler): small maps inline as a literal map
+    * probe, larger ones ride the task closure as a UDF — either way
+    * partition-local, no shuffle.
+    */
+  def lookupColumn(key: org.apache.spark.sql.Column,
+                   name: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, map, udf}
+    DruidLookups.get(name) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"lookup '$name' is not registered (DruidLookups.register)")
+      case Some(m) if m.isEmpty => lit(null).cast("string")
+      case Some(m) if m.size <= InlineThreshold =>
+        val entries = m.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        element_at(map(entries: _*), key)
+      case Some(m) =>
+        udf((s: String) => if (s == null) null else m.get(s).orNull)
+          .apply(key)
+    }
+  }
 }
 
 /** The rest of the Druid SQL compatibility surface (beyond

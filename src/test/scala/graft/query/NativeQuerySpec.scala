@@ -264,10 +264,51 @@ class NativeQuerySpec extends AnyFunSuite {
       "aggregations": [{"type": "count", "name": "n"}]
     }""").collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(repl == Map("engagement" -> 4L, "other" -> 4L))
+    // registeredLookup: the named, session-registered form dashboards
+    // send; retainMissingValue keeps unmapped values
+    graft.sql.DruidLookups.register("nq_reg_kind", Map(
+      "click" -> "engagement", "view" -> "engagement"))
+    val reg = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "extraction", "dimension": "event_type", "outputName": "kind",
+         "extractionFn": {"type": "registeredLookup", "lookup": "nq_reg_kind",
+           "retainMissingValue": true}}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(reg == Map("engagement" -> 7L, "error" -> 1L))
+    // unregistered name fails loudly
+    intercept[IllegalArgumentException](run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "extraction", "dimension": "event_type", "outputName": "k",
+         "extractionFn": {"type": "registeredLookup", "lookup": "nope"}}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }"""))
+  }
+
+  test("dimension filters honor an attached extractionFn") {
+    def n(filter: String): Long = run(s"""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all", "filter": $filter,
+      "aggregations": [{"type": "count", "name": "n"}]}""")
+      .collect().head.getLong(0)
+    // selector over substring(0,1): 'c' matches only click rows
+    assert(n("""{"type": "selector", "dimension": "event_type",
+      "value": "c", "extractionFn":
+        {"type": "substring", "index": 0, "length": 1}}""") == 4L)
+    // in over upper(): VIEW/ERROR
+    assert(n("""{"type": "in", "dimension": "event_type",
+      "values": ["VIEW", "ERROR"],
+      "extractionFn": {"type": "upper"}}""") == 4L)
+    // bound (numeric) over strlen(): length 5 = click/error
+    assert(n("""{"type": "bound", "dimension": "event_type",
+      "lower": "5", "ordering": "numeric",
+      "extractionFn": {"type": "strlen"}}""") == 5L)
   }
 
   test("unsupported constructs fail loudly, not silently wrong") {
-    intercept[IllegalArgumentException](run("""{"queryType": "segmentMetadata",
+    intercept[IllegalArgumentException](run("""{"queryType": "movingAverage",
       "dataSource": "events"}"""))
     intercept[IllegalArgumentException](run("""{"queryType": "timeseries",
       "dataSource": "events", "granularity": "all",
@@ -531,6 +572,64 @@ class NativeQuerySpec extends AnyFunSuite {
     graft.sql.DruidSqlCompat.register(spark)
     assert(df.select(expr("theta_sketch_estimate(users)")).collect()
       .head.getDouble(0) == 4.0)
+  }
+
+  test("segmentMetadata: merged per-column analysis, one pass") {
+    val out = run("""{
+      "queryType": "segmentMetadata", "dataSource": "events"
+    }""").collect()
+    val byCol = out.map(r => r.getString(0) -> r).toMap
+    assert(byCol.keySet ==
+      Set("__time", "event_type", "user_id", "value", "tags"))
+    val et = byCol("event_type")
+    assert(et.getString(1) == "STRING" && !et.getBoolean(2))
+    assert(et.getLong(3) == 3L) // click/view/error
+    assert(et.getString(4) == "click" && et.getString(5) == "view")
+    val tags = byCol("tags")
+    assert(tags.getString(1) == "STRING" && tags.getBoolean(2))
+    assert(tags.getLong(3) == 4L) // a b c d
+    val time = byCol("__time")
+    assert(time.getString(1) == "LONG")
+    assert(time.isNullAt(3)) // numerics report null cardinality
+    assert(out.forall(_.getLong(6) == 8L)) // numRows on every row
+    // toInclude list + empty analysisTypes: schema-only answer
+    val slim = run("""{
+      "queryType": "segmentMetadata", "dataSource": "events",
+      "analysisTypes": [],
+      "toInclude": {"type": "list", "columns": ["user_id", "value"]}
+    }""").collect()
+    assert(slim.map(_.getString(0)).toSeq == Seq("user_id", "value"))
+    assert(slim.forall(r => r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+  }
+
+  test("dataSourceMetadata returns maxIngestedEventTime") {
+    val row = run("""{
+      "queryType": "dataSourceMetadata", "dataSource": "events"
+    }""").collect().head
+    assert(row.getTimestamp(0) == ts("2024-01-05 02:00:00"))
+  }
+
+  test("Druid expression dialect in virtualColumns, filters, and join conditions") {
+    // the wire dialect a real client sends: timestamp_floor, &&, ==,
+    // case_searched — none of it is valid Spark SQL
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events",
+      "granularity": "all",
+      "virtualColumns": [
+        {"type": "expression", "name": "day",
+         "expression": "timestamp_format(timestamp_floor(__time, 'P1D'), 'yyyy-MM-dd')"},
+        {"type": "expression", "name": "kind",
+         "expression": "case_searched(event_type == 'click', 'c', event_type == 'view', 'v', 'other')"}],
+      "filter": {"type": "expression",
+                 "expression": "value > 15 && strlen(event_type) >= 4"},
+      "dimensions": ["day", "kind"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    // rows with value>15 and |event_type|>=4: all but the 10.0 click
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("2024-01-01", "v", 1L), ("2024-01-02", "c", 2L),
+          ("2024-01-03", "v", 2L), ("2024-01-05", "c", 1L),
+          ("2024-01-05", "other", 1L)))
   }
 
   test("native timeBoundary answers from segment metadata (no decode)") {
