@@ -1581,5 +1581,47 @@ object DruidQueries extends QuerySet {
                 AND ts < TIMESTAMP '2024-02-15 00:00:00'
                 AND length(event_type) >= 4 AND event_type <> 'view'
               GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // -- doubleMean + the first/last-by-__time aggregator family
+    //    (Druid's longFirst/doubleLast/... become min_by/max_by over
+    //    the unique event timestamps, so the oracle replays them with
+    //    DuckDB's arg_min/arg_max), incl. a FILTERED doubleLast where
+    //    the predicate gates the ordering key — last among the
+    //    filtered rows only.
+    Q("dr48_native_first_last",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "filter": {"type": "true"},
+          "aggregations": [
+            {"type": "doubleMean", "name": "avg_value", "fieldName": "value"},
+            {"type": "doubleFirst", "name": "first_value", "fieldName": "value"},
+            {"type": "doubleLast", "name": "last_value", "fieldName": "value"},
+            {"type": "longFirst", "name": "first_user", "fieldName": "user_id"},
+            {"type": "filtered",
+             "filter": {"type": "bound", "dimension": "value",
+                        "lower": "250", "ordering": "numeric"},
+             "aggregator": {"type": "doubleLast", "name": "last_high_value",
+                            "fieldName": "value"}}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"),
+            round(col("avg_value"), 2).as("avg_value"),
+            round(col("first_value"), 2).as("first_value"),
+            round(col("last_value"), 2).as("last_value"),
+            col("first_user"),
+            round(col("last_high_value"), 2).as("last_high_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+              round(avg(value), 2) AS avg_value,
+              round(arg_min(value, ts), 2) AS first_value,
+              round(arg_max(value, ts), 2) AS last_value,
+              arg_min(user_id, ts) AS first_user,
+              round(arg_max(CASE WHEN value >= 250 THEN value END,
+                            CASE WHEN value >= 250 THEN ts END), 2)
+                AS last_high_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
   )
 }

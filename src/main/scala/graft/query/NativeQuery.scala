@@ -49,7 +49,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    second/minute/hour/day/week/month/quarter/year, and
   *    `{"type":"period"}` for their ISO-period spellings
   *  - `aggregations`: count, longSum/doubleSum/floatSum,
-  *    longMin/longMax/doubleMin/doubleMax/floatMin/floatMax, the
+  *    longMin/longMax/doubleMin/doubleMax/floatMin/floatMax,
+  *    doubleMean, the first/last-by-__time family
+  *    (long/double/float/string First/Last → min_by/max_by), the
   *    sketch family — `thetaSketch` (build over raw values, merge over
   *    COMPLEX blobs; real DataSketches wire format),
   *    `quantilesDoublesSketch`, `HLLSketchBuild`, `hyperUnique`
@@ -370,6 +372,8 @@ object NativeQuery {
       !compileFilter(f.path("field"))
     case "expression" =>
       druidExpr(f.path("expression").asText())
+    case "true"  => lit(true)
+    case "false" => lit(false)
     case other => fail(s"filter type '$other'")
     }
   }
@@ -503,6 +507,23 @@ object NativeQuery {
       case "longMax"              => Agg(name, max(field.cast("long")), countLike = false)
       case "doubleMin" | "floatMin" => Agg(name, min(field.cast("double")), countLike = false)
       case "doubleMax" | "floatMax" => Agg(name, max(field.cast("double")), countLike = false)
+      case "doubleMean" => Agg(name, avg(field.cast("double")), countLike = false)
+      case t @ ("longFirst" | "doubleFirst" | "floatFirst" | "stringFirst" |
+                "longLast" | "doubleLast" | "floatLast" | "stringLast") =>
+        // Druid's first/last-by-__time aggregators → min_by/max_by.
+        // For the filtered wrapper the PREDICATE gates the ordering key
+        // (min_by skips null orderings), not the value — first among
+        // the filtered rows, exactly Druid's semantics.
+        val raw = ref(a.path("fieldName").asText())
+        val v =
+          if (t.startsWith("long")) raw.cast("long")
+          else if (t.startsWith("double")) raw.cast("double")
+          else if (t.startsWith("float")) raw.cast("float")
+          else raw.cast("string")
+        val ord = pred.fold(col("__time"))(p => when(p, col("__time")))
+        Agg(name,
+          if (t.endsWith("First")) min_by(v, ord) else max_by(v, ord),
+          countLike = false)
       case "thetaSketch" | "thetaSketchBuild" | "thetaSketchMerge" =>
         // build over raw values OR merge over COMPLEX blobs — the
         // registered ThetaSketchAgg dispatches on child type, exactly

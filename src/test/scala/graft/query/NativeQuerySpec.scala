@@ -287,6 +287,33 @@ class NativeQuerySpec extends AnyFunSuite {
     }"""))
   }
 
+  test("doubleMean and first/last-by-__time aggregators; true filter") {
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events",
+      "granularity": "all",
+      "dimensions": ["event_type"],
+      "filter": {"type": "true"},
+      "aggregations": [
+        {"type": "doubleMean", "name": "avg_v", "fieldName": "value"},
+        {"type": "doubleFirst", "name": "first_v", "fieldName": "value"},
+        {"type": "stringLast", "name": "last_tag_user", "fieldName": "user_id"},
+        {"type": "filtered",
+         "filter": {"type": "bound", "dimension": "value", "lower": "35",
+                    "ordering": "numeric"},
+         "aggregator": {"type": "doubleFirst", "name": "first_big",
+                        "fieldName": "value"}}]
+    }""").collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getString(3),
+       r.getDouble(4))).map(t => t._1 -> (t._2, t._3, t._4, t._5)).toMap
+    // click values in time order: 10, 30, 40, 70 (users 1,3,1,4)
+    val click = out("click")
+    assert(click._1 == 37.5 && click._2 == 10.0)
+    assert(click._3 == "4")     // last click user, stringified
+    assert(click._4 == 40.0)    // first click value >= 35
+    val view = out("view")      // 20, 50, 60 by users 2,2,3
+    assert(view._2 == 20.0 && view._3 == "3" && view._4 == 50.0)
+  }
+
   test("dimension filters honor an attached extractionFn") {
     def n(filter: String): Long = run(s"""{
       "queryType": "timeseries", "dataSource": "events",
