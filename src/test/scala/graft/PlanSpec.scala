@@ -89,6 +89,31 @@ class PlanSpec extends AnyFunSuite {
     assert(failures.result().isEmpty, failures.result().mkString("\n"))
   }
 
+  /** AQE prints the initial plan after the final one — count nodes in
+    * the final plan only.
+    */
+  private def finalPlan(p: String): String = p.split("== Initial Plan ==").head
+
+  test("native sketch aggs run one scan, one aggregation pass (dr45)") {
+    val p = finalPlan(plan(run("dr45_native_sketch_aggs")))
+    // five sketch aggregates + count in a single ObjectHashAggregate
+    // pair over ONE scan — no Expand (multi-pass distinct), no join
+    assert(!p.contains("Expand"),
+      s"sketch aggregation must not plan a multi-pass Expand:\n$p")
+    assert("BatchScan".r.findAllIn(p).size == 1,
+      s"dr45 must read the segment table exactly once:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+  }
+
+  test("segmentMetadata answers from one scan (dr46)") {
+    val p = finalPlan(plan(run("dr46_native_segment_metadata")))
+    // every per-column aggregate (min/max/cardinality/count) lands in a
+    // single aggregation over a single scan; the per-column rows come
+    // from an explode of the one aggregate row, not per-column jobs
+    assert("BatchScan".r.findAllIn(p).size == 1,
+      s"segmentMetadata must read the table exactly once:\n$p")
+  }
+
   test("e1 brute force is the only sanctioned cross join") {
     // e1 is the correctness baseline: the cross join is the POINT, but
     // it must broadcast (queries are few) rather than shuffle both sides
