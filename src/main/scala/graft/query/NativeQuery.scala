@@ -131,9 +131,14 @@ object NativeQuery {
     * working. Either way the result is a declarative expression —
     * never a row-at-a-time evaluator.
     */
-  private def druidExpr(s: String): Column =
+  private def druidExpr(s: String): Column = {
+    // translated output references compat functions (time_*, mv_*,
+    // lookup, ...): make this self-sufficient rather than depending on
+    // some earlier query having registered them (once-guarded → cheap)
+    graft.sql.DruidSqlCompat.register(SparkSession.active)
     try expr(DruidExpr.toSparkSql(s))
     catch { case _: IllegalArgumentException => expr(s) }
+  }
 
   // ---- datasources -------------------------------------------------------
 
