@@ -1623,5 +1623,30 @@ object DruidQueries extends QuerySet {
                             CASE WHEN value >= 250 THEN ts END), 2)
                 AS last_high_value
               FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -- Period granularity with a TIME ZONE — what every dashboard in
+    //    a non-UTC org sends: "P1D" in America/Los_Angeles buckets by
+    //    LOCAL calendar day (trunc in local wall time, reported as the
+    //    UTC instant of local midnight). The events span Jan-Feb, all
+    //    inside PST (UTC-8, no DST transition), so the oracle replays
+    //    the local-day floor with fixed-offset integer math.
+    Q("dr49_native_tz_granularity",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": {"type": "period", "period": "P1D",
+                          "timeZone": "America/Los_Angeles"},
+          "context": {"skipEmptyBuckets": true},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("bucket_ms"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT (((CAST(epoch(ts) AS BIGINT) - 28800) // 86400)
+                        * 86400 + 28800) * 1000 AS bucket_ms,
+              count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1 ORDER BY 1""")),
   )
 }

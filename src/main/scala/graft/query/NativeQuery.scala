@@ -47,7 +47,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    a real Druid client sends them
   *  - `granularity`: `all`, the simple string granularities
   *    second/minute/hour/day/week/month/quarter/year, and
-  *    `{"type":"period"}` for their ISO-period spellings
+  *    `{"type":"period"}` for their ISO-period spellings — including
+  *    a `timeZone`: buckets are LOCAL calendar periods (truncated in
+  *    local wall time, reported as UTC instants; 23/25-hour days
+  *    across DST), Druid's period-granularity semantics. `origin`
+  *    fails loudly.
   *  - `aggregations`: count, longSum/doubleSum/floatSum,
   *    longMin/longMax/doubleMin/doubleMax/floatMin/floatMax,
   *    doubleMean, the first/last-by-__time family
@@ -428,9 +432,30 @@ object NativeQuery {
   private val simpleUnits =
     Set("second", "minute", "hour", "day", "week", "month", "quarter", "year")
 
+  /** A resolved granularity: trunc unit + optional bucket timezone.
+    * With a timezone, bucketing converts to LOCAL wall time, truncates,
+    * and converts the local boundary back to its UTC instant — so "one
+    * day in America/Los_Angeles" is a real local calendar day (23/25 h
+    * across DST), exactly Druid's period-granularity semantics.
+    */
+  private case class Gran(unit: String, tz: Option[String]) {
+    def bucket(c: Column): Column = tz match {
+      case None    => date_trunc(unit, c)
+      case Some(z) => to_utc_timestamp(date_trunc(unit, from_utc_timestamp(c, z)), z)
+    }
+  }
+
   /** None = granularity "all" (a single bucket). */
-  private def truncUnit(q: JsonNode): Option[String] = {
+  private def truncUnit(q: JsonNode): Option[Gran] = {
     val g = q.path("granularity")
+    if (g.isObject && g.hasNonNull("origin"))
+      fail("granularity origin (only standard boundaries)")
+    // UTC spellings mean the default path; anything else is honored
+    val tz =
+      if (g.isObject && g.hasNonNull("timeZone"))
+        Some(g.path("timeZone").asText())
+          .filterNot(z => z == "UTC" || z == "Etc/UTC" || z == "+00:00")
+      else None
     val name =
       if (g.isMissingNode || g.isNull) "all"
       else if (g.isTextual) g.asText()
@@ -443,7 +468,7 @@ object NativeQuery {
       }
     name match {
       case "all"                          => None
-      case u if simpleUnits.contains(u)   => Some(u)
+      case u if simpleUnits.contains(u)   => Some(Gran(u, tz))
       case other                          => fail(s"granularity '$other'")
     }
   }
@@ -772,9 +797,9 @@ object NativeQuery {
     truncUnit(q) match {
       case None =>
         applyPost(base.agg(aggCols.head, aggCols.tail: _*), q, aggs)
-      case Some(unit) =>
+      case Some(g) =>
         val grouped = base
-          .groupBy(date_trunc(unit, col("__time")).as("__time"))
+          .groupBy(g.bucket(col("__time")).as("__time"))
           .agg(aggCols.head, aggCols.tail: _*)
         val skipEmpty = q.path("context").path("skipEmptyBuckets").asBoolean(false)
         val ivs = intervalsOf(q)
@@ -784,12 +809,27 @@ object NativeQuery {
             // Bucket spine: granularity-aligned from trunc(start), end-
             // exclusive. Left join + identity fill = Druid's default
             // dense timeseries (count-family 0, value aggregates NULL).
+            // With a bucket timezone the spine steps in LOCAL wall time
+            // (so day/month boundaries and DST hold) and each local
+            // boundary converts back to its UTC instant.
             val (start, end) = ivs.head
-            val spine = base.sparkSession.range(1).select(
-              explode(sequence(
-                date_trunc(unit, lit(Timestamp.from(start))),
+            val seq0 = g.tz match {
+              case None => sequence(
+                date_trunc(g.unit, lit(Timestamp.from(start))),
                 lit(Timestamp.from(end)),
-                expr(unitStep(unit)))).as("__time"))
+                expr(unitStep(g.unit)))
+              case Some(z) => sequence(
+                date_trunc(g.unit,
+                  from_utc_timestamp(lit(Timestamp.from(start)), z)),
+                from_utc_timestamp(lit(Timestamp.from(end)), z),
+                expr(unitStep(g.unit)))
+            }
+            val spine = base.sparkSession.range(1)
+              .select(explode(seq0).as("__t0"))
+              .select((g.tz match {
+                case None    => col("__t0")
+                case Some(z) => to_utc_timestamp(col("__t0"), z)
+              }).as("__time"))
               .filter(col("__time") < lit(Timestamp.from(end)))
             spine.join(grouped, Seq("__time"), "left").select(
               col("__time") +: aggs.map(a =>
@@ -832,7 +872,7 @@ object NativeQuery {
     val aggs = aggsOf(q)
     val aggCols = aggs.map(a => a.column.as(a.name))
     val unit = truncUnit(q)
-    val keys = unit.map(u => date_trunc(u, col("__time")).as("__time")).toSeq ++
+    val keys = unit.map(g => g.bucket(col("__time")).as("__time")).toSeq ++
       dims.map { case (c, n) => c.as(n) }
     val subtotals = q.path("subtotalsSpec")
     val grouped0 =
@@ -845,7 +885,7 @@ object NativeQuery {
         // time bucket (when present) stays in every set, as in Druid.
         // One pass, one shuffle — Spark's Expand feeds a single
         // aggregate rather than re-scanning per set.
-        val keyed = (unit.map(u => ("__time", date_trunc(u, col("__time")))).toSeq ++
+        val keyed = (unit.map(g => ("__time", g.bucket(col("__time")))).toSeq ++
           dims.map { case (c, n) => (n, c) })
           .foldLeft(base) { case (d, (n, c)) => d.withColumn(n, c) }
         val keyNames = unit.map(_ => "__time").toSeq ++ dims.map(_._2)

@@ -287,6 +287,37 @@ class NativeQuerySpec extends AnyFunSuite {
     }"""))
   }
 
+  test("period granularity with timeZone buckets local calendar days") {
+    // fixture times are 01:00/02:00 UTC = 17:00/18:00 previous day in
+    // LA (UTC-8 in January): local-day buckets shift back one day and
+    // come back as the UTC instants of local midnight (08:00Z)
+    val out = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1D",
+                      "timeZone": "America/Los_Angeles"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(out.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq == Seq(
+      (ts("2023-12-31 08:00:00"), 2L), (ts("2024-01-01 08:00:00"), 2L),
+      (ts("2024-01-02 08:00:00"), 2L), (ts("2024-01-04 08:00:00"), 2L)))
+    // groupBy path buckets identically
+    val g = run("""{
+      "queryType": "groupBy", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1D",
+                      "timeZone": "America/Los_Angeles"},
+      "dimensions": ["event_type"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(g.head.getTimestamp(0) == ts("2023-12-31 08:00:00"))
+    // origin is not silently ignored
+    intercept[IllegalArgumentException](run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1D",
+                      "origin": "2024-01-01T06:00:00Z"},
+      "aggregations": [{"type": "count", "name": "n"}]}"""))
+  }
+
   test("doubleMean and first/last-by-__time aggregators; true filter") {
     val out = run("""{
       "queryType": "groupBy", "dataSource": "events",
