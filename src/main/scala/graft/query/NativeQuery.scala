@@ -383,6 +383,14 @@ object NativeQuery {
       druidExpr(f.path("expression").asText())
     case "true"  => lit(true)
     case "false" => lit(false)
+    case "columnComparison" =>
+      // equality between two (possibly extracted) dimension columns
+      val ds = f.path("dimensions").elements().asScala
+        .map(d => dimensionSpec(d)._1).toSeq
+      if (ds.size < 2) fail("columnComparison needs two dimensions")
+      ds.sliding(2).map { case Seq(a, b) =>
+        a.cast("string") === b.cast("string")
+      }.reduce(_ && _)
     case other => fail(s"filter type '$other'")
     }
   }
@@ -538,6 +546,18 @@ object NativeQuery {
       case "doubleMin" | "floatMin" => Agg(name, min(field.cast("double")), countLike = false)
       case "doubleMax" | "floatMax" => Agg(name, max(field.cast("double")), countLike = false)
       case "doubleMean" => Agg(name, avg(field.cast("double")), countLike = false)
+      case t @ ("longAny" | "doubleAny" | "floatAny" | "stringAny") =>
+        // Druid ANY = "whichever value is cheapest". That freedom makes
+        // results run-dependent; we pin it to first-by-__time — a legal
+        // ANY, and deterministic, so it stays oracle-checkable.
+        val raw = ref(a.path("fieldName").asText())
+        val v =
+          if (t.startsWith("long")) raw.cast("long")
+          else if (t.startsWith("double")) raw.cast("double")
+          else if (t.startsWith("float")) raw.cast("float")
+          else raw.cast("string")
+        Agg(name, min_by(v, pred.fold(col("__time"))(p => when(p, col("__time")))),
+          countLike = false)
       case t @ ("longFirst" | "doubleFirst" | "floatFirst" | "stringFirst" |
                 "longLast" | "doubleLast" | "floatLast" | "stringLast") =>
         // Druid's first/last-by-__time aggregators → min_by/max_by.
@@ -837,8 +857,11 @@ object NativeQuery {
                 else col(a.name)): _*)
           }
         val ordered = applyPost(filled, q, aggs)
-        if (q.path("descending").asBoolean(false)) ordered.orderBy(col("__time").desc)
-        else ordered.orderBy(col("__time"))
+        val sorted =
+          if (q.path("descending").asBoolean(false)) ordered.orderBy(col("__time").desc)
+          else ordered.orderBy(col("__time"))
+        val lim = q.path("limit")
+        if (lim.isMissingNode || lim.isNull) sorted else sorted.limit(lim.asInt())
     }
   }
 
@@ -924,6 +947,9 @@ object NativeQuery {
   }
 
   private def compileHaving(h: JsonNode): Column = h.path("type").asText() match {
+    case "dimSelector" =>
+      col(h.path("dimension").asText()).cast("string") ===
+        lit(h.path("value").asText())
     case "greaterThan" => col(h.path("aggregation").asText()) > lit(h.path("value").asDouble())
     case "lessThan"    => col(h.path("aggregation").asText()) < lit(h.path("value").asDouble())
     case "equalTo"     => col(h.path("aggregation").asText()) === lit(h.path("value").asDouble())

@@ -287,6 +287,47 @@ class NativeQuerySpec extends AnyFunSuite {
     }"""))
   }
 
+  test("columnComparison filter, dimSelector having, timeseries limit, Any aggs") {
+    // columnComparison: rows where user_id stringifies to tags length?
+    // use a virtual column twin to compare against event_type
+    val cc = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "et2",
+                          "expression": "event_type"}],
+      "filter": {"type": "columnComparison", "dimensions": ["event_type", "et2"]},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().head
+    assert(cc.getLong(0) == 8L)
+    // dimSelector having keeps only the named dimension value
+    val hv = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": ["event_type"],
+      "aggregations": [{"type": "count", "name": "n"}],
+      "having": {"type": "dimSelector", "dimension": "event_type",
+                 "value": "view"}
+    }""").collect()
+    assert(hv.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("view", 3L)))
+    // timeseries limit caps the bucket list
+    val lim = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "day", "context": {"skipEmptyBuckets": true},
+      "limit": 2,
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(lim.length == 2 && lim.head.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    // Any aggregators pin to deterministic first-by-__time
+    val any = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": ["event_type"],
+      "aggregations": [{"type": "longAny", "name": "u", "fieldName": "user_id"},
+                       {"type": "stringAny", "name": "su", "fieldName": "user_id"}]
+    }""").collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(any.toSeq == Seq(("click", 1L, "1"), ("error", 4L, "4"),
+      ("view", 2L, "2")))
+  }
+
   test("period granularity with timeZone buckets local calendar days") {
     // fixture times are 01:00/02:00 UTC = 17:00/18:00 previous day in
     // LA (UTC-8 in January): local-day buckets shift back one day and
