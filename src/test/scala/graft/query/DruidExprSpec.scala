@@ -54,6 +54,13 @@ class DruidExprSpec extends AnyFunSuite {
     assert(eval("bitwiseXor(12, 10)") == 6)
   }
 
+  test("div is integer division; contains_string maps to contains") {
+    assert(eval("div(x, y)", "x" -> 7L, "y" -> 2L) == 3L)
+    assert(eval("div(x, y)", "x" -> -7L, "y" -> 2L) == -3L) // truncating, like Druid (Java semantics)
+    assert(eval("contains_string(s, 'cd')", "s" -> "abcdef") == true)
+    assert(eval("icontains_string(s, 'CD')", "s" -> "abcdef") == true)
+  }
+
   test("case_searched and case_simple compile to CASE") {
     assert(eval("case_searched(x > 2, 'big', x > 0, 'small', 'neg')",
       "x" -> 1) == "small")
