@@ -87,6 +87,18 @@ object StreamingQueries extends QuerySet {
     })
   }
 
+  /** Stage embeddings as a streaming drop directory (once per JVM). */
+  private def stageEmbDir(s: SparkSession, dir: String): String = synchronized {
+    staged.getOrElseUpdate(s"$dir#embeddings", {
+      val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_embeddings"
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+  }
+
   /** Stage documents as a streaming drop directory (once per JVM). */
   private def stageDocsDir(s: SparkSession, dir: String): String = synchronized {
     staged.getOrElseUpdate(s"$dir#documents", {
@@ -463,6 +475,75 @@ object StreamingQueries extends QuerySet {
                 SELECT DISTINCT event_type, user_id,
                        date_trunc('day', ts) AS day FROM events)
               GROUP BY event_type ORDER BY event_type""")),
+
+    // Streaming ANN-INDEX ingest — the continuous half of e4's
+    // build/serve split: embedding vectors arrive as a stream, each is
+    // assigned map-side to its nearest IVF centroid (the 8 centroids
+    // ride the plan as LITERALS — 8x64 floats, Druid-lookup-style
+    // broadcast; the argmax is an array_max over per-centroid cosine
+    // structs, so there is NO shuffle and NO state), and assignments
+    // land as druid segments through the exactly-once streaming sink,
+    // cell column first — the inverted-list layout IVF serving reads.
+    // At 100 TB/day this is how the serving index stays current:
+    // per-epoch work is bounded by new vectors, the corpus is never
+    // re-assigned. The gate reads the landed table back and checks
+    // per-cell counts and a cosine checksum against the DuckDB replay
+    // of the same assignment (same ordered-fold dot product, same
+    // round-then-rank).
+    Q("s12_stream_ann_ingest",
+      (s, dir) => {
+        graft.sql.DotFloat.register(s)
+        val in = stageEmbDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val cents = Tables.load(s, dir, "embeddings")
+          .filter(col("vec_id") < 8).select(col("vec_id"), col("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1)
+        def cos(c: Array[Float]) = {
+          val cl = typedLit(c)
+          round(call_udf("dot_f", col("embedding"), cl) /
+            (sqrt(call_udf("dot_f", col("embedding"), col("embedding"))) *
+             sqrt(call_udf("dot_f", cl, cl))), 6)
+        }
+        val best = array_max(array(cents.map { case (cid, arr) =>
+          struct(cos(arr).as("c"), lit(-cid.toInt).as("nc"))
+        }: _*))
+        val n = nameCounter.incrementAndGet()
+        val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_annidx_$n"
+        Seq(out, s"${out}_cp").foreach(deleteDir)
+        val q = StreamingOps.segmentSink(
+          StreamingOps.parquetStream(s, in, schema)
+            .withColumn("best", best)
+            .select(
+              timestamp_seconds(lit(1704067200L) + col("vec_id")).as("__time"),
+              col("vec_id"),
+              (col("best.nc") * -1).cast("long").as("cell"),
+              col("best.c").as("cos")),
+          out, s"${out}_cp")
+        q.awaitTermination(300000)
+        s.read.format("druid").load(out)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"), round(sum(col("cos")), 4).as("sum_cos"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+             |         FROM e WHERE vec_id < 8),
+             |ac AS (SELECT v.vec_id, c.cid,
+             |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+             |  FROM e v, cent c),
+             |assign AS (SELECT vec_id, cid AS cell, cos FROM (
+             |    SELECT vec_id, cid, cos,
+             |      row_number() OVER (PARTITION BY vec_id
+             |                         ORDER BY cos DESC, cid) AS rn
+             |    FROM ac) WHERE rn = 1)
+             |SELECT CAST(cell AS BIGINT) AS cell, count(*) AS n,
+             |  round(sum(cos), 4) AS sum_cos
+             |FROM assign GROUP BY cell ORDER BY cell""".stripMargin)),
 
     // Streaming CURATION pipeline — the composition a production
     // training-data system runs continuously: documents stream in,
