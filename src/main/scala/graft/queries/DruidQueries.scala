@@ -1648,5 +1648,29 @@ object DruidQueries extends QuerySet {
                         * 86400 + 28800) * 1000 AS bucket_ms,
               count(*) AS n, round(sum(value), 2) AS total_value
               FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // -- Native groupBy directly ON a multi-value dimension: Druid
+    //    groups by VALUE (auto-unnest), not by the whole array — the
+    //    semantics a Druid user's existing query relies on. dr6 covers
+    //    the manual-explode DataFrame form; this is the wire form, with
+    //    a limitSpec ordered by count (dimension ascending tie-break).
+    Q("dr50_native_mv_groupby",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "docs",
+          "granularity": "all",
+          "dimensions": [{"type": "default", "dimension": "words",
+                          "outputName": "word"}],
+          "aggregations": [{"type": "count", "name": "n"}],
+          "having": {"type": "greaterThan", "aggregation": "n", "value": 150},
+          "limitSpec": {"type": "default", "limit": 20, "columns":
+            [{"dimension": "n", "direction": "descending"}]}
+        }""", _ => docsMvSeg(s, dir))
+      },
+      Some("""SELECT word, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              GROUP BY word HAVING count(*) > 150
+              ORDER BY n DESC, word LIMIT 20""")),
   )
 }

@@ -865,7 +865,8 @@ object NativeQuery {
     }
   }
 
-  private def topN(base: DataFrame, q: JsonNode): DataFrame = {
+  private def topN(base0: DataFrame, q: JsonNode): DataFrame = {
+    val base = unnestMvDims(base0, Seq(q.path("dimension")))
     val (dimCol, outName) = dimensionSpec(q.path("dimension"))
     val threshold = q.path("threshold").asInt()
     if (threshold <= 0) fail("topN threshold <= 0")
@@ -889,8 +890,26 @@ object NativeQuery {
     grouped.orderBy(order: _*).limit(threshold)
   }
 
-  private def groupByQuery(base: DataFrame, q: JsonNode): DataFrame = {
-    val dims = q.path("dimensions").elements().asScala.map(dimensionSpec).toSeq
+  /** Druid groups/topNs a MULTI-VALUE dimension by VALUE, not by the
+    * whole array: each row contributes once per value (rows with no
+    * values contribute a null). Unnest the referenced array dimensions
+    * before grouping — filters have already run against the intact
+    * rows, like Druid.
+    */
+  private def unnestMvDims(df: DataFrame, dimNodes: Seq[JsonNode]): DataFrame =
+    dimNodes
+      .map(d => if (d.isTextual) d.asText() else d.path("dimension").asText())
+      .distinct
+      .foldLeft(df)((acc, name) =>
+        if (acc.schema.fields.exists(f =>
+          f.name == name && f.dataType.isInstanceOf[ArrayType]))
+          acc.withColumn(name, explode_outer(col(name)))
+        else acc)
+
+  private def groupByQuery(base0: DataFrame, q: JsonNode): DataFrame = {
+    val dimNodes = q.path("dimensions").elements().asScala.toSeq
+    val base = unnestMvDims(base0, dimNodes)
+    val dims = dimNodes.map(dimensionSpec)
     if (dims.isEmpty) fail("groupBy with no dimensions (use timeseries)")
     val aggs = aggsOf(q)
     val aggCols = aggs.map(a => a.column.as(a.name))

@@ -287,6 +287,22 @@ class NativeQuerySpec extends AnyFunSuite {
     }"""))
   }
 
+  test("groupBy and topN on a multi-value dimension unnest per value") {
+    // Druid groups an MV dimension by VALUE: tags a=4, b=3, c=2, d=1
+    val g = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": ["tags"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(g.toSeq == Seq(("a", 4L), ("b", 3L), ("c", 2L), ("d", 1L)))
+    val t = run("""{
+      "queryType": "topN", "dataSource": "events", "granularity": "all",
+      "dimension": "tags", "threshold": 2, "metric": "n",
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t.toSeq == Seq(("a", 4L), ("b", 3L)))
+  }
+
   test("columnComparison filter, dimSelector having, timeseries limit, Any aggs") {
     // columnComparison: rows where user_id stringifies to tags length?
     // use a virtual column twin to compare against event_type
