@@ -90,6 +90,15 @@ object Bench {
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val total1 = pass1.filterNot(_._2.isNaN).map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":2,"policy":"min_of_2","first_pass_total":$total1,"staging":$staging,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    // compact one-liner LAST: the driver's artifact keeps only a tail
+    // snippet of the output, which can truncate the full JSON above
+    // (round-4 BENCH had parsed:null for exactly this reason). This
+    // line always fits the tail and stays parseable: total, counts,
+    // and the 10 slowest queries.
+    val slow = ok.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${errors.size},"slowest10":$slow,"sf":"$sfDir"}""")
     spark.stop()
     // loud on stderr but exit 0: the JSON line above IS the artifact,
     // and it already tags every failure (-1 + errors map)

@@ -1,0 +1,169 @@
+package graft.cli
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** `druid-tool serve` — a minimal HTTP endpoint speaking Druid's
+  * native-query WIRE PROTOCOL (`POST /druid/v2`, the broker endpoint
+  * every Druid client library and dashboard targets; the reference is
+  * a CLI-only SQL bridge, src/main.rs:65). Query JSON compiles through
+  * [[graft.query.NativeQuery]] into a declarative Spark plan; the
+  * server only shapes the result rows into Druid's per-query-type
+  * response envelopes:
+  *
+  *  - timeseries: `[{"timestamp": iso, "result": {agg: value, ...}}]`
+  *  - groupBy: `[{"version": "v1", "timestamp": iso|null,
+  *    "event": {dim/agg: value, ...}}]`
+  *  - topN: `[{"timestamp": iso|null, "result": [{...}, ...]}]`
+  *  - everything else (scan/search/timeBoundary/metadata): a plain
+  *    JSON array of column->value objects (documented deviation from
+  *    Druid's batched scan envelope)
+  *
+  * `GET /status` answers like a broker so client health checks pass.
+  * The server executor is the JDK default (one request at a time);
+  * parallelism lives inside Spark, where it belongs.
+  */
+object DruidServe {
+
+  private val mapper = new ObjectMapper()
+  private val isoMs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    .withZone(ZoneOffset.UTC)
+
+  /** Start serving; `resolve` maps a dataSource name to its DataFrame.
+    * Port 0 binds an ephemeral port (see `server.getAddress.getPort`).
+    * Caller stops the returned server.
+    */
+  def start(spark: SparkSession, resolve: String => DataFrame,
+            port: Int): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/status", (ex: HttpExchange) =>
+      respond(ex, 200, """{"service":"graft/broker","version":"graft-1"}"""))
+    server.createContext("/druid/v2", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"native queries are POSTed"}""")
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val qt = mapper.readTree(body).path("queryType").asText()
+          val df = graft.query.NativeQuery.run(body, resolve)
+          respond(ex, 200, envelope(qt, df))
+        }
+      } catch {
+        case e: Throwable =>
+          val o = mapper.createObjectNode()
+          o.put("error", "Query not supported")
+          o.put("errorMessage", String.valueOf(e.getMessage))
+          o.put("errorClass", e.getClass.getName)
+          respond(ex, 400, o.toString)
+      }
+    })
+    server.start()
+    server
+  }
+
+  /** `druid-tool`-style entry: serve every segment table under `root`
+    * (dataSource name = subdirectory name).
+    */
+  def main(args: Array[String]): Unit = args.toList match {
+    case root :: rest =>
+      val port = rest match {
+        case "--port" :: p :: Nil => p.toInt
+        case Nil => 8082
+        case other => sys.error(s"unknown args: $other")
+      }
+      val spark = SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+        .appName("druid-serve")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      val server = start(spark,
+        name => spark.read.format("druid").load(s"$root/$name"), port)
+      println(s"druid-serve listening on :${server.getAddress.getPort} " +
+        s"(POST /druid/v2), tables under $root")
+      Thread.currentThread().join()
+    case Nil =>
+      System.err.println("usage: druid-serve <tablesRoot> [--port N]")
+      sys.exit(2)
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    try ex.getResponseBody.write(bytes) finally ex.close()
+  }
+
+  // ---- result envelopes ---------------------------------------------------
+
+  private def envelope(queryType: String, df: DataFrame): String = {
+    val schema = df.schema
+    val rows = df.collect()
+    val timeIdx = schema.fieldNames.indexOf("__time")
+    def timestampOf(r: Row): Option[String] =
+      if (timeIdx < 0 || r.isNullAt(timeIdx)) None
+      else Some(isoMs.format(r.getTimestamp(timeIdx).toInstant))
+    val out: ArrayNode = mapper.createArrayNode()
+    queryType match {
+      case "timeseries" =>
+        rows.foreach { r =>
+          val o = out.addObject()
+          timestampOf(r).fold(o.putNull("timestamp"))(t => { o.put("timestamp", t); () })
+          fill(o.putObject("result"), r, schema, skipTime = true)
+        }
+      case "groupBy" =>
+        rows.foreach { r =>
+          val o = out.addObject()
+          o.put("version", "v1")
+          timestampOf(r).fold(o.putNull("timestamp"))(t => { o.put("timestamp", t); () })
+          fill(o.putObject("event"), r, schema, skipTime = true)
+        }
+      case "topN" =>
+        // exact topN: all rows belong to the single granularity bucket
+        val o = out.addObject()
+        rows.headOption.flatMap(timestampOf)
+          .fold(o.putNull("timestamp"))(t => { o.put("timestamp", t); () })
+        val res = o.putArray("result")
+        rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
+      case _ =>
+        rows.foreach(r => fill(out.addObject(), r, schema, skipTime = false))
+    }
+    out.toString
+  }
+
+  private def fill(o: ObjectNode, r: Row, schema: StructType,
+                   skipTime: Boolean): Unit =
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!(skipTime && f.name == "__time")) {
+        if (r.isNullAt(i)) o.putNull(f.name)
+        else f.dataType match {
+          case LongType => o.put(f.name, r.getLong(i))
+          case IntegerType => o.put(f.name, r.getInt(i))
+          case DoubleType => o.put(f.name, r.getDouble(i))
+          case FloatType => o.put(f.name, r.getFloat(i))
+          case BooleanType => o.put(f.name, r.getBoolean(i))
+          case StringType => o.put(f.name, r.getString(i))
+          case TimestampType =>
+            o.put(f.name, isoMs.format(r.getTimestamp(i).toInstant))
+          case BinaryType => // mergeable sketch blobs etc. — base64, like Druid
+            o.put(f.name, java.util.Base64.getEncoder
+              .encodeToString(r.getAs[Array[Byte]](i)))
+          case ArrayType(StringType, _) =>
+            val a = o.putArray(f.name)
+            r.getSeq[String](i).foreach(v =>
+              if (v == null) a.addNull() else a.add(v))
+          case other => o.put(f.name, String.valueOf(r.get(i)))
+        }
+      }
+    }
+}

@@ -58,6 +58,22 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Events with `props` parsed into a STRUCT and landed as a
+    * COMPLEX&lt;json&gt; nested column (Druid's "auto" type) — the writer
+    * serializes the struct to JSON text blobs, and the read side
+    * surfaces a JSON STRING column for `get_json_object`.
+    */
+  private def eventsJsonSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("events_json", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"),
+                from_json(col("props"),
+                  org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+                  .as("props"))
+        .repartition(4))
+    s.read.format("druid").load(path)
+  }
+
   private def hllSeg(s: SparkSession, dir: String): DataFrame = {
     import graft.sql.HllFunctions
     val path = segTable("hll", dir,
@@ -305,6 +321,7 @@ object DruidQueries extends QuerySet {
     eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
     delSeg(s, dir); dsHllSeg(s, dir); dsThetaSeg(s, dir)
     custFrontCodedSeg(s, dir); docsMvFcSeg(s, dir); dsQuantilesSeg(s, dir)
+    eventsJsonSeg(s, dir)
   }
 
   /** A day-granular events table under its own catalog, staged once per
@@ -480,11 +497,19 @@ object DruidQueries extends QuerySet {
               FROM lineitem WHERE l_returnflag = 'R'
               GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // -- Complex (sketch) columns end-to-end: per-group HLL sketches
-    //    built in Spark, landed in a segment COMPLEX column, read back,
-    //    merged and estimated in SQL. The reference hard-errors on
-    //    Complex columns (src/column/mod.rs:59-61). Rows-only check:
-    //    sketch estimates are engine-specific by nature.
+    // -- Complex (sketch) columns end-to-end, HASH-MATCHED: per-group
+    //    HLL sketches built in Spark, landed in a segment COMPLEX
+    //    column, read back, merged and estimated in SQL. The reference
+    //    hard-errors on Complex columns (src/column/mod.rs:59-61).
+    //    The substitute HLL encoding (sql/Hll.scala) is deterministic —
+    //    splitmix64 hash, p=11 registers, linear-counting correction —
+    //    so the oracle replays the WHOLE estimator in DuckDB SQL:
+    //    64-bit wraparound arithmetic via HUGEINT with the multiply
+    //    constants split into 32-bit halves, register ranks via the
+    //    bit length of the sentinel-padded suffix, and the final
+    //    estimate from the zero-register count (integer-exact: the
+    //    linear-counting branch depends only on `zeros`, immune to
+    //    float summation order).
     Q("dr7_hll_sketch",
       (s, dir) => {
         import graft.sql.HllFunctions
@@ -493,7 +518,35 @@ object DruidQueries extends QuerySet {
             HllFunctions.hllMerge(col("sketch"))).as("approx_parts"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""WITH v AS (SELECT DISTINCT l_returnflag AS f,
+                     CAST(l_partkey AS UBIGINT) AS v FROM lineitem),
+              h0 AS (SELECT f, CAST((CAST(v AS HUGEINT) + 11400714819323198485)
+                       % 18446744073709551616 AS UBIGINT) AS x FROM v),
+              m1 AS (SELECT f, CAST(xor(x, x >> 30) AS HUGEINT) AS y FROM h0),
+              h1 AS (SELECT f, CAST((y * 484763065 +
+                       ((y * 3210233709) % 4294967296) * 4294967296)
+                       % 18446744073709551616 AS UBIGINT) AS x FROM m1),
+              m2 AS (SELECT f, CAST(xor(x, x >> 27) AS HUGEINT) AS y FROM h1),
+              h2 AS (SELECT f, CAST((y * 321982955 +
+                       ((y * 2496678331) % 4294967296) * 4294967296)
+                       % 18446744073709551616 AS UBIGINT) AS x FROM m2),
+              h AS (SELECT f, xor(x, x >> 31) AS h FROM h2),
+              rr AS (SELECT f, h >> 53 AS idx,
+                       65 - length(bin(CAST((CAST(h % 9007199254740992 AS HUGEINT)
+                         * 2048 + 1024) AS UBIGINT))) AS r FROM h),
+              reg AS (SELECT f, idx, max(r) AS r FROM rr GROUP BY f, idx),
+              agg AS (SELECT f,
+                        sum(power(2.0, -r)) + (2048 - count(*)) AS harm,
+                        (2048 - count(*)) + sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)
+                          AS zeros
+                      FROM reg GROUP BY f)
+              SELECT f AS l_returnflag,
+                CAST(floor(CASE WHEN (0.7213 / (1 + 1.079 / 2048)) * 2048 * 2048
+                       / harm <= 5120.0 AND zeros > 0
+                     THEN 2048 * ln(2048.0 / zeros)
+                     ELSE (0.7213 / (1 + 1.079 / 2048)) * 2048 * 2048 / harm END
+                     + 0.5) AS BIGINT) AS approx_parts
+              FROM agg ORDER BY l_returnflag""")),
 
     // -- REAL-Druid sketch interop, HASH-MATCHED: the segment's COMPLEX
     //    column carries Apache DataSketches HLL blobs (typeName
@@ -1672,5 +1725,92 @@ object DruidQueries extends QuerySet {
                     FROM documents)
               GROUP BY word HAVING count(*) > 150
               ORDER BY n DESC, word LIMIT 20""")),
+
+    // -- `context.grandTotal` + ALPHANUMERIC bound ordering, the two
+    //    formerly-silent native-compiler fallbacks, exercised together
+    //    on the wire: the bound filter compares `concat('u', user_id)`
+    //    under Druid's alphanumeric comparator ("u100" admits u100-u149
+    //    and rejects u99 — lexicographic would do the opposite), and
+    //    the timeseries appends the combined-across-buckets row
+    //    (timestamp null) after the per-day rows, outside any limit.
+    Q("dr51_native_grand_total",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": "day",
+          "virtualColumns": [{"type": "expression", "name": "ukey",
+                              "expression": "concat('u', \"user_id\")"}],
+          "filter": {"type": "bound", "dimension": "ukey",
+                     "lower": "u100", "ordering": "alphanumeric"},
+          "context": {"skipEmptyBuckets": true, "grandTotal": true},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("day_ms"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""WITH f AS (SELECT * FROM events WHERE user_id >= 100)
+              SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+                     count(*) AS n, round(sum(value), 2) AS total_value
+              FROM f GROUP BY 1
+              UNION ALL
+              SELECT NULL AS day_ms, count(*) AS n,
+                     round(sum(value), 2) AS total_value
+              FROM f
+              ORDER BY day_ms NULLS LAST""")),
+
+    // -- druid-stats `variance` aggregator (sample and population
+    //    estimators) + `stddev` post-aggregator — the most common
+    //    non-sketch extension aggregators in real dashboards. Spark's
+    //    var_samp/var_pop merge Welford partials map-side exactly like
+    //    Druid's varianceFold; the 4-decimal round gates well above
+    //    float summation-order noise (~1e-6 absolute here).
+    Q("dr52_native_variance",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "dimensions": [{"type": "default", "dimension": "event_type",
+                          "outputName": "event_type"}],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "variance", "name": "var_value", "fieldName": "value"},
+            {"type": "variance", "name": "varp_value", "fieldName": "value",
+             "estimator": "population"}],
+          "postAggregations": [
+            {"type": "stddev", "name": "sd_value", "fieldName": "var_value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), col("n"),
+                  round(col("var_value"), 4).as("var_value"),
+                  round(col("varp_value"), 4).as("varp_value"),
+                  round(col("sd_value"), 4).as("sd_value"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              round(var_samp(value), 4) AS var_value,
+              round(var_pop(value), 4) AS varp_value,
+              round(stddev_samp(value), 4) AS sd_value
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // -- COMPLEX<json> nested columns end-to-end (the modern-Druid
+    //    "auto" type; the reference errors on ALL Complex columns,
+    //    src/column/mod.rs:59-61): `props` parses to a STRUCT at ingest,
+    //    lands as JSON-text blobs in a COMPLEX column tagged "json",
+    //    reads back as a JSON STRING, and the query groups on a field
+    //    extracted from it — Druid's JSON_VALUE dashboard shape.
+    Q("dr53_json_complex",
+      (s, dir) => {
+        eventsJsonSeg(s, dir)
+          .select(col("event_type"),
+                  get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"), (col("k") % 10).as("kb"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy(col("event_type"), col("kb"))
+      },
+      Some("""SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
+              count(*) AS n,
+              sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 }

@@ -477,17 +477,32 @@ object Relational extends QuerySet {
               round(max(o_totalprice), 2) AS max_price
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
-    // -- Approximate aggregates (HLL / quantile sketch). Algorithms differ
-    //    engine-to-engine, so no value-level oracle — rows-only check.
+    // -- Approximate aggregates (HLL / quantile sketch). The raw
+    //    estimates are engine-specific, so the GATE is the accuracy
+    //    CONTRACT instead: the approx-distinct lands within ±10% of the
+    //    exact count (HLL++ rsd 0.05 → 2σ) and the approx-median lands
+    //    between the exact p40 and p60 (rank-error bound). The oracle
+    //    replays the exact count and the contract booleans as `true` —
+    //    rows, schema and hashes all checked.
     Q("q23_approx",
       (s, dir) => {
         Tables.load(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
-          .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-               expr("approx_percentile(l_extendedprice, 0.5)").as("approx_median"))
+          .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+               approx_count_distinct(col("l_partkey")).as("apd"),
+               expr("approx_percentile(l_extendedprice, 0.5)").as("amed"),
+               expr("percentile(l_extendedprice, 0.4)").as("p40"),
+               expr("percentile(l_extendedprice, 0.6)").as("p60"))
+          .select(col("l_returnflag"), col("exact_parts"),
+                  (col("apd") >= col("exact_parts") * 0.9 &&
+                   col("apd") <= col("exact_parts") * 1.1).as("approx_parts_ok"),
+                  (col("amed") >= col("p40") && col("amed") <= col("p60"))
+                    .as("approx_median_ok"))
           .orderBy(col("l_returnflag"))
       },
-      None),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+              true AS approx_parts_ok, true AS approx_median_ok
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // -- Druid `timeseries` semantics: granular buckets ZERO-FILLED over
     //    the full [min, max] range (Druid emits empty buckets; a bare

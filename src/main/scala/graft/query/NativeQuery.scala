@@ -34,9 +34,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    `dataSourceMetadata`
   *  - `intervals`: ISO-8601 `start/end` ranges (plain array or
   *    `{"type":"intervals"}` object), OR-ed, end-exclusive
-  *  - `filter`: selector, equals, in, bound (numeric + lexicographic),
+  *  - `filter`: selector, equals, in, bound (orderings lexicographic,
+  *    numeric, alphanumeric, strlen — others fail loudly),
   *    range, like, regex, search (contains / insensitive_contains /
-  *    fragment), null, interval, and/or/not, and `expression` in
+  *    fragment), null, interval, and/or/not, columnComparison
+  *    (null-safe, like Druid's), and `expression` in
   *    Druid's native expression language (translated by [[DruidExpr]];
   *    plain Spark SQL also accepted as a fallback). Dimension filters
   *    (selector/in/bound/like/regex/search) honor an attached
@@ -59,8 +61,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    sketch family — `thetaSketch` (build over raw values, merge over
   *    COMPLEX blobs; real DataSketches wire format),
   *    `quantilesDoublesSketch`, `HLLSketchBuild`, `hyperUnique`
-  *    (mapped to DataSketches HLL), `cardinality` (byRow and by-value)
-  *    — and `filtered` wrapping any of those. Sketch aggregators
+  *    (mapped to DataSketches HLL), `cardinality` (byRow and by-value),
+  *    `variance`/`varianceFold` (druid-stats; estimator "population"
+  *    vs default sample) — and `filtered` wrapping any of those.
+  *    Sketch aggregators
   *    follow Druid's finalization contract: raw mergeable blobs feed
   *    the post-aggregators, and result columns finalize to
   *    estimate / stream-length unless `context.finalize: false`.
@@ -68,13 +72,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    divide-by-zero→0 rule, and `quotient` for plain FP division),
   *    fieldAccess / finalizingFieldAccess, constant, expression,
   *    thetaSketchEstimate, thetaSketchSetOp (UNION/INTERSECT/NOT),
-  *    quantilesDoublesSketchToQuantile(s), hllSketchEstimate
+  *    quantilesDoublesSketchToQuantile(s), hllSketchEstimate, stddev
+  *    (druid-stats, over a variance aggregator)
   *  - timeseries empty-bucket fill (context `skipEmptyBuckets` absent
   *    or false): bucket spine generated with `sequence()` and
   *    left-joined; count-family aggregates fill with 0, value
   *    aggregates with NULL — Druid's SQL-compatible null mode. Fill
   *    needs exactly one interval and a real granularity; otherwise
-  *    only the non-empty buckets are returned.
+  *    only the non-empty buckets are returned. `context.grandTotal`
+  *    appends the all-buckets combined row (timestamp null) last,
+  *    outside any limit, like Druid's.
   *  - search runs over string dimensions and (beyond Druid) multi-value
   *    dimensions by exploding them; result rows are
   *    (dimension, value, count) like Druid's.
@@ -308,15 +315,27 @@ object NativeQuery {
       dim(f).isin(textSeq(f.path("values")): _*)
     case "bound" =>
       val c = dim(f)
-      val numeric = f.path("ordering").asText("lexicographic") == "numeric"
+      // Druid's StringComparators: lexicographic (default), numeric,
+      // alphanumeric (digit runs compare as numbers), strlen (length
+      // first, then lexicographic). Anything else (e.g. "version")
+      // fails loudly — a silent lexicographic fallback would return
+      // different rows than the client's Druid cluster.
+      val ordering = f.path("ordering").asText("lexicographic")
       def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
         val v = f.path(key)
         if (v.isMissingNode || v.isNull) None
         else {
           val strict = f.path(strictKey).asBoolean(false)
-          val (lhs, rhs) =
-            if (numeric) (c.cast("double"), lit(v.asText().toDouble))
-            else (c.cast("string"), lit(v.asText()))
+          val (lhs, rhs) = ordering match {
+            case "numeric" => (c.cast("double"), lit(v.asText().toDouble))
+            case "lexicographic" => (c.cast("string"), lit(v.asText()))
+            case "alphanumeric" =>
+              (alphanumKey(c.cast("string")), lit(alphanumKeyOf(v.asText())))
+            case "strlen" =>
+              (struct(length(c.cast("string")), c.cast("string")),
+               struct(lit(v.asText().length), lit(v.asText())))
+            case other => fail(s"bound ordering '$other'")
+          }
           Some((lower, strict) match {
             case (true, true)   => lhs > rhs
             case (true, false)  => lhs >= rhs
@@ -384,15 +403,62 @@ object NativeQuery {
     case "true"  => lit(true)
     case "false" => lit(false)
     case "columnComparison" =>
-      // equality between two (possibly extracted) dimension columns
+      // equality between two (possibly extracted) dimension columns —
+      // NULL-SAFE: Druid's columnComparison matches rows where both
+      // dimensions are null, so a null-rejecting === would drop them
       val ds = f.path("dimensions").elements().asScala
         .map(d => dimensionSpec(d)._1).toSeq
       if (ds.size < 2) fail("columnComparison needs two dimensions")
       ds.sliding(2).map { case Seq(a, b) =>
-        a.cast("string") === b.cast("string")
+        a.cast("string") <=> b.cast("string")
       }.reduce(_ && _)
     case other => fail(s"filter type '$other'")
     }
+  }
+
+  /** Order-preserving sort key for Druid's ALPHANUMERIC comparator
+    * (Koelle's Alphanum: digit runs compare as numbers, other chars as
+    * themselves). Encoding per chunk: a digit run becomes
+    * `'0' + chr(32 + len(stripped)) + stripped` (leading zeros
+    * dropped), so among digit runs the magnitude-length compares first
+    * and equal-length runs compare digit-wise — numeric order — while
+    * the fixed '0' prefix keeps a digit run in the ['0'..'9'] ASCII
+    * band relative to non-digit chunks, matching the char-wise rule
+    * when chunk kinds differ. Built entirely from codegen'd built-ins
+    * (split on digit/non-digit boundaries via zero-width regex,
+    * transform, array_join) — no UDF in the filter path. Digit runs
+    * longer than 223 digits would wrap `chr`; real dimension values
+    * are nowhere near that.
+    */
+  private def alphanumKey(c: Column): Column = {
+    val chunks = split(c, "(?<=[0-9])(?=[^0-9])|(?<=[^0-9])(?=[0-9])")
+    array_join(
+      transform(chunks, x => {
+        val stripped = regexp_replace(x, "^0+", "")
+        when(x.rlike("^[0-9]+$"),
+          concat(lit("0"), call_function("char", length(stripped) + lit(32)),
+                 stripped))
+          .otherwise(x)
+      }), "")
+  }
+
+  /** The same alphanumeric sort key computed driver-side for the
+    * constant bound value.
+    */
+  private def alphanumKeyOf(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch >= '0' && ch <= '9') {
+        var j = i
+        while (j < s.length && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+        val stripped = s.substring(i, j).dropWhile(_ == '0')
+        sb.append('0').append((32 + stripped.length).toChar).append(stripped)
+        i = j
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
   }
 
   /** The search-query sub-object shared by the search filter and the
@@ -609,8 +675,12 @@ object NativeQuery {
           if (fields.size == 1) sk(fields.head.cast("string"))
           else if (a.path("byRow").asBoolean(false))
             // distinct field TUPLES: one update per row over the
-            // separator-joined values (Druid hashes the value tuple)
-            sk(concat_ws("\u0001", fields.map(_.cast("string")): _*))
+            // separator-joined values. Each field gets an explicit null
+            // sentinel first — concat_ws silently SKIPS nulls, which
+            // would hash ('a', null) and (null, 'a') identically; Druid
+            // hashes nulls positionally and counts them distinct.
+            sk(concat_ws("\u0001",
+              fields.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
           else
             // distinct values across ALL fields: per-field sketches
             // unioned with Spark's binary hll_union — still one
@@ -619,6 +689,19 @@ object NativeQuery {
               .reduce((x, y) => call_udf("hll_union", x, y))
         Agg(name, sketch, countLike = false,
           finalizer = Some(c => hllEstimate(c, round)))
+      case "variance" | "varianceFold" =>
+        // druid-stats extension (the most common non-sketch extension
+        // aggregator in dashboards). Druid's estimator contract:
+        // "population" divides by n, anything else — including the
+        // default — is the n-1 sample estimator. varianceFold (Druid's
+        // combine-partials form) is the same result computed over raw
+        // rows here, because Spark's var_pop/var_samp already merge
+        // partials at shuffle boundaries.
+        val pop = a.path("estimator").asText("") equalsIgnoreCase "population"
+        Agg(name,
+          if (pop) var_pop(field.cast("double"))
+          else var_samp(field.cast("double")),
+          countLike = false)
       case "filtered" =>
         if (pred.isDefined) fail("nested filtered aggregator")
         val p = compileFilter(a.path("filter"))
@@ -698,6 +781,11 @@ object NativeQuery {
       sketchFns()
       hllEstimate(compilePost(p.path("field"), fins),
         p.path("round").asBoolean(false))
+    case "stddev" =>
+      // druid-stats StandardDeviationPostAggregator: square root of
+      // the variance aggregator it references (the estimator choice
+      // lives on that aggregator)
+      sqrt(ref(p.path("fieldName").asText()))
     case other => fail(s"post-aggregation type '$other'")
   }
 
@@ -861,7 +949,23 @@ object NativeQuery {
           if (q.path("descending").asBoolean(false)) ordered.orderBy(col("__time").desc)
           else ordered.orderBy(col("__time"))
         val lim = q.path("limit")
-        if (lim.isMissingNode || lim.isNull) sorted else sorted.limit(lim.asInt())
+        val limited =
+          if (lim.isMissingNode || lim.isNull) sorted else sorted.limit(lim.asInt())
+        if (!q.path("context").path("grandTotal").asBoolean(false)) limited
+        else {
+          // Druid's `context.grandTotal`: one extra result row with the
+          // aggregates combined across ALL buckets (timestamp null),
+          // appended AFTER the bucket rows and outside any limit.
+          // Computed from the filtered base in one aggregate pass —
+          // for every supported aggregator this equals Druid's
+          // combine-of-bucket-partials (sums of sums, min of mins, a
+          // Welford merge for variance, sketch unions, ...).
+          val total = applyPost(
+            base.agg(aggCols.head, aggCols.tail: _*)
+              .withColumn("__time", lit(null).cast("timestamp")),
+            q, aggs)
+          limited.unionByName(total.select(limited.columns.map(col): _*))
+        }
     }
   }
 

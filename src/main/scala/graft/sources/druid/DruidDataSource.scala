@@ -113,6 +113,11 @@ object DruidTableUtil {
         val t =
           if (desc.valueType == "STRING" && desc.hasMultipleValues)
             ArrayType(StringType, containsNull = true)
+          // COMPLEX<json> (nested/"auto" columns): surface as a JSON
+          // STRING so get_json_object / from_json work directly —
+          // the blobs are UTF-8 JSON text by the writer's contract
+          else if (desc.valueType == "COMPLEX" &&
+            desc.partTypes.headOption.contains("json")) StringType
           else desc.logicalType match {
             // LONG-backed micros written by our writer; restores the
             // original Spark type (values need no conversion: Spark's
@@ -180,12 +185,22 @@ object DruidTableUtil {
         val t = f.dataType match {
           case IntegerType => LongType // widened by the long buffer
           case ArrayType(StringType, _) => ArrayType(StringType, containsNull = true)
+          // nested columns land as COMPLEX<json> and read back as the
+          // JSON text (StringType); a STRING tagged "json" in
+          // complexTypes keeps StringType but becomes COMPLEX-backed
+          case _: StructType | _: MapType | _: ArrayType => StringType
           case other => other // long/double/float/string/binary/timestamp[_ntz]
         }
-        // mirror segmentSchema: tagged binary columns surface their
-        // complex typeName in the cached schema's metadata too
-        val meta = complexTypes.get(f.name)
-          .filter(_ => f.dataType == BinaryType)
+        // mirror segmentSchema: tagged binary/json columns surface
+        // their complex typeName in the cached schema's metadata too
+        val tag = f.dataType match {
+          case BinaryType => complexTypes.get(f.name)
+          case StringType => complexTypes.get(f.name).filter(_ == "json")
+          case ArrayType(StringType, _) => None // multi-value dim, not complex
+          case _: StructType | _: MapType | _: ArrayType => Some("json")
+          case _ => None
+        }
+        val meta = tag
           .map(tn => new MetadataBuilder()
             .putString("druid.complexType", tn).build())
           .getOrElse(Metadata.empty)

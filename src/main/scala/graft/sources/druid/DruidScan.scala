@@ -56,9 +56,13 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // can still skip when NO disjunct could match its metadata
   private var orFilters: Seq[Filter] = Nil
 
+  // COMPLEX-backed string columns (json) carry no dictionary/bitmaps:
+  // exclude them so dim-filter pushdown never consults a dictionary
+  // that does not exist (their filters stay Spark-side residuals)
   private def isStringCol(name: String): Boolean =
     fullSchema.fields.exists(f => f.name == name &&
-      f.dataType == org.apache.spark.sql.types.StringType)
+      f.dataType == org.apache.spark.sql.types.StringType &&
+      !f.metadata.contains("druid.complexType"))
 
   private def isNumericCol(name: String): Boolean =
     name != "__time" && fullSchema.fields.exists(f => f.name == name &&

@@ -512,6 +512,41 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     def values(sel: Array[Int]): ColumnValues =
       ComplexValues(typeName, pick(b.toArray, sel))
   }
+  /** COMPLEX&lt;json&gt; from a STRING column already holding JSON text
+    * (tagged via the `complexTypes` option, e.g. "props:json"): the
+    * text lands as UTF-8 blobs with typeName "json" — Druid's nested
+    * ("auto") column tag, with a documented substitute encoding (JSON
+    * text, not Druid's proprietary nested-column field dictionaries —
+    * the reference errors on ALL Complex reads, src/column/mod.rs:59-61).
+    */
+  private final class JsonTextBuf extends ColBuf {
+    val b = new ArrayBuffer[Array[Byte]](1024)
+    def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
+      b += (if (row.isNullAt(i)) null else row.getUTF8String(i).getBytes)
+    def values(sel: Array[Int]): ColumnValues =
+      ComplexValues("json", pick(b.toArray, sel))
+  }
+  /** COMPLEX&lt;json&gt; from a nested Spark column (struct / map / numeric
+    * array): serialized per row with Spark's own `to_json` machinery
+    * (StructsToJson — deterministic field order = schema order), so
+    * `df.write` accepts nested frames directly, like Druid's "auto"
+    * dimension ingest. Reads back as a JSON STRING column that
+    * `get_json_object` / `from_json` consume.
+    */
+  private final class JsonStructBuf(dt: DataType) extends ColBuf {
+    // Spark's own to_json machinery (StructsToJson is RuntimeReplaceable
+    // in Spark 4 — its runtime body is this evaluator)
+    private val toJson =
+      org.apache.spark.sql.catalyst.expressions.json.StructsToJsonEvaluator(
+        Map.empty[String, String], dt, Some("UTC"))
+    val b = new ArrayBuffer[Array[Byte]](1024)
+    def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
+      b += (if (row.isNullAt(i)) null
+            else toJson.evaluate(row.get(i, dt))
+              .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+    def values(sel: Array[Int]): ColumnValues =
+      ComplexValues("json", pick(b.toArray, sel))
+  }
   private final class MultiStringBuf extends ColBuf {
     val b = new ArrayBuffer[Seq[String]](1024)
     def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
@@ -549,9 +584,13 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       case TimestampNTZType => new TimestampBuf(ntz = true)
       case DoubleType => new DoubleBuf
       case FloatType => new FloatBuf
+      case StringType if complexTypes.get(f.name).contains("json") =>
+        new JsonTextBuf
       case StringType => new StringBuf
       case BinaryType => new BinaryBuf(complexTypes.getOrElse(f.name, "binary"))
       case ArrayType(StringType, _) => new MultiStringBuf
+      case dt @ (_: StructType | _: MapType | _: ArrayType) =>
+        new JsonStructBuf(dt)
       case other => throw new IllegalArgumentException(
         s"druid writer: unsupported type $other for '${f.name}'")
     }

@@ -1,7 +1,5 @@
 package graft.sql
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.SparkSession
 
 /** Once-per-session guard for SQL function registration.
@@ -15,17 +13,26 @@ import org.apache.spark.sql.SparkSession
   * queries. This guard makes the second and later calls one
   * ConcurrentHashMap hit.
   *
-  * Keyed by session identity, not globally: a new session (new
-  * function registry) must re-register.
+  * Keyed by the session OBJECT in a WeakHashMap, not by identity
+  * hash: identity hashes are not unique, so a GC'd session's stale
+  * entry could collide with a new session and silently skip its
+  * registration (undefined-function errors at query time). Weak keys
+  * also mean entries die with the session instead of accumulating
+  * for the life of the JVM.
   */
 object Registration {
-  private val done = ConcurrentHashMap.newKeySet[String]()
+  private val done =
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
 
   def once(spark: SparkSession, key: String)(body: => Unit): Unit = {
-    val k = System.identityHashCode(spark) + "/" + key
-    if (!done.contains(k)) {
-      body
-      done.add(k)
+    val seen = done.synchronized {
+      val keys = done.computeIfAbsent(spark,
+        _ => new java.util.HashSet[String]())
+      keys.contains(key)
+    }
+    if (!seen) {
+      body // marked done only on success, so a failed registration retries
+      done.synchronized(done.get(spark).add(key))
     }
   }
 }

@@ -30,6 +30,14 @@ class DruidExprSpec extends AnyFunSuite {
     assert(eval("-x + 1", "x" -> 5) == -4)
   }
 
+  test("unary minus binds tighter than '^' (Druid grammar), '^' stays right-assoc") {
+    // Druid parses -x^2 as power(-x, 2), NOT -(power(x, 2))
+    assert(eval("-x ^ 2", "x" -> 5) == 25.0)
+    assert(eval("-x ^ 3", "x" -> 2) == -8.0)
+    assert(eval("2 ^ -3") == 0.125)
+    assert(eval("2 ^ 3 ^ 2") == 512.0) // right-associative: 2^(3^2)
+  }
+
   test("identifiers: double-quoted and backtick forms both map to backticks") {
     assert(DruidExpr.toSparkSql("\"j.k\" == 'a'") == "(`j.k` = 'a')")
     assert(DruidExpr.toSparkSql("`j.k` == 'a'") == "(`j.k` = 'a')")

@@ -761,4 +761,103 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("HashAggregate"),
       "timeBoundary should answer from interval metadata")
   }
+
+  test("bound orderings: alphanumeric compares digit runs numerically, strlen by length") {
+    def n(filter: String): Long = run(s"""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "ukey",
+                          "expression": "concat('u', user_id * 5)"}],
+      "filter": $filter,
+      "aggregations": [{"type": "count", "name": "n"}]}""")
+      .collect().head.getLong(0)
+    // ukey values: u5(user1 x2), u10(user2 x2), u15(user3 x2), u20(user4 x2).
+    // Alphanumeric lower bound "u10": admits u10/u15/u20, REJECTS u5
+    // (numerically 5 < 10) — lexicographic would instead admit u5
+    // ("u5" > "u10") — so the count proves the comparator.
+    assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u10",
+                 "ordering": "alphanumeric"}""") == 6)
+    assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u10",
+                 "ordering": "lexicographic"}""") == 8)
+    // leading zeros compare equal to the stripped number: u010 >= u10
+    assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u010",
+                 "ordering": "alphanumeric"}""") == 6)
+    // strlen: length first, then lexicographic. len("abcde")=5 admits
+    // click/error (len 5) and rejects view (len 4).
+    assert(n("""{"type": "bound", "dimension": "event_type",
+                 "lower": "abcde", "ordering": "strlen"}""") == 5)
+    // unsupported orderings fail loudly instead of silently returning
+    // lexicographic rows
+    val e = intercept[IllegalArgumentException] {
+      n("""{"type": "bound", "dimension": "event_type", "lower": "a",
+            "ordering": "version"}""")
+    }
+    assert(e.getMessage.contains("ordering"))
+  }
+
+  test("timeseries context.grandTotal appends the combined row last (null timestamp)") {
+    val out = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "day",
+      "context": {"skipEmptyBuckets": true, "grandTotal": true},
+      "aggregations": [
+        {"type": "count", "name": "n"},
+        {"type": "doubleSum", "name": "total", "fieldName": "value"}]
+    }""").collect()
+    assert(out.length == 5) // 4 day buckets + the grand-total row
+    assert(out.take(4).forall(!_.isNullAt(0)), "bucket rows keep timestamps")
+    val total = out.last
+    assert(total.isNullAt(0), "grand total carries a null timestamp, last")
+    assert(total.getLong(1) == 8L && total.getDouble(2) == 360.0)
+  }
+
+  test("variance aggregator (sample + population) and stddev post-aggregator") {
+    val row = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "aggregations": [
+        {"type": "variance", "name": "v_samp", "fieldName": "value"},
+        {"type": "variance", "name": "v_pop", "fieldName": "value",
+         "estimator": "population"}],
+      "postAggregations": [
+        {"type": "stddev", "name": "sd", "fieldName": "v_samp"}]
+    }""").collect().head
+    // values 10..80 step 10: mean 45, sum sq dev 4200
+    assert(row.getDouble(0) == 600.0) // 4200/7 — Druid's default (sample)
+    assert(row.getDouble(1) == 525.0) // 4200/8 — estimator "population"
+    assert(math.abs(row.getDouble(2) - math.sqrt(600.0)) < 1e-12)
+  }
+
+  test("columnComparison matches both-null rows (null-safe equality)") {
+    import spark.implicits._
+    val df = Seq[(String, String)](
+      ("a", "a"), ("a", "b"), (null, null), ("c", null), (null, "c"))
+      .toDF("x", "y")
+      .withColumn("__time", to_timestamp(lit("2024-01-01 00:00:00")))
+    val out = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "t",
+      "granularity": "all",
+      "filter": {"type": "columnComparison", "dimensions": ["x", "y"]},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""", _ => df).collect().head
+    // ('a','a') and (null,null) match; one-sided nulls don't
+    assert(out.getLong(0) == 2L)
+  }
+
+  test("cardinality byRow hashes nulls positionally — ('a',null) != (null,'a')") {
+    import spark.implicits._
+    val df = Seq[(String, String)](
+      ("a", null), (null, "a"), ("a", null), ("b", "b"))
+      .toDF("x", "y")
+      .withColumn("__time", to_timestamp(lit("2024-01-01 00:00:00")))
+    val out = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "t",
+      "granularity": "all",
+      "aggregations": [{"type": "cardinality", "name": "card",
+                        "fields": ["x", "y"], "byRow": true, "round": true}]
+    }""", _ => df).collect().head
+    // three distinct tuples; concat_ws null-skipping would collapse
+    // ('a',null) and (null,'a') into one
+    assert(out.getLong(0) == 3L)
+  }
 }
