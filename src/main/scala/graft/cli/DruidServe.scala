@@ -118,21 +118,29 @@ object DruidServe {
       case "timeseries" =>
         rows.foreach { r =>
           val o = out.addObject()
-          timestampOf(r).fold(o.putNull("timestamp"))(t => { o.put("timestamp", t); () })
+          timestampOf(r) match {
+            case Some(t) => o.put("timestamp", t)
+            case None => o.putNull("timestamp")
+          }
           fill(o.putObject("result"), r, schema, skipTime = true)
         }
       case "groupBy" =>
         rows.foreach { r =>
           val o = out.addObject()
           o.put("version", "v1")
-          timestampOf(r).fold(o.putNull("timestamp"))(t => { o.put("timestamp", t); () })
+          timestampOf(r) match {
+            case Some(t) => o.put("timestamp", t)
+            case None => o.putNull("timestamp")
+          }
           fill(o.putObject("event"), r, schema, skipTime = true)
         }
       case "topN" =>
         // exact topN: all rows belong to the single granularity bucket
         val o = out.addObject()
-        rows.headOption.flatMap(timestampOf)
-          .fold(o.putNull("timestamp"))(t => { o.put("timestamp", t); () })
+        rows.headOption.flatMap(timestampOf) match {
+          case Some(t) => o.put("timestamp", t)
+          case None => o.putNull("timestamp")
+        }
         val res = o.putArray("result")
         rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
       case _ =>

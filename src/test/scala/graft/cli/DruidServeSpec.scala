@@ -1,0 +1,115 @@
+package graft.cli
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The serve endpoint speaks Druid's wire protocol end to end: real
+  * HTTP POSTs of native-query JSON (the dr45/dr49 shapes — sketch
+  * aggregators and tz-aware period granularity) against a live server,
+  * responses parsed as Druid response envelopes.
+  */
+class DruidServeSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+
+  private lazy val events: DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("2024-01-01 01:00:00", "click", 1L, 10.0),
+      ("2024-01-01 22:00:00", "view", 2L, 20.0),
+      ("2024-01-02 01:00:00", "click", 3L, 30.0),
+      ("2024-01-02 12:00:00", "click", 1L, 40.0),
+      ("2024-01-03 01:00:00", "view", 2L, 50.0))
+      .toDF("t", "event_type", "user_id", "value")
+      .select(to_timestamp(col("t")).as("__time"), col("event_type"),
+              col("user_id"), col("value"))
+  }
+
+  private def withServer[A](body: Int => A): A = {
+    val server = DruidServe.start(spark, _ => events, port = 0)
+    try body(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  private def post(port: Int, json: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("POST /druid/v2: groupBy with sketch aggregators (the dr45 shape)") {
+    withServer { port =>
+      val (code, body) = post(port, """{
+        "queryType": "groupBy", "dataSource": "events",
+        "granularity": "all",
+        "dimensions": ["event_type"],
+        "aggregations": [
+          {"type": "count", "name": "n"},
+          {"type": "thetaSketch", "name": "users", "fieldName": "user_id"},
+          {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+      }""")
+      assert(code == 200, body)
+      val arr = mapper.readTree(body)
+      assert(arr.isArray && arr.size == 2)
+      val first = arr.get(0)
+      assert(first.path("version").asText() == "v1")
+      val ev = first.path("event")
+      assert(ev.path("event_type").asText() == "click")
+      assert(ev.path("n").asLong() == 3L)
+      assert(ev.path("users").asDouble() == 2.0) // theta estimate {1,3}
+      assert(ev.path("total_value").asDouble() == 80.0)
+      assert(arr.get(1).path("event").path("users").asDouble() == 1.0)
+    }
+  }
+
+  test("POST /druid/v2: timeseries with tz period granularity (the dr49 shape)") {
+    withServer { port =>
+      val (code, body) = post(port, """{
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1D",
+                        "timeZone": "America/Los_Angeles"},
+        "context": {"skipEmptyBuckets": true},
+        "aggregations": [
+          {"type": "count", "name": "n"},
+          {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+      }""")
+      assert(code == 200, body)
+      val arr = mapper.readTree(body)
+      // LA local days (UTC-8): Dec31 {01:00Z Jan1}, Jan1 {22:00Z Jan1,
+      // 01:00Z Jan2}, Jan2 {12:00Z Jan2, 01:00Z Jan3}
+      assert(arr.size == 3)
+      assert(arr.get(0).path("timestamp").asText() == "2023-12-31T08:00:00.000Z")
+      assert(arr.get(0).path("result").path("n").asLong() == 1L)
+      assert(arr.get(1).path("timestamp").asText() == "2024-01-01T08:00:00.000Z")
+      assert(arr.get(1).path("result").path("n").asLong() == 2L)
+      assert(arr.get(1).path("result").path("total_value").asDouble() == 50.0)
+      assert(arr.get(2).path("timestamp").asText() == "2024-01-02T08:00:00.000Z")
+      assert(arr.get(2).path("result").path("n").asLong() == 2L)
+      assert(arr.get(2).path("result").path("total_value").asDouble() == 90.0)
+    }
+  }
+
+  test("GET /status answers; bad query returns a Druid-style error object") {
+    withServer { port =>
+      val client = HttpClient.newHttpClient()
+      val st = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/status"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(st.statusCode() == 200 &&
+        mapper.readTree(st.body()).has("version"))
+      val (code, body) = post(port, """{"queryType": "unknowable", "dataSource": "events"}""")
+      assert(code == 400)
+      val err = mapper.readTree(body)
+      assert(err.has("error") && err.path("errorMessage").asText()
+        .contains("unknowable"))
+    }
+  }
+}
