@@ -1812,5 +1812,30 @@ object DruidQueries extends QuerySet {
               count(*) AS n,
               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- druid-spatial filter on the wire: the dimension is Druid's
+    //    comma-joined coordinate encoding (built here as a virtual
+    //    column), the rectangular bound selects the box — compiled to
+    //    per-coordinate comparisons the oracle replays as arithmetic.
+    Q("dr54_native_spatial",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": "all",
+          "virtualColumns": [{"type": "expression", "name": "coord",
+            "expression": "concat(cast(user_id % 20, 'STRING'), ',', cast(value, 'STRING'))"}],
+          "filter": {"type": "spatial", "dimension": "coord",
+            "bound": {"type": "rectangular",
+                      "minCoords": [5, 100], "maxCoords": [12, 300]}},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("n"), round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events
+              WHERE (user_id % 20) BETWEEN 5 AND 12
+                AND value BETWEEN 100 AND 300""")),
   )
 }

@@ -38,7 +38,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    numeric, alphanumeric, strlen — others fail loudly),
   *    range, like, regex, search (contains / insensitive_contains /
   *    fragment), null, interval, and/or/not, columnComparison
-  *    (null-safe, like Druid's), and `expression` in
+  *    (null-safe, like Druid's), spatial (rectangular + radius over
+  *    comma-joined coordinate dimensions), and `expression` in
   *    Druid's native expression language (translated by [[DruidExpr]];
   *    plain Spark SQL also accepted as a fallback). Dimension filters
   *    (selector/in/bound/like/regex/search) honor an attached
@@ -400,6 +401,33 @@ object NativeQuery {
       !compileFilter(f.path("field"))
     case "expression" =>
       druidExpr(f.path("expression").asText())
+    case "spatial" =>
+      // druid-spatial: the dimension holds comma-joined coordinates
+      // ("x,y"), the bound selects points inside a shape. Rectangular
+      // and radius compile to plain per-coordinate comparisons
+      // (codegen'd, residual-checked like every filter); polygon
+      // fails loudly.
+      val coords = split(dim(f).cast("string"), ",")
+      def coord(i: Int): Column = element_at(coords, i + 1).cast("double")
+      val b = f.path("bound")
+      b.path("type").asText() match {
+        case "rectangular" =>
+          val mins = b.path("minCoords").elements().asScala.map(_.asDouble()).toSeq
+          val maxs = b.path("maxCoords").elements().asScala.map(_.asDouble()).toSeq
+          if (mins.isEmpty || mins.size != maxs.size)
+            fail("spatial rectangular bound (minCoords/maxCoords must be same-length, non-empty)")
+          mins.indices.map(i =>
+            coord(i) >= lit(mins(i)) && coord(i) <= lit(maxs(i))).reduce(_ && _)
+        case "radius" =>
+          val ctr = b.path("coords").elements().asScala.map(_.asDouble()).toSeq
+          if (ctr.isEmpty) fail("spatial radius bound with no coords")
+          val r = b.path("radius").asDouble()
+          val dist2 = ctr.indices
+            .map(i => (coord(i) - lit(ctr(i))) * (coord(i) - lit(ctr(i))))
+            .reduce(_ + _)
+          dist2 <= lit(r * r)
+        case other => fail(s"spatial bound '$other'")
+      }
     case "true"  => lit(true)
     case "false" => lit(false)
     case "columnComparison" =>

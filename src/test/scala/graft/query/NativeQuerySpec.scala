@@ -795,6 +795,30 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(e.getMessage.contains("ordering"))
   }
 
+  test("spatial filter: rectangular and radius bounds; polygon fails loudly") {
+    def n(filter: String): Long = run(s"""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "coord",
+        "expression": "concat(cast(user_id, 'STRING'), ',', cast(value, 'STRING'))"}],
+      "filter": $filter,
+      "aggregations": [{"type": "count", "name": "n"}]}""")
+      .collect().head.getLong(0)
+    // points (user_id, value): (1,10) (2,20) (3,30) (1,40) (2,50) (3,60) (4,70) (4,80)
+    assert(n("""{"type": "spatial", "dimension": "coord",
+      "bound": {"type": "rectangular", "minCoords": [2, 20],
+                "maxCoords": [3, 55]}}""") == 3) // (2,20) (3,30) (2,50)
+    assert(n("""{"type": "spatial", "dimension": "coord",
+      "bound": {"type": "radius", "coords": [3, 30], "radius": 10.1}}""") == 2)
+    // (3,30) itself and (2,20): d^2=101 <= 10.1^2=102.01; (1,40) just
+    // misses at d^2=104
+    val e = intercept[IllegalArgumentException] {
+      n("""{"type": "spatial", "dimension": "coord",
+        "bound": {"type": "polygon", "abscissa": [0,1], "ordinate": [0,1]}}""")
+    }
+    assert(e.getMessage.contains("polygon"))
+  }
+
   test("timeseries context.grandTotal appends the combined row last (null timestamp)") {
     val out = run("""{
       "queryType": "timeseries", "dataSource": "events",
