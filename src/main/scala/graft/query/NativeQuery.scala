@@ -94,7 +94,11 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    ascending (Druid leaves ties unspecified).
   *  - groupBy with no `limitSpec` sorts by the dimensions ascending
   *    (Druid's default ordering); a `limitSpec` ordering gets the
-  *    remaining dimensions appended ascending as tie-breaks.
+  *    remaining dimensions appended ascending as tie-breaks. limitSpec
+  *    columns honor an explicit `dimensionOrder` and topN honors the
+  *    dimension-metric `ordering` (the same StringComparators as bound
+  *    filters: lexicographic/numeric/alphanumeric/strlen); dimension
+  *    specs honor `outputType`.
   *  - `granularity: "all"` timeseries returns the bare aggregate row
   *    without a synthetic interval-start timestamp column.
   */
@@ -327,16 +331,10 @@ object NativeQuery {
         if (v.isMissingNode || v.isNull) None
         else {
           val strict = f.path(strictKey).asBoolean(false)
-          val (lhs, rhs) = ordering match {
-            case "numeric" => (c.cast("double"), lit(v.asText().toDouble))
-            case "lexicographic" => (c.cast("string"), lit(v.asText()))
-            case "alphanumeric" =>
-              (alphanumKey(c.cast("string")), lit(alphanumKeyOf(v.asText())))
-            case "strlen" =>
-              (struct(length(c.cast("string")), c.cast("string")),
-               struct(lit(v.asText().length), lit(v.asText())))
-            case other => fail(s"bound ordering '$other'")
-          }
+          // the literal side is the same key expression over a literal —
+          // Catalyst constant-folds it, so both sides share one encoding
+          val (lhs, rhs) = (orderingKey(c, ordering),
+            orderingKey(lit(v.asText()), ordering))
           Some((lower, strict) match {
             case (true, true)   => lhs > rhs
             case (true, false)  => lhs >= rhs
@@ -444,6 +442,20 @@ object NativeQuery {
     }
   }
 
+  /** One of Druid's StringComparators as a sort-key expression:
+    * lexicographic (default), numeric, alphanumeric, strlen. Shared by
+    * the bound filter, limitSpec `dimensionOrder`, and topN dimension
+    * metrics; anything else ("version", ...) fails loudly.
+    */
+  private def orderingKey(c: Column, ordering: String): Column =
+    ordering match {
+      case "lexicographic" | "" => c.cast("string")
+      case "numeric"            => c.cast("double")
+      case "alphanumeric"       => alphanumKey(c.cast("string"))
+      case "strlen" => struct(length(c.cast("string")), c.cast("string"))
+      case other => fail(s"string comparator '$other' (supported: lexicographic, numeric, alphanumeric, strlen)")
+    }
+
   /** Order-preserving sort key for Druid's ALPHANUMERIC comparator
     * (Koelle's Alphanum: digit runs compare as numbers, other chars as
     * themselves). Encoding per chunk: a digit run becomes
@@ -471,9 +483,10 @@ object NativeQuery {
   }
 
   /** The same alphanumeric sort key computed driver-side for the
-    * constant bound value.
+    * constant bound value (package-visible for the ordering property
+    * spec).
     */
-  private def alphanumKeyOf(s: String): String = {
+  private[query] def alphanumKeyOf(s: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
@@ -836,20 +849,32 @@ object NativeQuery {
 
   // ---- dimension specs ---------------------------------------------------
 
-  /** (source column, output name). */
-  private def dimensionSpec(d: JsonNode): (Column, String) =
+  /** (source column, output name). An explicit `outputType`
+    * (STRING/LONG/FLOAT/DOUBLE) casts the dimension like Druid does.
+    */
+  private def dimensionSpec(d: JsonNode): (Column, String) = {
+    def typed(c: Column): Column =
+      if (!d.isObject || !d.hasNonNull("outputType")) c
+      else d.path("outputType").asText().toUpperCase match {
+        case "STRING" => c.cast("string")
+        case "LONG"   => c.cast("long")
+        case "FLOAT"  => c.cast("float")
+        case "DOUBLE" => c.cast("double")
+        case other    => fail(s"dimension outputType '$other'")
+      }
     if (d.isTextual) (ref(d.asText()), d.asText())
     else d.path("type").asText() match {
       case "default" =>
         val dim = d.path("dimension").asText()
         val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
-        (ref(dim), out)
+        (typed(ref(dim)), out)
       case "extraction" =>
         val dim = d.path("dimension").asText()
         val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
-        (extractionFn(ref(dim), d.path("extractionFn")), out)
+        (typed(extractionFn(ref(dim), d.path("extractionFn"))), out)
       case other => fail(s"dimension spec type '$other'")
     }
+  }
 
   /** Druid extractionFn -> Column transform (the dimension-rewrite half
     * of Druid's extraction dimension specs). Druid's contract is
@@ -1016,7 +1041,12 @@ object NativeQuery {
           val inner = metric.path("metric")
           val m = if (inner.isTextual) inner.asText() else inner.path("metric").asText()
           Seq(col(m).asc, col(outName).asc)
-        case "dimension" | "lexicographic" => Seq(col(outName).asc)
+        case "dimension" =>
+          // DimensionTopNMetricSpec: sort by the dimension itself under
+          // an optional StringComparator ordering
+          Seq(orderingKey(col(outName),
+            metric.path("ordering").asText("lexicographic")).asc)
+        case "lexicographic" => Seq(col(outName).asc)
         case other => fail(s"topN metric type '$other'")
       }
     grouped.orderBy(order: _*).limit(threshold)
@@ -1082,7 +1112,16 @@ object NativeQuery {
       val cols = limitSpec.path("columns").elements().asScala.map { c =>
         if (c.isTextual) col(c.asText()).asc
         else {
-          val base = col(c.path("dimension").asText())
+          // an explicit dimensionOrder picks the StringComparator the
+          // column sorts under (Druid's OrderByColumnSpec); without
+          // one the column's natural type order applies
+          val name = c.path("dimension").asText()
+          val dimOrder = c.path("dimensionOrder")
+          val base =
+            if (dimOrder.isMissingNode || dimOrder.isNull) col(name)
+            else orderingKey(col(name),
+              if (dimOrder.isTextual) dimOrder.asText()
+              else dimOrder.path("type").asText())
           if (c.path("direction").asText("ascending") == "descending") base.desc
           else base.asc
         }

@@ -792,7 +792,7 @@ class NativeQuerySpec extends AnyFunSuite {
       n("""{"type": "bound", "dimension": "event_type", "lower": "a",
             "ordering": "version"}""")
     }
-    assert(e.getMessage.contains("ordering"))
+    assert(e.getMessage.contains("comparator 'version'"))
   }
 
   test("spatial filter: rectangular and radius bounds; polygon fails loudly") {
@@ -817,6 +817,48 @@ class NativeQuerySpec extends AnyFunSuite {
         "bound": {"type": "polygon", "abscissa": [0,1], "ordinate": [0,1]}}""")
     }
     assert(e.getMessage.contains("polygon"))
+  }
+
+  test("limitSpec dimensionOrder and topN dimension metric honor StringComparators") {
+    val groupBy = """{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "ukey",
+                          "expression": "concat('u', user_id * 5)"}],
+      "dimensions": ["ukey"],
+      "aggregations": [{"type": "count", "name": "n"}],
+      "limitSpec": {"type": "default", "columns": [%s]}
+    }"""
+    // alphanumeric dimensionOrder: u5 < u10 < u15 < u20 (numeric runs)
+    val alpha = run(groupBy.format(
+      """{"dimension": "ukey", "direction": "ascending",
+          "dimensionOrder": "alphanumeric"}""")).collect()
+    assert(alpha.map(_.getString(0)).toSeq == Seq("u5", "u10", "u15", "u20"))
+    // without dimensionOrder: the column's natural (string) order
+    val lex = run(groupBy.format("""{"dimension": "ukey"}""")).collect()
+    assert(lex.map(_.getString(0)).toSeq == Seq("u10", "u15", "u20", "u5"))
+    // topN dimension metric with an alphanumeric ordering takes the
+    // numerically-first dimension values
+    val top = run("""{
+      "queryType": "topN", "dataSource": "events", "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "ukey",
+                          "expression": "concat('u', user_id * 5)"}],
+      "dimension": "ukey", "threshold": 2,
+      "metric": {"type": "dimension", "ordering": "alphanumeric"},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("u5", "u10"))
+  }
+
+  test("dimension spec outputType casts the grouped value like Druid") {
+    val out = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [{"type": "default", "dimension": "user_id",
+                      "outputName": "uid", "outputType": "STRING"}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""")
+    assert(out.schema("uid").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("1", "2", "3", "4"))
   }
 
   test("timeseries context.grandTotal appends the combined row last (null timestamp)") {
