@@ -77,6 +77,25 @@ class JsonComplexSpec extends AnyFunSuite {
     assert(sum.head.getLong(0) == 30L)
   }
 
+  test("json column projection prunes like any other column") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-json4").toString + "/t"
+    Seq((1700000000000L, 1L, ("a", 1L)), (1700000001000L, 2L, ("b", 2L)))
+      .toDF("__time", "id", "ctx")
+      .select(col("__time"), col("id"),
+        col("ctx").cast("struct<k:string,v:bigint>"))
+      .coalesce(1)
+      .write.format("druid").mode("overwrite").save(out)
+    val df = spark.read.format("druid").load(out).select("ctx")
+    // the physical scan must read ONLY the json column — at 100 TB a
+    // projection that drags every column along is a different query
+    val scanCols = df.queryExecution.executedPlan.collectLeaves()
+      .head.output.map(_.name)
+    assert(scanCols == Seq("ctx"), s"expected pruned scan, got: $scanCols")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("""{"k":"a","v":1}""", """{"k":"b","v":2}"""))
+  }
+
   test("map and numeric-array columns serialize as json too") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-json3").toString + "/t"
