@@ -23,9 +23,17 @@ import org.apache.spark.sql.types._
   *  - groupBy: `[{"version": "v1", "timestamp": iso|null,
   *    "event": {dim/agg: value, ...}}]`
   *  - topN: `[{"timestamp": iso|null, "result": [{...}, ...]}]`
-  *  - everything else (scan/search/timeBoundary/metadata): a plain
-  *    JSON array of column->value objects (documented deviation from
-  *    Druid's batched scan envelope)
+  *  - scan: `[{"segmentId": null, "columns": [...], "events": ...}]`
+  *    honoring `resultFormat` "list" (objects, default) and
+  *    "compactedList" (positional arrays) — one batch
+  *  - everything else (search/timeBoundary/metadata): a plain JSON
+  *    array of column->value objects
+  *
+  * `POST /druid/v2/sql` accepts Druid SQL (`{"query": "..."}`) — the
+  * endpoint most modern Druid clients use — running through Spark SQL
+  * with the Druid SQL compat layer registered (EARLIEST/LATEST,
+  * APPROX_COUNT_DISTINCT_DS_HLL, LOOKUP, TIME_*, MV_*, ...), answering
+  * the default `resultFormat: "object"` array.
   *
   * `GET /status` answers like a broker so client health checks pass.
   * The server executor is the JDK default (one request at a time);
@@ -37,25 +45,21 @@ object DruidServe {
   private val isoMs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     .withZone(ZoneOffset.UTC)
 
-  /** Start serving; `resolve` maps a dataSource name to its DataFrame.
-    * Port 0 binds an ephemeral port (see `server.getAddress.getPort`).
-    * Caller stops the returned server.
+  /** Start serving; `resolve` maps a dataSource name to its DataFrame
+    * (native queries), `sqlTables` names the tables the SQL endpoint
+    * exposes as temp views. Port 0 binds an ephemeral port (see
+    * `server.getAddress.getPort`). Caller stops the returned server.
     */
   def start(spark: SparkSession, resolve: String => DataFrame,
-            port: Int): HttpServer = {
+            port: Int,
+            sqlTables: Map[String, DataFrame] = Map.empty): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
-    server.createContext("/status", (ex: HttpExchange) =>
-      respond(ex, 200, """{"service":"graft/broker","version":"graft-1"}"""))
-    server.createContext("/druid/v2", (ex: HttpExchange) => {
+    def handled(ex: HttpExchange)(body: String => String): Unit =
       try {
         if (ex.getRequestMethod != "POST")
-          respond(ex, 405, """{"error":"native queries are POSTed"}""")
-        else {
-          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-          val qt = mapper.readTree(body).path("queryType").asText()
-          val df = graft.query.NativeQuery.run(body, resolve)
-          respond(ex, 200, envelope(qt, df))
-        }
+          respond(ex, 405, """{"error":"queries are POSTed"}""")
+        else respond(ex, 200,
+          body(new String(ex.getRequestBody.readAllBytes(), UTF_8)))
       } catch {
         case e: Throwable =>
           val o = mapper.createObjectNode()
@@ -64,7 +68,30 @@ object DruidServe {
           o.put("errorClass", e.getClass.getName)
           respond(ex, 400, o.toString)
       }
-    })
+    server.createContext("/status", (ex: HttpExchange) =>
+      respond(ex, 200, """{"service":"graft/broker","version":"graft-1"}"""))
+    // ORDER MATTERS for the JDK server: the longest matching context
+    // prefix wins, so /druid/v2/sql takes SQL and /druid/v2 native JSON
+    server.createContext("/druid/v2", (ex: HttpExchange) =>
+      handled(ex) { body =>
+        val q = mapper.readTree(body)
+        envelope(q, graft.query.NativeQuery.run(body, resolve))
+      })
+    server.createContext("/druid/v2/sql", (ex: HttpExchange) =>
+      handled(ex) { body =>
+        val node = mapper.readTree(body)
+        val sql = node.path("query").asText()
+        if (sql.isEmpty)
+          throw new IllegalArgumentException("SQL endpoint needs {\"query\": ...}")
+        graft.sql.DruidSqlCompat.register(spark)
+        sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        val df = spark.sql(sql)
+        val out = mapper.createArrayNode()
+        val schema = df.schema
+        df.collect().foreach(r => fill(out.addObject(), r, schema,
+          skipTime = false))
+        out.toString
+      })
     server.start()
     server
   }
@@ -87,10 +114,15 @@ object DruidServe {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      val tables = Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty).filter(_.isDirectory)
+        .map(_.getName).filterNot(_.startsWith("."))
+        .map(n => n -> spark.read.format("druid").load(s"$root/$n")).toMap
       val server = start(spark,
-        name => spark.read.format("druid").load(s"$root/$name"), port)
+        name => spark.read.format("druid").load(s"$root/$name"), port,
+        sqlTables = tables)
       println(s"druid-serve listening on :${server.getAddress.getPort} " +
-        s"(POST /druid/v2), tables under $root")
+        s"(POST /druid/v2 native, /druid/v2/sql), tables under $root")
       Thread.currentThread().join()
     case Nil =>
       System.err.println("usage: druid-serve <tablesRoot> [--port N]")
@@ -106,7 +138,9 @@ object DruidServe {
 
   // ---- result envelopes ---------------------------------------------------
 
-  private def envelope(queryType: String, df: DataFrame): String = {
+  private def envelope(q: com.fasterxml.jackson.databind.JsonNode,
+                       df: DataFrame): String = {
+    val queryType = q.path("queryType").asText()
     val schema = df.schema
     val rows = df.collect()
     val timeIdx = schema.fieldNames.indexOf("__time")
@@ -143,6 +177,25 @@ object DruidServe {
         }
         val res = o.putArray("result")
         rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
+      case "scan" =>
+        // one ScanResultValue batch: columns + events, resultFormat
+        // "list" (objects, Druid's default) or "compactedList"
+        // (positional arrays)
+        val o = out.addObject()
+        o.putNull("segmentId")
+        val colsArr = o.putArray("columns")
+        schema.fieldNames.foreach(colsArr.add)
+        val events = o.putArray("events")
+        if (q.path("resultFormat").asText("list") == "compactedList")
+          rows.foreach { r =>
+            val row = events.addArray()
+            val one = mapper.createObjectNode()
+            fill(one, r, schema, skipTime = false)
+            schema.fieldNames.foreach(n => row.add(one.get(n)))
+          }
+        else
+          rows.foreach(r => fill(events.addObject(), r, schema,
+            skipTime = false))
       case _ =>
         rows.foreach(r => fill(out.addObject(), r, schema, skipTime = false))
     }

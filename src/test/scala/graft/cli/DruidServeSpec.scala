@@ -31,8 +31,19 @@ class DruidServeSpec extends AnyFunSuite {
   }
 
   private def withServer[A](body: Int => A): A = {
-    val server = DruidServe.start(spark, _ => events, port = 0)
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("events" -> events))
     try body(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  private def postTo(port: Int, path: String, json: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val resp = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
   }
 
   private def post(port: Int, json: String): (Int, String) = {
@@ -94,6 +105,46 @@ class DruidServeSpec extends AnyFunSuite {
       assert(arr.get(2).path("timestamp").asText() == "2024-01-02T08:00:00.000Z")
       assert(arr.get(2).path("result").path("n").asLong() == 2L)
       assert(arr.get(2).path("result").path("total_value").asDouble() == 90.0)
+    }
+  }
+
+  test("POST /druid/v2/sql: Druid SQL with compat aggregators") {
+    withServer { port =>
+      val sql = "SELECT event_type, COUNT(*) AS n, LATEST(value) AS " +
+        "last_value FROM events GROUP BY event_type ORDER BY event_type"
+      val (code, body) =
+        postTo(port, "/druid/v2/sql", s"""{"query": "$sql"}""")
+      assert(code == 200, body)
+      val arr = mapper.readTree(body)
+      assert(arr.size == 2)
+      assert(arr.get(0).path("event_type").asText() == "click")
+      assert(arr.get(0).path("n").asLong() == 3L)
+      assert(arr.get(0).path("last_value").asDouble() == 40.0)
+      assert(arr.get(1).path("event_type").asText() == "view")
+      assert(arr.get(1).path("last_value").asDouble() == 50.0)
+    }
+  }
+
+  test("POST /druid/v2: scan answers the ScanResultValue envelope") {
+    withServer { port =>
+      val (code, body) = post(port, """{
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["event_type", "value"],
+        "resultFormat": "compactedList", "limit": 3}""")
+      assert(code == 200, body)
+      val batch = mapper.readTree(body).get(0)
+      assert(batch.path("segmentId").isNull)
+      assert(batch.path("columns").get(0).asText() == "event_type")
+      val ev = batch.path("events")
+      assert(ev.size == 3 && ev.get(0).isArray)
+      assert(ev.get(0).get(0).asText() == "click" &&
+        ev.get(0).get(1).asDouble() == 10.0)
+      // default resultFormat "list": events are objects
+      val (_, listBody) = post(port, """{
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["event_type"], "limit": 1}""")
+      val le = mapper.readTree(listBody).get(0).path("events").get(0)
+      assert(le.isObject && le.path("event_type").asText() == "click")
     }
   }
 
