@@ -52,6 +52,8 @@ object DruidExpr {
     "pow" -> "power",
     "min" -> "least",
     "max" -> "greatest",
+    "todegrees" -> "degrees",
+    "toradians" -> "radians",
     "timestamp_floor" -> "time_floor",
     "timestamp_ceil" -> "time_ceil",
     "timestamp_shift" -> "time_shift",
@@ -83,7 +85,7 @@ object DruidExpr {
     "if", "nvl", "coalesce", "concat", "lower", "upper", "trim",
     "ltrim", "rtrim", "repeat", "reverse", "replace", "lpad", "rpad",
     "greatest", "least", "isnull", "isnotnull", "mod",
-    "regexp_like", "array",
+    "regexp_like", "regexp_replace", "array", "log2", "hypot",
     "lookup", "safe_divide", "nullif",
     "time_floor", "time_ceil", "time_shift", "time_extract",
     "time_parse", "time_format", "time_in_interval",
@@ -334,6 +336,11 @@ object DruidExpr {
           // Druid's explicit integer division → Spark's div OPERATOR
           // (Spark has no div(a, b) function form)
           need(2); s"((${as(0)}) div (${as(1)}))"
+        case "parse_long" =>
+          // optional radix; non-parseable input → null, like Druid
+          if (as.isEmpty || as.size > 2) fail("parse_long takes 1-2 args")
+          if (as.size == 1) s"CAST(${as(0)} AS BIGINT)"
+          else s"CAST(conv(${as(0)}, ${as(1)}, 10) AS BIGINT)"
         case "contains_string" =>
           need(2); s"contains(${as(0)}, ${as(1)})"
         case "icontains_string" =>

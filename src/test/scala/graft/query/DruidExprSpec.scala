@@ -96,6 +96,15 @@ class DruidExprSpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("2024-03-17 13:45:30"))
   }
 
+  test("regexp_replace, log2, degrees conversions, parse_long") {
+    assert(eval("regexp_replace(s, '[0-9]+', '#')", "s" -> "a12b3") == "a#b#")
+    assert(eval("log2(x)", "x" -> 8.0) == 3.0)
+    assert(eval("todegrees(x)", "x" -> math.Pi) == 180.0)
+    assert(eval("toradians(x)", "x" -> 180.0) == math.Pi)
+    assert(eval("parse_long(s)", "s" -> "42") == 42L)
+    assert(eval("parse_long(s, 16)", "s" -> "ff") == 255L)
+  }
+
   test("unsupported functions fail loudly; SQL text falls back upstream") {
     val e = intercept[IllegalArgumentException] {
       DruidExpr.toSparkSql("some_unknown_fn(x)")
