@@ -57,9 +57,10 @@ object DruidTool {
       val st = graft.write.Retention.dropOlderThan(dir, ms)
       println(s"dropped ${st.segmentsDropped} segments " +
         s"(${st.rowsDropped} rows), kept ${st.segmentsKept}")
+    case "serve" :: rest => DruidServe.main(rest.toArray)
     case _ =>
       System.err.println(
-        "usage: druid-tool (info|files|dump|query|compact|search|validate|retain) <segmentDir> [args]")
+        "usage: druid-tool (info|files|dump|query|compact|search|validate|retain|serve) <segmentDir> [args]")
       sys.exit(2)
   }
 

@@ -464,9 +464,11 @@ object NativeQuery {
     * and equal-length runs compare digit-wise — numeric order — while
     * the fixed '0' prefix keeps a digit run in the ['0'..'9'] ASCII
     * band relative to non-digit chunks, matching the char-wise rule
-    * when chunk kinds differ. Built entirely from codegen'd built-ins
+    * when chunk kinds differ. Built from native Catalyst expressions
     * (split on digit/non-digit boundaries via zero-width regex,
-    * transform, array_join) — no UDF in the filter path. Digit runs
+    * transform, array_join) — no UDF, no serialization boundary; the
+    * higher-order `transform` evaluates interpreted inside the stage,
+    * an accepted cost for a comparator clients use rarely. Digit runs
     * longer than 223 digits would wrap `chr`; real dimension values
     * are nowhere near that.
     */
