@@ -1,6 +1,7 @@
 package graft.query
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Druid expression-language translator: wire-dialect inputs must
@@ -103,6 +104,26 @@ class DruidExprSpec extends AnyFunSuite {
     assert(eval("toradians(x)", "x" -> 180.0) == math.Pi)
     assert(eval("parse_long(s)", "s" -> "42") == 42L)
     assert(eval("parse_long(s, 16)", "s" -> "ff") == 255L)
+  }
+
+  test("parser terminates cleanly on arbitrary input (fuzz)") {
+    // any input must either translate or throw the documented
+    // IllegalArgumentException — never hang, never leak an index error
+    val junk = Gen.choose(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.asciiPrintableChar).map(_.mkString))
+    val nearlyValid = Gen.oneOf(
+      "substring(s, 0, ", "x ^ ^ 2", "1 + (2 * ", "''", "\"", "`a",
+      "case_searched(x", "-", "!", "a.b == 'c", "1e+", "..", "x %% y",
+      "min(", "cast(x, 'WAT')", "timestamp_floor(t,)", "))((")
+    val prop = Prop.forAllNoShrink(Gen.frequency(
+      3 -> junk, 1 -> nearlyValid)) { s =>
+      try { DruidExpr.toSparkSql(s); true }
+      catch { case _: IllegalArgumentException => true }
+      // anything else (StackOverflow, index error) fails the property
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(1000), prop)
+    assert(r.passed, r.status.toString)
   }
 
   test("unsupported functions fail loudly; SQL text falls back upstream") {
