@@ -118,9 +118,14 @@ object DruidServe {
         .getOrElse(Array.empty).filter(_.isDirectory)
         .map(_.getName).filterNot(_.startsWith("."))
         .map(n => n -> spark.read.format("druid").load(s"$root/$n")).toMap
+      // resolve ONLY from the discovered set: raw path concatenation
+      // would let a remote dataSource name ("../../...") traverse to
+      // any readable directory, and reusing the prebuilt frames skips
+      // re-discovering segments on every request
       val server = start(spark,
-        name => spark.read.format("druid").load(s"$root/$name"), port,
-        sqlTables = tables)
+        name => tables.getOrElse(name, throw new IllegalArgumentException(
+          s"unknown dataSource '$name' (tables: ${tables.keys.toSeq.sorted.mkString(", ")})")),
+        port, sqlTables = tables)
       println(s"druid-serve listening on :${server.getAddress.getPort} " +
         s"(POST /druid/v2 native, /druid/v2/sql), tables under $root")
       Thread.currentThread().join()
@@ -169,14 +174,18 @@ object DruidServe {
           fill(o.putObject("event"), r, schema, skipTime = true)
         }
       case "topN" =>
-        // exact topN: all rows belong to the single granularity bucket
-        val o = out.addObject()
-        rows.headOption.flatMap(timestampOf) match {
-          case Some(t) => o.put("timestamp", t)
-          case None => o.putNull("timestamp")
+        // exact topN: all rows belong to the single granularity
+        // bucket; no rows → empty array like Druid, not a phantom
+        // bucket entry
+        if (rows.nonEmpty) {
+          val o = out.addObject()
+          rows.headOption.flatMap(timestampOf) match {
+            case Some(t) => o.put("timestamp", t)
+            case None => o.putNull("timestamp")
+          }
+          val res = o.putArray("result")
+          rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
         }
-        val res = o.putArray("result")
-        rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
       case "scan" =>
         // one ScanResultValue batch: columns + events, resultFormat
         // "list" (objects, Druid's default) or "compactedList"

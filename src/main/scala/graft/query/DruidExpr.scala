@@ -338,9 +338,10 @@ object DruidExpr {
           need(2); s"((${as(0)}) div (${as(1)}))"
         case "parse_long" =>
           // optional radix; non-parseable input → null, like Druid
+          // (TRY_CAST — a plain ANSI CAST would abort the query)
           if (as.isEmpty || as.size > 2) fail("parse_long takes 1-2 args")
-          if (as.size == 1) s"CAST(${as(0)} AS BIGINT)"
-          else s"CAST(conv(${as(0)}, ${as(1)}, 10) AS BIGINT)"
+          if (as.size == 1) s"TRY_CAST(${as(0)} AS BIGINT)"
+          else s"TRY_CAST(conv(${as(0)}, ${as(1)}, 10) AS BIGINT)"
         case "contains_string" =>
           need(2); s"contains(${as(0)}, ${as(1)})"
         case "icontains_string" =>

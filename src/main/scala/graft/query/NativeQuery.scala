@@ -100,7 +100,10 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    filters: lexicographic/numeric/alphanumeric/strlen); dimension
   *    specs honor `outputType`.
   *  - `granularity: "all"` timeseries returns the bare aggregate row
-  *    without a synthetic interval-start timestamp column.
+  *    without a synthetic interval-start timestamp column; with
+  *    `context.grandTotal` the single result row already IS the grand
+  *    total, so no duplicate total row is appended (Druid emits the
+  *    same values twice).
   */
 object NativeQuery {
 
@@ -406,7 +409,11 @@ object NativeQuery {
       // (codegen'd, residual-checked like every filter); polygon
       // fails loudly.
       val coords = split(dim(f).cast("string"), ",")
-      def coord(i: Int): Column = element_at(coords, i + 1).cast("double")
+      // `get` (0-based, null out-of-bounds) + try_cast: a malformed
+      // coordinate string ("5", "5,abc") yields null comparisons and
+      // the row simply doesn't match — Druid's behavior — instead of
+      // an ANSI runtime error aborting the query
+      def coord(i: Int): Column = get(coords, lit(i)).try_cast("double")
       val b = f.path("bound")
       b.path("type").asText() match {
         case "rectangular" =>
@@ -450,7 +457,10 @@ object NativeQuery {
   private def orderingKey(c: Column, ordering: String): Column =
     ordering match {
       case "lexicographic" | "" => c.cast("string")
-      case "numeric"            => c.cast("double")
+      // try_cast: Druid's numeric comparator tolerates unparseable
+      // values (they sort as null) — an ANSI cast error would abort
+      // the whole query on one bad dimension value
+      case "numeric"            => c.try_cast("double")
       case "alphanumeric"       => alphanumKey(c.cast("string"))
       case "strlen" => struct(length(c.cast("string")), c.cast("string"))
       case other => fail(s"string comparator '$other' (supported: lexicographic, numeric, alphanumeric, strlen)")
@@ -470,9 +480,10 @@ object NativeQuery {
     * higher-order `transform` evaluates interpreted inside the stage,
     * an accepted cost for a comparator clients use rarely. Digit runs
     * longer than 223 digits would wrap `chr`; real dimension values
-    * are nowhere near that.
+    * are nowhere near that. Package-visible so AlphanumKeySpec can pin
+    * THIS Catalyst encoding against the driver-side mirror.
     */
-  private def alphanumKey(c: Column): Column = {
+  private[query] def alphanumKey(c: Column): Column = {
     val chunks = split(c, "(?<=[0-9])(?=[^0-9])|(?<=[^0-9])(?=[0-9])")
     array_join(
       transform(chunks, x => {
@@ -741,9 +752,12 @@ object NativeQuery {
         // rows here, because Spark's var_pop/var_samp already merge
         // partials at shuffle boundaries.
         val pop = a.path("estimator").asText("") equalsIgnoreCase "population"
+        val v = field.cast("double")
         Agg(name,
-          if (pop) var_pop(field.cast("double"))
-          else var_samp(field.cast("double")),
+          if (pop) var_pop(v)
+          // Druid's sample estimator returns 0 for a single-row group
+          // (VarianceAggregatorCollector), where var_samp yields NULL
+          else coalesce(var_samp(v), when(count(v) > 0, lit(0.0))),
           countLike = false)
       case "filtered" =>
         if (pred.isDefined) fail("nested filtered aggregator")

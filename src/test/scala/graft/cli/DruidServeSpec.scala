@@ -46,15 +46,8 @@ class DruidServeSpec extends AnyFunSuite {
     (resp.statusCode(), resp.body())
   }
 
-  private def post(port: Int, json: String): (Int, String) = {
-    val client = HttpClient.newHttpClient()
-    val resp = client.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
-        .header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
-      HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
-  }
+  private def post(port: Int, json: String): (Int, String) =
+    postTo(port, "/druid/v2", json)
 
   test("POST /druid/v2: groupBy with sketch aggregators (the dr45 shape)") {
     withServer { port =>

@@ -71,6 +71,27 @@ class AlphanumKeySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("the Catalyst key expression computes the SAME encoding as the mirror") {
+    // the property above pins the driver-side mirror; this pins the
+    // SHIPPED Catalyst expression to it — equality of encodings on a
+    // sampled batch transfers the whole ordering property to the
+    // expression production actually uses
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val samples = (Iterator.fill(400)(alphanumString.sample).flatten ++
+      Iterator("", "0", "00", "2", "0002", "10", "a0b", "item010x7",
+        "u5a", "x!9", "00a00", "1e5", "9 9", "é12é")).toSeq.distinct
+    val got = samples.toDF("s")
+      .select(col("s"), NativeQuery.alphanumKey(col("s")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) == NativeQuery.alphanumKeyOf(s),
+        s"catalyst key differs from mirror for '$s': " +
+          s"'${got(s)}' vs '${NativeQuery.alphanumKeyOf(s)}'")
+    }
+  }
+
   test("targeted pairs: magnitudes, leading zeros, mixed chunks, prefixes") {
     val ordered = Seq("", "0", "00", "2", "0002", "10", "a", "a0b", "a2",
       "a10", "a10!", "a10a", "b", "item2", "item010", "item10", "item100")

@@ -104,6 +104,8 @@ class DruidExprSpec extends AnyFunSuite {
     assert(eval("toradians(x)", "x" -> 180.0) == math.Pi)
     assert(eval("parse_long(s)", "s" -> "42") == 42L)
     assert(eval("parse_long(s, 16)", "s" -> "ff") == 255L)
+    // non-parseable → null like Druid (TRY_CAST; ANSI would error)
+    assert(eval("parse_long(s)", "s" -> "click") == null)
   }
 
   test("parser terminates cleanly on arbitrary input (fuzz)") {

@@ -894,6 +894,40 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(2) - math.sqrt(600.0)) < 1e-12)
   }
 
+  test("variance of a single-row group is 0 like Druid's estimator; empty stays null") {
+    val row = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "aggregations": [
+        {"type": "filtered", "filter": {"type": "selector",
+          "dimension": "event_type", "value": "error"},
+         "aggregator": {"type": "variance", "name": "v1", "fieldName": "value"}},
+        {"type": "filtered", "filter": {"type": "selector",
+          "dimension": "event_type", "value": "no_such"},
+         "aggregator": {"type": "variance", "name": "v0", "fieldName": "value"}}]
+    }""").collect().head
+    assert(row.getDouble(0) == 0.0, "one-row sample variance is 0, not NULL")
+    assert(row.isNullAt(1), "zero-row variance stays null")
+  }
+
+  test("spatial filter skips malformed coordinate values instead of erroring") {
+    import spark.implicits._
+    val df = Seq(("1,2", 1L), ("5", 2L), ("5,abc", 3L), ("2,2", 4L),
+        (null: String, 5L))
+      .toDF("coord", "id")
+      .withColumn("__time", to_timestamp(lit("2024-01-01 00:00:00")))
+    val out = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+      "filter": {"type": "spatial", "dimension": "coord",
+        "bound": {"type": "rectangular", "minCoords": [0, 0],
+                  "maxCoords": [10, 10]}},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""", _ => df).collect().head
+    // (1,2) and (2,2) match; "5" (too few coords), "5,abc", and null
+    // simply don't — no ANSI runtime error
+    assert(out.getLong(0) == 2)
+  }
+
   test("columnComparison matches both-null rows (null-safe equality)") {
     import spark.implicits._
     val df = Seq[(String, String)](
