@@ -86,6 +86,7 @@ object DruidExpr {
     "ltrim", "rtrim", "repeat", "reverse", "replace", "lpad", "rpad",
     "greatest", "least", "isnull", "isnotnull", "mod",
     "regexp_like", "regexp_replace", "array", "log2", "hypot",
+    "sinh", "cosh", "tanh", "expm1", "log1p", "rint", "pi",
     "lookup", "safe_divide", "nullif",
     "time_floor", "time_ceil", "time_shift", "time_extract",
     "time_parse", "time_format", "time_in_interval",

@@ -106,6 +106,14 @@ class DruidExprSpec extends AnyFunSuite {
     assert(eval("parse_long(s, 16)", "s" -> "ff") == 255L)
     // non-parseable → null like Druid (TRY_CAST; ANSI would error)
     assert(eval("parse_long(s)", "s" -> "click") == null)
+    // the rest of Druid's math surface that maps 1:1
+    assert(eval("sinh(x)", "x" -> 0.0) == 0.0)
+    assert(eval("tanh(x)", "x" -> 0.0) == 0.0)
+    assert(eval("expm1(x)", "x" -> 0.0) == 0.0)
+    assert(eval("log1p(x)", "x" -> 0.0) == 0.0)
+    assert(eval("rint(x)", "x" -> 2.5) == 2.0) // banker's rounding
+    assert(eval("pi()") == math.Pi)
+    assert(eval("hypot(x, y)", "x" -> 3.0, "y" -> 4.0) == 5.0)
   }
 
   test("parser terminates cleanly on arbitrary input (fuzz)") {
