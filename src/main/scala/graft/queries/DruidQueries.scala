@@ -1810,7 +1810,7 @@ object DruidQueries extends QuerySet {
       Some("""SELECT event_type,
               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
               count(*) AS n,
-              sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+              CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // -- druid-spatial filter on the wire: the dimension is Druid's
@@ -1837,5 +1837,89 @@ object DruidQueries extends QuerySet {
               FROM events
               WHERE (user_id % 20) BETWEEN 5 AND 12
                 AND value BETWEEN 100 AND 300""")),
+
+    // -- druid-spatial polygon bound: a CONCAVE polygon (dart with a
+    //    notch) over (x = user_id, y = value). The engine compiles the
+    //    even-odd ray cast to one unrolled arithmetic expression; the
+    //    oracle replays the IDENTICAL per-edge crossing terms in SQL —
+    //    both sides are generated from the same vertex list below, so
+    //    a transcription slip can't silently agree.
+    Q("dr55_native_spatial_polygon",
+      (s, dir) => {
+        graft.query.NativeQuery.run(s"""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": "all",
+          "virtualColumns": [{"type": "expression", "name": "coord",
+            "expression": "concat(cast(user_id, 'STRING'), ',', cast(value, 'STRING'))"}],
+          "filter": {"type": "spatial", "dimension": "coord",
+            "bound": {"type": "polygon",
+                      "abscissa": [${dartXs.mkString(", ")}],
+                      "ordinate": [${dartYs.mkString(", ")}]}},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("n"), round(col("total_value"), 2).as("total_value"))
+      },
+      Some(s"""SELECT count(*) AS n, round(sum(value), 2) AS total_value
+               FROM events
+               WHERE ($dartCrossingsSql) % 2 = 1""")),
+
+    // -- the VERSION StringComparator (Druid's StringComparators.VERSION
+    //    = Maven version ordering) driving a groupBy limitSpec
+    //    dimensionOrder: qualifier releases sort -alpha < -beta < -rc <
+    //    bare release, then the numeric segment — the oracle replays
+    //    the rank arithmetic that a correct Maven ordering implies for
+    //    THESE constrained strings (the general ordering is pinned by
+    //    VersionKeySpec's property tests).
+    Q("dr56_native_version_order",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "virtualColumns": [{"type": "expression", "name": "ver",
+            "expression": "concat('1.', cast(user_id % 3, 'STRING'), case_searched(user_id % 4 == 1, '-alpha', user_id % 4 == 2, '-beta', user_id % 4 == 3, '-rc', ''))"}],
+          "dimensions": ["ver"],
+          "aggregations": [{"type": "count", "name": "n"}],
+          "limitSpec": {"type": "default", "limit": 15,
+            "columns": [{"dimension": "ver",
+                         "dimensionOrder": {"type": "version"}}]}
+        }""", _ => eventsSeg(s, dir))
+      },
+      Some("""SELECT ver, n FROM (
+                SELECT concat('1.', CAST(user_id % 3 AS VARCHAR),
+                         CASE user_id % 4 WHEN 1 THEN '-alpha'
+                                          WHEN 2 THEN '-beta'
+                                          WHEN 3 THEN '-rc'
+                                          ELSE '' END) AS ver,
+                       count(*) AS n
+                FROM events GROUP BY 1)
+              ORDER BY CAST(split_part(split_part(ver, '-', 1), '.', 2) AS BIGINT),
+                       CASE WHEN ver LIKE '%-alpha' THEN 0
+                            WHEN ver LIKE '%-beta' THEN 1
+                            WHEN ver LIKE '%-rc' THEN 2
+                            ELSE 3 END
+              LIMIT 15""")),
   )
+
+  // dr55's concave test polygon, shared by the native-query JSON and
+  // the oracle's replayed ray cast (x = user_id in [0,14], y = value
+  // in [0,330]; the notch from (7,150) makes it non-convex)
+  private val dartXs = Seq(1.0, 13.0, 13.0, 7.0, 1.0)
+  private val dartYs = Seq(20.0, 20.0, 300.0, 150.0, 300.0)
+
+  /** The even-odd crossing count for dr55's oracle: the same per-edge
+    * terms the engine unrolls, spelled as DuckDB SQL over
+    * px = CAST(user_id AS DOUBLE), py = value.
+    */
+  private def dartCrossingsSql: String =
+    dartXs.indices.map { i =>
+      val j = if (i == 0) dartXs.size - 1 else i - 1
+      val (xi, yi, xj, yj) = (dartXs(i), dartYs(i), dartXs(j), dartYs(j))
+      s"""(CASE WHEN (($yi < value AND $yj >= value)
+                      OR ($yj < value AND $yi >= value))
+                 AND ($xi + (value - $yi) / ($yj - $yi) * ($xj - $xi)
+                      < CAST(user_id AS DOUBLE))
+            THEN 1 ELSE 0 END)"""
+    }.mkString(" + ")
 }

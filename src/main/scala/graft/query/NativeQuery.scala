@@ -325,9 +325,9 @@ object NativeQuery {
       val c = dim(f)
       // Druid's StringComparators: lexicographic (default), numeric,
       // alphanumeric (digit runs compare as numbers), strlen (length
-      // first, then lexicographic). Anything else (e.g. "version")
-      // fails loudly — a silent lexicographic fallback would return
-      // different rows than the client's Druid cluster.
+      // first, then lexicographic), version (Maven version ordering).
+      // Anything else fails loudly — a silent lexicographic fallback
+      // would return different rows than the client's Druid cluster.
       val ordering = f.path("ordering").asText("lexicographic")
       def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
         val v = f.path(key)
@@ -404,10 +404,10 @@ object NativeQuery {
       druidExpr(f.path("expression").asText())
     case "spatial" =>
       // druid-spatial: the dimension holds comma-joined coordinates
-      // ("x,y"), the bound selects points inside a shape. Rectangular
-      // and radius compile to plain per-coordinate comparisons
-      // (codegen'd, residual-checked like every filter); polygon
-      // fails loudly.
+      // ("x,y"), the bound selects points inside a shape. All three
+      // shapes (rectangular, radius, polygon) compile to plain
+      // arithmetic over the split coordinates (codegen'd,
+      // residual-checked like every filter).
       val coords = split(dim(f).cast("string"), ",")
       // `get` (0-based, null out-of-bounds) + try_cast: a malformed
       // coordinate string ("5", "5,abc") yields null comparisons and
@@ -431,6 +431,36 @@ object NativeQuery {
             .map(i => (coord(i) - lit(ctr(i))) * (coord(i) - lit(ctr(i))))
             .reduce(_ + _)
           dist2 <= lit(r * r)
+        case "polygon" =>
+          // ray casting, the same even-odd rule Druid's PolygonBound
+          // applies (druid-spatial PolygonBound.contains): count edges
+          // whose span crosses the point's y and whose x-intersect
+          // lies left of the point; odd count = inside. The vertex
+          // lists are query constants, so the whole test unrolls into
+          // one codegen'd arithmetic expression — per-edge crossing
+          // terms summed, parity checked; no UDF. Handles concave
+          // polygons (the rule is per-edge, not convexity-based).
+          // Malformed coordinate strings make px/py null, every
+          // comparison null, every term 0 — the row doesn't match,
+          // same as rectangular/radius above.
+          val xs = b.path("abscissa").elements().asScala.map(_.asDouble()).toSeq
+          val ys = b.path("ordinate").elements().asScala.map(_.asDouble()).toSeq
+          if (xs.size < 3 || xs.size != ys.size)
+            fail("spatial polygon bound (abscissa/ordinate must be same-length, >= 3 vertices)")
+          val px = coord(0)
+          val py = coord(1)
+          val crossings = xs.indices.map { i =>
+            val j = if (i == 0) xs.size - 1 else i - 1
+            val (xi, yi, xj, yj) = (xs(i), ys(i), xs(j), ys(j))
+            val spans = (lit(yi) < py && lit(yj) >= py) ||
+              (lit(yj) < py && lit(yi) >= py)
+            // yi != yj whenever `spans` holds, and double division
+            // never throws under ANSI anyway, so the unconditional
+            // intersect computation is safe
+            val xAtY = lit(xi) + (py - lit(yi)) / lit(yj - yi) * lit(xj - xi)
+            when(spans && xAtY < px, lit(1)).otherwise(lit(0))
+          }.reduce(_ + _)
+          crossings % 2 === 1
         case other => fail(s"spatial bound '$other'")
       }
     case "true"  => lit(true)
@@ -450,9 +480,9 @@ object NativeQuery {
   }
 
   /** One of Druid's StringComparators as a sort-key expression:
-    * lexicographic (default), numeric, alphanumeric, strlen. Shared by
-    * the bound filter, limitSpec `dimensionOrder`, and topN dimension
-    * metrics; anything else ("version", ...) fails loudly.
+    * lexicographic (default), numeric, alphanumeric, strlen, version —
+    * the complete StringComparators set. Shared by the bound filter,
+    * limitSpec `dimensionOrder`, and topN dimension metrics.
     */
   private def orderingKey(c: Column, ordering: String): Column =
     ordering match {
@@ -463,7 +493,8 @@ object NativeQuery {
       case "numeric"            => c.try_cast("double")
       case "alphanumeric"       => alphanumKey(c.cast("string"))
       case "strlen" => struct(length(c.cast("string")), c.cast("string"))
-      case other => fail(s"string comparator '$other' (supported: lexicographic, numeric, alphanumeric, strlen)")
+      case "version"            => versionKey(c.cast("string"))
+      case other => fail(s"string comparator '$other' (supported: lexicographic, numeric, alphanumeric, strlen, version)")
     }
 
   /** Order-preserving sort key for Druid's ALPHANUMERIC comparator
@@ -513,6 +544,129 @@ object NativeQuery {
       } else { sb.append(ch); i += 1 }
     }
     sb.toString
+  }
+
+  /** Order-preserving sort key for Druid's VERSION comparator, which
+    * delegates to Maven's version ordering (StringComparators.VERSION
+    * → DefaultArtifactVersion). Encodes the version as an
+    * `array<struct<r:int, n:bigint, s:string>>` — Spark's array/struct
+    * orderings ARE element-wise lexicographic comparison, so the
+    * encoded column sorts and range-compares exactly like the item
+    * list:
+    *
+    *  - tokenize (case-folded) on `.`/`-` and digit↔non-digit
+    *    transitions, like Maven;
+    *  - numeric tokens rank above every qualifier and compare by
+    *    value; known qualifiers rank alpha < beta < milestone < rc=cr
+    *    < snapshot < "" (release, incl. ga/final) < sp; unknown
+    *    qualifiers rank above sp and compare lexically (`s`);
+    *  - trailing "null" items (numeric 0, release-rank) are trimmed
+    *    per dash-segment, so `1.2.0` == `1.2` == `1.2.ga` and
+    *    `1.0-alpha` tokenizes as `[1, alpha]`, below the bare `1.0`;
+    *  - an explicit release terminator is appended, so a shorter
+    *    version with a qualifier sorts BELOW the bare release
+    *    (`1.2-alpha` < `1.2` < `1.2.1`) — bare array-prefix ordering
+    *    would get that backwards.
+    *
+    * Documented subset vs full Maven: flat token list (no nested list
+    * semantics at `-` boundaries) and no single-letter `a1`/`b1`/`m1`
+    * aliases — Druid segment versions (ISO timestamps) and
+    * semver-style strings, the inputs this comparator sees in
+    * practice, never use either. `transform`/`aggregate` evaluate
+    * interpreted inside the stage, the same accepted cost as the
+    * alphanumeric key; for a bound-filter literal the whole key
+    * constant-folds. Digit runs beyond Long.MaxValue clamp.
+    * Package-visible so VersionKeySpec can pin THIS encoding against
+    * the independent driver-side comparator [[versionCompareOf]].
+    */
+  private[query] def versionKey(c: Column): Column = {
+    // trailing "null" items (numeric 0 / release-rank qualifiers) trim
+    // PER DASH-SEGMENT, like Maven's normalization at '-' boundaries —
+    // a flat global trim would turn "1.0-alpha" into [1, 0, alpha] and
+    // sort the bare release "1.0" ([1]) BELOW it (release-rank 5 <
+    // number-rank 8 at position 1), inverting Maven's 1.0-alpha < 1.0
+    val segItems = transform(split(lower(c), "-", -1), seg => {
+      // the transition lookarounds EXCLUDE '.', else a digit-dot
+      // boundary double-fires (zero-width split + dot split) and
+      // injects spurious empty tokens mid-list
+      val toks = split(seg, "[.]|(?<=[0-9])(?=[^0-9.])|(?<=[^0-9.])(?=[0-9])")
+      val items = transform(toks, t => {
+        val isNum = t.rlike("^[0-9]+$")
+        val rank = when(isNum, lit(8))
+          .when(t === "alpha", lit(0))
+          .when(t === "beta", lit(1))
+          .when(t === "milestone", lit(2))
+          .when(t === "rc" || t === "cr", lit(3))
+          .when(t === "snapshot", lit(4))
+          .when(t === "" || t === "ga" || t === "final" || t === "release", lit(5))
+          .when(t === "sp", lit(6))
+          .otherwise(lit(7))
+        struct(
+          rank.as("r"),
+          when(isNum, coalesce(t.try_cast("long"), lit(Long.MaxValue)))
+            .otherwise(lit(0L)).as("n"),
+          when(rank === 7, t).otherwise(lit("")).as("s"))
+      })
+      val trailingNulls = aggregate(
+        reverse(items),
+        struct(lit(0).as("cnt"), lit(true).as("run")),
+        (acc, x) => {
+          val trivial = (x("r") === 8 && x("n") === 0L) || x("r") === 5
+          struct(
+            when(acc("run") && trivial, acc("cnt") + 1)
+              .otherwise(acc("cnt")).as("cnt"),
+            (acc("run") && trivial).as("run"))
+        },
+        acc => acc("cnt"))
+      slice(items, lit(1), size(items) - trailingNulls)
+    })
+    concat(flatten(segItems),
+      array(struct(lit(5).as("r"), lit(0L).as("n"), lit("").as("s"))))
+  }
+
+  /** Independent driver-side mirror of the VERSION ordering for the
+    * property spec: a direct three-way comparator over the item lists
+    * (no key encoding), so a bug in the array-encoding trick and a bug
+    * in the comparator would have to agree to slip through.
+    */
+  private[query] def versionCompareOf(a: String, b: String): Int = {
+    def items(s: String): Vector[(Int, Long, String)] = {
+      val flat = s.toLowerCase.split("-", -1).toVector.flatMap { seg =>
+        val toks = seg
+          .split("[.]|(?<=[0-9])(?=[^0-9.])|(?<=[^0-9.])(?=[0-9])", -1)
+          .toVector
+        val raw = toks.map { t =>
+          if (t.nonEmpty && t.forall(ch => ch >= '0' && ch <= '9'))
+            (8, try t.toLong catch { case _: NumberFormatException => Long.MaxValue }, "")
+          else t match {
+            case "alpha"                       => (0, 0L, "")
+            case "beta"                        => (1, 0L, "")
+            case "milestone"                   => (2, 0L, "")
+            case "rc" | "cr"                   => (3, 0L, "")
+            case "snapshot"                    => (4, 0L, "")
+            case "" | "ga" | "final" | "release" => (5, 0L, "")
+            case "sp"                          => (6, 0L, "")
+            case other                         => (7, 0L, other)
+          }
+        }
+        raw.reverse.dropWhile(it =>
+          (it._1 == 8 && it._2 == 0L) || it._1 == 5).reverse
+      }
+      flat :+ ((5, 0L, ""))
+    }
+    val (ia, ib) = (items(a), items(b))
+    ia.zip(ib).foldLeft(0) { (acc, pair) =>
+      if (acc != 0) acc
+      else {
+        val ((ra, na, sa), (rb, nb, sb)) = pair
+        if (ra != rb) Integer.compare(ra, rb)
+        else if (na != nb) java.lang.Long.compare(na, nb)
+        else sa.compareTo(sb)
+      }
+    } match {
+      case 0 => Integer.compare(ia.size, ib.size)
+      case n => n
+    }
   }
 
   /** The search-query sub-object shared by the search filter and the

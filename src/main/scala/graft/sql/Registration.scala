@@ -23,16 +23,30 @@ import org.apache.spark.sql.SparkSession
 object Registration {
   private val done =
     new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
+  // per-session mutex objects so `body` runs under a lock — two threads
+  // registering the same key concurrently would otherwise both execute
+  // it (safe only if body is idempotent, which we don't want to rely
+  // on). Weak keys, same lifetime story as `done`.
+  private val locks =
+    new java.util.WeakHashMap[SparkSession, Object]()
 
   def once(spark: SparkSession, key: String)(body: => Unit): Unit = {
-    val seen = done.synchronized {
-      val keys = done.computeIfAbsent(spark,
-        _ => new java.util.HashSet[String]())
-      keys.contains(key)
+    val lock = locks.synchronized {
+      locks.computeIfAbsent(spark, _ => new Object)
     }
-    if (!seen) {
-      body // marked done only on success, so a failed registration retries
-      done.synchronized(done.get(spark).add(key))
+    // the per-session lock is held across the membership check AND the
+    // body call, so exactly one thread registers; sessions don't block
+    // each other (their locks are distinct), and `done` has its own
+    // monitor so this never deadlocks against it
+    lock.synchronized {
+      val seen = done.synchronized {
+        done.computeIfAbsent(spark,
+          _ => new java.util.HashSet[String]()).contains(key)
+      }
+      if (!seen) {
+        body // marked done only on success, so a failed registration retries
+        done.synchronized(done.get(spark).add(key))
+      }
     }
   }
 }

@@ -786,13 +786,18 @@ class NativeQuerySpec extends AnyFunSuite {
     // click/error (len 5) and rejects view (len 4).
     assert(n("""{"type": "bound", "dimension": "event_type",
                  "lower": "abcde", "ordering": "strlen"}""") == 5)
-    // unsupported orderings fail loudly instead of silently returning
-    // lexicographic rows
+    // version: Maven ordering — lower bound "u7.5" admits u10/u15/u20
+    // (version 10 > 7.5's major 7) and rejects u5; lexicographic would
+    // instead reject u10/u15/u20 ("u1.."/"u2.." < "u7.5")
+    assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u7.5",
+                 "ordering": "version"}""") == 6)
+    // unsupported orderings still fail loudly instead of silently
+    // returning lexicographic rows
     val e = intercept[IllegalArgumentException] {
       n("""{"type": "bound", "dimension": "event_type", "lower": "a",
-            "ordering": "version"}""")
+            "ordering": "natural"}""")
     }
-    assert(e.getMessage.contains("comparator 'version'"))
+    assert(e.getMessage.contains("comparator 'natural'"))
   }
 
   test("spatial filter: rectangular and radius bounds; polygon fails loudly") {
@@ -812,11 +817,66 @@ class NativeQuerySpec extends AnyFunSuite {
       "bound": {"type": "radius", "coords": [3, 30], "radius": 10.1}}""") == 2)
     // (3,30) itself and (2,20): d^2=101 <= 10.1^2=102.01; (1,40) just
     // misses at d^2=104
+    // a 2-vertex "polygon" is degenerate and rejected
     val e = intercept[IllegalArgumentException] {
       n("""{"type": "spatial", "dimension": "coord",
         "bound": {"type": "polygon", "abscissa": [0,1], "ordinate": [0,1]}}""")
     }
     assert(e.getMessage.contains("polygon"))
+  }
+
+  test("spatial polygon bound: even-odd ray cast, concave shapes, edge points") {
+    // synthetic points on an integer grid so the expected membership
+    // is hand-checkable
+    import spark.implicits._
+    def countIn(points: Seq[(Double, Double)], xs: Seq[Double],
+                ys: Seq[Double]): Long = {
+      val df = points.zipWithIndex
+        .map { case ((x, y), i) => (s"$x,$y", i.toLong) }
+        .toDF("coord", "id")
+        .withColumn("__time", to_timestamp(lit("2024-01-01 00:00:00")))
+      NativeQuery.run(s"""{
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "filter": {"type": "spatial", "dimension": "coord",
+          "bound": {"type": "polygon",
+                    "abscissa": [${xs.mkString(",")}],
+                    "ordinate": [${ys.mkString(",")}]}},
+        "aggregations": [{"type": "count", "name": "n"}]
+      }""", _ => df).collect().head.getLong(0)
+    }
+    // unit square (0,0)-(10,10): inside, outside, and boundary points.
+    // Boundary asymmetry of the even-odd arithmetic: at py=0 the
+    // strict yi<py check fails for both bottom-adjacent edges (no
+    // crossing — out), at py=10 the left edge spans [0,10) exclusive
+    // of neither end under `yi<py && yj>=py` and crosses once (in) —
+    // the same asymmetry Druid's PolygonBound arithmetic has.
+    val square = (Seq(0.0, 10.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0, 10.0))
+    assert(countIn(Seq((5.0, 5.0)), square._1, square._2) == 1, "interior")
+    assert(countIn(Seq((15.0, 5.0)), square._1, square._2) == 0, "outside right")
+    assert(countIn(Seq((5.0, -1.0)), square._1, square._2) == 0, "below")
+    assert(countIn(Seq((5.0, 0.0)), square._1, square._2) == 0, "bottom edge out")
+    assert(countIn(Seq((5.0, 10.0)), square._1, square._2) == 1, "top edge in")
+    // concave dart: (1,2) (13,2) (13,30) (7,15) (1,30) — the notch
+    // descends to (7,15), so (7,20) sits in the notch (OUTSIDE) while
+    // (3,20) and (11,20) flank it inside; ray casting must handle the
+    // double crossing
+    val dart = (Seq(1.0, 13.0, 13.0, 7.0, 1.0), Seq(2.0, 2.0, 30.0, 15.0, 30.0))
+    assert(countIn(Seq((3.0, 20.0)), dart._1, dart._2) == 1, "left lobe")
+    assert(countIn(Seq((11.0, 20.0)), dart._1, dart._2) == 1, "right lobe")
+    assert(countIn(Seq((7.0, 20.0)), dart._1, dart._2) == 0, "inside the notch")
+    assert(countIn(Seq((7.0, 10.0)), dart._1, dart._2) == 1, "below the notch tip")
+    // malformed coordinates don't error, they just don't match
+    assert(countIn(Seq((5.0, 5.0)), square._1, square._2) +
+      NativeQuery.run("""{
+        "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+        "filter": {"type": "spatial", "dimension": "coord",
+          "bound": {"type": "polygon", "abscissa": [0,10,10,0],
+                    "ordinate": [0,0,10,10]}},
+        "aggregations": [{"type": "count", "name": "n"}]
+      }""", _ => Seq(("garbage", 1L), ("1", 2L), (null: String, 3L))
+        .toDF("coord", "id")
+        .withColumn("__time", to_timestamp(lit("2024-01-01 00:00:00"))))
+        .collect().head.getLong(0) == 1)
   }
 
   test("limitSpec dimensionOrder and topN dimension metric honor StringComparators") {
