@@ -5,6 +5,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import java.time.format.DateTimeFormatter
 import java.time.ZoneOffset
 
+import scala.jdk.CollectionConverters._
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
@@ -25,19 +27,42 @@ import org.apache.spark.sql.types._
   *  - topN: `[{"timestamp": iso|null, "result": [{...}, ...]}]`
   *  - scan: `[{"segmentId": null, "columns": [...], "events": ...}]`
   *    honoring `resultFormat` "list" (objects, default) and
-  *    "compactedList" (positional arrays) — one batch
+  *    "compactedList" (positional arrays) — one batch, STREAMED off
+  *    `toLocalIterator` (partition at a time, never a full collect)
+  *    and capped at `maxResultRows`; past the cap the server answers
+  *    Druid's ResourceLimitExceeded error envelope instead of
+  *    materializing the table on the driver
   *  - everything else (search/timeBoundary/metadata): a plain JSON
   *    array of column->value objects
   *
   * `POST /druid/v2/sql` accepts Druid SQL (`{"query": "..."}`) — the
   * endpoint most modern Druid clients use — running through Spark SQL
   * with the Druid SQL compat layer registered (EARLIEST/LATEST,
-  * APPROX_COUNT_DISTINCT_DS_HLL, LOOKUP, TIME_*, MV_*, ...), answering
-  * the default `resultFormat: "object"` array.
+  * APPROX_COUNT_DISTINCT_DS_HLL, LOOKUP, TIME_*, MV_*, ...). Honors
+  * Druid's `resultFormat` variants — "object" (default), "array",
+  * "objectLines", "arrayLines", "csv" — and `header: true`, with
+  * Druid's content types (json / text/plain / text/csv). Same
+  * `maxResultRows` cap and streamed iteration as scan.
+  *
+  * Lookup management, the remaining broker/coordinator surface lookup
+  * clients expect:
+  *  - `GET /druid/v1/lookups/introspect/{name}[/keys|/values]` —
+  *    introspect a registered lookup map
+  *  - `GET|POST|DELETE /druid/coordinator/v1/lookups/config/{tier}/
+  *    {name}` — fetch / register (`{"lookupExtractorFactory":
+  *    {"type": "map", "map": {...}}}`) / drop a lookup; registered
+  *    maps immediately serve
+  *    `LOOKUP(...)` SQL and `registeredLookup` extractions
   *
   * `GET /status` answers like a broker so client health checks pass.
   * The server executor is the JDK default (one request at a time);
   * parallelism lives inside Spark, where it belongs.
+  *
+  * SECURITY: the SQL endpoint executes Spark SQL, which is strictly
+  * broader than Druid SQL (file-backed tables, catalog mutation), so
+  * the server binds 127.0.0.1 unless the caller explicitly opts into
+  * another interface (`--host`) — exposing it beyond loopback hands
+  * every network peer the Spark session's filesystem privileges.
   */
 object DruidServe {
 
@@ -45,22 +70,41 @@ object DruidServe {
   private val isoMs = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     .withZone(ZoneOffset.UTC)
 
+  /** Raised when a result exceeds `maxResultRows`; answered with
+    * Druid's ResourceLimitExceeded error envelope (HTTP 400).
+    */
+  private final class ResourceLimitExceeded(msg: String)
+    extends RuntimeException(msg)
+
   /** Start serving; `resolve` maps a dataSource name to its DataFrame
     * (native queries), `sqlTables` names the tables the SQL endpoint
     * exposes as temp views. Port 0 binds an ephemeral port (see
-    * `server.getAddress.getPort`). Caller stops the returned server.
+    * `server.getAddress.getPort`). Binds loopback unless `host` says
+    * otherwise. Caller stops the returned server.
     */
   def start(spark: SparkSession, resolve: String => DataFrame,
             port: Int,
-            sqlTables: Map[String, DataFrame] = Map.empty): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
-    def handled(ex: HttpExchange)(body: String => String): Unit =
+            sqlTables: Map[String, DataFrame] = Map.empty,
+            host: String = "127.0.0.1",
+            maxResultRows: Int = 100000): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+    def handled(ex: HttpExchange, methods: Set[String] = Set("POST"))
+               (body: String => (String, String)): Unit =
       try {
-        if (ex.getRequestMethod != "POST")
-          respond(ex, 405, """{"error":"queries are POSTed"}""")
-        else respond(ex, 200,
-          body(new String(ex.getRequestBody.readAllBytes(), UTF_8)))
+        if (!methods.contains(ex.getRequestMethod))
+          respond(ex, 405, s"""{"error":"supported methods: ${methods.mkString(", ")}"}""")
+        else {
+          val (payload, contentType) =
+            body(new String(ex.getRequestBody.readAllBytes(), UTF_8))
+          respond(ex, 200, payload, contentType)
+        }
       } catch {
+        case e: ResourceLimitExceeded =>
+          val o = mapper.createObjectNode()
+          o.put("error", "Resource limit exceeded")
+          o.put("errorMessage", String.valueOf(e.getMessage))
+          o.put("errorClass", "ResourceLimitExceededException")
+          respond(ex, 400, o.toString)
         case e: Throwable =>
           val o = mapper.createObjectNode()
           o.put("error", "Query not supported")
@@ -75,7 +119,8 @@ object DruidServe {
     server.createContext("/druid/v2", (ex: HttpExchange) =>
       handled(ex) { body =>
         val q = mapper.readTree(body)
-        envelope(q, graft.query.NativeQuery.run(body, resolve))
+        (envelope(q, graft.query.NativeQuery.run(body, resolve),
+          maxResultRows), "application/json")
       })
     server.createContext("/druid/v2/sql", (ex: HttpExchange) =>
       handled(ex) { body =>
@@ -85,12 +130,83 @@ object DruidServe {
           throw new IllegalArgumentException("SQL endpoint needs {\"query\": ...}")
         graft.sql.DruidSqlCompat.register(spark)
         sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-        val df = spark.sql(sql)
-        val out = mapper.createArrayNode()
-        val schema = df.schema
-        df.collect().foreach(r => fill(out.addObject(), r, schema,
-          skipTime = false))
-        out.toString
+        sqlResponse(spark.sql(sql),
+          node.path("resultFormat").asText("object"),
+          node.path("header").asBoolean(false), maxResultRows)
+      })
+    server.createContext("/druid/v1/lookups/introspect", (ex: HttpExchange) =>
+      handled(ex, methods = Set("GET")) { _ =>
+        val rest = ex.getRequestURI.getPath
+          .stripPrefix("/druid/v1/lookups/introspect").stripPrefix("/")
+        rest.split("/").toList match {
+          case name :: tail if name.nonEmpty =>
+            val m = graft.sql.DruidLookups.get(name).getOrElse(
+              throw new NoSuchElementException(s"lookup '$name' is not registered"))
+            val json = tail match {
+              case Nil =>
+                val o = mapper.createObjectNode()
+                m.toSeq.sortBy(_._1).foreach { case (k, v) => o.put(k, v) }
+                o.toString
+              case "keys" :: Nil =>
+                val a = mapper.createArrayNode()
+                m.keys.toSeq.sorted.foreach(a.add)
+                a.toString
+              case "values" :: Nil =>
+                val a = mapper.createArrayNode()
+                m.toSeq.sortBy(_._1).foreach { case (_, v) => a.add(v) }
+                a.toString
+              case other =>
+                throw new IllegalArgumentException(
+                  s"introspect sub-path '${other.mkString("/")}' (use keys|values)")
+            }
+            (json, "application/json")
+          case _ =>
+            throw new IllegalArgumentException(
+              "introspect needs /druid/v1/lookups/introspect/{name}")
+        }
+      })
+    server.createContext("/druid/coordinator/v1/lookups/config", (ex: HttpExchange) =>
+      handled(ex, methods = Set("GET", "POST", "DELETE")) { body =>
+        val rest = ex.getRequestURI.getPath
+          .stripPrefix("/druid/coordinator/v1/lookups/config").stripPrefix("/")
+        (ex.getRequestMethod, rest.split("/").filter(_.nonEmpty).toList) match {
+          case ("GET", Nil) =>
+            // tier -> [names]; this broker models a single tier
+            val o = mapper.createObjectNode()
+            val a = o.putArray("__default")
+            graft.sql.DruidLookups.names.sorted.foreach(a.add)
+            (o.toString, "application/json")
+          case ("GET", _ :: name :: Nil) =>
+            val m = graft.sql.DruidLookups.get(name).getOrElse(
+              throw new NoSuchElementException(s"lookup '$name' is not registered"))
+            val spec = mapper.createObjectNode()
+            val fac = spec.putObject("lookupExtractorFactory")
+            fac.put("type", "map")
+            val mo = fac.putObject("map")
+            m.toSeq.sortBy(_._1).foreach { case (k, v) => mo.put(k, v) }
+            (spec.toString, "application/json")
+          case ("POST", _ :: name :: Nil) =>
+            val spec = mapper.readTree(body)
+            val fac = spec.path("lookupExtractorFactory")
+            if (fac.path("type").asText() != "map")
+              throw new IllegalArgumentException(
+                s"lookupExtractorFactory type '${fac.path("type").asText()}' (only 'map')")
+            val entries = fac.path("map")
+            if (!entries.isObject)
+              throw new IllegalArgumentException("lookupExtractorFactory.map must be an object")
+            val m = entries.fields().asScala
+              .map(e => e.getKey -> e.getValue.asText()).toMap
+            graft.sql.DruidLookups.register(name, m)
+            ("""{"status":"accepted"}""", "application/json")
+          case ("DELETE", _ :: name :: Nil) =>
+            if (graft.sql.DruidLookups.get(name).isEmpty)
+              throw new NoSuchElementException(s"lookup '$name' is not registered")
+            graft.sql.DruidLookups.unregister(name)
+            ("""{"status":"deleted"}""", "application/json")
+          case (m, p) =>
+            throw new IllegalArgumentException(
+              s"$m on lookups/config/${p.mkString("/")} (use {tier}/{name})")
+        }
       })
     server.start()
     server
@@ -101,11 +217,17 @@ object DruidServe {
     */
   def main(args: Array[String]): Unit = args.toList match {
     case root :: rest =>
-      val port = rest match {
-        case "--port" :: p :: Nil => p.toInt
-        case Nil => 8082
+      var port = 8082
+      var host = "127.0.0.1"
+      var maxRows = 100000
+      def parse(opts: List[String]): Unit = opts match {
+        case "--port" :: p :: t     => port = p.toInt; parse(t)
+        case "--host" :: h :: t     => host = h; parse(t)
+        case "--max-rows" :: n :: t => maxRows = n.toInt; parse(t)
+        case Nil                    =>
         case other => sys.error(s"unknown args: $other")
       }
+      parse(rest)
       val spark = SparkSession.builder()
         .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
         .appName("druid-serve")
@@ -125,90 +247,199 @@ object DruidServe {
       val server = start(spark,
         name => tables.getOrElse(name, throw new IllegalArgumentException(
           s"unknown dataSource '$name' (tables: ${tables.keys.toSeq.sorted.mkString(", ")})")),
-        port, sqlTables = tables)
-      println(s"druid-serve listening on :${server.getAddress.getPort} " +
+        port, sqlTables = tables, host = host, maxResultRows = maxRows)
+      if (host != "127.0.0.1" && host != "localhost")
+        System.err.println(
+          s"WARNING: binding $host — the SQL endpoint executes arbitrary " +
+            "Spark SQL with this process's filesystem privileges; only " +
+            "expose beyond loopback on a trusted network")
+      println(s"druid-serve listening on $host:${server.getAddress.getPort} " +
         s"(POST /druid/v2 native, /druid/v2/sql), tables under $root")
       Thread.currentThread().join()
     case Nil =>
-      System.err.println("usage: druid-serve <tablesRoot> [--port N]")
+      System.err.println(
+        "usage: druid-serve <tablesRoot> [--port N] [--host H] [--max-rows N]")
       sys.exit(2)
   }
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+                      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length)
     try ex.getResponseBody.write(bytes) finally ex.close()
   }
 
   // ---- result envelopes ---------------------------------------------------
 
+  /** Iterate `df` driver-side a partition at a time (no full collect),
+    * failing past `cap` rows — the guard that keeps an unlimited scan
+    * or SELECT * from materializing a table on the driver.
+    */
+  private def cappedRows(df: DataFrame, cap: Int): Iterator[Row] = {
+    var n = 0
+    df.toLocalIterator.asScala.map { r =>
+      n += 1
+      if (n > cap)
+        throw new ResourceLimitExceeded(
+          s"result exceeds $cap rows; add a limit or raise --max-rows")
+      r
+    }
+  }
+
   private def envelope(q: com.fasterxml.jackson.databind.JsonNode,
-                       df: DataFrame): String = {
+                       df: DataFrame, maxResultRows: Int): String = {
     val queryType = q.path("queryType").asText()
     val schema = df.schema
-    val rows = df.collect()
     val timeIdx = schema.fieldNames.indexOf("__time")
     def timestampOf(r: Row): Option[String] =
       if (timeIdx < 0 || r.isNullAt(timeIdx)) None
-      else Some(isoMs.format(r.getTimestamp(timeIdx).toInstant))
+      else r.get(timeIdx) match {
+        // the druid reader can surface __time as NTZ (UTC wall time)
+        case t: java.sql.Timestamp => Some(isoMs.format(t.toInstant))
+        case l: java.time.LocalDateTime =>
+          Some(isoMs.format(l.toInstant(ZoneOffset.UTC)))
+        case other => Some(String.valueOf(other))
+      }
     val out: ArrayNode = mapper.createArrayNode()
     queryType match {
-      case "timeseries" =>
-        rows.foreach { r =>
-          val o = out.addObject()
-          timestampOf(r) match {
-            case Some(t) => o.put("timestamp", t)
-            case None => o.putNull("timestamp")
-          }
-          fill(o.putObject("result"), r, schema, skipTime = true)
-        }
-      case "groupBy" =>
-        rows.foreach { r =>
-          val o = out.addObject()
-          o.put("version", "v1")
-          timestampOf(r) match {
-            case Some(t) => o.put("timestamp", t)
-            case None => o.putNull("timestamp")
-          }
-          fill(o.putObject("event"), r, schema, skipTime = true)
-        }
-      case "topN" =>
-        // exact topN: all rows belong to the single granularity
-        // bucket; no rows → empty array like Druid, not a phantom
-        // bucket entry
-        if (rows.nonEmpty) {
-          val o = out.addObject()
-          rows.headOption.flatMap(timestampOf) match {
-            case Some(t) => o.put("timestamp", t)
-            case None => o.putNull("timestamp")
-          }
-          val res = o.putArray("result")
-          rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
-        }
       case "scan" =>
         // one ScanResultValue batch: columns + events, resultFormat
         // "list" (objects, Druid's default) or "compactedList"
-        // (positional arrays)
+        // (positional arrays); rows streamed, never collected
         val o = out.addObject()
         o.putNull("segmentId")
         val colsArr = o.putArray("columns")
         schema.fieldNames.foreach(colsArr.add)
         val events = o.putArray("events")
-        if (q.path("resultFormat").asText("list") == "compactedList")
-          rows.foreach { r =>
+        val compact = q.path("resultFormat").asText("list") == "compactedList"
+        cappedRows(df, maxResultRows).foreach { r =>
+          if (compact) {
             val row = events.addArray()
             val one = mapper.createObjectNode()
             fill(one, r, schema, skipTime = false)
             schema.fieldNames.foreach(n => row.add(one.get(n)))
-          }
-        else
-          rows.foreach(r => fill(events.addObject(), r, schema,
-            skipTime = false))
+          } else fill(events.addObject(), r, schema, skipTime = false)
+        }
       case _ =>
-        rows.foreach(r => fill(out.addObject(), r, schema, skipTime = false))
+        // aggregate envelopes: result sets are grouped/limited, small
+        // by construction, but the cap still backstops a groupBy on a
+        // high-cardinality dimension
+        val rows = cappedRows(df, maxResultRows).toArray
+        queryType match {
+          case "timeseries" =>
+            rows.foreach { r =>
+              val o = out.addObject()
+              timestampOf(r) match {
+                case Some(t) => o.put("timestamp", t)
+                case None => o.putNull("timestamp")
+              }
+              fill(o.putObject("result"), r, schema, skipTime = true)
+            }
+          case "groupBy" =>
+            rows.foreach { r =>
+              val o = out.addObject()
+              o.put("version", "v1")
+              timestampOf(r) match {
+                case Some(t) => o.put("timestamp", t)
+                case None => o.putNull("timestamp")
+              }
+              fill(o.putObject("event"), r, schema, skipTime = true)
+            }
+          case "topN" =>
+            // exact topN: all rows belong to the single granularity
+            // bucket; no rows → empty array like Druid, not a phantom
+            // bucket entry
+            if (rows.nonEmpty) {
+              val o = out.addObject()
+              rows.headOption.flatMap(timestampOf) match {
+                case Some(t) => o.put("timestamp", t)
+                case None => o.putNull("timestamp")
+              }
+              val res = o.putArray("result")
+              rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
+            }
+          case _ =>
+            rows.foreach(r => fill(out.addObject(), r, schema, skipTime = false))
+        }
     }
     out.toString
+  }
+
+  /** The SQL endpoint's response in one of Druid's resultFormat
+    * variants; returns (payload, contentType).
+    */
+  private def sqlResponse(df: DataFrame, fmt: String, header: Boolean,
+                          maxResultRows: Int): (String, String) = {
+    val schema = df.schema
+    val names = schema.fieldNames
+    def rowObject(r: Row): ObjectNode = {
+      val o = mapper.createObjectNode()
+      fill(o, r, schema, skipTime = false)
+      o
+    }
+    val rows = cappedRows(df, maxResultRows)
+    fmt match {
+      case "object" | "array" =>
+        val out = mapper.createArrayNode()
+        if (header) {
+          if (fmt == "array") { val h = out.addArray(); names.foreach(h.add) }
+          else { val h = out.addObject(); names.foreach(h.putNull) }
+        }
+        rows.foreach { r =>
+          if (fmt == "array") {
+            val one = rowObject(r)
+            val a = out.addArray()
+            names.foreach(n => a.add(one.get(n)))
+          } else out.add(rowObject(r))
+        }
+        (out.toString, "application/json")
+      case "objectLines" | "arrayLines" =>
+        val sb = new StringBuilder
+        if (header) {
+          if (fmt == "arrayLines") {
+            val h = mapper.createArrayNode(); names.foreach(h.add)
+            sb.append(h.toString).append('\n')
+          } else {
+            val h = mapper.createObjectNode(); names.foreach(h.putNull)
+            sb.append(h.toString).append('\n')
+          }
+        }
+        rows.foreach { r =>
+          val node: com.fasterxml.jackson.databind.JsonNode =
+            if (fmt == "arrayLines") {
+              val one = rowObject(r)
+              val a = mapper.createArrayNode()
+              names.foreach(n => a.add(one.get(n)))
+              a
+            } else rowObject(r)
+          sb.append(node.toString).append('\n')
+        }
+        sb.append('\n') // Druid terminates line formats with a blank line
+        (sb.toString, "text/plain")
+      case "csv" =>
+        def cell(n: com.fasterxml.jackson.databind.JsonNode): String = {
+          val s =
+            if (n == null || n.isNull) ""
+            else if (n.isTextual) n.asText()
+            else n.toString
+          if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+            "\"" + s.replace("\"", "\"\"") + "\""
+          else s
+        }
+        val sb = new StringBuilder
+        if (header) sb.append(names.map(n =>
+          cell(mapper.getNodeFactory.textNode(n))).mkString(",")).append('\n')
+        rows.foreach { r =>
+          val one = rowObject(r)
+          sb.append(names.map(n => cell(one.get(n))).mkString(",")).append('\n')
+        }
+        sb.append('\n')
+        (sb.toString, "text/csv")
+      case other =>
+        throw new IllegalArgumentException(
+          s"resultFormat '$other' (supported: object, array, objectLines, arrayLines, csv)")
+    }
   }
 
   private def fill(o: ObjectNode, r: Row, schema: StructType,
@@ -225,6 +456,9 @@ object DruidServe {
           case StringType => o.put(f.name, r.getString(i))
           case TimestampType =>
             o.put(f.name, isoMs.format(r.getTimestamp(i).toInstant))
+          case TimestampNTZType => // druid reader round-trips NTZ (UTC wall time)
+            o.put(f.name, isoMs.format(
+              r.getAs[java.time.LocalDateTime](i).toInstant(ZoneOffset.UTC)))
           case BinaryType => // mergeable sketch blobs etc. — base64, like Druid
             o.put(f.name, java.util.Base64.getEncoder
               .encodeToString(r.getAs[Array[Byte]](i)))

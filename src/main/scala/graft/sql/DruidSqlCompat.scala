@@ -22,6 +22,10 @@ object DruidLookups {
     maps.put(name, map)
   def unregister(name: String): Unit = maps.remove(name)
   def get(name: String): Option[Map[String, String]] = Option(maps.get(name))
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    maps.keySet().asScala.toSeq
+  }
 
   /** Entries at or below this size inline into the plan. */
   private val InlineThreshold = 64

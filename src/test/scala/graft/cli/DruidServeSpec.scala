@@ -30,10 +30,26 @@ class DruidServeSpec extends AnyFunSuite {
               col("user_id"), col("value"))
   }
 
-  private def withServer[A](body: Int => A): A = {
+  private def withServer[A](body: Int => A): A = withCappedServer(100000)(body)
+
+  private def withCappedServer[A](maxRows: Int)(body: Int => A): A = {
     val server = DruidServe.start(spark, _ => events, port = 0,
-      sqlTables = Map("events" -> events))
+      sqlTables = Map("events" -> events), maxResultRows = maxRows)
     try body(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  private def sendTo(port: Int, method: String, path: String,
+                     json: String = ""): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/json")
+    val req = method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m, HttpRequest.BodyPublishers.ofString(json))
+    }
+    val resp = client.send(req.build(), HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
   }
 
   private def postTo(port: Int, path: String, json: String): (Int, String) = {
@@ -138,6 +154,101 @@ class DruidServeSpec extends AnyFunSuite {
         "columns": ["event_type"], "limit": 1}""")
       val le = mapper.readTree(listBody).get(0).path("events").get(0)
       assert(le.isObject && le.path("event_type").asText() == "click")
+    }
+  }
+
+  test("POST /druid/v2/sql: resultFormat array / objectLines / csv, header row") {
+    withServer { port =>
+      val sql = "SELECT event_type, COUNT(*) AS n FROM events " +
+        "GROUP BY event_type ORDER BY event_type"
+      // array: positional values, header row first when asked
+      val (ac, abody) = postTo(port, "/druid/v2/sql",
+        s"""{"query": "$sql", "resultFormat": "array", "header": true}""")
+      assert(ac == 200, abody)
+      val arr = mapper.readTree(abody)
+      assert(arr.get(0).get(0).asText() == "event_type" &&
+        arr.get(0).get(1).asText() == "n", "header row lists column names")
+      assert(arr.get(1).get(0).asText() == "click" && arr.get(1).get(1).asLong() == 3L)
+      assert(arr.get(2).get(0).asText() == "view" && arr.get(2).get(1).asLong() == 2L)
+      // objectLines: one JSON object per line, blank-line terminated
+      val (lc, lbody) = postTo(port, "/druid/v2/sql",
+        s"""{"query": "$sql", "resultFormat": "objectLines"}""")
+      assert(lc == 200, lbody)
+      val lines = lbody.split("\n", -1)
+      assert(mapper.readTree(lines(0)).path("event_type").asText() == "click")
+      assert(mapper.readTree(lines(1)).path("n").asLong() == 2L)
+      assert(lines.takeRight(2).forall(_.isEmpty), "blank-line terminator")
+      // csv with header
+      val (cc, cbody) = postTo(port, "/druid/v2/sql",
+        s"""{"query": "$sql", "resultFormat": "csv", "header": true}""")
+      assert(cc == 200, cbody)
+      val csv = cbody.split("\n", -1)
+      assert(csv(0) == "event_type,n" && csv(1) == "click,3" && csv(2) == "view,2")
+      // unknown format is a loud 400, not a silent default
+      val (uc, _) = postTo(port, "/druid/v2/sql",
+        s"""{"query": "$sql", "resultFormat": "protobuf"}""")
+      assert(uc == 400)
+    }
+  }
+
+  test("results past maxResultRows answer Druid's ResourceLimitExceeded envelope") {
+    withCappedServer(maxRows = 3) { port =>
+      // unlimited scan over 5 rows trips the cap
+      val (code, body) = post(port, """{
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["event_type", "value"]}""")
+      assert(code == 400, body)
+      val err = mapper.readTree(body)
+      assert(err.path("error").asText() == "Resource limit exceeded")
+      assert(err.path("errorMessage").asText().contains("3 rows"))
+      // a scan WITH a limit under the cap still answers
+      val (ok, okBody) = post(port, """{
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["event_type"], "limit": 2}""")
+      assert(ok == 200, okBody)
+      assert(mapper.readTree(okBody).get(0).path("events").size == 2)
+      // the SQL endpoint rides the same cap
+      val (sc, sbody) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT * FROM events"}""")
+      assert(sc == 400 &&
+        mapper.readTree(sbody).path("error").asText() == "Resource limit exceeded")
+    }
+  }
+
+  test("lookup management: coordinator register, introspect, SQL use, delete") {
+    withServer { port =>
+      val spec = """{"version": "v1", "lookupExtractorFactory":
+        {"type": "map", "map": {"click": "Click!", "view": "View!"}}}"""
+      val (rc, rbody) = sendTo(port, "POST",
+        "/druid/coordinator/v1/lookups/config/__default/evt_names", spec)
+      assert(rc == 200, rbody)
+      // introspection endpoints see the registered map
+      val (ic, ibody) = sendTo(port, "GET",
+        "/druid/v1/lookups/introspect/evt_names")
+      assert(ic == 200 &&
+        mapper.readTree(ibody).path("click").asText() == "Click!")
+      val (kc, kbody) = sendTo(port, "GET",
+        "/druid/v1/lookups/introspect/evt_names/keys")
+      assert(kc == 200 && mapper.readTree(kbody).size == 2)
+      // the config listing and per-lookup spec round-trip
+      val (_, listBody) = sendTo(port, "GET", "/druid/coordinator/v1/lookups/config")
+      assert(mapper.readTree(listBody).path("__default").toString.contains("evt_names"))
+      val (_, specBody) = sendTo(port, "GET",
+        "/druid/coordinator/v1/lookups/config/__default/evt_names")
+      assert(mapper.readTree(specBody).path("lookupExtractorFactory")
+        .path("map").path("view").asText() == "View!")
+      // LOOKUP() in SQL resolves through the registered map immediately
+      val (qc, qbody) = postTo(port, "/druid/v2/sql", """{"query":
+        "SELECT LOOKUP(event_type, 'evt_names') AS label, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"}""")
+      assert(qc == 200, qbody)
+      assert(mapper.readTree(qbody).get(0).path("label").asText() == "Click!")
+      // delete, then introspection 400s
+      val (dc, _) = sendTo(port, "DELETE",
+        "/druid/coordinator/v1/lookups/config/__default/evt_names")
+      assert(dc == 200)
+      val (gc, _) = sendTo(port, "GET", "/druid/v1/lookups/introspect/evt_names")
+      assert(gc == 400)
+      graft.sql.DruidLookups.unregister("evt_names") // idempotent cleanup
     }
   }
 
