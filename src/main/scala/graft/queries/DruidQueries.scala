@@ -1900,6 +1900,31 @@ object DruidQueries extends QuerySet {
                             WHEN ver LIKE '%-rc' THEN 2
                             ELSE 3 END
               LIMIT 15""")),
+
+    // -- listFiltered dimension spec on a MULTI-VALUE dimension: the
+    //    row's word list is filtered BEFORE unnest, and a row with no
+    //    surviving words reports the null group — Druid's
+    //    ListFilteredDimensionSpec contract, which a plain WHERE over
+    //    the unnested rows cannot express (it would drop those rows).
+    Q("dr57_native_mv_list_filtered",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "docs",
+          "granularity": "all",
+          "dimensions": [{"type": "listFiltered",
+            "delegate": {"type": "default", "dimension": "words",
+                         "outputName": "word"},
+            "values": ["join", "hash", "scan"]}],
+          "aggregations": [{"type": "count", "name": "n"}]
+        }""", _ => docsMvSeg(s, dir))
+      },
+      Some("""SELECT word, count(*) AS n FROM (
+                SELECT unnest(CASE WHEN len(fw) = 0
+                              THEN [CAST(NULL AS VARCHAR)] ELSE fw END) AS word
+                FROM (SELECT list_filter(string_split(text, ' '),
+                        x -> x = 'join' OR x = 'hash' OR x = 'scan') AS fw
+                      FROM documents))
+              GROUP BY word ORDER BY word NULLS FIRST""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and

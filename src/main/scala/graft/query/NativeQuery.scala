@@ -997,6 +997,16 @@ object NativeQuery {
       // the variance aggregator it references (the estimator choice
       // lives on that aggregator)
       sqrt(ref(p.path("fieldName").asText()))
+    case t @ ("doubleGreatest" | "longGreatest" | "doubleLeast" | "longLeast") =>
+      // Druid's n-ary greatest/least post-aggregators; nulls are
+      // skipped (the greatest/least of the non-null inputs), matching
+      // Spark's GREATEST/LEAST
+      val castTo = if (t.startsWith("double")) "double" else "long"
+      val fields = p.path("fields").elements().asScala
+        .map(f => compilePost(f, fins).cast(castTo)).toSeq
+      if (fields.isEmpty) fail(s"$t with no fields")
+      if (fields.size == 1) fields.head
+      else if (t.endsWith("Greatest")) greatest(fields: _*) else least(fields: _*)
     case other => fail(s"post-aggregation type '$other'")
   }
 
@@ -1042,6 +1052,10 @@ object NativeQuery {
         val dim = d.path("dimension").asText()
         val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
         (typed(extractionFn(ref(dim), d.path("extractionFn"))), out)
+      case "listFiltered" | "regexFiltered" | "prefixFiltered" =>
+        // value filtering already happened pre-unnest (unnestMvDims /
+        // mvValuePredicate); only the delegate's naming applies here
+        dimensionSpec(d.path("delegate"))
       case other => fail(s"dimension spec type '$other'")
     }
   }
@@ -1203,23 +1217,37 @@ object NativeQuery {
     val grouped = applyPost(
       base.groupBy(dimCol.as(outName)).agg(aggCols.head, aggCols.tail: _*), q, aggs)
     val metric = q.path("metric")
-    val order: Seq[Column] =
-      if (metric.isTextual) Seq(col(metric.asText()).desc, col(outName).asc)
+    // dimension-ordered metric specs accept `previousStop`, Druid's
+    // pagination token: only dimension values strictly AFTER it (under
+    // the spec's comparator) appear in this page
+    def afterStop(ordering: String): DataFrame =
+      if (!metric.hasNonNull("previousStop")) grouped
+      else grouped.filter(orderingKey(col(outName), ordering) >
+        orderingKey(lit(metric.path("previousStop").asText()), ordering))
+    val (paged, order): (DataFrame, Seq[Column]) =
+      if (metric.isTextual)
+        (grouped, Seq(col(metric.asText()).desc, col(outName).asc))
       else metric.path("type").asText() match {
-        case "numeric" => Seq(col(metric.path("metric").asText()).desc, col(outName).asc)
+        case "numeric" =>
+          (grouped, Seq(col(metric.path("metric").asText()).desc, col(outName).asc))
         case "inverted" =>
           val inner = metric.path("metric")
           val m = if (inner.isTextual) inner.asText() else inner.path("metric").asText()
-          Seq(col(m).asc, col(outName).asc)
+          (grouped, Seq(col(m).asc, col(outName).asc))
         case "dimension" =>
           // DimensionTopNMetricSpec: sort by the dimension itself under
           // an optional StringComparator ordering
-          Seq(orderingKey(col(outName),
-            metric.path("ordering").asText("lexicographic")).asc)
-        case "lexicographic" => Seq(col(outName).asc)
+          val ord = metric.path("ordering").asText("lexicographic")
+          (afterStop(ord), Seq(orderingKey(col(outName), ord).asc))
+        case "lexicographic" =>
+          (afterStop("lexicographic"), Seq(col(outName).asc))
+        case "alphaNumeric" => // legacy TopNMetricSpec, same comparator as
+          // the modern {type: dimension, ordering: alphanumeric}
+          (afterStop("alphanumeric"),
+            Seq(orderingKey(col(outName), "alphanumeric").asc))
         case other => fail(s"topN metric type '$other'")
       }
-    grouped.orderBy(order: _*).limit(threshold)
+    paged.orderBy(order: _*).limit(threshold)
   }
 
   /** Druid groups/topNs a MULTI-VALUE dimension by VALUE, not by the
@@ -1228,15 +1256,71 @@ object NativeQuery {
     * before grouping — filters have already run against the intact
     * rows, like Druid.
     */
+  /** The underlying dimension NAME of a spec, looking through the
+    * filtered-spec wrappers (their delegate carries the name).
+    */
+  private def dimNameOf(d: JsonNode): String =
+    if (d.isTextual) d.asText()
+    else d.path("type").asText() match {
+      case "listFiltered" | "regexFiltered" | "prefixFiltered" =>
+        dimNameOf(d.path("delegate"))
+      case _ => d.path("dimension").asText()
+    }
+
+  /** Druid's filtered dimension specs (listFiltered / regexFiltered /
+    * prefixFiltered) as a per-value predicate: on a multi-value
+    * dimension the row's value list is filtered BEFORE unnesting (a
+    * row with no surviving values reports the null group, like Druid);
+    * on a single-value dimension an unmatched value becomes null.
+    * Only `default`/textual delegates are accepted — Druid filters the
+    * DELEGATE's output, so an extraction delegate would need
+    * post-extraction filtering, and a silent pre-extraction filter
+    * would return different groups than the client's cluster.
+    */
+  private def mvValuePredicate(d: JsonNode): Option[Column => Column] = {
+    def checkDelegate(): Unit = {
+      val del = d.path("delegate")
+      val ok = del.isTextual || del.path("type").asText("default") == "default"
+      if (!ok) fail(s"filtered dimension spec over a " +
+        s"'${del.path("type").asText()}' delegate (only default)")
+    }
+    d.path("type").asText() match {
+      case "listFiltered" =>
+        checkDelegate()
+        val values = textSeq(d.path("values"))
+        val white = d.path("isWhitelist").asBoolean(true)
+        Some(c => if (white) c.isin(values: _*)
+                  else !coalesce(c.isin(values: _*), lit(false)))
+      case "regexFiltered" =>
+        checkDelegate()
+        val p = d.path("pattern").asText()
+        Some(c => c.rlike(p))
+      case "prefixFiltered" =>
+        checkDelegate()
+        val p = d.path("prefix").asText()
+        Some(c => c.startsWith(p))
+      case _ => None
+    }
+  }
+
   private def unnestMvDims(df: DataFrame, dimNodes: Seq[JsonNode]): DataFrame =
     dimNodes
-      .map(d => if (d.isTextual) d.asText() else d.path("dimension").asText())
-      .distinct
-      .foldLeft(df)((acc, name) =>
-        if (acc.schema.fields.exists(f =>
-          f.name == name && f.dataType.isInstanceOf[ArrayType]))
-          acc.withColumn(name, explode_outer(col(name)))
-        else acc)
+      .map(d => (dimNameOf(d), mvValuePredicate(d)))
+      .distinctBy(_._1)
+      .foldLeft(df) { case (acc, (name, pred)) =>
+        val isArray = acc.schema.fields.exists(f =>
+          f.name == name && f.dataType.isInstanceOf[ArrayType])
+        (isArray, pred) match {
+          case (true, Some(p)) =>
+            // explode_outer turns an emptied-out list into one null
+            // row — Druid's "no surviving values → null group"
+            acc.withColumn(name, explode_outer(filter(col(name), p)))
+          case (true, None)  => acc.withColumn(name, explode_outer(col(name)))
+          case (false, Some(p)) =>
+            acc.withColumn(name, when(p(col(name)), col(name)))
+          case (false, None) => acc
+        }
+      }
 
   private def groupByQuery(base0: DataFrame, q: JsonNode): DataFrame = {
     val dimNodes = q.path("dimensions").elements().asScala.toSeq

@@ -909,6 +909,97 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(top.map(_.getString(0)).toSeq == Seq("u5", "u10"))
   }
 
+  test("greatest/least post-aggregators over aggregates and constants") {
+    val row = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "aggregations": [
+        {"type": "doubleSum", "name": "total", "fieldName": "value"},
+        {"type": "count", "name": "n"}],
+      "postAggregations": [
+        {"type": "doubleGreatest", "name": "g", "fields": [
+          {"type": "fieldAccess", "fieldName": "total"},
+          {"type": "constant", "value": 500}]},
+        {"type": "doubleLeast", "name": "l", "fields": [
+          {"type": "fieldAccess", "fieldName": "total"},
+          {"type": "constant", "value": 500}]},
+        {"type": "longGreatest", "name": "gl", "fields": [
+          {"type": "fieldAccess", "fieldName": "n"},
+          {"type": "constant", "value": 3}]}]
+    }""").collect().head
+    // total = 360.0 over 8 rows
+    assert(row.getDouble(row.fieldIndex("g")) == 500.0)
+    assert(row.getDouble(row.fieldIndex("l")) == 360.0)
+    assert(row.getLong(row.fieldIndex("gl")) == 8L)
+  }
+
+  test("topN legacy alphaNumeric metric and previousStop pagination") {
+    def top(metric: String): Seq[String] = run(s"""{
+      "queryType": "topN", "dataSource": "events", "granularity": "all",
+      "virtualColumns": [{"type": "expression", "name": "ukey",
+                          "expression": "concat('u', user_id * 5)"}],
+      "dimension": "ukey", "threshold": 2,
+      "metric": $metric,
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(_.getString(0)).toSeq
+    // ukeys: u5 u10 u15 u20 — alphaNumeric ascending starts at u5
+    assert(top("""{"type": "alphaNumeric"}""") == Seq("u5", "u10"))
+    // previousStop pages past u10 UNDER THE COMPARATOR: alphanumeric
+    // keeps u15/u20 (numerically > 10) and drops u5 (numerically < 10,
+    // even though "u5" > "u10" lexicographically)
+    assert(top("""{"type": "alphaNumeric", "previousStop": "u10"}""") ==
+      Seq("u15", "u20"))
+    assert(top("""{"type": "dimension", "ordering": "alphanumeric",
+                   "previousStop": "u10"}""") == Seq("u15", "u20"))
+    assert(top("""{"type": "lexicographic", "previousStop": "u15"}""") ==
+      Seq("u20", "u5")) // lexicographic: "u20" < "u5", both after "u15"
+  }
+
+  test("filtered dimension specs: listFiltered/regexFiltered/prefixFiltered") {
+    def groups(spec: String): Map[String, Long] = run(s"""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [$spec],
+      "aggregations": [{"type": "count", "name": "n"}]}""")
+      .collect().map(r => (if (r.isNullAt(0)) "<null>" else r.getString(0))
+        -> r.getLong(1)).toMap
+    // tags per row: [a,b] [b] [a] [c] [a,c] [b] [a] [d]
+    // whitelist {a,b}: rows emptied to [] report the null group
+    assert(groups("""{"type": "listFiltered",
+      "delegate": {"type": "default", "dimension": "tags", "outputName": "tag"},
+      "values": ["a", "b"]}""") ==
+      Map("a" -> 4L, "b" -> 3L, "<null>" -> 2L))
+    // blacklist flips the survivors
+    assert(groups("""{"type": "listFiltered",
+      "delegate": {"type": "default", "dimension": "tags", "outputName": "tag"},
+      "values": ["a", "b"], "isWhitelist": false}""") ==
+      Map("c" -> 2L, "d" -> 1L, "<null>" -> 5L))
+    // regex and prefix variants
+    assert(groups("""{"type": "regexFiltered",
+      "delegate": {"type": "default", "dimension": "tags", "outputName": "tag"},
+      "pattern": "[cd]"}""") ==
+      Map("c" -> 2L, "d" -> 1L, "<null>" -> 5L))
+    assert(groups("""{"type": "prefixFiltered",
+      "delegate": {"type": "default", "dimension": "tags", "outputName": "tag"},
+      "prefix": "b"}""") ==
+      Map("b" -> 3L, "<null>" -> 5L))
+    // on a SINGLE-value dimension an unmatched value nulls out
+    assert(groups("""{"type": "prefixFiltered",
+      "delegate": {"type": "default", "dimension": "event_type",
+                   "outputName": "et"},
+      "prefix": "c"}""") ==
+      Map("click" -> 4L, "<null>" -> 4L))
+    // extraction delegates fail loudly (Druid filters the delegate's
+    // OUTPUT; a silent pre-extraction filter would group differently)
+    val e = intercept[IllegalArgumentException] {
+      groups("""{"type": "listFiltered",
+        "delegate": {"type": "extraction", "dimension": "tags",
+          "outputName": "t",
+          "extractionFn": {"type": "upper"}},
+        "values": ["A"]}""")
+    }
+    assert(e.getMessage.contains("delegate"))
+  }
+
   test("dimension spec outputType casts the grouped value like Druid") {
     val out = run("""{
       "queryType": "groupBy", "dataSource": "events", "granularity": "all",
