@@ -304,22 +304,34 @@ object DruidServe {
     val out: ArrayNode = mapper.createArrayNode()
     queryType match {
       case "scan" =>
-        // one ScanResultValue batch: columns + events, resultFormat
-        // "list" (objects, Druid's default) or "compactedList"
-        // (positional arrays); rows streamed, never collected
-        val o = out.addObject()
-        o.putNull("segmentId")
-        val colsArr = o.putArray("columns")
-        schema.fieldNames.foreach(colsArr.add)
-        val events = o.putArray("events")
+        // ScanResultValue batches of `batchSize` rows (Druid's default
+        // 20480): columns + events per batch, resultFormat "list"
+        // (objects, Druid's default) or "compactedList" (positional
+        // arrays); rows streamed, never collected
         val compact = q.path("resultFormat").asText("list") == "compactedList"
-        cappedRows(df, maxResultRows).foreach { r =>
-          if (compact) {
-            val row = events.addArray()
-            val one = mapper.createObjectNode()
-            fill(one, r, schema, skipTime = false)
-            schema.fieldNames.foreach(n => row.add(one.get(n)))
-          } else fill(events.addObject(), r, schema, skipTime = false)
+        val batchSize = math.max(1, q.path("batchSize").asInt(20480))
+        cappedRows(df, maxResultRows).grouped(batchSize).foreach { batch =>
+          val o = out.addObject()
+          o.putNull("segmentId")
+          val colsArr = o.putArray("columns")
+          schema.fieldNames.foreach(colsArr.add)
+          val events = o.putArray("events")
+          batch.foreach { r =>
+            if (compact) {
+              val row = events.addArray()
+              val one = mapper.createObjectNode()
+              fill(one, r, schema, skipTime = false)
+              schema.fieldNames.foreach(n => row.add(one.get(n)))
+            } else fill(events.addObject(), r, schema, skipTime = false)
+          }
+        }
+        // no rows → one empty batch so clients still see the columns
+        if (out.isEmpty) {
+          val o = out.addObject()
+          o.putNull("segmentId")
+          val colsArr = o.putArray("columns")
+          schema.fieldNames.foreach(colsArr.add)
+          o.putArray("events")
         }
       case _ =>
         // aggregate envelopes: result sets are grouped/limited, small

@@ -1438,7 +1438,16 @@ object NativeQuery {
         .agg(count(lit(1)).as("count"))
         .select(lit(d).as("dimension"), col("value"), col("count"))
     }
-    val all = perDim.reduce(_.unionAll(_)).orderBy(col("dimension"), col("value"))
+    // Druid's SearchSortSpec picks the comparator hit values sort
+    // under (lexicographic default; alphanumeric/strlen/numeric/
+    // version ride the shared orderingKey)
+    val sortNode = q.path("sort")
+    val sortType =
+      if (sortNode.isMissingNode || sortNode.isNull) "lexicographic"
+      else if (sortNode.isTextual) sortNode.asText()
+      else sortNode.path("type").asText("lexicographic")
+    val all = perDim.reduce(_.unionAll(_))
+      .orderBy(col("dimension"), orderingKey(col("value"), sortType).asc)
     val lim = q.path("limit")
     if (lim.isMissingNode || lim.isNull) all else all.limit(lim.asInt())
   }

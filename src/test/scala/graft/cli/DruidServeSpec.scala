@@ -154,6 +154,16 @@ class DruidServeSpec extends AnyFunSuite {
         "columns": ["event_type"], "limit": 1}""")
       val le = mapper.readTree(listBody).get(0).path("events").get(0)
       assert(le.isObject && le.path("event_type").asText() == "click")
+      // batchSize chunks the result into multiple ScanResultValue
+      // batches, each carrying its own columns header (5 rows / 2)
+      val (_, batched) = post(port, """{
+        "queryType": "scan", "dataSource": "events",
+        "columns": ["event_type"], "batchSize": 2}""")
+      val batches = mapper.readTree(batched)
+      assert(batches.size == 3)
+      assert(batches.get(0).path("events").size == 2)
+      assert(batches.get(2).path("events").size == 1)
+      assert(batches.get(2).path("columns").get(0).asText() == "event_type")
     }
   }
 

@@ -160,6 +160,21 @@ class NativeQuerySpec extends AnyFunSuite {
       ("event_type", "click", 4L), ("tags", "c", 2L)))
   }
 
+  test("search sort spec picks the comparator hit values sort under") {
+    def hits(sort: String): Seq[String] = run(s"""{
+      "queryType": "search", "dataSource": "events",
+      "virtualColumns": [{"type": "expression", "name": "ukey",
+                          "expression": "concat('u', user_id * 5)"}],
+      "searchDimensions": ["ukey"],
+      "query": {"type": "insensitive_contains", "value": "u"}$sort
+    }""").collect().map(_.getString(1)).toSeq
+    // lexicographic default: u10 < u15 < u20 < u5
+    assert(hits("") == Seq("u10", "u15", "u20", "u5"))
+    // alphanumeric sort: digit runs compare numerically
+    assert(hits(""", "sort": {"type": "alphanumeric"}""") ==
+      Seq("u5", "u10", "u15", "u20"))
+  }
+
   test("timeBoundary: both bounds and single-bound variants") {
     val both = run("""{"queryType": "timeBoundary", "dataSource": "events"}""")
       .collect().head
