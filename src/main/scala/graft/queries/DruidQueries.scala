@@ -1925,6 +1925,35 @@ object DruidQueries extends QuerySet {
                         x -> x = 'join' OR x = 'hash' OR x = 'scan') AS fw
                       FROM documents))
               GROUP BY word ORDER BY word NULLS FIRST""")),
+
+    // -- duration granularity (fixed-ms buckets from a shifted origin,
+    //    floor-division bucketing) + the nested-field virtual column
+    //    (Druid's NestedFieldVirtualColumn over COMPLEX<json>) in one
+    //    wire query: 2-day buckets offset 12 h, summing a JSON-path
+    //    long — the oracle replays the integer bucket arithmetic and
+    //    the JSON extraction directly.
+    Q("dr58_native_duration_nested",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events_json",
+          "granularity": {"type": "duration", "duration": 172800000,
+                          "origin": "1970-01-01T12:00:00.000Z"},
+          "context": {"skipEmptyBuckets": true},
+          "virtualColumns": [{"type": "nested-field", "columnName": "props",
+            "outputName": "k", "path": "$.k", "expectedType": "LONG"}],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "longSum", "name": "sum_k", "fieldName": "k"}]
+        }""", _ => eventsJsonSeg(s, dir))
+          .select(unix_millis(col("__time")).as("bucket_ms"),
+                  col("n"), col("sum_k"))
+      },
+      Some("""SELECT ((CAST(epoch(ts) AS BIGINT) * 1000 - 43200000)
+                       // 172800000) * 172800000 + 43200000 AS bucket_ms,
+                     count(*) AS n,
+                     CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                          AS BIGINT) AS sum_k
+              FROM events GROUP BY 1 ORDER BY 1""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and

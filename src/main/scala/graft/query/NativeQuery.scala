@@ -686,6 +686,10 @@ object NativeQuery {
           .map(v => if (cs) c.contains(lit(v)) else lower(c).contains(lower(lit(v))))
           .reduceOption(_ && _)
           .getOrElse(fail("fragment search with no values"))
+      case "regex" =>
+        // RegexSearchQuerySpec: find semantics (a match anywhere in the
+        // value), which is exactly rlike
+        c.rlike(qn.path("pattern").asText())
       case other => fail(s"search query type '$other'")
     }
 
@@ -699,6 +703,25 @@ object NativeQuery {
         case "expression" =>
           d.withColumn(vc.path("name").asText(),
             druidExpr(vc.path("expression").asText()))
+        case "nested-field" =>
+          // Druid's NestedFieldVirtualColumn over a COMPLEX<json>
+          // column — our json columns surface as JSON STRINGS, so the
+          // JSONPath extraction is get_json_object; expectedType casts
+          // leniently (mismatches null out, like Druid)
+          val out =
+            if (vc.hasNonNull("outputName")) vc.path("outputName").asText()
+            else vc.path("name").asText()
+          val extracted = get_json_object(
+            col(vc.path("columnName").asText()).cast("string"),
+            vc.path("path").asText())
+          val typed = vc.path("expectedType").asText("STRING").toUpperCase match {
+            case "STRING" => extracted
+            case "LONG"   => extracted.try_cast("long")
+            case "DOUBLE" => extracted.try_cast("double")
+            case "FLOAT"  => extracted.try_cast("float")
+            case other    => fail(s"nested-field expectedType '$other'")
+          }
+          d.withColumn(out, typed)
         case other => fail(s"virtualColumn type '$other'")
       }
     }
@@ -714,24 +737,92 @@ object NativeQuery {
   private val simpleUnits =
     Set("second", "minute", "hour", "day", "week", "month", "quarter", "year")
 
-  /** A resolved granularity: trunc unit + optional bucket timezone.
-    * With a timezone, bucketing converts to LOCAL wall time, truncates,
-    * and converts the local boundary back to its UTC instant — so "one
+  /** A resolved bucketing granularity: how a timestamp maps to its
+    * bucket start, and how a dense bucket spine is built for zero-fill.
+    */
+  private sealed trait Gran {
+    def bucket(c: Column): Column
+    /** One-column ("__time") frame of bucket starts covering
+      * [trunc(start), end) — the zero-fill spine. */
+    def spineDF(spark: SparkSession,
+                start: java.time.Instant, end: java.time.Instant): DataFrame
+  }
+
+  /** Calendar-unit granularity + optional bucket timezone. With a
+    * timezone, bucketing converts to LOCAL wall time, truncates, and
+    * converts the local boundary back to its UTC instant — so "one
     * day in America/Los_Angeles" is a real local calendar day (23/25 h
     * across DST), exactly Druid's period-granularity semantics.
     */
-  private case class Gran(unit: String, tz: Option[String]) {
+  private case class UnitGran(unit: String, tz: Option[String]) extends Gran {
     def bucket(c: Column): Column = tz match {
       case None    => date_trunc(unit, c)
       case Some(z) => to_utc_timestamp(date_trunc(unit, from_utc_timestamp(c, z)), z)
     }
+    def spineDF(spark: SparkSession,
+                start: java.time.Instant, end: java.time.Instant): DataFrame = {
+      // with a bucket timezone the spine steps in LOCAL wall time (so
+      // day/month boundaries and DST hold) and each local boundary
+      // converts back to its UTC instant
+      val seq0 = tz match {
+        case None => sequence(
+          date_trunc(unit, lit(Timestamp.from(start))),
+          lit(Timestamp.from(end)),
+          expr(unitStep(unit)))
+        case Some(z) => sequence(
+          date_trunc(unit, from_utc_timestamp(lit(Timestamp.from(start)), z)),
+          from_utc_timestamp(lit(Timestamp.from(end)), z),
+          expr(unitStep(unit)))
+      }
+      spark.range(1)
+        .select(explode(seq0).as("__t0"))
+        .select((tz match {
+          case None    => col("__t0")
+          case Some(z) => to_utc_timestamp(col("__t0"), z)
+        }).as("__time"))
+        .filter(col("__time") < lit(Timestamp.from(end)))
+    }
+  }
+
+  /** Fixed-millisecond granularity (Druid's `duration` type), bucketing
+    * by floor-division from `origin` (epoch by default). Pure integer
+    * arithmetic — the mod-mod form floors correctly for pre-origin
+    * timestamps, where a truncating div would round toward zero.
+    */
+  private case class DurationGran(durMs: Long, originMs: Long) extends Gran {
+    def bucket(c: Column): Column = {
+      val x = unix_millis(c) - lit(originMs)
+      timestamp_millis(
+        x - (((x % lit(durMs)) + lit(durMs)) % lit(durMs)) + lit(originMs))
+    }
+    def spineDF(spark: SparkSession,
+                start: java.time.Instant, end: java.time.Instant): DataFrame =
+      spark.range(1)
+        .select(explode(sequence(
+          bucket(lit(Timestamp.from(start))),
+          lit(Timestamp.from(end)),
+          expr(s"interval $durMs millisecond"))).as("__time"))
+        .filter(col("__time") < lit(Timestamp.from(end)))
   }
 
   /** None = granularity "all" (a single bucket). */
   private def truncUnit(q: JsonNode): Option[Gran] = {
     val g = q.path("granularity")
+    def originMs: Long =
+      if (!g.isObject || !g.hasNonNull("origin")) 0L
+      else try java.time.Instant.parse(g.path("origin").asText()).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        fail(s"granularity origin '${g.path("origin").asText()}' (ISO instant)") }
+    if (g.isObject && g.path("type").asText() == "duration") {
+      val dur = g.path("duration").asLong()
+      if (dur <= 0) fail("duration granularity (duration must be > 0 ms)")
+      return Some(DurationGran(dur, originMs))
+    }
     if (g.isObject && g.hasNonNull("origin"))
-      fail("granularity origin (only standard boundaries)")
+      // a period origin shifts CALENDAR boundaries; only the
+      // fixed-length duration form supports origins here, and a
+      // silently ignored origin would bucket differently than Druid
+      fail("granularity origin (use the duration granularity type)")
     // UTC spellings mean the default path; anything else is honored
     val tz =
       if (g.isObject && g.hasNonNull("timeZone"))
@@ -750,7 +841,7 @@ object NativeQuery {
       }
     name match {
       case "all"                          => None
-      case u if simpleUnits.contains(u)   => Some(Gran(u, tz))
+      case u if simpleUnits.contains(u)   => Some(UnitGran(u, tz))
       case other                          => fail(s"granularity '$other'")
     }
   }
@@ -1154,28 +1245,8 @@ object NativeQuery {
             // Bucket spine: granularity-aligned from trunc(start), end-
             // exclusive. Left join + identity fill = Druid's default
             // dense timeseries (count-family 0, value aggregates NULL).
-            // With a bucket timezone the spine steps in LOCAL wall time
-            // (so day/month boundaries and DST hold) and each local
-            // boundary converts back to its UTC instant.
             val (start, end) = ivs.head
-            val seq0 = g.tz match {
-              case None => sequence(
-                date_trunc(g.unit, lit(Timestamp.from(start))),
-                lit(Timestamp.from(end)),
-                expr(unitStep(g.unit)))
-              case Some(z) => sequence(
-                date_trunc(g.unit,
-                  from_utc_timestamp(lit(Timestamp.from(start)), z)),
-                from_utc_timestamp(lit(Timestamp.from(end)), z),
-                expr(unitStep(g.unit)))
-            }
-            val spine = base.sparkSession.range(1)
-              .select(explode(seq0).as("__t0"))
-              .select((g.tz match {
-                case None    => col("__t0")
-                case Some(z) => to_utc_timestamp(col("__t0"), z)
-              }).as("__time"))
-              .filter(col("__time") < lit(Timestamp.from(end)))
+            val spine = g.spineDF(base.sparkSession, start, end)
             spine.join(grouped, Seq("__time"), "left").select(
               col("__time") +: aggs.map(a =>
                 if (a.countLike) coalesce(col(a.name), lit(0L).cast("long")).as(a.name)

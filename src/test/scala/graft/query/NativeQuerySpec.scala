@@ -160,6 +160,77 @@ class NativeQuerySpec extends AnyFunSuite {
       ("event_type", "click", 4L), ("tags", "c", 2L)))
   }
 
+  test("duration granularity: fixed-ms buckets, origin shift, zero-fill spine") {
+    // 12-hour buckets: events at 01:00/02:00 share the 00:00 bucket
+    val out = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "duration", "duration": 43200000},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    // both daily events (01:00/02:00) share each day's 00:00 bucket
+    assert(out.length == 4)
+    assert(out.forall(_.getLong(1) == 2L))
+    assert(out.head.getTimestamp(0) == ts("2024-01-01 00:00:00"))
+    // origin shifts the boundary: from 06:00, the 01:00/02:00 events
+    // fall in the PREVIOUS bucket starting 2023-12-31 18:00 — pre-
+    // origin-aligned flooring must round DOWN, not toward zero
+    val shifted = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "duration", "duration": 43200000,
+                      "origin": "2024-01-01T06:00:00.000Z"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(shifted.head.getTimestamp(0) == ts("2023-12-31 18:00:00"))
+    assert(shifted.head.getLong(1) == 2L)
+    // dense fill: a bounded interval sprouts empty buckets with count 0
+    val filled = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "duration", "duration": 43200000},
+      "intervals": ["2024-01-01T00:00:00.000Z/2024-01-03T00:00:00.000Z"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(filled.length == 4) // 2 days / 12h
+    assert(filled.map(_.getLong(1)).toSeq == Seq(2L, 0L, 2L, 0L))
+    // period granularities still reject origin loudly
+    val e = intercept[IllegalArgumentException] {
+      run("""{
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": {"type": "period", "period": "P1D",
+                        "origin": "2024-01-01T06:00:00.000Z"},
+        "aggregations": [{"type": "count", "name": "n"}]
+      }""").collect()
+    }
+    assert(e.getMessage.contains("origin"))
+  }
+
+  test("search regex query spec and nested-field virtual column") {
+    // regex search: find semantics over the dimension values
+    val hits = run("""{
+      "queryType": "search", "dataSource": "events",
+      "searchDimensions": ["event_type"],
+      "query": {"type": "regex", "pattern": "^(cl|er)"}
+    }""").collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(hits == Seq(("click", 4L), ("error", 1L)))
+    // nested-field virtual column extracts from a JSON string column
+    import spark.implicits._
+    val df = Seq(("""{"a": {"b": 7}}""", 1L), ("""{"a": {"b": 35}}""", 2L),
+        ("""{"a": {}}""", 3L))
+      .toDF("props", "id")
+      .withColumn("__time", to_timestamp(lit("2024-01-01 00:00:00")))
+    val row = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+      "virtualColumns": [{"type": "nested-field", "columnName": "props",
+        "outputName": "ab", "path": "$.a.b", "expectedType": "LONG"}],
+      "aggregations": [
+        {"type": "longSum", "name": "total", "fieldName": "ab"},
+        {"type": "count", "name": "n"}]
+    }""", _ => df).collect().head
+    assert(row.getLong(0) == 42L) // missing path nulls out, sum skips it
+    assert(row.getLong(1) == 3L)
+  }
+
   test("search sort spec picks the comparator hit values sort under") {
     def hits(sort: String): Seq[String] = run(s"""{
       "queryType": "search", "dataSource": "events",
