@@ -146,6 +146,52 @@ object DruidSqlCompat {
     e.lift(2).fold(mapped)(repl => Coalesce(Seq(mapped, repl)))
   }
 
+  // ---- Druid SQL scalar functions Spark spells differently --------------
+  // All compile to native Catalyst expressions (codegen'd), no UDFs.
+
+  private val divFn: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "div(x, y) takes 2 args")
+    IntegralDivide(e(0), e(1))
+  }
+  private def bitwise2(name: String,
+                       mk: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = { e =>
+    require(e.length == 2, s"$name(x, y) takes 2 args")
+    mk(Cast(e(0), LongType), Cast(e(1), LongType))
+  }
+  private val containsString: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "contains_string(haystack, needle)")
+    Contains(Cast(e(0), StringType), Cast(e(1), StringType))
+  }
+  private val icontainsString: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "icontains_string(haystack, needle)")
+    Contains(Lower(Cast(e(0), StringType)), Lower(Cast(e(1), StringType)))
+  }
+  private val strpos: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "strpos(haystack, needle)")
+    // Druid STRPOS: 1-based index, 0 when absent — exactly instr
+    StringInstr(Cast(e(0), StringType), Cast(e(1), StringType))
+  }
+  private val textcat: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "textcat(a, b) takes 2 args")
+    Concat(Seq(Cast(e(0), StringType), Cast(e(1), StringType)))
+  }
+  private val stringFormat: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty, "string_format(pattern[, args...])")
+    FormatString(Cast(e.head, StringType) +: e.tail: _*)
+  }
+  private val parseLong: Seq[Expression] => Expression = { e =>
+    require(e.length >= 1 && e.length <= 2, "parse_long(string[, radix])")
+    e.lift(1) match {
+      case None => Cast(e.head, LongType, None, EvalMode.TRY)
+      // non-10 radix: conv() to decimal text first; unparseable input
+      // nulls out through the try_cast either way, like Druid
+      case Some(radix) =>
+        Cast(Conv(Cast(e.head, StringType), Cast(radix, IntegerType),
+          Literal(10)), LongType, None, EvalMode.TRY)
+    }
+  }
+
   // ---- DataSketches aggregator names ------------------------------------
 
   private val dsHll: Seq[Expression] => Expression = { e =>
@@ -224,6 +270,30 @@ object DruidSqlCompat {
       safeDivide),
     ("lookup", "lookup(expr, lookupName[, replaceMissing]) - Druid LOOKUP",
       lookup),
+    ("div", "div(x, y) - Druid DIV (integer division)", divFn),
+    ("bitwise_and", "bitwise_and(x, y) - Druid BITWISE_AND",
+      bitwise2("bitwise_and", BitwiseAnd(_, _))),
+    ("bitwise_or", "bitwise_or(x, y) - Druid BITWISE_OR",
+      bitwise2("bitwise_or", BitwiseOr(_, _))),
+    ("bitwise_xor", "bitwise_xor(x, y) - Druid BITWISE_XOR",
+      bitwise2("bitwise_xor", BitwiseXor(_, _))),
+    ("bitwise_shift_left", "bitwise_shift_left(x, y) - Druid BITWISE_SHIFT_LEFT",
+      bitwise2("bitwise_shift_left",
+        (a, b) => ShiftLeft(a, Cast(b, IntegerType)))),
+    ("bitwise_shift_right", "bitwise_shift_right(x, y) - Druid BITWISE_SHIFT_RIGHT",
+      bitwise2("bitwise_shift_right",
+        (a, b) => ShiftRight(a, Cast(b, IntegerType)))),
+    ("contains_string", "contains_string(haystack, needle) - Druid CONTAINS_STRING",
+      containsString),
+    ("icontains_string", "icontains_string(haystack, needle) - case-insensitive",
+      icontainsString),
+    ("strpos", "strpos(haystack, needle) - 1-based, 0 when absent",
+      strpos),
+    ("textcat", "textcat(a, b) - Druid TEXTCAT", textcat),
+    ("string_format", "string_format(pattern[, args...]) - Druid STRING_FORMAT",
+      stringFormat),
+    ("parse_long", "parse_long(string[, radix]) - Druid PARSE_LONG (null on bad input)",
+      parseLong),
     ("ds_hll", "ds_hll(expr[, lgK]) - DataSketches HLL build aggregate",
       dsHll),
     ("approx_count_distinct_ds_hll",

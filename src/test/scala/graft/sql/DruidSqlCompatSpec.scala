@@ -17,6 +17,33 @@ class DruidSqlCompatSpec extends AnyFunSuite {
   private def one(sql: String): Any = spark.sql(s"SELECT $sql").head.get(0)
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("Druid scalar spellings: div, bitwise, strings, parse_long") {
+    DruidSqlCompat.register(spark)
+    assert(one("DIV(17, 5)") == 3L)
+    assert(one("DIV(-17, 5)") == -3L) // integral divide truncates toward zero
+    assert(one("BITWISE_AND(12, 10)") == 8L)
+    assert(one("BITWISE_OR(12, 10)") == 14L)
+    assert(one("BITWISE_XOR(12, 10)") == 6L)
+    assert(one("BITWISE_SHIFT_LEFT(3, 2)") == 12L)
+    assert(one("BITWISE_SHIFT_RIGHT(12, 2)") == 3L)
+    assert(one("CONTAINS_STRING('druid rocks', 'rock')") == true)
+    assert(one("CONTAINS_STRING('druid rocks', 'Rock')") == false)
+    assert(one("ICONTAINS_STRING('druid rocks', 'Rock')") == true)
+    assert(one("STRPOS('abcabc', 'c')") == 3)
+    assert(one("STRPOS('abc', 'z')") == 0)
+    assert(one("TEXTCAT('foo', 'bar')") == "foobar")
+    assert(one("STRING_FORMAT('%s-%03d', 'x', 7)") == "x-007")
+    assert(one("PARSE_LONG('42')") == 42L)
+    assert(one("PARSE_LONG('nope')") == null)
+    assert(one("PARSE_LONG('ff', 16)") == 255L)
+    // all native Catalyst — no UDF in any of these plans
+    val plan = spark.sql(
+      "SELECT DIV(17,5), BITWISE_AND(1,3), STRPOS('a','a'), PARSE_LONG('1')")
+      .queryExecution.analyzed
+    assert(plan.expressions.forall(e =>
+      e.collect { case u: ScalaUDF => u }.isEmpty))
+  }
+
   test("time_floor: duration periods bucket by fixed millis from origin") {
     assert(one("time_floor(TIMESTAMP '2024-03-15 13:47:21', 'PT15M')") ==
       ts("2024-03-15 13:45:00"))
