@@ -241,6 +241,27 @@ object NativeQuery {
           m.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v): Row }.asJava
         SparkSession.active.createDataFrame(rows, StructType(Seq(
           StructField("k", StringType), StructField("v", StringType))))
+      case "unnest" =>
+        // Druid's unnest dataSource (what SQL CROSS JOIN UNNEST plans
+        // to): the virtualColumn's array value explodes to one row per
+        // element under the virtual column's name; empty/null arrays
+        // drop the row, SQL UNNEST semantics (the MV auto-unnest in
+        // groupBy/topN keeps its null-group explode_outer — different
+        // contract). A single-value expression unnests as a 1-element
+        // array, like Druid.
+        val baseDf = resolveDataSource(ds.path("base"), resolve)
+        val vc = ds.path("virtualColumn")
+        if (vc.path("type").asText() != "expression")
+          fail(s"unnest virtualColumn type '${vc.path("type").asText()}'")
+        val outName = vc.path("name").asText()
+        val valueCol = druidExpr(vc.path("expression").asText())
+        val isArray = baseDf.select(valueCol.as(outName))
+          .schema.head.dataType.isInstanceOf[ArrayType]
+        val unnested = baseDf.withColumn(outName,
+          explode(if (isArray) valueCol else array(valueCol)))
+        val uf = ds.path("unnestFilter")
+        if (uf.isMissingNode || uf.isNull) unnested
+        else unnested.filter(compileFilter(uf))
       case other => fail(s"dataSource type '$other'")
     }
 
@@ -1221,6 +1242,35 @@ object NativeQuery {
         // left-to-right composition of extraction functions
         fn.path("extractionFns").elements().asScala
           .foldLeft(c)((acc, sub) => extractionFn(acc, sub))
+      case "bucket" =>
+        // BucketExtractionFn: floor the numeric value into
+        // offset-aligned buckets of `size`; non-numeric values null out
+        // (try_cast) like Druid. Output is the bucket START as a
+        // string, Druid's String.valueOf(double) rendering.
+        val size = fn.path("size").asDouble(1.0)
+        val offset = fn.path("offset").asDouble(0.0)
+        val v = c.try_cast("double")
+        (floor((v - lit(offset)) / lit(size)) * lit(size) + lit(offset))
+          .cast("string")
+      case "stringFormat" =>
+        // StringFormatExtractionFn; nullHandling nullString (default,
+        // Java Formatter renders "null"), emptyString, or returnNull
+        val f = fn.path("format").asText()
+        fn.path("nullHandling").asText("nullString") match {
+          case "nullString"  => format_string(f, c)
+          case "emptyString" => format_string(f, coalesce(c, lit("")))
+          case "returnNull"  =>
+            when(c.isNotNull, format_string(f, c))
+          case other => fail(s"stringFormat nullHandling '$other'")
+        }
+      case "partial" =>
+        // MatchingDimExtractionFn: keep values the regex FINDS a match
+        // in, null otherwise
+        when(c.rlike(fn.path("expr").asText()), c)
+      case "searchQuery" =>
+        // SearchQuerySpecDimExtractionFn: keep values the search spec
+        // matches, null otherwise
+        when(searchPredicate(c, fn.path("query")), c)
       case other => fail(s"extractionFn type '$other'")
     }
 

@@ -160,6 +160,68 @@ class NativeQuerySpec extends AnyFunSuite {
       ("event_type", "click", 4L), ("tags", "c", 2L)))
   }
 
+  test("extractionFn: bucket, stringFormat, partial, searchQuery") {
+    def dims(spec: String): Seq[String] = run(s"""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [{"type": "extraction", "dimension": "@DIM@",
+        "outputName": "d", "extractionFn": $spec}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""".replace("@DIM@", if (spec.contains("bucket")) "value" else "event_type"))
+      .collect().map(r => if (r.isNullAt(0)) "<null>" else r.getString(0)).toSeq
+    // bucket: values 10..80 into offset-5 buckets of 25 → bucket starts
+    // 5/30/55/80 as double strings (lexicographic group order)
+    assert(dims("""{"type": "bucket", "size": 25, "offset": 5}""") ==
+      Seq("30.0", "5.0", "55.0", "80.0"))
+    // stringFormat wraps; returnNull nullHandling passes nulls through
+    assert(dims("""{"type": "stringFormat", "format": "[%s]"}""") ==
+      Seq("[click]", "[error]", "[view]"))
+    // partial keeps only values the regex finds a match in
+    assert(dims("""{"type": "partial", "expr": "ick"}""") ==
+      Seq("<null>", "click"))
+    // searchQuery keeps values the search spec matches
+    assert(dims("""{"type": "searchQuery",
+      "query": {"type": "insensitive_contains", "value": "V"}}""") ==
+      Seq("<null>", "view"))
+  }
+
+  test("unnest dataSource explodes the virtual column, honors unnestFilter") {
+    val out = run("""{
+      "queryType": "groupBy",
+      "dataSource": {"type": "unnest",
+        "base": "events",
+        "virtualColumn": {"type": "expression", "name": "tag",
+                          "expression": "tags"}},
+      "granularity": "all",
+      "dimensions": ["tag"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    // unnestFilter prunes unnested rows before the query runs
+    val filtered = run("""{
+      "queryType": "timeseries",
+      "dataSource": {"type": "unnest",
+        "base": "events",
+        "virtualColumn": {"type": "expression", "name": "tag",
+                          "expression": "tags"},
+        "unnestFilter": {"type": "in", "dimension": "tag",
+                         "values": ["a", "d"]}},
+      "granularity": "all",
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().head.getLong(0)
+    assert(filtered == 5L)
+    // a single-value expression unnests as a one-element array
+    val single = run("""{
+      "queryType": "timeseries",
+      "dataSource": {"type": "unnest",
+        "base": "events",
+        "virtualColumn": {"type": "expression", "name": "et",
+                          "expression": "event_type"}},
+      "granularity": "all",
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().head.getLong(0)
+    assert(single == 8L)
+  }
+
   test("duration granularity: fixed-ms buckets, origin shift, zero-fill spine") {
     // 12-hour buckets: events at 01:00/02:00 share the 00:00 bucket
     val out = run("""{
