@@ -359,17 +359,24 @@ object DruidServe {
               fill(o.putObject("event"), r, schema, skipTime = true)
             }
           case "topN" =>
-            // exact topN: all rows belong to the single granularity
-            // bucket; no rows → empty array like Druid, not a phantom
-            // bucket entry
-            if (rows.nonEmpty) {
-              val o = out.addObject()
-              rows.headOption.flatMap(timestampOf) match {
-                case Some(t) => o.put("timestamp", t)
-                case None => o.putNull("timestamp")
+            // one entry per granularity bucket (rows arrive
+            // bucket-ordered from the compiler; granularity "all" is
+            // the single None-timestamp group); no rows → empty array
+            // like Druid, not a phantom bucket entry
+            var current: Option[Option[String]] = None
+            var res: ArrayNode = null
+            rows.foreach { r =>
+              val bucket = timestampOf(r)
+              if (!current.contains(bucket)) {
+                current = Some(bucket)
+                val o = out.addObject()
+                bucket match {
+                  case Some(t) => o.put("timestamp", t)
+                  case None => o.putNull("timestamp")
+                }
+                res = o.putArray("result")
               }
-              val res = o.putArray("result")
-              rows.foreach(r => fill(res.addObject(), r, schema, skipTime = true))
+              fill(res.addObject(), r, schema, skipTime = true)
             }
           case _ =>
             rows.foreach(r => fill(out.addObject(), r, schema, skipTime = false))

@@ -1954,6 +1954,38 @@ object DruidQueries extends QuerySet {
                      CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                           AS BIGINT) AS sum_k
               FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // -- topN under a real granularity: per-DAY top-3 event types (one
+    //    ranked list per bucket, the shape dashboards render as "top
+    //    movers per day") — formerly a silent global-topN wrong-answer;
+    //    the oracle replays the per-bucket ranking with a window.
+    Q("dr59_native_topn_per_bucket",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "topN", "dataSource": "events",
+          "granularity": "day", "dimension": "event_type",
+          "threshold": 3, "metric": "n",
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("bucket_ms"),
+                  col("event_type"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT bucket_ms, event_type, n, total_value FROM (
+                SELECT bucket_ms, event_type, n, total_value,
+                       row_number() OVER (
+                         PARTITION BY bucket_ms
+                         ORDER BY n DESC, event_type) AS rk
+                FROM (
+                  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) * 1000
+                           AS bucket_ms,
+                         event_type, count(*) AS n,
+                         round(sum(value), 2) AS total_value
+                  FROM events GROUP BY 1, 2))
+              WHERE rk <= 3
+              ORDER BY bucket_ms, n DESC, event_type""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and

@@ -1335,8 +1335,14 @@ object NativeQuery {
     val aggs = aggsOf(q)
     if (aggs.isEmpty) fail("topN with no aggregations")
     val aggCols = aggs.map(a => a.column.as(a.name))
+    // a non-"all" granularity means PER-BUCKET top-K (Druid emits one
+    // result entry per time bucket) — the bucket joins the grouping
+    // key and the limit applies within each bucket, not globally
+    val unit = truncUnit(q)
+    val keys = unit.map(g => g.bucket(col("__time")).as("__time")).toSeq :+
+      dimCol.as(outName)
     val grouped = applyPost(
-      base.groupBy(dimCol.as(outName)).agg(aggCols.head, aggCols.tail: _*), q, aggs)
+      base.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*), q, aggs)
     val metric = q.path("metric")
     // dimension-ordered metric specs accept `previousStop`, Druid's
     // pagination token: only dimension values strictly AFTER it (under
@@ -1368,7 +1374,19 @@ object NativeQuery {
             Seq(orderingKey(col(outName), "alphanumeric").asc))
         case other => fail(s"topN metric type '$other'")
       }
-    paged.orderBy(order: _*).limit(threshold)
+    unit match {
+      case None => paged.orderBy(order: _*).limit(threshold)
+      case Some(_) =>
+        // rank within each bucket; the window shuffles on __time only,
+        // which is exactly the partial-agg-then-one-exchange shape a
+        // per-bucket top-K needs (the groupBy above already reduced
+        // cardinality to buckets × dimension values)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("__time")).orderBy(order: _*)
+        paged.withColumn("__rank", row_number().over(w))
+          .filter(col("__rank") <= threshold).drop("__rank")
+          .orderBy(col("__time").asc +: order: _*)
+    }
   }
 
   /** Druid groups/topNs a MULTI-VALUE dimension by VALUE, not by the

@@ -167,6 +167,26 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /druid/v2: topN with granularity answers one entry per bucket") {
+    withServer { port =>
+      val (code, body) = post(port, """{
+        "queryType": "topN", "dataSource": "events",
+        "granularity": "day", "dimension": "event_type",
+        "threshold": 1, "metric": "n",
+        "aggregations": [{"type": "count", "name": "n"}]
+      }""")
+      assert(code == 200, body)
+      val arr = mapper.readTree(body)
+      // fixture spans Jan 1-3: one ranked entry per day
+      assert(arr.size == 3)
+      assert(arr.get(0).path("timestamp").asText() == "2024-01-01T00:00:00.000Z")
+      assert(arr.get(0).path("result").size == 1)
+      assert(arr.get(0).path("result").get(0).path("event_type").asText() == "click")
+      assert(arr.get(1).path("result").get(0).path("event_type").asText() == "click")
+      assert(arr.get(2).path("result").get(0).path("event_type").asText() == "view")
+    }
+  }
+
   test("POST /druid/v2/sql: resultFormat array / objectLines / csv, header row") {
     withServer { port =>
       val sql = "SELECT event_type, COUNT(*) AS n FROM events " +

@@ -160,6 +160,34 @@ class NativeQuerySpec extends AnyFunSuite {
       ("event_type", "click", 4L), ("tags", "c", 2L)))
   }
 
+  test("topN with a granularity computes per-bucket top-K, not a global one") {
+    val out = run("""{
+      "queryType": "topN", "dataSource": "events",
+      "granularity": "day", "dimension": "event_type",
+      "threshold": 1, "metric": "n",
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSeq
+    // per-day winners (count desc, dimension asc tie-break):
+    // Jan1 click/view tie -> click; Jan2 click x2; Jan3 view x2;
+    // Jan5 click/error tie -> click. A GLOBAL topN-1 would return a
+    // single row — the bucket column is the proof.
+    assert(out == Seq(
+      (ts("2024-01-01 00:00:00"), "click", 1L),
+      (ts("2024-01-02 00:00:00"), "click", 2L),
+      (ts("2024-01-03 00:00:00"), "view", 2L),
+      (ts("2024-01-05 00:00:00"), "click", 1L)))
+    // threshold 2 keeps both of Jan1's tied values, ordered
+    val two = run("""{
+      "queryType": "topN", "dataSource": "events",
+      "granularity": "day", "dimension": "event_type",
+      "threshold": 2, "metric": "n",
+      "intervals": ["2024-01-01T00:00:00.000Z/2024-01-02T00:00:00.000Z"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(_.getString(1)).toSeq
+    assert(two == Seq("click", "view"))
+  }
+
   test("extractionFn: bucket, stringFormat, partial, searchQuery") {
     def dims(spec: String): Seq[String] = run(s"""{
       "queryType": "groupBy", "dataSource": "events", "granularity": "all",
