@@ -40,9 +40,14 @@ import org.apache.spark.sql.types._
   * with the Druid SQL compat layer registered (EARLIEST/LATEST,
   * APPROX_COUNT_DISTINCT_DS_HLL, LOOKUP, TIME_*, MV_*, ...). Honors
   * Druid's `resultFormat` variants — "object" (default), "array",
-  * "objectLines", "arrayLines", "csv" — and `header: true`, with
-  * Druid's content types (json / text/plain / text/csv). Same
-  * `maxResultRows` cap and streamed iteration as scan.
+  * "objectLines", "arrayLines", "csv" — plus `header` /
+  * `typesHeader` / `sqlTypesHeader` rows and positional `parameters`
+  * (`?` placeholders bound as typed SQL literals), with Druid's
+  * content types (json / text/plain / text/csv). Same `maxResultRows`
+  * cap and streamed iteration as scan. `GET /druid/v2/datasources[/
+  * {name}]` answers the broker's schema-discovery contract from the
+  * cached schemas (strings/arrays report as dimensions, numerics as
+  * metrics).
   *
   * Lookup management, the remaining broker/coordinator surface lookup
   * clients expect:
@@ -125,14 +130,44 @@ object DruidServe {
     server.createContext("/druid/v2/sql", (ex: HttpExchange) =>
       handled(ex) { body =>
         val node = mapper.readTree(body)
-        val sql = node.path("query").asText()
-        if (sql.isEmpty)
+        val sql0 = node.path("query").asText()
+        if (sql0.isEmpty)
           throw new IllegalArgumentException("SQL endpoint needs {\"query\": ...}")
+        val sql = bindParameters(sql0, node.path("parameters"))
         graft.sql.DruidSqlCompat.register(spark)
         sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
         sqlResponse(spark.sql(sql),
           node.path("resultFormat").asText("object"),
-          node.path("header").asBoolean(false), maxResultRows)
+          node.path("header").asBoolean(false),
+          node.path("typesHeader").asBoolean(false),
+          node.path("sqlTypesHeader").asBoolean(false), maxResultRows)
+      })
+    // broker schema-discovery endpoints (pydruid et al. call these on
+    // connect): the table list, and per-table dimensions/metrics split
+    // the way a broker reports them (strings/arrays = dimensions,
+    // numerics = metrics) — answered from the cached schemas, no scan
+    server.createContext("/druid/v2/datasources", (ex: HttpExchange) =>
+      handled(ex, methods = Set("GET")) { _ =>
+        val rest = ex.getRequestURI.getPath
+          .stripPrefix("/druid/v2/datasources").stripPrefix("/")
+        if (rest.isEmpty) {
+          val a = mapper.createArrayNode()
+          sqlTables.keys.toSeq.sorted.foreach(a.add)
+          (a.toString, "application/json")
+        } else {
+          val name = rest.split("/").head
+          val df = sqlTables.getOrElse(name, resolve(name))
+          val o = mapper.createObjectNode()
+          val dims = o.putArray("dimensions")
+          val mets = o.putArray("metrics")
+          df.schema.fields.filterNot(_.name == "__time").foreach { f =>
+            f.dataType match {
+              case StringType | ArrayType(_, _) => dims.add(f.name)
+              case _                            => mets.add(f.name)
+            }
+          }
+          (o.toString, "application/json")
+        }
       })
     server.createContext("/druid/v1/lookups/introspect", (ex: HttpExchange) =>
       handled(ex, methods = Set("GET")) { _ =>
@@ -385,10 +420,67 @@ object DruidServe {
     out.toString
   }
 
+  /** Bind Druid SQL `parameters` (positional `?` placeholders) as SQL
+    * literals. Skips `?` inside single-quoted strings; extra
+    * placeholders fail loudly rather than reaching Spark's parser.
+    */
+  private def bindParameters(
+      sql: String, params: com.fasterxml.jackson.databind.JsonNode): String = {
+    if (params.isMissingNode || params.isNull || !params.elements().hasNext)
+      return sql
+    val lits = params.elements().asScala.map { p =>
+      val v = p.path("value")
+      if (v.isNull || v.isMissingNode) "NULL"
+      else p.path("type").asText("VARCHAR").toUpperCase match {
+        case "BIGINT" | "INTEGER" | "SMALLINT" | "TINYINT" =>
+          v.asLong().toString
+        case "DOUBLE" | "FLOAT" | "REAL" | "DECIMAL" => v.asDouble().toString
+        case "BOOLEAN"   => if (v.asBoolean()) "TRUE" else "FALSE"
+        case "TIMESTAMP" => s"TIMESTAMP '${v.asText().replace("'", "''")}'"
+        case "DATE"      => s"DATE '${v.asText().replace("'", "''")}'"
+        case _           => s"'${v.asText().replace("'", "''")}'"
+      }
+    }
+    val out = new StringBuilder
+    var inString = false
+    var i = 0
+    val it = lits
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (ch == '\'') { inString = !inString; out.append(ch) }
+      else if (ch == '?' && !inString) {
+        if (!it.hasNext)
+          throw new IllegalArgumentException(
+            "more ? placeholders than parameters")
+        out.append(it.next())
+      } else out.append(ch)
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Spark type -> (Druid type name, SQL type name) for the
+    * typesHeader/sqlTypesHeader rows.
+    */
+  private def typeNamesOf(dt: DataType): (String, String) = dt match {
+    case LongType         => ("LONG", "BIGINT")
+    case IntegerType      => ("LONG", "INTEGER")
+    case DoubleType       => ("DOUBLE", "DOUBLE")
+    case FloatType        => ("FLOAT", "FLOAT")
+    case BooleanType      => ("LONG", "BOOLEAN")
+    case StringType       => ("STRING", "VARCHAR")
+    case TimestampType | TimestampNTZType => ("LONG", "TIMESTAMP")
+    case DateType         => ("LONG", "DATE")
+    case BinaryType       => ("COMPLEX", "OTHER")
+    case ArrayType(e, _)  => (s"ARRAY<${typeNamesOf(e)._1}>", "ARRAY")
+    case other            => ("COMPLEX", other.sql)
+  }
+
   /** The SQL endpoint's response in one of Druid's resultFormat
     * variants; returns (payload, contentType).
     */
   private def sqlResponse(df: DataFrame, fmt: String, header: Boolean,
+                          typesHeader: Boolean, sqlTypesHeader: Boolean,
                           maxResultRows: Int): (String, String) = {
     val schema = df.schema
     val names = schema.fieldNames
@@ -398,12 +490,26 @@ object DruidServe {
       o
     }
     val rows = cappedRows(df, maxResultRows)
+    val types = schema.fields.map(f => typeNamesOf(f.dataType))
+    // object-format header value: null, or the requested type info
+    def objectHeader(h: ObjectNode): Unit =
+      names.zip(types).foreach { case (n, (dt, st)) =>
+        if (!typesHeader && !sqlTypesHeader) h.putNull(n)
+        else {
+          val o = h.putObject(n)
+          if (typesHeader) o.put("type", dt)
+          if (sqlTypesHeader) o.put("sqlType", st)
+        }
+      }
     fmt match {
       case "object" | "array" =>
         val out = mapper.createArrayNode()
         if (header) {
-          if (fmt == "array") { val h = out.addArray(); names.foreach(h.add) }
-          else { val h = out.addObject(); names.foreach(h.putNull) }
+          if (fmt == "array") {
+            val h = out.addArray(); names.foreach(h.add)
+            if (typesHeader) { val t = out.addArray(); types.foreach(x => t.add(x._1)) }
+            if (sqlTypesHeader) { val t = out.addArray(); types.foreach(x => t.add(x._2)) }
+          } else objectHeader(out.addObject())
         }
         rows.foreach { r =>
           if (fmt == "array") {
@@ -419,8 +525,16 @@ object DruidServe {
           if (fmt == "arrayLines") {
             val h = mapper.createArrayNode(); names.foreach(h.add)
             sb.append(h.toString).append('\n')
+            if (typesHeader) {
+              val t = mapper.createArrayNode(); types.foreach(x => t.add(x._1))
+              sb.append(t.toString).append('\n')
+            }
+            if (sqlTypesHeader) {
+              val t = mapper.createArrayNode(); types.foreach(x => t.add(x._2))
+              sb.append(t.toString).append('\n')
+            }
           } else {
-            val h = mapper.createObjectNode(); names.foreach(h.putNull)
+            val h = mapper.createObjectNode(); objectHeader(h)
             sb.append(h.toString).append('\n')
           }
         }
@@ -447,8 +561,12 @@ object DruidServe {
           else s
         }
         val sb = new StringBuilder
-        if (header) sb.append(names.map(n =>
-          cell(mapper.getNodeFactory.textNode(n))).mkString(",")).append('\n')
+        if (header) {
+          sb.append(names.map(n =>
+            cell(mapper.getNodeFactory.textNode(n))).mkString(",")).append('\n')
+          if (typesHeader) sb.append(types.map(_._1).mkString(",")).append('\n')
+          if (sqlTypesHeader) sb.append(types.map(_._2).mkString(",")).append('\n')
+        }
         rows.foreach { r =>
           val one = rowObject(r)
           sb.append(names.map(n => cell(one.get(n))).mkString(",")).append('\n')

@@ -221,6 +221,69 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("GET /druid/v2/datasources lists tables and splits dims/metrics") {
+    withServer { port =>
+      val (lc, lbody) = sendTo(port, "GET", "/druid/v2/datasources")
+      assert(lc == 200 && mapper.readTree(lbody).get(0).asText() == "events")
+      val (sc, sbody) = sendTo(port, "GET", "/druid/v2/datasources/events")
+      assert(sc == 200, sbody)
+      val o = mapper.readTree(sbody)
+      assert(o.path("dimensions").get(0).asText() == "event_type")
+      val mets = (0 until o.path("metrics").size)
+        .map(o.path("metrics").get(_).asText()).toSet
+      assert(mets == Set("user_id", "value"))
+    }
+  }
+
+  test("POST /druid/v2/sql: positional parameters bind as typed literals") {
+    withServer { port =>
+      // the '?' inside the string literal must NOT be substituted
+      val (code, body) = postTo(port, "/druid/v2/sql", """{
+        "query": "SELECT concat(event_type, '?') AS et, COUNT(*) AS n FROM events WHERE value > ? AND event_type = ? GROUP BY 1",
+        "parameters": [{"type": "DOUBLE", "value": 15},
+                       {"type": "VARCHAR", "value": "click"}]}""")
+      assert(code == 200, body)
+      val arr = mapper.readTree(body)
+      assert(arr.size == 1)
+      assert(arr.get(0).path("et").asText() == "click?")
+      assert(arr.get(0).path("n").asLong() == 2L) // values 30 and 40
+      // extra placeholders fail loudly
+      val (bad, _) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT ? FROM events", "parameters": []}""")
+      assert(bad == 400)
+    }
+  }
+
+  test("POST /druid/v2/sql: typesHeader and sqlTypesHeader rows") {
+    withServer { port =>
+      val q = "SELECT event_type, user_id, value FROM events LIMIT 1"
+      val (ac, abody) = postTo(port, "/druid/v2/sql", s"""{"query": "$q",
+        "resultFormat": "array", "header": true,
+        "typesHeader": true, "sqlTypesHeader": true}""")
+      assert(ac == 200, abody)
+      val arr = mapper.readTree(abody)
+      assert(arr.get(0).get(0).asText() == "event_type")
+      assert(arr.get(1).get(0).asText() == "STRING" &&
+        arr.get(1).get(1).asText() == "LONG")
+      assert(arr.get(2).get(0).asText() == "VARCHAR" &&
+        arr.get(2).get(1).asText() == "BIGINT")
+      assert(arr.size == 4) // names + 2 type rows + 1 data row
+      // csv: type rows follow the name row
+      val (cc, cbody) = postTo(port, "/druid/v2/sql", s"""{"query": "$q",
+        "resultFormat": "csv", "header": true, "typesHeader": true}""")
+      assert(cc == 200)
+      val lines = cbody.split("\n", -1)
+      assert(lines(0) == "event_type,user_id,value")
+      assert(lines(1) == "STRING,LONG,DOUBLE")
+      // object header carries type objects when asked
+      val (oc, obody) = postTo(port, "/druid/v2/sql", s"""{"query": "$q",
+        "resultFormat": "object", "header": true, "sqlTypesHeader": true}""")
+      assert(oc == 200)
+      assert(mapper.readTree(obody).get(0).path("value")
+        .path("sqlType").asText() == "DOUBLE")
+    }
+  }
+
   test("results past maxResultRows answer Druid's ResourceLimitExceeded envelope") {
     withCappedServer(maxRows = 3) { port =>
       // unlimited scan over 5 rows trips the cap
