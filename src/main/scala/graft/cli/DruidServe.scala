@@ -133,10 +133,11 @@ object DruidServe {
         val sql0 = node.path("query").asText()
         if (sql0.isEmpty)
           throw new IllegalArgumentException("SQL endpoint needs {\"query\": ...}")
-        val sql = bindParameters(sql0, node.path("parameters"))
+        val args = parameterValues(node.path("parameters"))
         graft.sql.DruidSqlCompat.register(spark)
         sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-        sqlResponse(spark.sql(sql),
+        val df = if (args.isEmpty) spark.sql(sql0) else spark.sql(sql0, args)
+        sqlResponse(df,
           node.path("resultFormat").asText("object"),
           node.path("header").asBoolean(false),
           node.path("typesHeader").asBoolean(false),
@@ -155,18 +156,34 @@ object DruidServe {
           sqlTables.keys.toSeq.sorted.foreach(a.add)
           (a.toString, "application/json")
         } else {
-          val name = rest.split("/").head
+          val parts = rest.split("/").toList
+          val name = parts.head
           val df = sqlTables.getOrElse(name, resolve(name))
-          val o = mapper.createObjectNode()
-          val dims = o.putArray("dimensions")
-          val mets = o.putArray("metrics")
-          df.schema.fields.filterNot(_.name == "__time").foreach { f =>
-            f.dataType match {
-              case StringType | ArrayType(_, _) => dims.add(f.name)
-              case _                            => mets.add(f.name)
-            }
+          val (dimNames, metNames) = df.schema.fields
+            .filterNot(_.name == "__time").partition(_.dataType match {
+              case StringType | ArrayType(_, _) => true
+              case _                            => false
+            })
+          parts.tail match {
+            case Nil =>
+              val o = mapper.createObjectNode()
+              val dims = o.putArray("dimensions")
+              dimNames.foreach(f => dims.add(f.name))
+              val mets = o.putArray("metrics")
+              metNames.foreach(f => mets.add(f.name))
+              (o.toString, "application/json")
+            case "dimensions" :: Nil =>
+              val a = mapper.createArrayNode()
+              dimNames.foreach(f => a.add(f.name))
+              (a.toString, "application/json")
+            case "metrics" :: Nil =>
+              val a = mapper.createArrayNode()
+              metNames.foreach(f => a.add(f.name))
+              (a.toString, "application/json")
+            case other =>
+              throw new IllegalArgumentException(
+                s"datasources sub-path '${other.mkString("/")}' (use dimensions|metrics)")
           }
-          (o.toString, "application/json")
         }
       })
     server.createContext("/druid/v1/lookups/introspect", (ex: HttpExchange) =>
@@ -229,8 +246,13 @@ object DruidServe {
             val entries = fac.path("map")
             if (!entries.isObject)
               throw new IllegalArgumentException("lookupExtractorFactory.map must be an object")
-            val m = entries.fields().asScala
-              .map(e => e.getKey -> e.getValue.asText()).toMap
+            val m = entries.fields().asScala.map { e =>
+              if (!e.getValue.isTextual)
+                throw new IllegalArgumentException(
+                  s"lookup value for key '${e.getKey}' must be a string, " +
+                    s"got ${e.getValue.getNodeType}")
+              e.getKey -> e.getValue.asText()
+            }.toMap
             graft.sql.DruidLookups.register(name, m)
             ("""{"status":"accepted"}""", "application/json")
           case ("DELETE", _ :: name :: Nil) =>
@@ -420,43 +442,54 @@ object DruidServe {
     out.toString
   }
 
-  /** Bind Druid SQL `parameters` (positional `?` placeholders) as SQL
-    * literals. Skips `?` inside single-quoted strings; extra
-    * placeholders fail loudly rather than reaching Spark's parser.
+  /** Druid SQL `parameters` → values for Spark's NATIVE positional
+    * parameterized SQL (`spark.sql(text, args)`), which binds `?`
+    * through the parser itself — no textual substitution, so string
+    * escaping, quote tracking, and comment handling are the lexer's
+    * problem, not ours, and injection through parameter values is
+    * structurally impossible. Values are parsed STRICTLY per declared
+    * type: an unparseable value fails loudly (400) like Druid, never
+    * silently binds a zero.
     */
-  private def bindParameters(
-      sql: String, params: com.fasterxml.jackson.databind.JsonNode): String = {
+  private def parameterValues(
+      params: com.fasterxml.jackson.databind.JsonNode): Array[Any] = {
     if (params.isMissingNode || params.isNull || !params.elements().hasNext)
-      return sql
-    val lits = params.elements().asScala.map { p =>
+      return Array.empty
+    def bad(what: String, v: com.fasterxml.jackson.databind.JsonNode) =
+      throw new IllegalArgumentException(s"parameter value $v is not a $what")
+    params.elements().asScala.map { p =>
       val v = p.path("value")
-      if (v.isNull || v.isMissingNode) "NULL"
-      else p.path("type").asText("VARCHAR").toUpperCase match {
+      val t = p.path("type").asText("VARCHAR").toUpperCase
+      if (v.isNull || v.isMissingNode) null
+      else t match {
         case "BIGINT" | "INTEGER" | "SMALLINT" | "TINYINT" =>
-          v.asLong().toString
-        case "DOUBLE" | "FLOAT" | "REAL" | "DECIMAL" => v.asDouble().toString
-        case "BOOLEAN"   => if (v.asBoolean()) "TRUE" else "FALSE"
-        case "TIMESTAMP" => s"TIMESTAMP '${v.asText().replace("'", "''")}'"
-        case "DATE"      => s"DATE '${v.asText().replace("'", "''")}'"
-        case _           => s"'${v.asText().replace("'", "''")}'"
+          if (v.isIntegralNumber) v.asLong()
+          else if (v.isTextual)
+            try java.lang.Long.parseLong(v.asText().trim)
+            catch { case _: NumberFormatException => bad(t, v) }
+          else bad(t, v)
+        case "DOUBLE" | "FLOAT" | "REAL" | "DECIMAL" =>
+          if (v.isNumber) v.asDouble()
+          else if (v.isTextual)
+            try java.lang.Double.parseDouble(v.asText().trim)
+            catch { case _: NumberFormatException => bad(t, v) }
+          else bad(t, v)
+        case "BOOLEAN" =>
+          if (v.isBoolean) v.asBoolean()
+          else if (v.isTextual && Set("true", "false")(v.asText().toLowerCase))
+            v.asText().toLowerCase == "true"
+          else bad(t, v)
+        case "TIMESTAMP" =>
+          try java.sql.Timestamp.from(java.time.Instant.parse(v.asText()))
+          catch { case _: java.time.format.DateTimeParseException =>
+            try java.sql.Timestamp.valueOf(v.asText())
+            catch { case _: IllegalArgumentException => bad(t, v) } }
+        case "DATE" =>
+          try java.sql.Date.valueOf(v.asText())
+          catch { case _: IllegalArgumentException => bad(t, v) }
+        case _ => v.asText()
       }
-    }
-    val out = new StringBuilder
-    var inString = false
-    var i = 0
-    val it = lits
-    while (i < sql.length) {
-      val ch = sql.charAt(i)
-      if (ch == '\'') { inString = !inString; out.append(ch) }
-      else if (ch == '?' && !inString) {
-        if (!it.hasNext)
-          throw new IllegalArgumentException(
-            "more ? placeholders than parameters")
-        out.append(it.next())
-      } else out.append(ch)
-      i += 1
-    }
-    out.toString
+    }.toArray
   }
 
   /** Spark type -> (Druid type name, SQL type name) for the

@@ -1144,16 +1144,18 @@ object NativeQuery {
   /** (source column, output name). An explicit `outputType`
     * (STRING/LONG/FLOAT/DOUBLE) casts the dimension like Druid does.
     */
+  private def castOutputType(c: Column, d: JsonNode): Column =
+    if (!d.isObject || !d.hasNonNull("outputType")) c
+    else d.path("outputType").asText().toUpperCase match {
+      case "STRING" => c.cast("string")
+      case "LONG"   => c.cast("long")
+      case "FLOAT"  => c.cast("float")
+      case "DOUBLE" => c.cast("double")
+      case other    => fail(s"dimension outputType '$other'")
+    }
+
   private def dimensionSpec(d: JsonNode): (Column, String) = {
-    def typed(c: Column): Column =
-      if (!d.isObject || !d.hasNonNull("outputType")) c
-      else d.path("outputType").asText().toUpperCase match {
-        case "STRING" => c.cast("string")
-        case "LONG"   => c.cast("long")
-        case "FLOAT"  => c.cast("float")
-        case "DOUBLE" => c.cast("double")
-        case other    => fail(s"dimension outputType '$other'")
-      }
+    def typed(c: Column): Column = castOutputType(c, d)
     if (d.isTextual) (ref(d.asText()), d.asText())
     else d.path("type").asText() match {
       case "default" =>
@@ -1165,9 +1167,10 @@ object NativeQuery {
         val out = if (d.hasNonNull("outputName")) d.path("outputName").asText() else dim
         (typed(extractionFn(ref(dim), d.path("extractionFn"))), out)
       case "listFiltered" | "regexFiltered" | "prefixFiltered" =>
-        // value filtering already happened pre-unnest (unnestMvDims /
-        // mvValuePredicate); only the delegate's naming applies here
-        dimensionSpec(d.path("delegate"))
+        // the VALUE comes from the per-spec column unnestMvDims
+        // materialized; the delegate contributes naming + outputType
+        val out = outNameOf(d)
+        (castOutputType(col(filteredColName(out)), d.path("delegate")), out)
       case other => fail(s"dimension spec type '$other'")
     }
   }
@@ -1442,24 +1445,49 @@ object NativeQuery {
     }
   }
 
-  private def unnestMvDims(df: DataFrame, dimNodes: Seq[JsonNode]): DataFrame =
-    dimNodes
-      .map(d => (dimNameOf(d), mvValuePredicate(d)))
-      .distinctBy(_._1)
-      .foldLeft(df) { case (acc, (name, pred)) =>
-        val isArray = acc.schema.fields.exists(f =>
-          f.name == name && f.dataType.isInstanceOf[ArrayType])
-        (isArray, pred) match {
-          case (true, Some(p)) =>
-            // explode_outer turns an emptied-out list into one null
-            // row — Druid's "no surviving values → null group"
-            acc.withColumn(name, explode_outer(filter(col(name), p)))
-          case (true, None)  => acc.withColumn(name, explode_outer(col(name)))
-          case (false, Some(p)) =>
-            acc.withColumn(name, when(p(col(name)), col(name)))
-          case (false, None) => acc
-        }
-      }
+  /** The OUTPUT name of a dimension spec (the delegate's for filtered
+    * wrappers) — also keys the per-spec filtered column.
+    */
+  private def outNameOf(d: JsonNode): String =
+    if (d.isTextual) d.asText()
+    else d.path("type").asText() match {
+      case "listFiltered" | "regexFiltered" | "prefixFiltered" =>
+        outNameOf(d.path("delegate"))
+      case _ =>
+        if (d.hasNonNull("outputName")) d.path("outputName").asText()
+        else d.path("dimension").asText()
+    }
+
+  private def filteredColName(out: String): String = "__filtered_" + out
+
+  private def isArrayCol(df: DataFrame, name: String): Boolean =
+    df.schema.fields.exists(f =>
+      f.name == name && f.dataType.isInstanceOf[ArrayType])
+
+  private def unnestMvDims(df: DataFrame, dimNodes: Seq[JsonNode]): DataFrame = {
+    // filtered specs materialize into their OWN per-spec column, so
+    // the SOURCE column — and any aggregator or second dimension spec
+    // reading it — keeps its unfiltered values (Druid filters only the
+    // dimension selector's output, never the underlying column)
+    val (filtered, plain) = dimNodes.partition(d => mvValuePredicate(d).isDefined)
+    val exploded = plain
+      .map(dimNameOf)
+      .distinct
+      .foldLeft(df)((acc, name) =>
+        if (isArrayCol(acc, name)) acc.withColumn(name, explode_outer(col(name)))
+        else acc)
+    filtered.foldLeft(exploded) { (acc, d) =>
+      val name = dimNameOf(d)
+      val p = mvValuePredicate(d).get
+      val out = filteredColName(outNameOf(d))
+      if (isArrayCol(acc, name))
+        // explode_outer turns an emptied-out list into one null row —
+        // Druid's "no surviving values → null group"
+        acc.withColumn(out, explode_outer(filter(col(name), p)))
+      else
+        acc.withColumn(out, when(p(col(name)), col(name)))
+    }
+  }
 
   private def groupByQuery(base0: DataFrame, q: JsonNode): DataFrame = {
     val dimNodes = q.path("dimensions").elements().asScala.toSeq

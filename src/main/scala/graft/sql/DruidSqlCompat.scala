@@ -184,11 +184,25 @@ object DruidSqlCompat {
     require(e.length >= 1 && e.length <= 2, "parse_long(string[, radix])")
     e.lift(1) match {
       case None => Cast(e.head, LongType, None, EvalMode.TRY)
-      // non-10 radix: conv() to decimal text first; unparseable input
-      // nulls out through the try_cast either way, like Druid
-      case Some(radix) =>
-        Cast(Conv(Cast(e.head, StringType), Cast(radix, IntegerType),
-          Literal(10)), LongType, None, EvalMode.TRY)
+      case Some(radixE) =>
+        // Druid's Long.parseLong(s, radix) semantics. conv() alone is
+        // wrong twice over: it treats '-' inputs as UNSIGNED 64-bit
+        // wraparound, and silently yields 0 for garbage — so gate on a
+        // radix-exact digit regex and handle the sign explicitly.
+        // (One corner stays null: -2^63 itself, whose magnitude
+        // overflows the signed long before negation.)
+        val radix = litInt(radixE, "parse_long radix", 10)
+        require(radix >= 2 && radix <= 36, "parse_long radix must be in [2, 36]")
+        val digits = (('0' to '9').take(math.min(radix, 10)) ++
+          ('a' to 'z').take(math.max(0, radix - 10))).mkString
+        val s = Lower(Cast(e.head, StringType))
+        val valid = RLike(s, Literal("^-?[" + digits + "]+$"))
+        val mag = Cast(
+          Conv(RegExpReplace(s, Literal("^-"), Literal("")),
+            Literal(radix), Literal(10)),
+          LongType, None, EvalMode.TRY)
+        If(valid, If(StartsWith(s, Literal("-")), UnaryMinus(mag), mag),
+          Literal(null, LongType))
     }
   }
 

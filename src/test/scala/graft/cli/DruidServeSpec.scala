@@ -52,15 +52,8 @@ class DruidServeSpec extends AnyFunSuite {
     (resp.statusCode(), resp.body())
   }
 
-  private def postTo(port: Int, path: String, json: String): (Int, String) = {
-    val client = HttpClient.newHttpClient()
-    val resp = client.send(
-      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
-        .header("Content-Type", "application/json")
-        .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
-      HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
-  }
+  private def postTo(port: Int, path: String, json: String): (Int, String) =
+    sendTo(port, "POST", path, json)
 
   private def post(port: Int, json: String): (Int, String) =
     postTo(port, "/druid/v2", json)
@@ -232,6 +225,14 @@ class DruidServeSpec extends AnyFunSuite {
       val mets = (0 until o.path("metrics").size)
         .map(o.path("metrics").get(_).asText()).toSet
       assert(mets == Set("user_id", "value"))
+      // the /dimensions and /metrics sub-paths answer bare arrays
+      val (dc, dbody) = sendTo(port, "GET", "/druid/v2/datasources/events/dimensions")
+      assert(dc == 200 && mapper.readTree(dbody).isArray &&
+        mapper.readTree(dbody).get(0).asText() == "event_type")
+      val (mc, mbody) = sendTo(port, "GET", "/druid/v2/datasources/events/metrics")
+      assert(mc == 200 && mapper.readTree(mbody).isArray)
+      val (bc, _) = sendTo(port, "GET", "/druid/v2/datasources/events/bogus")
+      assert(bc == 400)
     }
   }
 
@@ -251,6 +252,18 @@ class DruidServeSpec extends AnyFunSuite {
       val (bad, _) = postTo(port, "/druid/v2/sql",
         """{"query": "SELECT ? FROM events", "parameters": []}""")
       assert(bad == 400)
+      // backslash-laden values bind exactly (native parameterized SQL,
+      // not textual substitution — no escaping bugs possible)
+      val (ec, ebody) = postTo(port, "/druid/v2/sql", """{
+        "query": "SELECT ? AS v",
+        "parameters": [{"type": "VARCHAR", "value": "C:\\tmp\\' AND 1=1"}]}""")
+      assert(ec == 200, ebody)
+      assert(mapper.readTree(ebody).get(0).path("v").asText() == "C:\\tmp\\' AND 1=1")
+      // unparseable typed values are a loud 400, never a silent zero
+      val (nc, _) = postTo(port, "/druid/v2/sql", """{
+        "query": "SELECT count(*) AS n FROM events WHERE user_id = ?",
+        "parameters": [{"type": "BIGINT", "value": "abc"}]}""")
+      assert(nc == 400)
     }
   }
 
@@ -335,6 +348,14 @@ class DruidServeSpec extends AnyFunSuite {
         "SELECT LOOKUP(event_type, 'evt_names') AS label, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"}""")
       assert(qc == 200, qbody)
       assert(mapper.readTree(qbody).get(0).path("label").asText() == "Click!")
+      // non-string map values are a malformed spec: loud 400, nothing
+      // silently registered as ""
+      val (badc, _) = sendTo(port, "POST",
+        "/druid/coordinator/v1/lookups/config/__default/bad_map",
+        """{"lookupExtractorFactory": {"type": "map",
+            "map": {"k": {"nested": 1}}}}""")
+      assert(badc == 400)
+      assert(graft.sql.DruidLookups.get("bad_map").isEmpty)
       // delete, then introspection 400s
       val (dc, _) = sendTo(port, "DELETE",
         "/druid/coordinator/v1/lookups/config/__default/evt_names")

@@ -1176,6 +1176,45 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(e.getMessage.contains("delegate"))
   }
 
+  test("filtered dimension specs leave the SOURCE column intact for aggregators") {
+    // a prefixFiltered dimension over event_type plus a filtered
+    // aggregator SELECTING on event_type: Druid filters only the
+    // dimension selector's output — the aggregator must still see the
+    // raw values (a clobbered source column would count 0 views)
+    val rows = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [{"type": "prefixFiltered",
+        "delegate": {"type": "default", "dimension": "event_type",
+                     "outputName": "et"},
+        "prefix": "c"}],
+      "aggregations": [
+        {"type": "count", "name": "n"},
+        {"type": "filtered", "filter": {"type": "selector",
+          "dimension": "event_type", "value": "view"},
+         "aggregator": {"type": "count", "name": "n_view"}}]
+    }""").collect().map(r =>
+      (if (r.isNullAt(0)) "<null>" else r.getString(0),
+        r.getLong(1), r.getLong(2))).toSeq
+    // null group = the 3 view + 1 error rows, of which 3 are views
+    assert(rows == Seq(("<null>", 4L, 3L), ("click", 4L, 0L)))
+    // two specs over the SAME dimension: the filtered one must not
+    // steal or clobber the plain one's values
+    val pair = run("""{
+      "queryType": "groupBy", "dataSource": "events", "granularity": "all",
+      "dimensions": [
+        {"type": "listFiltered",
+         "delegate": {"type": "default", "dimension": "event_type",
+                      "outputName": "only_click"},
+         "values": ["click"]},
+        {"type": "default", "dimension": "event_type", "outputName": "et"}],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect().map(r =>
+      (if (r.isNullAt(0)) "<null>" else r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(pair == Set(("click", "click", 4L), ("<null>", "error", 1L),
+      ("<null>", "view", 3L)))
+  }
+
   test("dimension spec outputType casts the grouped value like Druid") {
     val out = run("""{
       "queryType": "groupBy", "dataSource": "events", "granularity": "all",

@@ -36,6 +36,14 @@ class DruidSqlCompatSpec extends AnyFunSuite {
     assert(one("PARSE_LONG('42')") == 42L)
     assert(one("PARSE_LONG('nope')") == null)
     assert(one("PARSE_LONG('ff', 16)") == 255L)
+    // signed radix parsing follows Long.parseLong, not conv()'s
+    // unsigned wraparound; garbage digits null out instead of
+    // conv()'s silent 0
+    assert(one("PARSE_LONG('-ff', 16)") == -255L)
+    assert(one("PARSE_LONG('zz', 16)") == null)
+    assert(one("PARSE_LONG('', 16)") == null)
+    assert(one("PARSE_LONG('z1', 36)") == 35L * 36 + 1)
+    assert(one("PARSE_LONG('-101', 2)") == -5L)
     // all native Catalyst — no UDF in any of these plans
     val plan = spark.sql(
       "SELECT DIV(17,5), BITWISE_AND(1,3), STRPOS('a','a'), PARSE_LONG('1')")
