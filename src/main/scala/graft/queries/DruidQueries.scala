@@ -12,22 +12,30 @@ import graft.Tables
   */
 object DruidQueries extends QuerySet {
 
-  private val written = scala.collection.mutable.Set[String]()
+  private val written = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Write `df` (must carry a `__time` timestamp column) as a druid
-    * segment table once per JVM, returning its directory.
+    * segment table once per JVM, returning its directory. Locked PER
+    * TABLE (not globally), so `stage` can write distinct tables
+    * concurrently while a given table still writes exactly once.
     */
   private def segTable(name: String, dir: String, df: => DataFrame,
-                       options: Map[String, String] = Map.empty): String =
-    synchronized {
-      val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$name"
-      if (!written.contains(out)) {
-        val w = df.write.format("druid").mode("overwrite")
-        options.foldLeft(w) { case (a, (k, v)) => a.option(k, v) }.save(out)
-        written += out
+                       options: Map[String, String] = Map.empty): String = {
+    val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$name"
+    if (!written.contains(out)) {
+      val lock = tableLocks.computeIfAbsent(out, _ => new Object)
+      lock.synchronized {
+        if (!written.contains(out)) {
+          val w = df.write.format("druid").mode("overwrite")
+          options.foldLeft(w) { case (a, (k, v)) => a.option(k, v) }.save(out)
+          written.add(out)
+        }
       }
-      out
     }
+    out
+  }
 
   private def eventsSegPath(s: SparkSession, dir: String): String =
     segTable("events", dir,
@@ -286,7 +294,7 @@ object DruidQueries extends QuerySet {
                   col("props"))
           .repartition(2)
           .write.format("druid").mode("append").save(out)
-        written += out
+        written.add(out)
       }
       out
     }
@@ -315,13 +323,30 @@ object DruidQueries extends QuerySet {
     * its timed loop so dr* timings measure scans, not the writer.
     */
   def stage(s: SparkSession, dir: String): Unit = {
-    eventsSeg(s, dir); lineitemSeg(s, dir); docsMvSeg(s, dir); hllSeg(s, dir)
-    histSeg(s, dir); kmvSeg(s, dir); lineitemClusteredSeg(s, dir)
-    custClusteredSeg(s, dir); eventsDailySeg(s, dir); spjCatalog(s, dir)
-    eventsRollupSeg(s, dir); ordersZstdSeg(s, dir); evoSeg(s, dir)
-    delSeg(s, dir); dsHllSeg(s, dir); dsThetaSeg(s, dir)
-    custFrontCodedSeg(s, dir); docsMvFcSeg(s, dir); dsQuantilesSeg(s, dir)
-    eventsJsonSeg(s, dir)
+    // each staged table is independent (own output dir, own catalog
+    // keys), so write them CONCURRENTLY — Spark's scheduler interleaves
+    // the jobs and the per-table segTable locks keep exactly-once.
+    // Serial staging left most of local[32] idle (the per-table writes
+    // are small); 8-wide cut builder-local staging roughly in half.
+    val jobs: Seq[() => Any] = Seq(
+      () => eventsSeg(s, dir), () => lineitemSeg(s, dir),
+      () => docsMvSeg(s, dir), () => hllSeg(s, dir),
+      () => histSeg(s, dir), () => kmvSeg(s, dir),
+      () => lineitemClusteredSeg(s, dir), () => custClusteredSeg(s, dir),
+      () => eventsDailySeg(s, dir), () => spjCatalog(s, dir),
+      () => eventsRollupSeg(s, dir), () => ordersZstdSeg(s, dir),
+      () => evoSeg(s, dir), () => delSeg(s, dir),
+      () => dsHllSeg(s, dir), () => dsThetaSeg(s, dir),
+      () => custFrontCodedSeg(s, dir), () => docsMvFcSeg(s, dir),
+      () => dsQuantilesSeg(s, dir), () => eventsJsonSeg(s, dir))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = jobs.map(j =>
+        pool.submit(new java.util.concurrent.Callable[Any] {
+          def call(): Any = j()
+        }))
+      futures.foreach(_.get()) // propagate the first failure loudly
+    } finally pool.shutdown()
   }
 
   /** A day-granular events table under its own catalog, staged once per
@@ -349,7 +374,7 @@ object DruidQueries extends QuerySet {
         s.sql(s"DELETE FROM $cat.events_del WHERE " +
           "__time >= TIMESTAMP '2024-01-03 00:00:00' AND " +
           "__time < TIMESTAMP '2024-01-04 00:00:00'")
-        written += root
+        written.add(root)
       }
       s.read.format("druid").load(s"$root/events_del")
     }
@@ -385,7 +410,7 @@ object DruidQueries extends QuerySet {
           .repartition(4).write.format("druid")
           .option("segmentGranularity", "hour").mode("overwrite")
           .save(s"$root/ts_counts_h")
-        written += root
+        written.add(root)
       }
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.druid.GraftCatalog].getName)
