@@ -839,11 +839,24 @@ object NativeQuery {
       if (dur <= 0) fail("duration granularity (duration must be > 0 ms)")
       return Some(DurationGran(dur, originMs))
     }
-    if (g.isObject && g.hasNonNull("origin"))
-      // a period origin shifts CALENDAR boundaries; only the
-      // fixed-length duration form supports origins here, and a
-      // silently ignored origin would bucket differently than Druid
-      fail("granularity origin (use the duration granularity type)")
+    if (g.isObject && g.hasNonNull("origin")) {
+      // an origin over a FIXED-LENGTH period (second/minute/hour/UTC
+      // day) is just the duration form; calendar periods (week+) and
+      // non-UTC timezones shift boundaries that fixed arithmetic
+      // can't express, and a silently ignored origin would bucket
+      // differently than Druid — loud fail for those
+      val fixedMs = Map("PT1S" -> 1000L, "PT1M" -> 60000L,
+        "PT1H" -> 3600000L, "P1D" -> 86400000L)
+      val tzIsUtc = !g.hasNonNull("timeZone") ||
+        Set("UTC", "Etc/UTC", "+00:00")(g.path("timeZone").asText())
+      (g.path("type").asText(), fixedMs.get(g.path("period").asText())) match {
+        case ("period", Some(ms)) if tzIsUtc =>
+          return Some(DurationGran(ms, originMs))
+        case _ =>
+          fail("granularity origin (calendar periods / non-UTC zones; " +
+            "use the duration type for fixed-width origin buckets)")
+      }
+    }
     // UTC spellings mean the default path; anything else is honored
     val tz =
       if (g.isObject && g.hasNonNull("timeZone"))
@@ -1026,8 +1039,11 @@ object NativeQuery {
           else coalesce(var_samp(v), when(count(v) > 0, lit(0.0))),
           countLike = false)
       case "filtered" =>
-        if (pred.isDefined) fail("nested filtered aggregator")
-        val p = compileFilter(a.path("filter"))
+        // nested filtered wrappers conjoin their predicates — a row
+        // must satisfy every enclosing filter, exactly Druid's
+        // FilteredAggregator-in-FilteredAggregator behavior
+        val own = compileFilter(a.path("filter"))
+        val p = pred.fold(own)(outer => outer && own)
         val inner = compileAgg(a.path("aggregator"), pred = Some(p))
         // Druid names a filtered aggregator by the INNER aggregator's
         // name; an outer "name" (some clients set both) wins if present.

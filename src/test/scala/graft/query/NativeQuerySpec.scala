@@ -283,16 +283,43 @@ class NativeQuerySpec extends AnyFunSuite {
     }""").collect()
     assert(filled.length == 4) // 2 days / 12h
     assert(filled.map(_.getLong(1)).toSeq == Seq(2L, 0L, 2L, 0L))
-    // period granularities still reject origin loudly
+    // a FIXED-length period with origin is the duration form: P1D from
+    // 06:00 buckets identically to duration 86400000 with that origin
+    val periodShift = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1D",
+                      "origin": "2024-01-01T06:00:00.000Z"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(periodShift.head.getTimestamp(0) == ts("2023-12-31 06:00:00"))
+    // calendar periods (and non-UTC zones) still reject origin loudly
     val e = intercept[IllegalArgumentException] {
       run("""{
         "queryType": "timeseries", "dataSource": "events",
-        "granularity": {"type": "period", "period": "P1D",
+        "granularity": {"type": "period", "period": "P1M",
                         "origin": "2024-01-01T06:00:00.000Z"},
         "aggregations": [{"type": "count", "name": "n"}]
       }""").collect()
     }
     assert(e.getMessage.contains("origin"))
+  }
+
+  test("nested filtered aggregators conjoin their predicates") {
+    val row = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": "all",
+      "aggregations": [
+        {"type": "filtered", "name": "n_click_u1",
+         "filter": {"type": "selector", "dimension": "event_type",
+                    "value": "click"},
+         "aggregator": {"type": "filtered",
+           "filter": {"type": "equals", "column": "user_id",
+                      "matchValueType": "LONG", "matchValue": 1},
+           "aggregator": {"type": "count", "name": "inner"}}}]
+    }""").collect().head
+    // click AND user_id=1: rows at Jan1 01:00 and Jan2 02:00
+    assert(row.getLong(0) == 2L)
   }
 
   test("search regex query spec and nested-field virtual column") {
@@ -543,10 +570,12 @@ class NativeQuerySpec extends AnyFunSuite {
       "aggregations": [{"type": "count", "name": "n"}]
     }""").collect()
     assert(g.head.getTimestamp(0) == ts("2023-12-31 08:00:00"))
-    // origin is not silently ignored
+    // an origin over a CALENDAR-shifted (non-UTC) period is not
+    // silently ignored — fixed arithmetic can't express it
     intercept[IllegalArgumentException](run("""{
       "queryType": "timeseries", "dataSource": "events",
       "granularity": {"type": "period", "period": "P1D",
+                      "timeZone": "America/Los_Angeles",
                       "origin": "2024-01-01T06:00:00Z"},
       "aggregations": [{"type": "count", "name": "n"}]}"""))
   }
