@@ -2011,6 +2011,55 @@ object DruidQueries extends QuerySet {
                   FROM events GROUP BY 1, 2))
               WHERE rk <= 3
               ORDER BY bucket_ms, n DESC, event_type""")),
+
+    // -- the unnest dataSource on the wire (what Druid plans SQL CROSS
+    //    JOIN UNNEST into): words explode one row per element with
+    //    empty-drop semantics, the unnestFilter prunes post-explode —
+    //    the oracle is the directly-equivalent SQL unnest + WHERE.
+    Q("dr60_native_unnest_datasource",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy",
+          "dataSource": {"type": "unnest", "base": "docs",
+            "virtualColumn": {"type": "expression", "name": "word",
+                              "expression": "words"},
+            "unnestFilter": {"type": "like", "dimension": "word",
+                             "pattern": "s%"}},
+          "granularity": "all",
+          "dimensions": ["word"],
+          "aggregations": [{"type": "count", "name": "n"}]
+        }""", _ => docsMvSeg(s, dir))
+      },
+      Some("""SELECT word, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)
+              WHERE word LIKE 's%'
+              GROUP BY word ORDER BY word""")),
+
+    // -- the bucket extractionFn: numeric event values floored into
+    //    offset-aligned buckets, grouped as Druid's String.valueOf
+    //    double strings — the oracle replays the floor arithmetic and
+    //    the double rendering.
+    Q("dr61_native_bucket_extraction",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "dimensions": [{"type": "extraction", "dimension": "value",
+            "outputName": "bucket",
+            "extractionFn": {"type": "bucket", "size": 50, "offset": 10}}],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("bucket"), col("n"),
+                  round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT CAST(floor((value - 10) / 50) * 50 + 10 AS VARCHAR)
+                       AS bucket,
+                     count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events
+              GROUP BY 1 ORDER BY 1""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and
