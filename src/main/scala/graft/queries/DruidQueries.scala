@@ -2060,6 +2060,62 @@ object DruidQueries extends QuerySet {
                      count(*) AS n, round(sum(value), 2) AS total_value
               FROM events
               GROUP BY 1 ORDER BY 1""")),
+
+    // -- VERSION comparator in a bound FILTER (dr56 covers the
+    //    ordering path): the lower bound "v1.7" admits v1.10 under
+    //    Maven ordering (10 > 7) where lexicographic would reject it —
+    //    the oracle replays the numeric-segment comparison.
+    Q("dr62_native_version_bound",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": "all",
+          "virtualColumns": [{"type": "expression", "name": "ver",
+            "expression": "concat('v1.', cast(user_id, 'STRING'))"}],
+          "filter": {"type": "bound", "dimension": "ver",
+                     "lower": "v1.7", "ordering": {"type": "version"}},
+          "aggregations": [{"type": "count", "name": "n"}]
+        }""", _ => eventsSeg(s, dir))
+      },
+      Some("""SELECT count(*) AS n FROM events WHERE user_id >= 7""")),
+
+    // -- greatest/least post-aggregators + a NESTED filtered
+    //    aggregator on the wire: the inner count survives two
+    //    conjoined filters, and the post-aggs clamp the per-row sums —
+    //    all replayed directly in SQL.
+    Q("dr63_native_greatest_nested",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "aggregations": [
+            {"type": "doubleSum", "name": "total", "fieldName": "value"},
+            {"type": "filtered", "name": "n_big_even",
+             "filter": {"type": "bound", "dimension": "value",
+                        "lower": "100", "ordering": "numeric"},
+             "aggregator": {"type": "filtered",
+               "filter": {"type": "expression",
+                          "expression": "user_id % 2 == 0"},
+               "aggregator": {"type": "count", "name": "inner"}}}],
+          "postAggregations": [
+            {"type": "doubleGreatest", "name": "g", "fields": [
+              {"type": "fieldAccess", "fieldName": "total"},
+              {"type": "constant", "value": 5000}]},
+            {"type": "doubleLeast", "name": "l", "fields": [
+              {"type": "fieldAccess", "fieldName": "total"},
+              {"type": "constant", "value": 5000}]}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), round(col("total"), 2).as("total"),
+                  col("n_big_even"),
+                  round(col("g"), 2).as("g"), round(col("l"), 2).as("l"))
+      },
+      Some("""SELECT event_type, round(sum(value), 2) AS total,
+                     count(*) FILTER (WHERE value >= 100 AND user_id % 2 = 0)
+                       AS n_big_even,
+                     round(greatest(sum(value), 5000), 2) AS g,
+                     round(least(sum(value), 5000), 2) AS l
+              FROM events GROUP BY 1 ORDER BY 1""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and

@@ -349,7 +349,7 @@ object NativeQuery {
       // first, then lexicographic), version (Maven version ordering).
       // Anything else fails loudly — a silent lexicographic fallback
       // would return different rows than the client's Druid cluster.
-      val ordering = f.path("ordering").asText("lexicographic")
+      val ordering = comparatorOf(f.path("ordering"))
       def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
         val v = f.path(key)
         if (v.isMissingNode || v.isNull) None
@@ -499,6 +499,17 @@ object NativeQuery {
     case other => fail(s"filter type '$other'")
     }
   }
+
+  /** A StringComparator reference from the wire, which Druid
+    * serializes EITHER as a bare string ("version") or as an object
+    * ({"type": "version"}) — reading it with asText() alone silently
+    * turns the object form into the lexicographic default and returns
+    * different rows than the client's cluster.
+    */
+  private def comparatorOf(node: JsonNode): String =
+    if (node.isMissingNode || node.isNull) "lexicographic"
+    else if (node.isTextual) node.asText()
+    else node.path("type").asText("lexicographic")
 
   /** One of Druid's StringComparators as a sort-key expression:
     * lexicographic (default), numeric, alphanumeric, strlen, version —
@@ -1383,7 +1394,7 @@ object NativeQuery {
         case "dimension" =>
           // DimensionTopNMetricSpec: sort by the dimension itself under
           // an optional StringComparator ordering
-          val ord = metric.path("ordering").asText("lexicographic")
+          val ord = comparatorOf(metric.path("ordering"))
           (afterStop(ord), Seq(orderingKey(col(outName), ord).asc))
         case "lexicographic" =>
           (afterStop("lexicographic"), Seq(col(outName).asc))

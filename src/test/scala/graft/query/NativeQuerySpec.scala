@@ -996,6 +996,10 @@ class NativeQuerySpec extends AnyFunSuite {
     // instead reject u10/u15/u20 ("u1.."/"u2.." < "u7.5")
     assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u7.5",
                  "ordering": "version"}""") == 6)
+    // Druid also serializes the comparator as an OBJECT — the
+    // {"type": ...} form must not silently fall back to lexicographic
+    assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u7.5",
+                 "ordering": {"type": "version"}}""") == 6)
     // unsupported orderings still fail loudly instead of silently
     // returning lexicographic rows
     val e = intercept[IllegalArgumentException] {
