@@ -345,7 +345,17 @@ object DruidQueries extends QuerySet {
         pool.submit(new java.util.concurrent.Callable[Any] {
           def call(): Any = j()
         }))
-      futures.foreach(_.get()) // propagate the first failure loudly
+      try futures.foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          // stop the in-flight staging BEFORE propagating — otherwise
+          // the background writes keep running into the caller's timed
+          // loop; propagate the ORIGINAL failure, not the wrapper
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw Option(e.getCause).getOrElse(e)
+      }
     } finally pool.shutdown()
   }
 

@@ -852,12 +852,12 @@ object NativeQuery {
     }
     if (g.isObject && g.hasNonNull("origin")) {
       // an origin over a FIXED-LENGTH period (second/minute/hour/UTC
-      // day) is just the duration form; calendar periods (week+) and
-      // non-UTC timezones shift boundaries that fixed arithmetic
-      // can't express, and a silently ignored origin would bucket
-      // differently than Druid — loud fail for those
+      // day or week — no DST in UTC) is just the duration form;
+      // calendar months/quarters/years and non-UTC timezones shift
+      // boundaries that fixed arithmetic can't express, and a silently
+      // ignored origin would bucket differently than Druid — loud fail
       val fixedMs = Map("PT1S" -> 1000L, "PT1M" -> 60000L,
-        "PT1H" -> 3600000L, "P1D" -> 86400000L)
+        "PT1H" -> 3600000L, "P1D" -> 86400000L, "P1W" -> 604800000L)
       val tzIsUtc = !g.hasNonNull("timeZone") ||
         Set("UTC", "Etc/UTC", "+00:00")(g.path("timeZone").asText())
       (g.path("type").asText(), fixedMs.get(g.path("period").asText())) match {
@@ -1567,9 +1567,7 @@ object NativeQuery {
           val dimOrder = c.path("dimensionOrder")
           val base =
             if (dimOrder.isMissingNode || dimOrder.isNull) col(name)
-            else orderingKey(col(name),
-              if (dimOrder.isTextual) dimOrder.asText()
-              else dimOrder.path("type").asText())
+            else orderingKey(col(name), comparatorOf(dimOrder))
           if (c.path("direction").asText("ascending") == "descending") base.desc
           else base.asc
         }
@@ -1635,11 +1633,7 @@ object NativeQuery {
     // Druid's SearchSortSpec picks the comparator hit values sort
     // under (lexicographic default; alphanumeric/strlen/numeric/
     // version ride the shared orderingKey)
-    val sortNode = q.path("sort")
-    val sortType =
-      if (sortNode.isMissingNode || sortNode.isNull) "lexicographic"
-      else if (sortNode.isTextual) sortNode.asText()
-      else sortNode.path("type").asText("lexicographic")
+    val sortType = comparatorOf(q.path("sort"))
     val all = perDim.reduce(_.unionAll(_))
       .orderBy(col("dimension"), orderingKey(col("value"), sortType).asc)
     val lim = q.path("limit")
