@@ -639,18 +639,23 @@ object NativeQuery {
             .otherwise(lit(0L)).as("n"),
           when(rank === 7, t).otherwise(lit("")).as("s"))
       })
-      val trailingNulls = aggregate(
+      // single-pass trailing-trim: fold the REVERSED items, dropping
+      // leading trivia then prepending survivors — `items` (an
+      // interpreted HOF chain with no CSE) is referenced ONCE, where a
+      // count-then-slice would evaluate it three times per row
+      val emptyItems = array().cast("array<struct<r:int,n:bigint,s:string>>")
+      aggregate(
         reverse(items),
-        struct(lit(0).as("cnt"), lit(true).as("run")),
+        struct(emptyItems.as("arr"), lit(true).as("drop")),
         (acc, x) => {
           val trivial = (x("r") === 8 && x("n") === 0L) || x("r") === 5
+          val stillDropping = acc("drop") && trivial
           struct(
-            when(acc("run") && trivial, acc("cnt") + 1)
-              .otherwise(acc("cnt")).as("cnt"),
-            (acc("run") && trivial).as("run"))
+            when(stillDropping, acc("arr"))
+              .otherwise(concat(array(x), acc("arr"))).as("arr"),
+            stillDropping.as("drop"))
         },
-        acc => acc("cnt"))
-      slice(items, lit(1), size(items) - trailingNulls)
+        acc => acc("arr"))
     })
     concat(flatten(segItems),
       array(struct(lit(5).as("r"), lit(0L).as("n"), lit("").as("s"))))
