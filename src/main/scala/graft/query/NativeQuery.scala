@@ -281,8 +281,15 @@ object NativeQuery {
     * read as UTC — the engine runs sessions in UTC).
     */
   private def parseInstant(s: String): Instant =
-    if (s.endsWith("Z") || s.contains("+")) Instant.parse(s)
-    else LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+    try {
+      if (s.endsWith("Z") || s.contains("+")) Instant.parse(s)
+      else LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+    } catch {
+      // surface the compiler's loud contract, not a raw
+      // DateTimeParseException (fuzz-caught)
+      case _: java.time.format.DateTimeParseException =>
+        fail(s"interval timestamp '$s' (ISO instant or local datetime)")
+    }
 
   private def intervalsOf(q: JsonNode): Seq[(Instant, Instant)] = {
     val node0 = q.path("intervals")
