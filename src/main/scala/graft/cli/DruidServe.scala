@@ -136,6 +136,7 @@ object DruidServe {
         val args = parameterValues(node.path("parameters"))
         graft.sql.DruidSqlCompat.register(spark)
         sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+        registerInformationSchema(spark, sqlTables)
         val df = if (args.isEmpty) spark.sql(sql0) else spark.sql(sql0, args)
         sqlResponse(df,
           node.path("resultFormat").asText("object"),
@@ -490,6 +491,44 @@ object DruidServe {
         case _ => v.asText()
       }
     }.toArray
+  }
+
+  /** Druid's INFORMATION_SCHEMA.TABLES/COLUMNS as in-memory-catalog
+    * views over the served tables — the first thing BI tools (and
+    * JDBC-ish clients) query on connect. Registered once per
+    * (session, table-set); metadata-only, no scans. Table names come
+    * from directory listings, so they're quoted into the VALUES
+    * literals defensively.
+    */
+  private val infoSchemaDone =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  private def registerInformationSchema(
+      spark: SparkSession, sqlTables: Map[String, DataFrame]): Unit = {
+    if (sqlTables.isEmpty) return
+    val key = System.identityHashCode(spark) + ":" +
+      sqlTables.keys.toSeq.sorted.mkString(",")
+    if (!infoSchemaDone.add(key)) return
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
+    val tableRows = sqlTables.keys.toSeq.sorted
+      .map(n => s"('druid', 'druid', ${q(n)}, 'TABLE', 'NO', 'NO')")
+      .mkString(", ")
+    spark.sql(s"""CREATE OR REPLACE VIEW information_schema.tables
+      (TABLE_CATALOG, TABLE_SCHEMA, TABLE_NAME, TABLE_TYPE,
+       IS_JOINABLE, IS_BROADCAST)
+      AS SELECT * FROM VALUES $tableRows""")
+    val columnRows = sqlTables.toSeq.sortBy(_._1).flatMap { case (n, df) =>
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        s"('druid', 'druid', ${q(n)}, ${q(f.name)}, ${i + 1}, " +
+          s"${q(typeNamesOf(f.dataType)._2)}, " +
+          s"'${if (f.nullable) "YES" else "NO"}')"
+      }
+    }.mkString(", ")
+    spark.sql(s"""CREATE OR REPLACE VIEW information_schema.columns
+      (TABLE_CATALOG, TABLE_SCHEMA, TABLE_NAME, COLUMN_NAME,
+       ORDINAL_POSITION, DATA_TYPE, IS_NULLABLE)
+      AS SELECT * FROM VALUES $columnRows""")
   }
 
   /** Spark type -> (Druid type name, SQL type name) for the

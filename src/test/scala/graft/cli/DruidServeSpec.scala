@@ -214,6 +214,27 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("INFORMATION_SCHEMA answers the BI-tool connect queries") {
+    withServer { port =>
+      val (tc, tbody) = postTo(port, "/druid/v2/sql", """{"query":
+        "SELECT TABLE_NAME, TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES WHERE TABLE_SCHEMA = 'druid' ORDER BY TABLE_NAME"}""")
+      assert(tc == 200, tbody)
+      val tables = mapper.readTree(tbody)
+      assert(tables.size == 1 &&
+        tables.get(0).path("TABLE_NAME").asText() == "events" &&
+        tables.get(0).path("TABLE_TYPE").asText() == "TABLE")
+      val (cc, cbody) = postTo(port, "/druid/v2/sql", """{"query":
+        "SELECT COLUMN_NAME, DATA_TYPE, ORDINAL_POSITION FROM INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'events' ORDER BY ORDINAL_POSITION"}""")
+      assert(cc == 200, cbody)
+      val cols = mapper.readTree(cbody)
+      assert(cols.size == 4)
+      assert(cols.get(0).path("COLUMN_NAME").asText() == "__time" &&
+        cols.get(0).path("DATA_TYPE").asText() == "TIMESTAMP")
+      assert(cols.get(1).path("COLUMN_NAME").asText() == "event_type" &&
+        cols.get(1).path("DATA_TYPE").asText() == "VARCHAR")
+    }
+  }
+
   test("GET /druid/v2/datasources lists tables and splits dims/metrics") {
     withServer { port =>
       val (lc, lbody) = sendTo(port, "GET", "/druid/v2/datasources")
