@@ -387,6 +387,30 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile payloads get clean 4xx responses and never kill the server") {
+    withServer { port =>
+      val payloads = Seq("", "{", "[1,2", " ",
+        "{\"queryType\": null}", "{\"queryType\": {}}",
+        "{\"queryType\": \"groupBy\"}",
+        "{\"queryType\": \"scan\", \"dataSource\": {\"type\": \"query\"}}",
+        "x" * 100000,
+        "{\"queryType\": \"timeseries\", \"dataSource\": \"events\", " +
+          "\"aggregations\": [{\"type\": \"longSum\"}]}")
+      for (p <- payloads; path <- Seq("/druid/v2", "/druid/v2/sql")) {
+        val (code, body) = postTo(port, path, p)
+        assert(code == 400, s"payload ${p.take(30)} on $path: $code $body")
+        assert(mapper.readTree(body).has("error"), "error envelope shape")
+      }
+      // and the server still answers real traffic afterwards
+      val (ok, _) = post(port, """{
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}]}""")
+      assert(ok == 200)
+      assert(sendTo(port, "GET", "/status")._1 == 200)
+    }
+  }
+
   test("GET /status answers; bad query returns a Druid-style error object") {
     withServer { port =>
       val client = HttpClient.newHttpClient()
