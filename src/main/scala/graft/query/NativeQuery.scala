@@ -1613,12 +1613,28 @@ object NativeQuery {
     val projected =
       if (colsNode.isMissingNode || colsNode.isNull || !colsNode.elements().hasNext) base
       else base.select(textSeq(colsNode).map(ref): _*)
-    val ordered = q.path("order").asText("none") match {
-      case "none"       => projected
-      case "ascending"  => projected.orderBy(col("__time").asc)
-      case "descending" => projected.orderBy(col("__time").desc)
-      case other        => fail(s"scan order '$other'")
-    }
+    // modern Druid scans send an `orderBy` COLUMN LIST; the legacy
+    // `order` string sorts by __time only. orderBy wins when both
+    // appear (Druid rejects the combination; the list subsumes it).
+    val orderByNode = q.path("orderBy")
+    val ordered =
+      if (!orderByNode.isMissingNode && !orderByNode.isNull &&
+          orderByNode.elements().hasNext) {
+        val sorts = orderByNode.elements().asScala.map { ob =>
+          val c = ref(ob.path("columnName").asText())
+          ob.path("order").asText("ascending") match {
+            case "ascending"  => c.asc
+            case "descending" => c.desc
+            case other        => fail(s"scan orderBy order '$other'")
+          }
+        }.toSeq
+        projected.orderBy(sorts: _*)
+      } else q.path("order").asText("none") match {
+        case "none"       => projected
+        case "ascending"  => projected.orderBy(col("__time").asc)
+        case "descending" => projected.orderBy(col("__time").desc)
+        case other        => fail(s"scan order '$other'")
+      }
     val off = q.path("offset")
     val shifted = if (off.isMissingNode || off.isNull) ordered else ordered.offset(off.asInt())
     val lim = q.path("limit")

@@ -150,6 +150,17 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).toSeq == Seq(70.0, 60.0, 50.0))
   }
 
+  test("scan orderBy column list sorts beyond __time") {
+    val out = run("""{
+      "queryType": "scan", "dataSource": "events",
+      "columns": ["event_type", "value"],
+      "orderBy": [{"columnName": "event_type", "order": "ascending"},
+                  {"columnName": "value", "order": "descending"}],
+      "limit": 3
+    }""").collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out == Seq(("click", 70.0), ("click", 40.0), ("click", 30.0)))
+  }
+
   test("search: insensitive_contains over string and multi-value dims") {
     val out = run("""{
       "queryType": "search", "dataSource": "events",
