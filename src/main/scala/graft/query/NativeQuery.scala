@@ -356,7 +356,13 @@ object NativeQuery {
       // first, then lexicographic), version (Maven version ordering).
       // Anything else fails loudly — a silent lexicographic fallback
       // would return different rows than the client's Druid cluster.
-      val ordering = comparatorOf(f.path("ordering"))
+      // legacy clients predate `ordering` and send the boolean
+      // `alphaNumeric` flag instead — ignoring it would compare
+      // lexicographically and return different rows
+      val ordering =
+        if (!f.hasNonNull("ordering") && f.path("alphaNumeric").asBoolean(false))
+          "alphanumeric"
+        else comparatorOf(f.path("ordering"))
       def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
         val v = f.path(key)
         if (v.isMissingNode || v.isNull) None
@@ -405,7 +411,15 @@ object NativeQuery {
       if (sides.isEmpty) fail("range filter with neither lower nor upper")
       sides.reduce(_ && _)
     case "like" =>
-      dim(f).like(f.path("pattern").asText())
+      // Druid's like filter carries an optional escape character; a
+      // client matching literal %/_ relies on it
+      val pat = f.path("pattern").asText()
+      if (!f.hasNonNull("escape")) dim(f).like(pat)
+      else {
+        val esc = f.path("escape").asText()
+        if (esc.length != 1) fail("like escape (must be one character)")
+        call_function("like", dim(f), lit(pat), lit(esc))
+      }
     case "regex" =>
       dim(f).rlike(f.path("pattern").asText())
     case "search" =>

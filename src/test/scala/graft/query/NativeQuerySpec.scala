@@ -150,6 +150,24 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).toSeq == Seq(70.0, 60.0, 50.0))
   }
 
+  test("like filter honors the escape character") {
+    import spark.implicits._
+    val df = Seq(("100%", 1L), ("100x", 2L), ("100", 3L))
+      .toDF("v", "id")
+      .withColumn("__time", to_timestamp(lit("2024-01-01 00:00:00")))
+    def n(filter: String): Long = NativeQuery.run(s"""{
+      "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+      "filter": $filter,
+      "aggregations": [{"type": "count", "name": "n"}]}""", _ => df)
+      .collect().head.getLong(0)
+    // without escape, % is a wildcard: "100%" matches all three
+    assert(n("""{"type": "like", "dimension": "v",
+                 "pattern": "100%"}""") == 3)
+    // escaped, it is the literal percent sign
+    assert(n("""{"type": "like", "dimension": "v",
+                 "pattern": "100!%", "escape": "!"}""") == 1)
+  }
+
   test("scan orderBy column list sorts beyond __time") {
     val out = run("""{
       "queryType": "scan", "dataSource": "events",
@@ -1011,6 +1029,9 @@ class NativeQuerySpec extends AnyFunSuite {
     // {"type": ...} form must not silently fall back to lexicographic
     assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u7.5",
                  "ordering": {"type": "version"}}""") == 6)
+    // legacy boolean alphaNumeric flag (pre-`ordering` wire format)
+    assert(n("""{"type": "bound", "dimension": "ukey", "lower": "u10",
+                 "alphaNumeric": true}""") == 6)
     // unsupported orderings still fail loudly instead of silently
     // returning lexicographic rows
     val e = intercept[IllegalArgumentException] {
