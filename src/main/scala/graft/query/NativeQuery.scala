@@ -1659,25 +1659,33 @@ object NativeQuery {
     val dims = textSeq(q.path("searchDimensions"))
     if (dims.isEmpty) fail("search with no searchDimensions")
     val qn = q.path("query")
+    // a non-"all" granularity counts hits PER TIME BUCKET (the bucket
+    // leads the output), like every other bucketed query type —
+    // ignoring it would silently merge buckets a Druid client expects
+    // separate
+    val unit = truncUnit(q)
+    val bucketKey = unit.map(g => g.bucket(col("__time")).as("__time")).toSeq
     val perDim = dims.map { d =>
       // Multi-value (array) dimensions explode to per-value rows first —
       // Druid's search counts value occurrences the same way.
       val isArray = base.schema.fields.exists(f =>
         f.name == d && f.dataType.isInstanceOf[ArrayType])
       val values =
-        if (isArray) base.select(explode(ref(d)).as("value"))
-        else base.select(ref(d).cast("string").as("value"))
+        if (isArray) base.select(bucketKey :+ explode(ref(d)).as("value"): _*)
+        else base.select(bucketKey :+ ref(d).cast("string").as("value"): _*)
       values.filter(searchPredicate(col("value"), qn))
-        .groupBy(col("value"))
+        .groupBy(unit.map(_ => col("__time")).toSeq :+ col("value"): _*)
         .agg(count(lit(1)).as("count"))
-        .select(lit(d).as("dimension"), col("value"), col("count"))
+        .select(unit.map(_ => col("__time")).toSeq ++
+          Seq(lit(d).as("dimension"), col("value"), col("count")): _*)
     }
     // Druid's SearchSortSpec picks the comparator hit values sort
     // under (lexicographic default; alphanumeric/strlen/numeric/
     // version ride the shared orderingKey)
     val sortType = comparatorOf(q.path("sort"))
     val all = perDim.reduce(_.unionAll(_))
-      .orderBy(col("dimension"), orderingKey(col("value"), sortType).asc)
+      .orderBy(unit.map(_ => col("__time").asc).toSeq ++
+        Seq(col("dimension").asc, orderingKey(col("value"), sortType).asc): _*)
     val lim = q.path("limit")
     if (lim.isMissingNode || lim.isNull) all else all.limit(lim.asInt())
   }

@@ -377,6 +377,21 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(row.getLong(1) == 3L)
   }
 
+  test("search with a granularity counts hits per time bucket") {
+    val out = run("""{
+      "queryType": "search", "dataSource": "events",
+      "granularity": "day",
+      "searchDimensions": ["event_type"],
+      "query": {"type": "insensitive_contains", "value": "c"}
+    }""").collect()
+      .map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSeq
+    // "click" hits per day: Jan1 x1, Jan2 x2, Jan5 x1
+    assert(out == Seq(
+      (ts("2024-01-01 00:00:00"), "click", 1L),
+      (ts("2024-01-02 00:00:00"), "click", 2L),
+      (ts("2024-01-05 00:00:00"), "click", 1L)))
+  }
+
   test("search sort spec picks the comparator hit values sort under") {
     def hits(sort: String): Seq[String] = run(s"""{
       "queryType": "search", "dataSource": "events",
