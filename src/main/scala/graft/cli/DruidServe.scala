@@ -416,11 +416,12 @@ object DruidServe {
               }
               fill(o.putObject("event"), r, schema, skipTime = true)
             }
-          case "topN" =>
+          case "topN" | "search" =>
             // one entry per granularity bucket (rows arrive
             // bucket-ordered from the compiler; granularity "all" is
             // the single None-timestamp group); no rows → empty array
-            // like Druid, not a phantom bucket entry
+            // like Druid, not a phantom bucket entry. search shares
+            // the exact envelope: {"timestamp", "result": [hits]}
             var current: Option[Option[String]] = None
             var res: ArrayNode = null
             rows.foreach { r =>

@@ -387,6 +387,26 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /druid/v2: search answers Druid's timestamp/result envelope") {
+    withServer { port =>
+      val (code, body) = post(port, """{
+        "queryType": "search", "dataSource": "events",
+        "granularity": "day",
+        "searchDimensions": ["event_type"],
+        "query": {"type": "insensitive_contains", "value": "c"}
+      }""")
+      assert(code == 200, body)
+      val arr = mapper.readTree(body)
+      // "click" hits on Jan 1 and Jan 2 in the 5-row fixture
+      assert(arr.size == 2)
+      assert(arr.get(0).path("timestamp").asText() == "2024-01-01T00:00:00.000Z")
+      val hit = arr.get(0).path("result").get(0)
+      assert(hit.path("dimension").asText() == "event_type" &&
+        hit.path("value").asText() == "click" && hit.path("count").asLong() == 1L)
+      assert(arr.get(1).path("result").get(0).path("count").asLong() == 2L)
+    }
+  }
+
   test("hostile payloads get clean 4xx responses and never kill the server") {
     withServer { port =>
       val payloads = Seq("", "{", "[1,2", " ",
