@@ -437,6 +437,21 @@ object DruidServe {
               }
               fill(res.addObject(), r, schema, skipTime = true)
             }
+          case "timeBoundary" =>
+            // Druid: one entry, timestamp = the min bound (or the
+            // single requested bound), result = the ISO bounds
+            rows.headOption.foreach { r =>
+              val o = out.addObject()
+              val res = mapper.createObjectNode()
+              fill(res, r, schema, skipTime = false)
+              val t = Option(res.get("minTime")).filterNot(_.isNull)
+                .orElse(Option(res.get("maxTime")).filterNot(_.isNull))
+              t match {
+                case Some(v) => o.put("timestamp", v.asText())
+                case None => o.putNull("timestamp")
+              }
+              o.set[ObjectNode]("result", res)
+            }
           case _ =>
             rows.foreach(r => fill(out.addObject(), r, schema, skipTime = false))
         }

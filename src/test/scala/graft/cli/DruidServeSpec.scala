@@ -387,6 +387,25 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("POST /druid/v2: timeBoundary answers the timestamp/result envelope") {
+    withServer { port =>
+      val (code, body) = post(port,
+        """{"queryType": "timeBoundary", "dataSource": "events"}""")
+      assert(code == 200, body)
+      val arr = mapper.readTree(body)
+      assert(arr.size == 1)
+      val e = arr.get(0)
+      assert(e.path("timestamp").asText() == "2024-01-01T01:00:00.000Z")
+      assert(e.path("result").path("minTime").asText() == "2024-01-01T01:00:00.000Z")
+      assert(e.path("result").path("maxTime").asText() == "2024-01-03T01:00:00.000Z")
+      // single-bound variant keys the timestamp off that bound
+      val (_, mx) = post(port, """{"queryType": "timeBoundary",
+        "dataSource": "events", "bound": "maxTime"}""")
+      assert(mapper.readTree(mx).get(0).path("timestamp").asText() ==
+        "2024-01-03T01:00:00.000Z")
+    }
+  }
+
   test("POST /druid/v2: search answers Druid's timestamp/result envelope") {
     withServer { port =>
       val (code, body) = post(port, """{
