@@ -622,27 +622,6 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       case ComplexValues(t, v) => ComplexValues(t, pick(v, sel))
     }
 
-  /** Group key for the rollup hash map: time bucket + one dictionary
-    * id per dimension. Mutable so ONE probe instance serves every
-    * lookup; a fresh copy is allocated only on first sight of a key —
-    * per-row allocation is zero on the hot (duplicate) path, keeping
-    * the writer's no-per-value-boxing design.
-    */
-  private final class RollupKey(var bucket: Long, val ids: Array[Int]) {
-    override def hashCode: Int = {
-      var h = java.lang.Long.hashCode(bucket)
-      var i = 0
-      while (i < ids.length) { h = 31 * h + ids(i); i += 1 }
-      h
-    }
-    override def equals(o: Any): Boolean = o match {
-      case k: RollupKey =>
-        k.bucket == bucket && java.util.Arrays.equals(k.ids, ids)
-      case _ => false
-    }
-    def snapshot: RollupKey = new RollupKey(bucket, ids.clone())
-  }
-
   /** Druid's ingest-time ("best-effort") rollup: within this task's
     * buffer, rows with equal (__time floored to granularity `g`, every
     * dimension value) collapse to one row whose numeric metrics are
@@ -953,4 +932,28 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
 
   override def abort(): Unit = ()
   override def close(): Unit = ()
+}
+
+/** Group key for the writer's rollup hash map: time bucket + one
+  * dictionary id per dimension. Mutable so ONE probe instance serves
+  * every lookup; a fresh copy is allocated only on first sight of a
+  * key — per-row allocation is zero on the hot (duplicate) path,
+  * keeping the writer's no-per-value-boxing design. TOP-LEVEL (not
+  * nested in the writer): an inner class would drag an $outer
+  * reference into every stored key and defeat the runtime type test
+  * in equals.
+  */
+private[druid] final class RollupKey(var bucket: Long, val ids: Array[Int]) {
+  override def hashCode: Int = {
+    var h = java.lang.Long.hashCode(bucket)
+    var i = 0
+    while (i < ids.length) { h = 31 * h + ids(i); i += 1 }
+    h
+  }
+  override def equals(o: Any): Boolean = o match {
+    case k: RollupKey =>
+      k.bucket == bucket && java.util.Arrays.equals(k.ids, ids)
+    case _ => false
+  }
+  def snapshot: RollupKey = new RollupKey(bucket, ids.clone())
 }
