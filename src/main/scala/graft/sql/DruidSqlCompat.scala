@@ -180,6 +180,21 @@ object DruidSqlCompat {
     require(e.nonEmpty, "string_format(pattern[, args...])")
     FormatString(Cast(e.head, StringType) +: e.tail: _*)
   }
+  /** APPROX_QUANTILE — Druid's approximate-histogram quantile (the
+    * pre-DataSketches family many dashboards still emit). Spark's
+    * ApproximatePercentile is the same estimate-a-quantile contract;
+    * the optional third argument (Druid: resolution/k) maps to its
+    * accuracy knob.
+    */
+  private val approxQuantile: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3,
+      "approx_quantile(expr, probability[, resolution])")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
+      Cast(e(0), DoubleType), Cast(e(1), DoubleType),
+      e.lift(2).map(r => Literal(litInt(r, "approx_quantile resolution", 10000)))
+        .getOrElse(Literal(10000)))
+  }
+
   private val parseLong: Seq[Expression] => Expression = { e =>
     require(e.length >= 1 && e.length <= 2, "parse_long(string[, radix])")
     e.lift(1) match {
@@ -308,6 +323,9 @@ object DruidSqlCompat {
       stringFormat),
     ("parse_long", "parse_long(string[, radix]) - Druid PARSE_LONG (null on bad input)",
       parseLong),
+    ("approx_quantile",
+      "approx_quantile(expr, prob[, resolution]) - Druid APPROX_QUANTILE",
+      approxQuantile),
     ("ds_hll", "ds_hll(expr[, lgK]) - DataSketches HLL build aggregate",
       dsHll),
     ("approx_count_distinct_ds_hll",

@@ -44,6 +44,13 @@ class DruidSqlCompatSpec extends AnyFunSuite {
     assert(one("PARSE_LONG('', 16)") == null)
     assert(one("PARSE_LONG('z1', 36)") == 35L * 36 + 1)
     assert(one("PARSE_LONG('-101', 2)") == -5L)
+    // APPROX_QUANTILE: exact in the small-n regime
+    assert(spark.sql(
+      "SELECT APPROX_QUANTILE(v, 0.5) FROM VALUES (1.0),(2.0),(3.0) t(v)")
+      .head.getDouble(0) == 2.0)
+    assert(spark.sql(
+      "SELECT APPROX_QUANTILE(v, 0.0, 128) FROM VALUES (5.0),(9.0) t(v)")
+      .head.getDouble(0) == 5.0)
     // all native Catalyst — no UDF in any of these plans
     val plan = spark.sql(
       "SELECT DIV(17,5), BITWISE_AND(1,3), STRPOS('a','a'), PARSE_LONG('1')")
