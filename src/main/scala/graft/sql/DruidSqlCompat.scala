@@ -180,6 +180,52 @@ object DruidSqlCompat {
     require(e.nonEmpty, "string_format(pattern[, args...])")
     FormatString(Cast(e.head, StringType) +: e.tail: _*)
   }
+  // ---- IPv4 family (network-analytics Druid SQL) ------------------------
+
+  /** Dotted-quad string → unsigned-32 long (null for malformed);
+    * numeric input passes through (Druid accepts both). Pure Catalyst:
+    * octet regex gate + shift-free arithmetic.
+    */
+  private def ipv4ToLong(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    val octet = "(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])"
+    val valid = RLike(s, Literal(s"^($octet\\.){3}$octet$$"))
+    val parts = new StringSplit(s, Literal("\\."), Literal(-1))
+    def oct(i: Int): Expression =
+      Cast(GetArrayItem(parts, Literal(i)), LongType)
+    val fromDots = Add(
+      Add(Multiply(oct(0), Literal(16777216L)),
+        Multiply(oct(1), Literal(65536L))),
+      Add(Multiply(oct(2), Literal(256L)), oct(3)))
+    If(valid, fromDots, Cast(e, LongType, None, EvalMode.TRY))
+  }
+
+  private val ipv4Parse: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "ipv4_parse(address)")
+    ipv4ToLong(e.head)
+  }
+
+  private val ipv4Stringify: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "ipv4_stringify(long)")
+    val n = Cast(e.head, LongType, None, EvalMode.TRY)
+    def byteAt(shift: Int): Expression = Cast(
+      BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), StringType)
+    Concat(Seq(byteAt(24), Literal("."), byteAt(16), Literal("."),
+      byteAt(8), Literal("."), byteAt(0)))
+  }
+
+  private val ipv4Match: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "ipv4_match(address, subnet)")
+    // subnet "a.b.c.d/prefix": compare the top `prefix` bits
+    val sub = Cast(e(1), StringType)
+    val slash = new StringSplit(sub, Literal("/"), Literal(-1))
+    val net = ipv4ToLong(GetArrayItem(slash, Literal(0)))
+    val prefix = Cast(GetArrayItem(slash, Literal(1)), IntegerType,
+      None, EvalMode.TRY)
+    val shift = Subtract(Literal(32), prefix)
+    EqualTo(ShiftRight(ipv4ToLong(e.head), shift), ShiftRight(net, shift))
+  }
+
   /** APPROX_QUANTILE — Druid's approximate-histogram quantile (the
     * pre-DataSketches family many dashboards still emit). Spark's
     * ApproximatePercentile is the same estimate-a-quantile contract;
@@ -326,6 +372,12 @@ object DruidSqlCompat {
     ("approx_quantile",
       "approx_quantile(expr, prob[, resolution]) - Druid APPROX_QUANTILE",
       approxQuantile),
+    ("ipv4_parse", "ipv4_parse(address) - dotted quad to long, null if malformed",
+      ipv4Parse),
+    ("ipv4_stringify", "ipv4_stringify(long) - long to dotted quad",
+      ipv4Stringify),
+    ("ipv4_match", "ipv4_match(address, 'a.b.c.d/prefix') - CIDR containment",
+      ipv4Match),
     ("ds_hll", "ds_hll(expr[, lgK]) - DataSketches HLL build aggregate",
       dsHll),
     ("approx_count_distinct_ds_hll",

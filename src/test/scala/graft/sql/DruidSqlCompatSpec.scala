@@ -44,6 +44,14 @@ class DruidSqlCompatSpec extends AnyFunSuite {
     assert(one("PARSE_LONG('', 16)") == null)
     assert(one("PARSE_LONG('z1', 36)") == 35L * 36 + 1)
     assert(one("PARSE_LONG('-101', 2)") == -5L)
+    // IPv4 family
+    assert(one("IPV4_PARSE('192.168.0.1')") == 3232235521L)
+    assert(one("IPV4_PARSE('256.1.1.1')") == null)
+    assert(one("IPV4_PARSE(3232235521)") == 3232235521L)
+    assert(one("IPV4_STRINGIFY(3232235521)") == "192.168.0.1")
+    assert(one("IPV4_MATCH('10.2.3.4', '10.0.0.0/8')") == true)
+    assert(one("IPV4_MATCH('11.2.3.4', '10.0.0.0/8')") == false)
+    assert(one("IPV4_MATCH('10.2.3.4', '10.2.3.4/32')") == true)
     // APPROX_QUANTILE: exact in the small-n regime
     assert(spark.sql(
       "SELECT APPROX_QUANTILE(v, 0.5) FROM VALUES (1.0),(2.0),(3.0) t(v)")
