@@ -88,6 +88,7 @@ object DruidExpr {
     "regexp_like", "regexp_replace", "array", "log2", "hypot",
     "sinh", "cosh", "tanh", "expm1", "log1p", "rint", "pi",
     "lookup", "safe_divide", "nullif",
+    "ipv4_parse", "ipv4_stringify", "ipv4_match",
     "time_floor", "time_ceil", "time_shift", "time_extract",
     "time_parse", "time_format", "time_in_interval",
     "millis_to_timestamp", "timestamp_to_millis",

@@ -116,6 +116,13 @@ class DruidExprSpec extends AnyFunSuite {
     assert(eval("hypot(x, y)", "x" -> 3.0, "y" -> 4.0) == 5.0)
   }
 
+  test("ipv4 family passes through to the registered SQL functions") {
+    assert(eval("ipv4_parse('10.0.0.1')") == 167772161L)
+    assert(eval("ipv4_stringify(167772161)") == "10.0.0.1")
+    assert(eval("ipv4_match(ip, '10.0.0.0/8')", "ip" -> "10.9.9.9") == true)
+    assert(eval("ipv4_match(ip, '10.0.0.0/8')", "ip" -> "11.0.0.1") == false)
+  }
+
   test("parser terminates cleanly on arbitrary input (fuzz)") {
     // any input must either translate or throw the documented
     // IllegalArgumentException — never hang, never leak an index error
