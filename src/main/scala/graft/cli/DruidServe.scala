@@ -60,8 +60,28 @@ import org.apache.spark.sql.types._
   *    `LOOKUP(...)` SQL and `registeredLookup` extractions
   *
   * `GET /status` answers like a broker so client health checks pass.
-  * The server executor is the JDK default (one request at a time);
-  * parallelism lives inside Spark, where it belongs.
+  * Requests are handled CONCURRENTLY on a fixed pool (`--threads`,
+  * default 8) — a real broker never serializes clients behind one
+  * slow scan, and `/status` keeps answering while queries run. The
+  * shared state is concurrency-safe by construction (lookups in a
+  * ConcurrentHashMap, function registration behind a per-session
+  * mutex, per-request temp-view registration idempotent).
+  *
+  * SQL `context` is honored, never silently ignored:
+  *  - `sqlQueryId` / `queryId` round-trips as the `X-Druid-Query-Id`
+  *    response header (generated when absent, like a broker)
+  *  - `sqlTimeZone` scopes the request to a per-zone child
+  *    SparkSession (shared SparkContext + data, isolated SQLConf), so
+  *    time functions and timestamp rendering answer in the client's
+  *    zone without racing concurrent UTC requests
+  *  - `timeout` (ms) cancels the query's job group at the deadline
+  *    and answers Druid's QueryTimeoutException envelope (HTTP 504)
+  *  - cache hints (`useCache`/`populateCache`/`useResultLevelCache`/
+  *    `populateResultLevelCache`) are accepted and ignored — they
+  *    cannot change results
+  *  - any OTHER key is a 400: a silently dropped context key (e.g. a
+  *    semantics-changing `useApproximateCountDistinct: false`) would
+  *    return different results than the client's cluster
   *
   * SECURITY: the SQL endpoint executes Spark SQL, which is strictly
   * broader than Druid SQL (file-backed tables, catalog mutation), so
@@ -81,6 +101,64 @@ object DruidServe {
   private final class ResourceLimitExceeded(msg: String)
     extends RuntimeException(msg)
 
+  /** Raised when `context.timeout` elapses; answered with Druid's
+    * QueryTimeoutException envelope (HTTP 504, the broker's code).
+    */
+  private final class QueryTimedOut(msg: String)
+    extends RuntimeException(msg)
+
+  private def daemonFactory(prefix: String): java.util.concurrent.ThreadFactory =
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+
+  /** One shared timer for `context.timeout` deadlines (the work it
+    * schedules is a cheap cancelJobGroup call, never a query).
+    */
+  private lazy val timeoutScheduler =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      daemonFactory("graft-serve-timeout"))
+
+  /** Distinguishes this server's global temp views from another
+    * concurrently running serve instance on the same SparkContext.
+    */
+  private val serveSeq = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Run `body` (plan + execute + serialize) under Druid's
+    * `context.timeout` contract: at the deadline the request's job
+    * group is cancelled (interrupting running tasks) and the failure
+    * surfaces as [[QueryTimedOut]]. No-op for timeoutMs <= 0. The job
+    * group is a thread-local Spark property, so concurrent requests
+    * on other pool threads are untouched.
+    */
+  private def withTimeout[A](spark: SparkSession, qid: String,
+                             timeoutMs: Long)(body: => A): A = {
+    if (timeoutMs <= 0) return body
+    val sc = spark.sparkContext
+    val group = s"graft-serve-$qid"
+    sc.setJobGroup(group, s"druid query $qid (timeout ${timeoutMs}ms)",
+      interruptOnCancel = true)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val cancel = timeoutScheduler.schedule(new Runnable {
+      def run(): Unit = sc.cancelJobGroup(group)
+    }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body
+    catch {
+      // any failure past the deadline is (or was caused by) the
+      // cancellation — answer the timeout envelope, not a generic 400
+      case _: Throwable if System.nanoTime() >= deadline =>
+        throw new QueryTimedOut(s"query $qid exceeded timeout ${timeoutMs}ms")
+    } finally {
+      cancel.cancel(false)
+      sc.clearJobGroup()
+    }
+  }
+
   /** Start serving; `resolve` maps a dataSource name to its DataFrame
     * (native queries), `sqlTables` names the tables the SQL endpoint
     * exposes as temp views. Port 0 binds an ephemeral port (see
@@ -91,8 +169,68 @@ object DruidServe {
             port: Int,
             sqlTables: Map[String, DataFrame] = Map.empty,
             host: String = "127.0.0.1",
-            maxResultRows: Int = 100000): HttpServer = {
+            maxResultRows: Int = 100000,
+            threads: Int = 8,
+            logQueries: Boolean = false): HttpServer = {
+    require(threads > 0, s"--threads must be positive: $threads")
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+    // fixed-width pool, core threads allowed to die when idle so a
+    // stopped test server doesn't pin `threads` live threads forever
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      threads, threads, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      daemonFactory("graft-serve"))
+    pool.allowCoreThreadTimeOut(true)
+    server.setExecutor(pool)
+    val serveId = serveSeq.incrementAndGet()
+    def logQuery(qid: String, kind: String, what: String, t0: Long,
+                 rows: Long, status: String): Unit =
+      if (logQueries)
+        System.err.println(f"[druid-serve] qid=$qid kind=$kind " +
+          f"ms=${(System.nanoTime() - t0) / 1000000L} rows=$rows " +
+          f"status=$status $what")
+    // global temp views bridge the served tables into per-timezone
+    // child sessions (temp views are session-local; global temp views
+    // are the public cross-session channel and carry the full logical
+    // plan, so pushdown survives). Registered on first sqlTimeZone use.
+    lazy val globalViews: Map[String, String] = sqlTables.map {
+      case (n, df) =>
+        val g = s"graft_serve_${serveId}_$n"
+        df.createOrReplaceGlobalTempView(g)
+        n -> g
+    }
+    val tzSessions =
+      new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+    // (session, zone-aware row renderer) for a request's sqlTimeZone.
+    // Child sessions are built once per zone and reused: newSession()
+    // shares the SparkContext and cached data but isolates SQLConf, so
+    // a Los_Angeles request can't shift a concurrent UTC request.
+    def sessionFor(tz: Option[String]): (SparkSession, DateTimeFormatter) =
+      tz match {
+        case None => (spark, isoMs)
+        case Some(z) =>
+          val zone =
+            try java.time.ZoneId.of(z)
+            catch { case e: java.time.DateTimeException =>
+              throw new IllegalArgumentException(
+                s"context.sqlTimeZone '$z' is not a valid time zone: ${e.getMessage}") }
+          val fmt = DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX").withZone(zone)
+          if (zone.normalized() == ZoneOffset.UTC) (spark, isoMs)
+          else {
+            val s2 = tzSessions.computeIfAbsent(zone.getId, _ => {
+              val s = spark.newSession()
+              s.conf.set("spark.sql.session.timeZone", zone.getId)
+              graft.sql.DruidSqlCompat.register(s)
+              globalViews.foreach { case (n, g) =>
+                s.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$n` AS " +
+                  s"SELECT * FROM global_temp.`$g`")
+              }
+              s
+            })
+            (s2, fmt)
+          }
+      }
     def handled(ex: HttpExchange, methods: Set[String] = Set("POST"))
                (body: String => (String, String)): Unit =
       try {
@@ -110,6 +248,12 @@ object DruidServe {
           o.put("errorMessage", String.valueOf(e.getMessage))
           o.put("errorClass", "ResourceLimitExceededException")
           respond(ex, 400, o.toString)
+        case e: QueryTimedOut =>
+          val o = mapper.createObjectNode()
+          o.put("error", "Query timeout")
+          o.put("errorMessage", String.valueOf(e.getMessage))
+          o.put("errorClass", "QueryTimeoutException")
+          respond(ex, 504, o.toString)
         case e: Throwable =>
           val o = mapper.createObjectNode()
           o.put("error", "Query not supported")
@@ -124,8 +268,26 @@ object DruidServe {
     server.createContext("/druid/v2", (ex: HttpExchange) =>
       handled(ex) { body =>
         val q = mapper.readTree(body)
-        (envelope(q, graft.query.NativeQuery.run(body, resolve),
-          maxResultRows), "application/json")
+        val qid = Option(q.path("context").path("queryId").asText(null))
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        // header set BEFORE the query runs so error responses carry it
+        ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
+        val timeoutMs = q.path("context").path("timeout").asLong(0)
+        val t0 = System.nanoTime()
+        val rowsOut = new java.util.concurrent.atomic.AtomicLong()
+        try {
+          val out = withTimeout(spark, qid, timeoutMs) {
+            envelope(q, graft.query.NativeQuery.run(body, resolve),
+              maxResultRows, rowsOut)
+          }
+          logQuery(qid, "native", q.path("queryType").asText("?"), t0,
+            rowsOut.get(), "ok")
+          (out, "application/json")
+        } catch { case e: Throwable =>
+          logQuery(qid, "native", q.path("queryType").asText("?"), t0,
+            rowsOut.get(), s"error:${e.getClass.getSimpleName}")
+          throw e
+        }
       })
     server.createContext("/druid/v2/sql", (ex: HttpExchange) =>
       handled(ex) { body =>
@@ -134,15 +296,53 @@ object DruidServe {
         if (sql0.isEmpty)
           throw new IllegalArgumentException("SQL endpoint needs {\"query\": ...}")
         val args = parameterValues(node.path("parameters"))
-        graft.sql.DruidSqlCompat.register(spark)
-        sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-        registerInformationSchema(spark, sqlTables)
-        val df = if (args.isEmpty) spark.sql(sql0) else spark.sql(sql0, args)
-        sqlResponse(df,
-          node.path("resultFormat").asText("object"),
-          node.path("header").asBoolean(false),
-          node.path("typesHeader").asBoolean(false),
-          node.path("sqlTypesHeader").asBoolean(false), maxResultRows)
+        val ctx = node.path("context")
+        val qid = Seq("sqlQueryId", "queryId")
+          .flatMap(k => Option(ctx.path(k).asText(null))).headOption
+          .getOrElse(java.util.UUID.randomUUID().toString)
+        ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
+        if (ctx.isObject) {
+          // honored + result-neutral cache hints; anything else 400s —
+          // a silently dropped semantic key (say
+          // useApproximateCountDistinct:false) would answer different
+          // numbers than the client's cluster
+          val supported = Set("sqlQueryId", "queryId", "sqlTimeZone",
+            "timeout", "useCache", "populateCache", "useResultLevelCache",
+            "populateResultLevelCache")
+          val bad = ctx.fieldNames().asScala.filterNot(supported).toSeq
+          if (bad.nonEmpty)
+            throw new IllegalArgumentException(
+              s"unsupported SQL context key(s) ${bad.mkString(", ")} " +
+                s"(supported: ${supported.toSeq.sorted.mkString(", ")})")
+        }
+        val (session, fmt) =
+          sessionFor(Option(ctx.path("sqlTimeZone").asText(null)))
+        val timeoutMs = ctx.path("timeout").asLong(0)
+        val t0 = System.nanoTime()
+        val rowsOut = new java.util.concurrent.atomic.AtomicLong()
+        try {
+          val out = withTimeout(session, qid, timeoutMs) {
+            graft.sql.DruidSqlCompat.register(session)
+            if (session eq spark)
+              sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+            registerInformationSchema(spark, sqlTables)
+            val df =
+              if (args.isEmpty) session.sql(sql0) else session.sql(sql0, args)
+            sqlResponse(df,
+              node.path("resultFormat").asText("object"),
+              node.path("header").asBoolean(false),
+              node.path("typesHeader").asBoolean(false),
+              node.path("sqlTypesHeader").asBoolean(false), maxResultRows,
+              fmt, rowsOut)
+          }
+          logQuery(qid, "sql", sql0.linesIterator.mkString(" ").take(120), t0,
+            rowsOut.get(), "ok")
+          out
+        } catch { case e: Throwable =>
+          logQuery(qid, "sql", sql0.linesIterator.mkString(" ").take(120), t0,
+            rowsOut.get(), s"error:${e.getClass.getSimpleName}")
+          throw e
+        }
       })
     // broker schema-discovery endpoints (pydruid et al. call these on
     // connect): the table list, and per-table dimensions/metrics split
@@ -278,10 +478,14 @@ object DruidServe {
       var port = 8082
       var host = "127.0.0.1"
       var maxRows = 100000
+      var threads = 8
+      var logQueries = false
       def parse(opts: List[String]): Unit = opts match {
         case "--port" :: p :: t     => port = p.toInt; parse(t)
         case "--host" :: h :: t     => host = h; parse(t)
         case "--max-rows" :: n :: t => maxRows = n.toInt; parse(t)
+        case "--threads" :: n :: t  => threads = n.toInt; parse(t)
+        case "--log-queries" :: t   => logQueries = true; parse(t)
         case Nil                    =>
         case other => sys.error(s"unknown args: $other")
       }
@@ -305,7 +509,8 @@ object DruidServe {
       val server = start(spark,
         name => tables.getOrElse(name, throw new IllegalArgumentException(
           s"unknown dataSource '$name' (tables: ${tables.keys.toSeq.sorted.mkString(", ")})")),
-        port, sqlTables = tables, host = host, maxResultRows = maxRows)
+        port, sqlTables = tables, host = host, maxResultRows = maxRows,
+        threads = threads, logQueries = logQueries)
       if (host != "127.0.0.1" && host != "localhost")
         System.err.println(
           s"WARNING: binding $host — the SQL endpoint executes arbitrary " +
@@ -316,7 +521,8 @@ object DruidServe {
       Thread.currentThread().join()
     case Nil =>
       System.err.println(
-        "usage: druid-serve <tablesRoot> [--port N] [--host H] [--max-rows N]")
+        "usage: druid-serve <tablesRoot> [--port N] [--host H] " +
+          "[--max-rows N] [--threads N] [--log-queries]")
       sys.exit(2)
   }
 
@@ -334,10 +540,13 @@ object DruidServe {
     * failing past `cap` rows — the guard that keeps an unlimited scan
     * or SELECT * from materializing a table on the driver.
     */
-  private def cappedRows(df: DataFrame, cap: Int): Iterator[Row] = {
+  private def cappedRows(df: DataFrame, cap: Int,
+                         counted: java.util.concurrent.atomic.AtomicLong)
+      : Iterator[Row] = {
     var n = 0
     df.toLocalIterator.asScala.map { r =>
       n += 1
+      counted.set(n)
       if (n > cap)
         throw new ResourceLimitExceeded(
           s"result exceeds $cap rows; add a limit or raise --max-rows")
@@ -346,7 +555,9 @@ object DruidServe {
   }
 
   private def envelope(q: com.fasterxml.jackson.databind.JsonNode,
-                       df: DataFrame, maxResultRows: Int): String = {
+                       df: DataFrame, maxResultRows: Int,
+                       counted: java.util.concurrent.atomic.AtomicLong)
+      : String = {
     val queryType = q.path("queryType").asText()
     val schema = df.schema
     val timeIdx = schema.fieldNames.indexOf("__time")
@@ -368,7 +579,7 @@ object DruidServe {
         // arrays); rows streamed, never collected
         val compact = q.path("resultFormat").asText("list") == "compactedList"
         val batchSize = math.max(1, q.path("batchSize").asInt(20480))
-        cappedRows(df, maxResultRows).grouped(batchSize).foreach { batch =>
+        cappedRows(df, maxResultRows, counted).grouped(batchSize).foreach { batch =>
           val o = out.addObject()
           o.putNull("segmentId")
           val colsArr = o.putArray("columns")
@@ -395,7 +606,7 @@ object DruidServe {
         // aggregate envelopes: result sets are grouped/limited, small
         // by construction, but the cap still backstops a groupBy on a
         // high-cardinality dimension
-        val rows = cappedRows(df, maxResultRows).toArray
+        val rows = cappedRows(df, maxResultRows, counted).toArray
         queryType match {
           case "timeseries" =>
             rows.foreach { r =>
@@ -524,7 +735,12 @@ object DruidServe {
     if (sqlTables.isEmpty) return
     val key = System.identityHashCode(spark) + ":" +
       sqlTables.keys.toSeq.sorted.mkString(",")
-    if (!infoSchemaDone.add(key)) return
+    // marked done only AFTER both views exist: marking first would
+    // swallow a failed CREATE and leave INFORMATION_SCHEMA absent for
+    // the session forever (Registration.once's retry-on-failure rule).
+    // Concurrent double-registration is safe: CREATE OR REPLACE both
+    // times, same definition.
+    if (infoSchemaDone.contains(key)) return
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
     val tableRows = sqlTables.keys.toSeq.sorted
@@ -545,6 +761,7 @@ object DruidServe {
       (TABLE_CATALOG, TABLE_SCHEMA, TABLE_NAME, COLUMN_NAME,
        ORDINAL_POSITION, DATA_TYPE, IS_NULLABLE)
       AS SELECT * FROM VALUES $columnRows""")
+    infoSchemaDone.add(key)
   }
 
   /** Spark type -> (Druid type name, SQL type name) for the
@@ -565,19 +782,23 @@ object DruidServe {
   }
 
   /** The SQL endpoint's response in one of Druid's resultFormat
-    * variants; returns (payload, contentType).
+    * variants; returns (payload, contentType). `tsFmt` renders
+    * timestamps in the request's sqlTimeZone (UTC by default).
     */
   private def sqlResponse(df: DataFrame, fmt: String, header: Boolean,
                           typesHeader: Boolean, sqlTypesHeader: Boolean,
-                          maxResultRows: Int): (String, String) = {
+                          maxResultRows: Int,
+                          tsFmt: DateTimeFormatter,
+                          counted: java.util.concurrent.atomic.AtomicLong)
+      : (String, String) = {
     val schema = df.schema
     val names = schema.fieldNames
     def rowObject(r: Row): ObjectNode = {
       val o = mapper.createObjectNode()
-      fill(o, r, schema, skipTime = false)
+      fill(o, r, schema, skipTime = false, tsFmt)
       o
     }
-    val rows = cappedRows(df, maxResultRows)
+    val rows = cappedRows(df, maxResultRows, counted)
     val types = schema.fields.map(f => typeNamesOf(f.dataType))
     // object-format header value: null, or the requested type info
     def objectHeader(h: ObjectNode): Unit =
@@ -668,7 +889,8 @@ object DruidServe {
   }
 
   private def fill(o: ObjectNode, r: Row, schema: StructType,
-                   skipTime: Boolean): Unit =
+                   skipTime: Boolean,
+                   tsFmt: DateTimeFormatter = isoMs): Unit =
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!(skipTime && f.name == "__time")) {
         if (r.isNullAt(i)) o.putNull(f.name)
@@ -680,9 +902,9 @@ object DruidServe {
           case BooleanType => o.put(f.name, r.getBoolean(i))
           case StringType => o.put(f.name, r.getString(i))
           case TimestampType =>
-            o.put(f.name, isoMs.format(r.getTimestamp(i).toInstant))
+            o.put(f.name, tsFmt.format(r.getTimestamp(i).toInstant))
           case TimestampNTZType => // druid reader round-trips NTZ (UTC wall time)
-            o.put(f.name, isoMs.format(
+            o.put(f.name, tsFmt.format(
               r.getAs[java.time.LocalDateTime](i).toInstant(ZoneOffset.UTC)))
           case BinaryType => // mergeable sketch blobs etc. — base64, like Druid
             o.put(f.name, java.util.Base64.getEncoder

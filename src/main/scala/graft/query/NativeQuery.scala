@@ -530,7 +530,14 @@ object NativeQuery {
   private def comparatorOf(node: JsonNode): String =
     if (node.isMissingNode || node.isNull) "lexicographic"
     else if (node.isTextual) node.asText()
-    else node.path("type").asText("lexicographic")
+    else if (node.isObject && node.path("type").isTextual)
+      node.path("type").asText()
+    else
+      // a number / array / type-less object here is a client bug; a
+      // silent lexicographic default would return differently-ordered
+      // (and under limit, DIFFERENT) rows than the client's cluster
+      fail(s"string comparator $node (expected a comparator name or " +
+        "{\"type\": <name>})")
 
   /** One of Druid's StringComparators as a sort-key expression:
     * lexicographic (default), numeric, alphanumeric, strlen, version —

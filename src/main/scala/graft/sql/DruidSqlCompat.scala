@@ -183,8 +183,10 @@ object DruidSqlCompat {
   // ---- IPv4 family (network-analytics Druid SQL) ------------------------
 
   /** Dotted-quad string → unsigned-32 long (null for malformed);
-    * numeric input passes through (Druid accepts both). Pure Catalyst:
-    * octet regex gate + shift-free arithmetic.
+    * numeric input passes through IF it is a representable unsigned-32
+    * address — Druid returns null for out-of-range numerics rather
+    * than wrapping them, so the passthrough is range-gated. Pure
+    * Catalyst: octet regex gate + shift-free arithmetic.
     */
   private def ipv4ToLong(e: Expression): Expression = {
     val s = Cast(e, StringType)
@@ -197,8 +199,16 @@ object DruidSqlCompat {
       Add(Multiply(oct(0), Literal(16777216L)),
         Multiply(oct(1), Literal(65536L))),
       Add(Multiply(oct(2), Literal(256L)), oct(3)))
-    If(valid, fromDots, Cast(e, LongType, None, EvalMode.TRY))
+    If(valid, fromDots, unsigned32Gate(Cast(e, LongType, None, EvalMode.TRY)))
   }
+
+  /** `n` when in [0, 2^32-1], else null — Druid's domain for a long
+    * that claims to be an IPv4 address.
+    */
+  private def unsigned32Gate(n: Expression): Expression =
+    If(And(GreaterThanOrEqual(n, Literal(0L)),
+           LessThanOrEqual(n, Literal(4294967295L))),
+      n, Literal(null, LongType))
 
   private val ipv4Parse: Seq[Expression] => Expression = { e =>
     require(e.length == 1, "ipv4_parse(address)")
@@ -207,7 +217,9 @@ object DruidSqlCompat {
 
   private val ipv4Stringify: Seq[Expression] => Expression = { e =>
     require(e.length == 1, "ipv4_stringify(long)")
-    val n = Cast(e.head, LongType, None, EvalMode.TRY)
+    // the range gate keeps 2^32 (or a negative) from masking into a
+    // plausible-looking dotted quad — Druid answers null there
+    val n = unsigned32Gate(Cast(e.head, LongType, None, EvalMode.TRY))
     def byteAt(shift: Int): Expression = Cast(
       BitwiseAnd(ShiftRight(n, Literal(shift)), Literal(255L)), StringType)
     Concat(Seq(byteAt(24), Literal("."), byteAt(16), Literal("."),
@@ -216,29 +228,48 @@ object DruidSqlCompat {
 
   private val ipv4Match: Seq[Expression] => Expression = { e =>
     require(e.length == 2, "ipv4_match(address, subnet)")
-    // subnet "a.b.c.d/prefix": compare the top `prefix` bits
+    // subnet "a.b.c.d/prefix": compare the top `prefix` bits. The
+    // prefix is gated to [0, 32] — Java's shift masking would turn
+    // /33 into a shift by 63 and silently match almost everything —
+    // and the whole comparison coalesces to false, Druid's answer for
+    // malformed addresses / subnets (never null, never a wrong match)
     val sub = Cast(e(1), StringType)
     val slash = new StringSplit(sub, Literal("/"), Literal(-1))
     val net = ipv4ToLong(GetArrayItem(slash, Literal(0)))
     val prefix = Cast(GetArrayItem(slash, Literal(1)), IntegerType,
       None, EvalMode.TRY)
+    val prefixOk = And(GreaterThanOrEqual(prefix, Literal(0)),
+      LessThanOrEqual(prefix, Literal(32)))
     val shift = Subtract(Literal(32), prefix)
-    EqualTo(ShiftRight(ipv4ToLong(e.head), shift), ShiftRight(net, shift))
+    val cmp = EqualTo(ShiftRight(ipv4ToLong(e.head), shift),
+      ShiftRight(net, shift))
+    Coalesce(Seq(If(prefixOk, cmp, Literal(null, BooleanType)),
+      Literal(false)))
   }
 
   /** APPROX_QUANTILE — Druid's approximate-histogram quantile (the
     * pre-DataSketches family many dashboards still emit). Spark's
     * ApproximatePercentile is the same estimate-a-quantile contract;
-    * the optional third argument (Druid: resolution/k) maps to its
-    * accuracy knob.
+    * the optional third argument (Druid: resolution = histogram
+    * centroid count, default 50) lands in a DIFFERENT accuracy domain
+    * than ApproximatePercentile's knob (max rank error 1/accuracy),
+    * so it is scaled (×200: Druid's default 50 maps onto Spark's
+    * default 10000) and floored at the Spark default — a client
+    * passing Druid's own default must not get ~2% rank error —
+    * then capped to bound the aggregation buffer.
     */
   private val approxQuantile: Seq[Expression] => Expression = { e =>
     require(e.length >= 2 && e.length <= 3,
       "approx_quantile(expr, probability[, resolution])")
+    val accuracy = e.lift(2) match {
+      case None => 10000
+      case Some(r) =>
+        val res = litInt(r, "approx_quantile resolution", 50)
+        require(res > 0, s"approx_quantile resolution must be positive: $res")
+        math.min(1000000, math.max(10000, res * 200))
+    }
     new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
-      Cast(e(0), DoubleType), Cast(e(1), DoubleType),
-      e.lift(2).map(r => Literal(litInt(r, "approx_quantile resolution", 10000)))
-        .getOrElse(Literal(10000)))
+      Cast(e(0), DoubleType), Cast(e(1), DoubleType), Literal(accuracy))
   }
 
   private val parseLong: Seq[Expression] => Expression = { e =>

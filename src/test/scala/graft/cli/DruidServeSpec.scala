@@ -465,4 +465,151 @@ class DruidServeSpec extends AnyFunSuite {
         .contains("unknowable"))
     }
   }
+
+  // ---- concurrency + SQL context ------------------------------------------
+
+  /** A two-row frame whose scan sleeps ~1.5 s (rows land in separate
+    * partitions, sleeps overlap) — the "slow query" for the
+    * concurrency and timeout specs.
+    */
+  private def slowFrame: DataFrame = {
+    val sleep = udf { (ms: Long) => Thread.sleep(ms); ms }
+    spark.range(2).select(sleep(lit(1500L)).as("slept"))
+  }
+
+  private def withSlowServer[A](body: Int => A): A = {
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("events" -> events, "slow" -> slowFrame), threads = 4)
+    try body(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  private def asyncPost(port: Int, path: String, json: String)
+      : java.util.concurrent.CompletableFuture[HttpResponse[String]] =
+    HttpClient.newHttpClient().sendAsync(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("/status and a second query answer WHILE a slow query runs") {
+    withSlowServer { port =>
+      val slowFut = asyncPost(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(slept) AS s FROM slow"}""")
+      Thread.sleep(200) // let the slow scan start
+      // on a single-dispatch-thread server both of these would block
+      // until the slow query finished — the !isDone checks pin that
+      // they answered concurrently, not after
+      assert(sendTo(port, "GET", "/status")._1 == 200)
+      assert(!slowFut.isDone, "slow query finished before /status answered")
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM events"}""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("c").asLong() == 5L)
+      assert(!slowFut.isDone, "slow query finished before the fast query")
+      val slowResp = slowFut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(slowResp.statusCode() == 200)
+      assert(mapper.readTree(slowResp.body()).get(0).path("s").asLong() == 3000L)
+    }
+  }
+
+  test("parallel SQL posts answer independently — no cross-request bleed") {
+    withServer { port =>
+      val futs = (1 to 12).map { i =>
+        i -> asyncPost(port, "/druid/v2/sql",
+          s"""{"query": "SELECT $i * count(*) AS v FROM events"}""")
+      }
+      futs.foreach { case (i, f) =>
+        val resp = f.get(60, java.util.concurrent.TimeUnit.SECONDS)
+        assert(resp.statusCode() == 200, s"query $i: ${resp.body()}")
+        assert(mapper.readTree(resp.body()).get(0).path("v").asLong() == i * 5L,
+          s"query $i answered another request's rows")
+      }
+    }
+  }
+
+  test("context.sqlTimeZone scopes rendering AND session time functions") {
+    withServer { port =>
+      // 2024-01-02T01:00:00Z == 2024-01-01T17:00:00-08:00
+      val (c1, b1) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT __time FROM events WHERE user_id = 3",
+            "context": {"sqlTimeZone": "America/Los_Angeles"}}""")
+      assert(c1 == 200, b1)
+      assert(mapper.readTree(b1).get(0).path("__time").asText()
+        == "2024-01-01T17:00:00.000-08:00")
+      // the child session's conf shifted too (CAST renders in session tz)
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT CAST(__time AS STRING) AS ts FROM events WHERE user_id = 3",
+            "context": {"sqlTimeZone": "America/Los_Angeles"}}""")
+      assert(c2 == 200, b2)
+      assert(mapper.readTree(b2).get(0).path("ts").asText()
+        .startsWith("2024-01-01 17:00:00"))
+      // a concurrent/subsequent UTC request is untouched
+      val (c3, b3) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT __time FROM events WHERE user_id = 3"}""")
+      assert(c3 == 200 && mapper.readTree(b3).get(0).path("__time").asText()
+        == "2024-01-02T01:00:00.000Z")
+      // garbage zone fails loudly
+      val (c4, b4) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT 1", "context": {"sqlTimeZone": "Mars/Olympus"}}""")
+      assert(c4 == 400 && b4.contains("Mars/Olympus"))
+    }
+  }
+
+  test("context.timeout answers Druid's QueryTimeoutException envelope (504)") {
+    withSlowServer { port =>
+      val t0 = System.nanoTime()
+      val (code, body) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(slept) AS s FROM slow",
+            "context": {"timeout": 400}}""")
+      val ms = (System.nanoTime() - t0) / 1000000L
+      assert(code == 504, s"$code $body")
+      assert(mapper.readTree(body).path("errorClass").asText()
+        == "QueryTimeoutException")
+      assert(ms < 10000, s"timeout answer took ${ms}ms — cancellation didn't fire")
+      // the server is healthy afterwards and answers real queries
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM events"}""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("c").asLong() == 5L)
+    }
+  }
+
+  test("unknown SQL context keys are rejected loudly, cache hints ignored") {
+    withServer { port =>
+      val (code, body) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT 1", "context": {"useApproximateCountDistinct": false}}""")
+      assert(code == 400 && body.contains("useApproximateCountDistinct"))
+      // result-neutral cache hints pass
+      val (c2, _) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT 1 AS one", "context": {"useCache": false, "populateCache": false}}""")
+      assert(c2 == 200)
+    }
+  }
+
+  test("X-Druid-Query-Id round-trips (sql + native), generated when absent") {
+    withServer { port =>
+      def idOf(path: String, json: String): (Int, String) = {
+        val resp = HttpClient.newHttpClient().send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+          HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(),
+          resp.headers().firstValue("X-Druid-Query-Id").orElse(""))
+      }
+      val (c1, id1) = idOf("/druid/v2/sql",
+        """{"query": "SELECT 1 AS one", "context": {"sqlQueryId": "my-id-1"}}""")
+      assert(c1 == 200 && id1 == "my-id-1")
+      val (c2, id2) = idOf("/druid/v2/sql", """{"query": "SELECT 1 AS one"}""")
+      assert(c2 == 200 && id2.nonEmpty)
+      val (c3, id3) = idOf("/druid/v2", """{
+        "queryType": "timeseries", "dataSource": "events",
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}],
+        "context": {"queryId": "native-7"}}""")
+      assert(c3 == 200 && id3 == "native-7")
+      // error responses carry the id too (set before execution)
+      val (c4, id4) = idOf("/druid/v2/sql",
+        """{"query": "SELECT FROM nothing", "context": {"sqlQueryId": "bad-1"}}""")
+      assert(c4 == 400 && id4 == "bad-1")
+    }
+  }
 }
