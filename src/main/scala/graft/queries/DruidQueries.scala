@@ -2126,6 +2126,63 @@ object DruidQueries extends QuerySet {
                      round(greatest(sum(value), 5000), 2) AS g,
                      round(least(sum(value), 5000), 2) AS l
               FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // -- CALENDAR-period granularity with an origin (fiscal-anchored
+    //    monthly buckets, the construct Druid's PeriodGranularity
+    //    serves with a non-epoch origin): P1M anchored at the 15th
+    //    06:30Z splits January's events across the Dec-15 / Jan-15
+    //    buckets. The origin offset (14d 6h30m) is shorter than every
+    //    month, so the oracle can replay the bucketing as fixed
+    //    shift-truncate-unshift arithmetic — provably identical to
+    //    the engine's month-index lattice on that domain.
+    Q("dr64_native_period_origin",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": {"type": "period", "period": "P1M",
+                          "origin": "2024-01-15T06:30:00.000Z"},
+          "context": {"skipEmptyBuckets": true},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("bucket_ms"),
+                  col("n"), round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('month',
+                       ts - INTERVAL 14 DAY - INTERVAL 390 MINUTE)
+                     + INTERVAL 14 DAY + INTERVAL 390 MINUTE)
+                     AS BIGINT) * 1000 AS bucket_ms,
+                     count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // -- weekly origin buckets in a NON-UTC zone: P1W anchored at
+    //    Tuesday 10:00 America/Los_Angeles (a retail week). January is
+    //    entirely PST (UTC-8, DST starts Mar 10), so the oracle can
+    //    replay the local-frame lattice with a fixed 8-hour shift:
+    //    local = ts - 8h, floor onto Monday-truncated weeks shifted by
+    //    the origin's 34-hour in-week offset, back to UTC.
+    Q("dr65_native_week_origin_tz",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": {"type": "period", "period": "P1W",
+                          "timeZone": "America/Los_Angeles",
+                          "origin": "2024-01-02T18:00:00.000Z"},
+          "context": {"skipEmptyBuckets": true},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("bucket_ms"),
+                  col("n"), round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT CAST(epoch(date_trunc('week',
+                       ts - INTERVAL 8 HOUR - INTERVAL 34 HOUR)
+                     + INTERVAL 34 HOUR + INTERVAL 8 HOUR)
+                     AS BIGINT) * 1000 AS bucket_ms,
+                     count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events GROUP BY 1 ORDER BY 1""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and

@@ -849,6 +849,96 @@ object NativeQuery {
     }
   }
 
+  /** Calendar-period granularity anchored at an `origin` (Druid's
+    * period granularity with a non-epoch origin — fiscal months, weeks
+    * starting Sunday 6pm, ...): bucket boundaries sit at
+    * origin + k·period evaluated in the period's LOCAL calendar, for
+    * all integer k. Two exact strategies, both pure column arithmetic:
+    *
+    *  - sub-month units (second..week): the origin's offset within its
+    *    own period is a fixed wall-clock delta, so shift into the
+    *    anchored lattice, reuse the local-calendar `date_trunc`, shift
+    *    back ("floor in the origin's frame").
+    *  - month-based units (month/quarter/year): month lengths vary, so
+    *    a fixed shift would drift; instead the bucket index is computed
+    *    on the month-number lattice (k = floor((monthIndex(t) −
+    *    monthIndex(origin)) / n)), the candidate boundary rebuilt with
+    *    `add_months` from the origin's month, and stepped back one
+    *    period when t precedes it — exactly Joda's
+    *    `months().getDifference` + floor + `add` sequence Druid runs.
+    *
+    * Equivalence to Druid holds when the origin's day-of-month is at
+    * most 28 for month-based periods; beyond that Joda clamps month
+    * ends (Jan 31 + 1M = Feb 28) and a lattice anchored there is
+    * ambiguous, so the compiler fails loudly rather than bucket
+    * differently than the client's cluster.
+    */
+  private case class OriginGran(unit: String, nMonths: Int,
+                                tz: Option[String], origin: Instant)
+      extends Gran {
+    private val zone = tz.map(java.time.ZoneId.of)
+      .getOrElse(ZoneOffset.UTC: java.time.ZoneId)
+    private val oLocal = LocalDateTime.ofInstant(origin, zone)
+    // wall-clock offset of the origin within its truncation unit (for
+    // month-based units: within its MONTH — the calendar part of the
+    // offset rides the month-index lattice instead)
+    private val truncTo: LocalDateTime = unit match {
+      case "second" => oLocal.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+      case "minute" => oLocal.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+      case "hour"   => oLocal.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+      case "day"    => oLocal.toLocalDate.atStartOfDay
+      case "week"   => oLocal.toLocalDate.`with`(
+        java.time.temporal.TemporalAdjusters.previousOrSame(
+          java.time.DayOfWeek.MONDAY)).atStartOfDay
+      case _ /* month-based */ =>
+        oLocal.toLocalDate.withDayOfMonth(1).atStartOfDay
+    }
+    private val offMs =
+      java.time.Duration.between(truncTo, oLocal).toMillis
+    private val monthBased = nMonths > 0
+    if (monthBased && oLocal.getDayOfMonth > 28)
+      fail(s"granularity origin day-of-month ${oLocal.getDayOfMonth} " +
+        "(calendar periods support day-of-month <= 28; Druid clamps " +
+        "month ends there and the bucket lattice is ambiguous)")
+    private val oMonthIdx = oLocal.getYear * 12 + oLocal.getMonthValue - 1
+    private val oMonthStart = java.sql.Date.valueOf(
+      oLocal.toLocalDate.withDayOfMonth(1))
+
+    private def localize(c: Column): Column =
+      tz.fold(c)(z => from_utc_timestamp(c, z))
+    private def delocalize(c: Column): Column =
+      tz.fold(c)(z => to_utc_timestamp(c, z))
+
+    /** Bucket start of a LOCAL wall-time column, in local wall time. */
+    private def bucketLocal(local: Column): Column =
+      if (!monthBased) {
+        val shifted = timestamp_millis(unix_millis(local) - lit(offMs))
+        timestamp_millis(unix_millis(date_trunc(unit, shifted)) + lit(offMs))
+      } else {
+        val mIdx = year(local) * 12 + month(local) - lit(1)
+        val d = mIdx - lit(oMonthIdx)
+        // floor division on the month lattice (pmod handles pre-origin)
+        val k = (d - pmod(d, lit(nMonths))) / lit(nMonths)
+        def boundary(periods: Column): Column = timestamp_millis(
+          unix_millis(to_timestamp(add_months(lit(oMonthStart),
+            (periods * lit(nMonths)).cast("int")))) + lit(offMs))
+        val cand = boundary(k.cast("long"))
+        when(local < cand, boundary(k.cast("long") - lit(1L))).otherwise(cand)
+      }
+    def bucket(c: Column): Column = delocalize(bucketLocal(localize(c)))
+    def spineDF(spark: SparkSession,
+                start: java.time.Instant, end: java.time.Instant): DataFrame = {
+      val startB = bucketLocal(localize(lit(Timestamp.from(start))))
+      val endL = localize(lit(Timestamp.from(end)))
+      val step =
+        if (monthBased) s"interval $nMonths month" else unitStep(unit)
+      spark.range(1)
+        .select(explode(sequence(startB, endL, expr(step))).as("__t0"))
+        .select(delocalize(col("__t0")).as("__time"))
+        .filter(col("__time") < lit(Timestamp.from(end)))
+    }
+  }
+
   /** Fixed-millisecond granularity (Druid's `duration` type), bucketing
     * by floor-division from `origin` (epoch by default). Pure integer
     * arithmetic — the mod-mod form floors correctly for pre-origin
@@ -885,20 +975,33 @@ object NativeQuery {
     }
     if (g.isObject && g.hasNonNull("origin")) {
       // an origin over a FIXED-LENGTH period (second/minute/hour/UTC
-      // day or week — no DST in UTC) is just the duration form;
-      // calendar months/quarters/years and non-UTC timezones shift
-      // boundaries that fixed arithmetic can't express, and a silently
-      // ignored origin would bucket differently than Druid — loud fail
+      // day or week — no DST in UTC) is just the duration form (pure
+      // integer arithmetic); calendar months/quarters/years and
+      // non-UTC zones go through OriginGran's local-calendar lattice
       val fixedMs = Map("PT1S" -> 1000L, "PT1M" -> 60000L,
         "PT1H" -> 3600000L, "P1D" -> 86400000L, "P1W" -> 604800000L)
       val tzIsUtc = !g.hasNonNull("timeZone") ||
         Set("UTC", "Etc/UTC", "+00:00")(g.path("timeZone").asText())
-      (g.path("type").asText(), fixedMs.get(g.path("period").asText())) match {
-        case ("period", Some(ms)) if tzIsUtc =>
+      if (g.path("type").asText() != "period")
+        fail(s"granularity origin on type '${g.path("type").asText()}' " +
+          "(supported: duration, period)")
+      val period = g.path("period").asText()
+      (fixedMs.get(period), tzIsUtc) match {
+        case (Some(ms), true) =>
           return Some(DurationGran(ms, originMs))
         case _ =>
-          fail("granularity origin (calendar periods / non-UTC zones; " +
-            "use the duration type for fixed-width origin buckets)")
+          val unit = periodUnits.getOrElse(period,
+            fail(s"period granularity '$period'"))
+          val n = unit match {
+            case "month" => 1
+            case "quarter" => 3
+            case "year" => 12
+            case _ => 0
+          }
+          val tzo =
+            if (tzIsUtc) None else Some(g.path("timeZone").asText())
+          return Some(OriginGran(unit, n, tzo,
+            java.time.Instant.ofEpochMilli(originMs)))
       }
     }
     // UTC spellings mean the default path; anything else is honored

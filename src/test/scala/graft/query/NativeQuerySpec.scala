@@ -322,16 +322,86 @@ class NativeQuerySpec extends AnyFunSuite {
       "aggregations": [{"type": "count", "name": "n"}]
     }""").collect()
     assert(periodShift.head.getTimestamp(0) == ts("2023-12-31 06:00:00"))
-    // calendar periods (and non-UTC zones) still reject origin loudly
-    val e = intercept[IllegalArgumentException] {
+  }
+
+  test("calendar-period origin: monthly/quarterly lattices, tz, DST, clamp fail") {
+    // P1M anchored at Jan-1 06:00: the 01:00/02:00 events of Jan 1
+    // precede the origin time-of-day and fall in the DEC bucket
+    val monthly = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1M",
+                      "origin": "2024-01-01T06:00:00.000Z"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(monthly.length == 2)
+    assert(monthly(0).getTimestamp(0) == ts("2023-12-01 06:00:00"))
+    assert(monthly(0).getLong(1) == 2L)
+    assert(monthly(1).getTimestamp(0) == ts("2024-01-01 06:00:00"))
+    assert(monthly(1).getLong(1) == 6L)
+    // P3M anchored mid-February: the lattice is Feb-15, May-15,
+    // Aug-15, Nov-15, ... — month-ADD arithmetic, NOT a fixed 45-day
+    // shift off quarter starts (which would land May-16). Jan events
+    // sit in the Nov-15 bucket (one whole quarter before the origin).
+    val quarterly = run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P3M",
+                      "origin": "2024-02-15T00:00:00.000Z"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""").collect()
+    assert(quarterly.length == 1)
+    assert(quarterly(0).getTimestamp(0) == ts("2023-11-15 00:00:00"))
+    assert(quarterly(0).getLong(1) == 8L)
+    // quarterly lattice sits at origin + k*3 months exactly: probe a
+    // frame inside the May bucket (Jul-20 < Aug-15 => May-15 bucket)
+    val probe = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P3M",
+                      "origin": "2024-02-15T00:00:00.000Z"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""", _ => {
+      import spark.implicits._
+      Seq("2024-07-20 12:00:00", "2024-08-15 00:00:00")
+        .toDF("t").select(to_timestamp(col("t")).as("__time"))
+    }).collect()
+    assert(probe.map(_.getTimestamp(0)).toSeq ==
+      Seq(ts("2024-05-15 00:00:00"), ts("2024-08-15 00:00:00")))
+    // P1D at 06:00 America/Los_Angeles across the 2024-03-10 spring
+    // forward: bucket starts hold local 06:00 — 14:00Z under PST,
+    // 13:00Z under PDT — and an in-gap-morning event (10:00Z = 03:00
+    // PDT, before 06:00 local) belongs to the PREVIOUS local day
+    val dst = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1D",
+                      "timeZone": "America/Los_Angeles",
+                      "origin": "2024-01-01T06:00:00.000-08:00"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""", _ => {
+      import spark.implicits._
+      // UTC instants: Mar-9 20:00Z (=12:00 PST), Mar-10 10:00Z
+      // (=03:00 PDT), Mar-10 20:00Z (=13:00 PDT), Mar-11 15:00Z
+      Seq("2024-03-09 20:00:00", "2024-03-10 10:00:00",
+          "2024-03-10 20:00:00", "2024-03-11 15:00:00")
+        .toDF("t").select(to_timestamp(col("t")).as("__time"))
+    }).collect()
+    assert(dst.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq == Seq(
+      (ts("2024-03-09 14:00:00"), 2L),  // Mar-9 06:00 PST + the 03:00 PDT row
+      (ts("2024-03-10 13:00:00"), 1L),  // Mar-10 06:00 PDT (23h local day)
+      (ts("2024-03-11 13:00:00"), 1L))) // Mar-11 06:00 PDT
+    // origin day-of-month 29+ on a month-based period fails loudly
+    // (Joda clamps month ends; an unclamped lattice would differ)
+    val clamp = intercept[IllegalArgumentException] {
       run("""{
         "queryType": "timeseries", "dataSource": "events",
         "granularity": {"type": "period", "period": "P1M",
-                        "origin": "2024-01-01T06:00:00.000Z"},
+                        "origin": "2024-01-31T00:00:00.000Z"},
         "aggregations": [{"type": "count", "name": "n"}]
       }""").collect()
     }
-    assert(e.getMessage.contains("origin"))
+    assert(clamp.getMessage.contains("day-of-month"))
   }
 
   test("nested filtered aggregators conjoin their predicates") {
@@ -614,14 +684,18 @@ class NativeQuerySpec extends AnyFunSuite {
       "aggregations": [{"type": "count", "name": "n"}]
     }""").collect()
     assert(g.head.getTimestamp(0) == ts("2023-12-31 08:00:00"))
-    // an origin over a CALENDAR-shifted (non-UTC) period is not
-    // silently ignored — fixed arithmetic can't express it
-    intercept[IllegalArgumentException](run("""{
+    // an origin over a non-UTC period anchors the LOCAL lattice:
+    // 06:00Z origin = 22:00 LA local, so the 17:00/18:00-local events
+    // fall in the bucket starting the previous local 22:00 (06:00Z)
+    val o = run("""{
       "queryType": "timeseries", "dataSource": "events",
       "granularity": {"type": "period", "period": "P1D",
                       "timeZone": "America/Los_Angeles",
                       "origin": "2024-01-01T06:00:00Z"},
-      "aggregations": [{"type": "count", "name": "n"}]}"""))
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]}""").collect()
+    assert(o.head.getTimestamp(0) == ts("2023-12-31 06:00:00"))
+    assert(o.head.getLong(1) == 2L)
   }
 
   test("doubleMean and first/last-by-__time aggregators; true filter") {
