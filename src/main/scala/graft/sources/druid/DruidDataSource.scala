@@ -88,7 +88,9 @@ object DruidTableUtil {
         finally stream.close()
       if (segs.isEmpty)
         throw new IllegalArgumentException(s"no druid segments under $root")
-      segs
+      // a swap (compaction / overwrite) in progress: resolve the
+      // listing to exactly one generation, never a mix of both
+      SegmentCatalog.pendingFilter(root, segs)
     } else throw new IllegalArgumentException(s"not a directory: $root")
   }
 

@@ -318,7 +318,18 @@ object DruidBatchWrite {
     // committed segments appear atomically, one directory at a time.
     // The planning sidecar is written while the segment is still in
     // staging, so segment and metadata land together — a segment can
-    // never exist in the table without its sidecar
+    // never exist in the table without its sidecar.
+    // When this commit also REMOVES segments (overwrite / REPLACE
+    // WHERE), a pending-swap marker brackets the whole
+    // move-in-then-delete window so a concurrent reader resolves to
+    // exactly one table generation — without it, a listing taken
+    // between the first move and the last delete counts BOTH.
+    val removedNames =
+      (if (truncate) previous else replaceDrop).map(_.getFileName.toString)
+    val addedNames = newMetas.map(m => Paths.get(m.dir).getFileName.toString)
+    if (removedNames.nonEmpty)
+      try SegmentCatalog.writePending(root, addedNames, removedNames)
+      catch { case _: Exception => () } // marker is best-effort, like the manifest
     val committed = messages.toSeq.collect { case DruidCommitMessage(segs) =>
       segs.map { m =>
         try SegmentCatalog.writeSidecar(m)
@@ -368,6 +379,7 @@ object DruidBatchWrite {
         }
       }
     } catch { case _: Exception => () } // manifest is a cache; never fail the job
+    if (removedNames.nonEmpty) SegmentCatalog.clearPending(root)
   }
 
   private[druid] def deleteRecursively(p: Path): Unit =

@@ -84,6 +84,7 @@ object SegmentCatalog {
   val FileName = "_graft_manifest.json"
   val LogDirName = "_graft_log"
   val SidecarName = "_graft_meta.json"
+  val PendingName = "_graft_pending.json"
   /** Log files tolerated before a commit folds them into the base. */
   private val CompactThreshold = 16
   private val mapper = new ObjectMapper()
@@ -444,6 +445,76 @@ object SegmentCatalog {
 
   /** Number of pending log delta files (test/observability hook). */
   def logSize(root: String): Int = logFiles(root).size
+
+  // ------------------------------------------------- atomic multi-dir swap
+
+  /** Declare an in-progress segment SWAP (compaction, overwrite,
+    * REPLACE WHERE): `adds` land then `removes` delete, but directory
+    * moves are only per-dir atomic, so a reader listing the table
+    * mid-swap would see BOTH generations and double-count rows. The
+    * marker — one atomically-written file — closes that window:
+    * discovery filters its listing to the pre-state (until every
+    * `adds` dir is present) or the post-state (all `adds` present ⇒
+    * the `removes` are logically gone even while their dirs linger).
+    * Deletes MUST start only after all adds have moved in — that
+    * ordering is what makes the two states the only observable ones
+    * in every crash/race interleaving.
+    *
+    * Like the manifest, the marker degrades safely: a leftover marker
+    * from a crash keeps yielding one of the two consistent states, and
+    * the next swap replaces it.
+    */
+  def writePending(root: String, adds: Seq[String],
+                   removes: Seq[String]): Unit = {
+    val node = mapper.createObjectNode()
+    val a = node.putArray("add");    adds.foreach(a.add)
+    val r = node.putArray("remove"); removes.foreach(r.add)
+    writeAtomic(Paths.get(root, PendingName),
+      mapper.writeValueAsString(node).getBytes(UTF_8))
+  }
+
+  /** Retire the swap marker once the deletes and manifest are done. */
+  def clearPending(root: String): Unit = {
+    val _ = try Files.deleteIfExists(Paths.get(root, PendingName))
+            catch { case _: Exception => false }
+  }
+
+  /** Filter a raw directory listing through the pending-swap marker
+    * (no-op when none exists). `listed` holds full dir paths; the
+    * marker holds segment dir NAMES.
+    */
+  def pendingFilter(root: String, listed: Seq[String]): Seq[String] = {
+    val p = Paths.get(root, PendingName)
+    if (!Files.isRegularFile(p)) return listed
+    readJson(p) match {
+      case None => listed // torn/unreadable marker: treat as absent
+      case Some(node) =>
+        def names(field: String): Set[String] = {
+          val n = node.get(field)
+          if (n == null || !n.isArray) Set.empty
+          else {
+            val b = Set.newBuilder[String]
+            val it = n.iterator()
+            while (it.hasNext) b += it.next().asText()
+            b.result()
+          }
+        }
+        val adds = names("add")
+        val removes = names("remove")
+        val byName = listed.map(d => Paths.get(d).getFileName.toString -> d)
+        val present = byName.map(_._1).toSet
+        val visible =
+          if (adds.subsetOf(present)) byName.collect {
+            case (n, d) if !removes.contains(n) => d // post-state
+          }
+          else byName.collect {
+            case (n, d) if !adds.contains(n) => d    // pre-state
+          }
+        // a leftover marker that would hide everything is garbage —
+        // self-heal to the raw listing rather than report an empty table
+        if (visible.isEmpty) listed else visible
+    }
+  }
 
   /** Planning metadata for every segment under `root`: manifest, log,
     * and sidecars first; binary metadata opens ONLY for dirs none of

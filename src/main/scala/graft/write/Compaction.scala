@@ -38,6 +38,13 @@ object Compaction {
     * zone maps prune segments for range/point queries on the leading
     * column(s) — the OPTIMIZE/CLUSTER BY maintenance shape on segment
     * tables.
+    *
+    * CONCURRENCY: full compaction is an overwrite — a segment appended
+    * between this method's table read and its commit is replaced by
+    * output that never saw it (the same last-writer-wins contract as
+    * any overwrite). Under concurrent writers use
+    * [[compactIncremental]], which merges only the segments it
+    * snapshotted and leaves racing appends untouched.
     */
   private def clusterCols(spec: String) =
     spec.split(",").map(_.trim).filter(_.nonEmpty)
@@ -112,6 +119,11 @@ object Compaction {
       // preserve the cached union schema across the manifest rewrite
       val schema = graft.sources.druid.SegmentCatalog
         .loadSchema(dir, metas.map(_.dir))
+      // pending-swap marker brackets move-in + delete so a concurrent
+      // reader sees the pre- or post-merge segment set, never both
+      graft.sources.druid.SegmentCatalog.writePending(dir,
+        adds = merged.map(m => Paths.get(m.dir).getFileName.toString),
+        removes = small.map(m => Paths.get(m.dir).getFileName.toString))
       val moved = merged.map { m =>
         val src = Paths.get(m.dir)
         val dst = Paths.get(dir).resolve(src.getFileName)
@@ -119,8 +131,13 @@ object Compaction {
         m.copy(dir = dst.toString)
       }
       small.foreach(m => deleteRecursively(Paths.get(m.dir)))
+      // the manifest rewrite snapshots keep+moved; a delta from an
+      // append that raced this compaction is superseded but its
+      // segment dir survives and resolves by sidecar (not in `small`,
+      // so never deleted here)
       graft.sources.druid.SegmentCatalog.write(
         dir, (keep ++ moved).sortBy(_.dir), schema)
+      graft.sources.druid.SegmentCatalog.clearPending(dir)
       Stats(rows, metas.size, keep.size + moved.size)
     } finally deleteRecursively(scratch)
   }

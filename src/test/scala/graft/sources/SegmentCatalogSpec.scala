@@ -191,4 +191,120 @@ class SegmentCatalogSpec extends AnyFunSuite {
       "not json at all".getBytes("UTF-8"))
     assert(spark.read.format("druid").load(out).count() == 100)
   }
+
+  test("pending-swap marker resolves discovery to ONE generation, never a mix") {
+    val out = Files.createTempDirectory("graft-catp").toString + "/t"
+    write(out, 400, parts = 2) // two "old" segments
+    val old = druid.DruidTableUtil.discoverSegments(out)
+    val oldNames = old.map(d => Paths.get(d).getFileName.toString)
+    // the post-swap segment is a real segment dir (copy of an old one)
+    def copySeg(src: String, name: String): String = {
+      val dst = Paths.get(out, name)
+      val s = Paths.get(src)
+      Files.walk(s).iterator().asScala.toSeq.foreach { p =>
+        Files.copy(p, dst.resolve(s.relativize(p).toString))
+      }
+      dst.toString
+    }
+    // swap declared, adds NOT yet present: pre-state (old segments)
+    SegmentCatalog.writePending(out, adds = Seq("segment-merged"),
+      removes = oldNames)
+    assert(druid.DruidTableUtil.discoverSegments(out).sorted == old.sorted)
+    // mid-swap: merged dir moved in, old dirs still on disk — reads
+    // resolve to the POST state (old hidden), never both generations
+    val merged = copySeg(old.head, "segment-merged")
+    assert(druid.DruidTableUtil.discoverSegments(out) == Seq(merged))
+    assert(spark.read.format("druid").load(out).count() == 200)
+    // post-swap: old dirs deleted, marker retired — plain listing
+    old.foreach { d =>
+      Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
+    SegmentCatalog.clearPending(out)
+    assert(druid.DruidTableUtil.discoverSegments(out) == Seq(merged))
+    // a leftover marker that would hide EVERYTHING self-heals to the
+    // raw listing instead of reporting an empty table
+    SegmentCatalog.writePending(out,
+      adds = Seq("segment-merged"), removes = Seq("segment-merged"))
+    assert(druid.DruidTableUtil.discoverSegments(out) == Seq(merged))
+    SegmentCatalog.clearPending(out)
+  }
+
+  test("reader/appender/compactor race: every read sees a consistent table") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-catrace").toString + "/t"
+    // batch 0: 200 base rows; appended batches carry 100 rows each —
+    // the invariant is per-batch atomicity: a read may land before or
+    // after any append/compaction, but a batch is always all-or-none
+    // and never double-counted
+    def batchDF(b: Int, rows: Int) =
+      (0 until rows).map(i =>
+        (new java.sql.Timestamp(1700000000000L + b * 1000000L + i * 1000L),
+          b.toLong, 1L)).toDF("__time", "b", "one")
+    batchDF(0, 200).coalesce(1).write.format("druid").mode("overwrite").save(out)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appendsDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val goodReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    val appender = new Thread(() => try {
+      (1 to 5).foreach { b =>
+        batchDF(b, 100).coalesce(1)
+          .write.format("druid").mode("append").save(out)
+        appendsDone.incrementAndGet()
+        Thread.sleep(50)
+      }
+    } catch { case e: Throwable => errors.add(s"appender: $e") })
+
+    val compactor = new Thread(() => try {
+      while (!stop.get()) {
+        // every segment is under 0.9*2000 rows, so each pass merges
+        // the full current set — maximal swap pressure
+        graft.write.Compaction.compactIncremental(
+          spark, out, targetRowsPerSegment = 2000, minFillFraction = 0.9)
+        Thread.sleep(20)
+      }
+    } catch { case e: Throwable => errors.add(s"compactor: $e") })
+
+    val reader = new Thread(() => try {
+      while (!stop.get()) {
+        val before = appendsDone.get()
+        try {
+          val got = spark.read.format("druid").load(out)
+            .groupBy("b").agg(org.apache.spark.sql.functions.sum("one").as("n"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val after = appendsDone.get()
+          // batch 0 is always fully visible; appended batches are
+          // all-or-none; batches appended before the read started
+          // must be present, and nothing is ever double-counted
+          if (got.getOrElse(0L, 0L) != 200L)
+            errors.add(s"base batch torn: $got")
+          got.foreach { case (b, n) =>
+            if (b != 0L && n != 100L) errors.add(s"batch $b torn: $n rows")
+          }
+          (1 to before).foreach { b =>
+            if (!got.contains(b.toLong) && after == before)
+              errors.add(s"committed batch $b missing: $got")
+          }
+          goodReads.incrementAndGet()
+        } catch {
+          case _: Exception => () // loud read failure (mid-swap dir
+          // deletion) is acceptable; silent wrong data is not
+        }
+      }
+    } catch { case e: Throwable => errors.add(s"reader: $e") })
+
+    reader.start(); compactor.start(); appender.start()
+    appender.join(120000)
+    Thread.sleep(300) // let the reader observe the final state
+    stop.set(true)
+    reader.join(120000); compactor.join(120000)
+    assert(errors.isEmpty, s"inconsistent reads: ${errors.asScala.toSeq.take(5)}")
+    assert(goodReads.get() >= 3, s"only ${goodReads.get()} successful reads")
+    // quiesced: everything merged, nothing lost
+    val fin = spark.read.format("druid").load(out)
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == Map(0L -> 200L, 1L -> 100L, 2L -> 100L, 3L -> 100L,
+      4L -> 100L, 5L -> 100L), s"final state wrong: $fin")
+  }
 }
