@@ -132,6 +132,28 @@ object TextOps {
       .select("d1", "d2").distinct()
   }
 
+  /** Connectivity-equivalent LSH edges for CLUSTERING: one star per
+    * (band, sig) bucket — hub = the bucket's min doc_id, one edge from
+    * the hub to every other member. A bucket of k docs contributes
+    * k-1 edges instead of the k(k-1)/2 pairs `lshCandidates` emits,
+    * so the edge list stays LINEAR in the band index even on hot
+    * buckets (the quadratic blowup maxBucket exists to cap simply
+    * never happens), while connected components over the stars equal
+    * components over the all-pairs graph — every bucket is fully
+    * connected through its hub either way, and union-of-buckets
+    * connectivity is preserved bucket by bucket. Use this for
+    * component clustering; use `lshCandidates` when a per-pair rerank
+    * genuinely needs every pair.
+    */
+  def lshConnectivityEdges(bands: DataFrame): DataFrame = {
+    val hubs = bands.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("hub"))
+    bands.join(hubs, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("d1"), col("doc_id").as("d2"))
+      .distinct()
+  }
+
   /** Exact Jaccard for candidate pairs via per-row sorted gram arrays
     * and a native linear-merge intersection — two hash joins and a
     * projection; no gram explode, no distinct, no group-by. `docs` need

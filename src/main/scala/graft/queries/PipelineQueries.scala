@@ -748,10 +748,13 @@ object PipelineQueries extends QuerySet {
     // outputs are hash-exact.
     Q("d18_neardup_components",
       (s, dir) => {
-        // candidate edges start from the PERSISTED band index (same
+        // connectivity edges start from the PERSISTED band index (same
         // build/serve split as d2/d21) — clustering never re-hashes
-        // the corpus
-        val cand = TextOps.lshCandidates(
+        // the corpus, and per-bucket STARS (not all-pairs) keep the
+        // edge list linear in the band index: components over stars
+        // equal components over the pair graph (the oracle's all-pairs
+        // cand is connectivity-identical bucket by bucket)
+        val cand = TextOps.lshConnectivityEdges(
           s.read.parquet(lshBandsDir(s, dir)))
         graft.pipeline.Components.connectedComponents(cand)
           .groupBy(col("component"))

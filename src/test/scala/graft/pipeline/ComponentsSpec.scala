@@ -17,6 +17,14 @@ class ComponentsSpec extends AnyFunSuite {
     Components.connectedComponents(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Forces the DISTRIBUTED hash-min path (localEdgeLimit = 0), so the
+    * iterative rounds keep coverage now that small graphs default to
+    * the driver-side union-find fast path.
+    */
+  private def compsDist(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    Components.connectedComponents(df, localEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("two disjoint components get their min ids") {
     val m = comps(edges((1L, 2L), (2L, 3L), (10L, 11L)))
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
@@ -76,7 +84,7 @@ class ComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star.size == 120 && star.values.forall(_ == 100L))
     val viaFallback = Components.connectedComponents(edges(chain: _*),
-        maxIter = 1)
+        maxIter = 1, localEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaFallback == star,
       "hash-min round exhaustion did not fall back to star contraction")
@@ -112,6 +120,21 @@ class ComponentsSpec extends AnyFunSuite {
 
       val got = comps(edges(edgeList: _*))
       assert(got == expected, s"trial $trial mismatch")
+      // and the distributed rounds agree with the fast path
+      val gotDist = compsDist(edges(edgeList: _*))
+      assert(gotDist == expected, s"trial $trial distributed mismatch")
+    }
+  }
+
+  test("distributed path matches the fast path on the structured cases") {
+    val cases = Seq(
+      (1L until 12L).map(i => (i, i + 1)),
+      Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L),
+          (8L, 9L), (3L, 7L)),
+      Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)))
+    cases.foreach { es =>
+      assert(compsDist(edges(es: _*)) == comps(edges(es: _*)),
+        s"paths diverged on $es")
     }
   }
 }
