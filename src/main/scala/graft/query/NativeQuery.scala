@@ -502,7 +502,15 @@ object NativeQuery {
             val xAtY = lit(xi) + (py - lit(yi)) / lit(yj - yi) * lit(xj - xi)
             when(spans && xAtY < px, lit(1)).otherwise(lit(0))
           }.reduce(_ + _)
-          crossings % 2 === 1
+          // bounding-box conjunct FIRST: a point outside the polygon's
+          // envelope can't be inside it, so the cheap four-comparison
+          // test short-circuits the O(vertices) crossing sum for every
+          // such row — and, being plain range predicates, the bbox is
+          // what the planner can push toward scans and zone maps,
+          // which the parity arithmetic never will be
+          val bbox = px >= lit(xs.min) && px <= lit(xs.max) &&
+            py >= lit(ys.min) && py <= lit(ys.max)
+          bbox && crossings % 2 === 1
         case other => fail(s"spatial bound '$other'")
       }
     case "true"  => lit(true)
