@@ -140,7 +140,10 @@ object DruidServe {
                              timeoutMs: Long)(body: => A): A = {
     if (timeoutMs <= 0) return body
     val sc = spark.sparkContext
-    val group = s"graft-serve-$qid"
+    // nonce: the query id is CLIENT-chosen, and two concurrent
+    // requests reusing one id must not share a job group — a shared
+    // group would let one request's timeout cancel the other's jobs
+    val group = s"graft-serve-$qid-${java.util.UUID.randomUUID().toString.take(8)}"
     sc.setJobGroup(group, s"druid query $qid (timeout ${timeoutMs}ms)",
       interruptOnCancel = true)
     val deadline = System.nanoTime() + timeoutMs * 1000000L
@@ -326,8 +329,40 @@ object DruidServe {
             if (session eq spark)
               sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
             registerInformationSchema(spark, sqlTables)
-            val df =
-              if (args.isEmpty) session.sql(sql0) else session.sql(sql0, args)
+            val df = explainPlanFor(sql0) match {
+              case Some(inner) =>
+                // Druid's `EXPLAIN PLAN FOR <query>` (the statement
+                // the web console and several clients issue to inspect
+                // plans): answer Druid's one-row shape — PLAN (the
+                // engine's formatted plan text), RESOURCES (the
+                // datasources the query reads, as Druid's
+                // [{"name":...,"type":"DATASOURCE"}] JSON), ATTRIBUTES
+                // (statementType). The plan text is Spark's, not a
+                // native-query JSON — honest about what executes.
+                val q =
+                  if (args.isEmpty) session.sql(inner)
+                  else session.sql(inner, args)
+                val planText = q.queryExecution.explainString(
+                  org.apache.spark.sql.execution.ExtendedMode)
+                // referenced datasources from the PARSED plan (the
+                // analyzed plan has already swapped views for their
+                // definitions, losing the client-facing names)
+                val tables = session.sessionState.sqlParser.parsePlan(inner)
+                  .collect {
+                    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                      r.multipartIdentifier.mkString(".")
+                  }.distinct
+                val resources = tables.map(t =>
+                  mapper.createObjectNode().put("name", t)
+                    .put("type", "DATASOURCE"))
+                  .foldLeft(mapper.createArrayNode())((a, o) => { a.add(o); a })
+                import session.implicits._
+                Seq((planText, resources.toString,
+                  """{"statementType":"SELECT"}"""))
+                  .toDF("PLAN", "RESOURCES", "ATTRIBUTES")
+              case None =>
+                if (args.isEmpty) session.sql(sql0) else session.sql(sql0, args)
+            }
             sqlResponse(df,
               node.path("resultFormat").asText("object"),
               node.path("header").asBoolean(false),
@@ -668,6 +703,18 @@ object DruidServe {
         }
     }
     out.toString
+  }
+
+  /** `EXPLAIN PLAN FOR <query>` detection (Druid's spelling, not
+    * Spark's): returns the inner query when the statement is an
+    * explain. Case-insensitive, leading whitespace tolerated.
+    */
+  private def explainPlanFor(sql: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("^\\s*EXPLAIN\\s+PLAN\\s+FOR\\s+(.+)$",
+        java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+      .matcher(sql)
+    if (m.matches()) Some(m.group(1)) else None
   }
 
   /** Druid SQL `parameters` → values for Spark's NATIVE positional

@@ -584,6 +584,28 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("EXPLAIN PLAN FOR answers Druid's PLAN/RESOURCES/ATTRIBUTES row") {
+    withServer { port =>
+      val (code, body) = postTo(port, "/druid/v2/sql",
+        """{"query": "EXPLAIN PLAN FOR SELECT event_type, count(*) FROM events GROUP BY event_type"}""")
+      assert(code == 200, body)
+      val row = mapper.readTree(body).get(0)
+      assert(row.path("PLAN").asText().contains("Aggregate"))
+      val res = mapper.readTree(row.path("RESOURCES").asText())
+      assert(res.size == 1 && res.get(0).path("name").asText() == "events"
+        && res.get(0).path("type").asText() == "DATASOURCE")
+      assert(row.path("ATTRIBUTES").asText().contains("SELECT"))
+      // case-insensitive, and the inner query still analyzes for real
+      // (a bad inner query is a loud 400, not a phantom plan)
+      val (c2, _) = postTo(port, "/druid/v2/sql",
+        """{"query": "explain plan for select 1"}""")
+      assert(c2 == 200)
+      val (c3, _) = postTo(port, "/druid/v2/sql",
+        """{"query": "EXPLAIN PLAN FOR SELECT no_such_col FROM events"}""")
+      assert(c3 == 400)
+    }
+  }
+
   test("X-Druid-Query-Id round-trips (sql + native), generated when absent") {
     withServer { port =>
       def idOf(path: String, json: String): (Int, String) = {
