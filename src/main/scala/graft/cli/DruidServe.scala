@@ -129,35 +129,77 @@ object DruidServe {
     */
   private val serveSeq = new java.util.concurrent.atomic.AtomicInteger()
 
-  /** Run `body` (plan + execute + serialize) under Druid's
-    * `context.timeout` contract: at the deadline the request's job
-    * group is cancelled (interrupting running tasks) and the failure
-    * surfaces as [[QueryTimedOut]]. No-op for timeoutMs <= 0. The job
-    * group is a thread-local Spark property, so concurrent requests
-    * on other pool threads are untouched.
+  /** Raised when a client cancels the query via DELETE; answered with
+    * Druid's QueryInterruptedException envelope (HTTP 500, the
+    * broker's code for an interrupted query).
     */
-  private def withTimeout[A](spark: SparkSession, qid: String,
-                             timeoutMs: Long)(body: => A): A = {
-    if (timeoutMs <= 0) return body
+  private final class QueryCancelled(msg: String)
+    extends RuntimeException(msg)
+
+  /** qid → (SparkContext, job group) of every request currently
+    * executing, for the DELETE cancellation endpoints. Client ids can
+    * collide; last-started wins the map slot (each still cancels only
+    * its own nonce'd group).
+    */
+  private val running =
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.SparkContext, String)]()
+
+  /** True if a cancel request landed for this id and group. */
+  private val cancelled =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Cancel a running query by id (the DELETE endpoints). Returns
+    * true when a running query with that id existed.
+    */
+  private def cancelQuery(qid: String): Boolean =
+    Option(running.get(qid)) match {
+      case Some((sc, group)) =>
+        cancelled.add(group)
+        sc.cancelJobGroup(group)
+        true
+      case None => false
+    }
+
+  /** Run `body` (plan + execute + serialize) under Druid's query
+    * control contract: the request runs in its own job group
+    * (registered for DELETE-cancellation), and with a positive
+    * `context.timeout` the group is cancelled at the deadline
+    * (interrupting running tasks), surfacing as [[QueryTimedOut]];
+    * a client DELETE surfaces as [[QueryCancelled]]. The job group is
+    * a thread-local Spark property, so concurrent requests on other
+    * pool threads are untouched.
+    */
+  private def withQueryControl[A](spark: SparkSession, qid: String,
+                                  timeoutMs: Long)(body: => A): A = {
     val sc = spark.sparkContext
     // nonce: the query id is CLIENT-chosen, and two concurrent
     // requests reusing one id must not share a job group — a shared
     // group would let one request's timeout cancel the other's jobs
     val group = s"graft-serve-$qid-${java.util.UUID.randomUUID().toString.take(8)}"
-    sc.setJobGroup(group, s"druid query $qid (timeout ${timeoutMs}ms)",
-      interruptOnCancel = true)
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
-    val cancel = timeoutScheduler.schedule(new Runnable {
-      def run(): Unit = sc.cancelJobGroup(group)
-    }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    sc.setJobGroup(group, s"druid query $qid", interruptOnCancel = true)
+    running.put(qid, (sc, group))
+    val deadline =
+      if (timeoutMs > 0) System.nanoTime() + timeoutMs * 1000000L
+      else Long.MaxValue
+    val cancel =
+      if (timeoutMs > 0) Some(timeoutScheduler.schedule(new Runnable {
+        def run(): Unit = sc.cancelJobGroup(group)
+      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      else None
     try body
     catch {
+      // a client DELETE beats the timeout attribution: its cancel is
+      // recorded before the group dies
+      case _: Throwable if cancelled.contains(group) =>
+        throw new QueryCancelled(s"query $qid was cancelled")
       // any failure past the deadline is (or was caused by) the
       // cancellation — answer the timeout envelope, not a generic 400
       case _: Throwable if System.nanoTime() >= deadline =>
         throw new QueryTimedOut(s"query $qid exceeded timeout ${timeoutMs}ms")
     } finally {
-      cancel.cancel(false)
+      cancel.foreach(_.cancel(false))
+      running.remove(qid, (sc, group)) // only OUR entry, not a newer same-id
+      cancelled.remove(group)
       sc.clearJobGroup()
     }
   }
@@ -257,6 +299,12 @@ object DruidServe {
           o.put("errorMessage", String.valueOf(e.getMessage))
           o.put("errorClass", "QueryTimeoutException")
           respond(ex, 504, o.toString)
+        case e: QueryCancelled =>
+          val o = mapper.createObjectNode()
+          o.put("error", "Query cancelled")
+          o.put("errorMessage", String.valueOf(e.getMessage))
+          o.put("errorClass", "QueryInterruptedException")
+          respond(ex, 500, o.toString)
         case e: Throwable =>
           val o = mapper.createObjectNode()
           o.put("error", "Query not supported")
@@ -268,8 +316,14 @@ object DruidServe {
       respond(ex, 200, """{"service":"graft/broker","version":"graft-1"}"""))
     // ORDER MATTERS for the JDK server: the longest matching context
     // prefix wins, so /druid/v2/sql takes SQL and /druid/v2 native JSON
-    server.createContext("/druid/v2", (ex: HttpExchange) =>
-      handled(ex) { body =>
+    server.createContext("/druid/v2", (ex: HttpExchange) => {
+      val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2")
+        .stripPrefix("/")
+      if (ex.getRequestMethod == "DELETE" && sub.nonEmpty &&
+          !sub.contains("/"))
+        // Druid's query cancellation: DELETE /druid/v2/{queryId}
+        respondCancel(ex, sub)
+      else handled(ex) { body =>
         val q = mapper.readTree(body)
         val qid = Option(q.path("context").path("queryId").asText(null))
           .getOrElse(java.util.UUID.randomUUID().toString)
@@ -279,7 +333,7 @@ object DruidServe {
         val t0 = System.nanoTime()
         val rowsOut = new java.util.concurrent.atomic.AtomicLong()
         try {
-          val out = withTimeout(spark, qid, timeoutMs) {
+          val out = withQueryControl(spark, qid, timeoutMs) {
             envelope(q, graft.query.NativeQuery.run(body, resolve),
               maxResultRows, rowsOut)
           }
@@ -291,9 +345,15 @@ object DruidServe {
             rowsOut.get(), s"error:${e.getClass.getSimpleName}")
           throw e
         }
-      })
-    server.createContext("/druid/v2/sql", (ex: HttpExchange) =>
-      handled(ex) { body =>
+      }
+    })
+    server.createContext("/druid/v2/sql", (ex: HttpExchange) => {
+      val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql")
+        .stripPrefix("/")
+      if (ex.getRequestMethod == "DELETE" && sub.nonEmpty)
+        // Druid's SQL cancellation: DELETE /druid/v2/sql/{sqlQueryId}
+        respondCancel(ex, sub)
+      else handled(ex) { body =>
         val node = mapper.readTree(body)
         val sql0 = node.path("query").asText()
         if (sql0.isEmpty)
@@ -324,7 +384,7 @@ object DruidServe {
         val t0 = System.nanoTime()
         val rowsOut = new java.util.concurrent.atomic.AtomicLong()
         try {
-          val out = withTimeout(session, qid, timeoutMs) {
+          val out = withQueryControl(session, qid, timeoutMs) {
             graft.sql.DruidSqlCompat.register(session)
             if (session eq spark)
               sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
@@ -378,7 +438,8 @@ object DruidServe {
             rowsOut.get(), s"error:${e.getClass.getSimpleName}")
           throw e
         }
-      })
+      }
+    })
     // broker schema-discovery endpoints (pydruid et al. call these on
     // connect): the table list, and per-table dimensions/metrics split
     // the way a broker reports them (strings/arrays = dimensions,
@@ -559,6 +620,21 @@ object DruidServe {
         "usage: druid-serve <tablesRoot> [--port N] [--host H] " +
           "[--max-rows N] [--threads N] [--log-queries]")
       sys.exit(2)
+  }
+
+  /** DELETE /druid/v2[/sql]/{id}: cancel a running query. Druid
+    * answers 202 Accepted whether or not the id matched a live query
+    * (cancellation is inherently racy — the query may have just
+    * finished); we do the same, and the cancelled request itself
+    * answers the QueryInterruptedException envelope.
+    */
+  private def respondCancel(ex: HttpExchange, qid: String): Unit = {
+    cancelQuery(qid)
+    // the id comes off the URL — serialize through jackson, never
+    // string-splice untrusted text into a JSON literal
+    val o = mapper.createObjectNode()
+    o.put("cancelled", qid)
+    respond(ex, 202, o.toString)
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String,

@@ -584,6 +584,28 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("DELETE /druid/v2/sql/{id} cancels a running query") {
+    withSlowServer { port =>
+      val slowFut = asyncPost(port, "/druid/v2/sql",
+        """{"query": "SELECT sum(slept) AS s FROM slow",
+            "context": {"sqlQueryId": "kill-me"}}""")
+      Thread.sleep(300) // let the scan start
+      val (code, body) = sendTo(port, "DELETE", "/druid/v2/sql/kill-me")
+      assert(code == 202 && body.contains("kill-me"))
+      val resp = slowFut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(resp.statusCode() == 500, resp.body())
+      assert(mapper.readTree(resp.body()).path("errorClass").asText()
+        == "QueryInterruptedException")
+      // cancelling an unknown id still answers 202 (Druid semantics —
+      // the query may have just finished; cancellation is racy)
+      assert(sendTo(port, "DELETE", "/druid/v2/sql/no-such-query")._1 == 202)
+      // the server stays healthy
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM events"}""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("c").asLong() == 5L)
+    }
+  }
+
   test("EXPLAIN PLAN FOR answers Druid's PLAN/RESOURCES/ATTRIBUTES row") {
     withServer { port =>
       val (code, body) = postTo(port, "/druid/v2/sql",
