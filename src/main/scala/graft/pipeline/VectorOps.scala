@@ -185,6 +185,41 @@ object VectorOps {
     a1.join(reassigned, "vec_id")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus, then drop within-cluster
+    * near-duplicates by pairwise embedding cosine, keeping the lowest
+    * vec_id of each detected pair. The clustering is what makes the
+    * quadratic pair stage tractable — pairs form per CELL
+    * (corpus/nCells per side, an equi-join on cell id), never across
+    * the whole corpus; that is the paper's own design and the 100 TB
+    * shape (cells shuffle once, centroids broadcast). Returns
+    * (vec_id, cell, drop) for every vector. Deterministic
+    * cross-engine: [[ivfAssign]]'s rounded-cosine seed assignment,
+    * pair cosines rounded to 6.
+    */
+  def semanticDedup(embeddings: DataFrame, nCells: Int,
+                    tau: Double): DataFrame = {
+    registerExprs(embeddings)
+    val a1 = ivfAssign(embeddings, nCells)
+    val withVec = embeddings.select(col("vec_id"), col("embedding"))
+      .join(a1, "vec_id")
+    val aSide = withVec.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val bSide = withVec.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    val dropped = aSide.join(bSide, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(
+        expr(dotSql("ea", "eb")) /
+          (expr(normSql("ea")) * expr(normSql("eb"))), 6))
+      .filter(col("cos") >= tau)
+      .select(col("b").as("vec_id")).distinct()
+    withVec.select(col("vec_id"), col("cell"))
+      .join(dropped.withColumn("drop", lit(true)), Seq("vec_id"), "left")
+      .withColumn("drop", coalesce(col("drop"), lit(false)))
+  }
+
   /** IVF ANN top-k — the partition-pruned scale path: vectors live in
     * inverted lists keyed by their cell, each query probes only its
     * `nProbe` nearest cells, and exact cosine runs inside those lists

@@ -887,6 +887,51 @@ object PipelineQueries extends QuerySet {
              |FROM a2 JOIN a1 USING (vec_id)
              |GROUP BY a2.cell2 ORDER BY a2.cell2""".stripMargin)),
 
+    // SemDeDup — SEMANTIC deduplication (Abbas et al. 2023): cluster
+    // the embedding corpus, drop within-cluster near-duplicates by
+    // pairwise cosine (keep the lower vec_id). The cluster stage is
+    // what bounds the quadratic pair cost — pairs form per cell via an
+    // equi-join on cell id, never corpus-wide. Reported per cell:
+    // size, dropped count, first dropped id — the oracle replays the
+    // seed assignment and the within-cell pair scan exactly.
+    Q("d24_semantic_dedup",
+      (s, dir) => {
+        VectorOps.semanticDedup(Tables.load(s, dir, "embeddings"),
+            nCells = 8, tau = 0.4)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+               min(when(col("drop"), col("vec_id"))).as("first_dropped"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |centv AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+             |          FROM e WHERE vec_id < 8),
+             |ac AS (SELECT v.vec_id, c.cid,
+             |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+             |  FROM e v, centv c),
+             |a1 AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+             |    FROM ac) WHERE rn = 1),
+             |pairs AS (SELECT b2.vec_id AS b,
+             |    round((SELECT sum(x.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (x.nrm * y.nrm), 6) AS cos
+             |  FROM a1 a JOIN a1 b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+             |  JOIN e x ON x.vec_id = a.vec_id
+             |  JOIN e y ON y.vec_id = b2.vec_id),
+             |dropped AS (SELECT DISTINCT b AS vec_id FROM pairs WHERE cos >= 0.4)
+             |SELECT a1.cell, count(*) AS n,
+             |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dropped,
+             |  min(d.vec_id) AS first_dropped
+             |FROM a1 LEFT JOIN dropped d USING (vec_id)
+             |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin)),
+
     // Incremental dedup: admit an incoming batch (doc_id % 10 == 0
     // stands in for today's crawl) against the EXISTING corpus without
     // ever re-hashing the corpus — the nightly-ingest shape at 100 TB.

@@ -275,6 +275,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(own == 0, "a centroid was not assigned to its own cell")
   }
 
+  test("semanticDedup drops only within-cell later-id near-dups") {
+    val sd = VectorOps.semanticDedup(emb, 8, 0.4)
+    assert(sd.count() == emb.count(), "one row per vector")
+    // every dropped vector has a SMALLER-id witness in its own cell
+    // above tau; every kept vector has none. Replay the definition
+    // directly off the same assignment.
+    val assign = VectorOps.ivfAssign(emb, 8)
+    val joined = emb.select(col("vec_id"), col("embedding")).join(assign, "vec_id")
+    val pairs = joined.select(col("cell"), col("vec_id").as("a"), col("embedding").as("ea"))
+      .join(joined.select(col("cell"), col("vec_id").as("b"), col("embedding").as("eb")),
+        Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(
+        expr(VectorOps.dotSql("ea", "eb")) /
+          (expr(s"sqrt(${VectorOps.dotSql("ea", "ea")})") *
+            expr(s"sqrt(${VectorOps.dotSql("eb", "eb")})")), 6))
+      .filter(col("cos") >= 0.4)
+    val expectDropped = pairs.select(col("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(expectDropped.nonEmpty, "fixture has no near-dups at tau=0.4")
+    val gotDropped = sd.filter(col("drop")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotDropped == expectDropped)
+    // the minimum id of every component survives (never dropped)
+    assert(!gotDropped.contains(
+      sd.agg(min("vec_id")).head.getLong(0)))
+  }
+
   test("kmeansRefine partitions every vector into a refined cell") {
     val r = VectorOps.kmeansRefine(emb, 8)
     assert(r.count() == emb.count())
