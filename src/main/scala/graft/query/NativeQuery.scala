@@ -982,20 +982,29 @@ object NativeQuery {
       return Some(DurationGran(dur, originMs))
     }
     if (g.isObject && g.hasNonNull("origin")) {
-      // an origin over a FIXED-LENGTH period (second/minute/hour/UTC
-      // day or week — no DST in UTC) is just the duration form (pure
-      // integer arithmetic); calendar months/quarters/years and
-      // non-UTC zones go through OriginGran's local-calendar lattice
-      val fixedMs = Map("PT1S" -> 1000L, "PT1M" -> 60000L,
-        "PT1H" -> 3600000L, "P1D" -> 86400000L, "P1W" -> 604800000L)
+      // Three origin regimes, matching Joda's field taxonomy (which is
+      // what Druid's PeriodGranularity delegates to):
+      //  - sub-day periods (PT1S/PT1M/PT1H) are PRECISE fields —
+      //    instant-timeline arithmetic in ANY zone (an hour is 3600 s
+      //    even across a DST fold) → the duration form;
+      //  - day/week are precise in UTC (no DST) → duration form; in
+      //    other zones they are local-calendar adds (23/25-hour days)
+      //    → OriginGran's wall-frame lattice;
+      //  - months/quarters/years are always calendar adds →
+      //    OriginGran's month-index lattice.
+      val subDayMs = Map("PT1S" -> 1000L, "PT1M" -> 60000L,
+        "PT1H" -> 3600000L)
+      val dayWeekMs = Map("P1D" -> 86400000L, "P1W" -> 604800000L)
       val tzIsUtc = !g.hasNonNull("timeZone") ||
         Set("UTC", "Etc/UTC", "+00:00")(g.path("timeZone").asText())
       if (g.path("type").asText() != "period")
         fail(s"granularity origin on type '${g.path("type").asText()}' " +
           "(supported: duration, period)")
       val period = g.path("period").asText()
-      (fixedMs.get(period), tzIsUtc) match {
-        case (Some(ms), true) =>
+      (subDayMs.get(period), dayWeekMs.get(period)) match {
+        case (Some(ms), _) =>
+          return Some(DurationGran(ms, originMs))
+        case (_, Some(ms)) if tzIsUtc =>
           return Some(DurationGran(ms, originMs))
         case _ =>
           val unit = periodUnits.getOrElse(period,
