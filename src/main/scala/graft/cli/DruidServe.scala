@@ -1011,33 +1011,51 @@ object DruidServe {
     }
   }
 
+  /** One value → JsonNode, dispatching on the DECLARED Spark type (so
+    * nested arrays recurse and every element type gets the same
+    * rendering as its scalar twin: timestamps via `tsFmt`, binary as
+    * base64, narrow numerics as numbers).
+    */
+  private def jsonValueOf(dt: DataType, v: Any,
+                          tsFmt: DateTimeFormatter): com.fasterxml.jackson.databind.JsonNode = {
+    val nf = mapper.getNodeFactory
+    if (v == null) return nf.nullNode()
+    dt match {
+      case LongType      => nf.numberNode(v.asInstanceOf[Long])
+      case IntegerType   => nf.numberNode(v.asInstanceOf[Int])
+      case ShortType     => nf.numberNode(v.asInstanceOf[Short].toInt)
+      case ByteType      => nf.numberNode(v.asInstanceOf[Byte].toInt)
+      case DoubleType    => nf.numberNode(v.asInstanceOf[Double])
+      case FloatType     => nf.numberNode(v.asInstanceOf[Float])
+      case _: DecimalType => nf.numberNode(v.asInstanceOf[java.math.BigDecimal])
+      case BooleanType   => nf.booleanNode(v.asInstanceOf[Boolean])
+      case StringType    => nf.textNode(v.asInstanceOf[String])
+      case TimestampType =>
+        nf.textNode(tsFmt.format(v.asInstanceOf[java.sql.Timestamp].toInstant))
+      case TimestampNTZType => // druid reader round-trips NTZ (UTC wall time)
+        nf.textNode(tsFmt.format(
+          v.asInstanceOf[java.time.LocalDateTime].toInstant(ZoneOffset.UTC)))
+      case BinaryType => // mergeable sketch blobs etc. — base64, like Druid
+        nf.textNode(java.util.Base64.getEncoder
+          .encodeToString(v.asInstanceOf[Array[Byte]]))
+      case ArrayType(et, _) =>
+        // Druid ARRAY<...> results are JSON arrays, not a stringified
+        // Seq — recursing keeps nested arrays/timestamps/binary right
+        val a = mapper.createArrayNode()
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .foreach(e => a.add(jsonValueOf(et, e, tsFmt)))
+        a
+      case _ => nf.textNode(String.valueOf(v))
+    }
+  }
+
   private def fill(o: ObjectNode, r: Row, schema: StructType,
                    skipTime: Boolean,
                    tsFmt: DateTimeFormatter = isoMs): Unit =
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!(skipTime && f.name == "__time")) {
         if (r.isNullAt(i)) o.putNull(f.name)
-        else f.dataType match {
-          case LongType => o.put(f.name, r.getLong(i))
-          case IntegerType => o.put(f.name, r.getInt(i))
-          case DoubleType => o.put(f.name, r.getDouble(i))
-          case FloatType => o.put(f.name, r.getFloat(i))
-          case BooleanType => o.put(f.name, r.getBoolean(i))
-          case StringType => o.put(f.name, r.getString(i))
-          case TimestampType =>
-            o.put(f.name, tsFmt.format(r.getTimestamp(i).toInstant))
-          case TimestampNTZType => // druid reader round-trips NTZ (UTC wall time)
-            o.put(f.name, tsFmt.format(
-              r.getAs[java.time.LocalDateTime](i).toInstant(ZoneOffset.UTC)))
-          case BinaryType => // mergeable sketch blobs etc. — base64, like Druid
-            o.put(f.name, java.util.Base64.getEncoder
-              .encodeToString(r.getAs[Array[Byte]](i)))
-          case ArrayType(StringType, _) =>
-            val a = o.putArray(f.name)
-            r.getSeq[String](i).foreach(v =>
-              if (v == null) a.addNull() else a.add(v))
-          case other => o.put(f.name, String.valueOf(r.get(i)))
-        }
+        else o.set[ObjectNode](f.name, jsonValueOf(f.dataType, r.get(i), tsFmt))
       }
     }
 }

@@ -584,6 +584,30 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("numeric ARRAY results serialize as JSON arrays, not Seq strings") {
+    withServer { port =>
+      val (code, body) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT array(1, 2, 3) AS xs, array(1.5D, 2.5D) AS ds, array('a', 'b') AS ss"}""")
+      assert(code == 200, body)
+      val row = mapper.readTree(body).get(0)
+      assert(row.path("xs").isArray && row.path("xs").get(0).isIntegralNumber
+        && row.path("xs").get(0).asLong() == 1L)
+      assert(row.path("ds").get(1).asDouble() == 2.5)
+      assert(row.path("ss").get(1).asText() == "b")
+      // nested arrays, timestamp elements, and narrow numerics render
+      // per their DECLARED type, same as their scalar twins
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT array(array(1, 2), array(3)) AS nested, array(TIMESTAMP '2024-01-02 03:04:05') AS tss, array(CAST(7 AS SMALLINT)) AS shorts"}""")
+      assert(c2 == 200, b2)
+      val r2 = mapper.readTree(b2).get(0)
+      assert(r2.path("nested").get(0).isArray &&
+        r2.path("nested").get(0).get(1).asLong() == 2L)
+      assert(r2.path("tss").get(0).asText() == "2024-01-02T03:04:05.000Z")
+      assert(r2.path("shorts").get(0).isIntegralNumber &&
+        r2.path("shorts").get(0).asInt() == 7)
+    }
+  }
+
   test("DELETE /druid/v2/sql/{id} cancels a running query") {
     withSlowServer { port =>
       val slowFut = asyncPost(port, "/druid/v2/sql",
