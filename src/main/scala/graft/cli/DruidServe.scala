@@ -156,9 +156,39 @@ object DruidServe {
       case Some((sc, group)) =>
         cancelled.add(group)
         sc.cancelJobGroup(group)
+        // the query may have FINISHED between our `running` read and
+        // the add above — its cleanup already ran, so nobody would
+        // ever remove the flag. If the group is no longer running,
+        // retire the flag ourselves (the request no longer needs it).
+        if (!running.containsValue((sc, group))) cancelled.remove(group)
         true
       case None => false
     }
+
+  /** Per-thread control handle for the REQUEST CURRENTLY EXECUTING on
+    * this pool thread, consulted by the row iterator: cancelJobGroup
+    * only kills jobs active at that instant, and `toLocalIterator`
+    * submits one job per partition SEQUENTIALLY — a cancel or deadline
+    * landing in the gap between jobs would otherwise be a no-op and
+    * the query would run to completion past its declared budget.
+    */
+  private final case class ControlState(qid: String, group: String,
+                                        deadline: Long, timeoutMs: Long)
+  private val controlState = new ThreadLocal[ControlState]()
+
+  /** Throw if the current request was cancelled or timed out (called
+    * between result rows — driver-side, cheap).
+    */
+  private def checkControl(): Unit = {
+    val st = controlState.get()
+    if (st != null) {
+      if (cancelled.contains(st.group))
+        throw new QueryCancelled(s"query ${st.qid} was cancelled")
+      if (System.nanoTime() >= st.deadline)
+        throw new QueryTimedOut(
+          s"query ${st.qid} exceeded timeout ${st.timeoutMs}ms")
+    }
+  }
 
   /** Run `body` (plan + execute + serialize) under Druid's query
     * control contract: the request runs in its own job group
@@ -178,14 +208,18 @@ object DruidServe {
     val group = s"graft-serve-$qid-${java.util.UUID.randomUUID().toString.take(8)}"
     sc.setJobGroup(group, s"druid query $qid", interruptOnCancel = true)
     running.put(qid, (sc, group))
+    // clamp before the nanos multiply: a fat-fingered epoch-sized
+    // timeout would overflow Long and turn EVERY failure into a 504
+    val clampedMs = math.min(timeoutMs, 30L * 86400000L)
     val deadline =
-      if (timeoutMs > 0) System.nanoTime() + timeoutMs * 1000000L
+      if (timeoutMs > 0) System.nanoTime() + clampedMs * 1000000L
       else Long.MaxValue
     val cancel =
       if (timeoutMs > 0) Some(timeoutScheduler.schedule(new Runnable {
         def run(): Unit = sc.cancelJobGroup(group)
-      }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      }, clampedMs, java.util.concurrent.TimeUnit.MILLISECONDS))
       else None
+    controlState.set(ControlState(qid, group, deadline, timeoutMs))
     try body
     catch {
       // a client DELETE beats the timeout attribution: its cancel is
@@ -197,6 +231,7 @@ object DruidServe {
       case _: Throwable if System.nanoTime() >= deadline =>
         throw new QueryTimedOut(s"query $qid exceeded timeout ${timeoutMs}ms")
     } finally {
+      controlState.remove()
       cancel.foreach(_.cancel(false))
       running.remove(qid, (sc, group)) // only OUR entry, not a newer same-id
       cancelled.remove(group)
@@ -656,6 +691,7 @@ object DruidServe {
       : Iterator[Row] = {
     var n = 0
     df.toLocalIterator.asScala.map { r =>
+      checkControl() // cancel/deadline between partition jobs
       n += 1
       counted.set(n)
       if (n > cap)
@@ -858,11 +894,14 @@ object DruidServe {
     if (sqlTables.isEmpty) return
     val key = System.identityHashCode(spark) + ":" +
       sqlTables.keys.toSeq.sorted.mkString(",")
-    // marked done only AFTER both views exist: marking first would
-    // swallow a failed CREATE and leave INFORMATION_SCHEMA absent for
-    // the session forever (Registration.once's retry-on-failure rule).
-    // Concurrent double-registration is safe: CREATE OR REPLACE both
-    // times, same definition.
+    // Serialized: CREATE OR REPLACE VIEW is exists-check-then-create
+    // inside Spark, so two concurrent FIRST requests racing the DDL
+    // could throw TableAlreadyExists at one of them. Registration is
+    // once-per-(session, table-set) — contention is nil. Marked done
+    // only AFTER both views exist: marking first would swallow a
+    // failed CREATE and leave INFORMATION_SCHEMA absent forever
+    // (Registration.once's retry-on-failure rule).
+    infoSchemaDone.synchronized {
     if (infoSchemaDone.contains(key)) return
     def q(s: String) = "'" + s.replace("'", "''") + "'"
     spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
@@ -885,6 +924,7 @@ object DruidServe {
        ORDINAL_POSITION, DATA_TYPE, IS_NULLABLE)
       AS SELECT * FROM VALUES $columnRows""")
     infoSchemaDone.add(key)
+    }
   }
 
   /** Spark type -> (Druid type name, SQL type name) for the

@@ -236,8 +236,10 @@ object DruidSqlCompat {
     val sub = Cast(e(1), StringType)
     val slash = new StringSplit(sub, Literal("/"), Literal(-1))
     val net = ipv4ToLong(GetArrayItem(slash, Literal(0)))
-    val prefix = Cast(GetArrayItem(slash, Literal(1)), IntegerType,
-      None, EvalMode.TRY)
+    // failOnError=false: a subnet without '/' has no element 1 — that
+    // must yield null (→ false below), not an ANSI index error
+    val prefix = Cast(GetArrayItem(slash, Literal(1), failOnError = false),
+      IntegerType, None, EvalMode.TRY)
     val prefixOk = And(GreaterThanOrEqual(prefix, Literal(0)),
       LessThanOrEqual(prefix, Literal(32)))
     val shift = Subtract(Literal(32), prefix)
@@ -266,7 +268,9 @@ object DruidSqlCompat {
       case Some(r) =>
         val res = litInt(r, "approx_quantile resolution", 50)
         require(res > 0, s"approx_quantile resolution must be positive: $res")
-        math.min(1000000, math.max(10000, res * 200))
+        // long arithmetic: a huge resolution must clamp to the CAP,
+        // not overflow Int and silently land on the floor
+        math.min(1000000L, math.max(10000L, res.toLong * 200L)).toInt
     }
     new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
       Cast(e(0), DoubleType), Cast(e(1), DoubleType), Literal(accuracy))

@@ -59,6 +59,16 @@ class DruidSqlCompatSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT APPROX_QUANTILE(v, 0.0, 128) FROM VALUES (5.0),(9.0) t(v)")
       .head.getDouble(0) == 5.0)
+    // a huge resolution clamps to the accuracy CAP (long arithmetic)
+    // instead of overflowing Int onto the floor
+    assert(spark.sql(
+      "SELECT APPROX_QUANTILE(v, 1.0, 20000000) FROM VALUES (5.0),(9.0) t(v)")
+      .head.getDouble(0) == 9.0)
+    // IPv4 range gates: out-of-unsigned-32 longs are null, /33 is
+    // false, malformed subnets are false (never a masked wrong match)
+    assert(spark.sql("SELECT IPV4_STRINGIFY(4294967296)").head.isNullAt(0))
+    assert(one("IPV4_MATCH('10.0.0.1', '10.0.0.0/33')") == false)
+    assert(one("IPV4_MATCH('10.0.0.1', 'garbage')") == false)
     // all native Catalyst — no UDF in any of these plans
     val plan = spark.sql(
       "SELECT DIV(17,5), BITWISE_AND(1,3), STRPOS('a','a'), PARSE_LONG('1')")
