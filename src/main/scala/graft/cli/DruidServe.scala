@@ -104,8 +104,8 @@ object DruidServe {
   /** Raised when `context.timeout` elapses; answered with Druid's
     * QueryTimeoutException envelope (HTTP 504, the broker's code).
     */
-  private final class QueryTimedOut(msg: String)
-    extends RuntimeException(msg)
+  private final class QueryTimedOut(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   private def daemonFactory(prefix: String): java.util.concurrent.ThreadFactory =
     new java.util.concurrent.ThreadFactory {
@@ -133,8 +133,8 @@ object DruidServe {
     * Druid's QueryInterruptedException envelope (HTTP 500, the
     * broker's code for an interrupted query).
     */
-  private final class QueryCancelled(msg: String)
-    extends RuntimeException(msg)
+  private final class QueryCancelled(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   /** qid → (SparkContext, job group) of every request currently
     * executing, for the DELETE cancellation endpoints. Client ids can
@@ -222,14 +222,20 @@ object DruidServe {
     controlState.set(ControlState(qid, group, deadline, timeoutMs))
     try body
     catch {
+      // JVM-fatal errors (OOM, stack overflow, internal error) must
+      // propagate as themselves, never be rewritten into an HTTP
+      // query envelope
+      case e: VirtualMachineError => throw e
       // a client DELETE beats the timeout attribution: its cancel is
-      // recorded before the group dies
-      case _: Throwable if cancelled.contains(group) =>
-        throw new QueryCancelled(s"query $qid was cancelled")
+      // recorded before the group dies. The original failure rides
+      // along as the cause so misattribution stays diagnosable.
+      case e: Throwable if cancelled.contains(group) =>
+        throw new QueryCancelled(s"query $qid was cancelled", e)
       // any failure past the deadline is (or was caused by) the
       // cancellation — answer the timeout envelope, not a generic 400
-      case _: Throwable if System.nanoTime() >= deadline =>
-        throw new QueryTimedOut(s"query $qid exceeded timeout ${timeoutMs}ms")
+      case e: Throwable if System.nanoTime() >= deadline =>
+        throw new QueryTimedOut(
+          s"query $qid exceeded timeout ${timeoutMs}ms", e)
     } finally {
       controlState.remove()
       cancel.foreach(_.cancel(false))
@@ -385,8 +391,11 @@ object DruidServe {
     server.createContext("/druid/v2/sql", (ex: HttpExchange) => {
       val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql")
         .stripPrefix("/")
-      if (ex.getRequestMethod == "DELETE" && sub.nonEmpty)
-        // Druid's SQL cancellation: DELETE /druid/v2/sql/{sqlQueryId}
+      if (ex.getRequestMethod == "DELETE" && sub.nonEmpty &&
+          !sub.contains("/"))
+        // Druid's SQL cancellation: DELETE /druid/v2/sql/{sqlQueryId}.
+        // Multi-segment paths (e.g. an Avatica sub-path) are NOT a
+        // cancel of the literal tail — they fall through to the 405.
         respondCancel(ex, sub)
       else handled(ex) { body =>
         val node = mapper.readTree(body)
@@ -400,13 +409,27 @@ object DruidServe {
           .getOrElse(java.util.UUID.randomUUID().toString)
         ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
         if (ctx.isObject) {
-          // honored + result-neutral cache hints; anything else 400s —
-          // a silently dropped semantic key (say
-          // useApproximateCountDistinct:false) would answer different
-          // numbers than the client's cluster
-          val supported = Set("sqlQueryId", "queryId", "sqlTimeZone",
-            "timeout", "useCache", "populateCache", "useResultLevelCache",
-            "populateResultLevelCache")
+          // honored + result-neutral keys a drop-in client may send
+          // (cache hints and operational tuning knobs a real broker
+          // accepts without changing ANSWERS — accepted and ignored
+          // here); anything else 400s — a silently dropped semantic
+          // key (say useApproximateCountDistinct:false) would answer
+          // different numbers than the client's cluster
+          val honored = Set("sqlQueryId", "queryId", "sqlTimeZone",
+            "timeout")
+          val ignoredOperational = Set(
+            "useCache", "populateCache", "useResultLevelCache",
+            "populateResultLevelCache", "priority", "lane",
+            "brokerService", "finalize", "debug",
+            "setProcessingThreadNames", "enableParallelMerge",
+            "parallelMergeParallelism", "parallelMergeInitialYieldRows",
+            "parallelMergeSmallBatchRows", "maxScatterGatherBytes",
+            "maxQueuedBytes", "secondaryPartitionPruning",
+            "enableJoinFilterPushDown", "enableJoinFilterRewrite",
+            "enableJoinLeftTableScanDirect", "enableRewriteJoinToFilter",
+            "useFilterCNF", "vectorize", "vectorizeVirtualColumns",
+            "vectorSize")
+          val supported = honored ++ ignoredOperational
           val bad = ctx.fieldNames().asScala.filterNot(supported).toSeq
           if (bad.nonEmpty)
             throw new IllegalArgumentException(

@@ -46,11 +46,15 @@ object Components {
   /** Edge-count cutoff below which components solve driver-side. */
   val DefaultLocalEdgeLimit = 2000000L
 
-  /** Driver-side union-find over (u, v) pairs: path compression +
-    * union-by-min-id, so `find(x)` IS the component minimum. Returns
-    * one (node, component) row per distinct endpoint.
+  /** Driver-side union-find over edge endpoints packed pairwise into a
+    * primitive long array (edge i = `packed(2*i)`–`packed(2*i+1)`):
+    * path compression + union-by-min-id, so `find(x)` IS the component
+    * minimum. Returns one (node, component) row per distinct endpoint.
+    * Packed primitives, not Rows or tuples, so the driver really holds
+    * 16 bytes/edge — boxed Rows would be ~100+ bytes each and blow the
+    * documented memory budget near the edge-count cutoff.
     */
-  private def localSolve(pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+  private def localSolve(packed: Array[Long]): Array[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x0: Long): Long = {
       var x = x0
@@ -64,10 +68,13 @@ object Components {
       x
     }
     val nodes = scala.collection.mutable.LongMap.empty[Unit]
-    pairs.foreach { case (a, b) =>
+    var i = 0
+    while (i < packed.length) {
+      val a = packed(i); val b = packed(i + 1)
       nodes(a) = (); nodes(b) = ()
       val ra = find(a); val rb = find(b)
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      i += 2
     }
     nodes.keys.toArray.map(n => n -> find(n))
   }
@@ -103,10 +110,16 @@ object Components {
     if (debug) println(s"[cc] edgeCount=$edgeCount (limit $localEdgeLimit)")
     if (edgeCount <= localEdgeLimit) {
       // small graph: driver-side union-find (see object scaladoc). The
-      // collect is bounded by localEdgeLimit × 16 bytes.
-      val pairs = und0.collect().map(r => (r.getLong(0), r.getLong(1)))
-      val labeled = localSolve(pairs)
-      lap(s"local-solve(${pairs.length} edges)")
+      // collect ships one primitive long[] per partition (Rows are
+      // deserialized streaming inside each task and never reach the
+      // driver), so driver footprint truly is localEdgeLimit × 16 B.
+      val packed = und0.rdd.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect().flatten
+      val labeled = localSolve(packed)
+      lap(s"local-solve(${packed.length / 2} edges)")
       if (debug) println("[cc] solved driver-side (union-find)")
       val spark = edges.sparkSession
       import spark.implicits._

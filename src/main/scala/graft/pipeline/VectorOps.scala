@@ -197,27 +197,69 @@ object VectorOps {
     * (vec_id, cell, drop) for every vector. Deterministic
     * cross-engine: [[ivfAssign]]'s rounded-cosine seed assignment,
     * pair cosines rounded to 6.
+    *
+    * `maxCell` (off by default) is the hot-cell skew guard — the
+    * sibling of [[TextOps.lshCandidates]]' `maxBucket`. Semantic
+    * dedup's input is duplicate-heavy by definition, so a collapsed
+    * embedding region can concentrate a disproportionate share of the
+    * corpus into ONE cell and the within-cell self-join then emits
+    * n^2/2 pairs out of that cell alone — the join's output, not its
+    * shuffle, is what explodes at 100 TB. Capped runs restrict the
+    * LEFT side of each pair to the cell's `maxCell` lowest vec_ids
+    * (the cell's pivots): every member is still compared against the
+    * pivots, so output is <= n*maxCell per cell (linear in n), and for
+    * cells of size <= maxCell the pivot set is the whole cell, making
+    * the capped scan IDENTICAL to the uncapped one there. Coverage
+    * semantics: a member is dropped iff it is within `tau` of an
+    * EARLIER pivot; only non-pivot-to-non-pivot pairs in over-cap
+    * cells are skipped — and in a duplicate-collapsed cell the kept
+    * representative (the lowest vec_id) is by construction a pivot, so
+    * the collapsed mass still drops. Deterministic (a rank threshold,
+    * no sampling), but capped output is a declared approximation —
+    * keep OFF when exact parity with an uncapped oracle is required.
     */
   def semanticDedup(embeddings: DataFrame, nCells: Int,
-                    tau: Double): DataFrame = {
+                    tau: Double, maxCell: Option[Int] = None): DataFrame = {
     registerExprs(embeddings)
     val a1 = ivfAssign(embeddings, nCells)
     val withVec = embeddings.select(col("vec_id"), col("embedding"))
       .join(a1, "vec_id")
-    val aSide = withVec.select(col("cell"), col("vec_id").as("a"),
-      col("embedding").as("ea"))
-    val bSide = withVec.select(col("cell"), col("vec_id").as("b"),
-      col("embedding").as("eb"))
-    val dropped = aSide.join(bSide, Seq("cell"))
-      .filter(col("a") < col("b"))
-      .withColumn("cos", round(
-        expr(dotSql("ea", "eb")) /
-          (expr(normSql("ea")) * expr(normSql("eb"))), 6))
+    val dropped = semanticPairs(withVec, maxCell)
       .filter(col("cos") >= tau)
       .select(col("b").as("vec_id")).distinct()
     withVec.select(col("vec_id"), col("cell"))
       .join(dropped.withColumn("drop", lit(true)), Seq("vec_id"), "left")
       .withColumn("drop", coalesce(col("drop"), lit(false)))
+  }
+
+  /** Within-cell scored candidate pairs (a < b, cosine rounded to 6)
+    * for [[semanticDedup]] — exposed so the skew spec can assert the
+    * capped pair count directly. `withVec` must carry
+    * (vec_id, embedding, cell).
+    */
+  private[graft] def semanticPairs(withVec: DataFrame,
+                                   maxCell: Option[Int]): DataFrame = {
+    val aSide = maxCell match {
+      case None =>
+        withVec.select(col("cell"), col("vec_id").as("a"),
+          col("embedding").as("ea"))
+      case Some(cap) =>
+        // pivots = the cap lowest vec_ids of each cell; the rank
+        // window shuffles on the same key as the pair join
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("vec_id"))
+        withVec.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= cap)
+          .select(col("cell"), col("vec_id").as("a"),
+            col("embedding").as("ea"))
+    }
+    val bSide = withVec.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    aSide.join(bSide, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", round(
+        expr(dotSql("ea", "eb")) /
+          (expr(normSql("ea")) * expr(normSql("eb"))), 6))
   }
 
   /** IVF ANN top-k — the partition-pruned scale path: vectors live in

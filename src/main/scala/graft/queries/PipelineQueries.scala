@@ -932,6 +932,56 @@ object PipelineQueries extends QuerySet {
              |FROM a1 LEFT JOIN dropped d USING (vec_id)
              |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin)),
 
+    // SemDeDup with the hot-cell guard ACTIVE: nCells=4 puts ~125
+    // members in every cell, far over maxCell=15, so this gate runs
+    // the capped pivot-rectangle scan (each member vs its cell's 15
+    // lowest vec_ids — output linear in cell size) rather than the
+    // quadratic all-pairs — and the oracle replays the pivot rule
+    // exactly (rank-by-vec_id <= cap on the left side of each pair).
+    // This is the declared-approximation path d2's maxBucket
+    // established, here gate-checked rather than spec-only.
+    Q("d25_semantic_dedup_capped",
+      (s, dir) => {
+        VectorOps.semanticDedup(Tables.load(s, dir, "embeddings"),
+            nCells = 4, tau = 0.35, maxCell = Some(15))
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+               min(when(col("drop"), col("vec_id"))).as("first_dropped"))
+          .orderBy(col("cell"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |centv AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+             |          FROM e WHERE vec_id < 4),
+             |ac AS (SELECT v.vec_id, c.cid,
+             |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+             |  FROM e v, centv c),
+             |a1 AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+             |    FROM ac) WHERE rn = 1),
+             |piv AS (SELECT vec_id, cell FROM (
+             |    SELECT vec_id, cell,
+             |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+             |    FROM a1) WHERE rk <= 15),
+             |pairs AS (SELECT b2.vec_id AS b,
+             |    round((SELECT sum(x.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (x.nrm * y.nrm), 6) AS cos
+             |  FROM piv a JOIN a1 b2 ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+             |  JOIN e x ON x.vec_id = a.vec_id
+             |  JOIN e y ON y.vec_id = b2.vec_id),
+             |dropped AS (SELECT DISTINCT b AS vec_id FROM pairs WHERE cos >= 0.35)
+             |SELECT a1.cell, count(*) AS n,
+             |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_dropped,
+             |  min(d.vec_id) AS first_dropped
+             |FROM a1 LEFT JOIN dropped d USING (vec_id)
+             |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin)),
+
     // Incremental dedup: admit an incoming batch (doc_id % 10 == 0
     // stands in for today's crawl) against the EXISTING corpus without
     // ever re-hashing the corpus — the nightly-ingest shape at 100 TB.

@@ -511,8 +511,13 @@ object SegmentCatalog {
             case (n, d) if !adds.contains(n) => d    // pre-state
           }
         // a leftover marker that would hide everything is garbage —
-        // self-heal to the raw listing rather than report an empty table
-        if (visible.isEmpty) listed else visible
+        // self-heal to the raw listing rather than report an empty
+        // table. ONLY when the marker has adds: an all-remove marker
+        // (whole-table delete / retention pass) legitimately empties
+        // the table, and self-healing there would resurface the
+        // logically-deleted old generation until its dirs are
+        // physically gone — the exact race the marker closes.
+        if (visible.isEmpty && adds.nonEmpty) listed else visible
     }
   }
 

@@ -58,4 +58,38 @@ class SkewSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Skew.saltedJoin(fact, dim, "k", "dk", 0))
   }
+
+  test("semanticDedup maxCell bounds the hot-cell pair explosion") {
+    // the deliberately collapsed corpus d24's guard exists for: 4
+    // one-hot seed centroids, then 300 identical copies of centroid
+    // 0's vector — ivfAssign drops every copy into ONE cell (n=301),
+    // the quadratic skew bomb at scale
+    val nDim = 8
+    def oneHot(j: Int): Array[Float] =
+      Array.tabulate(nDim)(i => if (i == j) 1.0f else 0.0f)
+    val rows = (0 until 4).map(j => (j.toLong, oneHot(j))) ++
+      (4 until 304).map(i => (i.toLong, oneHot(0)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val assign = VectorOps.ivfAssign(emb, 4)
+    val withVec = emb.join(assign, "vec_id")
+    assert(assign.filter(col("cell") === 0L).count() == 301L)
+    // uncapped: the hot cell alone emits n(n-1)/2 pairs
+    val uncapped = VectorOps.semanticPairs(withVec, None).count()
+    assert(uncapped == 301L * 300L / 2 + 0L, s"uncapped=$uncapped")
+    // capped at 10: each member pairs only with its cell's 10 lowest
+    // ids — sum_{r=1..10}(301-r) = 2955, linear in cell size
+    val capped = VectorOps.semanticPairs(withVec, Some(10)).count()
+    assert(capped == (1 to 10).map(301L - _).sum, s"capped=$capped")
+    // coverage on the collapsed mass is unchanged: both runs keep
+    // exactly the lowest id of the collapsed cell and drop the rest
+    def dropped(maxCell: Option[Int]): Set[Long] =
+      VectorOps.semanticDedup(emb, 4, 0.9, maxCell)
+        .filter(col("drop")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+    val full = dropped(None)
+    assert(full == (4L until 304L).toSet, s"uncapped drop set $full")
+    assert(dropped(Some(10)) == full)
+    // a cap at/above every cell size is the identity
+    assert(VectorOps.semanticPairs(withVec, Some(301)).count() == uncapped)
+  }
 }

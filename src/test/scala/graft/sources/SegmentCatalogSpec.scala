@@ -228,6 +228,15 @@ class SegmentCatalogSpec extends AnyFunSuite {
       adds = Seq("segment-merged"), removes = Seq("segment-merged"))
     assert(druid.DruidTableUtil.discoverSegments(out) == Seq(merged))
     SegmentCatalog.clearPending(out)
+    // an ALL-REMOVE marker (whole-table delete / retention pass
+    // mid-swap) legitimately empties the table: NO self-heal — the
+    // logically-deleted generation must not resurface while its dirs
+    // await physical deletion
+    SegmentCatalog.writePending(out, adds = Seq.empty,
+      removes = Seq("segment-merged"))
+    assert(druid.DruidTableUtil.discoverSegments(out).isEmpty)
+    SegmentCatalog.clearPending(out)
+    assert(druid.DruidTableUtil.discoverSegments(out) == Seq(merged))
   }
 
   test("reader/appender/compactor race: every read sees a consistent table") {
