@@ -257,7 +257,10 @@ object DruidServe {
             host: String = "127.0.0.1",
             maxResultRows: Int = 100000,
             threads: Int = 8,
-            logQueries: Boolean = false): HttpServer = {
+            logQueries: Boolean = false,
+            statementPageRows: Int = 100000): HttpServer = {
+    require(statementPageRows > 0,
+      s"statementPageRows must be positive: $statementPageRows")
     require(threads > 0, s"--threads must be positive: $threads")
     val server = HttpServer.create(new InetSocketAddress(host, port), 0)
     // fixed-width pool, core threads allowed to die when idle so a
@@ -388,6 +391,293 @@ object DruidServe {
         }
       }
     })
+    // ---- shared by the sync SQL endpoint and the async statements API
+    def validateSqlContext(ctx: com.fasterxml.jackson.databind.JsonNode,
+                           extraSupported: Set[String]): Unit =
+      if (ctx.isObject) {
+        // honored + result-neutral keys a drop-in client may send
+        // (cache hints and operational tuning knobs a real broker
+        // accepts without changing ANSWERS — accepted and ignored
+        // here); anything else 400s — a silently dropped semantic
+        // key (say useApproximateCountDistinct:false) would answer
+        // different numbers than the client's cluster
+        val honored = Set("sqlQueryId", "queryId", "sqlTimeZone",
+          "timeout")
+        val ignoredOperational = Set(
+          "useCache", "populateCache", "useResultLevelCache",
+          "populateResultLevelCache", "priority", "lane",
+          "brokerService", "finalize", "debug",
+          "setProcessingThreadNames", "enableParallelMerge",
+          "parallelMergeParallelism", "parallelMergeInitialYieldRows",
+          "parallelMergeSmallBatchRows", "maxScatterGatherBytes",
+          "maxQueuedBytes", "secondaryPartitionPruning",
+          "enableJoinFilterPushDown", "enableJoinFilterRewrite",
+          "enableJoinLeftTableScanDirect", "enableRewriteJoinToFilter",
+          "useFilterCNF", "vectorize", "vectorizeVirtualColumns",
+          "vectorSize")
+        val supported = honored ++ ignoredOperational ++ extraSupported
+        val bad = ctx.fieldNames().asScala.filterNot(supported).toSeq
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"unsupported SQL context key(s) ${bad.mkString(", ")} " +
+              s"(supported: ${supported.toSeq.sorted.mkString(", ")})")
+      }
+    def sqlQueryIdOf(ctx: com.fasterxml.jackson.databind.JsonNode): String =
+      Seq("sqlQueryId", "queryId")
+        .flatMap(k => Option(ctx.path(k).asText(null))).headOption
+        .getOrElse(java.util.UUID.randomUUID().toString)
+    // The statement's DataFrame: served views + SQL-compat functions +
+    // INFORMATION_SCHEMA registered, EXPLAIN PLAN FOR handled
+    def buildSqlDf(session: SparkSession, sql0: String,
+                   args: Array[Any]): DataFrame = {
+      graft.sql.DruidSqlCompat.register(session)
+      if (session eq spark)
+        sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      registerInformationSchema(spark, sqlTables)
+      explainPlanFor(sql0) match {
+        case Some(inner) =>
+          // Druid's `EXPLAIN PLAN FOR <query>` (the statement
+          // the web console and several clients issue to inspect
+          // plans): answer Druid's one-row shape — PLAN (the
+          // engine's formatted plan text), RESOURCES (the
+          // datasources the query reads, as Druid's
+          // [{"name":...,"type":"DATASOURCE"}] JSON), ATTRIBUTES
+          // (statementType). The plan text is Spark's, not a
+          // native-query JSON — honest about what executes.
+          val q =
+            if (args.isEmpty) session.sql(inner)
+            else session.sql(inner, args)
+          val planText = q.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExtendedMode)
+          // referenced datasources from the PARSED plan (the
+          // analyzed plan has already swapped views for their
+          // definitions, losing the client-facing names)
+          val tables = session.sessionState.sqlParser.parsePlan(inner)
+            .collect {
+              case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+                r.multipartIdentifier.mkString(".")
+            }.distinct
+          val resources = tables.map(t =>
+            mapper.createObjectNode().put("name", t)
+              .put("type", "DATASOURCE"))
+            .foldLeft(mapper.createArrayNode())((a, o) => { a.add(o); a })
+          import session.implicits._
+          Seq((planText, resources.toString,
+            """{"statementType":"SELECT"}"""))
+            .toDF("PLAN", "RESOURCES", "ATTRIBUTES")
+        case None =>
+          if (args.isEmpty) session.sql(sql0) else session.sql(sql0, args)
+      }
+    }
+
+    // ---- async SQL statements API (Druid's /druid/v2/sql/statements/:
+    // POST submits, GET polls status, GET {id}/results pages results,
+    // DELETE cancels). Executes on its own bounded pool so long async
+    // queries can never starve the HTTP threads.
+    val statements =
+      new java.util.concurrent.ConcurrentHashMap[String, AsyncStatement]()
+    val statementOrder =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stmtThreads = math.max(2, threads / 2)
+    val statementPool = new java.util.concurrent.ThreadPoolExecutor(
+      stmtThreads, stmtThreads, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
+      daemonFactory("graft-serve-stmt"))
+    statementPool.allowCoreThreadTimeOut(true)
+    // bound the registry: retire the oldest TERMINAL statements past
+    // 500 so a long-lived broker can't accumulate result pages forever
+    def retireStatements(): Unit =
+      while (statementOrder.size() > 500) {
+        val old = statementOrder.poll()
+        if (old == null) return
+        val s = statements.get(old)
+        if (s != null && !s.terminal) { statementOrder.add(old); return }
+        if (s != null) statements.remove(old, s)
+      }
+    def statementStatusJson(st: AsyncStatement): ObjectNode = {
+      val o = mapper.createObjectNode()
+      o.put("queryId", st.queryId)
+      o.put("state", st.state)
+      o.put("createdAt", st.createdAt)
+      if (st.durationMs >= 0) o.put("durationMs", st.durationMs)
+      st.schemaJson.foreach(s => o.set[ObjectNode]("schema", s))
+      if (st.state == "SUCCESS") {
+        val r = o.putObject("result")
+        r.put("numTotalRows", st.numTotalRows)
+        r.put("totalSizeInBytes", st.pages.map(_._2).sum)
+        r.put("resultFormat", st.resultFormat)
+        r.put("dataSource", "__query_select")
+        val ps = r.putArray("pages")
+        st.pages.zipWithIndex.foreach { case ((rowsN, bytes), i) =>
+          val p = ps.addObject()
+          p.put("id", i.toLong)
+          p.put("numRows", rowsN.size().toLong)
+          p.put("sizeInBytes", bytes)
+        }
+      }
+      st.error.foreach { e =>
+        val d = o.putObject("errorDetails")
+        d.put("error", "druidException")
+        d.put("errorCode", e.getClass.getSimpleName)
+        d.put("persona", "USER")
+        d.put("category", e match {
+          case _: QueryTimedOut         => "TIMEOUT"
+          case _: QueryCancelled        => "CANCELED"
+          case _: ResourceLimitExceeded => "CAPACITY_EXCEEDED"
+          case _                        => "UNCATEGORIZED"
+        })
+        d.put("errorMessage", String.valueOf(e.getMessage))
+      }
+      o
+    }
+    def runStatement(st: AsyncStatement, session: SparkSession,
+                     args: Array[Any], timeoutMs: Long,
+                     tsFmt: DateTimeFormatter): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        if (st.cancelRequested.get())
+          throw new QueryCancelled(s"query ${st.queryId} was cancelled")
+        st.state = "RUNNING"
+        val (pages, total) = withQueryControl(session, st.queryId, timeoutMs) {
+          // the job group is registered now: re-check so a DELETE that
+          // raced the ACCEPTED window can't be lost (its cancelQuery
+          // found nothing in `running`, but it set the flag first)
+          if (st.cancelRequested.get())
+            throw new QueryCancelled(s"query ${st.queryId} was cancelled")
+          val df = buildSqlDf(session, st.sql, args)
+          val schemaArr = mapper.createArrayNode()
+          df.schema.fields.foreach { f =>
+            val (nativeT, sqlT) = typeNamesOf(f.dataType)
+            val c = schemaArr.addObject()
+            c.put("name", f.name)
+            c.put("type", sqlT)
+            c.put("nativeType", nativeT)
+          }
+          st.schemaJson = Some(schemaArr)
+          pagedRows(df, st.resultFormat.startsWith("array"),
+            statementPageRows, maxResultRows, tsFmt)
+        }
+        st.pages = pages
+        st.numTotalRows = total
+        st.durationMs = (System.nanoTime() - t0) / 1000000L
+        st.state = "SUCCESS"
+        logQuery(st.queryId, "sql-statement",
+          st.sql.linesIterator.mkString(" ").take(120), t0, total, "ok")
+      } catch {
+        case e: Throwable =>
+          st.error = Some(e)
+          st.durationMs = (System.nanoTime() - t0) / 1000000L
+          st.state = e match {
+            case _: QueryCancelled => "CANCELED"
+            case _                 => "FAILED"
+          }
+          logQuery(st.queryId, "sql-statement",
+            st.sql.linesIterator.mkString(" ").take(120), t0, 0L,
+            s"error:${e.getClass.getSimpleName}")
+      }
+      retireStatements()
+    }
+    def statementError(ex: HttpExchange, code: Int, msg: String): Unit = {
+      val o = mapper.createObjectNode()
+      o.put("error", "druidException")
+      o.put("errorMessage", msg)
+      respond(ex, code, o.toString)
+    }
+    server.createContext("/druid/v2/sql/statements", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val sub = path.stripPrefix("/druid/v2/sql/statements").stripPrefix("/")
+      val segs = sub.split("/").toList.filter(_.nonEmpty)
+      (ex.getRequestMethod, segs) match {
+        case ("POST", Nil) => handled(ex) { body =>
+          val node = mapper.readTree(body)
+          val sql0 = node.path("query").asText()
+          if (sql0.isEmpty)
+            throw new IllegalArgumentException(
+              "SQL statements endpoint needs {\"query\": ...}")
+          val args = parameterValues(node.path("parameters"))
+          val ctx = node.path("context")
+          validateSqlContext(ctx, extraSupported = Set("executionMode"))
+          val mode = ctx.path("executionMode").asText("ASYNC")
+          if (!mode.equalsIgnoreCase("ASYNC"))
+            throw new IllegalArgumentException(
+              s"the statements endpoint only supports executionMode ASYNC (got $mode)")
+          val fmtReq = node.path("resultFormat").asText("object")
+          if (!Set("object", "array", "objectLines", "arrayLines")(fmtReq))
+            throw new IllegalArgumentException(
+              s"unsupported statements resultFormat $fmtReq")
+          val qid = sqlQueryIdOf(ctx)
+          val (session, tsFmt) =
+            sessionFor(Option(ctx.path("sqlTimeZone").asText(null)))
+          val timeoutMs = ctx.path("timeout").asLong(0)
+          val st = new AsyncStatement(qid, sql0,
+            java.time.Instant.now().toString, fmtReq)
+          val prev = statements.putIfAbsent(qid, st)
+          if (prev != null && !prev.terminal)
+            throw new IllegalArgumentException(
+              s"query id $qid is already running")
+          if (prev != null) statements.put(qid, st) // terminal: replace
+          statementOrder.add(qid)
+          ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
+          statementPool.execute(() =>
+            runStatement(st, session, args, timeoutMs, tsFmt))
+          (statementStatusJson(st).toString, "application/json")
+        }
+        case ("GET", id :: Nil) =>
+          val st = statements.get(id)
+          if (st == null) statementError(ex, 404, s"no such query: $id")
+          else respond(ex, 200, statementStatusJson(st).toString)
+        case ("GET", id :: "results" :: Nil) =>
+          val st = statements.get(id)
+          if (st == null) statementError(ex, 404, s"no such query: $id")
+          else if (st.state != "SUCCESS")
+            statementError(ex, 400, s"query $id is in state ${st.state}; " +
+              "results are available only after SUCCESS")
+          else {
+            val pageParam = Option(ex.getRequestURI.getQuery).getOrElse("")
+              .split("&").filter(_.nonEmpty).map(_.split("=", 2))
+              .collectFirst { case Array("page", v) => v }
+            val parsed =
+              try pageParam.map(_.toLong)
+              catch { case _: NumberFormatException => Some(-1L) }
+            if (parsed.exists(p => p < 0 || p >= st.pages.size))
+              statementError(ex, 400,
+                s"invalid page ${pageParam.getOrElse("")} " +
+                  s"(query has ${st.pages.size} pages)")
+            else {
+              val chosen = parsed match {
+                case Some(p) => Vector(st.pages(p.toInt)._1)
+                case None    => st.pages.map(_._1)
+              }
+              if (st.resultFormat.endsWith("Lines")) {
+                val sb = new StringBuilder
+                chosen.foreach(page => page.forEach(n =>
+                  { sb.append(n.toString).append('\n'); () }))
+                respond(ex, 200, sb.toString, "text/plain")
+              } else {
+                val out = mapper.createArrayNode()
+                chosen.foreach(page => page.forEach(n => { out.add(n); () }))
+                respond(ex, 200, out.toString)
+              }
+            }
+          }
+        case ("DELETE", id :: Nil) =>
+          val st = statements.get(id)
+          if (st == null) statementError(ex, 404, s"no such query: $id")
+          else if (st.terminal)
+            // Druid's no-op cancel of a finished query: 200 + status
+            respond(ex, 200, statementStatusJson(st).toString)
+          else {
+            st.cancelRequested.set(true)
+            cancelQuery(id)
+            respond(ex, 202, statementStatusJson(st).toString)
+          }
+        case ("DELETE", _) =>
+          statementError(ex, 404, "DELETE expects /druid/v2/sql/statements/{queryId}")
+        case _ =>
+          respond(ex, 405,
+            """{"error":"supported: POST /, GET /{id}, GET /{id}/results, DELETE /{id}"}""")
+      }
+    })
     server.createContext("/druid/v2/sql", (ex: HttpExchange) => {
       val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql")
         .stripPrefix("/")
@@ -404,38 +694,9 @@ object DruidServe {
           throw new IllegalArgumentException("SQL endpoint needs {\"query\": ...}")
         val args = parameterValues(node.path("parameters"))
         val ctx = node.path("context")
-        val qid = Seq("sqlQueryId", "queryId")
-          .flatMap(k => Option(ctx.path(k).asText(null))).headOption
-          .getOrElse(java.util.UUID.randomUUID().toString)
+        val qid = sqlQueryIdOf(ctx)
         ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
-        if (ctx.isObject) {
-          // honored + result-neutral keys a drop-in client may send
-          // (cache hints and operational tuning knobs a real broker
-          // accepts without changing ANSWERS — accepted and ignored
-          // here); anything else 400s — a silently dropped semantic
-          // key (say useApproximateCountDistinct:false) would answer
-          // different numbers than the client's cluster
-          val honored = Set("sqlQueryId", "queryId", "sqlTimeZone",
-            "timeout")
-          val ignoredOperational = Set(
-            "useCache", "populateCache", "useResultLevelCache",
-            "populateResultLevelCache", "priority", "lane",
-            "brokerService", "finalize", "debug",
-            "setProcessingThreadNames", "enableParallelMerge",
-            "parallelMergeParallelism", "parallelMergeInitialYieldRows",
-            "parallelMergeSmallBatchRows", "maxScatterGatherBytes",
-            "maxQueuedBytes", "secondaryPartitionPruning",
-            "enableJoinFilterPushDown", "enableJoinFilterRewrite",
-            "enableJoinLeftTableScanDirect", "enableRewriteJoinToFilter",
-            "useFilterCNF", "vectorize", "vectorizeVirtualColumns",
-            "vectorSize")
-          val supported = honored ++ ignoredOperational
-          val bad = ctx.fieldNames().asScala.filterNot(supported).toSeq
-          if (bad.nonEmpty)
-            throw new IllegalArgumentException(
-              s"unsupported SQL context key(s) ${bad.mkString(", ")} " +
-                s"(supported: ${supported.toSeq.sorted.mkString(", ")})")
-        }
+        validateSqlContext(ctx, extraSupported = Set.empty)
         val (session, fmt) =
           sessionFor(Option(ctx.path("sqlTimeZone").asText(null)))
         val timeoutMs = ctx.path("timeout").asLong(0)
@@ -443,44 +704,7 @@ object DruidServe {
         val rowsOut = new java.util.concurrent.atomic.AtomicLong()
         try {
           val out = withQueryControl(session, qid, timeoutMs) {
-            graft.sql.DruidSqlCompat.register(session)
-            if (session eq spark)
-              sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-            registerInformationSchema(spark, sqlTables)
-            val df = explainPlanFor(sql0) match {
-              case Some(inner) =>
-                // Druid's `EXPLAIN PLAN FOR <query>` (the statement
-                // the web console and several clients issue to inspect
-                // plans): answer Druid's one-row shape — PLAN (the
-                // engine's formatted plan text), RESOURCES (the
-                // datasources the query reads, as Druid's
-                // [{"name":...,"type":"DATASOURCE"}] JSON), ATTRIBUTES
-                // (statementType). The plan text is Spark's, not a
-                // native-query JSON — honest about what executes.
-                val q =
-                  if (args.isEmpty) session.sql(inner)
-                  else session.sql(inner, args)
-                val planText = q.queryExecution.explainString(
-                  org.apache.spark.sql.execution.ExtendedMode)
-                // referenced datasources from the PARSED plan (the
-                // analyzed plan has already swapped views for their
-                // definitions, losing the client-facing names)
-                val tables = session.sessionState.sqlParser.parsePlan(inner)
-                  .collect {
-                    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
-                      r.multipartIdentifier.mkString(".")
-                  }.distinct
-                val resources = tables.map(t =>
-                  mapper.createObjectNode().put("name", t)
-                    .put("type", "DATASOURCE"))
-                  .foldLeft(mapper.createArrayNode())((a, o) => { a.add(o); a })
-                import session.implicits._
-                Seq((planText, resources.toString,
-                  """{"statementType":"SELECT"}"""))
-                  .toDF("PLAN", "RESOURCES", "ATTRIBUTES")
-              case None =>
-                if (args.isEmpty) session.sql(sql0) else session.sql(sql0, args)
-            }
+            val df = buildSqlDf(session, sql0, args)
             sqlResponse(df,
               node.path("resultFormat").asText("object"),
               node.path("header").asBoolean(false),
@@ -634,12 +858,15 @@ object DruidServe {
       var maxRows = 100000
       var threads = 8
       var logQueries = false
+      var stmtPageRows = 100000
       def parse(opts: List[String]): Unit = opts match {
         case "--port" :: p :: t     => port = p.toInt; parse(t)
         case "--host" :: h :: t     => host = h; parse(t)
         case "--max-rows" :: n :: t => maxRows = n.toInt; parse(t)
         case "--threads" :: n :: t  => threads = n.toInt; parse(t)
         case "--log-queries" :: t   => logQueries = true; parse(t)
+        case "--statement-page-rows" :: n :: t =>
+          stmtPageRows = n.toInt; parse(t)
         case Nil                    =>
         case other => sys.error(s"unknown args: $other")
       }
@@ -664,19 +891,21 @@ object DruidServe {
         name => tables.getOrElse(name, throw new IllegalArgumentException(
           s"unknown dataSource '$name' (tables: ${tables.keys.toSeq.sorted.mkString(", ")})")),
         port, sqlTables = tables, host = host, maxResultRows = maxRows,
-        threads = threads, logQueries = logQueries)
+        threads = threads, logQueries = logQueries,
+        statementPageRows = stmtPageRows)
       if (host != "127.0.0.1" && host != "localhost")
         System.err.println(
           s"WARNING: binding $host — the SQL endpoint executes arbitrary " +
             "Spark SQL with this process's filesystem privileges; only " +
             "expose beyond loopback on a trusted network")
       println(s"druid-serve listening on $host:${server.getAddress.getPort} " +
-        s"(POST /druid/v2 native, /druid/v2/sql), tables under $root")
+        s"(POST /druid/v2 native, /druid/v2/sql, /druid/v2/sql/statements), tables under $root")
       Thread.currentThread().join()
     case Nil =>
       System.err.println(
         "usage: druid-serve <tablesRoot> [--port N] [--host H] " +
-          "[--max-rows N] [--threads N] [--log-queries]")
+          "[--max-rows N] [--threads N] [--log-queries] " +
+          "[--statement-page-rows N]")
       sys.exit(2)
   }
 
@@ -965,6 +1194,59 @@ object DruidServe {
     case BinaryType       => ("COMPLEX", "OTHER")
     case ArrayType(e, _)  => (s"ARRAY<${typeNamesOf(e)._1}>", "ARRAY")
     case other            => ("COMPLEX", other.sql)
+  }
+
+  /** One async statements-API query (Druid's `/druid/v2/sql/statements/`,
+    * SqlStatementState lifecycle ACCEPTED → RUNNING → SUCCESS / FAILED /
+    * CANCELED). Results are serialized ONCE on the worker thread into
+    * per-page JSON row nodes (bounded by the same maxResultRows cap as
+    * the sync endpoint); status/results GETs only read these fields.
+    */
+  private final class AsyncStatement(val queryId: String,
+                                     val sql: String,
+                                     val createdAt: String,
+                                     val resultFormat: String) {
+    @volatile var state: String = "ACCEPTED"
+    @volatile var durationMs: Long = -1L
+    @volatile var schemaJson: Option[com.fasterxml.jackson.databind.node.ArrayNode] = None
+    /** (page row nodes, serialized byte size) per page. */
+    @volatile var pages: Vector[(com.fasterxml.jackson.databind.node.ArrayNode, Long)] = Vector.empty
+    @volatile var numTotalRows: Long = 0L
+    @volatile var error: Option[Throwable] = None
+    val cancelRequested = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def terminal: Boolean =
+      state == "SUCCESS" || state == "FAILED" || state == "CANCELED"
+  }
+
+  /** Rows of `df` as JSON nodes (row objects for `object*` formats,
+    * row arrays for `array*`), split into pages of `pageRows` — the
+    * statements API's page structure, sized so a results GET answers
+    * one bounded chunk. Returns (pages, totalRows).
+    */
+  private def pagedRows(df: DataFrame, arrayRows: Boolean, pageRows: Int,
+                        maxResultRows: Int, tsFmt: DateTimeFormatter)
+      : (Vector[(com.fasterxml.jackson.databind.node.ArrayNode, Long)], Long) = {
+    val schema = df.schema
+    val names = schema.fieldNames
+    val counted = new java.util.concurrent.atomic.AtomicLong()
+    val rows = cappedRows(df, maxResultRows, counted)
+    val pages = Vector.newBuilder[(com.fasterxml.jackson.databind.node.ArrayNode, Long)]
+    var cur = mapper.createArrayNode()
+    var total = 0L
+    def flush(): Unit = if (cur.size() > 0) {
+      pages += ((cur, cur.toString.getBytes(UTF_8).length.toLong))
+      cur = mapper.createArrayNode()
+    }
+    rows.foreach { r =>
+      val o = mapper.createObjectNode()
+      fill(o, r, schema, skipTime = false, tsFmt)
+      if (arrayRows) { val a = cur.addArray(); names.foreach(n => a.add(o.get(n))) }
+      else cur.add(o)
+      total += 1
+      if (cur.size() >= pageRows) flush()
+    }
+    flush()
+    (pages.result(), total)
   }
 
   /** The SQL endpoint's response in one of Druid's resultFormat

@@ -680,4 +680,164 @@ class DruidServeSpec extends AnyFunSuite {
       assert(c4 == 400 && id4 == "bad-1")
     }
   }
+
+  // ---- async SQL statements API -------------------------------------------
+
+  private def withStatementServer[A](pageRows: Int)(body: Int => A): A = {
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("events" -> events, "slow" -> slowFrame),
+      threads = 4, statementPageRows = pageRows)
+    try body(server.getAddress.getPort) finally server.stop(0)
+  }
+
+  /** Poll GET /druid/v2/sql/statements/{id} until a terminal state. */
+  private def awaitTerminal(port: Int, id: String,
+                            timeoutMs: Long = 30000): com.fasterxml.jackson.databind.JsonNode = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var last: com.fasterxml.jackson.databind.JsonNode = null
+    while (System.nanoTime() < deadline) {
+      val (code, body) = sendTo(port, "GET", s"/druid/v2/sql/statements/$id")
+      assert(code == 200, body)
+      last = mapper.readTree(body)
+      val st = last.path("state").asText()
+      if (st == "SUCCESS" || st == "FAILED" || st == "CANCELED") return last
+      Thread.sleep(50)
+    }
+    fail(s"statement $id did not reach a terminal state: $last")
+  }
+
+  test("statements API: POST/poll/results lifecycle with paging") {
+    withStatementServer(pageRows = 2) { port =>
+      val (code, body) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT event_type, user_id FROM events ORDER BY __time",
+            "context": {"sqlQueryId": "stmt-1", "executionMode": "ASYNC"}}""")
+      assert(code == 200, body)
+      val sub = mapper.readTree(body)
+      assert(sub.path("queryId").asText() == "stmt-1")
+      assert(Set("ACCEPTED", "RUNNING", "SUCCESS")(sub.path("state").asText()))
+      assert(sub.path("createdAt").asText().nonEmpty)
+      val fin = awaitTerminal(port, "stmt-1")
+      assert(fin.path("state").asText() == "SUCCESS", fin.toString)
+      assert(fin.path("durationMs").asLong() >= 0)
+      // schema: name/type/nativeType per column
+      val schema = fin.path("schema")
+      assert(schema.size() == 2)
+      assert(schema.get(0).path("name").asText() == "event_type")
+      assert(schema.get(0).path("type").asText() == "VARCHAR")
+      assert(schema.get(0).path("nativeType").asText() == "STRING")
+      assert(schema.get(1).path("type").asText() == "BIGINT")
+      // result summary: 5 rows over 3 pages of <= 2 rows
+      val result = fin.path("result")
+      assert(result.path("numTotalRows").asLong() == 5L)
+      assert(result.path("resultFormat").asText() == "object")
+      val pages = result.path("pages")
+      assert(pages.size() == 3)
+      assert((0 until 3).map(i => pages.get(i).path("numRows").asLong()).sum == 5L)
+      assert((0 until 3).forall(i => pages.get(i).path("sizeInBytes").asLong() > 0))
+      // full results
+      val (rc, rb) = sendTo(port, "GET", "/druid/v2/sql/statements/stmt-1/results")
+      assert(rc == 200, rb)
+      val rows = mapper.readTree(rb)
+      assert(rows.size() == 5)
+      assert(rows.get(0).path("event_type").asText() == "click")
+      assert(rows.get(4).path("user_id").asLong() == 2L)
+      // per-page results concatenate to the full set
+      val paged = (0 until 3).flatMap { i =>
+        val (pc, pb) = sendTo(port, "GET",
+          s"/druid/v2/sql/statements/stmt-1/results?page=$i")
+        assert(pc == 200, pb)
+        val arr = mapper.readTree(pb)
+        (0 until arr.size()).map(j => arr.get(j).toString)
+      }
+      assert(paged == (0 until 5).map(j => rows.get(j).toString))
+      // invalid page and unknown id are loud
+      assert(sendTo(port, "GET",
+        "/druid/v2/sql/statements/stmt-1/results?page=7")._1 == 400)
+      assert(sendTo(port, "GET", "/druid/v2/sql/statements/nope")._1 == 404)
+      assert(sendTo(port, "GET", "/druid/v2/sql/statements/nope/results")._1 == 404)
+    }
+  }
+
+  test("statements API: failure surfaces as FAILED with errorDetails") {
+    withStatementServer(pageRows = 100) { port =>
+      val (code, body) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT no_such_col FROM events",
+            "context": {"sqlQueryId": "stmt-bad"}}""")
+      assert(code == 200, body) // submission succeeds; FAILURE is async
+      val fin = awaitTerminal(port, "stmt-bad")
+      assert(fin.path("state").asText() == "FAILED", fin.toString)
+      val err = fin.path("errorDetails")
+      assert(err.path("error").asText() == "druidException")
+      assert(err.path("errorMessage").asText().nonEmpty)
+      // results of a failed statement are a 400, not an empty 200
+      assert(sendTo(port, "GET",
+        "/druid/v2/sql/statements/stmt-bad/results")._1 == 400)
+    }
+  }
+
+  test("statements API: DELETE cancels a running statement") {
+    withStatementServer(pageRows = 100) { port =>
+      val (code, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT sum(slept) AS s FROM slow",
+            "context": {"sqlQueryId": "stmt-kill"}}""")
+      assert(code == 200)
+      Thread.sleep(300) // let the scan start
+      val (dc, db) = sendTo(port, "DELETE", "/druid/v2/sql/statements/stmt-kill")
+      assert(dc == 202, db)
+      val fin = awaitTerminal(port, "stmt-kill")
+      assert(fin.path("state").asText() == "CANCELED", fin.toString)
+      // terminal DELETE is a 200 no-op; unknown id is 404
+      assert(sendTo(port, "DELETE", "/druid/v2/sql/statements/stmt-kill")._1 == 200)
+      assert(sendTo(port, "DELETE", "/druid/v2/sql/statements/nope")._1 == 404)
+      // the server stays healthy
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM events"}""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("c").asLong() == 5L)
+    }
+  }
+
+  test("statements API: validation — executionMode, duplicate ids, routes") {
+    withStatementServer(pageRows = 100) { port =>
+      // non-ASYNC executionMode is rejected loudly
+      val (mc, mb) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT 1", "context": {"executionMode": "SYNC"}}""")
+      assert(mc == 400 && mb.contains("executionMode"), mb)
+      // a second submit under a RUNNING id is rejected; after the
+      // first finishes, the id is reusable
+      val (c1, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT sum(slept) AS s FROM slow",
+            "context": {"sqlQueryId": "stmt-dup"}}""")
+      assert(c1 == 200)
+      val (c2, b2) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT 1", "context": {"sqlQueryId": "stmt-dup"}}""")
+      assert(c2 == 400 && b2.contains("already running"), b2)
+      assert(awaitTerminal(port, "stmt-dup").path("state").asText() == "SUCCESS")
+      val (c3, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT 2 AS two", "context": {"sqlQueryId": "stmt-dup"}}""")
+      assert(c3 == 200)
+      assert(awaitTerminal(port, "stmt-dup").path("state").asText() == "SUCCESS")
+      // the sync SQL DELETE no longer treats multi-segment paths as
+      // cancel ids (the statements route owns its own subtree)
+      assert(sendTo(port, "DELETE", "/druid/v2/sql/foo/bar")._1 == 405)
+      // unknown statements sub-routes are not cancels either
+      assert(sendTo(port, "DELETE",
+        "/druid/v2/sql/statements/a/b/c")._1 == 404)
+    }
+  }
+
+  test("SQL context: result-neutral operational keys are accepted") {
+    withServer { port =>
+      val (code, body) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM events",
+            "context": {"priority": 10, "lane": "low", "finalize": true,
+                        "brokerService": "b", "vectorize": "force"}}""")
+      assert(code == 200, body)
+      assert(mapper.readTree(body).get(0).path("c").asLong() == 5L)
+      // semantics-changing keys still 400 loudly
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT 1",
+            "context": {"useApproximateCountDistinct": false}}""")
+      assert(c2 == 400 && b2.contains("useApproximateCountDistinct"))
+    }
+  }
 }
