@@ -982,6 +982,81 @@ object PipelineQueries extends QuerySet {
              |FROM a1 LEFT JOIN dropped d USING (vec_id)
              |GROUP BY a1.cell ORDER BY a1.cell""".stripMargin)),
 
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): fit bag-of-hashed-
+    // ngram models of a TARGET domain (lang='en') and the RAW pool
+    // (everything else), score each raw doc by its log importance
+    // ratio, keep the top-k. Features are the engine's shared
+    // character-5-gram codes hashed into 256 buckets (tg % 256), so
+    // the oracle replays them bit-for-bit; per-bucket log ratios are
+    // Laplace-smoothed and frozen to scaled BIGINTs (round(1e6*ln))
+    // BEFORE the per-doc sum, so document scores are pure integer
+    // arithmetic — deterministic cross-engine regardless of summation
+    // order. Scale shape: two passes over the corpus exactly like
+    // DSIR itself (fit, then score) — the fit is ONE map-side-combined
+    // 256-key aggregate, the 256-row ratio table broadcasts, scoring
+    // is a map-side join + per-doc partial sum, and top-k plans as
+    // TakeOrdered (no global sort). Nothing wider than (doc_id,
+    // weight) ever shuffles.
+    Q("d26_dsir_resample",
+      (s, dir) => {
+        graft.sql.Grams5.register(s)
+        val docs = Tables.load(s, dir, "documents")
+        val g = docs.filter(length(col("text")) >= 5)
+          .select(col("doc_id"), col("lang"), col("source"),
+            explode(expr("grams5(text)")).as("tg"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            (col("tg") % 256).as("b"))
+        val stat = g.groupBy(col("b")).agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+        val tot = stat.agg(sum("ct").as("tn"), sum("cr").as("rn"))
+        val lr = s.range(0, 256).select(col("id").as("b"))
+          .join(stat, Seq("b"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("b"), expr(
+            "CAST(round(1000000 * ln(" +
+              "((coalesce(ct, 0) + 1) * CAST(1 AS DOUBLE) / (tn + 256)) / " +
+              "((coalesce(cr, 0) + 1) * CAST(1 AS DOUBLE) / (rn + 256))" +
+            ")) AS BIGINT)").as("w"))
+        val dw = g.filter(col("lang") =!= "en")
+          .join(broadcast(lr), "b")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("w")).as("weight"))
+        val top = dw.orderBy(col("weight").desc, col("doc_id")).limit(25)
+        top.withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("weight").desc, col("doc_id"))).cast("long"))
+          .select(col("rank"), col("doc_id"), col("source"), col("weight"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH trir AS (
+               |  SELECT doc_id, ${TextOps.gram5Sql} AS tg
+               |  FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
+               |        FROM documents WHERE length(text) >= 5)),
+               |g AS (SELECT t.doc_id, d.lang, d.source, t.tg % 256 AS b
+               |      FROM trir t JOIN documents d USING (doc_id)),
+               |stat AS (SELECT b,
+               |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+               |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cr
+               |  FROM g GROUP BY 1),
+               |tot AS (SELECT sum(ct) AS tn, sum(cr) AS rn FROM stat),
+               |lr AS (SELECT bk.b,
+               |    CAST(round(1000000 * ln(
+               |      ((coalesce(st.ct, 0) + 1) * CAST(1 AS DOUBLE) / (tot.tn + 256)) /
+               |      ((coalesce(st.cr, 0) + 1) * CAST(1 AS DOUBLE) / (tot.rn + 256))
+               |    )) AS BIGINT) AS w
+               |  FROM (SELECT unnest(range(0, 256)) AS b) bk
+               |  LEFT JOIN stat st ON bk.b = st.b, tot),
+               |dw AS (SELECT g.doc_id, g.source, CAST(sum(lr.w) AS BIGINT) AS weight
+               |  FROM g JOIN lr ON g.b = lr.b WHERE g.lang <> 'en'
+               |  GROUP BY 1, 2)
+               |SELECT * FROM (
+               |  SELECT CAST(row_number() OVER (ORDER BY weight DESC, doc_id)
+               |           AS BIGINT) AS rank,
+               |         doc_id, source, weight
+               |  FROM dw) WHERE rank <= 25 ORDER BY rank""".stripMargin)),
+
     // Incremental dedup: admit an incoming batch (doc_id % 10 == 0
     // stands in for today's crawl) against the EXISTING corpus without
     // ever re-hashing the corpus — the nightly-ingest shape at 100 TB.

@@ -219,4 +219,19 @@ class PlanSpec extends AnyFunSuite {
     assert(dataExchanges.size == 1,
       s"expected one user_id exchange, got ${dataExchanges.size}:\n$p")
   }
+
+  test("DSIR scoring broadcasts the ratio table, top-k avoids a sort (d26)") {
+    val p = plan(run("d26_dsir_resample"))
+    // the 256-row log-ratio table joins map-side; the raw-pool gram
+    // stream must never shuffle for it
+    assert(p.contains("BroadcastHashJoin"), s"lr join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 did not plan as distributed top-k:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian in d26:\n$p")
+    // no exchange may carry document text — only ids/buckets/weights
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(!exchanges.exists(_.contains("text")),
+      s"an exchange carries document text:\n${exchanges.mkString("\n")}")
+  }
 }
