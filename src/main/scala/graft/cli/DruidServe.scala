@@ -258,7 +258,8 @@ object DruidServe {
             maxResultRows: Int = 100000,
             threads: Int = 8,
             logQueries: Boolean = false,
-            statementPageRows: Int = 100000): HttpServer = {
+            statementPageRows: Int = 100000,
+            ingestRoot: Option[String] = None): HttpServer = {
     require(statementPageRows > 0,
       s"statementPageRows must be positive: $statementPageRows")
     require(threads > 0, s"--threads must be positive: $threads")
@@ -282,14 +283,44 @@ object DruidServe {
     // child sessions (temp views are session-local; global temp views
     // are the public cross-session channel and carry the full logical
     // plan, so pushdown survives). Registered on first sqlTimeZone use.
-    lazy val globalViews: Map[String, String] = sqlTables.map {
-      case (n, df) =>
-        val g = s"graft_serve_${serveId}_$n"
-        df.createOrReplaceGlobalTempView(g)
-        n -> g
-    }
+    // served-table registry: starts as sqlTables, and SQL ingestion
+    // (INSERT/REPLACE via the statements API) adds or refreshes
+    // entries at runtime with a fresh discovery-time DataFrame.
+    val servedTables =
+      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    sqlTables.foreach { case (n, df) => servedTables.put(n, df) }
+    val servedViews =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tzSessions =
       new java.util.concurrent.ConcurrentHashMap[String, SparkSession]()
+    // global temp views (registered lazily on first tz use, or at
+    // ingest) bridge served tables into per-timezone child sessions —
+    // temp views are session-local; global temp views are the public
+    // cross-session channel and carry the full logical plan, so
+    // pushdown survives
+    def ensureGlobalView(n: String, df: DataFrame): String =
+      servedViews.computeIfAbsent(n, _ => {
+        val g = s"graft_serve_${serveId}_$n"
+        df.createOrReplaceGlobalTempView(g)
+        g
+      })
+    def bridgeView(s: SparkSession, n: String, g: String): Unit = {
+      val _ = s.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$n` AS " +
+        s"SELECT * FROM global_temp.`$g`")
+    }
+    /** (Re-)register a served table after an ingest commit: fresh
+      * DataFrame, refreshed global view, bridges refreshed into every
+      * LIVE tz session (future sessions copy servedTables at creation).
+      */
+    def registerServedTable(name: String, df: DataFrame): Unit = {
+      servedTables.put(name, df)
+      val g = s"graft_serve_${serveId}_$name"
+      df.createOrReplaceGlobalTempView(g)
+      servedViews.put(name, g)
+      tzSessions.forEach((_, s2) => bridgeView(s2, name, g))
+    }
+    def resolveServed(name: String): DataFrame =
+      Option(servedTables.get(name)).getOrElse(resolve(name))
     // (session, zone-aware row renderer) for a request's sqlTimeZone.
     // Child sessions are built once per zone and reused: newSession()
     // shares the SparkContext and cached data but isolates SQLConf, so
@@ -311,10 +342,8 @@ object DruidServe {
               val s = spark.newSession()
               s.conf.set("spark.sql.session.timeZone", zone.getId)
               graft.sql.DruidSqlCompat.register(s)
-              globalViews.foreach { case (n, g) =>
-                s.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$n` AS " +
-                  s"SELECT * FROM global_temp.`$g`")
-              }
+              servedTables.forEach((n, df) =>
+                bridgeView(s, n, ensureGlobalView(n, df)))
               s
             })
             (s2, fmt)
@@ -378,7 +407,7 @@ object DruidServe {
         val rowsOut = new java.util.concurrent.atomic.AtomicLong()
         try {
           val out = withQueryControl(spark, qid, timeoutMs) {
-            envelope(q, graft.query.NativeQuery.run(body, resolve),
+            envelope(q, graft.query.NativeQuery.run(body, resolveServed),
               maxResultRows, rowsOut)
           }
           logQuery(qid, "native", q.path("queryType").asText("?"), t0,
@@ -432,8 +461,9 @@ object DruidServe {
                    args: Array[Any]): DataFrame = {
       graft.sql.DruidSqlCompat.register(session)
       if (session eq spark)
-        sqlTables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-      registerInformationSchema(spark, sqlTables)
+        servedTables.forEach((n, df) => df.createOrReplaceTempView(n))
+      registerInformationSchema(spark,
+        scala.jdk.CollectionConverters.MapHasAsScala(servedTables).asScala.toMap)
       explainPlanFor(sql0) match {
         case Some(inner) =>
           // Druid's `EXPLAIN PLAN FOR <query>` (the statement
@@ -506,7 +536,7 @@ object DruidServe {
         r.put("numTotalRows", st.numTotalRows)
         r.put("totalSizeInBytes", st.pages.map(_._2).sum)
         r.put("resultFormat", st.resultFormat)
-        r.put("dataSource", "__query_select")
+        r.put("dataSource", st.dataSource)
         val ps = r.putArray("pages")
         st.pages.zipWithIndex.foreach { case ((rowsN, bytes), i) =>
           val p = ps.addObject()
@@ -530,6 +560,58 @@ object DruidServe {
       }
       o
     }
+    /** Execute a parsed ingestion statement: write the SELECT's rows
+      * into `ingestRoot/<table>` through the segment writer (append
+      * for INSERT, atomic overwrite for REPLACE ALL, interval-scoped
+      * catalog overwrite for REPLACE WHERE), then re-register the
+      * served table so the new generation is immediately queryable on
+      * every endpoint. Returns the ingested row count (observed on the
+      * write's own pass when Spark surfaces the metric; one extra
+      * count pass otherwise).
+      */
+    def runIngest(session: SparkSession, spec: IngestSpec,
+                  df: DataFrame): Long = {
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val root = ingestRoot.getOrElse(throw new IllegalArgumentException(
+        "this broker is read-only: INSERT/REPLACE ingestion is disabled"))
+      if (!df.columns.contains("__time"))
+        throw new IllegalArgumentException(
+          "ingestion query must produce a __time column " +
+            s"(got: ${df.columns.mkString(", ")})")
+      // CLUSTERED BY = Druid's secondary partitioning: range-partition
+      // on the cluster keys so each task (and therefore each segment)
+      // covers a contiguous key range
+      val dfC =
+        if (spec.clusterBy.isEmpty) df
+        else df.repartitionByRange(spec.clusterBy.map(col): _*)
+      val obs = new org.apache.spark.sql.Observation()
+      val dfo = dfC.observe(obs, count(lit(1)).as("rows"))
+      val dir = s"$root/${spec.table}"
+      spec.replaceWhere match {
+        case Some(cond) =>
+          // interval-scoped REPLACE rides the catalog's overwrite-
+          // by-filter path (validated __time-range, atomic swap)
+          val catName = s"graft_ingest_$serveId"
+          session.conf.set(s"spark.sql.catalog.$catName",
+            classOf[graft.sources.druid.GraftCatalog].getName)
+          session.conf.set(s"spark.sql.catalog.$catName.root", root)
+          var w = dfo.writeTo(s"$catName.${spec.table}")
+          spec.granularity.foreach(g => w = w.option("segmentGranularity", g))
+          w.overwrite(expr(cond))
+        case None =>
+          var w = dfo.write.format("druid")
+            .mode(if (spec.replaceAll) "overwrite" else "append")
+          spec.granularity.foreach(g => w = w.option("segmentGranularity", g))
+          w.save(dir)
+      }
+      registerServedTable(spec.table,
+        spark.read.format("druid").load(dir))
+      obs.future.value match {
+        case Some(scala.util.Success(row)) =>
+          row.getLong(row.fieldIndex("rows"))
+        case _ => dfC.count()
+      }
+    }
     def runStatement(st: AsyncStatement, session: SparkSession,
                      args: Array[Any], timeoutMs: Long,
                      tsFmt: DateTimeFormatter): Unit = {
@@ -544,7 +626,8 @@ object DruidServe {
           // found nothing in `running`, but it set the flag first)
           if (st.cancelRequested.get())
             throw new QueryCancelled(s"query ${st.queryId} was cancelled")
-          val df = buildSqlDf(session, st.sql, args)
+          val df = buildSqlDf(session,
+            st.ingest.map(_.selectSql).getOrElse(st.sql), args)
           val schemaArr = mapper.createArrayNode()
           df.schema.fields.foreach { f =>
             val (nativeT, sqlT) = typeNamesOf(f.dataType)
@@ -554,8 +637,12 @@ object DruidServe {
             c.put("nativeType", nativeT)
           }
           st.schemaJson = Some(schemaArr)
-          pagedRows(df, st.resultFormat.startsWith("array"),
-            statementPageRows, maxResultRows, tsFmt)
+          st.ingest match {
+            case Some(spec) => (Vector.empty, runIngest(session, spec, df))
+            case None =>
+              pagedRows(df, st.resultFormat.startsWith("array"),
+                statementPageRows, maxResultRows, tsFmt)
+          }
         }
         st.pages = pages
         st.numTotalRows = total
@@ -605,12 +692,17 @@ object DruidServe {
           if (!Set("object", "array", "objectLines", "arrayLines")(fmtReq))
             throw new IllegalArgumentException(
               s"unsupported statements resultFormat $fmtReq")
+          val ingest = parseIngest(sql0) // loud 400 on malformed ingest
+          if (ingest.isDefined && ingestRoot.isEmpty)
+            throw new IllegalArgumentException(
+              "this broker is read-only: INSERT/REPLACE ingestion is disabled")
           val qid = sqlQueryIdOf(ctx)
           val (session, tsFmt) =
             sessionFor(Option(ctx.path("sqlTimeZone").asText(null)))
           val timeoutMs = ctx.path("timeout").asLong(0)
           val st = new AsyncStatement(qid, sql0,
-            java.time.Instant.now().toString, fmtReq)
+            java.time.Instant.now().toString, fmtReq, ingest)
+          ingest.foreach(spec => st.dataSource = spec.table)
           val prev = statements.putIfAbsent(qid, st)
           if (prev != null && !prev.terminal)
             throw new IllegalArgumentException(
@@ -692,6 +784,13 @@ object DruidServe {
         val sql0 = node.path("query").asText()
         if (sql0.isEmpty)
           throw new IllegalArgumentException("SQL endpoint needs {\"query\": ...}")
+        val up = sql0.stripLeading().toUpperCase(java.util.Locale.ROOT)
+        if (up.startsWith("INSERT") || up.startsWith("REPLACE"))
+          // Druid's broker behavior: the sync endpoint rejects
+          // ingestion; it belongs to the statements API
+          throw new IllegalArgumentException(
+            "INSERT/REPLACE statements must be submitted to " +
+              "/druid/v2/sql/statements (the SQL-ingestion surface)")
         val args = parameterValues(node.path("parameters"))
         val ctx = node.path("context")
         val qid = sqlQueryIdOf(ctx)
@@ -732,12 +831,14 @@ object DruidServe {
           .stripPrefix("/druid/v2/datasources").stripPrefix("/")
         if (rest.isEmpty) {
           val a = mapper.createArrayNode()
-          sqlTables.keys.toSeq.sorted.foreach(a.add)
+          scala.jdk.CollectionConverters
+            .SetHasAsScala(servedTables.keySet()).asScala
+            .toSeq.sorted.foreach(a.add)
           (a.toString, "application/json")
         } else {
           val parts = rest.split("/").toList
           val name = parts.head
-          val df = sqlTables.getOrElse(name, resolve(name))
+          val df = resolveServed(name)
           val (dimNames, metNames) = df.schema.fields
             .filterNot(_.name == "__time").partition(_.dataType match {
               case StringType | ArrayType(_, _) => true
@@ -859,6 +960,7 @@ object DruidServe {
       var threads = 8
       var logQueries = false
       var stmtPageRows = 100000
+      var noIngest = false
       def parse(opts: List[String]): Unit = opts match {
         case "--port" :: p :: t     => port = p.toInt; parse(t)
         case "--host" :: h :: t     => host = h; parse(t)
@@ -867,6 +969,7 @@ object DruidServe {
         case "--log-queries" :: t   => logQueries = true; parse(t)
         case "--statement-page-rows" :: n :: t =>
           stmtPageRows = n.toInt; parse(t)
+        case "--no-ingest" :: t => noIngest = true; parse(t)
         case Nil                    =>
         case other => sys.error(s"unknown args: $other")
       }
@@ -892,7 +995,8 @@ object DruidServe {
           s"unknown dataSource '$name' (tables: ${tables.keys.toSeq.sorted.mkString(", ")})")),
         port, sqlTables = tables, host = host, maxResultRows = maxRows,
         threads = threads, logQueries = logQueries,
-        statementPageRows = stmtPageRows)
+        statementPageRows = stmtPageRows,
+        ingestRoot = if (noIngest) None else Some(root))
       if (host != "127.0.0.1" && host != "localhost")
         System.err.println(
           s"WARNING: binding $host — the SQL endpoint executes arbitrary " +
@@ -905,7 +1009,7 @@ object DruidServe {
       System.err.println(
         "usage: druid-serve <tablesRoot> [--port N] [--host H] " +
           "[--max-rows N] [--threads N] [--log-queries] " +
-          "[--statement-page-rows N]")
+          "[--statement-page-rows N] [--no-ingest]")
       sys.exit(2)
   }
 
@@ -1196,6 +1300,84 @@ object DruidServe {
     case other            => ("COMPLEX", other.sql)
   }
 
+  /** A parsed Druid SQL-ingestion statement (`INSERT INTO t SELECT …
+    * PARTITIONED BY g [CLUSTERED BY cols]` / `REPLACE INTO t OVERWRITE
+    * ALL|WHERE cond SELECT … PARTITIONED BY g`, the MSQ statements-API
+    * surface). `granularity` is the writer's segmentGranularity
+    * (None = ALL time → one undivided segment interval).
+    */
+  private final case class IngestSpec(table: String, selectSql: String,
+                                      replaceAll: Boolean,
+                                      replaceWhere: Option[String],
+                                      granularity: Option[String],
+                                      clusterBy: Seq[String])
+
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+(\S+)\s+((?:SELECT|WITH)\b.+?)\s+PARTITIONED\s+BY\s+(.+?)(?:\s+CLUSTERED\s+BY\s+(.+?))?\s*""".r
+  private val ReplaceRe =
+    """(?is)\s*REPLACE\s+INTO\s+(\S+)\s+OVERWRITE\s+(?:(ALL)|WHERE\s+(.+?))\s+((?:SELECT|WITH)\b.+?)\s+PARTITIONED\s+BY\s+(.+?)(?:\s+CLUSTERED\s+BY\s+(.+?))?\s*""".r
+
+  /** PARTITIONED BY clause → writer segmentGranularity (None = ALL). */
+  private def parsePartitionedBy(p: String): Option[String] = {
+    val up = p.trim.stripSuffix(";").trim
+      .toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val Floor = """FLOOR\s*\(\s*__TIME\s+TO\s+(HOUR|DAY|MONTH|YEAR)\s*\)""".r
+    val TimeFloor = """TIME_FLOOR\s*\(\s*__TIME\s*,\s*'(PT1H|P1D|P1M|P1Y)'\s*\)""".r
+    up match {
+      case "ALL" | "ALL TIME"                => None
+      case "HOUR" | "DAY" | "MONTH" | "YEAR" => Some(up.toLowerCase)
+      case Floor(g)                          => Some(g.toLowerCase)
+      case TimeFloor(per) => Some(per match {
+        case "PT1H" => "hour"; case "P1D" => "day"
+        case "P1M" => "month"; case _ => "year"
+      })
+      case other => throw new IllegalArgumentException(
+        s"unsupported PARTITIONED BY '$other' (supported: HOUR, DAY, " +
+          "MONTH, YEAR, ALL [TIME], FLOOR(__time TO <g>), " +
+          "TIME_FLOOR(__time, 'PT1H'|'P1D'|'P1M'|'P1Y'))")
+    }
+  }
+
+  /** The dataSource name comes off the wire and becomes a directory
+    * name — restrict it hard so it can never traverse paths.
+    */
+  private def cleanTableName(raw: String): String = {
+    val t = raw.trim.stripPrefix("`").stripSuffix("`")
+      .stripPrefix("\"").stripSuffix("\"")
+    if (!t.matches("[A-Za-z0-9_][A-Za-z0-9_\\-]*"))
+      throw new IllegalArgumentException(
+        s"invalid ingestion dataSource name '$t'")
+    t
+  }
+
+  /** Parse a Druid SQL-ingestion statement; None for plain queries.
+    * A statement that STARTS like ingestion but does not parse is a
+    * loud error (a silently misrouted INSERT would run as a Spark SQL
+    * INSERT against a temp view, or vanish).
+    */
+  private def parseIngest(sql: String): Option[IngestSpec] = {
+    val up = sql.stripLeading().toUpperCase(java.util.Locale.ROOT)
+    if (!up.startsWith("INSERT") && !up.startsWith("REPLACE")) return None
+    def clusters(c: String): Seq[String] =
+      if (c == null) Seq.empty
+      else c.trim.stripSuffix(";").split(",").toSeq.map(
+        _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+    sql match {
+      case InsertRe(t, sel, part, clust) =>
+        Some(IngestSpec(cleanTableName(t), sel, replaceAll = false,
+          None, parsePartitionedBy(part), clusters(clust)))
+      case ReplaceRe(t, all, cond, sel, part, clust) =>
+        Some(IngestSpec(cleanTableName(t), sel,
+          replaceAll = all != null, Option(cond).map(_.trim),
+          parsePartitionedBy(part), clusters(clust)))
+      case _ => throw new IllegalArgumentException(
+        "malformed ingestion statement: expected INSERT INTO <table> " +
+          "SELECT ... PARTITIONED BY <g> [CLUSTERED BY cols] or " +
+          "REPLACE INTO <table> OVERWRITE ALL|WHERE <cond> SELECT ... " +
+          "PARTITIONED BY <g>")
+    }
+  }
+
   /** One async statements-API query (Druid's `/druid/v2/sql/statements/`,
     * SqlStatementState lifecycle ACCEPTED → RUNNING → SUCCESS / FAILED /
     * CANCELED). Results are serialized ONCE on the worker thread into
@@ -1205,13 +1387,15 @@ object DruidServe {
   private final class AsyncStatement(val queryId: String,
                                      val sql: String,
                                      val createdAt: String,
-                                     val resultFormat: String) {
+                                     val resultFormat: String,
+                                     val ingest: Option[IngestSpec] = None) {
     @volatile var state: String = "ACCEPTED"
     @volatile var durationMs: Long = -1L
     @volatile var schemaJson: Option[com.fasterxml.jackson.databind.node.ArrayNode] = None
     /** (page row nodes, serialized byte size) per page. */
     @volatile var pages: Vector[(com.fasterxml.jackson.databind.node.ArrayNode, Long)] = Vector.empty
     @volatile var numTotalRows: Long = 0L
+    @volatile var dataSource: String = "__query_select"
     @volatile var error: Option[Throwable] = None
     val cancelRequested = new java.util.concurrent.atomic.AtomicBoolean(false)
     def terminal: Boolean =

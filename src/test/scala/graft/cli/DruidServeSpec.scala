@@ -840,4 +840,125 @@ class DruidServeSpec extends AnyFunSuite {
       assert(c2 == 400 && b2.contains("useApproximateCountDistinct"))
     }
   }
+
+  // ---- SQL ingestion through the statements API ---------------------------
+
+  private def withIngestServer[A](body: (Int, String) => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("events" -> events, "slow" -> slowFrame),
+      threads = 4, ingestRoot = Some(root))
+    try body(server.getAddress.getPort, root) finally server.stop(0)
+  }
+
+  test("statements API: INSERT INTO ... PARTITIONED BY ingests a queryable datasource") {
+    withIngestServer { (port, root) =>
+      val (code, body) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO clicks SELECT __time, event_type, user_id, value FROM events WHERE event_type = 'click' PARTITIONED BY DAY CLUSTERED BY user_id",
+            "context": {"sqlQueryId": "ing-1"}}""")
+      assert(code == 200, body)
+      val fin = awaitTerminal(port, "ing-1")
+      assert(fin.path("state").asText() == "SUCCESS", fin.toString)
+      assert(fin.path("result").path("dataSource").asText() == "clicks")
+      assert(fin.path("result").path("numTotalRows").asLong() == 3L)
+      // PARTITIONED BY DAY: the 3 clicks span 2 days -> >= 2 segment dirs
+      val segs = new java.io.File(s"$root/clicks").listFiles()
+        .filter(f => f.isDirectory && !f.getName.startsWith("."))
+      assert(segs.length >= 2, segs.map(_.getName).mkString(", "))
+      // immediately queryable: sync SQL, native query, discovery
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c, sum(user_id) AS u FROM clicks"}""")
+      assert(c2 == 200, b2)
+      val row = mapper.readTree(b2).get(0)
+      assert(row.path("c").asLong() == 3L && row.path("u").asLong() == 5L)
+      val (c3, b3) = post(port, """{
+        "queryType": "timeseries", "dataSource": "clicks",
+        "granularity": "all",
+        "aggregations": [{"type": "count", "name": "n"}]}""")
+      assert(c3 == 200 && b3.contains("\"n\":3"), b3)
+      val (c4, b4) = sendTo(port, "GET", "/druid/v2/datasources")
+      assert(c4 == 200 && b4.contains("clicks"), b4)
+      // INSERT appends: count doubles
+      val (c5, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO clicks SELECT __time, event_type, user_id, value FROM events WHERE event_type = 'click' PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "ing-2"}}""")
+      assert(c5 == 200)
+      assert(awaitTerminal(port, "ing-2").path("state").asText() == "SUCCESS")
+      val (c6, b6) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM clicks"}""")
+      assert(c6 == 200 && mapper.readTree(b6).get(0).path("c").asLong() == 6L)
+      // REPLACE OVERWRITE ALL swaps the whole table
+      val (c7, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "REPLACE INTO clicks OVERWRITE ALL SELECT __time, event_type, user_id, value FROM events WHERE event_type = 'view' PARTITIONED BY ALL",
+            "context": {"sqlQueryId": "ing-3"}}""")
+      assert(c7 == 200)
+      assert(awaitTerminal(port, "ing-3").path("state").asText() == "SUCCESS")
+      val (c8, b8) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c, min(event_type) AS e FROM clicks"}""")
+      val r8 = mapper.readTree(b8).get(0)
+      assert(c8 == 200 && r8.path("c").asLong() == 2L
+        && r8.path("e").asText() == "view")
+    }
+  }
+
+  test("statements API: REPLACE OVERWRITE WHERE backfills one day atomically") {
+    withIngestServer { (port, _) =>
+      val (c1, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "REPLACE INTO ev2 OVERWRITE ALL SELECT __time, event_type, user_id, value FROM events PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "bk-1"}}""")
+      assert(c1 == 200)
+      assert(awaitTerminal(port, "bk-1").path("state").asText() == "SUCCESS")
+      val (c2, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "REPLACE INTO ev2 OVERWRITE WHERE __time >= TIMESTAMP '2024-01-02 00:00:00' AND __time < TIMESTAMP '2024-01-03 00:00:00' SELECT TIMESTAMP '2024-01-02 06:00:00' AS __time, 'marker' AS event_type, CAST(99 AS BIGINT) AS user_id, CAST(0.5 AS DOUBLE) AS value PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "bk-2"}}""")
+      assert(c2 == 200)
+      val fin = awaitTerminal(port, "bk-2")
+      assert(fin.path("state").asText() == "SUCCESS", fin.toString)
+      assert(fin.path("result").path("numTotalRows").asLong() == 1L)
+      val (c3, b3) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT CAST(date_trunc('DAY', __time) AS DATE) AS d, count(*) AS c, max(event_type) AS e FROM ev2 GROUP BY 1 ORDER BY 1"}""")
+      assert(c3 == 200, b3)
+      val days = mapper.readTree(b3)
+      assert(days.size() == 3)
+      // day 1 and day 3 untouched; day 2 replaced by the single marker
+      assert(days.get(0).path("c").asLong() == 2L)
+      assert(days.get(1).path("c").asLong() == 1L
+        && days.get(1).path("e").asText() == "marker")
+      assert(days.get(2).path("c").asLong() == 1L)
+    }
+  }
+
+  test("statements API: ingestion validation is loud") {
+    withIngestServer { (port, _) =>
+      // PARTITIONED BY is required
+      val (c1, b1) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO t SELECT * FROM events"}""")
+      assert(c1 == 400 && b1.contains("PARTITIONED BY"), b1)
+      // the sync endpoint refuses ingestion outright
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "INSERT INTO t SELECT * FROM events PARTITIONED BY DAY"}""")
+      assert(c2 == 400 && b2.contains("statements"), b2)
+      // dataSource names cannot traverse paths
+      val (c3, b3) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO ../evil SELECT * FROM events PARTITIONED BY DAY"}""")
+      assert(c3 == 400 && b3.contains("invalid"), b3)
+      // a SELECT without __time fails loudly (async, in the status)
+      val (c4, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO t2 SELECT event_type FROM events PARTITIONED BY ALL",
+            "context": {"sqlQueryId": "bad-ing"}}""")
+      assert(c4 == 200)
+      val fin = awaitTerminal(port, "bad-ing")
+      assert(fin.path("state").asText() == "FAILED")
+      assert(fin.path("errorDetails").path("errorMessage").asText()
+        .contains("__time"))
+    }
+  }
+
+  test("statements API: read-only broker rejects ingestion") {
+    withStatementServer(pageRows = 100) { port =>
+      val (code, body) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO t SELECT * FROM events PARTITIONED BY DAY"}""")
+      assert(code == 400 && body.contains("read-only"), body)
+    }
+  }
 }
