@@ -39,6 +39,8 @@ object Bench {
     catch { case _: Throwable => () }
     try { graft.queries.PipelineQueries.pqIndexDir(spark, sfDir) }
     catch { case _: Throwable => () }
+    try { graft.queries.PipelineQueries.sqIndexDirs(spark, sfDir) }
+    catch { case _: Throwable => () }
     try { graft.queries.PipelineQueries.lshBandsDir(spark, sfDir) }
     catch { case _: Throwable => () }
     try { graft.queries.PipelineQueries.ivfPqIndexDir(spark, sfDir) }

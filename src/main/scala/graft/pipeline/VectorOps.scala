@@ -546,4 +546,95 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
   }
+
+  /** SQ8 per-dimension quantization stats: the corpus' exact per-dim
+    * min/max (dim rows — broadcast-sized), the "train" half of scalar
+    * quantization. One map-side posexplode + a dim-key map-side-
+    * combined aggregate; the corpus never shuffles vectors.
+    */
+  def sqStats(embeddings: DataFrame): DataFrame =
+    embeddings.select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v").cast("double")).as("mn"),
+           max(col("v").cast("double")).as("mx"))
+
+  /** The SQ8 "index build" half: one byte code per (vector, dim) —
+    * uniform 256-level quantization of each float onto [mn_d, mx_d],
+    * reassembled into a dim-ordered int array per vector (4×
+    * compression vs float32; integer codes are exact cross-engine).
+    * Persist next to the other serving indexes; the quantizer never
+    * reruns at query time.
+    */
+  def sqCodes(embeddings: DataFrame,
+              precomputedStats: Option[DataFrame] = None): DataFrame = {
+    val stats = precomputedStats.getOrElse(sqStats(embeddings))
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(stats), "pos")
+      .select(col("vec_id"), col("pos"), expr(
+        "CAST(CASE WHEN mx = mn THEN 0 ELSE " +
+          "round(255 * (CAST(v AS DOUBLE) - mn) / (mx - mn)) END AS INT)")
+        .as("code"))
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, code))), x -> x.code)")
+        .as("codes"))
+  }
+
+  /** IVF + SQ8 ANN top-k (the FAISS IVFSQ shape): cell-pruned
+    * candidate lists scored ASYMMETRICALLY — full-precision query
+    * against the candidate DEQUANTIZED from its persisted SQ8 codes.
+    * Serve-time plan: probes pick nProbe cells off the broadcast
+    * centroid table, candidates come from the persisted (assignment ⋈
+    * codes) tables via an equi-join on cell, reconstruction is per-row
+    * arithmetic against the broadcast dim-row stats — what stays
+    * memory-resident at 100 TB is the 4×-compressed code table, and a
+    * query touches nProbe/nCells of it. Deterministic cross-engine:
+    * integer codes, double reconstruction arithmetic, cosines rounded
+    * to 6.
+    */
+  def sqTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
+             k: Int, nCells: Int, nProbe: Int, dim: Int,
+             precomputedCodes: Option[DataFrame] = None,
+             precomputedAssign: Option[DataFrame] = None,
+             precomputedStats: Option[DataFrame] = None): DataFrame = {
+    registerExprs(embeddings)
+    val codes = precomputedCodes.getOrElse(sqCodes(embeddings))
+    val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, nCells))
+    val stats = precomputedStats.getOrElse(sqStats(embeddings))
+    val statArrs = stats.groupBy().agg(
+      expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)")
+        .as("mnA"),
+      expr("transform(array_sort(collect_list(struct(pos, mx))), x -> x.mx)")
+        .as("mxA"))
+    val cand = codes.join(assign, "vec_id")
+      .crossJoin(broadcast(statArrs))
+      .select(col("vec_id").as("cand_id"), col("cell"), expr(
+        s"transform(sequence(0, ${dim - 1}), i -> " +
+          "element_at(mnA, i + 1) + element_at(codes, i + 1) * " +
+          "(element_at(mxA, i + 1) - element_at(mnA, i + 1)) / 255.0D)")
+        .as("rv"))
+    val cent = embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pcos").desc, col("cid"))
+    val probes = embeddings.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val scored = probes.join(cand, "cell")
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", round(
+        expr(dotHofSql("qv", "rv")) /
+          (expr(normSql("qv")) * expr(s"sqrt(${dotHofSql("rv", "rv")})")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+  }
 }

@@ -141,6 +141,29 @@ object PipelineQueries extends QuerySet {
       })
     }
 
+  private val stagedSq = scala.collection.mutable.Map[String, (String, String)]()
+
+  /** Persisted SQ8 serving index — (codes dir, stats dir), built once
+    * per JVM and scale dir: the per-dim min/max "training" table and
+    * the 4×-compressed per-vector code arrays quantized against it.
+    * The e8 query-time plan reads BOTH halves and never touches the
+    * float corpus except for the query batch itself.
+    */
+  def sqIndexDirs(s: org.apache.spark.sql.SparkSession,
+                  dir: String): (String, String) =
+    synchronized {
+      stagedSq.getOrElseUpdate(dir, {
+        val base = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_sq"
+        val emb = Tables.load(s, dir, "embeddings")
+        VectorOps.sqStats(emb).write.mode("overwrite")
+          .parquet(s"${base}_stats")
+        VectorOps.sqCodes(emb,
+            Some(s.read.parquet(s"${base}_stats")))
+          .write.mode("overwrite").parquet(s"${base}_codes")
+        (s"${base}_codes", s"${base}_stats")
+      })
+    }
+
   private val stagedIvfPq = scala.collection.mutable.Map[String, String]()
 
   /** Persisted IVF+PQ serving index — PQ codes pre-joined with the IVF
@@ -1490,6 +1513,70 @@ object PipelineQueries extends QuerySet {
              |    row_number() OVER (PARTITION BY query_id ORDER BY adc, cand_id) AS rnk
              |  FROM adc WHERE query_id <> cand_id)
              |SELECT query_id, cand_id, adc, CAST(rnk AS BIGINT) AS rnk
+             |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // IVF + SQ8 (the FAISS IVFSQ shape): cell-pruned candidates scored
+    // asymmetrically — full-precision query against candidates
+    // DEQUANTIZED from their persisted 4x-compressed SQ8 codes
+    // (per-dim uniform 256-level quantization against the persisted
+    // min/max stats). Both index halves come from sqIndexDirs (the
+    // nightly build); the timed plan touches the float corpus only
+    // for the 3-query batch. Completes the quantization family:
+    // LSH (e2), IVF (e3/e4), PQ (e5/e6), IVF+PQ (e7), IVF+SQ8 (e8).
+    Q("e8_knn_ivf_sq8",
+      (s, dir) => {
+        val (codesDir, statsDir) = sqIndexDirs(s, dir)
+        VectorOps.sqTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, 5, nCells = 8, nProbe = 2, dim = 64,
+            precomputedCodes = Some(s.read.parquet(codesDir)),
+            precomputedAssign = Some(s.read.parquet(ivfIndexDir(s, dir))),
+            precomputedStats = Some(s.read.parquet(statsDir)))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+             |         FROM e WHERE vec_id < 8),
+             |ac AS (SELECT v.vec_id, c.cid,
+             |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+             |  FROM e v, cent c),
+             |assign AS (SELECT vec_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+             |    FROM ac) WHERE rn = 1),
+             |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+             |    SELECT vec_id, cid,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+             |    FROM ac WHERE vec_id < 3) WHERE rn <= 2),
+             |stats AS (SELECT i.i AS pos,
+             |    min(e2.embedding[i.i + 1]::DOUBLE) AS mn,
+             |    max(e2.embedding[i.i + 1]::DOUBLE) AS mx
+             |  FROM embeddings e2, range(64) i(i) GROUP BY 1),
+             |recon AS (SELECT em.vec_id, s.pos,
+             |    s.mn + (CASE WHEN s.mx = s.mn THEN 0
+             |            ELSE CAST(round(255 * (em.embedding[s.pos + 1]::DOUBLE - s.mn)
+             |                             / (s.mx - s.mn)) AS INT) END)
+             |           * (s.mx - s.mn) / 255.0 AS rv
+             |  FROM embeddings em, stats s),
+             |rnorm AS (SELECT vec_id, sqrt(sum(rv * rv)) AS rnrm
+             |          FROM recon GROUP BY 1),
+             |scored AS (SELECT p.query_id, a2.vec_id AS cand_id,
+             |    round(sum(q.embedding[r.pos + 1]::DOUBLE * r.rv)
+             |          / (max(q.nrm) * max(n2.rnrm)), 6) AS cos
+             |  FROM probe p
+             |  JOIN assign a2 ON p.cell = a2.cell AND a2.vec_id <> p.query_id
+             |  JOIN e q ON q.vec_id = p.query_id
+             |  JOIN recon r ON r.vec_id = a2.vec_id
+             |  JOIN rnorm n2 ON n2.vec_id = a2.vec_id
+             |  GROUP BY p.query_id, a2.vec_id),
+             |ranked AS (SELECT query_id, cand_id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos DESC, cand_id) AS rnk
+             |  FROM scored)
+             |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
              |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
 
     // ---- time-series joins ----

@@ -303,6 +303,45 @@ class PipelineSpec extends AnyFunSuite {
       sd.agg(min("vec_id")).head.getLong(0)))
   }
 
+  test("SQ8 codes are byte-range, reconstruction tight, recall high") {
+    val stats = VectorOps.sqStats(emb)
+    val codes = VectorOps.sqCodes(emb, Some(stats))
+    assert(codes.count() == emb.count())
+    // every code is a byte (0..255) and every vector keeps all dims
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0)
+    assert(codes.filter(size(col("codes")) =!= 64).count() == 0)
+    // reconstruction error per element is bounded by half a level:
+    // |x - recon| <= (mx - mn) / 255 / 2 (+ float slack)
+    val statArr = stats.groupBy().agg(
+      expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)").as("mnA"),
+      expr("transform(array_sort(collect_list(struct(pos, mx))), x -> x.mx)").as("mxA"))
+    val worst = emb.join(codes, "vec_id").crossJoin(broadcast(statArr))
+      .select(expr(
+        """array_max(transform(sequence(0, 63), i ->
+          |  abs(CAST(element_at(embedding, i + 1) AS DOUBLE) -
+          |      (element_at(mnA, i + 1) + element_at(codes, i + 1) *
+          |       (element_at(mxA, i + 1) - element_at(mnA, i + 1)) / 255.0D))
+          |  - (element_at(mxA, i + 1) - element_at(mnA, i + 1)) / 510.0D))"""
+          .stripMargin).as("err"))
+      .agg(max(col("err"))).head.getDouble(0)
+    assert(worst < 1e-9, s"reconstruction error above half a level: $worst")
+    // IVF+SQ8 top-k agrees with IVF on full-precision vectors almost
+    // everywhere (same cells probed; only the quantized cosine differs)
+    val sq = VectorOps.sqTopK(emb, col("vec_id") < 10, 5,
+        nCells = 8, nProbe = 2, dim = 64,
+        precomputedCodes = Some(codes))
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorOps.ivfTopK(emb, col("vec_id") < 10, 5,
+        nCells = 8, nProbe = 2)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq intersect ivf).size.toDouble / ivf.size
+    assert(recall > 0.8, s"SQ8 recall vs IVF $recall too low")
+  }
+
   test("kmeansRefine partitions every vector into a refined cell") {
     val r = VectorOps.kmeansRefine(emb, 8)
     assert(r.count() == emb.count())
