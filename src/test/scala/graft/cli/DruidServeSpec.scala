@@ -796,6 +796,46 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+
+  test("statements API: statements run in parallel, never starving sync HTTP") {
+    withStatementServer(pageRows = 100) { port =>
+      // two slow statements occupy the whole statement pool (threads/2 = 2)
+      (1 to 2).foreach { i =>
+        val (c, _) = postTo(port, "/druid/v2/sql/statements",
+          s"""{"query": "SELECT sum(slept) AS s FROM slow",
+               "context": {"sqlQueryId": "par-$i"}}""")
+        assert(c == 200)
+      }
+      Thread.sleep(300)
+      // BOTH are past ACCEPTED: a single-threaded statement runner
+      // would still hold par-2 in ACCEPTED while par-1 sleeps — this
+      // is the pool-parallelism assertion
+      val states = (1 to 2).map { i =>
+        mapper.readTree(sendTo(port, "GET",
+          s"/druid/v2/sql/statements/par-$i")._2).path("state").asText()
+      }
+      assert(states.forall(st => st == "RUNNING" || st == "SUCCESS"), states)
+      // HTTP threads are not starved: /status (no Spark work) answers
+      // immediately while the statement pool is saturated
+      val t0 = System.nanoTime()
+      assert(sendTo(port, "GET", "/status")._1 == 200)
+      val statusMs = (System.nanoTime() - t0) / 1000000
+      assert(statusMs < 1000, s"/status took ${statusMs}ms under load")
+      // a sync query still ANSWERS correctly (its Spark job may queue
+      // behind the sleeping tasks on the local[4] test cluster — core
+      // contention, not HTTP starvation — so no latency bound here)
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM events"}""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("c").asLong() == 5L)
+      // both statements complete, in parallel (overlapping sleeps):
+      // two sequential runs would take >= 2 x 1.5s from the poll start
+      (1 to 2).foreach { i =>
+        assert(awaitTerminal(port, s"par-$i").path("state").asText()
+          == "SUCCESS")
+      }
+    }
+  }
+
   test("statements API: validation — executionMode, duplicate ids, routes") {
     withStatementServer(pageRows = 100) { port =>
       // non-ASYNC executionMode is rejected loudly
