@@ -1080,6 +1080,86 @@ object PipelineQueries extends QuerySet {
                |         doc_id, source, weight
                |  FROM dw) WHERE rank <= 25 ORDER BY rank""".stripMargin)),
 
+    // CCNet-style perplexity filtering (Wenzek et al. 2020): train a
+    // word-bigram LM with Laplace smoothing on the TARGET language
+    // (lang='en'), score every other doc by its average per-bigram log
+    // probability, keep docs above a threshold — the canonical
+    // LM-based quality filter. Determinism: per-bigram log-probs
+    // freeze to scaled BIGINTs (round(1e6*ln)) BEFORE the per-doc sum,
+    // and the keep rule compares lp_total >= thr * n_bigrams with
+    // integer multiplication (never integer division, whose rounding
+    // direction differs cross-engine on negatives). Scale shape: the
+    // LM fit is one map-side-combined groupBy over (w1,w2) of the
+    // target slice; scoring joins the doc bigram stream against the
+    // model — broadcast here (the LM table is vocabulary-sized), a
+    // plain shuffle join on the bigram key when a 100 TB-corpus model
+    // outgrows broadcast; the per-doc sum is a map-side-combined
+    // partial. Docs with <2 words carry no bigrams and are out of
+    // scope (spec'd by the oracle identically).
+    Q("d27_perplexity_filter",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val toks = docs
+          .select(col("doc_id"), col("lang"), col("source"),
+            split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+        val big = toks.select(col("doc_id"), col("lang"), col("source"),
+            explode(expr("transform(sequence(0, size(w) - 2), i -> " +
+              "struct(element_at(w, i + 1) AS w1, element_at(w, i + 2) AS w2))"))
+              .as("bg"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val train = big.filter(col("lang") === "en")
+        val uni = train.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+        val bi = train.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cb"))
+        val voc = uni.agg(count(lit(1)).as("v"))
+        val dw = big.filter(col("lang") =!= "en")
+          .join(broadcast(bi), Seq("w1", "w2"), "left")
+          .join(broadcast(uni), Seq("w1"), "left")
+          .crossJoin(broadcast(voc))
+          .select(col("doc_id"), col("source"), expr(
+            "CAST(round(1000000 * ln((coalesce(cb, 0) + 1) * " +
+              "CAST(1 AS DOUBLE) / (coalesce(cu, 0) + v))) AS BIGINT)")
+            .as("lp"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("lp")).as("lpt"), count(lit(1)).as("nb"))
+        dw.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("lpt") >= lit(-3430000L) * col("nb"), 1L)
+              .otherwise(0L)).as("kept"),
+            round(min(col("lpt") * lit(1.0) / col("nb")), 4).as("min_lp"),
+            round(max(col("lpt") * lit(1.0) / col("nb")), 4).as("max_lp"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, lang, source,
+             |    string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT doc_id, lang, source, w,
+             |    unnest(range(0, len(w) - 1)) AS i FROM toks WHERE len(w) >= 2),
+             |big AS (SELECT doc_id, lang, source,
+             |    w[i + 1] AS w1, w[i + 2] AS w2 FROM idx),
+             |uni AS (SELECT w1, count(*) AS cu FROM big
+             |        WHERE lang = 'en' GROUP BY 1),
+             |bi AS (SELECT w1, w2, count(*) AS cb FROM big
+             |       WHERE lang = 'en' GROUP BY 1, 2),
+             |voc AS (SELECT count(*) AS v FROM uni),
+             |sc AS (SELECT b.doc_id, b.source,
+             |    CAST(round(1000000 * ln((coalesce(bi.cb, 0) + 1)
+             |      * CAST(1 AS DOUBLE) / (coalesce(u.cu, 0) + voc.v)))
+             |      AS BIGINT) AS lp
+             |  FROM big b
+             |  LEFT JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+             |  LEFT JOIN uni u ON b.w1 = u.w1, voc
+             |  WHERE b.lang <> 'en'),
+             |dw AS (SELECT doc_id, source, CAST(sum(lp) AS BIGINT) AS lpt,
+             |    count(*) AS nb FROM sc GROUP BY 1, 2)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN lpt >= -3430000 * nb THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS kept,
+             |  round(min(lpt * CAST(1 AS DOUBLE) / nb), 4) AS min_lp,
+             |  round(max(lpt * CAST(1 AS DOUBLE) / nb), 4) AS max_lp
+             |FROM dw GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Incremental dedup: admit an incoming batch (doc_id % 10 == 0
     // stands in for today's crawl) against the EXISTING corpus without
     // ever re-hashing the corpus — the nightly-ingest shape at 100 TB.
