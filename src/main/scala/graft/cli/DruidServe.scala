@@ -259,7 +259,9 @@ object DruidServe {
             threads: Int = 8,
             logQueries: Boolean = false,
             statementPageRows: Int = 100000,
-            ingestRoot: Option[String] = None): HttpServer = {
+            ingestRoot: Option[String] = None,
+            autoCompactSeconds: Option[Long] = None,
+            compactTargetRows: Long = 5000000L): HttpServer = {
     require(statementPageRows > 0,
       s"statementPageRows must be positive: $statementPageRows")
     require(threads > 0, s"--threads must be positive: $threads")
@@ -866,6 +868,105 @@ object DruidServe {
           }
         }
       })
+    // ---- coordinator datasource metadata (console/pydruid call these
+    // on connect): names plus per-datasource segment stats for the
+    // segment-backed tables under the ingest root
+    def dirSize(d: String): Long = {
+      val f = new java.io.File(d)
+      if (!f.exists()) 0L
+      else if (f.isFile) f.length()
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .map(c => dirSize(c.getPath)).sum
+    }
+    def coordinatorHandler(base: String): com.sun.net.httpserver.HttpHandler =
+      (ex: HttpExchange) =>
+        if (ex.getRequestMethod != "GET")
+          respond(ex, 405, """{"error":"supported methods: GET"}""")
+        else {
+          val rest = ex.getRequestURI.getPath.stripPrefix(base)
+            .stripPrefix("/")
+          if (rest.isEmpty) {
+            val a = mapper.createArrayNode()
+            servedTables.keySet().asScala.toSeq.sorted.foreach(a.add)
+            respond(ex, 200, a.toString)
+          } else {
+            val name = rest.split("/").head
+            if (!servedTables.containsKey(name)) {
+              val o = mapper.createObjectNode()
+              o.put("error", s"no such datasource: $name")
+              respond(ex, 404, o.toString)
+            } else {
+              val o = mapper.createObjectNode()
+              o.put("name", name)
+              o.putObject("properties")
+              val seg = o.putObject("segments")
+              val backed = ingestRoot.map(r => s"$r/$name")
+                .filter(d => new java.io.File(d).isDirectory)
+              backed match {
+                case Some(d) =>
+                  val metas = graft.sources.druid.SegmentCatalog.metaFor(d)
+                  seg.put("count", metas.size)
+                  seg.put("size", dirSize(d))
+                  seg.put("rows", metas.map(_.rows.toLong).sum)
+                  if (metas.nonEmpty) {
+                    seg.put("minTime", isoMs.format(
+                      java.time.Instant.ofEpochMilli(metas.map(_.startMs).min)))
+                    seg.put("maxTime", isoMs.format(
+                      java.time.Instant.ofEpochMilli(metas.map(_.endMs).max)))
+                  }
+                case None =>
+                  // a served view with no segment directory (e.g. an
+                  // in-memory table): listed, zero segment stats
+                  seg.put("count", 0)
+                  seg.put("size", 0L)
+                  seg.put("rows", 0L)
+              }
+              respond(ex, 200, o.toString)
+            }
+          }
+        }
+    server.createContext("/druid/coordinator/v1/datasources",
+      coordinatorHandler("/druid/coordinator/v1/datasources"))
+    server.createContext("/druid/coordinator/v1/metadata/datasources",
+      coordinatorHandler("/druid/coordinator/v1/metadata/datasources"))
+    // ---- auto-compaction (a coordinator duty): periodically merge the
+    // undersized segments of every segment-backed table under the
+    // ingest root. The catalog's pending-swap marker + atomic manifest
+    // make each pass reader-atomic (SegmentCatalogSpec's three-thread
+    // race spec); tables that compacted re-register so every endpoint
+    // serves the new generation. The scheduler thread is a daemon and
+    // each pass on an already-compact table is one manifest read.
+    autoCompactSeconds.filter(_ > 0).foreach { period =>
+      if (ingestRoot.isEmpty)
+        System.err.println(
+          "[druid-serve] --auto-compact ignored: broker has no ingest root")
+      else {
+        val sched = java.util.concurrent.Executors
+          .newSingleThreadScheduledExecutor(daemonFactory("graft-serve-compact"))
+        val _ = sched.scheduleWithFixedDelay(new Runnable {
+          def run(): Unit = ingestRoot.foreach { r =>
+            Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
+              .filter(d => d.isDirectory && !d.getName.startsWith("."))
+              .foreach { d =>
+                try {
+                  val st = graft.write.Compaction.compactIncremental(
+                    spark, d.getPath, compactTargetRows)
+                  if (st.segmentsAfter < st.segmentsBefore) {
+                    registerServedTable(d.getName,
+                      spark.read.format("druid").load(d.getPath))
+                    if (logQueries) System.err.println(
+                      s"[druid-serve] auto-compact ${d.getName}: " +
+                        s"${st.segmentsBefore} -> ${st.segmentsAfter} segments")
+                  }
+                } catch { case e: Exception =>
+                  System.err.println(
+                    s"[druid-serve] auto-compact ${d.getName} failed: ${e.getMessage}")
+                }
+              }
+          }
+        }, period, period, java.util.concurrent.TimeUnit.SECONDS)
+      }
+    }
     server.createContext("/druid/v1/lookups/introspect", (ex: HttpExchange) =>
       handled(ex, methods = Set("GET")) { _ =>
         val rest = ex.getRequestURI.getPath
@@ -961,6 +1062,8 @@ object DruidServe {
       var logQueries = false
       var stmtPageRows = 100000
       var noIngest = false
+      var autoCompact: Option[Long] = None
+      var compactRows = 5000000L
       def parse(opts: List[String]): Unit = opts match {
         case "--port" :: p :: t     => port = p.toInt; parse(t)
         case "--host" :: h :: t     => host = h; parse(t)
@@ -970,6 +1073,10 @@ object DruidServe {
         case "--statement-page-rows" :: n :: t =>
           stmtPageRows = n.toInt; parse(t)
         case "--no-ingest" :: t => noIngest = true; parse(t)
+        case "--auto-compact" :: n :: t =>
+          autoCompact = Some(n.toLong); parse(t)
+        case "--compact-target-rows" :: n :: t =>
+          compactRows = n.toLong; parse(t)
         case Nil                    =>
         case other => sys.error(s"unknown args: $other")
       }
@@ -996,7 +1103,8 @@ object DruidServe {
         port, sqlTables = tables, host = host, maxResultRows = maxRows,
         threads = threads, logQueries = logQueries,
         statementPageRows = stmtPageRows,
-        ingestRoot = if (noIngest) None else Some(root))
+        ingestRoot = if (noIngest) None else Some(root),
+        autoCompactSeconds = autoCompact, compactTargetRows = compactRows)
       if (host != "127.0.0.1" && host != "localhost")
         System.err.println(
           s"WARNING: binding $host — the SQL endpoint executes arbitrary " +
@@ -1009,7 +1117,8 @@ object DruidServe {
       System.err.println(
         "usage: druid-serve <tablesRoot> [--port N] [--host H] " +
           "[--max-rows N] [--threads N] [--log-queries] " +
-          "[--statement-page-rows N] [--no-ingest]")
+          "[--statement-page-rows N] [--no-ingest] " +
+          "[--auto-compact SECONDS] [--compact-target-rows N]")
       sys.exit(2)
   }
 

@@ -1001,4 +1001,71 @@ class DruidServeSpec extends AnyFunSuite {
       assert(code == 400 && body.contains("read-only"), body)
     }
   }
+
+  test("coordinator datasource metadata answers names and segment stats") {
+    withIngestServer { (port, _) =>
+      val (ci, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO coord SELECT __time, event_type, user_id, value FROM events PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "coord-ing"}}""")
+      assert(ci == 200)
+      assert(awaitTerminal(port, "coord-ing").path("state").asText() == "SUCCESS")
+      // both coordinator routes list every served datasource
+      Seq("/druid/coordinator/v1/datasources",
+          "/druid/coordinator/v1/metadata/datasources").foreach { base =>
+        val (c, b) = sendTo(port, "GET", base)
+        assert(c == 200 && b.contains("coord") && b.contains("events"), b)
+      }
+      // segment-backed datasource: real stats
+      val (c2, b2) = sendTo(port, "GET",
+        "/druid/coordinator/v1/datasources/coord")
+      assert(c2 == 200, b2)
+      val seg = mapper.readTree(b2).path("segments")
+      assert(seg.path("count").asInt() >= 3) // 5 events over 3 days
+      assert(seg.path("rows").asLong() == 5L)
+      assert(seg.path("size").asLong() > 0L)
+      assert(seg.path("minTime").asText().startsWith("2024-01-01"))
+      assert(seg.path("maxTime").asText().startsWith("2024-01-0"))
+      // in-memory served view: listed, zero segment stats
+      val (c3, b3) = sendTo(port, "GET",
+        "/druid/coordinator/v1/datasources/events")
+      assert(c3 == 200 &&
+        mapper.readTree(b3).path("segments").path("count").asInt() == 0)
+      // unknown datasource is a 404
+      assert(sendTo(port, "GET",
+        "/druid/coordinator/v1/datasources/nope")._1 == 404)
+    }
+  }
+
+  test("auto-compaction merges undersized ingested segments, data intact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-autocomp").toString
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("events" -> events), threads = 4,
+      ingestRoot = Some(root), autoCompactSeconds = Some(1L),
+      compactTargetRows = 1000L)
+    val port = server.getAddress.getPort
+    try {
+      // three small INSERTs -> three undersized segments
+      (1 to 3).foreach { i =>
+        val (c, _) = postTo(port, "/druid/v2/sql/statements",
+          s"""{"query": "INSERT INTO ac SELECT __time, event_type, user_id, value FROM events PARTITIONED BY ALL",
+               "context": {"sqlQueryId": "ac-$i"}}""")
+        assert(c == 200)
+        assert(awaitTerminal(port, s"ac-$i").path("state").asText() == "SUCCESS")
+      }
+      def segCount: Int = mapper.readTree(sendTo(port, "GET",
+          "/druid/coordinator/v1/datasources/ac")._2)
+        .path("segments").path("count").asInt()
+      assert(segCount >= 3)
+      // the 1-second compactor merges them into one full segment
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (segCount > 1 && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(segCount == 1, s"auto-compaction did not converge: $segCount")
+      // data survives the swap and stays queryable
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c, sum(user_id) AS u FROM ac"}""")
+      val row = mapper.readTree(b2).get(0)
+      assert(c2 == 200 && row.path("c").asLong() == 15L
+        && row.path("u").asLong() == 27L, b2)
+    } finally server.stop(0)
+  }
 }
