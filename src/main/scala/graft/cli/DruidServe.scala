@@ -1415,7 +1415,7 @@ object DruidServe {
     * surface). `granularity` is the writer's segmentGranularity
     * (None = ALL time → one undivided segment interval).
     */
-  private final case class IngestSpec(table: String, selectSql: String,
+  private[cli] final case class IngestSpec(table: String, selectSql: String,
                                       replaceAll: Boolean,
                                       replaceWhere: Option[String],
                                       granularity: Option[String],
@@ -1427,7 +1427,7 @@ object DruidServe {
     """(?is)\s*REPLACE\s+INTO\s+(\S+)\s+OVERWRITE\s+(?:(ALL)|WHERE\s+(.+?))\s+((?:SELECT|WITH)\b.+?)\s+PARTITIONED\s+BY\s+(.+?)(?:\s+CLUSTERED\s+BY\s+(.+?))?\s*""".r
 
   /** PARTITIONED BY clause → writer segmentGranularity (None = ALL). */
-  private def parsePartitionedBy(p: String): Option[String] = {
+  private[cli] def parsePartitionedBy(p: String): Option[String] = {
     val up = p.trim.stripSuffix(";").trim
       .toUpperCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
     val Floor = """FLOOR\s*\(\s*__TIME\s+TO\s+(HOUR|DAY|MONTH|YEAR)\s*\)""".r
@@ -1450,7 +1450,7 @@ object DruidServe {
   /** The dataSource name comes off the wire and becomes a directory
     * name — restrict it hard so it can never traverse paths.
     */
-  private def cleanTableName(raw: String): String = {
+  private[cli] def cleanTableName(raw: String): String = {
     val t = raw.trim.stripPrefix("`").stripSuffix("`")
       .stripPrefix("\"").stripSuffix("\"")
     if (!t.matches("[A-Za-z0-9_][A-Za-z0-9_\\-]*"))
@@ -1464,7 +1464,7 @@ object DruidServe {
     * loud error (a silently misrouted INSERT would run as a Spark SQL
     * INSERT against a temp view, or vanish).
     */
-  private def parseIngest(sql: String): Option[IngestSpec] = {
+  private[cli] def parseIngest(sql: String): Option[IngestSpec] = {
     val up = sql.stripLeading().toUpperCase(java.util.Locale.ROOT)
     if (!up.startsWith("INSERT") && !up.startsWith("REPLACE")) return None
     def clusters(c: String): Seq[String] =
