@@ -878,9 +878,77 @@ object DruidServe {
       else Option(f.listFiles()).getOrElse(Array.empty)
         .map(c => dirSize(c.getPath)).sum
     }
-    def coordinatorHandler(base: String): com.sun.net.httpserver.HttpHandler =
+    /** Remove a served table from every surface: registry, global view,
+      * the main session's temp view, and every live tz session's
+      * bridge. Used when a coordinator drop empties a datasource.
+      */
+    def removeServedTable(name: String): Unit = {
+      val _ = servedTables.remove(name)
+      val _2 = spark.catalog.dropTempView(name)
+      Option(servedViews.remove(name)).foreach { g =>
+        val _3 = spark.catalog.dropGlobalTempView(g)
+      }
+      tzSessions.forEach((_, s2) => { val _4 = s2.catalog.dropTempView(name) })
+    }
+    /** DELETE /druid/coordinator/v1/datasources/{ds}[/intervals/{lo}_{hi}]:
+      * Druid's drop flow (mark-unused + kill collapsed into one step,
+      * documented): whole-datasource or interval-contained segment
+      * drops through [[graft.write.Retention]] (straddlers kept whole,
+      * Druid drop-rule semantics). Only segment-backed tables under the
+      * ingest root; a read-only broker refuses.
+      */
+    def coordinatorDelete(ex: HttpExchange, segs: List[String]): Unit = {
+      def err(code: Int, msg: String): Unit = {
+        val o = mapper.createObjectNode()
+        o.put("error", msg)
+        respond(ex, code, o.toString)
+      }
+      (ingestRoot, segs) match {
+        case (None, _) =>
+          err(400, "this broker is read-only: coordinator drops are disabled")
+        case (Some(root), name :: rest) if servedTables.containsKey(name) =>
+          val dir = s"$root/$name"
+          if (!new java.io.File(dir).isDirectory)
+            err(400, s"datasource $name is not segment-backed")
+          else {
+            val bounds = rest match {
+              case Nil => Some((Long.MinValue, Long.MaxValue))
+              case "intervals" :: iv :: Nil => iv.split("_", 2) match {
+                case Array(lo, hi) =>
+                  try Some((java.time.Instant.parse(lo).toEpochMilli,
+                            java.time.Instant.parse(hi).toEpochMilli))
+                  catch { case _: java.time.format.DateTimeParseException =>
+                    None }
+                case _ => None
+              }
+              case _ => None
+            }
+            bounds match {
+              case None => err(400,
+                "expected /{ds} or /{ds}/intervals/{isoLo}_{isoHi}")
+              case Some((lo, hi)) =>
+                val st = graft.write.Retention.dropContained(dir, lo, hi)
+                if (st.segmentsKept == 0) removeServedTable(name)
+                else registerServedTable(name,
+                  spark.read.format("druid").load(dir))
+                val o = mapper.createObjectNode()
+                o.put("numChangedSegments", st.segmentsDropped)
+                o.put("rowsDropped", st.rowsDropped)
+                o.put("segmentsKept", st.segmentsKept)
+                respond(ex, 200, o.toString)
+            }
+          }
+        case (_, name :: _) => err(404, s"no such datasource: $name")
+        case (_, Nil) => err(404, "DELETE needs a datasource")
+      }
+    }
+    def coordinatorHandler(base: String,
+                           allowDelete: Boolean): com.sun.net.httpserver.HttpHandler =
       (ex: HttpExchange) =>
-        if (ex.getRequestMethod != "GET")
+        if (ex.getRequestMethod == "DELETE" && allowDelete)
+          coordinatorDelete(ex, ex.getRequestURI.getPath.stripPrefix(base)
+            .stripPrefix("/").split("/").toList.filter(_.nonEmpty))
+        else if (ex.getRequestMethod != "GET")
           respond(ex, 405, """{"error":"supported methods: GET"}""")
         else {
           val rest = ex.getRequestURI.getPath.stripPrefix(base)
@@ -926,9 +994,11 @@ object DruidServe {
           }
         }
     server.createContext("/druid/coordinator/v1/datasources",
-      coordinatorHandler("/druid/coordinator/v1/datasources"))
+      coordinatorHandler("/druid/coordinator/v1/datasources",
+        allowDelete = true))
     server.createContext("/druid/coordinator/v1/metadata/datasources",
-      coordinatorHandler("/druid/coordinator/v1/metadata/datasources"))
+      coordinatorHandler("/druid/coordinator/v1/metadata/datasources",
+        allowDelete = false))
     // ---- auto-compaction (a coordinator duty): periodically merge the
     // undersized segments of every segment-backed table under the
     // ingest root. The catalog's pending-swap marker + atomic manifest

@@ -1068,4 +1068,59 @@ class DruidServeSpec extends AnyFunSuite {
         && row.path("u").asLong() == 27L, b2)
     } finally server.stop(0)
   }
+
+  test("coordinator DELETE drops intervals and whole datasources") {
+    withIngestServer { (port, root) =>
+      val (ci, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO dropme SELECT __time, event_type, user_id, value FROM events PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "drop-ing"}}""")
+      assert(ci == 200)
+      assert(awaitTerminal(port, "drop-ing").path("state").asText() == "SUCCESS")
+      // drop one day (2024-01-02: two rows)
+      val (c1, b1) = sendTo(port, "DELETE",
+        "/druid/coordinator/v1/datasources/dropme/intervals/" +
+          "2024-01-02T00:00:00Z_2024-01-03T00:00:00Z")
+      assert(c1 == 200, b1)
+      val r1 = mapper.readTree(b1)
+      assert(r1.path("numChangedSegments").asInt() >= 1)
+      assert(r1.path("rowsDropped").asLong() == 2L)
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM dropme"}""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("c").asLong() == 3L)
+      // whole-datasource drop removes it from every surface
+      val (c3, b3) = sendTo(port, "DELETE",
+        "/druid/coordinator/v1/datasources/dropme")
+      assert(c3 == 200 && mapper.readTree(b3).path("segmentsKept").asInt() == 0, b3)
+      assert(sendTo(port, "GET",
+        "/druid/coordinator/v1/datasources/dropme")._1 == 404)
+      val (c4, b4) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM dropme"}""")
+      assert(c4 == 400, b4) // unknown table again
+      // guards: unknown ds 404, metadata route stays read-only,
+      // non-backed view 400, malformed interval 400
+      assert(sendTo(port, "DELETE",
+        "/druid/coordinator/v1/datasources/nope")._1 == 404)
+      assert(sendTo(port, "DELETE",
+        "/druid/coordinator/v1/metadata/datasources/events")._1 == 405)
+      assert(sendTo(port, "DELETE",
+        "/druid/coordinator/v1/datasources/events")._1 == 400)
+      // ingested names are reusable after a whole-table drop
+      val (c5, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO dropme SELECT __time, event_type, user_id, value FROM events WHERE event_type = 'view' PARTITIONED BY ALL",
+            "context": {"sqlQueryId": "drop-re"}}""")
+      assert(c5 == 200)
+      assert(awaitTerminal(port, "drop-re").path("state").asText() == "SUCCESS")
+      val (c6, b6) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM dropme"}""")
+      assert(c6 == 200 && mapper.readTree(b6).get(0).path("c").asLong() == 2L)
+    }
+  }
+
+  test("read-only broker refuses coordinator drops") {
+    withStatementServer(pageRows = 100) { port =>
+      val (c, b) = sendTo(port, "DELETE",
+        "/druid/coordinator/v1/datasources/events")
+      assert(c == 400 && b.contains("read-only"), b)
+    }
+  }
 }
