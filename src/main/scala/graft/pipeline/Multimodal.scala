@@ -109,4 +109,41 @@ object Multimodal {
       FrameFeature(f.doc_id, f.lang, f.frame_idx, hist)
     }
   }
+
+  final case class AudioChunk(doc_id: Long, chunk_idx: Long, energy: Long,
+                              peak: Int)
+
+  /** Audio-style chunking over the stub waveform (the text's char
+    * codes stand in for PCM samples — a real decoder swaps the sample
+    * extraction, not the chunking): fixed `win`-sample windows every
+    * `hop` samples (overlapping when hop < win; trailing partial
+    * windows dropped), each carrying integer energy (sum of squared
+    * samples) and peak — the inputs of VAD-style silence gating.
+    * A flatMap keeps it partition-parallel and row-bounded (a doc fans
+    * out to at most len/hop chunk rows, never a materialized window
+    * matrix); nothing shuffles until the caller aggregates, and the
+    * integer arithmetic is exact cross-engine.
+    */
+  def chunkAudio(docs: DataFrame, win: Int, hop: Int): Dataset[AudioChunk] = {
+    require(win > 0 && hop > 0, s"win/hop must be positive: $win/$hop")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text.length < win) Iterator.empty
+        else (0 to text.length - win by hop).iterator.zipWithIndex
+          .map { case (st, i) =>
+            var e = 0L
+            var pk = 0
+            var j = st
+            while (j < st + win) {
+              val v = text.charAt(j).toInt
+              e += v.toLong * v
+              if (v > pk) pk = v
+              j += 1
+            }
+            AudioChunk(id, i.toLong, e, pk)
+          }
+      }
+  }
 }

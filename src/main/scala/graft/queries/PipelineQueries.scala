@@ -1794,5 +1794,41 @@ object PipelineQueries extends QuerySet {
               |  count(*) AS n_unique,
               |  CAST(sum((copies - 1) * bytes) AS BIGINT) AS dup_bytes
               |FROM g GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Audio-modality chunking + VAD-style energy gating: the stub
+    // waveform (char codes as PCM samples) splits into 100-sample
+    // windows every 50 samples (50% overlap), each chunk carries
+    // integer energy (sum of squared samples) and peak, and a silence
+    // gate keeps chunks with energy >= 980000 (the corpus median —
+    // both kept and gated chunks exist). All-integer, so the oracle
+    // replays the chunking and gate exactly. Scale shape: the chunker
+    // is a partition-parallel flatMap (media rows never shuffle); the
+    // per-doc report is one map-side-combined aggregate.
+    Q("m4_audio_vad",
+      (s, dir) => {
+        Multimodal.chunkAudio(Tables.load(s, dir, "documents"), 100, 50)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(when(col("energy") >= 980000L, 1L).otherwise(0L))
+                 .as("n_voiced"),
+               sum(col("energy")).as("total_energy"),
+               max(col("peak")).as("max_peak"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, text,
+             |    unnest(range(0, (length(text) - 100) // 50 + 1)) AS ci
+             |  FROM documents WHERE length(text) >= 100),
+             |j AS (SELECT doc_id, ci, text, unnest(range(0, 100)) AS k FROM ch),
+             |samp AS (SELECT doc_id, ci,
+             |    ascii(substring(text, CAST(ci * 50 + k + 1 AS INT), 1)) AS v
+             |  FROM j),
+             |agg AS (SELECT doc_id, ci, CAST(sum(v * v) AS BIGINT) AS energy,
+             |    max(v) AS peak FROM samp GROUP BY 1, 2)
+             |SELECT doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN energy >= 980000 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_voiced,
+             |  CAST(sum(energy) AS BIGINT) AS total_energy,
+             |  max(peak) AS max_peak
+             |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

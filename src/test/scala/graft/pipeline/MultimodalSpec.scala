@@ -62,4 +62,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.length == 1)
     assert(feats.head.feature.forall(f => f == 0f && !f.isNaN))
   }
+
+  test("audio chunking: window math, exact energies, partition invariance") {
+    // "aaaa aaaa aa" — known char codes: 'a'=97, ' '=32
+    val a = Seq((10L, "en", "aaaa aaaa aa")).toDF("doc_id", "lang", "text")
+    // win=4 hop=2, len=12 -> starts 0,2,4,6,8: 5 chunks
+    val chunks = Multimodal.chunkAudio(a, win = 4, hop = 2)
+      .collect().sortBy(_.chunk_idx)
+    assert(chunks.length == 5)
+    assert(chunks.map(_.chunk_idx).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // chunk 0 = "aaaa": 4*97^2; chunk 1 = "aa a" wait — verify directly
+    val text = "aaaa aaaa aa"
+    chunks.foreach { c =>
+      val st = c.chunk_idx.toInt * 2
+      val want = (st until st + 4).map(j =>
+        text(j).toInt.toLong * text(j).toInt).sum
+      assert(c.energy == want, s"chunk ${c.chunk_idx}")
+      assert(c.peak == (st until st + 4).map(text(_).toInt).max)
+    }
+    // docs shorter than the window emit nothing; exact-length docs one
+    val edge = Seq((20L, "en", "abc"), (21L, "en", "abcd"))
+      .toDF("doc_id", "lang", "text")
+    val ec = Multimodal.chunkAudio(edge, win = 4, hop = 2).collect()
+    assert(ec.map(_.doc_id).toSeq == Seq(21L) && ec.head.chunk_idx == 0L)
+    // partition-invariant
+    val big = (0L until 50L).map(i => (i, "en", ("x" * (i % 30).toInt) + "hello world"))
+      .toDF("doc_id", "lang", "text")
+    def run(parts: Int) = Multimodal.chunkAudio(big.repartition(parts), 8, 3)
+      .collect().map(c => (c.doc_id, c.chunk_idx) -> (c.energy, c.peak)).toMap
+    assert(run(1) == run(5))
+  }
 }
