@@ -387,8 +387,13 @@ object DruidServe {
           o.put("errorClass", e.getClass.getName)
           respond(ex, 400, o.toString)
       }
-    server.createContext("/status", (ex: HttpExchange) =>
-      respond(ex, 200, """{"service":"graft/broker","version":"graft-1"}"""))
+    server.createContext("/status", (ex: HttpExchange) => {
+      val sub = ex.getRequestURI.getPath.stripPrefix("/status")
+        .stripPrefix("/")
+      if (sub == "health") respond(ex, 200, "true") // console healthcheck
+      else respond(ex, 200,
+        """{"service":"graft/broker","version":"graft-1"}""")
+    })
     // ORDER MATTERS for the JDK server: the longest matching context
     // prefix wins, so /druid/v2/sql takes SQL and /druid/v2 native JSON
     server.createContext("/druid/v2", (ex: HttpExchange) => {
@@ -958,38 +963,57 @@ object DruidServe {
             servedTables.keySet().asScala.toSeq.sorted.foreach(a.add)
             respond(ex, 200, a.toString)
           } else {
-            val name = rest.split("/").head
+            val parts = rest.split("/").toList
+            val name = parts.head
+            lazy val backed = ingestRoot.map(r => s"$r/$name")
+              .filter(d => new java.io.File(d).isDirectory)
             if (!servedTables.containsKey(name)) {
               val o = mapper.createObjectNode()
               o.put("error", s"no such datasource: $name")
               respond(ex, 404, o.toString)
-            } else {
-              val o = mapper.createObjectNode()
-              o.put("name", name)
-              o.putObject("properties")
-              val seg = o.putObject("segments")
-              val backed = ingestRoot.map(r => s"$r/$name")
-                .filter(d => new java.io.File(d).isDirectory)
-              backed match {
-                case Some(d) =>
-                  val metas = graft.sources.druid.SegmentCatalog.metaFor(d)
-                  seg.put("count", metas.size)
-                  seg.put("size", dirSize(d))
-                  seg.put("rows", metas.map(_.rows.toLong).sum)
-                  if (metas.nonEmpty) {
-                    seg.put("minTime", isoMs.format(
-                      java.time.Instant.ofEpochMilli(metas.map(_.startMs).min)))
-                    seg.put("maxTime", isoMs.format(
-                      java.time.Instant.ofEpochMilli(metas.map(_.endMs).max)))
+            } else parts.tail match {
+              case Nil =>
+                val o = mapper.createObjectNode()
+                o.put("name", name)
+                o.putObject("properties")
+                val seg = o.putObject("segments")
+                backed match {
+                  case Some(d) =>
+                    val metas = graft.sources.druid.SegmentCatalog.metaFor(d)
+                    seg.put("count", metas.size)
+                    seg.put("size", dirSize(d))
+                    seg.put("rows", metas.map(_.rows.toLong).sum)
+                    if (metas.nonEmpty) {
+                      seg.put("minTime", isoMs.format(
+                        java.time.Instant.ofEpochMilli(metas.map(_.startMs).min)))
+                      seg.put("maxTime", isoMs.format(
+                        java.time.Instant.ofEpochMilli(metas.map(_.endMs).max)))
+                    }
+                  case None =>
+                    // a served view with no segment directory (e.g. an
+                    // in-memory table): listed, zero segment stats
+                    seg.put("count", 0)
+                    seg.put("size", 0L)
+                    seg.put("rows", 0L)
+                }
+                respond(ex, 200, o.toString)
+              case "intervals" :: Nil =>
+                // Druid's interval listing: distinct served intervals,
+                // descending, "lo/hi" ISO strings
+                val a = mapper.createArrayNode()
+                backed.toSeq
+                  .flatMap(d => graft.sources.druid.SegmentCatalog.metaFor(d))
+                  .map(m => (m.startMs, m.endMs)).distinct
+                  .sortBy(-_._1)
+                  .foreach { case (lo, hi) =>
+                    a.add(isoMs.format(java.time.Instant.ofEpochMilli(lo)) +
+                      "/" + isoMs.format(java.time.Instant.ofEpochMilli(hi)))
                   }
-                case None =>
-                  // a served view with no segment directory (e.g. an
-                  // in-memory table): listed, zero segment stats
-                  seg.put("count", 0)
-                  seg.put("size", 0L)
-                  seg.put("rows", 0L)
-              }
-              respond(ex, 200, o.toString)
+                respond(ex, 200, a.toString)
+              case other =>
+                val o = mapper.createObjectNode()
+                o.put("error", s"unsupported sub-path '${other.mkString("/")}'")
+                respond(ex, 404, o.toString)
             }
           }
         }

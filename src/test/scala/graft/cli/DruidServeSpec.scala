@@ -1123,4 +1123,54 @@ class DruidServeSpec extends AnyFunSuite {
       assert(c == 400 && b.contains("read-only"), b)
     }
   }
+
+  test("ingestion schema evolution: INSERT with a new column widens the table") {
+    withIngestServer { (port, _) =>
+      val (c1, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO evo SELECT __time, event_type, user_id, value FROM events WHERE event_type = 'click' PARTITIONED BY ALL",
+            "context": {"sqlQueryId": "evo-1"}}""")
+      assert(c1 == 200)
+      assert(awaitTerminal(port, "evo-1").path("state").asText() == "SUCCESS")
+      // second INSERT carries an extra column the first batch lacked
+      val (c2, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO evo SELECT __time, event_type, user_id, value, 'b2' AS batch FROM events WHERE event_type = 'view' PARTITIONED BY ALL",
+            "context": {"sqlQueryId": "evo-2"}}""")
+      assert(c2 == 200)
+      val fin = awaitTerminal(port, "evo-2")
+      assert(fin.path("state").asText() == "SUCCESS", fin.toString)
+      // the union schema serves: old rows answer NULL for the new column
+      val (c3, b3) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS n, sum(CASE WHEN batch IS NULL THEN 1 ELSE 0 END) AS oldrows FROM evo"}""")
+      assert(c3 == 200, b3)
+      val row = mapper.readTree(b3).get(0)
+      assert(row.path("n").asLong() == 5L && row.path("oldrows").asLong() == 3L, b3)
+    }
+  }
+
+  test("/status/health and coordinator interval listing") {
+    withIngestServer { (port, _) =>
+      assert(sendTo(port, "GET", "/status/health") == (200, "true"))
+      val (ci, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO iv SELECT __time, event_type, user_id, value FROM events PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "iv-ing"}}""")
+      assert(ci == 200)
+      assert(awaitTerminal(port, "iv-ing").path("state").asText() == "SUCCESS")
+      val (c2, b2) = sendTo(port, "GET",
+        "/druid/coordinator/v1/datasources/iv/intervals")
+      assert(c2 == 200, b2)
+      val arr = mapper.readTree(b2)
+      // EXACT data intervals (the catalog's tighter-than-bucket
+      // planning metadata), descending, lo/hi ISO strings
+      assert(arr.size() > 0, b2)
+      val ivs = (0 until arr.size()).map(arr.get(_).asText())
+      assert(ivs.forall(_.matches(
+        "2024-01-0\\d{1}T.*Z/2024-01-0\\d{1}T.*Z")), ivs)
+      assert(ivs == ivs.sortBy(identity).reverse, s"not descending: $ivs")
+      assert(ivs.head.startsWith("2024-01-03") &&
+        ivs.last.startsWith("2024-01-01"))
+      // unknown sub-paths are 404, not stats
+      assert(sendTo(port, "GET",
+        "/druid/coordinator/v1/datasources/iv/bogus")._1 == 404)
+    }
+  }
 }
