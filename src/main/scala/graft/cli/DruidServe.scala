@@ -710,11 +710,14 @@ object DruidServe {
           val st = new AsyncStatement(qid, sql0,
             java.time.Instant.now().toString, fmtReq, ingest)
           ingest.foreach(spec => st.dataSource = spec.table)
+          // CAS registration: two concurrent submits under one id must
+          // never both run — exactly one wins the slot (replacing a
+          // TERMINAL predecessor atomically), the other 400s
           val prev = statements.putIfAbsent(qid, st)
-          if (prev != null && !prev.terminal)
+          if (prev != null &&
+              (!prev.terminal || !statements.replace(qid, prev, st)))
             throw new IllegalArgumentException(
               s"query id $qid is already running")
-          if (prev != null) statements.put(qid, st) // terminal: replace
           statementOrder.add(qid)
           ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
           statementPool.execute(() =>

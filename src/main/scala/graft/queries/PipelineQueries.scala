@@ -1160,6 +1160,84 @@ object PipelineQueries extends QuerySet {
              |  round(max(lpt * CAST(1 AS DOUBLE) / nb), 4) AS max_lp
              |FROM dw GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Exact-substring duplication audit (the Lee et al. 2022
+    // "Deduplicating Training Data" shape, window-granular): EVERY
+    // 10-word sliding window (not d14's disjoint chunks) keyed by
+    // (xxhash64, length) — the engine's standard text-free shuffle
+    // key — marks windows whose key appears in >= 2 DISTINCT docs,
+    // then per-doc interval-merging (lead() over window starts, each
+    // start covering 10 words) reports how many words sit inside a
+    // cross-doc duplicated span. No pairwise stage exists at all —
+    // membership, not pairing — so a boilerplate window shared by 1e6
+    // docs costs one hot GROUP, never a pair explosion; exchanges
+    // carry (hash, len, doc, pos) rows only. The oracle replays the
+    // windows by STRING equality (the d1 posture: 16-byte keys on the
+    // wire, string equality in the oracle).
+    Q("d28_duplicate_spans",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 10)
+        val win = docs.select(col("doc_id"),
+            size(col("w")).cast("long").as("total_words"),
+            posexplode(expr(
+              "transform(sequence(0, size(w) - 10), i -> " +
+                "concat_ws(' ', slice(w, i + 1, 10)))")))
+          .select(col("doc_id"), col("total_words"), col("pos"),
+            xxhash64(col("col")).as("h"),
+            length(col("col")).as("hl"))
+        val dupKeys = win.groupBy(col("h"), col("hl"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("h", "hl")
+        val dup = win.join(dupKeys, Seq("h", "hl"), "left_semi")
+        val wd = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        val spans = dup
+          .withColumn("nxt", lead(col("pos"), 1).over(wd))
+          .withColumn("cov", when(col("nxt").isNull, lit(10L))
+            .otherwise(least(col("nxt") - col("pos"), lit(10L))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_windows"),
+               sum(col("cov")).as("covered_words"))
+        docs.select(col("doc_id"), size(col("w")).cast("long").as("total_words"),
+            (size(col("w")) - 9).cast("long").as("n_windows"))
+          .join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+            coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+            col("total_words"),
+            round(coalesce(col("covered_words"), lit(0L)) * lit(1.0) /
+              col("total_words"), 4).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |d10 AS (SELECT doc_id, w, len(w) AS nw FROM toks WHERE len(w) >= 10),
+             |win AS (SELECT doc_id, nw,
+             |    unnest(range(0, nw - 9)) AS pos, w FROM d10),
+             |keyed AS (SELECT doc_id, nw, pos,
+             |    array_to_string(w[pos + 1 : pos + 10], ' ') AS k FROM win),
+             |dupk AS (SELECT k FROM keyed GROUP BY k
+             |         HAVING count(DISTINCT doc_id) >= 2),
+             |dup AS (SELECT keyed.doc_id, keyed.pos FROM keyed
+             |        JOIN dupk ON keyed.k = dupk.k),
+             |spans AS (SELECT doc_id, pos,
+             |    lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+             |  FROM dup),
+             |cov AS (SELECT doc_id, count(*) AS n_dup_windows,
+             |    CAST(sum(CASE WHEN nxt IS NULL THEN 10
+             |             ELSE least(nxt - pos, 10) END) AS BIGINT)
+             |      AS covered_words
+             |  FROM spans GROUP BY 1)
+             |SELECT d.doc_id, CAST(d.nw - 9 AS BIGINT) AS n_windows,
+             |  CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+             |  CAST(coalesce(c.covered_words, 0) AS BIGINT) AS covered_words,
+             |  CAST(d.nw AS BIGINT) AS total_words,
+             |  round(coalesce(c.covered_words, 0) * CAST(1 AS DOUBLE) / d.nw, 4)
+             |    AS dup_frac
+             |FROM d10 d LEFT JOIN cov c USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // Incremental dedup: admit an incoming batch (doc_id % 10 == 0
     // stands in for today's crawl) against the EXISTING corpus without
     // ever re-hashing the corpus — the nightly-ingest shape at 100 TB.
