@@ -87,4 +87,47 @@ object Joins {
         col("__rus") < col("__lus"))
       .drop("__lus", "__rus", "__bkt")
   }
+
+  /** Interval-overlap join — the third member of the temporal-join
+    * family (as-of, banded-range, overlap): every (left, right) pair
+    * equal on `keys` whose half-open timestamp intervals
+    * [start, end) overlap, annotated with `overlap_us`. Each interval
+    * explodes over the coarse buckets it spans, pairs meet in an
+    * equi-join on (keys, bucket), the exact overlap predicate
+    * filters — and multi-bucket duplicate pairs are eliminated WITHOUT
+    * a distinct: a pair is emitted only in the bucket of
+    * greatest(lStart, rStart), a point both intervals contain, so
+    * exactly one bucket claims each pair. At 100 TB: one shuffle on
+    * (key, bucket), fan-out bounded by intervalLength/bucket, and no
+    * post-join dedup exchange at all. Zero-length intervals pair with
+    * nothing (half-open semantics).
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          keys: Seq[String],
+                          bucketMicros: Long): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    val l = left
+      .withColumn("__ls", unix_micros(col(lStart)))
+      .withColumn("__le", unix_micros(col(lEnd)))
+      .filter(col("__le") > col("__ls"))
+      .withColumn("__bkt", explode(sequence(
+        expr(s"__ls div $bucketMicros"),
+        expr(s"(__le - 1) div $bucketMicros"))))
+    val r = right
+      .withColumn("__rs", unix_micros(col(rStart)))
+      .withColumn("__re", unix_micros(col(rEnd)))
+      .filter(col("__re") > col("__rs"))
+      .withColumn("__bkt", explode(sequence(
+        expr(s"__rs div $bucketMicros"),
+        expr(s"(__re - 1) div $bucketMicros"))))
+    l.join(r, keys :+ "__bkt")
+      .filter(col("__ls") < col("__re") && col("__rs") < col("__le"))
+      .filter(col("__bkt") ===
+        expr(s"greatest(__ls, __rs) div $bucketMicros"))
+      .withColumn("overlap_us",
+        least(col("__le"), col("__re")) - greatest(col("__ls"), col("__rs")))
+      .drop("__bkt", "__ls", "__le", "__rs", "__re")
+  }
 }

@@ -1795,6 +1795,47 @@ object PipelineQueries extends QuerySet {
               | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
               |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin)),
 
+    // Interval-OVERLAP join (the third temporal-join semantic after
+    // as-of j1 and banded-range j2): click and view sessions get
+    // deterministic durations of 6-30 hours (6 * (1 + user_id % 5)), and every
+    // overlapping (click, view) session pair per user reports its
+    // exact overlap. The scale shape is the bucketized equi-join with
+    // the FIRST-BUCKET-CLAIM dedup (a pair is emitted only in the
+    // bucket of the later start, which both intervals contain) — no
+    // distinct exchange exists anywhere in the plan. Oracle: the
+    // direct quadratic overlap join, integer-microsecond arithmetic.
+    Q("j3_interval_overlap",
+      (s, dir) => {
+        val ev = graft.Tables.events(s, dir)
+        def sessions(t: String, ts: String, en: String) =
+          ev.filter(col("event_type") === t)
+            .select(col("user_id"), col("ts").as(ts),
+              expr(s"timestamp_micros(unix_micros(ts) + " +
+                s"(1 + user_id % 5) * 21600000000L)").as(en))
+        graft.pipeline.Joins.intervalOverlapJoin(
+            sessions("click", "c_ts", "c_end"),
+            sessions("view", "v_ts", "v_end"),
+            "c_ts", "c_end", "v_ts", "v_end",
+            Seq("user_id"), bucketMicros = 12L * 3600L * 1000000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+               sum(col("overlap_us")).as("overlap_us_total"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT user_id, epoch_us(ts) AS cs,
+             |    epoch_us(ts) + (1 + user_id % 5) * 21600000000 AS ce
+             |  FROM events WHERE event_type = 'click'),
+             |v AS (SELECT user_id, epoch_us(ts) AS vs,
+             |    epoch_us(ts) + (1 + user_id % 5) * 21600000000 AS ve
+             |  FROM events WHERE event_type = 'view'),
+             |p AS (SELECT c.user_id,
+             |    least(c.ce, v.ve) - greatest(c.cs, v.vs) AS ov
+             |  FROM c JOIN v ON c.user_id = v.user_id
+             |   AND c.cs < v.ve AND v.vs < c.ce)
+             |SELECT user_id, count(*) AS n_pairs,
+             |  CAST(sum(ov) AS BIGINT) AS overlap_us_total
+             |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- multimodal plumbing ----
 
     // Binary payload column -> per-partition batch decode (STUB codec,

@@ -401,6 +401,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!banded.exists { case (_, tag, ru, _) => tag == "p1" && ru == 250L })
   }
 
+  test("intervalOverlapJoin matches the naive overlap join, pairs once") {
+    import spark.implicits._
+    val bkt = 100L // micros — intervals span MANY buckets on purpose
+    val left = Seq((1L, 0L, 450L, "a1"), (1L, 500L, 900L, "a2"),
+        (2L, 0L, 1000L, "a3"), (3L, 10L, 10L, "a0") /* zero-length */)
+      .toDF("k", "ls", "le", "ltag")
+      .withColumn("lst", timestamp_micros(col("ls")))
+      .withColumn("lend", timestamp_micros(col("le")))
+    val right = Seq((1L, 440L, 600L, "b1"), (1L, 901L, 950L, "b2"),
+        (2L, 100L, 900L, "b3"), (2L, 999L, 1100L, "b4"),
+        (3L, 0L, 20L, "b0"))
+      .toDF("k", "rs", "re", "rtag")
+      .withColumn("rst", timestamp_micros(col("rs")))
+      .withColumn("rend", timestamp_micros(col("re")))
+    val got = Joins.intervalOverlapJoin(left, right,
+        "lst", "lend", "rst", "rend", Seq("k"), bkt)
+      .select("k", "ltag", "rtag", "overlap_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // EVERY surviving pair appears exactly once despite sharing many
+    // buckets (a3/b3 share 8 buckets)
+    assert(got.length == got.toSet.size, s"duplicate pairs: ${got.toList}")
+    val naive = left.join(right, Seq("k"))
+      .filter(col("ls") < col("re") && col("rs") < col("le") &&
+        col("le") > col("ls") && col("re") > col("rs"))
+      .select(col("k"), col("ltag"), col("rtag"),
+        least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSet == naive.toSet, s"got ${got.toSet} != naive ${naive.toSet}")
+    // overlap values: a1/b1 overlap [440,450) = 10us; a2/b2 disjoint
+    // (901 >= 900, half-open); zero-length a0 pairs with nothing
+    assert(got.toSet.contains((1L, "a1", "b1", 10L)))
+    assert(!got.exists(_._2 == "a0"))
+    assert(!got.exists(t => t._2 == "a2" && t._3 == "b2"))
+    // b4 overlaps a3 by exactly 1us at the tail
+    assert(got.toSet.contains((2L, "a3", "b4", 1L)))
+  }
+
   test("native simhash5 matches the composable explode/agg pipeline") {
     val composed = TextOps.simhash(TextOps.grams5(docs), 16)
       .select(col("doc_id"), col("simhash"))
