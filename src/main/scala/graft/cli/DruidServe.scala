@@ -594,6 +594,15 @@ object DruidServe {
       val obs = new org.apache.spark.sql.Observation()
       val dfo = dfC.observe(obs, count(lit(1)).as("rows"))
       val dir = s"$root/${spec.table}"
+      // a served name WITHOUT a segment directory is an in-memory
+      // view: writing root/<name> would silently SHADOW it with a
+      // different table — refuse loudly; new names and segment-backed
+      // tables ingest normally
+      if (servedTables.containsKey(spec.table) &&
+          !new java.io.File(dir).isDirectory)
+        throw new IllegalArgumentException(
+          s"dataSource ${spec.table} is a served view, not a " +
+            "segment-backed table — ingestion would shadow it")
       spec.replaceWhere match {
         case Some(cond) =>
           // interval-scoped REPLACE rides the catalog's overwrite-

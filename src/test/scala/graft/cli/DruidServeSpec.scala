@@ -994,6 +994,23 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestion cannot shadow an in-memory served view") {
+    withIngestServer { (port, _) =>
+      val (c, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO events SELECT __time, event_type, user_id, value FROM events PARTITIONED BY ALL",
+            "context": {"sqlQueryId": "shadow-1"}}""")
+      assert(c == 200)
+      val fin = awaitTerminal(port, "shadow-1")
+      assert(fin.path("state").asText() == "FAILED", fin.toString)
+      assert(fin.path("errorDetails").path("errorMessage").asText()
+        .contains("shadow"))
+      // the view still serves its original rows
+      val (c2, b2) = postTo(port, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM events"}""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("c").asLong() == 5L)
+    }
+  }
+
   test("statements API: read-only broker rejects ingestion") {
     withStatementServer(pageRows = 100) { port =>
       val (code, body) = postTo(port, "/druid/v2/sql/statements",
