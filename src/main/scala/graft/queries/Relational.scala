@@ -832,7 +832,68 @@ object Relational extends QuerySet {
               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Materialized-rollup ROUTING — the engine's first whole-plan
+    // Catalyst rewrite: the query below is written against the RAW
+    // events table (the oracle replays it there), but a registered
+    // daily rollup makes the optimizer swap the relation and answer
+    // monthly sums/counts/mins/maxes from the pre-aggregate — the
+    // materialized-view selection a 100 TB event log lives by
+    // (RollupRoutingSpec asserts the executed plan reads the ROLLUP
+    // file and not the raw one). The dim-only filter commutes with
+    // the rollup's grouping; the MONTH trunc is coarser than the
+    // rollup's DAY buckets, so trunc-of-trunc is exact.
+    Q("q36_rollup_routing",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+        val rollup = s.read.parquet(stageRollup(s, dir))
+        graft.plans.RollupRouting.register(s, base, rollup,
+          timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+          sums = Map("value" -> "value_sum"),
+          mins = Map("value" -> "value_min"),
+          maxs = Map("value" -> "value_max"),
+          countCol = Some("cnt"))
+        base.filter(col("event_type") =!= "purchase")
+          .groupBy(expr("date_trunc('MONTH', ts)")
+              .cast("date").cast("string").as("month"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("value_sum"),
+               round(min(col("value")), 2).as("value_min"),
+               round(max(col("value")), 2).as("value_max"))
+          .orderBy(col("month"), col("event_type"))
+      },
+      Some("""SELECT CAST(CAST(date_trunc('MONTH', ts) AS DATE) AS VARCHAR)
+              |    AS month, event_type,
+              |  count(*) AS n,
+              |  round(sum(value), 2) AS value_sum,
+              |  round(min(value), 2) AS value_min,
+              |  round(max(value), 2) AS value_max
+              |FROM events WHERE event_type <> 'purchase'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
+
+  private val rollupDone = scala.collection.mutable.Set[String]()
+
+  /** Daily events rollup (event_type dim; sum/min/max of value plus
+    * count) written once per JVM and scale dir — the materialized
+    * half of q36's rollup routing. Lives under /tmp.
+    */
+  def stageRollup(s: SparkSession, dir: String): String = synchronized {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = s"/tmp/graft_rollup/$tag/events_daily"
+    if (!rollupDone.contains(tag)) {
+      Tables.events(s, dir)
+        .groupBy(expr("date_trunc('DAY', ts)").as("ts"), col("event_type"))
+        .agg(sum(col("value")).as("value_sum"),
+             count(lit(1)).as("cnt"),
+             min(col("value")).as("value_min"),
+             max(col("value")).as("value_max"))
+        .write.mode("overwrite").parquet(out)
+      rollupDone += tag
+    }
+    out
+  }
 
   private val bucketedDone = scala.collection.mutable.Set[String]()
 
