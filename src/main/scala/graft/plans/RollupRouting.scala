@@ -189,8 +189,16 @@ object RollupRouting {
         }.toMap
         case _ => r.base.output.map(a => a.name -> (a: Expression)).toMap
       }
+      // FRESH attribute ids per rewrite: two routed aggregates in one
+      // query tree (e.g. a union or self-join of aggregates over the
+      // base) must not share the rollup relation's exprIds — duplicate
+      // ids across branches are the classic self-join ambiguity
+      val rollupPlan: LogicalPlan = r.rollup.transformUp {
+        case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+          m.newInstance().asInstanceOf[LogicalPlan]
+      }
       val rollupAttr: Map[String, Attribute] =
-        r.rollup.output.map(a => a.name -> a).toMap
+        rollupPlan.output.map(a => a.name -> a).toMap
       def defOf(name: String): Option[Expression] = baseDefs.get(name)
 
       def matchesDef(e: Expression, name: String): Boolean =
@@ -274,8 +282,8 @@ object RollupRouting {
       if (groups2.forall(_.isDefined) && aggs2.forall(_.isDefined) &&
           conds2.forall(_.isDefined)) {
         val source = conds2.map(_.get) match {
-          case Nil => r.rollup
-          case cs  => Filter(cs.reduce(And), r.rollup)
+          case Nil => rollupPlan
+          case cs  => Filter(cs.reduce(And), rollupPlan)
         }
         Some(Aggregate(groups2.map(_.get), aggs2.map(_.get), source, None))
       } else None

@@ -102,4 +102,32 @@ class RollupRoutingSpec extends AnyFunSuite {
       }
     } finally RollupRouting.clear()
   }
+
+  test("two routed aggregates coexist in one plan (fresh rollup ids)") {
+    def qa = base.filter(col("event_type") === "click")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    def qb = base.filter(col("event_type") === "view")
+      .groupBy(col("event_type")).agg(sum(col("value")).as("n"))
+    register()
+    try {
+      val u = qa.union(qb)
+      val p = planOf(u)
+      assert(p.contains("events_daily"), p)
+      assert(!p.contains("events.parquet"), p)
+      def vals(rows: Array[org.apache.spark.sql.Row]): Map[String, Double] =
+        rows.map(r => r.getString(0) -> (r.get(1) match {
+          case l: java.lang.Long => l.toDouble
+          case d: java.lang.Double => d.doubleValue()
+        })).toMap
+      val got = vals(u.collect())
+      RollupRouting.clear()
+      val want = vals(qa.union(qb).collect())
+      assert(got.keySet == want.keySet, s"$got != $want")
+      // sum-of-partial-sums vs direct double sum: ulp-level only
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - want(k)) < 1e-9 * math.max(1.0, math.abs(want(k))),
+          s"$k: $v vs ${want(k)}")
+      }
+    } finally RollupRouting.clear()
+  }
 }
