@@ -130,4 +130,20 @@ class RollupRoutingSpec extends AnyFunSuite {
       }
     } finally RollupRouting.clear()
   }
+
+  test("SQL-text queries over a view of the base route identically") {
+    register()
+    try {
+      base.createOrReplaceTempView("rr_events")
+      val q = spark.sql(
+        """SELECT date_trunc('YEAR', ts) AS y, event_type, count(*) AS n,
+          |       min(value) AS mn
+          |FROM rr_events GROUP BY 1, 2""".stripMargin)
+      assert(planOf(q).contains("events_daily"), planOf(q))
+      assert(q.collect().nonEmpty)
+    } finally {
+      RollupRouting.clear()
+      val _ = spark.catalog.dropTempView("rr_events")
+    }
+  }
 }
