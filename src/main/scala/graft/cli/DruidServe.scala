@@ -261,7 +261,8 @@ object DruidServe {
             statementPageRows: Int = 100000,
             ingestRoot: Option[String] = None,
             autoCompactSeconds: Option[Long] = None,
-            compactTargetRows: Long = 5000000L): HttpServer = {
+            compactTargetRows: Long = 5000000L,
+            statementRetireBound: Int = 500): HttpServer = {
     require(statementPageRows > 0,
       s"statementPageRows must be positive: $statementPageRows")
     require(threads > 0, s"--threads must be positive: $threads")
@@ -522,13 +523,22 @@ object DruidServe {
       daemonFactory("graft-serve-stmt"))
     statementPool.allowCoreThreadTimeOut(true)
     // bound the registry: retire the oldest TERMINAL statements past
-    // 500 so a long-lived broker can't accumulate result pages forever
+    // the bound (default 500) so a long-lived broker can't accumulate
+    // result pages forever.
+    // PEEK, don't poll: re-queuing a still-running head at the TAIL
+    // would corrupt retirement order (newer terminal statements would
+    // evict before older ones). While the head runs, retirement simply
+    // stops — the registry may briefly exceed the bound, and resumes
+    // oldest-first the moment the head turns terminal.
     def retireStatements(): Unit =
-      while (statementOrder.size() > 500) {
-        val old = statementOrder.poll()
+      while (statementOrder.size() > statementRetireBound) {
+        val old = statementOrder.peek()
         if (old == null) return
         val s = statements.get(old)
-        if (s != null && !s.terminal) { statementOrder.add(old); return }
+        if (s != null && !s.terminal) return
+        // remove the peeked head (a racing retirer may have removed it
+        // already — remove(old) then just no-ops)
+        statementOrder.remove(old)
         if (s != null) statements.remove(old, s)
       }
     def statementStatusJson(st: AsyncStatement): ObjectNode = {
@@ -667,6 +677,16 @@ object DruidServe {
         logQuery(st.queryId, "sql-statement",
           st.sql.linesIterator.mkString(" ").take(120), t0, total, "ok")
       } catch {
+        // VirtualMachineErrors (OOM, StackOverflow) must NOT be
+        // laundered into a FAILED statement envelope while the broker
+        // keeps serving — record the terminal state for pollers, then
+        // rethrow so the error propagates out of the statement pool
+        // (mirrors withQueryControl's contract on the sync path)
+        case e: VirtualMachineError =>
+          st.error = Some(e)
+          st.durationMs = (System.nanoTime() - t0) / 1000000L
+          st.state = "FAILED"
+          throw e
         case e: Throwable =>
           st.error = Some(e)
           st.durationMs = (System.nanoTime() - t0) / 1000000L
@@ -1577,11 +1597,74 @@ object DruidServe {
       if (c == null) Seq.empty
       else c.trim.stripSuffix(";").split(",").toSeq.map(
         _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)
+    // clause boundaries are found by (lazy) regex, which can split
+    // INSIDE a subquery or a string literal (`WHERE x IN (SELECT …)`
+    // splits the condition at the inner SELECT; `PARTITIONED BY`
+    // inside a SELECT-list literal splits the SELECT early). Any such
+    // mis-split leaves a fragment with unbalanced parens/quotes —
+    // reject it LOUDLY instead of letting the fragments fail later
+    // with a confusing expression-parse error.
+    def checkBalanced(frag: String, what: String): Unit = {
+      var depth = 0
+      var quote: Char = 0
+      var i = 0
+      var bad = false
+      while (i < frag.length && !bad) {
+        val ch = frag.charAt(i)
+        if (quote != 0) { if (ch == quote) quote = 0 }
+        else ch match {
+          case '\'' | '"' => quote = ch
+          case '('        => depth += 1
+          case ')'        => depth -= 1; if (depth < 0) bad = true
+          case _          =>
+        }
+        i += 1
+      }
+      if (bad || depth != 0 || quote != 0) throw new IllegalArgumentException(
+        s"cannot parse ingestion statement: the $what has unbalanced " +
+          "parentheses/quotes after clause splitting — subqueries in " +
+          "OVERWRITE WHERE and clause keywords inside string literals " +
+          "are not supported; use a simple __time range condition")
+    }
+    // subqueries in OVERWRITE WHERE are rejected explicitly: the
+    // condition feeds the interval-scoped overwrite's expression
+    // parser, which cannot evaluate them — reject here with a clear
+    // message instead of a confusing downstream parse error. Scanned
+    // outside string literals so a value like 'select' stays legal.
+    def rejectSubquery(cond: String): Unit = {
+      var quote: Char = 0
+      var i = 0
+      while (i < cond.length) {
+        val ch = cond.charAt(i)
+        if (quote != 0) { if (ch == quote) quote = 0; i += 1 }
+        else if (ch == '\'' || ch == '"') { quote = ch; i += 1 }
+        else {
+          val rest = cond.substring(i)
+          val up = rest.take(7).toUpperCase(java.util.Locale.ROOT)
+          val boundaryBefore = i == 0 ||
+            !Character.isLetterOrDigit(cond.charAt(i - 1))
+          def isWord(w: String): Boolean = boundaryBefore &&
+            up.startsWith(w) && (rest.length == w.length ||
+              !Character.isLetterOrDigit(rest.charAt(w.length)))
+          if (isWord("SELECT") || isWord("WITH"))
+            throw new IllegalArgumentException(
+              "OVERWRITE WHERE supports simple __time range conditions " +
+                "only — subqueries (SELECT/WITH) are not supported")
+          i += 1
+        }
+      }
+    }
     sql match {
       case InsertRe(t, sel, part, clust) =>
+        checkBalanced(sel, "SELECT")
         Some(IngestSpec(cleanTableName(t), sel, replaceAll = false,
           None, parsePartitionedBy(part), clusters(clust)))
       case ReplaceRe(t, all, cond, sel, part, clust) =>
+        Option(cond).foreach { c =>
+          checkBalanced(c, "OVERWRITE WHERE condition")
+          rejectSubquery(c)
+        }
+        checkBalanced(sel, "SELECT")
         Some(IngestSpec(cleanTableName(t), sel,
           replaceAll = all != null, Option(cond).map(_.trim),
           parsePartitionedBy(part), clusters(clust)))

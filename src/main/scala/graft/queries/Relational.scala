@@ -871,6 +871,40 @@ object Relational extends QuerySet {
               |  round(max(value), 2) AS value_max
               |FROM events WHERE event_type <> 'purchase'
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Rollup routing widened to the decomposable aggregates: avg(m)
+    // routes as sum(sum_col)/sum(cnt_col) — the exact decomposition —
+    // and count(m) as sum of the rollup's per-measure NON-NULL count
+    // column. The query is written (and oracle-replayed) against the
+    // RAW events table; RollupRoutingSpec plan-asserts the swap and
+    // the negative cases (avg without a registered count column never
+    // routes). avg is rendered to 6 decimals so the decomposed
+    // double division and DuckDB's agree bit-for-bit after rounding.
+    Q("q37_rollup_avg_routing",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+        val rollup = s.read.parquet(stageRollup(s, dir))
+        graft.plans.RollupRouting.register(s, base, rollup,
+          timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+          sums = Map("value" -> "value_sum"),
+          mins = Map("value" -> "value_min"),
+          maxs = Map("value" -> "value_max"),
+          countCol = Some("cnt"),
+          counts = Map("value" -> "value_cnt"))
+        base.filter(col("event_type") =!= "purchase")
+          .groupBy(expr("date_trunc('MONTH', ts)")
+              .cast("date").cast("string").as("month"),
+            col("event_type"))
+          .agg(round(avg(col("value")), 6).as("value_avg"),
+               count(col("value")).as("value_n"))
+          .orderBy(col("month"), col("event_type"))
+      },
+      Some("""SELECT CAST(CAST(date_trunc('MONTH', ts) AS DATE) AS VARCHAR)
+              |    AS month, event_type,
+              |  round(sum(value) / count(value), 6) AS value_avg,
+              |  count(value) AS value_n
+              |FROM events WHERE event_type <> 'purchase'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   private val rollupDone = scala.collection.mutable.Set[String]()
@@ -888,7 +922,10 @@ object Relational extends QuerySet {
         .agg(sum(col("value")).as("value_sum"),
              count(lit(1)).as("cnt"),
              min(col("value")).as("value_min"),
-             max(col("value")).as("value_max"))
+             max(col("value")).as("value_max"),
+             // per-measure NON-NULL count: what avg(value) and
+             // count(value) decompose onto (q37)
+             count(col("value")).as("value_cnt"))
         .write.mode("overwrite").parquet(out)
       rollupDone += tag
     }

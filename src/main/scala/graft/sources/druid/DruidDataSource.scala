@@ -259,6 +259,11 @@ class DruidTable(root: String, schema0: StructType) extends Table
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"druid:$root"
 
+  /** Table directory, for callers that key external state on the
+    * table (e.g. RollupRouting's staleness fingerprints).
+    */
+  def rootDir: String = root
+
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     DruidDelete.timeRange(filters).exists { case (lo, hi) =>

@@ -499,6 +499,26 @@ class DruidScan(root: String, required: StructType,
 
   private def aggPushed: Boolean = pushedAggs.nonEmpty
 
+  /** Table directory (RollupRouting matches post-pushdown scan
+    * relations back to their registered base by root).
+    */
+  def rootDir: String = root
+
+  /** True iff NOTHING row-restricting or row-reshaping was pushed into
+    * this scan — it reads every row of the table, possibly column-
+    * pruned. Only such a scan is equivalent to the registered base
+    * relation for rollup routing: a scan carrying a pushed filter /
+    * limit / topN / aggregate answers a DIFFERENT row set than the
+    * base, and routing it to the rollup would silently drop that
+    * pushed condition.
+    */
+  def isPlainProjection: Boolean =
+    timeMinMs0 == Long.MinValue && timeMaxMs0 == Long.MaxValue &&
+      limit < 0 && dimFilters0.isEmpty && pushedAggs.isEmpty &&
+      zoneFilters.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty &&
+      topNTime.isEmpty && groupByDim.isEmpty && prefixFilters.isEmpty &&
+      patternFilters.isEmpty && orFilters.isEmpty
+
   /** Per-partition __time ordering, reported only when EVERY segment
     * was written time-sorted (manifest flag; Druid's own layout): row
     * ranges and bitmap row selections both preserve ascending row

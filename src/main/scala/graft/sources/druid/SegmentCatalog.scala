@@ -446,6 +446,25 @@ object SegmentCatalog {
   /** Number of pending log delta files (test/observability hook). */
   def logSize(root: String): Int = logFiles(root).size
 
+  /** Cheap content fingerprint of a table's CURRENT segment-dir set —
+    * the staleness key RollupRouting registrations pin. Segments are
+    * immutable and every write path mints fresh dir names, so any
+    * ingest / compaction / REPLACE / retention drop changes the set;
+    * one directory listing (through the pending-swap filter, so a
+    * mid-swap reader fingerprints a consistent generation), zero
+    * segment opens. An unreadable/vanished table fingerprints to a
+    * sentinel that can never equal a live listing's digest.
+    */
+  def stateFingerprint(root: String): String = {
+    val dirs =
+      try DruidTableUtil.discoverSegments(root)
+        .map(d => Paths.get(d).getFileName.toString).sorted
+      catch { case _: Exception => return "<unreadable>" }
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    dirs.foreach(d => md.update((d + " ").getBytes(UTF_8)))
+    java.util.Base64.getEncoder.encodeToString(md.digest()).take(22)
+  }
+
   // ------------------------------------------------- atomic multi-dir swap
 
   /** Declare an in-progress segment SWAP (compaction, overwrite,

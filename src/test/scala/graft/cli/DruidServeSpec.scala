@@ -994,6 +994,150 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("rollup registered over a served table stops routing after a statements-API ingest") {
+    withIngestServer { (port, root) =>
+      // create the base table over HTTP
+      val (c1, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO rbase SELECT __time, event_type, value FROM events PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "rr-1"}}""")
+      assert(c1 == 200)
+      assert(awaitTerminal(port, "rr-1").path("state").asText() == "SUCCESS")
+      // register a (frozen) daily rollup of it
+      import org.apache.spark.sql.functions._
+      val druidBase = spark.read.format("druid").load(s"$root/rbase")
+      val rdir = java.nio.file.Files
+        .createTempDirectory("serve-rr").toString
+      druidBase.groupBy(date_trunc("DAY", col("__time")).as("__time"),
+          col("event_type"))
+        .agg(sum(col("value")).as("value_sum"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(rdir)
+      graft.plans.RollupRouting.register(spark, druidBase,
+        spark.read.parquet(rdir),
+        timeCol = "__time", granularity = "DAY", dims = Seq("event_type"),
+        sums = Map("value" -> "value_sum"), countCol = Some("cnt"))
+      try {
+        def q = druidBase.groupBy(col("event_type"))
+          .agg(sum(col("value")).as("s"))
+        def plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains(rdir), plan) // routes while fresh
+        val before = q.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // ingest into the base THROUGH THE STATEMENTS API
+        val (c2, _) = postTo(port, "/druid/v2/sql/statements",
+          """{"query": "INSERT INTO rbase SELECT __time, event_type, value FROM events WHERE event_type = 'view' PARTITIONED BY DAY",
+              "context": {"sqlQueryId": "rr-2"}}""")
+        assert(c2 == 200)
+        assert(awaitTerminal(port, "rr-2").path("state").asText() == "SUCCESS")
+        // the registration is now STALE: routing must stop, the raw
+        // table (with the new rows) answers
+        assert(!plan.contains(rdir), s"routed to a STALE rollup:\n$plan")
+        val after = q.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(math.abs(after("view") - (before("view") + 70.0)) < 1e-9,
+          s"$after vs $before")
+        assert(math.abs(after("click") - before("click")) < 1e-9)
+      } finally graft.plans.RollupRouting.clear()
+    }
+  }
+
+  test("statement retirement is oldest-first and never corrupted by a running head") {
+    // a deterministically-blocked head: the UDF waits on a latch the
+    // test releases, so "head still running" is not a timing race
+    DruidServeSpec.retireGate = new java.util.concurrent.CountDownLatch(1)
+    val gated = {
+      val block = udf { (x: Long) =>
+        DruidServeSpec.retireGate.await(
+          60, java.util.concurrent.TimeUnit.SECONDS); x }
+      spark.range(1).select(block(col("id")).as("slept"))
+    }
+    // bound = 2: retirement pressure after the third statement
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("events" -> events, "gated" -> gated),
+      threads = 4, statementRetireBound = 2)
+    val port = server.getAddress.getPort
+    try {
+      // a long-running statement at the HEAD of the order
+      val (c0, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT sum(slept) AS s FROM gated",
+            "context": {"sqlQueryId": "ret-slow"}}""")
+      assert(c0 == 200)
+      // quick terminal statements pile up behind it
+      (1 to 4).foreach { i =>
+        val (c, _) = postTo(port, "/druid/v2/sql/statements",
+          s"""{"query": "SELECT count(*) AS c FROM events",
+               "context": {"sqlQueryId": "ret-$i"}}""")
+        assert(c == 200)
+        awaitTerminal(port, s"ret-$i")
+      }
+      // while the head RUNS nothing retires (order preserved, no
+      // tail re-queue): every terminal statement is still queryable
+      (1 to 4).foreach { i =>
+        val (c, b) = sendTo(port, "GET", s"/druid/v2/sql/statements/ret-$i")
+        assert(c == 200, s"ret-$i vanished while head was running: $b")
+      }
+      DruidServeSpec.retireGate.countDown()
+      // the head's own completion triggers retirement (it retires
+      // itself and the next-oldest down to the bound) — poll for it
+      def code(id: String): Int =
+        sendTo(port, "GET", s"/druid/v2/sql/statements/$id")._1
+      val deadline = System.nanoTime() + 30000000000L
+      while (code("ret-2") != 404 && System.nanoTime() < deadline)
+        Thread.sleep(30)
+      // OLDEST first: slow, ret-1, ret-2 retired; ret-3, ret-4 survive
+      Seq("ret-slow", "ret-1", "ret-2").foreach(id =>
+        assert(code(id) == 404, s"$id should have retired oldest-first"))
+      Seq("ret-3", "ret-4").foreach(id =>
+        assert(code(id) == 200, s"$id retired out of order"))
+      // the next completion keeps retiring in order: ret-3 goes next
+      val (c5, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "SELECT count(*) AS c FROM events",
+            "context": {"sqlQueryId": "ret-5"}}""")
+      assert(c5 == 200)
+      awaitTerminal(port, "ret-5")
+      assert(code("ret-3") == 404, "ret-3 should have retired next")
+      Seq("ret-4", "ret-5").foreach(id =>
+        assert(code(id) == 200, s"$id retired out of order"))
+    } finally server.stop(0)
+  }
+
+  test("a VirtualMachineError in a statement propagates out of the pool (not laundered)") {
+    withServer { port =>
+      val seen = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val prev = Thread.getDefaultUncaughtExceptionHandler
+      Thread.setDefaultUncaughtExceptionHandler((_, e) =>
+        if (e.isInstanceOf[VirtualMachineError] &&
+            String.valueOf(e.getMessage).contains("synthetic")) seen.set(e))
+      try {
+        // a function whose BUILDER throws: analysis runs driver-side on
+        // the statement pool thread, so the fake OOM exercises exactly
+        // the runStatement catch path
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_test_vme",
+          _ => throw new OutOfMemoryError("synthetic test VME"),
+          "scala_udf")
+        val (c, _) = postTo(port, "/druid/v2/sql/statements",
+          """{"query": "SELECT graft_test_vme() AS x FROM events",
+              "context": {"sqlQueryId": "vme-1"}}""")
+        assert(c == 200)
+        // pollers still see a terminal FAILED state (recorded BEFORE
+        // the rethrow, so the lifecycle is never stuck)
+        val fin = awaitTerminal(port, "vme-1")
+        assert(fin.path("state").asText() == "FAILED", fin.toString)
+        // ... and the error is NOT swallowed: it propagates out of the
+        // statement pool to the thread's uncaught handler
+        val deadline = System.nanoTime() + 10000000000L
+        while (seen.get() == null && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        assert(seen.get() != null,
+          "VMError was swallowed - never left the statement pool")
+      } finally {
+        Thread.setDefaultUncaughtExceptionHandler(prev)
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("graft_test_vme"))
+      }
+    }
+  }
+
   test("ingestion cannot shadow an in-memory served view") {
     withIngestServer { (port, _) =>
       val (c, _) = postTo(port, "/druid/v2/sql/statements",
@@ -1190,4 +1334,11 @@ class DruidServeSpec extends AnyFunSuite {
         "/druid/coordinator/v1/datasources/iv/bogus")._1 == 404)
     }
   }
+}
+
+object DruidServeSpec {
+  /** Latch the retirement spec's gated UDF blocks on (static so the
+    * task closure can reach it in local mode).
+    */
+  @volatile var retireGate: java.util.concurrent.CountDownLatch = _
 }

@@ -80,4 +80,47 @@ class IngestParseSpec extends AnyFunSuite {
         s"INSERT INTO $t SELECT * FROM s PARTITIONED BY DAY"))
     }
   }
+
+  test("clause mis-splits (subquery in WHERE, keyword in a literal) reject loudly") {
+    // a subquery inside OVERWRITE WHERE is rejected explicitly — the
+    // interval-overwrite expression parser can't evaluate it, and some
+    // shapes (a UNION inside) even mis-split the clause regex
+    val e1 = intercept[IllegalArgumentException](DruidServe.parseIngest(
+      "REPLACE INTO t OVERWRITE WHERE __time IN (SELECT ts FROM other) " +
+        "SELECT * FROM src PARTITIONED BY DAY"))
+    assert(e1.getMessage.contains("subquer"))
+    // ... including the mis-splitting shape (bare SELECT inside after a
+    // UNION: the lazy cond ends unbalanced)
+    val e1b = intercept[IllegalArgumentException](DruidServe.parseIngest(
+      "REPLACE INTO t OVERWRITE WHERE x = (SELECT a FROM o UNION " +
+        "SELECT b FROM p) SELECT * FROM src PARTITIONED BY DAY"))
+    assert(e1b.getMessage.contains("unbalanced") ||
+      e1b.getMessage.contains("subquer"))
+    // a string literal containing the word 'select' in the cond is fine
+    val okLit = DruidServe.parseIngest(
+      "REPLACE INTO t OVERWRITE WHERE note = 'select me' " +
+        "SELECT * FROM src PARTITIONED BY DAY").get
+    assert(okLit.replaceWhere.contains("note = 'select me'"))
+    // PARTITIONED BY inside a string literal in the SELECT list would
+    // truncate the SELECT mid-literal
+    val e2 = intercept[IllegalArgumentException](DruidServe.parseIngest(
+      "INSERT INTO t SELECT 'about PARTITIONED BY x' AS note, __time " +
+        "FROM src PARTITIONED BY DAY"))
+    assert(e2.getMessage.contains("unbalanced"))
+    // SELECT inside a WHERE string literal likewise splits mid-literal
+    intercept[IllegalArgumentException](DruidServe.parseIngest(
+      "REPLACE INTO t OVERWRITE WHERE note = 'a SELECT b' " +
+        "SELECT * FROM src PARTITIONED BY DAY"))
+    // balanced parens in a legitimate condition still parse
+    val ok = DruidServe.parseIngest(
+      "REPLACE INTO t OVERWRITE WHERE (__time >= TIMESTAMP '2024-01-01' " +
+        "AND __time < TIMESTAMP '2024-01-02') " +
+        "SELECT * FROM src PARTITIONED BY DAY").get
+    assert(ok.replaceWhere.exists(_.startsWith("(")))
+    // and subqueries inside the SELECT body itself remain fine
+    val ok2 = DruidServe.parseIngest(
+      "INSERT INTO t SELECT * FROM src WHERE a IN (SELECT a FROM b) " +
+        "PARTITIONED BY DAY").get
+    assert(ok2.selectSql.contains("(SELECT a FROM b)"))
+  }
 }

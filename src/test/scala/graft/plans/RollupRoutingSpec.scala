@@ -131,6 +131,169 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally RollupRouting.clear()
   }
 
+  test("query-side casts are never dropped: lossy cast under an agg blocks routing") {
+    register()
+    try {
+      // SUM(CAST(value AS BIGINT)) truncates per-row; answering it from
+      // the pre-summed double column would be silently wrong (and a
+      // different result type). The rewrite must leave it on the base.
+      val q = base.groupBy(col("event_type"))
+        .agg(sum(col("value").cast("long")).as("s"))
+      assert(!planOf(q).contains("events_daily"), planOf(q))
+      // CAST(dim) in a grouping likewise stays semantically intact:
+      // either re-wrapped around the rollup attribute or unrouted —
+      // never the bare rollup column. Value-check against the base.
+      val q2 = base.groupBy(col("event_type").cast("binary").as("b"))
+        .agg(count(lit(1)).as("n"))
+      val got = q2.collect().map(r => (new String(r.getAs[Array[Byte]](0),
+        java.nio.charset.StandardCharsets.UTF_8), r.getLong(1))).toMap
+      RollupRouting.clear()
+      val want = q2.collect().map(r => (new String(r.getAs[Array[Byte]](0),
+        java.nio.charset.StandardCharsets.UTF_8), r.getLong(1))).toMap
+      assert(got == want)
+    } finally RollupRouting.clear()
+  }
+
+  test("cast ABOVE an aggregate routes with the cast preserved") {
+    register()
+    try {
+      val q = base.groupBy(col("event_type"))
+        .agg(sum(col("value")).cast("string").as("s"))
+      val p = planOf(q)
+      assert(p.contains("events_daily"), p)
+      val got = q.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // string rendering of a double sum: exact same partial-sum order
+      // is not guaranteed, so compare the parsed values
+      RollupRouting.clear()
+      val want = q.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v.toDouble - want(k).toDouble) <
+          1e-6 * math.max(1.0, math.abs(want(k).toDouble)), s"$k: $v vs ${want(k)}")
+      }
+    } finally RollupRouting.clear()
+  }
+
+  test("register() rejects a base containing a Filter (leaf-match would widen rows)") {
+    val filtered = base.filter(col("event_type") === "click")
+    val e = intercept[IllegalArgumentException] {
+      RollupRouting.register(spark, filtered, spark.read.parquet(rollupPath),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        countCol = Some("cnt"))
+    }
+    assert(e.getMessage.contains("leaf"))
+  }
+
+  test("avg and count(col) route through sum/count decomposition") {
+    RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+      timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+      sums = Map("value" -> "value_sum"),
+      countCol = Some("cnt"),
+      counts = Map("value" -> "value_cnt"))
+    try {
+      def q = base.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("a"), count(col("value")).as("c"))
+      val routed = q
+      assert(planOf(routed).contains("events_daily"), planOf(routed))
+      val got = routed.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      RollupRouting.clear()
+      val unrouted = q
+      assert(planOf(unrouted).contains("events.parquet"))
+      val want = unrouted.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, (a, c)) =>
+        val (a2, c2) = want(k)
+        assert(c == c2, s"$k count")
+        assert(math.abs(a - a2) < 1e-9 * math.max(1.0, math.abs(a2)),
+          s"$k avg: $a vs $a2")
+      }
+      // avg WITHOUT a registered count column never routes
+      RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        sums = Map("value" -> "value_sum"), countCol = Some("cnt"))
+      val p = planOf(base.groupBy(col("event_type")).agg(avg(col("value"))))
+      assert(!p.contains("events_daily"), p)
+    } finally RollupRouting.clear()
+  }
+
+  test("two sessions arm the rule independently (WeakHashMap keying)") {
+    val s2 = spark.newSession()
+    val base2 = graft.Tables.events(s2, sf)
+    RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+      timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+      countCol = Some("cnt"))
+    RollupRouting.register(s2, base2, s2.read.parquet(rollupPath),
+      timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+      countCol = Some("cnt"))
+    try {
+      val q1 = base.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val q2 = base2.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      assert(planOf(q1).contains("events_daily"), planOf(q1))
+      assert(q2.queryExecution.executedPlan.toString.contains("events_daily"),
+        q2.queryExecution.executedPlan.toString)
+    } finally RollupRouting.clear()
+  }
+
+  test("staleness tripwire: a write to a druid-backed base disables routing") {
+    import graft.sources.druid.SegmentCatalog
+    val dir = java.nio.file.Files.createTempDirectory("rr-stale").toString
+    val ev = base.select(col("ts").as("__time"), col("event_type"),
+      col("value"))
+    ev.write.format("druid").mode("overwrite").save(dir)
+    val druidBase = spark.read.format("druid").load(dir)
+      .select(col("__time").as("ts"), col("event_type"), col("value"))
+    val rollup = druidBase
+      .groupBy(date_trunc("DAY", col("ts")).as("ts"), col("event_type"))
+      .agg(sum(col("value")).as("value_sum"), count(lit(1)).as("cnt"))
+    val rdir = java.nio.file.Files.createTempDirectory("rr-stale-ru").toString
+    rollup.write.mode("overwrite").parquet(rdir)
+    RollupRouting.register(spark, druidBase, spark.read.parquet(rdir),
+      timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+      sums = Map("value" -> "value_sum"), countCol = Some("cnt"))
+    try {
+      // sum(double) is NOT answerable by the scan's metadata-aggregate
+      // pushdown, so the Aggregate survives to the user-rule batch and
+      // routing fires (count(*) over a druid table is already answered
+      // zero-decode by the scan itself — routing never sees it)
+      def q = druidBase.groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+      assert(planOf(q).contains(rdir), planOf(q)) // routes while fresh
+      val before = q.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // ingest into the base: the fingerprint changes, routing must stop
+      val extra = ev.limit(10)
+      val extraSum = extra.agg(sum(col("value"))).collect().head.getDouble(0)
+      extra.write.format("druid").mode("append").save(dir)
+      val after = q
+      assert(!planOf(after).contains(rdir),
+        s"routed to a STALE rollup:\n${planOf(after)}")
+      val counts = after.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // the unrouted answer sees the new rows
+      assert(math.abs(counts.values.sum - (before.values.sum + extraSum)) < 1e-6,
+        s"$counts vs $before")
+      // re-registering against the refreshed base resumes routing
+      val rollup2dir = java.nio.file.Files.createTempDirectory("rr-stale-r2").toString
+      spark.read.format("druid").load(dir)
+        .select(col("__time").as("ts"), col("event_type"), col("value"))
+        .groupBy(date_trunc("DAY", col("ts")).as("ts"), col("event_type"))
+        .agg(sum(col("value")).as("value_sum"), count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(rollup2dir)
+      val druidBase2 = spark.read.format("druid").load(dir)
+        .select(col("__time").as("ts"), col("event_type"), col("value"))
+      RollupRouting.register(spark, druidBase2, spark.read.parquet(rollup2dir),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        sums = Map("value" -> "value_sum"), countCol = Some("cnt"))
+      val q2 = druidBase2.groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+      assert(planOf(q2).contains(rollup2dir), planOf(q2))
+      val again = q2.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(again.keySet == counts.keySet)
+      again.foreach { case (k, v) =>
+        assert(math.abs(v - counts(k)) < 1e-6, s"$k: $v vs ${counts(k)}") }
+      // and the fingerprint itself moved
+      assert(SegmentCatalog.stateFingerprint(dir) != "<unreadable>")
+    } finally RollupRouting.clear()
+  }
+
   test("SQL-text queries over a view of the base route identically") {
     register()
     try {
