@@ -368,10 +368,24 @@ object NativeQuery {
         if (v.isMissingNode || v.isNull) None
         else {
           val strict = f.path(strictKey).asBoolean(false)
-          // the literal side is the same key expression over a literal —
-          // Catalyst constant-folds it, so both sides share one encoding
-          val (lhs, rhs) = (orderingKey(c, ordering),
-            orderingKey(lit(v.asText()), ordering))
+          // version/alphanumeric: one codegen'd static call per row
+          // against a driver-side pre-computed bound — the interpreted
+          // HOF key towers stay sort-path-only (see StringComparators).
+          // Other orderings: the literal side is the same key
+          // expression over a literal — Catalyst constant-folds it, so
+          // both sides share one encoding.
+          val (lhs, rhs) = ordering match {
+            case "version" =>
+              graft.sql.StringComparatorFns.register(SparkSession.active)
+              (call_function("version_cmp", c.cast("string"),
+                 lit(v.asText())), lit(0))
+            case "alphanumeric" =>
+              graft.sql.StringComparatorFns.register(SparkSession.active)
+              (call_function("alphanum_key", c.cast("string")),
+               lit(graft.sql.Alphanum.keyOf(v.asText())))
+            case _ =>
+              (orderingKey(c, ordering), orderingKey(lit(v.asText()), ordering))
+          }
           Some((lower, strict) match {
             case (true, true)   => lhs > rhs
             case (true, false)  => lhs >= rhs
@@ -559,7 +573,11 @@ object NativeQuery {
       // values (they sort as null) — an ANSI cast error would abort
       // the whole query on one bad dimension value
       case "numeric"            => c.try_cast("double")
-      case "alphanumeric"       => alphanumKey(c.cast("string"))
+      case "alphanumeric"       =>
+        // same encoding as the HOF alphanumKey (the spec pins both),
+        // one static call per row instead of an interpreted HOF chain
+        graft.sql.StringComparatorFns.register(SparkSession.active)
+        call_function("alphanum_key", c.cast("string"))
       case "strlen" => struct(length(c.cast("string")), c.cast("string"))
       case "version"            => versionKey(c.cast("string"))
       case other => fail(s"string comparator '$other' (supported: lexicographic, numeric, alphanumeric, strlen, version)")

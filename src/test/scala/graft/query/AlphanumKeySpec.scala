@@ -92,6 +92,40 @@ class AlphanumKeySpec extends AnyFunSuite {
     }
   }
 
+  test("the imperative production key (Alphanum.keyOf) equals the mirror encoding") {
+    // bound filters and sort paths now compute the key with one
+    // static call per row (graft.sql.Alphanum) — byte-identical to
+    // the mirror encoding the two tests above pin to the independent
+    // chunk-wise comparator
+    val prop = Prop.forAllNoShrink(alphanumString) { s =>
+      graft.sql.Alphanum.keyOf(s) == NativeQuery.alphanumKeyOf(s)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(r.passed, r.status.toString)
+    Seq("", "0", "00", "007", "2", "0002", "10", "a0b", "item010x7",
+      "u5a", "x!9", "00a00", "1e5", "9 9", "é12é").foreach { s =>
+      assert(graft.sql.Alphanum.keyOf(s) == NativeQuery.alphanumKeyOf(s),
+        s"imperative key differs for '$s'")
+    }
+  }
+
+  test("the codegen'd alphanum_key expression computes the same encoding") {
+    val spark = graft.SparkTestSession.spark
+    graft.sql.StringComparatorFns.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col}
+    val samples = (Iterator.fill(200)(alphanumString.sample).flatten ++
+      Iterator("", "0", "007", "item010x7", "é12é")).toSeq.distinct
+    val got = samples.toDF("s")
+      .select(col("s"), call_function("alphanum_key", col("s")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) == NativeQuery.alphanumKeyOf(s),
+        s"codegen key differs from mirror for '$s'")
+    }
+  }
+
   test("targeted pairs: magnitudes, leading zeros, mixed chunks, prefixes") {
     val ordered = Seq("", "0", "00", "2", "0002", "10", "a", "a0b", "a2",
       "a10", "a10!", "a10a", "b", "item2", "item010", "item10", "item100")

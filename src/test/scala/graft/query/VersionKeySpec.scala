@@ -82,6 +82,45 @@ class VersionKeySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("the imperative production comparator (VersionOrder) agrees with the mirror") {
+    // the bound-filter production path is now the imperative
+    // graft.sql.VersionOrder (one static call per row, codegen'd);
+    // the mirror and the HOF key encoding stay as the independent
+    // cross-checks — all three must agree
+    val prop = Prop.forAllNoShrink(versionGen, versionGen) { (a, b) =>
+      Integer.signum(graft.sql.VersionOrder.compareStrings(a, b)) == cmp(a, b)
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000), prop)
+    assert(r.passed, r.status.toString)
+    // targeted vectors the property gen may under-sample
+    val vecs = Seq("", "0", "1.0", "1.0-alpha", "1.0-sp", "1.0-whatever",
+      "1.2", "1.2.0", "1.2-ga", "1.0--alpha", "5.", ".5", "1..2",
+      "2023-01-01T00:00:00.000Z", "99999999999999999999")
+    for (a <- vecs; b <- vecs)
+      assert(Integer.signum(graft.sql.VersionOrder.compareStrings(a, b)) ==
+        cmp(a, b), s"'$a' vs '$b'")
+  }
+
+  test("the codegen'd version_cmp expression filters EXACTLY like the mirror") {
+    val spark = graft.SparkTestSession.spark
+    graft.sql.StringComparatorFns.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit, signum}
+    val samples = (Iterator.fill(120)(versionGen.sample).flatten ++ Iterator(
+      "", "0", "1.0", "1.0-alpha", "1.0-sp", "1.7", "1.10", "1.6.9",
+      "2023-01-01T00:00:00.000Z")).toSeq.distinct
+    val bound = "1.7"
+    val got = samples.toDF("a")
+      .select(col("a"),
+        signum(call_function("version_cmp", col("a"), lit(bound))).as("sign"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1).toInt).toMap
+    samples.foreach { a =>
+      assert(got(a) == cmp(a, bound),
+        s"version_cmp sign differs from mirror for '$a' vs '$bound'")
+    }
+  }
+
   test("the Catalyst key expression orders EXACTLY like the mirror") {
     val spark = graft.SparkTestSession.spark
     import org.apache.spark.sql.functions.col
