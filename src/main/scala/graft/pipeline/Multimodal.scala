@@ -21,7 +21,10 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, lang: String,
                              width: Int, height: Int, frames: Int, bytes: Int)
 
-  /** STUB decode — deterministic fake in lieu of a real media codec. */
+  /** STUB decode — deterministic fake for payloads that are not a
+    * recognized media container (the driver's `documents` rows carry
+    * text payloads, so the oracle gates ride this path unchanged).
+    */
   def decodeStub(r: MediaRow): MediaMeta = MediaMeta(
     doc_id = r.doc_id,
     lang = r.lang,
@@ -29,6 +32,31 @@ object Multimodal {
     height = (r.payload.length / 64) % 64,
     frames = (1 + r.doc_id % 3).toInt,
     bytes = r.payload.length)
+
+  /** Decode dispatch: REAL codec when the payload is a recognized
+    * container (PNG/BMP/GIF via the JDK's javax.imageio — no native
+    * libs; WAV via the PCM header parser), deterministic stub
+    * otherwise. One function swaps, the pipeline shape is identical
+    * either way — the posture the stub always documented.
+    */
+  def decodeMedia(r: MediaRow): MediaMeta = MediaCodec.sniff(r.payload) match {
+    case MediaCodec.Image =>
+      MediaCodec.decodeImage(r.payload) match {
+        case Some((w, h)) =>
+          MediaMeta(r.doc_id, r.lang, w, h, frames = 1, bytes = r.payload.length)
+        case None => decodeStub(r) // truncated/corrupt container
+      }
+    case MediaCodec.Wav =>
+      MediaCodec.decodeWav(r.payload) match {
+        case Some(wav) =>
+          // audio has no raster: width carries samples-per-channel,
+          // height the channel count, frames the sample rate / 1000
+          MediaMeta(r.doc_id, r.lang, wav.samples.length, wav.channels,
+            frames = wav.sampleRate / 1000, bytes = r.payload.length)
+        case None => decodeStub(r)
+      }
+    case MediaCodec.Unknown => decodeStub(r)
+  }
 
   /** documents -> fake binary payloads -> per-partition batch decode ->
     * typed metadata. Partition-parallel, no shuffle until the caller
@@ -40,7 +68,7 @@ object Multimodal {
     docs.select(col("doc_id"), col("lang"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
-      .mapPartitions(rows => rows.map(decodeStub)) // batchwise stub decode
+      .mapPartitions(rows => rows.map(decodeMedia)) // batchwise decode dispatch
   }
 
   final case class Frame(doc_id: Long, lang: String, frame_idx: Int,
@@ -62,7 +90,7 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"))
       .as[MediaRow]
       .flatMap { r =>
-        val n = decodeStub(r).frames
+        val n = decodeMedia(r).frames
         val len = r.payload.length
         (0 until n by everyN).map { i =>
           val from = (i.toLong * len / n).toInt
@@ -146,4 +174,143 @@ object Multimodal {
           }
       }
   }
+
+  /** Audio chunking over REAL payloads: WAV payloads decode through
+    * the PCM header parser (first channel), anything else falls back
+    * to unsigned byte values as samples. Same windowing arithmetic as
+    * [[chunkAudio]] — the codec swap changes sample extraction only,
+    * exactly the posture the stub documented. `media` needs
+    * (doc_id: long, payload: binary).
+    */
+  def chunkWav(media: DataFrame, win: Int, hop: Int): Dataset[AudioChunk] = {
+    require(win > 0 && hop > 0, s"win/hop must be positive: $win/$hop")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val samples = MediaCodec.decodeWav(payload) match {
+          case Some(w) => w.samples
+          case None =>
+            val a = new Array[Int](payload.length)
+            var i = 0
+            while (i < a.length) { a(i) = payload(i) & 0xff; i += 1 }
+            a
+        }
+        MediaCodec.windows(samples, win, hop)
+          .map { case (i, e, pk) => AudioChunk(id, i, e, pk) }
+      }
+  }
+}
+
+/** JDK-only REAL media codecs behind the multimodal pipeline: images
+  * through javax.imageio (PNG/BMP/GIF — the readers the JDK ships
+  * without native libraries), audio through a PCM-16 WAV header
+  * parser. Payloads that are not a recognized container keep the
+  * deterministic synthetic path, so the oracle gates (text payloads)
+  * are untouched while fixture specs decode real containers
+  * byte-exactly.
+  */
+object MediaCodec {
+  sealed trait Kind
+  case object Image extends Kind
+  case object Wav extends Kind
+  case object Unknown extends Kind
+
+  /** Container sniff by magic bytes — cheap enough to run per row. */
+  def sniff(p: Array[Byte]): Kind =
+    if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' &&
+        p(11) == 'E') Wav
+    else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
+        p(2) == 'N' && p(3) == 'G') Image
+    else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == '8') Image
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Image
+    else Unknown
+
+  /** (width, height) via javax.imageio; None when the payload does not
+    * decode (truncated/corrupt container → callers fall back to the
+    * synthetic path rather than failing the partition).
+    */
+  def decodeImage(p: Array[Byte]): Option[(Int, Int)] =
+    decodeArgb(p).map { case (w, h, _) => (w, h) }
+
+  /** Full raster decode: (width, height, row-major ARGB pixels). */
+  def decodeArgb(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        Some((w, h, img.getRGB(0, 0, w, h, null, 0, w)))
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  final case class WavData(sampleRate: Int, channels: Int,
+                           samples: Array[Int])
+
+  /** RIFF/WAVE PCM-16 parser: walks the chunk list (word-aligned),
+    * requires format 1 (linear PCM) with 16-bit samples, and returns
+    * the FIRST channel's samples as signed ints. Anything else —
+    * float WAV, ADPCM, truncated chunks — returns None (loud fallback,
+    * never a half-decoded buffer).
+    */
+  def decodeWav(p: Array[Byte]): Option[WavData] = {
+    if (sniff(p) != Wav) return None
+    val bb = java.nio.ByteBuffer.wrap(p)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmtOk = false
+    var channels = 0
+    var rate = 0
+    var dataStart = -1
+    var dataLen = 0
+    while (off + 8 <= p.length) {
+      val sz = bb.getInt(off + 4)
+      if (sz < 0) return None
+      val id = new String(p, off, 4, "US-ASCII")
+      if (id == "fmt " && off + 24 <= p.length) {
+        val audioFormat = bb.getShort(off + 8).toInt
+        channels = bb.getShort(off + 10).toInt
+        rate = bb.getInt(off + 12)
+        val bits = bb.getShort(off + 22).toInt
+        fmtOk = audioFormat == 1 && bits == 16 && channels >= 1 && rate > 0
+      } else if (id == "data") {
+        dataStart = off + 8
+        dataLen = math.min(sz, p.length - dataStart)
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (!fmtOk || dataStart < 0) return None
+    val stride = 2 * channels
+    val n = dataLen / stride
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = bb.getShort(dataStart + i * stride).toInt
+      i += 1
+    }
+    Some(WavData(rate, channels, out))
+  }
+
+  /** Shared fixed-window pass: (chunk_idx, energy, peak) per full
+    * `win`-sample window every `hop` samples — identical arithmetic to
+    * the m4 gate's char-code loop, over real samples.
+    */
+  def windows(samples: Array[Int], win: Int,
+              hop: Int): Iterator[(Long, Long, Int)] =
+    if (samples.length < win) Iterator.empty
+    else (0 to samples.length - win by hop).iterator.zipWithIndex
+      .map { case (st, i) =>
+        var e = 0L
+        var pk = 0
+        var j = st
+        while (j < st + win) {
+          val v = samples(j)
+          e += v.toLong * v
+          if (v > pk) pk = v
+          j += 1
+        }
+        (i.toLong, e, pk)
+      }
 }

@@ -47,6 +47,19 @@ object DruidQueries extends QuerySet {
   private def eventsSeg(s: SparkSession, dir: String): DataFrame =
     s.read.format("druid").load(eventsSegPath(s, dir))
 
+  /** Events with a MATERIALIZED version-string dimension (`ver` =
+    * "v1.<user_id>") — a plain dictionary-encoded string column, so
+    * bound filters on it ride the dictionary-side comparator pushdown
+    * (dr66) instead of per-row evaluation.
+    */
+  private def eventsVerSeg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("druid").load(segTable("events_ver", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"),
+                concat(lit("v1."), col("user_id").cast("string")).as("ver"),
+                col("value"))
+        .repartition(4)))
+
   private def lineitemSeg(s: SparkSession, dir: String): DataFrame = {
     val path = segTable("lineitem", dir,
       Tables.load(s, dir, "lineitem")
@@ -2183,6 +2196,30 @@ object DruidQueries extends QuerySet {
                      AS BIGINT) * 1000 AS bucket_ms,
                      count(*) AS n, round(sum(value), 2) AS total_value
               FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // -- VERSION bound on a PLAIN dictionary-encoded string dimension:
+    //    end-to-end gate for the dictionary-side comparator pushdown.
+    //    NativeQuery re-loads the relation with `graft.bounds`; the
+    //    reader runs the Maven-version comparator once per DICTIONARY
+    //    VALUE and row-selects via bitmap union (Druid's bound-filter
+    //    execution); the compiled predicate stays as the residual
+    //    final word. The oracle replays the numeric-segment
+    //    comparison ("v1.10" >= "v1.7" because 10 > 7), like dr62.
+    Q("dr66_native_version_bound_dim",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events_ver",
+          "granularity": "all",
+          "filter": {"type": "bound", "dimension": "ver",
+                     "lower": "v1.7", "ordering": {"type": "version"}},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsVerSeg(s, dir))
+          .select(col("n"), round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT count(*) AS n, round(sum(value), 2) AS total_value
+              FROM events WHERE user_id >= 7""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and

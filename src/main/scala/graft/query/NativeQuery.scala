@@ -115,7 +115,8 @@ object NativeQuery {
 
   private def runNode(q: JsonNode, resolve: String => DataFrame): DataFrame = {
     val base0 = resolveDataSource(q.path("dataSource"), resolve)
-    val base1 = withVirtualColumns(base0, q)
+    val base0b = pushComparatorBounds(base0, q)
+    val base1 = withVirtualColumns(base0b, q)
     val base = applyWhere(base1, q)
     q.path("queryType").asText() match {
       case "timeseries"   => timeseries(base, q)
@@ -308,6 +309,83 @@ object NativeQuery {
       col("__time") >= lit(Timestamp.from(a)) &&
         col("__time") < lit(Timestamp.from(b))
     }.reduceOption(_ || _)
+
+  /** Dictionary-side comparator-bound pushdown. A bound filter under a
+    * non-lexicographic StringComparator has no V1 Filter form (and
+    * even a lexicographic string range is not served by this source's
+    * pushFilters), so Spark would evaluate the comparator per ROW.
+    * Druid evaluates bounds on dictionary-encoded dimensions per
+    * DICTIONARY VALUE and row-selects via bitmaps. When the datasource
+    * is a bare druid relation and an AND-reachable bound lands on a
+    * plain string dimension (no extractionFn, not shadowed by a
+    * virtual column), re-load the relation with a `graft.bounds`
+    * option: the reader runs the comparator once per dictionary entry
+    * and unions qualifying-id bitmaps. The compiled Catalyst predicate
+    * STAYS on the plan as the residual final word — the option is a
+    * row-selection hint whose removal cannot change results.
+    */
+  private def pushComparatorBounds(df: DataFrame, q: JsonNode): DataFrame = {
+    val f = q.path("filter")
+    if (f.isMissingNode || f.isNull) return df
+    val vcNames: Set[String] = {
+      val vcs = q.path("virtualColumns")
+      if (vcs.isMissingNode || vcs.isNull) Set.empty
+      else vcs.elements().asScala.map(vc =>
+        if (vc.hasNonNull("outputName")) vc.path("outputName").asText()
+        else vc.path("name").asText()).toSet
+    }
+    def andReachableBounds(n: JsonNode): Seq[JsonNode] =
+      n.path("type").asText() match {
+        case "and"   => n.path("fields").elements().asScala.toSeq
+                          .flatMap(andReachableBounds)
+        case "bound" => Seq(n)
+        case _       => Nil
+      }
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case other            => other
+    }
+    val rel = unwrap(df.queryExecution.analyzed) match {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.druid.DruidTable] => r
+      case _ => return df
+    }
+    val stringCols = rel.schema.fields
+      .filter(f => f.dataType == StringType &&
+        !f.metadata.contains("druid.complexType"))
+      .map(_.name).toSet
+    val supported = Set("lexicographic", "strlen", "alphanumeric", "version")
+    val bounds: Seq[(String, graft.sources.druid.DimBound)] =
+      andReachableBounds(f).flatMap { b =>
+        val d = b.path("dimension").asText()
+        // malformed comparator nodes drop out here; compileFilter will
+        // fail loudly on the same node moments later
+        val ordering =
+          (if (!b.hasNonNull("ordering") &&
+               b.path("alphaNumeric").asBoolean(false)) Some("alphanumeric")
+           else try Some(comparatorOf(b.path("ordering")))
+           catch { case _: IllegalArgumentException => None })
+            .map(o => if (o.isEmpty) "lexicographic" else o)
+            .getOrElse("unsupported")
+        val lower =
+          if (b.hasNonNull("lower")) Some(b.path("lower").asText()) else None
+        val upper =
+          if (b.hasNonNull("upper")) Some(b.path("upper").asText()) else None
+        if (b.hasNonNull("extractionFn") || vcNames(d) || !stringCols(d) ||
+            !supported(ordering) || (lower.isEmpty && upper.isEmpty)) None
+        else Some(d -> graft.sources.druid.DimBound(ordering,
+          lower, b.path("lowerStrict").asBoolean(false),
+          upper, b.path("upperStrict").asBoolean(false)))
+      }
+    if (bounds.isEmpty) return df
+    val byCol = bounds.groupBy(_._1).map { case (c, v) => c -> v.map(_._2) }
+    val opts = rel.options.asCaseSensitiveMap().asScala.toMap +
+      ("graft.bounds" -> graft.sources.druid.DimBound.toJson(byCol)) +
+      ("path" -> rel.table.asInstanceOf[graft.sources.druid.DruidTable].rootDir)
+    SparkSession.active.read.format("druid").options(opts).load()
+  }
 
   private def applyWhere(df: DataFrame, q: JsonNode): DataFrame = {
     val time = intervalPred(intervalsOf(q))

@@ -253,6 +253,31 @@ private[druid] object RowSelection {
         case _ => Nil
       }
     }
+    // comparator bounds (version/alphanumeric/strlen/lexicographic):
+    // the comparator runs once per DICTIONARY VALUE (cardinality <<
+    // rows) with the bound side pre-computed, qualifying ids union
+    // their bitmaps — Druid's bound-filter execution. A column absent
+    // from this schema-evolved segment is all-null: a bound never
+    // matches null, so the selection is empty.
+    val boundSets = part.boundFilters.toSeq.flatMap { case (name, bs) =>
+      if (!segment.columnNames.contains(name))
+        bs.headOption.map(_ =>
+          new org.roaringbitmap.buffer.MutableRoaringBitmap()).toSeq
+      else segment.column(name) match {
+        case StringColumnData(sc) if sc.bitmaps.isDefined =>
+          bs.map { b =>
+            val pred = DimBound.predicate(b)
+            val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            sc.dictionary.entriesIterator.zipWithIndex.foreach {
+              case (bytes, id) =>
+                if (bytes != null && pred(bytes))
+                  sc.bitmapFor(id).foreach(acc.or)
+            }
+            acc
+          }
+        case _ => Nil // no dictionary/bitmaps: the residual decides
+      }
+    }
     def trailerOf(name: String): Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
       segment.column(name) match {
         case LongColumnData(_, nulls) if nulls != null => Some(nulls)
@@ -276,13 +301,15 @@ private[druid] object RowSelection {
       }.filter(_ != null)
     if (emptySplit) return Array.emptyIntArray
     if (applicable.isEmpty && prefixSets.isEmpty && patternSets.isEmpty &&
-        orSets.isEmpty && nullSets.isEmpty && onlyNullSets.isEmpty) null
+        boundSets.isEmpty && orSets.isEmpty && nullSets.isEmpty &&
+        onlyNullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
       applicable.foreach(range.and)
       prefixSets.foreach(range.and)
       patternSets.foreach(range.and)
+      boundSets.foreach(range.and)
       orSets.foreach(range.and)
       onlyNullSets.foreach(range.and)
       nullSets.foreach(range.andNot)

@@ -56,6 +56,16 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // can still skip when NO disjunct could match its metadata
   private var orFilters: Seq[Filter] = Nil
 
+  // comparator bounds (version/alphanumeric/strlen/lexicographic)
+  // shipped via the `graft.bounds` read option — the V1 Filter API
+  // can't express a bound under a non-lexicographic StringComparator,
+  // so NativeQuery re-loads the relation with this option when a
+  // bound filter lands on a plain string dimension. Served by an
+  // O(dictionary) comparator pass + bitmap union per segment; the
+  // caller keeps its Catalyst predicate as the residual final word.
+  private val boundFilters: Map[String, Seq[DimBound]] =
+    DimBound.fromJson(options.get("graft.bounds"))
+
   // COMPLEX-backed string columns (json) carry no dictionary/bitmaps:
   // exclude them so dim-filter pushdown never consults a dictionary
   // that does not exist (their filters stay Spark-side residuals)
@@ -227,7 +237,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
-      patternFilters.isEmpty &&
+      patternFilters.isEmpty && boundFilters.isEmpty &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     if (!clean || orders.length != 1 || l <= 0) return false
     val o = orders.head
@@ -264,6 +274,10 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     if (pushedAggs.nonEmpty) return false
     val kinds = agg.aggregateExpressions().toSeq
       .map(DruidScanBuilder.aggKind(_, fullSchema))
+    // option-shipped comparator bounds restrict rows invisibly to
+    // Spark's filter bookkeeping — a metadata answer over ALL rows
+    // would ignore them
+    if (boundFilters.nonEmpty) return false
     // kinds.nonEmpty: an outer count() can prune a stacked aggregate's
     // output to ZERO expressions — pushing that would make the scan
     // produce 0 columns where Spark still expects a row shape
@@ -332,7 +346,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     if (pushedAggs.nonEmpty || groupByDim.isDefined) return false
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
-      patternFilters.isEmpty && limit < 0 &&
+      patternFilters.isEmpty && boundFilters.isEmpty && limit < 0 &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     val groupCols = agg.groupByExpressions().toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
@@ -353,7 +367,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
       notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
-      patternFilters, orFilters)
+      patternFilters, orFilters, boundFilters)
 }
 
 object DruidScanBuilder {
@@ -451,7 +465,9 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      patternFilters: Map[String, Seq[DimPattern]] =
                                        Map.empty,
                                      dayKey: Int = 0,
-                                     orFilters: Seq[Filter] = Nil)
+                                     orFilters: Seq[Filter] = Nil,
+                                     boundFilters: Map[String, Seq[DimBound]] =
+                                       Map.empty)
     extends InputPartition with HasPartitionKey {
   // meaningful only when the scan reports KeyGroupedPartitioning
   // (granularity-aligned tables); int buckets-since-epoch of the
@@ -465,6 +481,117 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
   * "ends" — evaluated once per dictionary entry, never per row.
   */
 final case class DimPattern(kind: String, pattern: String)
+
+/** A comparator bound on a string dimension, evaluated ONCE PER
+  * DICTIONARY VALUE at the reader (Druid's bound-filter execution:
+  * comparator over the dictionary, qualifying-id bitmap union) — never
+  * per row. Orderings: lexicographic, strlen, alphanumeric, version.
+  * Shipped through the `graft.bounds` read option because a bound
+  * under a non-lexicographic StringComparator has no V1 Filter form;
+  * the pusher (NativeQuery) keeps its Catalyst predicate as the
+  * residual, so the bitmap only needs to be a superset — it is in
+  * fact exact, which the probe spec pins.
+  */
+final case class DimBound(ordering: String,
+                          lower: Option[String], lowerStrict: Boolean,
+                          upper: Option[String], upperStrict: Boolean)
+
+object DimBound {
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** `{"col": [{"o": ordering, "l": lower?, "ls": bool, "u": upper?,
+    * "us": bool}, ...], ...}` — jackson both ways, so bound values with
+    * any characters round-trip.
+    */
+  def toJson(bounds: Map[String, Seq[DimBound]]): String = {
+    val m = mapper
+    val root = m.createObjectNode()
+    bounds.foreach { case (col, bs) =>
+      val arr = root.putArray(col)
+      bs.foreach { b =>
+        val o = arr.addObject()
+        o.put("o", b.ordering)
+        b.lower.foreach(o.put("l", _))
+        o.put("ls", b.lowerStrict)
+        b.upper.foreach(o.put("u", _))
+        o.put("us", b.upperStrict)
+      }
+    }
+    m.writeValueAsString(root)
+  }
+
+  def fromJson(s: String): Map[String, Seq[DimBound]] =
+    if (s == null || s.isEmpty) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val root = mapper.readTree(s)
+      root.properties().asScala.map { e =>
+        val bs = e.getValue.elements().asScala.map { o =>
+          DimBound(o.path("o").asText("lexicographic"),
+            if (o.hasNonNull("l")) Some(o.path("l").asText()) else None,
+            o.path("ls").asBoolean(false),
+            if (o.hasNonNull("u")) Some(o.path("u").asText()) else None,
+            o.path("us").asBoolean(false))
+        }.toSeq
+        e.getKey -> bs
+      }.toMap
+    }
+
+  /** The bound as a predicate over RAW dictionary bytes (UTF-8), with
+    * the bound sides pre-computed once. Byte-level comparisons match
+    * Spark's UTF8String binary ordering exactly (Java String.compareTo
+    * is UTF-16 order and diverges above U+E000); version/alphanumeric
+    * reuse the production statics the residual predicate evaluates, so
+    * the selection is value-for-value identical to the residual.
+    */
+  def predicate(b: DimBound): Array[Byte] => Boolean = {
+    def cmpU(x: Array[Byte], y: Array[Byte]): Int =
+      java.util.Arrays.compareUnsigned(x, y)
+    def sides(cmpLower: Array[Byte] => Int, cmpUpper: Array[Byte] => Int):
+        Array[Byte] => Boolean = { v =>
+      (b.lower.isEmpty || {
+        val c = cmpLower(v); if (b.lowerStrict) c > 0 else c >= 0
+      }) &&
+      (b.upper.isEmpty || {
+        val c = cmpUpper(v); if (b.upperStrict) c < 0 else c <= 0
+      })
+    }
+    b.ordering match {
+      case "lexicographic" | "" =>
+        val lo = b.lower.map(_.getBytes("UTF-8"))
+        val hi = b.upper.map(_.getBytes("UTF-8"))
+        sides(v => cmpU(v, lo.orNull), v => cmpU(v, hi.orNull))
+      case "strlen" =>
+        // (code-point length, bytes): matches struct(length(c), c)
+        def key(bytes: Array[Byte]): (Int, Array[Byte]) =
+          (org.apache.spark.unsafe.types.UTF8String
+            .fromBytes(bytes).numChars(), bytes)
+        def cmp(x: (Int, Array[Byte]), y: (Int, Array[Byte])): Int = {
+          val c = Integer.compare(x._1, y._1)
+          if (c != 0) c else cmpU(x._2, y._2)
+        }
+        val lo = b.lower.map(s => key(s.getBytes("UTF-8")))
+        val hi = b.upper.map(s => key(s.getBytes("UTF-8")))
+        sides(v => cmp(key(v), lo.orNull), v => cmp(key(v), hi.orNull))
+      case "alphanumeric" =>
+        val lo = b.lower.map(s => graft.sql.Alphanum.keyOf(s).getBytes("UTF-8"))
+        val hi = b.upper.map(s => graft.sql.Alphanum.keyOf(s).getBytes("UTF-8"))
+        def key(v: Array[Byte]): Array[Byte] =
+          graft.sql.Alphanum.keyOf(new String(v, "UTF-8")).getBytes("UTF-8")
+        sides(v => cmpU(key(v), lo.orNull), v => cmpU(key(v), hi.orNull))
+      case "version" =>
+        val lo = b.lower.map(graft.sql.VersionOrder.parse)
+        val hi = b.upper.map(graft.sql.VersionOrder.parse)
+        def items(v: Array[Byte]) =
+          graft.sql.VersionOrder.parse(new String(v, "UTF-8"))
+        sides(v => graft.sql.VersionOrder.compare(items(v), lo.orNull),
+              v => graft.sql.VersionOrder.compare(items(v), hi.orNull))
+      case _ =>
+        // unknown ordering: select everything; the residual decides
+        _ => true
+    }
+  }
+}
 
 /** Single partition carrying metadata-derived aggregate answers (one
   * value per pushed aggregate, in order; null = empty table).
@@ -492,7 +619,8 @@ class DruidScan(root: String, required: StructType,
                 groupByDim: Option[String] = None,
                 prefixFilters: Map[String, Seq[String]] = Map.empty,
                 patternFilters: Map[String, Seq[DimPattern]] = Map.empty,
-                orFilters: Seq[Filter] = Nil)
+                orFilters: Seq[Filter] = Nil,
+                boundFilters: Map[String, Seq[DimBound]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering
     with SupportsReportPartitioning {
@@ -517,7 +645,7 @@ class DruidScan(root: String, required: StructType,
       limit < 0 && dimFilters0.isEmpty && pushedAggs.isEmpty &&
       zoneFilters.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty &&
       topNTime.isEmpty && groupByDim.isEmpty && prefixFilters.isEmpty &&
-      patternFilters.isEmpty && orFilters.isEmpty
+      patternFilters.isEmpty && orFilters.isEmpty && boundFilters.isEmpty
 
   /** Per-partition __time ordering, reported only when EVERY segment
     * was written time-sorted (manifest flag; Druid's own layout): row
@@ -615,6 +743,7 @@ class DruidScan(root: String, required: StructType,
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
       s"prefixFilters=$prefixFilters, patternFilters=$patternFilters, " +
+      s"boundFilters=$boundFilters, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
       s"isNull=${isNullCols.mkString(",")}, topNTime=$topNTime, " +
       s"groupByDim=$groupByDim, pushedAggs=${pushedAggs.mkString(",")})"
@@ -800,7 +929,7 @@ class DruidScan(root: String, required: StructType,
       (0 until capped by per).map { start =>
         DruidInputPartition(m.dir, start, math.min(capped, start + per), limit,
           batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
-          patternFilters, key, orFilters)
+          patternFilters, key, orFilters, boundFilters)
       }
     }
     parts.toArray

@@ -130,6 +130,79 @@ class PrefixPushdownSpec extends AnyFunSuite {
       names.count(v => v != null && v.contains("b12")))
   }
 
+  test("comparator bounds select exact rows dictionary-side") {
+    import spark.implicits._
+    import graft.sources.druid.{DimBound, DruidInputPartition, RowSelectionProbe}
+    val out = Files.createTempDirectory("graft-bound").toString + "/t"
+    // ver values v1.0 .. v1.19: under VERSION ordering v1.10 ≥ v1.7
+    // (numeric segments) where lexicographic order would reject it
+    val rows = (0 until 400).map { i =>
+      (1700000000000L + i, s"v1.${i % 20}", s"u${i % 150}", i.toLong)
+    }
+    rows.toDF("__time", "ver", "user", "n").coalesce(1)
+      .write.format("druid").mode("overwrite").save(out)
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(out).head
+    val seg = graft.format.DruidSegment.open(segDir)
+
+    def sel(col: String, b: DimBound): Seq[Int] = {
+      val part = DruidInputPartition(segDir, 0, rows.length, -1, 4096,
+        Map.empty, boundFilters = Map(col -> Seq(b)))
+      Option(RowSelectionProbe.build(seg, part))
+        .map(_.toSeq).getOrElse(Seq.tabulate(rows.length)(identity))
+    }
+
+    // version: lower "v1.7" admits exactly i%20 >= 7 (v1.10 included)
+    val expectV = rows.indices.filter(i => i % 20 >= 7)
+    assert(sel("ver", DimBound("version", Some("v1.7"), lowerStrict = false,
+      None, upperStrict = false)) == expectV)
+    // version strict upper: i%20 < 7
+    val expectVU = rows.indices.filter(i => i % 20 < 7)
+    assert(sel("ver", DimBound("version", None, lowerStrict = false,
+      Some("v1.7"), upperStrict = true)) == expectVU)
+    // alphanumeric on u<k>: "u100" admits u100..u149 AND u2-digit? no —
+    // digit runs compare numerically, so exactly k >= 100
+    val expectA = rows.indices.filter(i => i % 150 >= 100)
+    assert(sel("user", DimBound("alphanumeric", Some("u100"),
+      lowerStrict = false, None, upperStrict = false)) == expectA)
+    // strlen: length-first ordering; "u99" (len 3) under strict upper
+    // keeps len-2 values and len-3 values below u99
+    val expectS = rows.indices.filter { i =>
+      val v = s"u${i % 150}"
+      v.length < 3 || (v.length == 3 && v < "u99")
+    }
+    assert(sel("user", DimBound("strlen", None, lowerStrict = false,
+      Some("u99"), upperStrict = true)) == expectS)
+    // lexicographic range
+    val expectL = rows.indices.filter { i =>
+      val v = s"v1.${i % 20}"; v >= "v1.12" && v <= "v1.3"
+    }
+    assert(sel("ver", DimBound("lexicographic", Some("v1.12"),
+      lowerStrict = false, Some("v1.3"), upperStrict = false)) == expectL)
+  }
+
+  test("native version bound on a plain dim reaches the scan (end to end)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-boundnq").toString + "/t"
+    val rows = (0 until 500).map(i => (1700000000000L + i, s"v1.${i % 25}", i.toLong))
+    rows.toDF("__time", "ver", "n").coalesce(1)
+      .write.format("druid").mode("overwrite").save(out)
+    val df = graft.query.NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "t", "granularity": "all",
+      "filter": {"type": "bound", "dimension": "ver",
+                 "lower": "v1.7", "ordering": "version"},
+      "aggregations": [{"type": "count", "name": "cnt"}]
+    }""", _ => spark.read.format("druid").load(out))
+    val got = df.collect()
+    assert(got.map(_.getAs[Long]("cnt")).toSeq ==
+      Seq(rows.count(r => r._2.stripPrefix("v1.").toInt >= 7).toLong))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("boundFilters=Map(ver"),
+      s"comparator bound missing from scan description:\n$p")
+    // the residual predicate must ALSO be on the plan (final word)
+    assert(p.toLowerCase.contains("versioncmp"),
+      s"residual version_cmp filter missing from plan:\n$p")
+  }
+
   test("prefix envelope pruning skips disjoint segments") {
     val df = spark.read.format("druid").load(dir)
       .filter(col("name").startsWith("ab"))
