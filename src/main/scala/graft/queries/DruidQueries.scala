@@ -2220,6 +2220,48 @@ object DruidQueries extends QuerySet {
       },
       Some("""SELECT count(*) AS n, round(sum(value), 2) AS total_value
               FROM events WHERE user_id >= 7""")),
+
+    // -- month-END period origin (P1M anchored at the 29th 06:00Z,
+    //    day-of-month > 28): the construct Joda serves by clamping
+    //    the origin's day PER BOUNDARY (Jan 29 stays, Feb 29 clamps
+    //    to 28 in non-leap years — never cumulative). Previously a
+    //    loud compiler error; now exact (OriginGranSpec pins the
+    //    clamp differentially across month-end/leap configs). The
+    //    day-29 anchor splits the events domain mid-month, so the
+    //    gate checks real bucket assignment on both sides of a
+    //    boundary; the oracle replays min(29, month length) with
+    //    last_day arithmetic and the one-step-back candidate rule.
+    Q("dr67_native_period_origin_day29",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "timeseries", "dataSource": "events",
+          "granularity": {"type": "period", "period": "P1M",
+                          "origin": "2023-12-29T06:00:00.000Z"},
+          "context": {"skipEmptyBuckets": true},
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "doubleSum", "name": "total_value", "fieldName": "value"}]
+        }""", _ => eventsSeg(s, dir))
+          .select(unix_millis(col("__time")).as("bucket_ms"),
+                  col("n"), round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""SELECT CAST(epoch(bucket) AS BIGINT) * 1000 AS bucket_ms,
+                     count(*) AS n, round(sum(value), 2) AS total_value
+              FROM (
+                SELECT value,
+                       CASE WHEN ts < cand THEN cand_prev ELSE cand END AS bucket
+                FROM (
+                  -- boundary(month m) = day min(29, len(m)) at 06:00
+                  SELECT ts, value,
+                         least(date_trunc('month', ts) + INTERVAL 28 DAY,
+                               last_day(ts)::TIMESTAMP)
+                           + INTERVAL 6 HOUR AS cand,
+                         least(date_trunc('month', ts) - INTERVAL 1 MONTH
+                                 + INTERVAL 28 DAY,
+                               date_trunc('month', ts) - INTERVAL 1 DAY)
+                           + INTERVAL 6 HOUR AS cand_prev
+                  FROM events))
+              GROUP BY 1 ORDER BY 1""")),
   )
 
   // dr55's concave test polygon, shared by the native-query JSON and

@@ -971,11 +971,18 @@ object NativeQuery {
     *    period when t precedes it — exactly Joda's
     *    `months().getDifference` + floor + `add` sequence Druid runs.
     *
-    * Equivalence to Druid holds when the origin's day-of-month is at
-    * most 28 for month-based periods; beyond that Joda clamps month
-    * ends (Jan 31 + 1M = Feb 28) and a lattice anchored there is
-    * ambiguous, so the compiler fails loudly rather than bucket
-    * differently than the client's cluster.
+    * Month-based boundaries reproduce Joda's month-end clamping
+    * exactly: Druid computes boundary(k) = months().add(origin, k·n),
+    * where Joda clamps the day-of-month PER ADD from the origin
+    * (Jan 31 + 1M = Feb 28, Jan 31 + 2M = Mar 31 — no cumulative
+    * drift), keeping the origin's wall time. The column form splits
+    * the origin into (month start, day-of-month, time-of-day) and
+    * rebuilds each boundary with `add_months` + a `last_day` clamp +
+    * the time offset — `add_months` clamps exactly like Joda, and for
+    * origins at day <= 28 the clamp never fires, collapsing to the
+    * plain fixed-offset lattice. The candidate/step-back selection is
+    * unaffected by clamping (boundary(k) stays inside its month, so
+    * the month-index ordering argument still pins k to within one).
     */
   private case class OriginGran(unit: String, nMonths: Int,
                                 tz: Option[String], origin: Instant)
@@ -1000,13 +1007,14 @@ object NativeQuery {
     private val offMs =
       java.time.Duration.between(truncTo, oLocal).toMillis
     private val monthBased = nMonths > 0
-    if (monthBased && oLocal.getDayOfMonth > 28)
-      fail(s"granularity origin day-of-month ${oLocal.getDayOfMonth} " +
-        "(calendar periods support day-of-month <= 28; Druid clamps " +
-        "month ends there and the bucket lattice is ambiguous)")
     private val oMonthIdx = oLocal.getYear * 12 + oLocal.getMonthValue - 1
     private val oMonthStart = java.sql.Date.valueOf(
       oLocal.toLocalDate.withDayOfMonth(1))
+    // month-based origins decompose as (month start, day, time-of-day):
+    // the day is re-clamped per boundary like Joda's months().add
+    private val oDay = oLocal.getDayOfMonth
+    private val timeMs = java.time.Duration.between(
+      oLocal.toLocalDate.atStartOfDay, oLocal).toMillis
 
     private def localize(c: Column): Column =
       tz.fold(c)(z => from_utc_timestamp(c, z))
@@ -1023,24 +1031,60 @@ object NativeQuery {
         val d = mIdx - lit(oMonthIdx)
         // floor division on the month lattice (pmod handles pre-origin)
         val k = (d - pmod(d, lit(nMonths))) / lit(nMonths)
-        def boundary(periods: Column): Column = timestamp_millis(
-          unix_millis(to_timestamp(add_months(lit(oMonthStart),
-            (periods * lit(nMonths)).cast("int")))) + lit(offMs))
         val cand = boundary(k.cast("long"))
         when(local < cand, boundary(k.cast("long") - lit(1L))).otherwise(cand)
       }
+
+    /** Boundary k·nMonths periods from the origin, in local wall time:
+      * origin-month start advanced with `add_months`, the origin's
+      * day-of-month clamped to the target month's length (exactly
+      * Joda's months().add — per-boundary from the origin, never
+      * cumulative), plus the origin's time-of-day.
+      */
+    private def boundary(periods: Column): Column = {
+      val mStart = add_months(lit(oMonthStart),
+        (periods * lit(nMonths)).cast("int"))
+      val day = least(lit(oDay), dayofmonth(last_day(mStart)))
+      timestamp_millis(
+        unix_millis(to_timestamp(date_add(mStart, day - lit(1)))) + lit(timeMs))
+    }
+
+    /** Driver-side mirror of [[boundary]]/[[bucketLocal]] on
+      * java.time (whose plusMonths clamps like Joda), for computing
+      * the spine's k range without a column round-trip.
+      */
+    private def mirrorBoundary(k: Long): LocalDateTime = {
+      val m0 = oLocal.toLocalDate.withDayOfMonth(1).plusMonths(k * nMonths)
+      m0.withDayOfMonth(math.min(oDay, m0.lengthOfMonth)).atStartOfDay
+        .plus(java.time.Duration.ofMillis(timeMs))
+    }
+    private def mirrorBucketK(tLocal: LocalDateTime): Long = {
+      val d = (tLocal.getYear.toLong * 12 + tLocal.getMonthValue - 1) - oMonthIdx
+      val k = Math.floorDiv(d, nMonths.toLong)
+      if (mirrorBoundary(k).isAfter(tLocal)) k - 1 else k
+    }
     def bucket(c: Column): Column = delocalize(bucketLocal(localize(c)))
     def spineDF(spark: SparkSession,
-                start: java.time.Instant, end: java.time.Instant): DataFrame = {
-      val startB = bucketLocal(localize(lit(Timestamp.from(start))))
-      val endL = localize(lit(Timestamp.from(end)))
-      val step =
-        if (monthBased) s"interval $nMonths month" else unitStep(unit)
-      spark.range(1)
-        .select(explode(sequence(startB, endL, expr(step))).as("__t0"))
-        .select(delocalize(col("__t0")).as("__time"))
-        .filter(col("__time") < lit(Timestamp.from(end)))
-    }
+                start: java.time.Instant, end: java.time.Instant): DataFrame =
+      if (monthBased) {
+        // stepping a sequence by `interval n month` would clamp
+        // CUMULATIVELY (Jan 31 -> Feb 28 -> Mar 28) where Joda clamps
+        // each boundary independently from the origin (-> Mar 31);
+        // enumerate the k lattice instead and rebuild every boundary
+        // from the origin
+        val kStart = mirrorBucketK(LocalDateTime.ofInstant(start, zone))
+        val kEnd = mirrorBucketK(LocalDateTime.ofInstant(end, zone)) + 1
+        spark.range(kStart, kEnd + 1)
+          .select(delocalize(boundary(col("id"))).as("__time"))
+          .filter(col("__time") < lit(Timestamp.from(end)))
+      } else {
+        val startB = bucketLocal(localize(lit(Timestamp.from(start))))
+        val endL = localize(lit(Timestamp.from(end)))
+        spark.range(1)
+          .select(explode(sequence(startB, endL, expr(unitStep(unit)))).as("__t0"))
+          .select(delocalize(col("__t0")).as("__time"))
+          .filter(col("__time") < lit(Timestamp.from(end)))
+      }
   }
 
   /** Fixed-millisecond granularity (Druid's `duration` type), bucketing

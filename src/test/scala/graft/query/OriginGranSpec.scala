@@ -98,7 +98,14 @@ class OriginGranSpec extends AnyFunSuite {
       ("P3M",  "2024-02-15T00:00:00Z", "UTC"),
       ("P3M",  "2022-11-05T08:00:00Z", "Asia/Tokyo"),
       ("P1Y",  "2021-02-28T12:00:00Z", "America/Los_Angeles"),
-      ("P1Y",  "2020-07-04T00:00:00Z", "UTC"))
+      ("P1Y",  "2020-07-04T00:00:00Z", "UTC"),
+      // month-END origins: Joda clamps the day per boundary
+      // (Aug 31 + 1M = Sep 30, + 2M = Oct 31 — no cumulative drift);
+      // java.time's plusMonths in the reference clamps identically
+      ("P1M",  "2023-08-31T06:00:00Z", "UTC"),
+      ("P1M",  "2024-01-31T00:00:00Z", "America/Los_Angeles"),
+      ("P3M",  "2023-11-30T12:00:00Z", "UTC"),
+      ("P1Y",  "2020-02-29T00:00:00Z", "UTC")) // leap-day origin
     configs.foreach { case (period, originS, tz) =>
       val origin = Instant.parse(originS)
       val zone = ZoneId.of(tz)
@@ -111,5 +118,29 @@ class OriginGranSpec extends AnyFunSuite {
             s"engine=${got(id)} reference=$want")
       }
     }
+  }
+
+  test("month-end origin zero-fill spine clamps per boundary, not cumulatively") {
+    import spark.implicits._
+    // one event, zero-filled P1M spine anchored at Aug 31 06:00Z: the
+    // boundaries must be Aug31, Sep30, Oct31, Nov30, Dec31, Jan31 —
+    // a cumulative `+1 month` walk would decay to the 30th/28th after
+    // the first short month and never recover
+    val df = Seq((new java.sql.Timestamp(
+        Instant.parse("2023-09-15T00:00:00Z").toEpochMilli), 1L))
+      .toDF("__time", "id")
+    val out = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "t",
+      "granularity": {"type": "period", "period": "P1M",
+                      "origin": "2023-08-31T06:00:00Z"},
+      "intervals": ["2023-09-01T00:00:00Z/2024-02-10T00:00:00Z"],
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""", _ => df).collect()
+      .map(r => Instant.ofEpochMilli(r.getTimestamp(0).getTime)).toSeq.sorted
+    val want = Seq("2023-08-31T06:00:00Z", "2023-09-30T06:00:00Z",
+      "2023-10-31T06:00:00Z", "2023-11-30T06:00:00Z",
+      "2023-12-31T06:00:00Z", "2024-01-31T06:00:00Z")
+      .map(Instant.parse)
+    assert(out == want, s"spine $out")
   }
 }
