@@ -59,6 +59,16 @@ import org.apache.spark.sql.types._
   *    maps immediately serve
   *    `LOOKUP(...)` SQL and `registeredLookup` extractions
   *
+  * Observability: native responses carry Druid's
+  * `X-Druid-Response-Context` header (`queryId`, `count`, `timeMs`,
+  * `missingSegments` — always empty here: a local scan either reads a
+  * segment or fails the query, never skips one silently), and
+  * `GET /druid/v2/candidates?datasource=X[&intervals=a/b,...]`
+  * answers the segment-candidate listing in Druid's
+  * LocatedSegmentDescriptor shape, served from the SAME memoized
+  * metadata the planner prunes with — the listing IS the planner's
+  * interval pruning, which the spec pins against an actual scan.
+  *
   * `GET /status` answers like a broker so client health checks pass.
   * Requests are handled CONCURRENTLY on a fixed pool (`--threads`,
   * default 8) — a real broker never serializes clients behind one
@@ -420,6 +430,17 @@ object DruidServe {
           }
           logQuery(qid, "native", q.path("queryType").asText("?"), t0,
             rowsOut.get(), "ok")
+          // Druid's response-context header (observability clients
+          // parse it for timing/row counts): set AFTER the rows
+          // materialized, BEFORE the body is sent. missingSegments is
+          // always empty — a local scan either reads a segment or
+          // fails the query, it never silently skips one.
+          val rc = mapper.createObjectNode()
+          rc.put("queryId", qid)
+          rc.put("count", rowsOut.get())
+          rc.put("timeMs", (System.nanoTime() - t0) / 1000000L)
+          rc.putArray("missingSegments")
+          ex.getResponseHeaders.set("X-Druid-Response-Context", rc.toString)
           (out, "application/json")
         } catch { case e: Throwable =>
           logQuery(qid, "native", q.path("queryType").asText("?"), t0,
@@ -979,6 +1000,84 @@ object DruidServe {
         case (_, Nil) => err(404, "DELETE needs a datasource")
       }
     }
+    /** Segment directory behind a served datasource: the druid DSv2
+      * relation's root when the served DataFrame is a bare segment
+      * scan, else the ingest-root convention. None for views with no
+      * segment backing (they have no candidates to list).
+      */
+    def segmentRootOf(name: String): Option[String] = {
+      val fromPlan = Option(servedTables.get(name)).flatMap { df =>
+        def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+            : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+            unwrap(s.child)
+          case other => other
+        }
+        unwrap(df.queryExecution.analyzed) match {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+            r.table match {
+              case t: graft.sources.druid.DruidTable => Some(t.rootDir)
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      fromPlan.orElse(ingestRoot.map(r => s"$r/$name")
+        .filter(d => new java.io.File(d).isDirectory))
+    }
+
+    // ---- GET /druid/v2/candidates?datasource=X&intervals=a/b,c/d —
+    // Druid's segment-candidate listing (LocatedSegmentDescriptor
+    // shape). Served straight from the SAME memoized metadata the
+    // planner prunes with (SegmentCatalog.metaFor + interval
+    // intersection), so the listing IS the planner's pruning; the one
+    // location is this broker.
+    server.createContext("/druid/v2/candidates", (ex: HttpExchange) =>
+      handled(ex, methods = Set("GET")) { _ =>
+        val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+          .split("&").filter(_.contains("=")).map { kv =>
+            val Array(k, v) = kv.split("=", 2)
+            k -> java.net.URLDecoder.decode(v, "UTF-8")
+          }.toMap
+        val name = params.getOrElse("datasource",
+          throw new IllegalArgumentException(
+            "candidates requires ?datasource=<name>"))
+        if (!servedTables.containsKey(name))
+          throw new IllegalArgumentException(s"no such datasource: $name")
+        val intervals: Seq[(Long, Long)] = params.get("intervals").toSeq
+          .flatMap(_.split(",")).filter(_.nonEmpty).map { s =>
+            s.split("/") match {
+              case Array(a, b) =>
+                (java.time.Instant.parse(a).toEpochMilli,
+                 java.time.Instant.parse(b).toEpochMilli)
+              case _ => throw new IllegalArgumentException(
+                s"interval '$s' (expected ISO start/end)")
+            }
+          }
+        val a = mapper.createArrayNode()
+        segmentRootOf(name).toSeq
+          .flatMap(d => graft.sources.druid.SegmentCatalog.metaFor(d))
+          .filter(m => intervals.isEmpty ||
+            intervals.exists { case (lo, hi) => m.endMs > lo && m.startMs < hi })
+          .sortBy(m => (m.startMs, m.dir))
+          .zipWithIndex.foreach { case (m, i) =>
+            val o = a.addObject()
+            o.put("interval",
+              isoMs.format(java.time.Instant.ofEpochMilli(m.startMs)) + "/" +
+              isoMs.format(java.time.Instant.ofEpochMilli(m.endMs)))
+            o.put("version", new java.io.File(m.dir).getName)
+            o.put("partitionNumber", i)
+            o.put("size", m.rows.toLong)
+            val loc = o.putArray("locations").addObject()
+            val hostPort = s"localhost:${server.getAddress.getPort}"
+            loc.put("name", hostPort)
+            loc.put("host", hostPort)
+            loc.put("type", "historical")
+            loc.put("priority", 0)
+          }
+        (a.toString, "application/json")
+      })
+
     def coordinatorHandler(base: String,
                            allowDelete: Boolean): com.sun.net.httpserver.HttpHandler =
       (ex: HttpExchange) =>

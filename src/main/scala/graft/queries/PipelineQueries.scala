@@ -1238,6 +1238,63 @@ object PipelineQueries extends QuerySet {
              |FROM d10 d LEFT JOIN cov c USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // Inter-source overlap audit — the "how much does source A
+    // duplicate source B" matrix a curation pipeline checks BEFORE
+    // fixing mixing weights (d12) or deduplicating across sources.
+    // Exact source-level 5-gram Jaccard: per-doc distinct grams from
+    // the one-pass native grams5_distinct, ONE shuffle to distinct
+    // (source, gram), then pairs are expanded PER GRAM from each
+    // gram's source set (flatten/transform — map-side, bounded by
+    // #sources² per gram) and counted; never a gram-table self-join.
+    // Source count is tiny, so sizes broadcast and the matrix is
+    // driver-small. At 100 TB the exact distinct is replaced by the
+    // per-source MinHash signature union (d2's machinery) — same
+    // output schema, estimated jaccard; the exact form here is the
+    // oracle-checkable baseline.
+    Q("d29_source_overlap",
+      (s, dir) => {
+        graft.sql.Grams5Distinct.register(s)
+        val sg = Tables.load(s, dir, "documents")
+          .filter(length(col("text")) >= 5)
+          .select(col("source"), explode(expr("grams5_distinct(text)")).as("tg"))
+          .distinct()
+        val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+        val pairs = sg.groupBy("tg")
+          .agg(sort_array(collect_set(col("source"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ss, (x, i) -> " +
+              "transform(slice(ss, i + 2, size(ss)), y -> " +
+              "struct(x AS s1, y AS s2))))")).as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(count(lit(1)).as("ic"))
+        pairs
+          .join(broadcast(sizes.withColumnRenamed("source", "s1")
+            .withColumnRenamed("sz", "z1")), Seq("s1"))
+          .join(broadcast(sizes.withColumnRenamed("source", "s2")
+            .withColumnRenamed("sz", "z2")), Seq("s2"))
+          .select(col("s1"), col("s2"), col("ic"),
+            round(col("ic") * lit(1.0) / (col("z1") + col("z2") - col("ic")),
+              4).as("jaccard"))
+          .orderBy(col("s1"), col("s2"))
+      },
+      Some(s"""WITH tri AS (
+             |  SELECT DISTINCT source, ${TextOps.gram5Sql} AS tg
+             |  FROM (SELECT source, text,
+             |          unnest(range(1, length(text) - 3)) AS i
+             |        FROM documents WHERE length(text) >= 5)),
+             |sizes AS (SELECT source, count(*) AS sz FROM tri GROUP BY source),
+             |inter AS (
+             |  SELECT a.source AS s1, b.source AS s2, count(*) AS ic
+             |  FROM tri a JOIN tri b ON a.tg = b.tg AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT s1, s2, ic,
+             |  round(ic * CAST(1 AS DOUBLE) / (z1.sz + z2.sz - ic), 4)
+             |    AS jaccard
+             |FROM inter JOIN sizes z1 ON s1 = z1.source
+             |           JOIN sizes z2 ON s2 = z2.source
+             |ORDER BY s1, s2""".stripMargin)),
+
     // Incremental dedup: admit an incoming batch (doc_id % 10 == 0
     // stands in for today's crawl) against the EXISTING corpus without
     // ever re-hashing the corpus — the nightly-ingest shape at 100 TB.

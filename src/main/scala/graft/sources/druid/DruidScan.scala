@@ -56,15 +56,20 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   // can still skip when NO disjunct could match its metadata
   private var orFilters: Seq[Filter] = Nil
 
-  // comparator bounds (version/alphanumeric/strlen/lexicographic)
-  // shipped via the `graft.bounds` read option — the V1 Filter API
-  // can't express a bound under a non-lexicographic StringComparator,
-  // so NativeQuery re-loads the relation with this option when a
-  // bound filter lands on a plain string dimension. Served by an
-  // O(dictionary) comparator pass + bitmap union per segment; the
-  // caller keeps its Catalyst predicate as the residual final word.
-  private val boundFilters: Map[String, Seq[DimBound]] =
+  // comparator bounds (version/alphanumeric/strlen/lexicographic):
+  // from the `graft.bounds` read option (the V1 Filter API can't
+  // express a bound under a non-lexicographic StringComparator, so
+  // NativeQuery re-loads the relation with this option when a bound
+  // filter lands on a plain string dimension) AND from plain V1
+  // string-range filters (WHERE s >= 'x' in ordinary Spark SQL),
+  // which pushFilters records as lexicographic bounds below. Served
+  // by an O(dictionary) comparator pass + bitmap union per segment;
+  // the caller's predicate stays the residual final word.
+  private var boundFilters: Map[String, Seq[DimBound]] =
     DimBound.fromJson(options.get("graft.bounds"))
+
+  private def addBound(c: String, b: DimBound): Unit =
+    boundFilters += c -> (boundFilters.getOrElse(c, Nil) :+ b)
 
   // COMPLEX-backed string columns (json) carry no dictionary/bitmaps:
   // exclude them so dim-filter pushdown never consults a dictionary
@@ -181,6 +186,20 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       case EqualNullSafe(c, null) if hasNullTrailer(c) => isNullCols += c
       case StringStartsWith(c, p) if isStringCol(c) && p.nonEmpty =>
         prefixFilters += c -> (prefixFilters.getOrElse(c, Nil) :+ p)
+      // string ranges -> lexicographic dictionary bounds: bitmap row
+      // selection + envelope segment pruning, same residual contract
+      case GreaterThan(c, v: String) if isStringCol(c) =>
+        addBound(c, DimBound("lexicographic", Some(v), lowerStrict = true,
+          None, upperStrict = false))
+      case GreaterThanOrEqual(c, v: String) if isStringCol(c) =>
+        addBound(c, DimBound("lexicographic", Some(v), lowerStrict = false,
+          None, upperStrict = false))
+      case LessThan(c, v: String) if isStringCol(c) =>
+        addBound(c, DimBound("lexicographic", None, lowerStrict = false,
+          Some(v), upperStrict = true))
+      case LessThanOrEqual(c, v: String) if isStringCol(c) =>
+        addBound(c, DimBound("lexicographic", None, lowerStrict = false,
+          Some(v), upperStrict = false))
       case o: Or => orFilters :+= o
       case StringContains(c, v) if isStringCol(c) && v.nonEmpty =>
         patternFilters += c ->
@@ -196,10 +215,14 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
            EqualTo("__time", _) => true
       case EqualTo(c, _: String) => isStringCol(c)
       case In(c, _) => c == "__time" || isStringCol(c) || isNumericCol(c)
-      case GreaterThan(c, _) => isNumericCol(c)
-      case GreaterThanOrEqual(c, _) => isNumericCol(c)
-      case LessThan(c, _) => isNumericCol(c)
-      case LessThanOrEqual(c, _) => isNumericCol(c)
+      case GreaterThan(c, v) => isNumericCol(c) ||
+        (isStringCol(c) && v.isInstanceOf[String])
+      case GreaterThanOrEqual(c, v) => isNumericCol(c) ||
+        (isStringCol(c) && v.isInstanceOf[String])
+      case LessThan(c, v) => isNumericCol(c) ||
+        (isStringCol(c) && v.isInstanceOf[String])
+      case LessThanOrEqual(c, v) => isNumericCol(c) ||
+        (isStringCol(c) && v.isInstanceOf[String])
       case EqualTo(c, _) => isNumericCol(c)
       case IsNotNull(c) => hasNullTrailer(c)
       case IsNull(c) => hasNullTrailer(c)
@@ -879,10 +902,38 @@ class DruidScan(root: String, required: StructType,
   private def orAdmit(m: SegMeta): Boolean =
     orFilters.forall(couldMatch(_, m))
 
+  /** Lexicographic-bound segment test against the string envelopes: a
+    * lower bound can only match if the envelope's hi reaches it, an
+    * upper bound if the lo stays below it. Applied ONLY when bound and
+    * envelope edge are pure ASCII, where the envelope's Java
+    * `compareTo` order and the row-level UTF-8 byte order provably
+    * coincide — beyond ASCII the two orders can diverge (chars above
+    * U+E000) and a mis-ordered envelope could prune a matching
+    * segment, which the residual cannot resurrect. Non-lexicographic
+    * orderings never prune here: the envelope is lexicographic and
+    * says nothing about e.g. version order.
+    */
+  private def boundZonesAdmit(m: SegMeta): Boolean =
+    boundFilters.forall { case (c, bs) =>
+      m.strZones.get(c).forall { case (lo, hi) =>
+        def ascii(s: String) = s.forall(_ < 128)
+        bs.forall { b =>
+          (b.ordering != "lexicographic" && b.ordering.nonEmpty) || {
+            b.lower.forall(lb => !ascii(lb) || !ascii(hi) ||
+              (if (b.lowerStrict) hi.compareTo(lb) > 0
+               else hi.compareTo(lb) >= 0)) &&
+            b.upper.forall(ub => !ascii(ub) || !ascii(lo) ||
+              (if (b.upperStrict) lo.compareTo(ub) < 0
+               else lo.compareTo(ub) <= 0))
+          }
+        }
+      }
+    }
+
   private def admit(m: SegMeta): Boolean =
     m.startMs <= timeMaxMs && m.endMs > timeMinMs &&
       zonesAdmit(m) && strZonesAdmit(m) && prefixZonesAdmit(m) &&
-      notNullAdmit(m) && orAdmit(m)
+      boundZonesAdmit(m) && notNullAdmit(m) && orAdmit(m)
 
   /** Top-N-by-__time segment cut. Sound because: take segments from
     * the time-extreme end until they hold >= k rows; every taken row's

@@ -681,6 +681,72 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("X-Druid-Response-Context answers query id, row count, timing") {
+    withServer { port =>
+      val resp = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/druid/v2"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString("""{
+            "queryType": "timeseries", "dataSource": "events",
+            "granularity": "day",
+            "aggregations": [{"type": "count", "name": "n"}],
+            "context": {"queryId": "rc-1"}}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      val rc = resp.headers().firstValue("X-Druid-Response-Context").orElse("")
+      assert(rc.nonEmpty, "missing X-Druid-Response-Context header")
+      val node = mapper.readTree(rc)
+      assert(node.path("queryId").asText() == "rc-1")
+      // events span 3 days -> 3 zero-fill-free buckets
+      assert(node.path("count").asLong() == 3)
+      assert(node.path("timeMs").asLong() >= 0)
+      assert(node.path("missingSegments").isArray &&
+        node.path("missingSegments").size() == 0)
+    }
+  }
+
+  test("GET /druid/v2/candidates lists exactly the planner's surviving segments") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cand")
+      .toString + "/t"
+    events.repartition(1).write.format("druid")
+      .option("segmentGranularity", "day").mode("overwrite").save(dir)
+    val segDf = spark.read.format("druid").load(dir)
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("events" -> events, "seg" -> segDf))
+    try {
+      val port = server.getAddress.getPort
+      val (c0, all) = sendTo(port, "GET", "/druid/v2/candidates?datasource=seg")
+      assert(c0 == 200)
+      val metas = graft.sources.druid.SegmentCatalog.metaFor(dir)
+      assert(mapper.readTree(all).size() == metas.size && metas.size == 3)
+      // one-day interval: the candidate list must equal the planner's
+      // interval pruning for the same range
+      val iv = java.net.URLEncoder.encode(
+        "2024-01-02T00:00:00.000Z/2024-01-03T00:00:00.000Z", "UTF-8")
+      val (c1, one) = sendTo(port, "GET",
+        s"/druid/v2/candidates?datasource=seg&intervals=$iv")
+      assert(c1 == 200)
+      val oneN = mapper.readTree(one)
+      val prunedParts = segDf.filter(
+          col("__time") >= to_timestamp(lit("2024-01-02 00:00:00")) &&
+          col("__time") < to_timestamp(lit("2024-01-03 00:00:00")))
+        .rdd.getNumPartitions
+      assert(oneN.size() == prunedParts && oneN.size() == 1,
+        s"candidates ${oneN.size()} vs planner $prunedParts")
+      val e = oneN.get(0)
+      assert(e.path("interval").asText().startsWith("2024-01-02T"))
+      assert(e.path("size").asLong() == 2) // Jan 2 holds two events
+      assert(e.path("locations").size() == 1 &&
+        e.path("locations").get(0).path("host").asText()
+          .endsWith(s":$port"))
+      // unknown datasource is a loud 400; a non-segment view lists []
+      assert(sendTo(port, "GET",
+        "/druid/v2/candidates?datasource=nope")._1 == 400)
+      assert(mapper.readTree(sendTo(port, "GET",
+        "/druid/v2/candidates?datasource=events")._2).size() == 0)
+    } finally server.stop(0)
+  }
+
   // ---- async SQL statements API -------------------------------------------
 
   private def withStatementServer[A](pageRows: Int)(body: Int => A): A = {

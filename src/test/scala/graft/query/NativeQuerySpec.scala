@@ -391,17 +391,27 @@ class NativeQuerySpec extends AnyFunSuite {
       (ts("2024-03-09 14:00:00"), 2L),  // Mar-9 06:00 PST + the 03:00 PDT row
       (ts("2024-03-10 13:00:00"), 1L),  // Mar-10 06:00 PDT (23h local day)
       (ts("2024-03-11 13:00:00"), 1L))) // Mar-11 06:00 PDT
-    // origin day-of-month 29+ on a month-based period fails loudly
-    // (Joda clamps month ends; an unclamped lattice would differ)
-    val clamp = intercept[IllegalArgumentException] {
-      run("""{
-        "queryType": "timeseries", "dataSource": "events",
-        "granularity": {"type": "period", "period": "P1M",
-                        "origin": "2024-01-31T00:00:00.000Z"},
-        "aggregations": [{"type": "count", "name": "n"}]
-      }""").collect()
-    }
-    assert(clamp.getMessage.contains("day-of-month"))
+    // origin day-of-month 29+ on a month-based period: Joda clamps
+    // the day PER BOUNDARY from the origin (Jan 31 -> Feb 29 in a
+    // leap year -> Mar 31; never cumulative) — exact since round 9
+    // (previously a loud compiler error)
+    val clamp = NativeQuery.run("""{
+      "queryType": "timeseries", "dataSource": "events",
+      "granularity": {"type": "period", "period": "P1M",
+                      "origin": "2024-01-31T00:00:00.000Z"},
+      "context": {"skipEmptyBuckets": true},
+      "aggregations": [{"type": "count", "name": "n"}]
+    }""", _ => {
+      import spark.implicits._
+      Seq("2024-01-15 00:00:00",  // before Jan 31 -> Dec 31 bucket
+          "2024-02-10 00:00:00",  // Jan 31 <= t < Feb 29 -> Jan 31
+          "2024-03-31 12:00:00")  // past Mar 31 00:00 -> Mar 31
+        .toDF("t").select(to_timestamp(col("t")).as("__time"))
+    }).collect()
+    assert(clamp.map(r => (r.getTimestamp(0), r.getLong(1))).toSeq == Seq(
+      (ts("2023-12-31 00:00:00"), 1L),
+      (ts("2024-01-31 00:00:00"), 1L),
+      (ts("2024-03-31 00:00:00"), 1L)))
   }
 
   test("nested filtered aggregators conjoin their predicates") {

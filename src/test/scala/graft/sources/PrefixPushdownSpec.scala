@@ -180,6 +180,32 @@ class PrefixPushdownSpec extends AnyFunSuite {
       lowerStrict = false, Some("v1.3"), upperStrict = false)) == expectL)
   }
 
+  test("plain Spark SQL string ranges ride the bound pushdown") {
+    // ordinary DataFrame/SQL comparisons — no native query involved —
+    // must reach the scan as lexicographic bounds: exact row counts,
+    // boundFilters in the plan, envelope segment pruning
+    val base = spark.read.format("druid").load(dir)
+    val names = (0 until 4000).map(nameOf)
+    val df = base.filter(col("name") >= "ab" && col("name") < "ba")
+    assert(df.count() ==
+      names.count(v => v != null && v >= "ab" && v < "ba"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("boundFilters=Map(name"),
+      s"string range missing from scan description:\n$p")
+    // envelope pruning: a range above every envelope plans zero splits
+    val none = base.filter(col("name") > "zz")
+    assert(none.rdd.getNumPartitions == 0,
+      s"above-envelope range must plan zero: ${none.rdd.getNumPartitions}")
+    assert(none.count() == 0)
+    // range covering one prefix group: at most 2 segments (straddle)
+    val mid = base.filter(col("name") >= "ab" && col("name") <= "ab999")
+    assert(mid.rdd.getNumPartitions <= 2,
+      s"range pruning failed: ${mid.rdd.getNumPartitions} partitions")
+    assert(mid.count() == names.count(v =>
+      v != null && v >= "ab" && v <= "ab999"))
+  }
+
   test("native version bound on a plain dim reaches the scan (end to end)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-boundnq").toString + "/t"
