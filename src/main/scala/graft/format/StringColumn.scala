@@ -129,6 +129,26 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     (lo, end)
   }
 
+  /** First dictionary id whose bytes compare >= `key` (or > `key`
+    * when `strict`) in unsigned UTF-8 order. Nulls sort first and
+    * never qualify, so the returned id is always past them. A
+    * lexicographic bound therefore selects the CONTIGUOUS id range
+    * [dictIdBound(lower, lowerStrict), dictIdBound(upper, !upperStrict))
+    * — O(log dictionary), the prefix-range trick generalized.
+    */
+  def dictIdBound(key: Array[Byte], strict: Boolean): Int = {
+    val n = dictionary.numElements
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val b = dictionary.bytesAt(mid)
+      val cmp = if (b == null) -1 else StringColumn.compareUtf8(b, key)
+      if (if (strict) cmp <= 0 else cmp < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   def length: Int = ids.length
 
   /** Dictionary lookup for row i (null when dict entry is null). */

@@ -1241,38 +1241,57 @@ object PipelineQueries extends QuerySet {
     // Inter-source overlap audit — the "how much does source A
     // duplicate source B" matrix a curation pipeline checks BEFORE
     // fixing mixing weights (d12) or deduplicating across sources.
-    // Exact source-level 5-gram Jaccard: per-doc distinct grams from
-    // the one-pass native grams5_distinct, ONE shuffle to distinct
-    // (source, gram), then pairs are expanded PER GRAM from each
-    // gram's source set (flatten/transform — map-side, bounded by
-    // #sources² per gram) and counted; never a gram-table self-join.
-    // Source count is tiny, so sizes broadcast and the matrix is
-    // driver-small. At 100 TB the exact distinct is replaced by the
-    // per-source MinHash signature union (d2's machinery) — same
-    // output schema, estimated jaccard; the exact form here is the
-    // oracle-checkable baseline.
+    // Exact source-level 5-gram Jaccard for every pair, WITHOUT a
+    // per-gram pair expansion (a gram shared by all S sources would
+    // fan out S²/2 rows — ~190× on this corpus) and WITHOUT a
+    // (source, gram) distinct: each source gets a BIT (sorted order),
+    // one gram-keyed bit_or collapses a gram's source set into a long
+    // MASK (OR is idempotent, so duplicates need no pre-distinct),
+    // and the mask HISTOGRAM — thousands of rows, not millions —
+    // expands into per-pair intersection counts and per-source sizes
+    // distributively. Exact-path domain is <= 64 sources (one long;
+    // a raise_error guard keeps bit overflow loud); wider corpora use
+    // the per-source MinHash signature union (d2's machinery) for an
+    // estimated matrix with the same schema.
     Q("d29_source_overlap",
       (s, dir) => {
         graft.sql.Grams5Distinct.register(s)
-        val sg = Tables.load(s, dir, "documents")
+        val docs = Tables.load(s, dir, "documents")
           .filter(length(col("text")) >= 5)
-          .select(col("source"), explode(expr("grams5_distinct(text)")).as("tg"))
-          .distinct()
-        val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
-        val pairs = sg.groupBy("tg")
-          .agg(sort_array(collect_set(col("source"))).as("ss"))
-          .filter(size(col("ss")) >= 2)
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("source"))
+        val srcIdx = docs.select(col("source")).distinct()
+          .withColumn("bit0", (row_number().over(w) - lit(1)).cast("int"))
+          .withColumn("bit", when(col("bit0") <= lit(63), col("bit0"))
+            .otherwise(raise_error(lit("d29 exact bitmask path supports " +
+              "<= 64 sources; use the MinHash estimate for wider corpora"))
+              .cast("int")))
+          .select("source", "bit")
+        val hist = docs.join(broadcast(srcIdx), "source")
+          .select(explode(expr("grams5_distinct(text)")).as("tg"),
+            expr("shiftleft(CAST(1 AS BIGINT), bit)").as("m"))
+          .groupBy("tg").agg(expr("bit_or(m)").as("mask"))
+          .groupBy("mask").agg(count(lit(1)).as("ng"))
+        val bitsArr = expr("filter(transform(sequence(0, 63), i -> " +
+          "IF(((mask >> i) & 1) = 1, i, NULL)), x -> x IS NOT NULL)")
+        val sizes = hist.select(explode(bitsArr).as("bit"), col("ng"))
+          .groupBy("bit").agg(sum(col("ng")).as("sz"))
+        val pairs = hist.select(col("ng"), bitsArr.as("bs"))
+          .filter(size(col("bs")) >= 2)
           .select(explode(expr(
-            "flatten(transform(ss, (x, i) -> " +
-              "transform(slice(ss, i + 2, size(ss)), y -> " +
-              "struct(x AS s1, y AS s2))))")).as("p"))
-          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
-          .agg(count(lit(1)).as("ic"))
+            "flatten(transform(bs, (x, i) -> " +
+              "transform(slice(bs, i + 2, size(bs)), y -> " +
+              "struct(x AS b1, y AS b2))))")).as("p"), col("ng"))
+          .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
+          .agg(sum(col("ng")).as("ic"))
         pairs
-          .join(broadcast(sizes.withColumnRenamed("source", "s1")
-            .withColumnRenamed("sz", "z1")), Seq("s1"))
-          .join(broadcast(sizes.withColumnRenamed("source", "s2")
-            .withColumnRenamed("sz", "z2")), Seq("s2"))
+          .join(broadcast(srcIdx.select(col("bit").as("b1"),
+            col("source").as("s1"))), Seq("b1"))
+          .join(broadcast(srcIdx.select(col("bit").as("b2"),
+            col("source").as("s2"))), Seq("b2"))
+          .join(broadcast(sizes.select(col("bit").as("b1"),
+            col("sz").as("z1"))), Seq("b1"))
+          .join(broadcast(sizes.select(col("bit").as("b2"),
+            col("sz").as("z2"))), Seq("b2"))
           .select(col("s1"), col("s2"), col("ic"),
             round(col("ic") * lit(1.0) / (col("z1") + col("z2") - col("ic")),
               4).as("jaccard"))

@@ -266,12 +266,28 @@ private[druid] object RowSelection {
       else segment.column(name) match {
         case StringColumnData(sc) if sc.bitmaps.isDefined =>
           bs.map { b =>
-            val pred = DimBound.predicate(b)
             val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
-            sc.dictionary.entriesIterator.zipWithIndex.foreach {
-              case (bytes, id) =>
-                if (bytes != null && pred(bytes))
-                  sc.bitmapFor(id).foreach(acc.or)
+            if (b.ordering == "lexicographic" || b.ordering.isEmpty) {
+              // the dictionary IS sorted in unsigned UTF-8 order, so a
+              // lexicographic bound selects a CONTIGUOUS id range —
+              // two O(log dict) searches, not a dictionary scan
+              val lo = b.lower
+                .map(s => sc.dictIdBound(s.getBytes("UTF-8"), b.lowerStrict))
+                .getOrElse(sc.dictIdBound(Array.emptyByteArray, strict = false))
+              val hi = b.upper
+                .map(s => sc.dictIdBound(s.getBytes("UTF-8"), !b.upperStrict))
+                .getOrElse(sc.dictionary.numElements)
+              (lo until hi).foreach(id => sc.bitmapFor(id).foreach(acc.or))
+            } else {
+              // comparator orderings don't follow dictionary order:
+              // one pass, comparator per dictionary VALUE (never per
+              // row), bound side pre-computed
+              val pred = DimBound.predicate(b)
+              sc.dictionary.entriesIterator.zipWithIndex.foreach {
+                case (bytes, id) =>
+                  if (bytes != null && pred(bytes))
+                    sc.bitmapFor(id).foreach(acc.or)
+              }
             }
             acc
           }
