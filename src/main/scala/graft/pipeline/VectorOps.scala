@@ -271,13 +271,23 @@ object VectorOps {
     */
   def ivfTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
               k: Int, nCells: Int, nProbe: Int,
-              precomputedAssign: Option[DataFrame] = None): DataFrame = {
+              precomputedAssign: Option[DataFrame] = None,
+              candFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     // index-serve split: pass a PERSISTED assignment table (built once,
     // e.g. nightly) and the query-time plan probes without touching the
     // quantizer — at 100 TB the inverted lists are bucketed by cell on
-    // disk and a probe reads nProbe/nCells of the corpus
+    // disk and a probe reads nProbe/nCells of the corpus.
+    // candFilter = FILTERED ANN (top-k under a metadata predicate, the
+    // "english documents only" serving shape): the predicate restricts
+    // the CANDIDATE side before any distance is computed — on bucketed
+    // inverted lists it pushes into the list scan — while the
+    // quantizer, assignment, and probe selection are untouched, so a
+    // filtered query probes exactly the cells its unfiltered twin
+    // would. (Known IVF caveat applies: a highly selective filter can
+    // empty the probed cells; raise nProbe for selective filters.)
     val assign = precomputedAssign.getOrElse(ivfAssign(embeddings, nCells))
-    val cand = embeddings.select(col("vec_id"), col("embedding"))
+    val cand = embeddings.filter(candFilter)
+      .select(col("vec_id"), col("embedding"))
       .join(assign, "vec_id")
       .select(col("vec_id").as("cand_id"), col("embedding").as("cv"), col("cell"))
     val cent = embeddings.filter(col("vec_id") < nCells)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{DoubleType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
 
 /** Materialized-rollup ROUTING — the engine's first whole-plan Catalyst
   * rewrite: aggregates over a registered BASE table silently answer
@@ -85,7 +85,8 @@ object RollupRouting {
                               maxs: Map[String, String],
                               countCol: Option[String],
                               counts: Map[String, String],
-                              baseRoots: Seq[(String, String)])
+                              baseRoots: Seq[(String, String)],
+                              hlls: Map[String, (String, Int)] = Map.empty)
 
   private val registry = new CopyOnWriteArrayList[Registered]()
   // keyed by the session OBJECT in a WeakHashMap (the Registration.once
@@ -130,7 +131,8 @@ object RollupRouting {
                mins: Map[String, String] = Map.empty,
                maxs: Map[String, String] = Map.empty,
                countCol: Option[String] = None,
-               counts: Map[String, String] = Map.empty): Unit = {
+               counts: Map[String, String] = Map.empty,
+               hlls: Map[String, (String, Int)] = Map.empty): Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -140,7 +142,7 @@ object RollupRouting {
     }
     val entry = Registered(analyzedBase,
       rollupDf.queryExecution.analyzed, timeCol, g, dims.toSet,
-      sums, mins, maxs, countCol, counts, roots)
+      sums, mins, maxs, countCol, counts, roots, hlls)
     // idempotent: re-registering the same (base, rollup) shape replaces
     registry.removeIf(r => r.base.sameResult(entry.base) &&
       r.granularity == entry.granularity && r.dims == entry.dims)
@@ -346,6 +348,28 @@ object RollupRouting {
             r.counts.collectFirst {
               case (m, rc) if matchesDef(c.children.head, m) => rc
             }.flatMap(rollupAttr.get).map(cc => Sum(cc))
+          // hll_sketch_agg(m, lgK) → hll_union_agg(sketch_col): the
+          // union's register state is the max-merge of the same
+          // hashed values, so the routed estimate equals any
+          // MULTI-PARTITION raw aggregation's bit-for-bit. (Spark's
+          // own hll_sketch_agg is already partitioning-dependent — a
+          // single-partition plan keeps the sketch's HIP estimator
+          // while every merged plan answers from the composite
+          // estimator; routing always lands on the merged value, the
+          // one a distributed scan produces. Registering a sketch
+          // column is the caller's opt-in to those merge semantics,
+          // exactly a Druid rollup's HLL metric contract.) The
+          // query's lgK literal must EQUAL the registered sketch's —
+          // a union across configs would silently downsample.
+          case h: HllSketchAgg => h.children match {
+            case Seq(child, Literal(lgk: Int, IntegerType)) =>
+              r.hlls.collectFirst {
+                case (m, (rc, lgkReg))
+                    if lgkReg == lgk && matchesDef(child, m) => rc
+              }.flatMap(rollupAttr.get)
+                .map(ra => HllUnionAgg(ra, Literal(false)))
+            case _ => None
+          }
           case _ => None
         }
 

@@ -57,8 +57,14 @@ object PipelineQueries extends QuerySet {
       |WHERE shared * CAST(1 AS DOUBLE) / total >= 0.05
       |ORDER BY doc_id""".stripMargin
 
-  private val ivfOracle: String =
-    """WITH e AS (SELECT vec_id, embedding,
+  /** The IVF replay with a candidate-side predicate hole — "true" is
+    * the plain e3/e4 oracle; e9 plugs its metadata filter in. The
+    * filter restricts ONLY the scored candidates (`c`), exactly like
+    * the engine's candFilter: quantizer, assignment, and probe
+    * selection see the full corpus.
+    */
+  private def ivfOracleWhere(candCond: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding, label,
               |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
               |          FROM range(64) t(i))) AS nrm
               |  FROM embeddings),
@@ -80,13 +86,16 @@ object PipelineQueries extends QuerySet {
               |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
               |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
               |  FROM probe p JOIN assign a2 ON p.cell = a2.cell AND a2.vec_id <> p.query_id
-              |  JOIN e q ON q.vec_id = p.query_id JOIN e c ON c.vec_id = a2.vec_id),
+              |  JOIN e q ON q.vec_id = p.query_id
+              |  JOIN e c ON c.vec_id = a2.vec_id AND ($candCond)),
               |ranked AS (SELECT query_id, cand_id, cos,
               |    row_number() OVER (PARTITION BY query_id
               |                       ORDER BY cos DESC, cand_id) AS rnk
               |  FROM scored)
               |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
               |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  private val ivfOracle: String = ivfOracleWhere("true")
 
   private val stagedIvf = scala.collection.mutable.Map[String, String]()
 
@@ -1501,6 +1510,24 @@ object PipelineQueries extends QuerySet {
               |  FROM scored)
               |SELECT query_id, cand_id, cos, CAST(rnk AS BIGINT) AS rnk
               |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
+    // FILTERED ANN — top-k under a metadata predicate (the "similar
+    // AND in-english" serving shape every retrieval stack needs). The
+    // predicate restricts the CANDIDATE side before any distance is
+    // computed (on bucketed inverted lists it pushes into the list
+    // scan); quantizer, assignment, and probe selection are untouched,
+    // so the filtered query probes exactly the cells its unfiltered
+    // twin (e3) would. The oracle replays the full IVF lattice with
+    // the same candidate-side predicate.
+    Q("e9_knn_ivf_filtered",
+      (s, dir) => {
+        VectorOps.ivfTopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, 3, nCells = 8, nProbe = 2,
+            candFilter = col("label") === 1)
+          .withColumn("rnk", col("rnk").cast("long"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some(ivfOracleWhere("c.label = 1"))),
 
     // Hyperplane-LSH ANN: multi-table bucket equi-joins instead of a
     // cross join (the scale path; recall grows with table count).

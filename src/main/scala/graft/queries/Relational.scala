@@ -905,6 +905,43 @@ object Relational extends QuerySet {
               |  count(value) AS value_n
               |FROM events WHERE event_type <> 'purchase'
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Sketch-aware rollup routing — the Druid HLL-metric rollup shape:
+    // hll_sketch_agg(user_id) over the RAW table routes to
+    // hll_union_agg of the rollup's pre-aggregated per-day sketches.
+    // Exactly the merged-sketch value a distributed raw scan computes
+    // (union state is register-wise max — order-insensitive), and in
+    // the coupon-exact regime (per-group distincts far below the
+    // lgK=12 sketch's promotion threshold at this SF) the estimate IS
+    // the exact distinct count, so the oracle replays it as
+    // count(DISTINCT user_id) hash-exactly. RollupRoutingSpec pins
+    // the plan swap, routed==unrouted value equality, and the lgK-
+    // mismatch negative.
+    Q("q38_rollup_sketch_routing",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+        val rollup = s.read.parquet(stageRollup(s, dir))
+        graft.plans.RollupRouting.register(s, base, rollup,
+          timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+          sums = Map("value" -> "value_sum"),
+          mins = Map("value" -> "value_min"),
+          maxs = Map("value" -> "value_max"),
+          countCol = Some("cnt"),
+          counts = Map("value" -> "value_cnt"),
+          hlls = Map("user_id" -> (("user_hll", 12))))
+        base.filter(col("event_type") =!= "purchase")
+          .groupBy(expr("date_trunc('MONTH', ts)")
+              .cast("date").cast("string").as("month"),
+            col("event_type"))
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+            .as("approx_users"))
+          .orderBy(col("month"), col("event_type"))
+      },
+      Some("""SELECT CAST(CAST(date_trunc('MONTH', ts) AS DATE) AS VARCHAR)
+              |    AS month, event_type,
+              |  count(DISTINCT user_id) AS approx_users
+              |FROM events WHERE event_type <> 'purchase'
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   private val rollupDone = scala.collection.mutable.Set[String]()
@@ -925,7 +962,11 @@ object Relational extends QuerySet {
              max(col("value")).as("value_max"),
              // per-measure NON-NULL count: what avg(value) and
              // count(value) decompose onto (q37)
-             count(col("value")).as("value_cnt"))
+             count(col("value")).as("value_cnt"),
+             // pre-aggregated distinct-user sketch: what
+             // hll_sketch_agg(user_id, 12) routes onto (q38) — the
+             // Druid-rollup HLL-metric shape
+             expr("hll_sketch_agg(user_id, 12)").as("user_hll"))
         .write.mode("overwrite").parquet(out)
       rollupDone += tag
     }

@@ -218,6 +218,42 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally RollupRouting.clear()
   }
 
+  test("hll sketch aggregates route to pre-sketch union; lgK mismatch never does") {
+    def q = base.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("au"))
+    RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+      timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+      hlls = Map("user_id" -> (("user_hll", 12))))
+    try {
+      val routed = q
+      assert(planOf(routed).contains("events_daily"),
+        s"did not route:\n${planOf(routed)}")
+      assert(planOf(routed).toLowerCase.contains("hll_union_agg"),
+        s"no sketch union in the routed plan:\n${planOf(routed)}")
+      val got = routed.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      RollupRouting.clear()
+      val unrouted = q
+      assert(planOf(unrouted).contains("events.parquet"))
+      val want = unrouted.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bit-for-bit: merged-union state == raw aggregation state (and
+      // at this SF per-group distincts sit in the coupon-exact regime,
+      // so both equal the exact distinct count)
+      assert(got == want, s"routed $got vs raw $want")
+      assert(got.nonEmpty)
+      // a different lgK in the query must NOT route: a union across
+      // configs would silently downsample
+      RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        hlls = Map("user_id" -> (("user_hll", 12))))
+      val mism = base.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 13))").as("au"))
+      assert(!planOf(mism).contains("events_daily"),
+        s"lgK mismatch routed:\n${planOf(mism)}")
+    } finally RollupRouting.clear()
+  }
+
   test("two sessions arm the rule independently (WeakHashMap keying)") {
     val s2 = spark.newSession()
     val base2 = graft.Tables.events(s2, sf)
