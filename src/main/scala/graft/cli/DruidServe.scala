@@ -302,6 +302,37 @@ object DruidServe {
     val servedTables =
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     sqlTables.foreach { case (n, df) => servedTables.put(n, df) }
+    // startup discovery: a restarted broker re-serves every datasource
+    // a previous process ingested into this root (segments + manifest
+    // are the durable state; the statement registry is not). Explicit
+    // sqlTables win on a name collision — they are the caller's
+    // serving intent for THIS process. A directory that fails to open
+    // as a segment table is skipped loudly, never fatally: one
+    // corrupted table must not take down the broker.
+    ingestRoot.foreach { root =>
+      val dirs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      dirs.filter(d => d.isDirectory && !d.getName.startsWith("."))
+        .sortBy(_.getName).foreach { d =>
+          val name = d.getName
+          if (!servedTables.containsKey(name)) {
+            try {
+              if (graft.sources.druid.SegmentCatalog.metaFor(d.getPath).nonEmpty) {
+                servedTables.put(name,
+                  spark.read.format("druid").load(d.getPath))
+                System.err.println(
+                  s"[graft-serve] discovered ingested datasource '$name' " +
+                    s"at ${d.getPath}")
+              }
+            } catch {
+              case e: VirtualMachineError => throw e
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[graft-serve] SKIPPING datasource dir ${d.getPath}: " +
+                    s"failed to open as a segment table (${e.getMessage})")
+            }
+          }
+        }
+    }
     val servedViews =
       new java.util.concurrent.ConcurrentHashMap[String, String]()
     val tzSessions =
@@ -533,6 +564,17 @@ object DruidServe {
     // POST submits, GET polls status, GET {id}/results pages results,
     // DELETE cancels). Executes on its own bounded pool so long async
     // queries can never starve the HTTP threads.
+    //
+    // DURABILITY CONTRACT (pinned by DruidServeSpec "restart
+    // contract"): the registry is in-memory, scoped to this broker
+    // process — a restart forgets every statement (status/results
+    // answer 404 for pre-restart ids), matching a Druid broker's
+    // per-process SQL lifecycle; Druid's durable-task surface is
+    // MSQ/Overlord, a documented non-goal here. The DATA an ingestion
+    // statement commits is NOT affected: segments land in the sharded
+    // manifest atomically BEFORE the statement turns SUCCESS, so a
+    // SUCCESS answer is never retracted by a crash and a restarted
+    // broker serves the ingested table from the same ingestRoot.
     val statements =
       new java.util.concurrent.ConcurrentHashMap[String, AsyncStatement]()
     val statementOrder =

@@ -1229,6 +1229,50 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("statements API restart contract: metadata is process-scoped, " +
+       "ingested data is durable") {
+    // The statement registry is in-memory per broker process (real
+    // Druid's durable-task path is the MSQ/Overlord surface, a
+    // documented non-goal). Pin both halves of the contract: a
+    // restarted broker answers 404 for a pre-restart statement id,
+    // while the DATA that statement committed (segments land in the
+    // manifest before the statement turns SUCCESS) is fully queryable.
+    val root = java.nio.file.Files.createTempDirectory("graft-restart")
+      .toString
+    def boot(): com.sun.net.httpserver.HttpServer =
+      DruidServe.start(spark, _ => events, port = 0,
+        sqlTables = Map("events" -> events),
+        threads = 4, ingestRoot = Some(root))
+    val first = boot()
+    try {
+      val p1 = first.getAddress.getPort
+      val (c, body) = postTo(p1, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO durable SELECT __time, event_type, user_id, value FROM events PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "dur-1"}}""")
+      assert(c == 200, body)
+      val fin = awaitTerminal(p1, "dur-1")
+      assert(fin.path("state").asText() == "SUCCESS", fin.toString)
+      assert(sendTo(p1, "GET", "/druid/v2/sql/statements/dur-1")._1 == 200)
+    } finally first.stop(0)
+    val second = boot()
+    try {
+      val p2 = second.getAddress.getPort
+      // statement metadata forgotten: the restarted broker 404s both
+      // the status and results endpoints for the old id
+      assert(sendTo(p2, "GET", "/druid/v2/sql/statements/dur-1")._1 == 404)
+      assert(sendTo(p2, "GET",
+        "/druid/v2/sql/statements/dur-1/results")._1 == 404)
+      // the committed data survives: same ingestRoot, full row count
+      val (c2, b2) = postTo(p2, "/druid/v2/sql",
+        """{"query": "SELECT count(*) AS c FROM durable"}""")
+      assert(c2 == 200, b2)
+      assert(mapper.readTree(b2).get(0).path("c").asLong() == 5L)
+      // and the restarted coordinator lists it
+      val (c3, b3) = sendTo(p2, "GET", "/druid/v2/datasources")
+      assert(c3 == 200 && b3.contains("durable"), b3)
+    } finally second.stop(0)
+  }
+
   test("coordinator datasource metadata answers names and segment stats") {
     withIngestServer { (port, _) =>
       val (ci, _) = postTo(port, "/druid/v2/sql/statements",
