@@ -1,6 +1,50 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Canonicalized physical-plan text: expression ids, plan ids, file
+    * locations, runtime statistics and UUIDs stripped, so the SAME logical
+    * shape hashes identically across runs, scale factors, and temp dirs.
+    * This is the drift adjudicator: a slow query whose planHash is
+    * unchanged (and whose run's calibration probe also slowed) is host
+    * variance; a changed hash is a real plan regression. */
+  def canonicalPlan(df: DataFrame): String = {
+    val s = df.queryExecution.executedPlan.toString
+    s.replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\bid=#?\\d+", "id=x")
+      .replaceAll("(?i)file:[^\\s,)\\]]+", "file:x")
+      .replaceAll("/[^\\s,)\\]]*(?:testdata|target|tmp|warehouse)[^\\s,)\\]]*", "/x")
+      .replaceAll("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}", "uuid")
+      .replaceAll("Statistics\\([^)]*\\)", "Statistics(x)")
+      .replaceAll("\\bsize=\\d+", "size=x")
+      .replaceAll("\\browCount=\\d+", "rowCount=x")
+      .replaceAll("\\bpaths\\)\\[[^\\]]*\\]", "paths)[x]")
+      .replaceAll("memory_\\w+", "memory_x")
+      // belt-and-braces: if a metadata string still truncated, drop the
+      // partial token at the cut so the cut POSITION can't change the hash
+      .replaceAll("\\S*\\.\\.\\.", "…")
+  }
+  def planHash(df: DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(canonicalPlan(df).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+  private def sha16(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
+  /** Fixed CPU-bound calibration job, run once per timed pass. Its timing
+    * has no I/O, no shuffle, a constant plan — so run-to-run movement in
+    * `calib` measures HOST speed, not engine behavior. A query that drifts
+    * 1.3x while calib drifts 1.3x is exonerated mechanically. */
+  def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    // ~1s of work: big enough that scheduler/GC jitter is <10% of the
+    // reading, small enough that 3 probes cost ~3s of a ~70s bench
+    spark.range(0, 400000000L, 1, 32)
+      .selectExpr("bit_xor(xxhash64(id)) as h").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,6 +53,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // untruncated explain metadata: the plan fingerprint must hash the
+      // WHOLE filter list, not a string cut at a length that moves with
+      // expression-id digit counts (the instability found when this landed)
+      .config("spark.sql.maxMetadataStringLength", "100000")
+      .config("spark.sql.debug.maxToStringFields", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,13 +107,20 @@ object Bench {
     // a query that THROWS must never report its fail-fast latency as a
     // timing (a crash would read as a 100x win); record it as an error
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def pass(): Seq[(String, Double)] =
+    // per-query canonical plan fingerprint, captured from the FINAL pass's
+    // executed (post-AQE) plan — the adjudication evidence for bench drift
+    val planHashes = scala.collection.mutable.LinkedHashMap[String, String]()
+    def pass(capturePlans: Boolean = false): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count()
-              name -> (System.nanoTime() - t0) / 1e9 }
+        try { val df = fn(spark, sfDir)
+              df.count()
+              val dt = (System.nanoTime() - t0) / 1e9
+              // hash computation is untimed string work AFTER the clock stops
+              if (capturePlans) planHashes(name) = planHash(df)
+              name -> dt }
         catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
           name -> Double.NaN
@@ -76,11 +132,16 @@ object Bench {
     // matching, and (b) accumulated blocks don't pressure GC for later
     // queries in the same pass
     spark.catalog.clearCache()
+    val calib0 = calibrate(spark) // warm the calibration plan's codegen
+    val calibs = scala.collection.mutable.ArrayBuffer[Double]()
+    calibs += calibrate(spark)
     val pass1 = pass()
     spark.catalog.clearCache()
+    calibs += calibrate(spark)
     val pass2 = pass().toMap
     spark.catalog.clearCache()
-    val pass3 = pass().toMap
+    calibs += calibrate(spark)
+    val pass3 = pass(capturePlans = true).toMap
     // min of the VALID timings; a query that failed in any pass is
     // reported as -1 in `queries` and listed under `errors`
     val results = pass1.map { case (k, v) =>
@@ -96,6 +157,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.map(_._2).sum else 0.0
     val total1 = pass1.filterNot(_._2.isNaN).map(_._2).sum
+    // Standing plan-fingerprint artifact: the driver's tail keeps only the
+    // last 2000 chars of output, so the full per-query hash map lives in a
+    // committed file; the compact line below carries calib + a digest of
+    // this file's `plans` map so artifact and file are verifiably linked.
+    val calibJson = calibs.map(c => math.round(c * 10000) / 10000.0)
+      .mkString("[", ",", "]")
+    val plansJson = planHashes.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val plansDigest = sha16(plansJson)
+    val planFile = sys.env.getOrElse("SPARK_GRAFT_PLAN_FILE", "BENCH_PLANS.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(planFile),
+      s"""{"sf":${jstr(sfDir)},"calib":$calibJson,"calib_warm":$calib0,"plans_digest":${jstr(plansDigest)},"plans":$plansJson}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] plan-file write failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"policy":"min_of_3","first_pass_total":$total1,"staging":$staging,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     // compact one-liner LAST: the driver's artifact keeps only a tail
     // snippet of the output, which can truncate the full JSON above
@@ -105,7 +180,7 @@ object Bench {
     val slow = ok.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":${math.round(v * 1000) / 1000.0}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${errors.size},"slowest10":$slow,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${errors.size},"calib":$calibJson,"plans_digest":${jstr(plansDigest)},"planfile":${jstr(planFile)},"slowest10":$slow,"sf":"$sfDir"}""")
     spark.stop()
     // loud on stderr but exit 0: the JSON line above IS the artifact,
     // and it already tags every failure (-1 + errors map)

@@ -302,6 +302,13 @@ object DruidServe {
     val servedTables =
       new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     sqlTables.foreach { case (n, df) => servedTables.put(n, df) }
+    // names whose serving data lives under ingestRoot/<name> (startup
+    // discovery or runtime ingest). /candidates' directory fallback is
+    // gated on THIS set: an explicit sqlTables entry that happens to
+    // share a name with an on-disk dir must not list the shadowed
+    // dir's segments while queries answer from the in-memory frame.
+    val ingestBacked =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     // startup discovery: a restarted broker re-serves every datasource
     // a previous process ingested into this root (segments + manifest
     // are the durable state; the statement registry is not). Explicit
@@ -319,6 +326,7 @@ object DruidServe {
               if (graft.sources.druid.SegmentCatalog.metaFor(d.getPath).nonEmpty) {
                 servedTables.put(name,
                   spark.read.format("druid").load(d.getPath))
+                ingestBacked.add(name)
                 System.err.println(
                   s"[graft-serve] discovered ingested datasource '$name' " +
                     s"at ${d.getPath}")
@@ -358,6 +366,7 @@ object DruidServe {
       */
     def registerServedTable(name: String, df: DataFrame): Unit = {
       servedTables.put(name, df)
+      ingestBacked.add(name) // every caller serves ingestRoot/<name>
       val g = s"graft_serve_${serveId}_$name"
       df.createOrReplaceGlobalTempView(g)
       servedViews.put(name, g)
@@ -984,6 +993,7 @@ object DruidServe {
       */
     def removeServedTable(name: String): Unit = {
       val _ = servedTables.remove(name)
+      val _0 = ingestBacked.remove(name)
       val _2 = spark.catalog.dropTempView(name)
       Option(servedViews.remove(name)).foreach { g =>
         val _3 = spark.catalog.dropGlobalTempView(g)
@@ -1065,6 +1075,7 @@ object DruidServe {
         }
       }
       fromPlan.orElse(ingestRoot.map(r => s"$r/$name")
+        .filter(_ => ingestBacked.contains(name))
         .filter(d => new java.io.File(d).isDirectory))
     }
 
@@ -1086,12 +1097,29 @@ object DruidServe {
             "candidates requires ?datasource=<name>"))
         if (!servedTables.containsKey(name))
           throw new IllegalArgumentException(s"no such datasource: $name")
+        // Joda-tolerant ISO-8601: Druid clients send any of
+        // 2024-01-02T00:00:00.000Z, ...+01:00 (non-UTC offset),
+        // zoneless local datetimes, and bare dates (2024-01-02).
+        // Instant.parse alone 400s on the last three valid forms.
+        def isoMsOf(s: String): Long =
+          try java.time.OffsetDateTime.parse(s).toInstant.toEpochMilli
+          catch { case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDateTime.parse(s)
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+            catch { case _: java.time.format.DateTimeParseException =>
+              try java.time.LocalDate.parse(s).atStartOfDay
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+              catch { case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"interval timestamp '$s' (ISO-8601 instant, " +
+                    "offset/local datetime, or date)")
+              }
+            }
+          }
         val intervals: Seq[(Long, Long)] = params.get("intervals").toSeq
           .flatMap(_.split(",")).filter(_.nonEmpty).map { s =>
             s.split("/") match {
-              case Array(a, b) =>
-                (java.time.Instant.parse(a).toEpochMilli,
-                 java.time.Instant.parse(b).toEpochMilli)
+              case Array(a, b) => (isoMsOf(a), isoMsOf(b))
               case _ => throw new IllegalArgumentException(
                 s"interval '$s' (expected ISO start/end)")
             }

@@ -520,7 +520,9 @@ final case class DimBound(ordering: String,
                           upper: Option[String], upperStrict: Boolean)
 
 object DimBound {
-  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // ObjectMapper is thread-safe for readTree/writeValueAsString; a val
+  // avoids re-allocating one per scan-builder construction
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** `{"col": [{"o": ordering, "l": lower?, "ls": bool, "u": upper?,
     * "us": bool}, ...], ...}` — jackson both ways, so bound values with
@@ -570,20 +572,24 @@ object DimBound {
   def predicate(b: DimBound): Array[Byte] => Boolean = {
     def cmpU(x: Array[Byte], y: Array[Byte]): Int =
       java.util.Arrays.compareUnsigned(x, y)
-    def sides(cmpLower: Array[Byte] => Int, cmpUpper: Array[Byte] => Int):
-        Array[Byte] => Boolean = { v =>
-      (b.lower.isEmpty || {
-        val c = cmpLower(v); if (b.lowerStrict) c > 0 else c >= 0
+    // the ordering's row-side key (parse/encode) is derived ONCE per
+    // dictionary value and compared against both precomputed bound
+    // sides in a single closure — a two-sided version/alphanumeric
+    // bound must not parse every dictionary entry twice
+    def sides[K](key: Array[Byte] => K, cmp: (K, K) => Int,
+                 lo: Option[K], hi: Option[K]): Array[Byte] => Boolean = { v =>
+      val k = key(v)
+      (lo.isEmpty || {
+        val c = cmp(k, lo.get); if (b.lowerStrict) c > 0 else c >= 0
       }) &&
-      (b.upper.isEmpty || {
-        val c = cmpUpper(v); if (b.upperStrict) c < 0 else c <= 0
+      (hi.isEmpty || {
+        val c = cmp(k, hi.get); if (b.upperStrict) c < 0 else c <= 0
       })
     }
     b.ordering match {
       case "lexicographic" | "" =>
-        val lo = b.lower.map(_.getBytes("UTF-8"))
-        val hi = b.upper.map(_.getBytes("UTF-8"))
-        sides(v => cmpU(v, lo.orNull), v => cmpU(v, hi.orNull))
+        sides[Array[Byte]](identity, cmpU,
+          b.lower.map(_.getBytes("UTF-8")), b.upper.map(_.getBytes("UTF-8")))
       case "strlen" =>
         // (code-point length, bytes): matches struct(length(c), c)
         def key(bytes: Array[Byte]): (Int, Array[Byte]) =
@@ -593,22 +599,21 @@ object DimBound {
           val c = Integer.compare(x._1, y._1)
           if (c != 0) c else cmpU(x._2, y._2)
         }
-        val lo = b.lower.map(s => key(s.getBytes("UTF-8")))
-        val hi = b.upper.map(s => key(s.getBytes("UTF-8")))
-        sides(v => cmp(key(v), lo.orNull), v => cmp(key(v), hi.orNull))
+        sides[(Int, Array[Byte])](key, cmp,
+          b.lower.map(s => key(s.getBytes("UTF-8"))),
+          b.upper.map(s => key(s.getBytes("UTF-8"))))
       case "alphanumeric" =>
-        val lo = b.lower.map(s => graft.sql.Alphanum.keyOf(s).getBytes("UTF-8"))
-        val hi = b.upper.map(s => graft.sql.Alphanum.keyOf(s).getBytes("UTF-8"))
-        def key(v: Array[Byte]): Array[Byte] =
-          graft.sql.Alphanum.keyOf(new String(v, "UTF-8")).getBytes("UTF-8")
-        sides(v => cmpU(key(v), lo.orNull), v => cmpU(key(v), hi.orNull))
+        sides[Array[Byte]](
+          v => graft.sql.Alphanum.keyOf(new String(v, "UTF-8")).getBytes("UTF-8"),
+          cmpU,
+          b.lower.map(s => graft.sql.Alphanum.keyOf(s).getBytes("UTF-8")),
+          b.upper.map(s => graft.sql.Alphanum.keyOf(s).getBytes("UTF-8")))
       case "version" =>
-        val lo = b.lower.map(graft.sql.VersionOrder.parse)
-        val hi = b.upper.map(graft.sql.VersionOrder.parse)
-        def items(v: Array[Byte]) =
-          graft.sql.VersionOrder.parse(new String(v, "UTF-8"))
-        sides(v => graft.sql.VersionOrder.compare(items(v), lo.orNull),
-              v => graft.sql.VersionOrder.compare(items(v), hi.orNull))
+        sides(
+          (v: Array[Byte]) => graft.sql.VersionOrder.parse(new String(v, "UTF-8")),
+          graft.sql.VersionOrder.compare _,
+          b.lower.map(graft.sql.VersionOrder.parse),
+          b.upper.map(graft.sql.VersionOrder.parse))
       case _ =>
         // unknown ordering: select everything; the residual decides
         _ => true

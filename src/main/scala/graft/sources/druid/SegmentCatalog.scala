@@ -461,7 +461,7 @@ object SegmentCatalog {
         .map(d => Paths.get(d).getFileName.toString).sorted
       catch { case _: Exception => return "<unreadable>" }
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    dirs.foreach(d => md.update((d + " ").getBytes(UTF_8)))
+    dirs.foreach(d => md.update((d + "\u0000").getBytes(UTF_8)))
     java.util.Base64.getEncoder.encodeToString(md.digest()).take(22)
   }
 

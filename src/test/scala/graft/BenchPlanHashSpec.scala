@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench drift adjudicator (VERDICT r9 item 1): the canonical
+  * plan fingerprint Bench records per query must be STABLE when the same
+  * query is built and executed twice in one JVM — otherwise "planHash
+  * unchanged ⇒ host variance, planHash changed ⇒ real regression" is
+  * not a usable verdict. q3/d13 are the two queries whose r9 drift
+  * (1.62x / 1.84x on untouched code) motivated the mechanism.
+  */
+class BenchPlanHashSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def hashOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.count() // finalize the adaptive plan, exactly as Bench does
+    Bench.planHash(df)
+  }
+
+  test("q3_join_topk plan hash is stable across two invocations") {
+    assert(hashOf("q3_join_topk") === hashOf("q3_join_topk"))
+  }
+
+  test("d13_curation_pipeline plan hash is stable across two invocations") {
+    spark.catalog.clearCache() // d13 caches intermediates; mirror Bench's
+    val h1 = hashOf("d13_curation_pipeline") // between-pass clearCache so
+    spark.catalog.clearCache() // run 2 rebuilds instead of reusing blocks
+    val h2 = hashOf("d13_curation_pipeline")
+    assert(h1 === h2)
+  }
+
+  test("canonicalization strips volatile tokens (ids, paths, sizes)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    df.count()
+    val canon = Bench.canonicalPlan(df)
+    assert(!canon.matches("(?s).*#\\d+.*"), s"expr ids survive:\n$canon")
+    assert(!canon.contains("/root/testdata"), s"paths survive:\n$canon")
+    assert(!canon.matches("(?s).*\\bsize=\\d+.*"), s"sizes survive:\n$canon")
+  }
+
+  test("different queries get different hashes") {
+    assert(hashOf("q1_agg") !== hashOf("q2_filter_agg"))
+  }
+}

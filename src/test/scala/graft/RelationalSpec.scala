@@ -11,6 +11,10 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // untruncated explain metadata: plan fingerprints (BenchPlanHashSpec)
+    // must not depend on WHERE a string got cut — see Bench.canonicalPlan
+    .config("spark.sql.maxMetadataStringLength", "100000")
+    .config("spark.sql.debug.maxToStringFields", "10000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

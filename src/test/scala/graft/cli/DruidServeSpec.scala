@@ -428,7 +428,7 @@ class DruidServeSpec extends AnyFunSuite {
 
   test("hostile payloads get clean 4xx responses and never kill the server") {
     withServer { port =>
-      val payloads = Seq("", "{", "[1,2", " ",
+      val payloads = Seq("", "{", "[1,2", "\u0000\u0001\u0002",
         "{\"queryType\": null}", "{\"queryType\": {}}",
         "{\"queryType\": \"groupBy\"}",
         "{\"queryType\": \"scan\", \"dataSource\": {\"type\": \"query\"}}",
