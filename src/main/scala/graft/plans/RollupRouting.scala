@@ -66,7 +66,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, TimestampType}
   * re-aliases under the original exprId), so parent operators resolve
   * unchanged.
   */
-object RollupRouting {
+object RollupRouting extends org.apache.spark.internal.Logging {
+
+  /** Quiet freshness probe: every druid root the base reads must still
+    * look exactly as it did when the entry was (re)built. */
+  private def isFresh(r: Registered): Boolean =
+    r.baseRoots.forall { case (root, fp) =>
+      graft.sources.druid.SegmentCatalog.stateFingerprint(root) == fp
+    }
 
   /** Granularities answerable from a rollup at `gran` (session zone;
     * all members are aligned unions of the finer buckets).
@@ -86,7 +93,21 @@ object RollupRouting {
                               countCol: Option[String],
                               counts: Map[String, String],
                               baseRoots: Seq[(String, String)],
-                              hlls: Map[String, (String, Int)] = Map.empty)
+                              hlls: Map[String, (String, Int)] = Map.empty,
+                              maintain: Option[MaintainSpec] = None)
+
+  /** State of an engine-MAINTAINED rollup (registerMaintained): the
+    * engine owns the materialization under `rollupRoot` (versioned
+    * parquet dirs v000001, v000002, ... each carrying a _segdirs.json
+    * recording exactly which base segment dirs it absorbed) and
+    * refreshes it on staleness instead of disabling routing. The
+    * session is held weakly: a registration must not keep a closed
+    * session's JVM state alive, and refresh without a live session
+    * degrades to the unmaintained stop-routing behavior. */
+  final case class MaintainSpec(
+      session: java.lang.ref.WeakReference[SparkSession],
+      rollupRoot: String, baseRoot: String,
+      segDirNames: Set[String], versionDir: String)
 
   private val registry = new CopyOnWriteArrayList[Registered]()
   // keyed by the session OBJECT in a WeakHashMap (the Registration.once
@@ -143,15 +164,21 @@ object RollupRouting {
     val entry = Registered(analyzedBase,
       rollupDf.queryExecution.analyzed, timeCol, g, dims.toSet,
       sums, mins, maxs, countCol, counts, roots, hlls)
-    // idempotent: re-registering the same (base, rollup) shape replaces
+    replaceEntry(entry)
+    arm(spark)
+  }
+
+  /** idempotent registration: same (base, granularity, dims) replaces */
+  private def replaceEntry(entry: Registered): Unit = {
     registry.removeIf(r => r.base.sameResult(entry.base) &&
       r.granularity == entry.granularity && r.dims == entry.dims)
     registry.add(entry)
-    injected.synchronized {
-      if (injected.add(spark))
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations :+ RollupRewrite
-    }
+  }
+
+  private def arm(spark: SparkSession): Unit = injected.synchronized {
+    if (injected.add(spark))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewrite
   }
 
   /** Druid table roots referenced anywhere in `p` (for fingerprinting). */
@@ -164,9 +191,297 @@ object RollupRouting {
   /** Test/diagnostic hook: drop every registration. */
   def clear(): Unit = { registry.clear(); staleLogged.clear() }
 
+  // ------------------------------------------------ maintained rollups
+
+  // refreshes are serialized (they are rare — once per ingest into a
+  // registered base — and a doubled refresh would write two identical
+  // versions); the ThreadLocal breaks re-entrancy: the refresh's own
+  // aggregation jobs pass through this optimizer rule and must not
+  // route (their source IS the raw data the rollup is being rebuilt
+  // from) or recursively re-trigger the refresh
+  private val refreshLock = new Object
+  private val inRefresh = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  // observability (and the spec's proof that the cheap path ran):
+  // how many refreshes took the incremental merge vs the full rebuild
+  private[graft] val incrementalRefreshes =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val fullRebuilds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Register a rollup the ENGINE materializes and maintains: on the
+    * first call it aggregates the base into `rollupRoot/v000001`; when
+    * the base table later changes (statements-API ingest, compaction,
+    * REPLACE, retention drop), the staleness tripwire triggers an
+    * automatic refresh on the next routed-shape query instead of
+    * permanently disabling routing — append-only deltas aggregate ONLY
+    * the new segments and merge with the standing rollup (sum-of-sums
+    * / min-of-mins / max-of-maxes / sum-of-counts / hll-union, each an
+    * exact decomposition); any removal/replacement rebuilds in full.
+    * A restarted process re-adopts the newest on-disk version (each
+    * version dir records the exact segment-dir set it absorbed in
+    * _segdirs.json) and only refreshes the delta.
+    *
+    * Constraints beyond register(): the base must bottom out in exactly
+    * ONE druid table, through (at most) rename/cast projections — the
+    * refresher re-applies those projections to sub-scans of individual
+    * new segments, so arbitrary expressions are rejected at call time.
+    */
+  def registerMaintained(spark: SparkSession, baseDf: DataFrame,
+      rollupRoot: String, timeCol: String, granularity: String,
+      dims: Seq[String],
+      sums: Map[String, String] = Map.empty,
+      mins: Map[String, String] = Map.empty,
+      maxs: Map[String, String] = Map.empty,
+      countCol: Option[String] = None,
+      counts: Map[String, String] = Map.empty,
+      hlls: Map[String, (String, Int)] = Map.empty): Unit = {
+    val g = granularity.toUpperCase(java.util.Locale.ROOT)
+    require(coarserOrEqual.contains(g), s"unsupported granularity $g")
+    val analyzedBase = baseDf.queryExecution.analyzed
+    validateBaseShape(analyzedBase)
+    validateMaintainable(analyzedBase)
+    val roots = druidRoots(analyzedBase).distinct
+    require(roots.size == 1,
+      s"maintained rollup needs exactly one druid-backed base (got $roots)")
+    val baseRoot = roots.head
+    val proto = Registered(analyzedBase, analyzedBase /*placeholder*/,
+      timeCol, g, dims.toSet, sums, mins, maxs, countCol, counts,
+      Nil, hlls, None)
+    val entry = refreshLock.synchronized {
+      val current = segNamesOf(baseRoot).getOrElse(throw
+        new IllegalArgumentException(s"cannot list segments under $baseRoot"))
+      latestVersion(rollupRoot) match {
+        case Some((_, dir, covered)) if covered == current =>
+          // adopt as-is: the newest materialization covers exactly the
+          // live segment set (the restart fast path — zero Spark jobs)
+          mkMaintained(spark, proto, rollupRoot, baseRoot, dir, covered)
+        case Some((_, dir, covered)) =>
+          // adopt STALE: fingerprint pins the covered set, so the first
+          // routed-shape query triggers the incremental/full refresh
+          mkMaintained(spark, proto, rollupRoot, baseRoot, dir, covered)
+        case None =>
+          inRefresh.set(true)
+          try {
+            val full = buildPartial(
+              scanBase(spark, proto.base, baseRoot, current), proto)
+            val dir = writeVersion(spark, rollupRoot, full, current)
+            mkMaintained(spark, proto, rollupRoot, baseRoot, dir, current)
+          } finally inRefresh.set(false)
+      }
+    }
+    replaceEntry(entry)
+    arm(spark)
+  }
+
+  /** Maintained bases allow only rename/cast projections over the leaf
+    * (validateBaseShape already rejected anything row-restricting):
+    * the refresher re-applies them to per-segment sub-scans by NAME.
+    */
+  private def validateMaintainable(p: LogicalPlan): Unit = p match {
+    case SubqueryAlias(_, c) => validateMaintainable(c)
+    case Project(pl, c) =>
+      def renameOrCast(e: Expression): Boolean = e match {
+        case _: AttributeReference => true
+        case cst: Cast             => renameOrCast(cst.child)
+        case _                     => false
+      }
+      require(pl.forall {
+        case _: AttributeReference => true
+        case al: Alias             => renameOrCast(al.child)
+        case _                     => false
+      }, "maintained rollup base projections must be renames/casts of " +
+        "leaf columns (the refresher re-applies them to new segments)")
+      validateMaintainable(c)
+    case _ => ()
+  }
+
+  private def segNamesOf(root: String): Option[Set[String]] =
+    try Some(graft.sources.druid.DruidTableUtil.discoverSegments(root)
+      .map(d => java.nio.file.Paths.get(d).getFileName.toString).toSet)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The base restricted to EXACTLY `segNames`: each segment dir loads
+    * as its own druid table (schema evolution: a column missing from a
+    * segment reads null, matching whole-table semantics), unioned by
+    * name, then the base's rename/cast projections re-applied by name.
+    */
+  private def scanBase(spark: SparkSession, basePlan: LogicalPlan,
+      baseRoot: String, segNames: Set[String]): DataFrame = {
+    val raw = segNames.toSeq.sorted
+      .map(n => spark.read.format("druid").load(s"$baseRoot/$n"))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+    def rebuild(p: LogicalPlan, src: DataFrame): DataFrame = p match {
+      case SubqueryAlias(_, c) => rebuild(c, src)
+      case Project(pl, c) =>
+        val inner = rebuild(c, src)
+        def colOf(e: Expression): org.apache.spark.sql.Column = e match {
+          case a: AttributeReference =>
+            org.apache.spark.sql.functions.col(a.name)
+          case cst: Cast => colOf(cst.child).cast(cst.dataType)
+          case other => throw new IllegalStateException(
+            s"unmaintainable projection survived validation: $other")
+        }
+        inner.select(pl.map {
+          case a: AttributeReference =>
+            org.apache.spark.sql.functions.col(a.name)
+          case al: Alias => colOf(al.child).as(al.name)
+          case other => throw new IllegalStateException(
+            s"unmaintainable projection survived validation: $other")
+        }: _*)
+      case _ => src
+    }
+    rebuild(basePlan, raw)
+  }
+
+  /** The rollup recipe over base rows (first build and delta build). */
+  private def buildPartial(src: DataFrame, r: Registered): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gcols = expr(s"date_trunc('${r.granularity}', `${r.timeCol}`)")
+      .as(r.timeCol) +: r.dims.toSeq.sorted.map(col)
+    val aggs =
+      r.sums.toSeq.sortBy(_._1).map { case (m, c) => sum(col(m)).as(c) } ++
+      r.mins.toSeq.sortBy(_._1).map { case (m, c) => min(col(m)).as(c) } ++
+      r.maxs.toSeq.sortBy(_._1).map { case (m, c) => max(col(m)).as(c) } ++
+      r.countCol.toSeq.map(c => count(lit(1)).as(c)) ++
+      r.counts.toSeq.sortBy(_._1).map { case (m, c) => count(col(m)).as(c) } ++
+      r.hlls.toSeq.sortBy(_._1).map { case (m, (c, lgk)) =>
+        expr(s"hll_sketch_agg(`$m`, $lgk)").as(c) }
+    require(aggs.nonEmpty, "maintained rollup needs at least one measure")
+    src.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge standing rollup rows with a delta partial: every registered
+    * aggregate has an exact re-aggregation (sum/min/max/count are
+    * semigroups; HLL union state is register-wise max). */
+  private def mergePartials(both: DataFrame, r: Registered): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gcols = col(r.timeCol) +: r.dims.toSeq.sorted.map(col)
+    val aggs =
+      r.sums.values.toSeq.sorted.map(c => sum(col(c)).as(c)) ++
+      r.mins.values.toSeq.sorted.map(c => min(col(c)).as(c)) ++
+      r.maxs.values.toSeq.sorted.map(c => max(col(c)).as(c)) ++
+      r.countCol.toSeq.map(c => sum(col(c)).as(c)) ++
+      r.counts.values.toSeq.sorted.map(c => sum(col(c)).as(c)) ++
+      r.hlls.values.toSeq.map(_._1).sorted.map(c =>
+        expr(s"hll_union_agg(`$c`, false)").as(c))
+    both.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Versions under rollupRoot: vNNNNNN dirs carrying _segdirs.json
+    * (a dir without the meta is an incomplete write — ignored). */
+  private def latestVersion(rollupRoot: String)
+      : Option[(Int, String, Set[String])] = {
+    val dirs = Option(new java.io.File(rollupRoot).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.matches("v\\d{6}"))
+      .sortBy(_.getName)
+    dirs.reverseIterator.flatMap { f =>
+      readSegDirsMeta(new java.io.File(f, "_segdirs.json"))
+        .map(names => (f.getName.drop(1).toInt, f.getPath, names))
+    }.nextOption()
+  }
+
+  private def readSegDirsMeta(f: java.io.File): Option[Set[String]] =
+    if (!f.isFile) None
+    else try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = m.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+      import scala.jdk.CollectionConverters._
+      Some(node.path("segDirs").elements().asScala.map(_.asText()).toSet)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def writeVersion(spark: SparkSession, rollupRoot: String,
+      df: DataFrame, segNames: Set[String]): String = {
+    val next = latestVersion(rollupRoot).map(_._1).getOrElse(0) + 1
+    val dir = f"$rollupRoot/v$next%06d"
+    df.write.mode("overwrite").parquet(dir)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    val arr = root.putArray("segDirs")
+    segNames.toSeq.sorted.foreach(arr.add)
+    // meta LAST: its presence marks the version complete
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_segdirs.json"),
+      m.writeValueAsBytes(root))
+    dir
+  }
+
+  private def mkMaintained(spark: SparkSession, proto: Registered,
+      rollupRoot: String, baseRoot: String, versionDir: String,
+      covered: Set[String]): Registered =
+    proto.copy(
+      rollup = spark.read.parquet(versionDir).queryExecution.analyzed,
+      baseRoots = Seq(baseRoot ->
+        graft.sources.druid.SegmentCatalog.fingerprintOf(covered.toSeq)),
+      maintain = Some(MaintainSpec(
+        new java.lang.ref.WeakReference(spark), rollupRoot, baseRoot,
+        covered, versionDir)))
+
+  /** Refresh a stale maintained registration: aggregate the delta (or
+    * rebuild in full when segments were removed/replaced), write the
+    * next version, swap the registry entry. Returns the fresh entry,
+    * or None when refresh is impossible (session gone, base unreadable)
+    * — the caller then falls back to stop-routing. */
+  private def refreshMaintained(stale: Registered): Option[Registered] =
+    refreshLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      // another thread may have refreshed while we waited on the lock
+      val cur = registry.asScala.find(e =>
+        e.base.sameResult(stale.base) &&
+          e.granularity == stale.granularity && e.dims == stale.dims)
+        .getOrElse(return None)
+      if (isFresh(cur)) return Some(cur)
+      val m = cur.maintain.getOrElse(return None)
+      val spark = m.session.get()
+      if (spark == null) {
+        logWarning(s"maintained rollup for '${m.baseRoot}' is stale but " +
+          "its session was collected; routing disabled")
+        return None
+      }
+      val current = segNamesOf(m.baseRoot).getOrElse {
+        logWarning(s"maintained rollup base '${m.baseRoot}' is unreadable; " +
+          "routing disabled")
+        return None
+      }
+      inRefresh.set(true)
+      try {
+        val appendOnly = m.segDirNames.subsetOf(current)
+        val merged =
+          if (appendOnly) {
+            val delta = buildPartial(
+              scanBase(spark, cur.base, m.baseRoot,
+                current -- m.segDirNames), cur)
+            val standing = spark.read.parquet(m.versionDir)
+              .select(delta.columns.map(org.apache.spark.sql.functions.col)
+                .toSeq: _*)
+            mergePartials(standing.unionByName(delta), cur)
+          } else // removal/replacement: no exact subtraction for min/max
+            buildPartial(scanBase(spark, cur.base, m.baseRoot, current), cur)
+        val dir = writeVersion(spark, m.rollupRoot, merged, current)
+        val e2 = mkMaintained(spark, cur, m.rollupRoot, m.baseRoot, dir,
+          current)
+        registry.removeIf(_ eq cur)
+        registry.add(e2)
+        (if (appendOnly) incrementalRefreshes else fullRebuilds)
+          .incrementAndGet()
+        logInfo(s"maintained rollup for '${m.baseRoot}' refreshed " +
+          s"(${if (appendOnly) s"incremental: ${(current -- m.segDirNames).size} new segment(s)"
+          else "full rebuild (segments removed/replaced)"}) -> $dir")
+        Some(e2)
+      } catch {
+        case e: VirtualMachineError => throw e
+        case scala.util.control.NonFatal(e) =>
+          logWarning(s"maintained rollup refresh for '${m.baseRoot}' " +
+            s"FAILED (${e.getMessage}); routing disabled until it succeeds")
+          None
+      } finally inRefresh.set(false)
+    }
+
   object RollupRewrite extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan =
-      if (registry.isEmpty) plan
+      if (registry.isEmpty || inRefresh.get()) plan
       else plan.transformDown {
         case agg @ Aggregate(groups, _, _, _) if groups.nonEmpty =>
           val it = registry.iterator()
@@ -245,22 +560,37 @@ object RollupRouting {
       cur
     }
 
-    /** The staleness tripwire: every druid root the base reads must
-      * still look exactly as it did at register() time.
+    /** The staleness tripwire, reached only AFTER a structural match:
+      * fresh → route; stale + maintained → auto-refresh and route from
+      * the refreshed entry; stale + unmaintained → one loud warning,
+      * routing disabled for this registration (re-register to resume).
       */
-    private def fresh(r: Registered): Boolean =
-      r.baseRoots.forall { case (root, fp) =>
-        val ok =
-          graft.sources.druid.SegmentCatalog.stateFingerprint(root) == fp
-        if (!ok && staleLogged.add(r)) logWarning(
-          s"rollup registration for base '$root' is STALE (the table " +
-            "changed since register() — ingest/compaction/drop); routing " +
-            "DISABLED for this registration, queries answer from the raw " +
-            "table. Re-register after refreshing the rollup to resume.")
-        ok
+    private def freshOrRefreshed(r: Registered): Option[Registered] =
+      if (isFresh(r)) Some(r)
+      else r.maintain match {
+        case Some(_) => refreshMaintained(r)
+        case None =>
+          if (staleLogged.add(r)) logWarning(
+            s"rollup registration for base " +
+              s"'${r.baseRoots.map(_._1).mkString(",")}' is STALE (the " +
+              "table changed since register() — ingest/compaction/drop); " +
+              "routing DISABLED for this registration, queries answer " +
+              "from the raw table. Re-register after refreshing the " +
+              "rollup to resume.")
+          None
       }
 
-    private def tryRewrite(agg: Aggregate, r: Registered): Option[LogicalPlan] = {
+    private def tryRewrite(agg: Aggregate, r0: Registered): Option[LogicalPlan] =
+      attempt(agg, r0, checkFresh = true)
+
+    /** One rewrite attempt against one registry entry. `checkFresh`
+      * gates the staleness check (a directory listing, possibly a
+      * refresh job) and runs it only AFTER the structural match
+      * succeeds; a refresh swaps the registry entry (new rollup
+      * version, new fingerprint), so on refresh the attempt re-runs
+      * against the fresh-by-construction replacement entry. */
+    private def attempt(agg: Aggregate, r: Registered,
+        checkFresh: Boolean): Option[LogicalPlan] = {
       val (defs, conds, core) = peel(agg.child).getOrElse(return None)
       // the peeled core must be the registered base or its leaf (the
       // base's own conversions, if any, arrive via the inlined defs /
@@ -457,12 +787,20 @@ object RollupRouting {
         else remapSameType(in)
       }
       if (groups2.forall(_.isDefined) && aggs2.forall(_.isDefined) &&
-          conds2.forall(_.isDefined) && fresh(r)) {
-        val source = conds2.map(_.get) match {
-          case Nil => rollupPlan
-          case cs  => Filter(cs.reduce(And), rollupPlan)
+          conds2.forall(_.isDefined)) {
+        def build: Option[LogicalPlan] = {
+          val source = conds2.map(_.get) match {
+            case Nil => rollupPlan
+            case cs  => Filter(cs.reduce(And), rollupPlan)
+          }
+          Some(Aggregate(groups2.map(_.get), aggs2.map(_.get), source, None))
         }
-        Some(Aggregate(groups2.map(_.get), aggs2.map(_.get), source, None))
+        if (!checkFresh) build
+        else freshOrRefreshed(r) match {
+          case Some(r2) if r2 eq r => build
+          case Some(r2) => attempt(agg, r2, checkFresh = false)
+          case None     => None
+        }
       } else None
     }
   }

@@ -458,10 +458,19 @@ object SegmentCatalog {
   def stateFingerprint(root: String): String = {
     val dirs =
       try DruidTableUtil.discoverSegments(root)
-        .map(d => Paths.get(d).getFileName.toString).sorted
+        .map(d => Paths.get(d).getFileName.toString)
       catch { case _: Exception => return "<unreadable>" }
+    fingerprintOf(dirs)
+  }
+
+  /** The same digest over an EXPLICIT segment-dir-name list -- lets a
+    * caller that already holds a consistent listing (e.g. a maintained
+    * rollup that scanned exactly these dirs) fingerprint the state it
+    * actually read, immune to an ingest racing between scan and
+    * fingerprint. */
+  def fingerprintOf(dirNames: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    dirs.foreach(d => md.update((d + "\u0000").getBytes(UTF_8)))
+    dirNames.sorted.foreach(d => md.update((d + "\u0000").getBytes(UTF_8)))
     java.util.Base64.getEncoder.encodeToString(md.digest()).take(22)
   }
 

@@ -1106,6 +1106,47 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("MAINTAINED rollup keeps routing across a statements-API ingest (auto-refresh)") {
+    withIngestServer { (port, root) =>
+      val (c1, _) = postTo(port, "/druid/v2/sql/statements",
+        """{"query": "INSERT INTO mbase SELECT __time, event_type, value FROM events PARTITIONED BY DAY",
+            "context": {"sqlQueryId": "rm-1"}}""")
+      assert(c1 == 200)
+      assert(awaitTerminal(port, "rm-1").path("state").asText() == "SUCCESS")
+      import org.apache.spark.sql.functions._
+      val druidBase = spark.read.format("druid").load(s"$root/mbase")
+      val rroot = java.nio.file.Files
+        .createTempDirectory("serve-rm").toString
+      graft.plans.RollupRouting.registerMaintained(spark, druidBase, rroot,
+        timeCol = "__time", granularity = "DAY", dims = Seq("event_type"),
+        sums = Map("value" -> "value_sum"), countCol = Some("cnt"))
+      try {
+        def q = druidBase.groupBy(col("event_type"))
+          .agg(sum(col("value")).as("s"))
+        def plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains(s"$rroot/v000001"), plan)
+        val before = q.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        // ingest into the base THROUGH THE STATEMENTS API
+        val (c2, _) = postTo(port, "/druid/v2/sql/statements",
+          """{"query": "INSERT INTO mbase SELECT __time, event_type, value FROM events WHERE event_type = 'view' PARTITIONED BY DAY",
+              "context": {"sqlQueryId": "rm-2"}}""")
+        assert(c2 == 200)
+        assert(awaitTerminal(port, "rm-2").path("state").asText() == "SUCCESS")
+        // the next routed-shape query refreshes and ROUTES — to the
+        // new version, with the new rows absorbed
+        val p2 = plan
+        assert(p2.contains(s"$rroot/v000002"),
+          s"did not route to the refreshed rollup:\n$p2")
+        val after = q.collect()
+          .map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(math.abs(after("view") - (before("view") + 70.0)) < 1e-9,
+          s"$after vs $before")
+        assert(math.abs(after("click") - before("click")) < 1e-9)
+      } finally graft.plans.RollupRouting.clear()
+    }
+  }
+
   test("statement retirement is oldest-first and never corrupted by a running head") {
     // a deterministically-blocked head: the UDF waits on a latch the
     // test releases, so "head still running" is not a timing race
