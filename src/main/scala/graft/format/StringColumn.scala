@@ -61,10 +61,12 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
       scala.util.Try(new GenericIndexed(buf, idsEnd)).toOption.filter { gi =>
         gi.numElements == dictionary.numElements &&
           idsEnd + gi.totalSize <= end &&
-          // every element must hold a length-prefixed 0x01-typed bitmap
+          // every element must hold a length-prefixed bitmap with a
+          // known type byte: 0x01 Roaring or 0x00 Concise (legacy)
           (gi.numElements == 0 || {
             val (s, e) = gi.elementRange(0)
-            e - s >= 5 && buf.getInt(s) >= 1 && (buf.get(s + 4) & 0xff) == 0x01
+            e - s >= 5 && buf.getInt(s) >= 1 &&
+              ((buf.get(s + 4) & 0xff) == 0x01 || (buf.get(s + 4) & 0xff) == 0x00)
           })
       }
     else None
@@ -77,11 +79,16 @@ final class StringColumn(buf: ByteBuffer, base: Int, end: Int = -1) {
     bitmaps.map { gi =>
       val (s, e) = gi.elementRange(dictId)
       val len = buf.getInt(s)
-      if (len < 1 || (buf.get(s + 4) & 0xff) != 0x01)
-        fail(s"bitmap $dictId: bad type byte")
-      val dup = buf.duplicate()
-      dup.position(s + 5).limit(s + 4 + len)
-      new org.roaringbitmap.buffer.ImmutableRoaringBitmap(dup.slice())
+      if (len < 1) fail(s"bitmap $dictId: empty element")
+      (buf.get(s + 4) & 0xff) match {
+        case 0x01 => // Roaring: zero-copy view over the mmap
+          val dup = buf.duplicate()
+          dup.position(s + 5).limit(s + 4 + len)
+          new org.roaringbitmap.buffer.ImmutableRoaringBitmap(dup.slice())
+        case 0x00 => // Concise (legacy): decode words to Roaring
+          Concise.decode(buf, s + 5, s + 4 + len)
+        case t => fail(s"bitmap $dictId: bad type byte $t")
+      }
     }
 
   /** Binary-search a value in the sorted dictionary; -1 if absent.
@@ -194,7 +201,8 @@ object StringColumn {
     * bitmap trailer are unchanged.
     */
   def write(values: Seq[String], withBitmaps: Boolean = true,
-            frontCodedDict: Boolean = false): Array[Byte] = {
+            frontCodedDict: Boolean = false,
+            conciseBitmaps: Boolean = false): Array[Byte] = {
     val hasNull = values.contains(null)
     val distinct = values.filter(_ != null).distinct.sorted(utf8Order)
     val dictValues: Seq[String] = (if (hasNull) Seq(null) else Nil) ++ distinct
@@ -218,8 +226,16 @@ object StringColumn {
         bm.runOptimize()
         val b = new ByteArrayOutputStream()
         val d = new DataOutputStream(b)
-        d.writeByte(0x01) // Roaring type byte (reference src/column/bitmap.rs:11)
-        bm.serialize(d)
+        if (conciseBitmaps) {
+          // legacy CONCISE section (type 0x00, reference
+          // src/column/bitmap.rs:7) — exists so the Concise READ path
+          // has self-contained offline round-trip coverage
+          d.writeByte(0x00)
+          d.write(Concise.toBytes(bm.toMutableRoaringBitmap))
+        } else {
+          d.writeByte(0x01) // Roaring type byte (reference src/column/bitmap.rs:11)
+          bm.serialize(d)
+        }
         d.flush()
         b.toByteArray
       }

@@ -2262,7 +2262,40 @@ object DruidQueries extends QuerySet {
                            + INTERVAL 6 HOUR AS cand_prev
                   FROM events))
               GROUP BY 1 ORDER BY 1""")),
+
+    // -- Legacy CONCISE bitmap sections (type 0x00 — the reference's
+    //    explicit dead end, src/column/bitmap.rs:32-34): a table written
+    //    with bitmapEncoding=concise serves the SAME per-value bitmap
+    //    row selection as Roaring — equality/IN pushdown included —
+    //    because the reader decodes CONCISE words to Roaring before the
+    //    bitmap algebra. ConciseSpec pins word-level decode vectors and
+    //    the exact row selection; this gate pins end-to-end values.
+    Q("dr68_concise_bitmap_filter",
+      (s, dir) => {
+        eventsConciseSeg(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("total_value"),
+               countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS total_value,
+              count(DISTINCT user_id) AS n_users
+              FROM events WHERE event_type IN ('click', 'purchase')
+              GROUP BY event_type ORDER BY event_type""")),
   )
+
+  /** Events in a segment table whose bitmap sections use the legacy
+    * CONCISE encoding (type byte 0x00) — dr68's staging. */
+  private def eventsConciseSeg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("druid").load(segTable("events_concise", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"), col("user_id"),
+                col("value"))
+        .repartition(4),
+      options = Map("bitmapEncoding" -> "concise")))
 
   // dr55's concave test polygon, shared by the native-query JSON and
   // the oracle's replayed ray cast (x = user_id in [0,14], y = value

@@ -324,5 +324,14 @@ class DruidTable(root: String, schema0: StructType) extends Table
       complexTypes = Option(info.options().get("complexTypes"))
         .map(_.split(",").map(_.trim).filter(_.contains(":")).map { kv =>
           val Array(k, v) = kv.split(":", 2); k -> v
-        }.toMap).getOrElse(Map.empty))
+        }.toMap).getOrElse(Map.empty),
+      // bitmap section encoding: "roaring" (default) or "concise"
+      // (legacy type-0x00 sections — exists so the Concise read path
+      // has self-contained round-trip coverage offline)
+      conciseBitmaps = Option(info.options().get("bitmapEncoding")) match {
+        case None | Some("roaring") => false
+        case Some("concise") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"bitmapEncoding '$other' not in roaring/concise")
+      })
 }

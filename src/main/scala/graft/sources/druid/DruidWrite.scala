@@ -38,7 +38,8 @@ class DruidWriteBuilder(root: String, schema: StructType,
                         rollupGran: Option[String] = None,
                         codec: Byte = graft.format.Compression.LZ4,
                         rollupDims: Set[String] = Set.empty,
-                        complexTypes: Map[String, String] = Map.empty)
+                        complexTypes: Map[String, String] = Map.empty,
+                        conciseBitmaps: Boolean = false)
     extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceRange: Option[(Long, Long)] = None
@@ -84,12 +85,14 @@ class DruidWriteBuilder(root: String, schema: StructType,
     override def toBatch: BatchWrite =
       new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes,
         frontCodedStrings, granularity,
-        rollupGran, codec, rollupDims, replaceRange, complexTypes)
+        rollupGran, codec, rollupDims, replaceRange, complexTypes,
+        conciseBitmaps)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       require(!doTruncate,
         "druid streaming sink supports append output mode only")
       new DruidStreamingWrite(root, schema, bitmapIndexes, frontCodedStrings,
-        granularity, rollupGran, codec, rollupDims, complexTypes)
+        granularity, rollupGran, codec, rollupDims, complexTypes,
+        conciseBitmaps)
     }
   }
 }
@@ -110,7 +113,8 @@ class DruidStreamingWrite(root: String, schema: StructType,
                           rollupGran: Option[String] = None,
                           codec: Byte = graft.format.Compression.LZ4,
                           rollupDims: Set[String] = Set.empty,
-                          complexTypes: Map[String, String] = Map.empty)
+                          complexTypes: Map[String, String] = Map.empty,
+                          conciseBitmaps: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -122,14 +126,15 @@ class DruidStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root, ".epochs"))
-    val (r, sch, bm, fc, g, rg, cd, rd, ct) =
+    val (r, sch, bm, fc, g, rg, cd, rd, ct, cb) =
       (root, schema, bitmapIndexes, frontCodedStrings, granularity, rollupGran,
-        codec, rollupDims, complexTypes)
+        codec, rollupDims, complexTypes, conciseBitmaps)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
-          s"ep$epochId", sch, partitionId, taskId, bm, fc, g, rg, cd, rd, ct)
+          s"ep$epochId", sch, partitionId, taskId, bm, fc, g, rg, cd, rd, ct,
+          conciseBitmaps = cb)
     }
   }
 
@@ -225,7 +230,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       codec: Byte = graft.format.Compression.LZ4,
                       rollupDims: Set[String] = Set.empty,
                       replaceRange: Option[(Long, Long)] = None,
-                      complexTypes: Map[String, String] = Map.empty)
+                      complexTypes: Map[String, String] = Map.empty,
+                      conciseBitmaps: Boolean = false)
     extends BatchWrite {
 
   granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
@@ -240,7 +246,7 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
     Files.createDirectories(stagingDir)
     new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
       frontCodedStrings, granularity, rollupGran, codec, rollupDims,
-      complexTypes)
+      complexTypes, conciseBitmaps)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
@@ -394,12 +400,13 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
                              rollupGran: Option[String] = None,
                              codec: Byte = graft.format.Compression.LZ4,
                              rollupDims: Set[String] = Set.empty,
-                          complexTypes: Map[String, String] = Map.empty)
+                             complexTypes: Map[String, String] = Map.empty,
+                             conciseBitmaps: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
       bitmapIndexes, frontCodedStrings, granularity, rollupGran, codec,
-      rollupDims, complexTypes)
+      rollupDims, complexTypes, conciseBitmaps)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -415,7 +422,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       rollupGran: Option[String] = None,
                       codec: Byte = graft.format.Compression.LZ4,
                       rollupDims: Set[String] = Set.empty,
-                      complexTypes: Map[String, String] = Map.empty)
+                      complexTypes: Map[String, String] = Map.empty,
+                      conciseBitmaps: Boolean = false)
     extends DataWriter[InternalRow] {
 
   // ---- typed builders ----
@@ -880,7 +888,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
         stringBitmaps = bitmapIndexes,
         frontCodedStrings = frontCodedStrings,
         rollup = rollupGran.isDefined,
-        queryGranularity = rollupGran.getOrElse("none"))
+        queryGranularity = rollupGran.getOrElse("none"),
+        conciseBitmaps = conciseBitmaps)
       // mirror SegmentWriter's interval convention (empty -> [0, 1))
       val start = if (t.isEmpty) 0L else t.min
       val end = if (t.isEmpty) 1L else t.max + 1

@@ -67,7 +67,8 @@ object SegmentWriter {
             stringBitmaps: Boolean = true,
             frontCodedStrings: Boolean = false,
             rollup: Boolean = false,
-            queryGranularity: String = "none"): Unit = {
+            queryGranularity: String = "none",
+            conciseBitmaps: Boolean = false): Unit = {
     require(columns.forall(_._2.length == time.length),
       "all columns must have the same row count")
     Files.createDirectories(dir)
@@ -84,7 +85,8 @@ object SegmentWriter {
       "LONG", "longV2", CompressedColumnar.writeLongs(time, compression))
     columns.foreach { case (name, vals) =>
       logicalFiles(name) =
-        encodeColumn(vals, compression, stringBitmaps, frontCodedStrings)
+        encodeColumn(vals, compression, stringBitmaps, frontCodedStrings,
+          conciseBitmaps)
     }
     logicalFiles("index.drd") = SegmentMetadata.write(SegmentMetadata(
       columns.map(_._1), dims, intervalStart, intervalEnd))
@@ -138,7 +140,8 @@ object SegmentWriter {
 
   private def encodeColumn(vals: ColumnValues, compression: Byte,
                            stringBitmaps: Boolean,
-                           frontCodedStrings: Boolean): Array[Byte] =
+                           frontCodedStrings: Boolean,
+                           conciseBitmaps: Boolean = false): Array[Byte] =
     vals match {
       case LongValues(v, nulls) => ColumnDescriptor.wrapColumn(
         "LONG", "longV2",
@@ -156,7 +159,8 @@ object SegmentWriter {
       case StringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringDictionary",
         StringColumn.write(v.toSeq, withBitmaps = stringBitmaps,
-          frontCodedDict = frontCodedStrings))
+          frontCodedDict = frontCodedStrings,
+          conciseBitmaps = conciseBitmaps))
       case MultiStringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringMultiV1",
         StringMultiColumn.write(v.toSeq, frontCodedDict = frontCodedStrings),
