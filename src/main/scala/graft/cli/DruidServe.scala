@@ -575,19 +575,119 @@ object DruidServe {
     // queries can never starve the HTTP threads.
     //
     // DURABILITY CONTRACT (pinned by DruidServeSpec "restart
-    // contract"): the registry is in-memory, scoped to this broker
-    // process — a restart forgets every statement (status/results
-    // answer 404 for pre-restart ids), matching a Druid broker's
-    // per-process SQL lifecycle; Druid's durable-task surface is
-    // MSQ/Overlord, a documented non-goal here. The DATA an ingestion
-    // statement commits is NOT affected: segments land in the sharded
-    // manifest atomically BEFORE the statement turns SUCCESS, so a
-    // SUCCESS answer is never retracted by a crash and a restarted
-    // broker serves the ingested table from the same ingestRoot.
+    // contract"): the LIVE registry is in-memory, scoped to this
+    // broker process — a restart forgets RUNNING / FAILED / CANCELED
+    // statements (status/results answer 404 for those pre-restart
+    // ids), matching a Druid broker's per-process SQL lifecycle;
+    // Druid's durable-task surface is MSQ/Overlord, a documented
+    // non-goal here. SUCCESS statements are the exception: their
+    // terminal envelope journals to ingestRoot/.statements at the
+    // moment they turn SUCCESS, and a restarted broker re-serves
+    // status + paged results for them (below). The DATA an ingestion
+    // statement commits is likewise durable: segments land in the
+    // sharded manifest atomically BEFORE the statement turns SUCCESS,
+    // so a SUCCESS answer is never retracted by a crash and a
+    // restarted broker serves the ingested table from the same
+    // ingestRoot.
     val statements =
       new java.util.concurrent.ConcurrentHashMap[String, AsyncStatement]()
     val statementOrder =
       new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Durable half of the restart contract: SUCCESS statements journal
+    // their terminal envelope (id, sql, schema, page contents, result
+    // summary) under ingestRoot/.statements so a restarted broker can
+    // still answer GET {id} and GET {id}/results for them — RUNNING /
+    // FAILED / CANCELED statements stay per-process (404 after
+    // restart, the documented contract). File names are base64url of
+    // the CALLER-CHOSEN query id, so a hostile id can't traverse paths.
+    val statementJournalDir: Option[java.nio.file.Path] =
+      ingestRoot.map(r => java.nio.file.Paths.get(r, ".statements"))
+    def journalFileOf(qid: String): Option[java.nio.file.Path] =
+      statementJournalDir.map(_.resolve(
+        java.util.Base64.getUrlEncoder.withoutPadding()
+          .encodeToString(qid.getBytes(UTF_8)) + ".json"))
+    def journalStatement(st: AsyncStatement): Unit =
+      journalFileOf(st.queryId).foreach { f =>
+        try {
+          java.nio.file.Files.createDirectories(f.getParent)
+          val o = mapper.createObjectNode()
+          o.put("queryId", st.queryId)
+          o.put("sql", st.sql)
+          o.put("createdAt", st.createdAt)
+          o.put("resultFormat", st.resultFormat)
+          o.put("state", st.state)
+          o.put("durationMs", st.durationMs)
+          o.put("numTotalRows", st.numTotalRows)
+          o.put("dataSource", st.dataSource)
+          st.schemaJson.foreach(s => o.set[ObjectNode]("schema", s))
+          val ps = o.putArray("pages")
+          st.pages.foreach { case (rows, bytes) =>
+            val p = ps.addObject()
+            p.put("bytes", bytes)
+            p.set[ObjectNode]("rows", rows)
+          }
+          val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+          java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(o))
+          java.nio.file.Files.move(tmp, f,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch {
+          case e: VirtualMachineError => throw e
+          case scala.util.control.NonFatal(e) => System.err.println(
+            s"[graft-serve] statement journal write failed for " +
+              s"${st.queryId}: ${e.getMessage}")
+        }
+      }
+    // startup recovery: re-serve every journaled SUCCESS envelope
+    statementJournalDir.filter(java.nio.file.Files.isDirectory(_))
+      .foreach { d =>
+        val files = Option(d.toFile.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".json"))
+          .sortBy(_.getName)
+        val loaded = files.flatMap { f =>
+          try {
+            val n = mapper.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+            if (n.path("state").asText() != "SUCCESS") None
+            else {
+              val st = new AsyncStatement(n.path("queryId").asText(),
+                n.path("sql").asText(), n.path("createdAt").asText(),
+                n.path("resultFormat").asText("object"))
+              st.state = "SUCCESS"
+              st.durationMs = n.path("durationMs").asLong(-1L)
+              st.numTotalRows = n.path("numTotalRows").asLong(0L)
+              st.dataSource = n.path("dataSource").asText("__query_select")
+              if (n.hasNonNull("schema")) n.path("schema") match {
+                case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+                  st.schemaJson = Some(a)
+                case _ => ()
+              }
+              import scala.jdk.CollectionConverters._
+              st.pages = n.path("pages").elements().asScala.collect {
+                case p if p.path("rows")
+                    .isInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode] =>
+                  (p.path("rows")
+                    .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode],
+                    p.path("bytes").asLong(0L))
+              }.toVector
+              Some(st)
+            }
+          } catch {
+            case e: VirtualMachineError => throw e
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[graft-serve] SKIPPING statement " +
+                s"journal ${f.getName}: ${e.getMessage}")
+              None
+          }
+        }
+        loaded.sortBy(_.createdAt).foreach { st =>
+          if (statements.putIfAbsent(st.queryId, st) == null)
+            statementOrder.add(st.queryId)
+        }
+        if (loaded.nonEmpty) System.err.println(
+          s"[graft-serve] recovered ${loaded.length} journaled " +
+            "SUCCESS statement(s)")
+      }
     val stmtThreads = math.max(2, threads / 2)
     val statementPool = new java.util.concurrent.ThreadPoolExecutor(
       stmtThreads, stmtThreads, 30L, java.util.concurrent.TimeUnit.SECONDS,
@@ -612,6 +712,10 @@ object DruidServe {
         // already — remove(old) then just no-ops)
         statementOrder.remove(old)
         if (s != null) statements.remove(old, s)
+        // retirement bounds the journal too, same oldest-first order
+        journalFileOf(old).foreach(f =>
+          try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Exception => () })
       }
     def statementStatusJson(st: AsyncStatement): ObjectNode = {
       val o = mapper.createObjectNode()
@@ -746,6 +850,7 @@ object DruidServe {
         st.numTotalRows = total
         st.durationMs = (System.nanoTime() - t0) / 1000000L
         st.state = "SUCCESS"
+        journalStatement(st) // durable SUCCESS envelope (best-effort)
         logQuery(st.queryId, "sql-statement",
           st.sql.linesIterator.mkString(" ").take(120), t0, total, "ok")
       } catch {

@@ -2285,6 +2285,36 @@ object DruidQueries extends QuerySet {
               count(DISTINCT user_id) AS n_users
               FROM events WHERE event_type IN ('click', 'purchase')
               GROUP BY event_type ORDER BY event_type""")),
+
+    // -- Multi-value dimension bitmap pushdown: a native selector on an
+    //    MV dim means CONTAINS in Druid, served here from the MV
+    //    column's per-value bitmap section (new trailer; MvBitmapSpec
+    //    pins the exact row selection and the zero-rows-decoded case)
+    //    with the compiled array_contains predicate as the residual.
+    //    The reference parses hasMultipleValues and drops it
+    //    (src/segment/column_descriptor.rs:20-21).
+    Q("dr69_mv_selector_bitmap",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "docs",
+          "granularity": "all",
+          "dimensions": ["source"],
+          "filter": {"type": "and", "fields": [
+            {"type": "selector", "dimension": "words", "value": "the"},
+            {"type": "in", "dimension": "words",
+             "values": ["data", "model"]}]},
+          "aggregations": [{"type": "count", "name": "n_docs"}]
+        }""", _ => docsMvSeg(s, dir))
+          .select(col("source"), col("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs
+              FROM (SELECT source, string_split(text, ' ') AS words
+                    FROM documents)
+              WHERE list_contains(words, 'the')
+                AND (list_contains(words, 'data')
+                     OR list_contains(words, 'model'))
+              GROUP BY source ORDER BY source""")),
   )
 
   /** Events in a segment table whose bitmap sections use the legacy

@@ -133,6 +133,52 @@ object PipelineQueries extends QuerySet {
       })
     }
 
+  /** d29's documented 100 TB swap, now real: the source-overlap matrix
+    * WITHOUT the 64-source bitmask cap or the exact gram intersection.
+    * Each source gets a k-component MinHash signature as the
+    * element-wise MIN over ALL its docs' gram hashes — min over a union
+    * of sets is the signature of the union, so the whole corpus reduces
+    * MAP-SIDE (partial min combine) to n_sources x k values and the
+    * pair stage is a broadcast self-join over that tiny frame: no
+    * gram-keyed shuffle wider than d29's, no pair stage that grows
+    * with the corpus, any number of sources. `jaccard` is the
+    * matching-component fraction (stderr ~ sqrt(J(1-J)/k), ~0.03 at
+    * the default k=256); `ic` backs out |A∩B| = J/(1+J)*(|A|+|B|)
+    * with per-source cardinalities from approx_count_distinct. Output
+    * schema matches d29 exactly (s1, s2, ic, jaccard);
+    * SourceOverlapApproxSpec gates the estimates against the exact
+    * path on the sf0.01 corpus.
+    */
+  def sourceOverlapApprox(docs0: org.apache.spark.sql.DataFrame,
+                          k: Int = 256): org.apache.spark.sql.DataFrame = {
+    require(k >= 16, s"k=$k too small for a usable estimate")
+    graft.sql.Grams5.register(docs0.sparkSession)
+    val docs = docs0.filter(length(col("text")) >= 5)
+    val grams = docs.select(col("source"),
+      explode(expr("grams5(text)")).as("tg"))
+    val aggs = (0 until k).map(j =>
+      min(expr(TextOps.minhashHashSql(j))).as(s"h$j")) :+
+      approx_count_distinct(col("tg")).as("sz")
+    val sigs = grams.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+      .select(col("source"), col("sz"),
+        array((0 until k).map(j => col(s"h$j")): _*).as("sig"))
+    val a = sigs.select(col("source").as("s1"), col("sz").as("z1"),
+      col("sig").as("g1"))
+    val b = sigs.select(col("source").as("s2"), col("sz").as("z2"),
+      col("sig").as("g2"))
+    // n_sources rows per side: the inequality join is a broadcast
+    // nested loop over a frame thousands of rows wide at most
+    a.join(broadcast(b), col("s1") < col("s2"))
+      .withColumn("matches", expr(
+        "aggregate(zip_with(g1, g2, (x, y) -> IF(x = y, 1, 0)), 0, " +
+          "(acc, v) -> acc + v)"))
+      .withColumn("jaccard", round(col("matches") / lit(k.toDouble), 4))
+      .withColumn("ic", round(col("jaccard") / (lit(1.0) + col("jaccard")) *
+        (col("z1") + col("z2"))).cast("bigint"))
+      .select(col("s1"), col("s2"), col("ic"), col("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   private val stagedPq = scala.collection.mutable.Map[String, String]()
 
   /** Persisted PQ code table (M one-byte codes per vector), built once

@@ -116,7 +116,8 @@ object NativeQuery {
   private def runNode(q: JsonNode, resolve: String => DataFrame): DataFrame = {
     val base0 = resolveDataSource(q.path("dataSource"), resolve)
     val base0b = pushComparatorBounds(base0, q)
-    val base1 = withVirtualColumns(base0b, q)
+    val base0c = pushMvContains(base0b, q)
+    val base1 = withVirtualColumns(base0c, q)
     val base = applyWhere(base1, q)
     q.path("queryType").asText() match {
       case "timeseries"   => timeseries(base, q)
@@ -387,10 +388,77 @@ object NativeQuery {
     SparkSession.active.read.format("druid").options(opts).load()
   }
 
+  /** Selector/in filters on PLAIN multi-value dimensions, shipped as
+    * the `graft.mvContains` read option when the datasource is a bare
+    * druid relation: the reader serves them from the MV column's
+    * per-value bitmap section (a value's bitmap marks rows CONTAINING
+    * it — Druid's own MV selector execution) instead of decoding every
+    * array. The compiled array_contains predicate STAYS on the plan
+    * as the residual final word; like graft.bounds, the option is a
+    * row-selection hint whose removal cannot change results.
+    */
+  private def pushMvContains(df: DataFrame, q: JsonNode): DataFrame = {
+    val f = q.path("filter")
+    if (f.isMissingNode || f.isNull) return df
+    val vcNames: Set[String] = {
+      val vcs = q.path("virtualColumns")
+      if (vcs.isMissingNode || vcs.isNull) Set.empty
+      else vcs.elements().asScala.map(vc =>
+        if (vc.hasNonNull("outputName")) vc.path("outputName").asText()
+        else vc.path("name").asText()).toSet
+    }
+    def andReachable(n: JsonNode): Seq[JsonNode] =
+      n.path("type").asText() match {
+        case "and" => n.path("fields").elements().asScala.toSeq
+          .flatMap(andReachable)
+        case "selector" | "in" => Seq(n)
+        case _ => Nil
+      }
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case other            => other
+    }
+    val rel = unwrap(df.queryExecution.analyzed) match {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.druid.DruidTable] => r
+      case _ => return df
+    }
+    val mvCols = mvColsOf(df)
+    val clauses: Seq[(String, Seq[String])] = andReachable(f).flatMap { n =>
+      val d = n.path("dimension").asText()
+      if (n.hasNonNull("extractionFn") || vcNames(d) || !mvCols(d)) None
+      else n.path("type").asText() match {
+        case "selector" if n.hasNonNull("value") =>
+          Some(d -> Seq(n.path("value").asText()))
+        case "in" =>
+          val vs = textSeq(n.path("values"))
+          if (vs.nonEmpty) Some(d -> vs) else None
+        case _ => None
+      }
+    }
+    if (clauses.isEmpty) return df
+    val opts = rel.options.asCaseSensitiveMap().asScala.toMap +
+      ("graft.mvContains" -> graft.sources.druid.MvContains.toJson(clauses)) +
+      ("path" -> rel.table.asInstanceOf[graft.sources.druid.DruidTable].rootDir)
+    SparkSession.active.read.format("druid").options(opts).load()
+  }
+
+  /** Multi-value (array&lt;string&gt;) dimensions of a datasource. */
+  private def mvColsOf(df: DataFrame): Set[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, true) ||
+        f.dataType == org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType, false) => f.name
+    }.toSet
+
   private def applyWhere(df: DataFrame, q: JsonNode): DataFrame = {
     val time = intervalPred(intervalsOf(q))
     val f = q.path("filter")
-    val pred = (time, if (f.isMissingNode || f.isNull) None else Some(compileFilter(f))) match {
+    val pred = (time, if (f.isMissingNode || f.isNull) None
+      else Some(compileFilter(f, mvColsOf(df)))) match {
       case (Some(t), Some(p)) => Some(t && p)
       case (t, p)             => t.orElse(p)
     }
@@ -405,7 +473,14 @@ object NativeQuery {
   /** One Druid filter node → one Catalyst predicate. Kept total over
     * the documented surface; everything else fails loudly.
     */
-  def compileFilter(f: JsonNode): Column = {
+  def compileFilter(f: JsonNode): Column = compileFilter(f, Set.empty)
+
+  /** `mvCols` = multi-value (array&lt;string&gt;) dimensions of the
+    * queried datasource: Druid's selector/in semantics on an MV dim
+    * are CONTAINS (a row matches when ANY of its values matches), so
+    * those two filters compile to array_contains instead of equality.
+    */
+  def compileFilter(f: JsonNode, mvCols: Set[String]): Column = {
     // dimension filters may carry an extractionFn (older dashboards
     // send these constantly): the filter compares the TRANSFORMED value
     def dim(f: JsonNode): Column = {
@@ -413,7 +488,16 @@ object NativeQuery {
       val ef = f.path("extractionFn")
       if (ef.isMissingNode || ef.isNull) base else extractionFn(base, ef)
     }
+    // selector/in on a PLAIN (no extractionFn) MV dimension: contains
+    def isPlainMv(f: JsonNode): Boolean =
+      mvCols.contains(f.path("dimension").asText()) &&
+        (f.path("extractionFn").isMissingNode || f.path("extractionFn").isNull)
     f.path("type").asText() match {
+    case "selector" if isPlainMv(f) =>
+      val d = dim(f)
+      val v = f.path("value")
+      if (v.isMissingNode || v.isNull) d.isNull
+      else array_contains(d, lit(v.asText()))
     case "selector" =>
       val d = dim(f)
       val v = f.path("value")
@@ -425,6 +509,10 @@ object NativeQuery {
         case "DOUBLE" | "FLOAT" => c === lit(f.path("matchValue").asDouble())
         case _                  => c === lit(f.path("matchValue").asText())
       }
+    case "in" if isPlainMv(f) =>
+      val d = dim(f)
+      textSeq(f.path("values")).map(v => array_contains(d, lit(v)))
+        .reduceOption(_ || _).getOrElse(lit(false))
     case "in" =>
       dim(f).isin(textSeq(f.path("values")): _*)
     case "bound" =>
@@ -529,11 +617,13 @@ object NativeQuery {
         }
       }.reduceOption(_ || _).getOrElse(fail("interval filter with no intervals"))
     case "and" =>
-      f.path("fields").elements().asScala.map(compileFilter).reduce(_ && _)
+      f.path("fields").elements().asScala
+        .map(compileFilter(_, mvCols)).reduce(_ && _)
     case "or" =>
-      f.path("fields").elements().asScala.map(compileFilter).reduce(_ || _)
+      f.path("fields").elements().asScala
+        .map(compileFilter(_, mvCols)).reduce(_ || _)
     case "not" =>
-      !compileFilter(f.path("field"))
+      !compileFilter(f.path("field"), mvCols)
     case "expression" =>
       druidExpr(f.path("expression").asText())
     case "spatial" =>

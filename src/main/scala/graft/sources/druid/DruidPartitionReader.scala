@@ -294,6 +294,25 @@ private[druid] object RowSelection {
         case _ => Nil // no dictionary/bitmaps: the residual decides
       }
     }
+    // multi-value CONTAINS clauses: each clause unions the per-value
+    // bitmaps of its values over the MV column's bitmap section (a
+    // value's bitmap marks rows whose ARRAY contains it — Druid's
+    // selector semantics on MV dims), clauses AND below. A column this
+    // schema-evolved segment never had is all-null: contains matches
+    // nothing, the clause selects no rows. An MV column without a
+    // bitmap section contributes nothing (residual decides).
+    val mvSets = part.mvContains.flatMap { case (name, values) =>
+      if (!segment.columnNames.contains(name))
+        Some(new org.roaringbitmap.buffer.MutableRoaringBitmap())
+      else segment.column(name) match {
+        case MultiStringColumnData(mc) if mc.bitmaps.isDefined =>
+          val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+          values.map(mc.dictIdOf).filter(_ >= 0)
+            .foreach(id => mc.bitmapFor(id).foreach(acc.or))
+          Some(acc)
+        case _ => None
+      }
+    }
     def trailerOf(name: String): Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
       segment.column(name) match {
         case LongColumnData(_, nulls) if nulls != null => Some(nulls)
@@ -317,8 +336,8 @@ private[druid] object RowSelection {
       }.filter(_ != null)
     if (emptySplit) return Array.emptyIntArray
     if (applicable.isEmpty && prefixSets.isEmpty && patternSets.isEmpty &&
-        boundSets.isEmpty && orSets.isEmpty && nullSets.isEmpty &&
-        onlyNullSets.isEmpty) null
+        boundSets.isEmpty && orSets.isEmpty && mvSets.isEmpty &&
+        nullSets.isEmpty && onlyNullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
@@ -327,6 +346,7 @@ private[druid] object RowSelection {
       patternSets.foreach(range.and)
       boundSets.foreach(range.and)
       orSets.foreach(range.and)
+      mvSets.foreach(range.and)
       onlyNullSets.foreach(range.and)
       nullSets.foreach(range.andNot)
       range.toArray

@@ -71,6 +71,16 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   private def addBound(c: String, b: DimBound): Unit =
     boundFilters += c -> (boundFilters.getOrElse(c, Nil) :+ b)
 
+  // multi-value CONTAINS clauses from the `graft.mvContains` read
+  // option (array_contains has no V1 Filter form): each clause is
+  // (column, values) = rows whose array contains ANY of the values;
+  // clauses AND together. Served by the MV column's per-value bitmap
+  // section; the pusher (NativeQuery) keeps its compiled
+  // array_contains predicate as the residual final word, so this is
+  // a row-selection hint whose removal cannot change results.
+  private val mvContains: Seq[(String, Seq[String])] =
+    MvContains.fromJson(options.get("graft.mvContains"))
+
   // COMPLEX-backed string columns (json) carry no dictionary/bitmaps:
   // exclude them so dim-filter pushdown never consults a dictionary
   // that does not exist (their filters stay Spark-side residuals)
@@ -260,7 +270,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
-      patternFilters.isEmpty && boundFilters.isEmpty &&
+      patternFilters.isEmpty && boundFilters.isEmpty && mvContains.isEmpty &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     if (!clean || orders.length != 1 || l <= 0) return false
     val o = orders.head
@@ -297,10 +307,10 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     if (pushedAggs.nonEmpty) return false
     val kinds = agg.aggregateExpressions().toSeq
       .map(DruidScanBuilder.aggKind(_, fullSchema))
-    // option-shipped comparator bounds restrict rows invisibly to
-    // Spark's filter bookkeeping — a metadata answer over ALL rows
-    // would ignore them
-    if (boundFilters.nonEmpty) return false
+    // option-shipped comparator bounds / MV-contains clauses restrict
+    // rows invisibly to Spark's filter bookkeeping — a metadata answer
+    // over ALL rows would ignore them
+    if (boundFilters.nonEmpty || mvContains.nonEmpty) return false
     // kinds.nonEmpty: an outer count() can prune a stacked aggregate's
     // output to ZERO expressions — pushing that would make the scan
     // produce 0 columns where Spark still expects a row shape
@@ -369,8 +379,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     if (pushedAggs.nonEmpty || groupByDim.isDefined) return false
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
-      patternFilters.isEmpty && boundFilters.isEmpty && limit < 0 &&
-      timeMin == Long.MinValue && timeMax == Long.MaxValue
+      patternFilters.isEmpty && boundFilters.isEmpty && mvContains.isEmpty &&
+      limit < 0 && timeMin == Long.MinValue && timeMax == Long.MaxValue
     val groupCols = agg.groupByExpressions().toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
       case _ => None
@@ -390,7 +400,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
       notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
-      patternFilters, orFilters, boundFilters)
+      patternFilters, orFilters, boundFilters, mvContains)
 }
 
 object DruidScanBuilder {
@@ -490,7 +500,9 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      dayKey: Int = 0,
                                      orFilters: Seq[Filter] = Nil,
                                      boundFilters: Map[String, Seq[DimBound]] =
-                                       Map.empty)
+                                       Map.empty,
+                                     mvContains: Seq[(String, Seq[String])] =
+                                       Nil)
     extends InputPartition with HasPartitionKey {
   // meaningful only when the scan reports KeyGroupedPartitioning
   // (granularity-aligned tables); int buckets-since-epoch of the
@@ -621,6 +633,35 @@ object DimBound {
   }
 }
 
+/** JSON codec for the `graft.mvContains` read option:
+  * `[{"c": col, "vs": [v1, v2]}, ...]` — each clause selects rows
+  * whose multi-value dimension contains ANY of `vs`; clauses AND.
+  */
+object MvContains {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def toJson(clauses: Seq[(String, Seq[String])]): String = {
+    val root = mapper.createArrayNode()
+    clauses.foreach { case (c, vs) =>
+      val o = root.addObject()
+      o.put("c", c)
+      val arr = o.putArray("vs")
+      vs.foreach(arr.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def fromJson(s: String): Seq[(String, Seq[String])] =
+    if (s == null || s.isEmpty) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(s).elements().asScala.map { o =>
+        o.path("c").asText() ->
+          o.path("vs").elements().asScala.map(_.asText()).toSeq
+      }.toSeq
+    }
+}
+
 /** Single partition carrying metadata-derived aggregate answers (one
   * value per pushed aggregate, in order; null = empty table).
   */
@@ -648,7 +689,8 @@ class DruidScan(root: String, required: StructType,
                 prefixFilters: Map[String, Seq[String]] = Map.empty,
                 patternFilters: Map[String, Seq[DimPattern]] = Map.empty,
                 orFilters: Seq[Filter] = Nil,
-                boundFilters: Map[String, Seq[DimBound]] = Map.empty)
+                boundFilters: Map[String, Seq[DimBound]] = Map.empty,
+                mvContains: Seq[(String, Seq[String])] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering
     with SupportsReportPartitioning {
@@ -673,7 +715,8 @@ class DruidScan(root: String, required: StructType,
       limit < 0 && dimFilters0.isEmpty && pushedAggs.isEmpty &&
       zoneFilters.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty &&
       topNTime.isEmpty && groupByDim.isEmpty && prefixFilters.isEmpty &&
-      patternFilters.isEmpty && orFilters.isEmpty && boundFilters.isEmpty
+      patternFilters.isEmpty && orFilters.isEmpty &&
+      boundFilters.isEmpty && mvContains.isEmpty
 
   /** Per-partition __time ordering, reported only when EVERY segment
     * was written time-sorted (manifest flag; Druid's own layout): row
@@ -771,7 +814,7 @@ class DruidScan(root: String, required: StructType,
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
       s"prefixFilters=$prefixFilters, patternFilters=$patternFilters, " +
-      s"boundFilters=$boundFilters, " +
+      s"boundFilters=$boundFilters, mvContains=$mvContains, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
       s"isNull=${isNullCols.mkString(",")}, topNTime=$topNTime, " +
       s"groupByDim=$groupByDim, pushedAggs=${pushedAggs.mkString(",")})"
@@ -985,7 +1028,7 @@ class DruidScan(root: String, required: StructType,
       (0 until capped by per).map { start =>
         DruidInputPartition(m.dir, start, math.min(capped, start + per), limit,
           batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
-          patternFilters, key, orFilters, boundFilters)
+          patternFilters, key, orFilters, boundFilters, mvContains)
       }
     }
     parts.toArray

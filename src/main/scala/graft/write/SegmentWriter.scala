@@ -163,7 +163,8 @@ object SegmentWriter {
           conciseBitmaps = conciseBitmaps))
       case MultiStringValues(v) => ColumnDescriptor.wrapColumn(
         "STRING", "stringMultiV1",
-        StringMultiColumn.write(v.toSeq, frontCodedDict = frontCodedStrings),
+        StringMultiColumn.write(v.toSeq, frontCodedDict = frontCodedStrings,
+          withBitmaps = stringBitmaps, conciseBitmaps = conciseBitmaps),
         hasMultipleValues = true)
       case ComplexValues(tn, v) => ColumnDescriptor.wrapColumn(
         "COMPLEX", tn, GenericIndexed.writeLengthPrefixed(v.toSeq, sorted = false))

@@ -1270,14 +1270,14 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
-  test("statements API restart contract: metadata is process-scoped, " +
-       "ingested data is durable") {
-    // The statement registry is in-memory per broker process (real
-    // Druid's durable-task path is the MSQ/Overlord surface, a
-    // documented non-goal). Pin both halves of the contract: a
-    // restarted broker answers 404 for a pre-restart statement id,
-    // while the DATA that statement committed (segments land in the
-    // manifest before the statement turns SUCCESS) is fully queryable.
+  test("statements API restart contract: SUCCESS envelopes journal, " +
+       "non-SUCCESS ids are process-scoped, ingested data is durable") {
+    // SUCCESS statements journal their terminal envelope (schema, page
+    // contents, result summary) under ingestRoot/.statements, so a
+    // restarted broker still answers status AND paged results for
+    // them. Everything else (RUNNING / FAILED / CANCELED) stays
+    // per-process — 404 after restart (real Druid's durable-task path
+    // is the MSQ/Overlord surface, a documented non-goal).
     val root = java.nio.file.Files.createTempDirectory("graft-restart")
       .toString
     def boot(): com.sun.net.httpserver.HttpServer =
@@ -1285,6 +1285,7 @@ class DruidServeSpec extends AnyFunSuite {
         sqlTables = Map("events" -> events),
         threads = 4, ingestRoot = Some(root))
     val first = boot()
+    var preResults: String = null
     try {
       val p1 = first.getAddress.getPort
       val (c, body) = postTo(p1, "/druid/v2/sql/statements",
@@ -1294,15 +1295,46 @@ class DruidServeSpec extends AnyFunSuite {
       val fin = awaitTerminal(p1, "dur-1")
       assert(fin.path("state").asText() == "SUCCESS", fin.toString)
       assert(sendTo(p1, "GET", "/druid/v2/sql/statements/dur-1")._1 == 200)
+      // a SELECT statement whose results must survive the restart
+      val (cs, _) = postTo(p1, "/druid/v2/sql/statements",
+        """{"query": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+            "context": {"sqlQueryId": "dur-sel"}}""")
+      assert(cs == 200)
+      assert(awaitTerminal(p1, "dur-sel").path("state").asText() == "SUCCESS")
+      preResults = sendTo(p1, "GET",
+        "/druid/v2/sql/statements/dur-sel/results")._2
+      // and a FAILED statement, which must NOT survive
+      val (cf, _) = postTo(p1, "/druid/v2/sql/statements",
+        """{"query": "SELECT no_such_col FROM events",
+            "context": {"sqlQueryId": "dur-bad"}}""")
+      assert(cf == 200)
+      assert(awaitTerminal(p1, "dur-bad").path("state").asText() == "FAILED")
     } finally first.stop(0)
     val second = boot()
     try {
       val p2 = second.getAddress.getPort
-      // statement metadata forgotten: the restarted broker 404s both
-      // the status and results endpoints for the old id
-      assert(sendTo(p2, "GET", "/druid/v2/sql/statements/dur-1")._1 == 404)
+      // journaled SUCCESS envelopes answer on both endpoints
+      val (cj, bj) = sendTo(p2, "GET", "/druid/v2/sql/statements/dur-sel")
+      assert(cj == 200, bj)
+      val env = mapper.readTree(bj)
+      assert(env.path("state").asText() == "SUCCESS")
+      assert(env.path("result").path("numTotalRows").asLong() > 0)
+      assert(env.path("schema").size() == 2, bj)
+      val (cr, br) = sendTo(p2, "GET",
+        "/druid/v2/sql/statements/dur-sel/results")
+      assert(cr == 200 && br == preResults,
+        s"journaled results differ:\n$br\nvs\n$preResults")
+      // page index works over the journaled pages
       assert(sendTo(p2, "GET",
-        "/druid/v2/sql/statements/dur-1/results")._1 == 404)
+        "/druid/v2/sql/statements/dur-sel/results?page=0")._1 == 200)
+      // the SUCCESS ingest statement is journaled too
+      assert(sendTo(p2, "GET", "/druid/v2/sql/statements/dur-1")._1 == 200)
+      // the FAILED statement stayed per-process
+      assert(sendTo(p2, "GET", "/druid/v2/sql/statements/dur-bad")._1 == 404)
+      assert(sendTo(p2, "GET",
+        "/druid/v2/sql/statements/dur-bad/results")._1 == 404)
+      // unknown ids still 404
+      assert(sendTo(p2, "GET", "/druid/v2/sql/statements/nope")._1 == 404)
       // the committed data survives: same ingestRoot, full row count
       val (c2, b2) = postTo(p2, "/druid/v2/sql",
         """{"query": "SELECT count(*) AS c FROM durable"}""")
