@@ -77,23 +77,37 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
+    // local-iteration filter (unset in driver runs → all queries,
+    // all staging, 3 passes)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // needed(prefixes) = some selected query needs this staged input;
+    // with no filter, everything stages (the driver's invocation)
+    def needed(prefixes: String*): Boolean =
+      only.forall(sel => prefixes.exists(p => sel.exists(_.startsWith(p))))
     // one-time segment staging (writer) happens OUTSIDE the timed loop:
     // dr* timings measure scans, not the writer; staging is its own metric
     val s0 = System.nanoTime()
-    try { graft.queries.DruidQueries.stage(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { graft.queries.Relational.stageBucketed(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { graft.queries.PipelineQueries.ivfIndexDir(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { graft.queries.PipelineQueries.pqIndexDir(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { graft.queries.PipelineQueries.sqIndexDirs(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { graft.queries.PipelineQueries.lshBandsDir(spark, sfDir) }
-    catch { case _: Throwable => () }
-    try { graft.queries.PipelineQueries.ivfPqIndexDir(spark, sfDir) }
-    catch { case _: Throwable => () }
+    if (needed("dr"))
+      try { graft.queries.DruidQueries.stage(spark, sfDir) }
+      catch { case _: Throwable => () }
+    if (needed("q30"))
+      try { graft.queries.Relational.stageBucketed(spark, sfDir) }
+      catch { case _: Throwable => () }
+    if (needed("e3", "e4", "e9", "s12"))
+      try { graft.queries.PipelineQueries.ivfIndexDir(spark, sfDir) }
+      catch { case _: Throwable => () }
+    if (needed("e5", "e6"))
+      try { graft.queries.PipelineQueries.pqIndexDir(spark, sfDir) }
+      catch { case _: Throwable => () }
+    if (needed("e8"))
+      try { graft.queries.PipelineQueries.sqIndexDirs(spark, sfDir) }
+      catch { case _: Throwable => () }
+    if (needed("d21", "d2_"))
+      try { graft.queries.PipelineQueries.lshBandsDir(spark, sfDir) }
+      catch { case _: Throwable => () }
+    if (needed("e7"))
+      try { graft.queries.PipelineQueries.ivfPqIndexDir(spark, sfDir) }
+      catch { case _: Throwable => () }
     val staging = (System.nanoTime() - s0) / 1e9
     // three timed passes, report the per-query MIN: steady-state
     // latency. A single pass wobbles 20-30% run-to-run from JIT/GC/
@@ -102,8 +116,6 @@ object Bench {
     // carrying a 30-40% noise floor on sub-200ms queries — a third
     // pass costs ~50s and pins the steady state (first-pass total is
     // still disclosed).
-    // local-iteration filter (unset in driver runs → all queries)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a query that THROWS must never report its fail-fast latency as a
     // timing (a crash would read as a 100x win); record it as an error
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -134,19 +146,25 @@ object Bench {
     spark.catalog.clearCache()
     val calib0 = calibrate(spark) // warm the calibration plan's codegen
     val calibs = scala.collection.mutable.ArrayBuffer[Double]()
-    calibs += calibrate(spark)
-    val pass1 = pass()
-    spark.catalog.clearCache()
-    calibs += calibrate(spark)
-    val pass2 = pass().toMap
-    spark.catalog.clearCache()
-    calibs += calibrate(spark)
-    val pass3 = pass(capturePlans = true).toMap
+    // pass count: 3 (min-of-3, the driver's steady-state policy) unless
+    // a local probe asks for fewer (SPARK_GRAFT_PASSES=1 for scale
+    // spot-checks where wall-clock dominates and min-of-N is overkill)
+    val nPasses = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
+    val allPasses = (1 to nPasses).map { i =>
+      calibs += calibrate(spark)
+      val p = pass(capturePlans = i == nPasses)
+      spark.catalog.clearCache()
+      p
+    }
+    val pass1 = allPasses.head
     // min of the VALID timings; a query that failed in any pass is
     // reported as -1 in `queries` and listed under `errors`
-    val results = pass1.map { case (k, v) =>
-      val all = Seq(v, pass2(k), pass3(k)).filterNot(_.isNaN)
-      k -> (if (errors.contains(k)) -1.0 else all.min)
+    val results = pass1.map { case (k, _) =>
+      val all = allPasses.flatMap(_.collect {
+        case (`k`, v) if !v.isNaN => v
+      })
+      k -> (if (errors.contains(k) || all.isEmpty) -1.0 else all.min)
     }
     val ok = results.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -171,7 +189,7 @@ object Bench {
       s"""{"sf":${jstr(sfDir)},"calib":$calibJson,"calib_warm":$calib0,"plans_digest":${jstr(plansDigest)},"plans":$plansJson}""" + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] plan-file write failed: $e") }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":3,"policy":"min_of_3","first_pass_total":$total1,"staging":$staging,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nPasses,"policy":"min_of_$nPasses","first_pass_total":$total1,"staging":$staging,"n_failed":${errors.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}""")
     // compact one-liner LAST: the driver's artifact keeps only a tail
     // snippet of the output, which can truncate the full JSON above
     // (round-4 BENCH had parsed:null for exactly this reason). This

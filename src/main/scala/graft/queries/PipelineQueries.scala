@@ -36,6 +36,28 @@ object PipelineQueries extends QuerySet {
        |         WHEN 2 THEN 16777216 ELSE 68719476736 END) AS BIGINT) AS sig
        |  FROM mh GROUP BY doc_id, j // 4)""".stripMargin
 
+  /** Hot-bucket cap shared by d2/d13's LSH candidate generation, and
+    * ACTIVE in the gates (not just available): a (band, sig) bucket of
+    * n docs emits n(n-1)/2 pairs, so one boilerplate signature turns
+    * candidate generation quadratic — the round-10 sf10 probe measured
+    * exactly that (d13's rerank join spilled past the disk; d2 went
+    * 39.7x at 10x data). Buckets past the cap are dropped whole (the
+    * declared approximation: a 100 TB dedup treats mega-cluster
+    * boilerplate with exact-hash prepasses, not per-pair rerank); the
+    * oracles replay the same cap, and PipelineSpec carries a
+    * cap-active gate.
+    */
+  val LshMaxBucket = 64
+
+  /** The cap, replayed in DuckDB: drop whole buckets past LshMaxBucket
+    * before the band self-join. */
+  private val duckPrunedBands =
+    s"""hot AS (SELECT band, sig FROM bands GROUP BY band, sig
+       |        HAVING count(*) > $LshMaxBucket),
+       |pruned AS (
+       |  SELECT b.* FROM bands b WHERE NOT EXISTS (
+       |    SELECT 1 FROM hot h WHERE h.band = b.band AND h.sig = b.sig))""".stripMargin
+
   /** Decontamination semantics shared by d10 (exact broadcast) and d22
     * (Bloom-prefiltered): the Bloom path has no false negatives and
     * exact-confirms its false positives away, so BOTH queries must
@@ -280,7 +302,8 @@ object PipelineQueries extends QuerySet {
         // intersection: two hash joins + a projection, no explode, no
         // group-by.
         val cand = TextOps.lshCandidates(
-          s.read.parquet(lshBandsDir(s, dir))).cache()
+          s.read.parquet(lshBandsDir(s, dir)),
+          maxBucket = Some(LshMaxBucket)).cache()
         // no .distinct(): the left-semi join dedups its build side
         val candDocs = cand.select(col("d1").as("doc_id"))
           .union(cand.select(col("d2").as("doc_id")))
@@ -290,9 +313,10 @@ object PipelineQueries extends QuerySet {
           .orderBy(col("d1"), col("d2"))
       },
       Some(s"""WITH $duckGrams, ${duckParams(16)}, $duckBands,
+               |$duckPrunedBands,
                |cand AS (
                |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               |  FROM bands a JOIN bands b
+               |  FROM pruned a JOIN pruned b
                |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
                |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
                |inter AS (
@@ -599,7 +623,8 @@ object PipelineQueries extends QuerySet {
         // the survivor set (measured; the index pays off when serving
         // the whole corpus, as in d2, not a filtered checkpoint)
         val cand = TextOps.lshCandidates(
-          TextOps.bandSignaturesDirect(surv, 16, 4)).cache()
+          TextOps.bandSignaturesDirect(surv, 16, 4),
+          maxBucket = Some(LshMaxBucket)).cache()
         // no .distinct() on either id set: the left-semi and left-anti
         // joins below dedup their build side for free
         val candDocs = cand.select(col("d1").as("doc_id"))
@@ -631,9 +656,10 @@ object PipelineQueries extends QuerySet {
            |        FROM surv WHERE length(text) >= 5)),
            |${duckParams(16)},
            |$duckBands,
+           |$duckPrunedBands,
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-           |  FROM bands a JOIN bands b
+           |  FROM pruned a JOIN pruned b
            |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
            |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
            |inter AS (

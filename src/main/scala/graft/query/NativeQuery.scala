@@ -282,16 +282,28 @@ object NativeQuery {
   /** "2024-01-05T00:00:00.000Z/2024-01-15T00:00:00.000Z" (or zoneless,
     * read as UTC — the engine runs sessions in UTC).
     */
-  private def parseInstant(s: String): Instant =
-    try {
-      if (s.endsWith("Z") || s.contains("+")) Instant.parse(s)
-      else LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
-    } catch {
-      // surface the compiler's loud contract, not a raw
-      // DateTimeParseException (fuzz-caught)
-      case _: java.time.format.DateTimeParseException =>
-        fail(s"interval timestamp '$s' (ISO instant or local datetime)")
+  private def parseInstant(s: String): Instant = {
+    // Joda-tolerant like a real Druid broker: instants with Z or any
+    // UTC offset (2024-01-02T00:00:00.000+01:00), zoneless local
+    // datetimes (read as UTC — the engine runs sessions in UTC), and
+    // bare dates (2024-01-02 = midnight UTC). Instant.parse alone
+    // rejects the last three valid Joda forms.
+    type PE = java.time.format.DateTimeParseException
+    try java.time.OffsetDateTime.parse(s).toInstant
+    catch { case _: PE =>
+      try LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+      catch { case _: PE =>
+        try java.time.LocalDate.parse(s).atStartOfDay.toInstant(ZoneOffset.UTC)
+        catch {
+          // surface the compiler's loud contract, not a raw
+          // DateTimeParseException (fuzz-caught)
+          case _: PE => fail(
+            s"interval timestamp '$s' (ISO instant, offset/local " +
+              "datetime, or date)")
+        }
+      }
     }
+  }
 
   private def intervalsOf(q: JsonNode): Seq[(Instant, Instant)] = {
     val node0 = q.path("intervals")

@@ -460,4 +460,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(composed.exceptAll(direct).isEmpty && direct.exceptAll(composed).isEmpty,
       "fingerprint diverges between native and composable paths")
   }
+
+  test("lshCandidates maxBucket drops ONLY hot buckets (cap-active gate)") {
+    import spark.implicits._
+    // a mega-cluster of 80 near-identical docs (> the gates' cap of
+    // 64; the shape that turned the sf10 probe's d13 quadratic) plus
+    // two small near-dup pairs that must SURVIVE the cap
+    // identical boilerplate text => identical signatures => one bucket
+    // of 80 per band (the exact boilerplate shape the cap targets)
+    val mega = (0 until 80).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val smallA = Seq(
+      (100L, "completely different text about distributed analytics engines alpha"),
+      (101L, "completely different text about distributed analytics engines beta"))
+    val smallB = Seq(
+      (200L, "yet another unrelated corpus document describing columnar storage one"),
+      (201L, "yet another unrelated corpus document describing columnar storage two"))
+    val docs = (mega ++ smallA ++ smallB).toDF("doc_id", "text")
+    val bands = TextOps.bandSignaturesDirect(docs, 16, 4)
+    val cap = graft.queries.PipelineQueries.LshMaxBucket
+    val capped = TextOps.lshCandidates(bands, maxBucket = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = TextOps.lshCandidates(bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the cap is ACTIVE on this corpus: mega-cluster pairs are gone
+    assert(uncapped.exists { case (a, b) => a < 80 && b < 80 },
+      "precondition: the mega cluster produces uncapped candidates")
+    assert(!capped.exists { case (a, b) => a < 80 && b < 80 },
+      s"cap failed to drop the hot bucket: ${capped.filter(_._1 < 80).take(5)}")
+    // and SURGICAL: every candidate outside the hot buckets survives
+    assert(capped == uncapped.filterNot { case (a, b) => a < 80 && b < 80 },
+      "cap dropped pairs outside the hot buckets")
+    assert(capped.contains((100L, 101L)) && capped.contains((200L, 201L)),
+      s"small near-dup pairs must survive the cap: $capped")
+  }
 }

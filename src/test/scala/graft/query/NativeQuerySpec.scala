@@ -518,6 +518,15 @@ class NativeQuerySpec extends AnyFunSuite {
     assert(n("""{"type": "expression", "expression": "value > 50 AND user_id = 4"}""") == 2)
     assert(n("""{"type": "range", "column": "value", "matchValueType": "DOUBLE",
                  "lower": 30, "upper": 60, "upperOpen": true}""") == 3)
+    // Joda-tolerant interval timestamps (real Druid accepts all of
+    // these; Instant.parse alone rejects them): non-UTC offsets,
+    // bare dates, zoneless local datetimes
+    assert(n("""{"type": "interval", "dimension": "__time", "intervals":
+                 ["2024-01-02T01:00:00.000+01:00/2024-01-03T02:00:00.000+02:00"]}""") == 2)
+    assert(n("""{"type": "interval", "dimension": "__time", "intervals":
+                 ["2024-01-02/2024-01-03"]}""") == 2)
+    assert(n("""{"type": "interval", "dimension": "__time", "intervals":
+                 ["2024-01-02T00:00:00/2024-01-03T00:00:00"]}""") == 2)
   }
 
   test("extraction dimension specs: substring, strlen, regex, timeFormat") {
