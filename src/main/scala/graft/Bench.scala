@@ -102,7 +102,7 @@ object Bench {
     if (needed("e8"))
       try { graft.queries.PipelineQueries.sqIndexDirs(spark, sfDir) }
       catch { case _: Throwable => () }
-    if (needed("d21", "d2_"))
+    if (needed("d21", "d2_", "d18"))
       try { graft.queries.PipelineQueries.lshBandsDir(spark, sfDir) }
       catch { case _: Throwable => () }
     if (needed("e7"))

@@ -100,20 +100,23 @@ object Components {
       println(f"[cc] $tag ${(System.nanoTime() - t0) / 1e9}%.2fs")
       t0 = System.nanoTime()
     }
-    val und0 = edges
+    // gate + local path on the UNDIRECTED list: union-find needs each
+    // edge once, and gating on the symmetrized list would silently
+    // HALVE the effective cutoff (the round-10 sf10 probe caught d18
+    // paying the distributed loop's convoy at 1.13M real edges because
+    // the doubled count crossed 2M)
+    val dedir = edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
-      .union(edges
-        .select(col(dst).cast("long").as("u"), col(src).cast("long").as("v")))
       .localCheckpoint()
     lap("edges-materialized")
-    val edgeCount = und0.count()
+    val edgeCount = dedir.count()
     if (debug) println(s"[cc] edgeCount=$edgeCount (limit $localEdgeLimit)")
     if (edgeCount <= localEdgeLimit) {
       // small graph: driver-side union-find (see object scaladoc). The
       // collect ships one primitive long[] per partition (Rows are
       // deserialized streaming inside each task and never reach the
       // driver), so driver footprint truly is localEdgeLimit × 16 B.
-      val packed = und0.rdd.mapPartitions { it =>
+      val packed = dedir.rdd.mapPartitions { it =>
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]
         it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
         Iterator.single(buf.result())
@@ -125,13 +128,17 @@ object Components {
       import spark.implicits._
       return labeled.toSeq.toDF("doc_id", "component")
     }
+    // distributed rounds need both directions (min propagates both ways)
+    val und0 = dedir
+      .union(dedir.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
     // size the loop's parallelism to the GRAPH, not the session default:
     // a round is several tiny jobs, and per-task scheduling dominates
     // when the 16-byte edge rows are far fewer than the session's
     // shuffle partitioning assumes (~2M edges/partition keeps partitions
     // comfortably in memory at any scale). Both sides pre-hash on their
     // join keys so the per-round join and group-by reuse the layout.
-    val parts = math.max(1, (edgeCount / 2000000L).toInt)
+    val parts = math.max(1, (2 * edgeCount / 2000000L).toInt)
     val und = und0.repartition(parts, col("v")).localCheckpoint()
     var labels = und.select(col("u")).distinct()
       .withColumn("component", col("u"))
