@@ -2315,7 +2315,42 @@ object DruidQueries extends QuerySet {
                 AND (list_contains(words, 'data')
                      OR list_contains(words, 'model'))
               GROUP BY source ORDER BY source""")),
+
+    // -- Druid single_dim range sharding as a WRITE option: `shardBy`
+    //    declares an ordered distribution to Catalyst
+    //    (RequiresDistributionAndOrdering — one sampled range exchange,
+    //    no hand-shuffling), so segments hold disjoint contiguous
+    //    ranges of the dimension and the existing min/max-envelope
+    //    pruning skips whole segments for dim-targeted filters.
+    //    RangeShardSpec pins disjoint envelopes + planned-partition
+    //    counts; this gate pins end-to-end values through the sharded
+    //    layout. The reference scans whole segments with projection
+    //    pushdown only (src/datafusion_ext/table_provider.rs:60-66).
+    Q("dr70_range_shard_prune",
+      (s, dir) => {
+        eventsShardedSeg(s, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy((col("user_id") % 10).as("user_mod"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("user_mod"))
+      },
+      Some("""SELECT user_id % 10 AS user_mod, count(*) AS n,
+              round(sum(value), 2) AS total_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY 1""")),
   )
+
+  /** Events range-sharded by `event_type` (Druid single_dim layout,
+    * written via the shardBy option's declared distribution) — dr70's
+    * staging. An equality filter on the shard dim prunes to the one
+    * segment whose envelope admits the value. */
+  private def eventsShardedSeg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("druid").load(segTable("events_shard", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"), col("user_id"),
+                col("value")),
+      options = Map("shardBy" -> "event_type", "shards" -> "4")))
 
   /** Events in a segment table whose bitmap sections use the legacy
     * CONCISE encoding (type byte 0x00) — dr68's staging. */

@@ -333,5 +333,13 @@ class DruidTable(root: String, schema0: StructType) extends Table
         case Some("concise") => true
         case Some(other) => throw new IllegalArgumentException(
           s"bitmapEncoding '$other' not in roaring/concise")
-      })
+      },
+      // Druid single_dim range partitioning: segments within each time
+      // chunk hold disjoint contiguous ranges of this dimension, so
+      // dim-targeted filters prune whole segments via the existing
+      // min/max envelopes. `shards` fixes the shard count (0: Spark /
+      // AQE sizes the range exchange)
+      shardBy = Option(info.options().get("shardBy")).map(_.trim)
+        .filter(_.nonEmpty),
+      shards = Option(info.options().get("shards")).map(_.toInt).getOrElse(0))
 }

@@ -39,7 +39,9 @@ class DruidWriteBuilder(root: String, schema: StructType,
                         codec: Byte = graft.format.Compression.LZ4,
                         rollupDims: Set[String] = Set.empty,
                         complexTypes: Map[String, String] = Map.empty,
-                        conciseBitmaps: Boolean = false)
+                        conciseBitmaps: Boolean = false,
+                        shardBy: Option[String] = None,
+                        shards: Int = 0)
     extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceRange: Option[(Long, Long)] = None
@@ -81,18 +83,77 @@ class DruidWriteBuilder(root: String, schema: StructType,
     }
   }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes,
-        frontCodedStrings, granularity,
-        rollupGran, codec, rollupDims, replaceRange, complexTypes,
-        conciseBitmaps)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-      require(!doTruncate,
-        "druid streaming sink supports append output mode only")
-      new DruidStreamingWrite(root, schema, bitmapIndexes, frontCodedStrings,
-        granularity, rollupGran, codec, rollupDims, complexTypes,
-        conciseBitmaps)
+  shardBy.foreach { d =>
+    require(d != "__time",
+      "shardBy: use segmentGranularity for time partitioning; shardBy " +
+        "range-shards WITHIN each time chunk (Druid single_dim)")
+    val f = schema.fields.find(_.name == d).getOrElse(
+      throw new IllegalArgumentException(s"shardBy: no such column '$d'"))
+    require(f.dataType == StringType || f.dataType == LongType ||
+      f.dataType == IntegerType || f.dataType == DoubleType ||
+      f.dataType == FloatType,
+      s"shardBy: column '$d' (${f.dataType.simpleString}) is not a " +
+        "scalar dimension (string or numeric)")
+  }
+  require(shards >= 0, s"shards: $shards (want >= 0; 0 = let Spark pick)")
+
+  /** Druid's `single_dim` range partitioning, the Spark-native way:
+    * instead of hand-sharding rows, the Write DECLARES an ordered
+    * distribution on the shard dimension via
+    * [[RequiresDistributionAndOrdering]] and Catalyst inserts one range
+    * exchange (sampled split points, AQE-sizable when `shards` is 0).
+    * Each task then holds a contiguous dim range, so every segment's
+    * existing min/max envelope (`SegMeta.strZones`/`zones`) becomes a
+    * TIGHT disjoint range and the planner's envelope pruning — already
+    * in place for equality/IN/bound filters — skips whole segments for
+    * any dim-targeted query, exactly like Druid pruning `single_dim`
+    * shards by `partitionDimensionValues`. Rows are additionally sorted
+    * by (`shardBy`, `__time`) inside each task: dictionary runs stay
+    * dense and rows sharing a dim value are time-ordered (full
+    * time-sortedness is NOT implied — the dim leads the sort).
+    */
+  private final class ShardedWrite(dim: String)
+      extends Write with RequiresDistributionAndOrdering {
+    import org.apache.spark.sql.connector.{expressions => cx}
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.ordered(
+        Array(cx.Expressions.sort(cx.Expressions.column(dim),
+          cx.SortDirection.ASCENDING)))
+    override def requiredNumPartitions(): Int = shards
+    override def requiredOrdering(): Array[cx.SortOrder] = {
+      val keys = Seq(dim) ++
+        (if (schema.fields.exists(_.name == "__time")) Seq("__time") else Nil)
+      keys.map(c => cx.Expressions.sort(cx.Expressions.column(c),
+        cx.SortDirection.ASCENDING)).toArray
+    }
+    override def toBatch: BatchWrite = plainBatch()
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      plainStreaming()
+  }
+
+  private def plainBatch(): BatchWrite =
+    new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes,
+      frontCodedStrings, granularity,
+      rollupGran, codec, rollupDims, replaceRange, complexTypes,
+      conciseBitmaps)
+  private def plainStreaming()
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(!doTruncate,
+      "druid streaming sink supports append output mode only")
+    new DruidStreamingWrite(root, schema, bitmapIndexes, frontCodedStrings,
+      granularity, rollupGran, codec, rollupDims, complexTypes,
+      conciseBitmaps)
+  }
+
+  override def build(): Write = shardBy match {
+    case Some(dim) => new ShardedWrite(dim)
+    case None => new Write {
+      override def toBatch: BatchWrite = plainBatch()
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        plainStreaming()
     }
   }
 }
