@@ -2124,5 +2124,42 @@ object PipelineQueries extends QuerySet {
              |  CAST(sum(energy) AS BIGINT) AS total_energy,
              |  max(peak) AS max_peak
              |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Heavy hitters per source — the vocabulary/boilerplate audit a
+    // curation pipeline runs before mixing (over-frequent tokens mark
+    // template rot). Built on the DataSketches Frequent-Items
+    // aggregate (ds_freq, a native TypedImperativeAggregate): per-task
+    // memory is bounded by maxMapSize REGARDLESS of vocabulary size
+    // and the one shuffle carries a ~maxMapSize-entry blob per
+    // (source, partition) instead of the full token histogram — at a
+    // billion-token vocab the histogram groupBy shuffles TBs, the
+    // sketch shuffles KBs. This corpus sits in the sketch's exact
+    // regime (max_err = 0, pinned by the oracle's constant), so top-5
+    // counts are true counts; past the purge threshold the same plan
+    // degrades to Misra-Gries bounds instead of failing.
+    Q("d31_heavy_hitters",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        Tables.load(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("source"))
+          .agg(expr("ds_freq(tok, 128)").as("sk"))
+          .select(col("source"),
+            expr("ds_freq_max_error(sk)").as("max_err"),
+            posexplode(expr("ds_freq_topk(sk, 5)")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.item").as("tok"), col("col.est").as("n"),
+            col("max_err"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+             |r AS (SELECT source, tok, n, row_number() OVER (
+             |        PARTITION BY source ORDER BY n DESC, tok) AS rank
+             |      FROM c)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, tok, n,
+             |  CAST(0 AS BIGINT) AS max_err
+             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
   )
 }

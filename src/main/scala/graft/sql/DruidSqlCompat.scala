@@ -350,6 +350,37 @@ object DruidSqlCompat {
       e.lift(1).map(litInt(_, "ds_quantiles_sketch k", 128)).getOrElse(128))
   }
 
+  // ---- DataSketches Frequent-Items (heavy hitters) ----------------------
+
+  private val dsFreq: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2, "ds_freq(expr[, maxMapSize])")
+    FreqItemsSketchAgg(e.head,
+      e.lift(1).map(litInt(_, "ds_freq maxMapSize", 1024)).getOrElse(1024))
+  }
+
+  private val freqTopKType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("est", LongType))))
+
+  private val dsFreqTopK: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "ds_freq_topk(sketch, k)")
+    udfExpr("ds_freq_topk", freqTopKType,
+      (b: Array[Byte], k: Int) => DsFreq.topK(b, k),
+      Seq(e.head, Cast(e(1), IntegerType)))
+  }
+
+  private val dsFreqEstimate: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "ds_freq_estimate(sketch, item)")
+    udfExpr("ds_freq_estimate", LongType,
+      (b: Array[Byte], s: String) => DsFreq.estimate(b, s),
+      Seq(e.head, Cast(e(1), StringType)))
+  }
+
+  private val dsFreqMaxError: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "ds_freq_max_error(sketch)")
+    udfExpr("ds_freq_max_error", LongType,
+      (b: Array[Byte]) => DsFreq.maxError(b), Seq(e.head))
+  }
+
   private val approxQuantileDs: Seq[Expression] => Expression = { e =>
     require(e.length >= 2 && e.length <= 3,
       "approx_quantile_ds(expr, prob[, k])")
@@ -443,7 +474,19 @@ object DruidSqlCompat {
       approxQuantileDs),
     ("ds_get_quantile",
       "ds_get_quantile(sketch, prob) - Druid DS_GET_QUANTILE",
-      dsGetQuantile))
+      dsGetQuantile),
+    ("ds_freq",
+      "ds_freq(expr[, maxMapSize]) - DataSketches Frequent-Items build aggregate",
+      dsFreq),
+    ("ds_freq_topk",
+      "ds_freq_topk(sketch, k) - top-k (item, est) by estimate desc, item asc",
+      dsFreqTopK),
+    ("ds_freq_estimate",
+      "ds_freq_estimate(sketch, item) - estimated count of one item",
+      dsFreqEstimate),
+    ("ds_freq_max_error",
+      "ds_freq_max_error(sketch) - max estimation error; 0 = exact",
+      dsFreqMaxError))
 
   /** The full Druid SQL compat family (time + mv + the rest). */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] =

@@ -132,3 +132,71 @@ case class QuantilesSketchAgg(
   override protected def withNewChildInternal(c: Expression): QuantilesSketchAgg =
     copy(child = c)
 }
+
+/** Build a DataSketches Frequent-Items sketch (heavy hitters /
+  * Misra-Gries family) over string values — the third DataSketches
+  * family, closing the build side for top-frequency analysis the same
+  * way [[ThetaSketchAgg]]/[[QuantilesSketchAgg]] do for distincts and
+  * quantiles. BinaryType children merge pre-built blobs.
+  *
+  * Scale contract: per-partition memory is bounded by `maxMapSize`
+  * (power of 2) REGARDLESS of stream cardinality, and the shuffle
+  * carries one ~maxMapSize-entry blob per group per partition instead
+  * of the full item histogram — the heavy-hitters shape for a
+  * billion-token vocabulary. While the stream's distinct count stays
+  * under the purge threshold the sketch is EXACT
+  * (`getMaximumError == 0`), which is what makes the oracle gate
+  * deterministic; above it, estimates carry the documented
+  * Misra-Gries error bound. The reference has no frequency sketches
+  * at all (Complex columns error out, src/column/mod.rs:59-61).
+  */
+case class FreqItemsSketchAgg(
+    child: Expression,
+    maxMapSize: Int = 1024,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    org.apache.datasketches.frequencies.ItemsSketch[String]]
+  with UnaryLike[Expression] {
+
+  private type Sk = org.apache.datasketches.frequencies.ItemsSketch[String]
+  private def serde = new org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  require(maxMapSize >= 8 && (maxMapSize & (maxMapSize - 1)) == 0,
+    s"ds_freq maxMapSize must be a power of 2 >= 8: $maxMapSize")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ds_freq"
+
+  override def createAggregationBuffer(): Sk = new Sk(maxMapSize)
+
+  override def update(sk: Sk, input: InternalRow): Sk = {
+    val v = child.eval(input)
+    if (v != null) child.dataType match {
+      case StringType => sk.update(v.asInstanceOf[UTF8String].toString)
+      case BinaryType => sk.merge(
+        org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+          Memory.wrap(v.asInstanceOf[Array[Byte]]), serde))
+      case dt => throw new IllegalArgumentException(
+        s"ds_freq cannot aggregate ${dt.catalogString} (string or sketch blob)")
+    }
+    sk
+  }
+
+  override def merge(a: Sk, b: Sk): Sk = { a.merge(b); a }
+
+  override def eval(sk: Sk): Any = sk.toByteArray(serde)
+
+  override def serialize(sk: Sk): Array[Byte] = sk.toByteArray(serde)
+  override def deserialize(b: Array[Byte]): Sk =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      Memory.wrap(b), serde)
+
+  override def withNewMutableAggBufferOffset(o: Int): FreqItemsSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqItemsSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqItemsSketchAgg =
+    copy(child = c)
+}
