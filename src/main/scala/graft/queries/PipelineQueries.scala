@@ -2137,7 +2137,7 @@ object PipelineQueries extends QuerySet {
     // regime (max_err = 0, pinned by the oracle's constant), so top-5
     // counts are true counts; past the purge threshold the same plan
     // degrades to Misra-Gries bounds instead of failing.
-    Q("d31_heavy_hitters",
+    Q("d30_heavy_hitters",
       (s, dir) => {
         graft.sql.DruidSqlCompat.register(s)
         Tables.load(s, dir, "documents")
