@@ -18,7 +18,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * day-granularity tables joined on `__time` plan a
   * storage-partitioned join with ZERO exchanges (`SpjSpec`).
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   private var catName: String = _
   private var root: String = _
 
@@ -89,6 +90,25 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     GraftCatalog.transforms.getOrElse(ident.name(),
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident))
+
+  // ---- ProcedureCatalog: SQL CALL for the maintenance operators ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val found =
+      if (ident.namespace().sameElements(Array("system")))
+        GraftProcedures.load(root, ident.name())
+      else None
+    found.getOrElse(throw new RuntimeException(
+      s"procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+        s"not found (have: system.{${GraftProcedures.names.mkString(", ")}})"))
+  }
 }
 
 object GraftCatalog {
