@@ -599,5 +599,52 @@ object StreamingQueries extends QuerySet {
                 AND (n_chars - n_words + 1) * CAST(1 AS DOUBLE) / n_words
                     BETWEEN 3 AND 8
               GROUP BY source ORDER BY source""")),
+
+    // Streaming heavy hitters: the ds_freq Frequent-Items aggregate as
+    // STREAMING STATE — per-source sketch buffers live in the state
+    // store across micro-batches (a TypedImperativeAggregate's buffer
+    // serializes like any other agg state), so per-key state is
+    // bounded by maxMapSize no matter how many distinct tokens stream
+    // through — the always-on vocabulary monitor a live ingest
+    // pipeline runs. The corpus sits in the sketch's exact regime, so
+    // the final top-5 per source matches d30's batch answer and the
+    // oracle replays true counts (max_err pinned 0).
+    Q("s13_stream_heavy_hitters",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        val in = stageDocsDir(s, dir)
+        val schema = s.read.parquet(in).schema
+        val table = s"s13_out_${nameCounter.incrementAndGet()}"
+        val q = withStatePartitions(s, 4) {
+          // one file per micro-batch: the sketch state MUST merge
+          // across batches, not get built in a single pass
+          StreamingOps.parquetStream(s, in, schema,
+              maxFilesPerTrigger = Some(1))
+            .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+            .groupBy(col("source"))
+            .agg(expr("ds_freq(tok, 128)").as("sk"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination(300000)
+        s.table(table)
+          .select(col("source"),
+            expr("ds_freq_max_error(sk)").as("max_err"),
+            posexplode(expr("ds_freq_topk(sk, 5)")))
+          .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+            col("col.item").as("tok"), col("col.est").as("n"),
+            col("max_err"))
+          .orderBy(col("source"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |          FROM documents),
+             |c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+             |r AS (SELECT source, tok, n, row_number() OVER (
+             |        PARTITION BY source ORDER BY n DESC, tok) AS rank
+             |      FROM c)
+             |SELECT source, CAST(rank AS BIGINT) AS rank, tok, n,
+             |  CAST(0 AS BIGINT) AS max_err
+             |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
   )
 }
