@@ -445,6 +445,104 @@ object DruidServe {
       else respond(ex, 200,
         """{"service":"graft/broker","version":"graft-1"}""")
     })
+
+    // ---- broker result cache (Druid's useCache / populateCache) ----
+    // Native-query results cache at the broker keyed by (canonical
+    // query JSON, table-state epoch). The epoch folds in, per served
+    // datasource, the SegmentCatalog state fingerprint when the table
+    // is segment-backed (one directory listing — changes on ANY
+    // commit, including external writers) or the DataFrame's identity
+    // for in-memory frames (changes when a view is re-registered),
+    // plus the lookup-registry version (a lookup edit changes answers
+    // without touching segments). A hit therefore can never serve
+    // results from a previous table generation. Both flags default
+    // true, like Druid; `useCache:false` forces a recompute,
+    // `populateCache:false` keeps a result out. Entries are LRU
+    // (access order), bounded by count and per-entry size; responses
+    // carry `X-Graft-Cache: HIT|MISS` and a `cached` flag in the
+    // response context.
+    val resultCacheMax = 256
+    val resultCacheMaxEntryBytes = 2 << 20
+    final case class CachedResult(epoch: String, body: String, rows: Long)
+    val resultCache =
+      new java.util.LinkedHashMap[String, CachedResult](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, CachedResult]): Boolean =
+          size() > resultCacheMax
+      }
+    def tableEpochOf(name: String, df: DataFrame): String = {
+      def segRoot: Option[String] =
+        if (ingestBacked.contains(name)) ingestRoot.map(r => s"$r/$name")
+        else {
+          def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+              : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+            p match {
+              case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+                unwrap(s.child)
+              case other => other
+            }
+          unwrap(df.queryExecution.analyzed) match {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+              r.table match {
+                case t: graft.sources.druid.DruidTable => Some(t.rootDir)
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+      segRoot match {
+        case Some(root) =>
+          // a failed fingerprint must fail OPEN (unique value -> miss),
+          // never serve a possibly-stale hit
+          try graft.sources.druid.SegmentCatalog.stateFingerprint(root)
+          catch { case scala.util.control.NonFatal(_) =>
+            s"fp-error-${System.nanoTime()}" }
+        case None => s"id-${System.identityHashCode(df)}"
+      }
+    }
+    def cacheEpoch(): String = {
+      val sb = new StringBuilder
+      val names = {
+        val it = servedTables.keys()
+        val b = Seq.newBuilder[String]
+        while (it.hasMoreElements) b += it.nextElement()
+        b.result().sorted
+      }
+      names.foreach { n =>
+        sb.append(n).append('=')
+          .append(tableEpochOf(n, servedTables.get(n))).append(';')
+      }
+      sb.append("lookups=").append(graft.sql.DruidLookups.version)
+      sb.toString
+    }
+    /** Cache key: the query JSON with field order canonicalized and
+      * the identity/operational context keys dropped (two requests
+      * differing only in queryId/timeout/cache flags are the same
+      * query; semantic context keys stay in the key).
+      */
+    def cacheKeyOf(q: com.fasterxml.jackson.databind.JsonNode): String = {
+      val dropFromContext =
+        Set("queryId", "timeout", "useCache", "populateCache",
+          "priority", "lane")
+      def canon(n: com.fasterxml.jackson.databind.JsonNode,
+                inContext: Boolean): String = {
+        if (n.isObject) {
+          val fields = n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
+            .filterNot { case (k, _) => inContext && dropFromContext(k) }
+            .sortBy(_._1)
+          fields.flatMap { case (k, v) =>
+            val body = canon(v, k == "context" && !inContext)
+            // a context emptied by the drop list must key the same as
+            // no context at all (a bare retry vs one with a queryId)
+            if (!inContext && k == "context" && body == "{}") None
+            else Some(mapper.writeValueAsString(k) + ":" + body)
+          }.mkString("{", ",", "}")
+        } else if (n.isArray) {
+          n.elements().asScala.map(canon(_, inContext)).mkString("[", ",", "]")
+        } else mapper.writeValueAsString(n)
+      }
+      canon(q, inContext = false)
+    }
     // ORDER MATTERS for the JDK server: the longest matching context
     // prefix wins, so /druid/v2/sql takes SQL and /druid/v2 native JSON
     server.createContext("/druid/v2", (ex: HttpExchange) => {
@@ -461,15 +559,12 @@ object DruidServe {
         // header set BEFORE the query runs so error responses carry it
         ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
         val timeoutMs = q.path("context").path("timeout").asLong(0)
+        val useCache = q.path("context").path("useCache").asBoolean(true)
+        val populateCache =
+          q.path("context").path("populateCache").asBoolean(true)
         val t0 = System.nanoTime()
         val rowsOut = new java.util.concurrent.atomic.AtomicLong()
-        try {
-          val out = withQueryControl(spark, qid, timeoutMs) {
-            envelope(q, graft.query.NativeQuery.run(body, resolveServed),
-              maxResultRows, rowsOut)
-          }
-          logQuery(qid, "native", q.path("queryType").asText("?"), t0,
-            rowsOut.get(), "ok")
+        def responseContext(count: Long, cached: Boolean): Unit = {
           // Druid's response-context header (observability clients
           // parse it for timing/row counts): set AFTER the rows
           // materialized, BEFORE the body is sent. missingSegments is
@@ -477,15 +572,55 @@ object DruidServe {
           // fails the query, it never silently skips one.
           val rc = mapper.createObjectNode()
           rc.put("queryId", qid)
-          rc.put("count", rowsOut.get())
+          rc.put("count", count)
           rc.put("timeMs", (System.nanoTime() - t0) / 1000000L)
+          if (cached) rc.put("cached", true)
           rc.putArray("missingSegments")
           ex.getResponseHeaders.set("X-Druid-Response-Context", rc.toString)
-          (out, "application/json")
-        } catch { case e: Throwable =>
-          logQuery(qid, "native", q.path("queryType").asText("?"), t0,
-            rowsOut.get(), s"error:${e.getClass.getSimpleName}")
-          throw e
+        }
+        val cacheKey =
+          if (useCache || populateCache)
+            try Some((cacheKeyOf(q), cacheEpoch()))
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
+        val hit: Option[CachedResult] = cacheKey.filter(_ => useCache)
+          .flatMap { case (k, epoch) =>
+            resultCache.synchronized {
+              Option(resultCache.get(k)) match {
+                case Some(c) if c.epoch == epoch => Some(c)
+                case Some(_) => resultCache.remove(k); None // stale gen
+                case None => None
+              }
+            }
+          }
+        hit match {
+          case Some(c) =>
+            logQuery(qid, "native", q.path("queryType").asText("?"), t0,
+              c.rows, "cache-hit")
+            ex.getResponseHeaders.set("X-Graft-Cache", "HIT")
+            responseContext(c.rows, cached = true)
+            (c.body, "application/json")
+          case None => try {
+            val out = withQueryControl(spark, qid, timeoutMs) {
+              envelope(q, graft.query.NativeQuery.run(body, resolveServed),
+                maxResultRows, rowsOut)
+            }
+            logQuery(qid, "native", q.path("queryType").asText("?"), t0,
+              rowsOut.get(), "ok")
+            cacheKey.foreach { case (k, epoch) =>
+              if (populateCache && out.length <= resultCacheMaxEntryBytes)
+                resultCache.synchronized {
+                  resultCache.put(k, CachedResult(epoch, out, rowsOut.get()))
+                }
+            }
+            ex.getResponseHeaders.set("X-Graft-Cache", "MISS")
+            responseContext(rowsOut.get(), cached = false)
+            (out, "application/json")
+          } catch { case e: Throwable =>
+            logQuery(qid, "native", q.path("queryType").asText("?"), t0,
+              rowsOut.get(), s"error:${e.getClass.getSimpleName}")
+            throw e
+          }
         }
       }
     })

@@ -17,10 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
 object DruidLookups {
   private val maps =
     new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+  // bumped on every mutation: result caches keyed on table state must
+  // also observe lookup changes (a lookup edit changes answers without
+  // touching any segment)
+  private val ver = new java.util.concurrent.atomic.AtomicLong()
+  def version: Long = ver.get()
 
-  def register(name: String, map: Map[String, String]): Unit =
-    maps.put(name, map)
-  def unregister(name: String): Unit = maps.remove(name)
+  def register(name: String, map: Map[String, String]): Unit = {
+    maps.put(name, map); ver.incrementAndGet()
+  }
+  def unregister(name: String): Unit = {
+    maps.remove(name); ver.incrementAndGet()
+  }
   def get(name: String): Option[Map[String, String]] = Option(maps.get(name))
   def names: Seq[String] = {
     import scala.jdk.CollectionConverters._
