@@ -635,10 +635,12 @@ object DruidServe {
         // key (say useApproximateCountDistinct:false) would answer
         // different numbers than the client's cluster
         val honored = Set("sqlQueryId", "queryId", "sqlTimeZone",
-          "timeout")
+          "timeout",
+          // result-level cache flags are HONORED on the sync SQL
+          // endpoint (off by default, like Druid's broker config)
+          "useResultLevelCache", "populateResultLevelCache")
         val ignoredOperational = Set(
-          "useCache", "populateCache", "useResultLevelCache",
-          "populateResultLevelCache", "priority", "lane",
+          "useCache", "populateCache", "priority", "lane",
           "brokerService", "finalize", "debug",
           "setProcessingThreadNames", "enableParallelMerge",
           "parallelMergeParallelism", "parallelMergeInitialYieldRows",
@@ -1150,25 +1152,80 @@ object DruidServe {
         val (session, fmt) =
           sessionFor(Option(ctx.path("sqlTimeZone").asText(null)))
         val timeoutMs = ctx.path("timeout").asLong(0)
+        // Druid's RESULT-LEVEL cache for SQL: off by default (matching
+        // druid.broker.cache.useResultLevelCache=false), honored when
+        // the client opts in. Same epoch discipline as the native
+        // cache — a hit never crosses a table generation or a lookup
+        // edit. Callers opting in own the determinism of their SQL
+        // (now()/rand() queries should not set the flag), exactly the
+        // Druid contract.
+        val useRlc = ctx.path("useResultLevelCache").asBoolean(false)
+        val popRlc = ctx.path("populateResultLevelCache").asBoolean(useRlc)
+        val rlcKey =
+          if (useRlc || popRlc)
+            try Some((Seq("sql", sql0,
+                args.map(String.valueOf(_: Any)).mkString("[", "|", "]"),
+                node.path("resultFormat").asText("object"),
+                node.path("header").asBoolean(false).toString,
+                node.path("typesHeader").asBoolean(false).toString,
+                node.path("sqlTypesHeader").asBoolean(false).toString,
+                Option(ctx.path("sqlTimeZone").asText(null)).getOrElse("UTC"))
+                // length-prefixed join: distinct field vectors can never
+                // collide on the same key string
+                .map(x => x.length.toString + ":" + x).mkString(";"),
+              cacheEpoch()))
+            catch { case scala.util.control.NonFatal(_) => None }
+          else None
         val t0 = System.nanoTime()
         val rowsOut = new java.util.concurrent.atomic.AtomicLong()
-        try {
-          val out = withQueryControl(session, qid, timeoutMs) {
-            val df = buildSqlDf(session, sql0, args)
-            sqlResponse(df,
-              node.path("resultFormat").asText("object"),
-              node.path("header").asBoolean(false),
-              node.path("typesHeader").asBoolean(false),
-              node.path("sqlTypesHeader").asBoolean(false), maxResultRows,
-              fmt, rowsOut)
+        val rlcHit: Option[(CachedResult, String)] =
+          rlcKey.filter(_ => useRlc).flatMap { case (k, epoch) =>
+            resultCache.synchronized {
+              Option(resultCache.get(k)) match {
+                case Some(c) if c.epoch == epoch =>
+                  // content type was stored alongside via a marker line
+                  val i = c.body.indexOf('\n')
+                  Some((c.copy(body = c.body.substring(i + 1)),
+                    c.body.substring(0, i)))
+                case Some(_) => resultCache.remove(k); None
+                case None => None
+              }
+            }
           }
-          logQuery(qid, "sql", sql0.linesIterator.mkString(" ").take(120), t0,
-            rowsOut.get(), "ok")
-          out
-        } catch { case e: Throwable =>
-          logQuery(qid, "sql", sql0.linesIterator.mkString(" ").take(120), t0,
-            rowsOut.get(), s"error:${e.getClass.getSimpleName}")
-          throw e
+        rlcHit match {
+          case Some((c, contentType)) =>
+            logQuery(qid, "sql",
+              sql0.linesIterator.mkString(" ").take(120), t0,
+              c.rows, "cache-hit")
+            ex.getResponseHeaders.set("X-Graft-Cache", "HIT")
+            (c.body, contentType)
+          case None => try {
+            val out = withQueryControl(session, qid, timeoutMs) {
+              val df = buildSqlDf(session, sql0, args)
+              sqlResponse(df,
+                node.path("resultFormat").asText("object"),
+                node.path("header").asBoolean(false),
+                node.path("typesHeader").asBoolean(false),
+                node.path("sqlTypesHeader").asBoolean(false), maxResultRows,
+                fmt, rowsOut)
+            }
+            logQuery(qid, "sql", sql0.linesIterator.mkString(" ").take(120), t0,
+              rowsOut.get(), "ok")
+            rlcKey.foreach { case (k, epoch) =>
+              if (popRlc && out._1.length <= resultCacheMaxEntryBytes)
+                resultCache.synchronized {
+                  resultCache.put(k, CachedResult(epoch,
+                    out._2 + "\n" + out._1, rowsOut.get()))
+                }
+            }
+            if (useRlc || popRlc)
+              ex.getResponseHeaders.set("X-Graft-Cache", "MISS")
+            out
+          } catch { case e: Throwable =>
+            logQuery(qid, "sql", sql0.linesIterator.mkString(" ").take(120), t0,
+              rowsOut.get(), s"error:${e.getClass.getSimpleName}")
+            throw e
+          }
         }
       }
     })

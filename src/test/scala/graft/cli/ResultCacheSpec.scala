@@ -108,6 +108,46 @@ class ResultCacheSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  private def postSql(port: Int, json: String)
+      : (Int, String, Option[String]) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/v2/sql"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(json)).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    val v = r.headers().firstValue("X-Graft-Cache")
+    (r.statusCode(), r.body(), if (v.isPresent) Some(v.get) else None)
+  }
+
+  test("SQL result-level cache: opt-in only, epoch-guarded") {
+    import spark.implicits._
+    val dir = segTable()
+    val ev = spark.read.format("druid").load(dir)
+    val server = DruidServe.start(spark, _ => ev, port = 0,
+      sqlTables = Map("ev" -> ev))
+    try {
+      val port = server.getAddress.getPort
+      val plain = """{"query": "SELECT count(*) AS n FROM ev"}"""
+      val optIn = """{"query": "SELECT count(*) AS n FROM ev",
+        "context": {"useResultLevelCache": true}}"""
+      // default off, like Druid's broker config: no cache header at all
+      val (_, _, h0) = postSql(port, plain)
+      assert(h0.isEmpty, s"uninvolved request must not carry the header: $h0")
+      val (_, b1, h1) = postSql(port, optIn)
+      val (_, b2, h2) = postSql(port, optIn)
+      assert(h1.contains("MISS") && h2.contains("HIT"), s"$h1 $h2")
+      assert(b1 == b2)
+      // a commit crosses the generation: recompute with the new count
+      (0 until 10).map(i => (1700020000000L + i * 1000L, "e9", i.toLong))
+        .toDF("__time", "event_type", "n")
+        .write.format("druid").mode("append").save(dir)
+      val (_, b3, h3) = postSql(port, optIn)
+      assert(h3.contains("MISS"), s"stale SQL hit: $h3")
+      assert(b1.contains("100") && b3.contains("110"), s"$b1 -> $b3")
+    } finally server.stop(0)
+  }
+
   test("a lookup edit changes the epoch") {
     val dir = segTable()
     val ev = spark.read.format("druid").load(dir)
