@@ -2339,6 +2339,36 @@ object DruidQueries extends QuerySet {
               round(sum(value), 2) AS total_value
               FROM events WHERE event_type = 'purchase'
               GROUP BY 1 ORDER BY 1""")),
+
+    // -- Bound filter on a multi-value dim: Druid matches the row if
+    //    ANY array value satisfies the bound; served from the MV
+    //    column's per-value bitmaps (qualifying dictionary ids union
+    //    their bitmaps — a contiguous O(log dict) range for
+    //    lexicographic bounds) with the compiled exists(...) predicate
+    //    as the residual final word. MvBitmapSpec pins exact row
+    //    selection for lexicographic + strlen orderings; this gate
+    //    pins end-to-end values. The reference drops hasMultipleValues
+    //    on the floor (src/segment/column_descriptor.rs:20-21).
+    Q("dr71_native_mv_bound",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "docs",
+          "granularity": "all",
+          "dimensions": ["source"],
+          "filter": {"type": "bound", "dimension": "words",
+                     "lower": "t", "upper": "traditional",
+                     "ordering": "lexicographic"},
+          "aggregations": [{"type": "count", "name": "n_docs"}]
+        }""", _ => docsMvSeg(s, dir))
+          .select(col("source"), col("n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, count(*) AS n_docs
+              FROM (SELECT source, string_split(text, ' ') AS words
+                    FROM documents)
+              WHERE len(list_filter(words,
+                        x -> x >= 't' AND x <= 'traditional')) > 0
+              GROUP BY source ORDER BY source""")),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

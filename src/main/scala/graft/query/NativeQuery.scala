@@ -366,7 +366,14 @@ object NativeQuery {
       case _ => return df
     }
     val stringCols = rel.schema.fields
-      .filter(f => f.dataType == StringType &&
+      .filter(f => (f.dataType == StringType ||
+          // MV dims qualify too: the reader unions the per-value
+          // bitmaps of every dictionary value satisfying the bound
+          // (a value's bitmap marks rows CONTAINING it), which is
+          // exactly "rows where ANY value is in range" — the compiled
+          // exists(...) predicate stays the residual final word
+          f.dataType == org.apache.spark.sql.types.ArrayType(StringType, true) ||
+          f.dataType == org.apache.spark.sql.types.ArrayType(StringType, false)) &&
         !f.metadata.contains("druid.complexType"))
       .map(_.name).toSet
     val supported = Set("lexicographic", "strlen", "alphanumeric", "version")
@@ -528,7 +535,6 @@ object NativeQuery {
     case "in" =>
       dim(f).isin(textSeq(f.path("values")): _*)
     case "bound" =>
-      val c = dim(f)
       // Druid's StringComparators: lexicographic (default), numeric,
       // alphanumeric (digit runs compare as numbers), strlen (length
       // first, then lexicographic), version (Maven version ordering).
@@ -541,41 +547,46 @@ object NativeQuery {
         if (!f.hasNonNull("ordering") && f.path("alphaNumeric").asBoolean(false))
           "alphanumeric"
         else comparatorOf(f.path("ordering"))
-      def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
-        val v = f.path(key)
-        if (v.isMissingNode || v.isNull) None
-        else {
-          val strict = f.path(strictKey).asBoolean(false)
-          // version/alphanumeric: one codegen'd static call per row
-          // against a driver-side pre-computed bound — the interpreted
-          // HOF key towers stay sort-path-only (see StringComparators).
-          // Other orderings: the literal side is the same key
-          // expression over a literal — Catalyst constant-folds it, so
-          // both sides share one encoding.
-          val (lhs, rhs) = ordering match {
-            case "version" =>
-              graft.sql.StringComparatorFns.register(SparkSession.active)
-              (call_function("version_cmp", c.cast("string"),
-                 lit(v.asText())), lit(0))
-            case "alphanumeric" =>
-              graft.sql.StringComparatorFns.register(SparkSession.active)
-              (call_function("alphanum_key", c.cast("string")),
-               lit(graft.sql.Alphanum.keyOf(v.asText())))
-            case _ =>
-              (orderingKey(c, ordering), orderingKey(lit(v.asText()), ordering))
+      def boundPred(c: Column): Column = {
+        def side(key: String, strictKey: String, lower: Boolean): Option[Column] = {
+          val v = f.path(key)
+          if (v.isMissingNode || v.isNull) None
+          else {
+            val strict = f.path(strictKey).asBoolean(false)
+            // version/alphanumeric: one codegen'd static call per row
+            // against a driver-side pre-computed bound — the interpreted
+            // HOF key towers stay sort-path-only (see StringComparators).
+            // Other orderings: the literal side is the same key
+            // expression over a literal — Catalyst constant-folds it, so
+            // both sides share one encoding.
+            val (lhs, rhs) = ordering match {
+              case "version" =>
+                graft.sql.StringComparatorFns.register(SparkSession.active)
+                (call_function("version_cmp", c.cast("string"),
+                   lit(v.asText())), lit(0))
+              case "alphanumeric" =>
+                graft.sql.StringComparatorFns.register(SparkSession.active)
+                (call_function("alphanum_key", c.cast("string")),
+                 lit(graft.sql.Alphanum.keyOf(v.asText())))
+              case _ =>
+                (orderingKey(c, ordering), orderingKey(lit(v.asText()), ordering))
+            }
+            Some((lower, strict) match {
+              case (true, true)   => lhs > rhs
+              case (true, false)  => lhs >= rhs
+              case (false, true)  => lhs < rhs
+              case (false, false) => lhs <= rhs
+            })
           }
-          Some((lower, strict) match {
-            case (true, true)   => lhs > rhs
-            case (true, false)  => lhs >= rhs
-            case (false, true)  => lhs < rhs
-            case (false, false) => lhs <= rhs
-          })
         }
+        val sides = side("lower", "lowerStrict", lower = true).toSeq ++
+          side("upper", "upperStrict", lower = false).toSeq
+        if (sides.isEmpty) fail("bound filter with neither lower nor upper")
+        sides.reduce(_ && _)
       }
-      val sides = side("lower", "lowerStrict", lower = true).toSeq ++
-        side("upper", "upperStrict", lower = false).toSeq
-      if (sides.isEmpty) fail("bound filter with neither lower nor upper")
-      sides.reduce(_ && _)
+      // bound on a plain MV dim: Druid matches the row if ANY array
+      // value satisfies the bound
+      if (isPlainMv(f)) exists(dim(f), boundPred) else boundPred(dim(f))
     case "range" =>
       val c = ref(f.path("column").asText())
       val numeric = f.path("matchValueType").asText("STRING") match {
@@ -604,18 +615,24 @@ object NativeQuery {
       sides.reduce(_ && _)
     case "like" =>
       // Druid's like filter carries an optional escape character; a
-      // client matching literal %/_ relies on it
+      // client matching literal %/_ relies on it. On a plain MV dim
+      // the row matches if ANY array value matches (MV semantics,
+      // same as selector/in/bound).
       val pat = f.path("pattern").asText()
-      if (!f.hasNonNull("escape")) dim(f).like(pat)
-      else {
-        val esc = f.path("escape").asText()
-        if (esc.length != 1) fail("like escape (must be one character)")
-        call_function("like", dim(f), lit(pat), lit(esc))
-      }
+      def likePred(c: Column): Column =
+        if (!f.hasNonNull("escape")) c.like(pat)
+        else {
+          val esc = f.path("escape").asText()
+          if (esc.length != 1) fail("like escape (must be one character)")
+          call_function("like", c, lit(pat), lit(esc))
+        }
+      if (isPlainMv(f)) exists(dim(f), likePred) else likePred(dim(f))
     case "regex" =>
-      dim(f).rlike(f.path("pattern").asText())
+      val pat = f.path("pattern").asText()
+      if (isPlainMv(f)) exists(dim(f), _.rlike(pat)) else dim(f).rlike(pat)
     case "search" =>
-      searchPredicate(dim(f), f.path("query"))
+      if (isPlainMv(f)) exists(dim(f), searchPredicate(_, f.path("query")))
+      else searchPredicate(dim(f), f.path("query"))
     case "null" =>
       ref(f.path("column").asText()).isNull
     case "interval" =>

@@ -291,6 +291,32 @@ private[druid] object RowSelection {
             }
             acc
           }
+        // multi-value dimension: a value's bitmap marks rows whose
+        // ARRAY contains it, so the same per-dictionary-value
+        // qualification unions to "rows where ANY value satisfies the
+        // bound" — Druid's bound semantics on MV dims. The caller's
+        // exists(...) predicate stays the residual final word.
+        case MultiStringColumnData(mc) if mc.bitmaps.isDefined =>
+          bs.map { b =>
+            val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+            if (b.ordering == "lexicographic" || b.ordering.isEmpty) {
+              val lo = b.lower
+                .map(s => mc.dictIdBound(s.getBytes("UTF-8"), b.lowerStrict))
+                .getOrElse(mc.dictIdBound(Array.emptyByteArray, strict = false))
+              val hi = b.upper
+                .map(s => mc.dictIdBound(s.getBytes("UTF-8"), !b.upperStrict))
+                .getOrElse(mc.dictionary.numElements)
+              (lo until hi).foreach(id => mc.bitmapFor(id).foreach(acc.or))
+            } else {
+              val pred = DimBound.predicate(b)
+              mc.dictionary.entriesIterator.zipWithIndex.foreach {
+                case (bytes, id) =>
+                  if (bytes != null && pred(bytes))
+                    mc.bitmapFor(id).foreach(acc.or)
+              }
+            }
+            acc
+          }
         case _ => Nil // no dictionary/bitmaps: the residual decides
       }
     }

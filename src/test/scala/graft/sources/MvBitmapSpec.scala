@@ -104,6 +104,55 @@ class MvBitmapSpec extends AnyFunSuite {
       tagsOf(i) != null && tagsOf(i).contains("b1")))
   }
 
+  test("bound on an MV dim selects rows where ANY value is in range") {
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(dir).head
+    val seg = graft.format.DruidSegment.open(segDir)
+    // lexicographic ["a1", "a3"]: contiguous dictionary range
+    val part = graft.sources.druid.DruidInputPartition(
+      segDir, 0, N, -1, 4096, Map.empty,
+      boundFilters = Map("tags" -> Seq(graft.sources.druid.DimBound(
+        "lexicographic", Some("a1"), lowerStrict = false,
+        Some("a3"), upperStrict = false))))
+    val got = Option(graft.sources.druid.RowSelectionProbe.build(seg, part))
+    assert(got.isDefined, "no bitmap selection for an MV bound")
+    assert(got.get.toSeq == (0 until N).filter { i =>
+      val t = tagsOf(i)
+      t != null && t.exists(v => v >= "a1" && v <= "a3")
+    })
+    // strlen ordering rides the comparator path on the MV dictionary
+    val part2 = graft.sources.druid.DruidInputPartition(
+      segDir, 0, N, -1, 4096, Map.empty,
+      boundFilters = Map("tags" -> Seq(graft.sources.druid.DimBound(
+        "strlen", Some("b0"), lowerStrict = false, None,
+        upperStrict = false))))
+    val got2 = Option(graft.sources.druid.RowSelectionProbe.build(seg, part2))
+    assert(got2.isDefined)
+    assert(got2.get.toSeq == (0 until N).filter { i =>
+      val t = tagsOf(i)
+      // strlen order: (length, bytes); all tags are length 2
+      t != null && t.exists(v => v >= "b0")
+    })
+  }
+
+  test("native bound on an MV dim: exists semantics, bounds pushed to the scan") {
+    val df = graft.query.NativeQuery.run(
+      s"""{"queryType": "timeseries", "dataSource": "t",
+           "granularity": "all",
+           "filter": {"type": "bound", "dimension": "tags",
+                      "lower": "b1", "upper": "b2",
+                      "ordering": "lexicographic"},
+           "aggregations": [{"type": "count", "name": "rows"}]
+         }""", _ => spark.read.format("druid").load(dir))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("boundFilters=Map(tags"),
+      s"MV bound missing from the scan description:\n$p")
+    val expected = (0 until N).count { i =>
+      val t = tagsOf(i)
+      t != null && t.exists(v => v >= "b1" && v <= "b2")
+    }
+    assert(df.collect().head.getAs[Long]("rows") == expected)
+  }
+
   test("native selector on an MV dim pushes mvContains and matches per-row truth") {
     val df = graft.query.NativeQuery.run(
       s"""{"queryType": "timeseries", "dataSource": "t",
