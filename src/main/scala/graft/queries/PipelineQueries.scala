@@ -617,6 +617,12 @@ object PipelineQueries extends QuerySet {
           .select(col("doc_id"), col("source"), col("text"),
                   expr(s"CAST($wc AS BIGINT)").as("toks"))
           .cache()
+        // materialize the checkpoint EAGERLY: every consumer reads all
+        // of it anyway, and a partially-built cache feeds AQE
+        // timing-dependent size stats — the downstream join strategy
+        // (and so the plan fingerprint) flipped run to run until the
+        // stats came from the full materialization
+        surv.count()
         // near-dup candidates: signatures are a per-row native
         // projection over the (cached) survivors — cheaper than
         // semi-joining the persisted corpus-wide band index down to
@@ -625,6 +631,7 @@ object PipelineQueries extends QuerySet {
         val cand = TextOps.lshCandidates(
           TextOps.bandSignaturesDirect(surv, 16, 4),
           maxBucket = Some(LshMaxBucket)).cache()
+        cand.count() // eager, same reason as surv above
         // no .distinct() on either id set: the left-semi and left-anti
         // joins below dedup their build side for free
         val candDocs = cand.select(col("d1").as("doc_id"))

@@ -40,10 +40,25 @@ object StreamingQueries extends QuerySet {
     * session), the point being that state partitioning should track
     * key cardinality, not batch-query parallelism.
     */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+  /** Run a stream with `spark.sql.shuffle.partitions = n` and hold the
+    * override until the stream TERMINATES. The stream's first-batch
+    * analysis reads the session conf asynchronously after `start()`
+    * returns, so restoring immediately raced it: whether the state
+    * used n or the session default was a coin flip per run — a real
+    * nondeterminism in task counts and timing (the bench drift on
+    * streaming queries) even though results never depended on it.
+    * Callers' own awaitTermination after this returns is a no-op.
+    */
+  private def withStatePartitions(s: SparkSession, n: Int)(
+      body: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
-    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); body }
-    finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      val q = body
+      q.awaitTermination(300000)
+      q
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
   /** Stage events as a streaming drop directory (once per JVM). */

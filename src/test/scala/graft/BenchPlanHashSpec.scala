@@ -43,4 +43,28 @@ class BenchPlanHashSpec extends AnyFunSuite {
   test("different queries get different hashes") {
     assert(hashOf("q1_agg") !== hashOf("q2_filter_agg"))
   }
+
+  test("pushdown state is part of the fingerprint") {
+    // the optimized logical text prints scans as bare RelationV2[...];
+    // the appended Scan.description is what makes a LOST pushdown move
+    // the hash — assert the dim-filter state is actually in the text
+    val df = SparkEntry.queries("dr12_dim_pruned_scan")(spark, sf)
+    df.count()
+    val canon = Bench.canonicalPlan(df)
+    assert(canon.contains("dimFilters=Map(c_name"),
+      s"scan pushdown state missing from the fingerprint text:\n$canon")
+  }
+
+  test("JVM object identities are stripped (cross-JVM stability)") {
+    // Aggregator/typed-UDAF toString leaks `ClassName@1a2b3c4d` into
+    // plan text, and the identity differs per JVM — 15 sketch/UDAF
+    // queries hashed differently across two bench runs until the
+    // canonicalizer stripped it (found by diffing two PlanDumpMain
+    // runs; dr7's ObjectHashAggregate carried HllMergeAgg@<identity>)
+    val df = SparkEntry.queries("dr7_hll_sketch")(spark, sf)
+    df.count()
+    val canon = Bench.canonicalPlan(df)
+    assert(!canon.matches("(?s).*@[0-9a-f]{4,16}\\b.*"),
+      s"object identity survives canonicalization:\n$canon")
+  }
 }
