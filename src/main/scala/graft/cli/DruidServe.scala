@@ -471,42 +471,45 @@ object DruidServe {
           size() > resultCacheMax
       }
     def tableEpochOf(name: String, df: DataFrame): String = {
-      def segRoot: Option[String] =
-        if (ingestBacked.contains(name)) ingestRoot.map(r => s"$r/$name")
-        else {
-          def unwrap(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-              : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-            p match {
-              case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-                unwrap(s.child)
-              case other => other
-            }
-          unwrap(df.queryExecution.analyzed) match {
-            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-              r.table match {
-                case t: graft.sources.druid.DruidTable => Some(t.rootDir)
-                case _ => None
-              }
-            case _ => None
-          }
-        }
-      segRoot match {
-        case Some(root) =>
-          // a failed fingerprint must fail OPEN (unique value -> miss),
-          // never serve a possibly-stale hit
-          try graft.sources.druid.SegmentCatalog.stateFingerprint(root)
-          catch { case scala.util.control.NonFatal(_) =>
-            s"fp-error-${System.nanoTime()}" }
-        case None => s"id-${System.identityHashCode(df)}"
+      // a failed fingerprint must fail OPEN (unique value -> miss),
+      // never serve a possibly-stale hit
+      def fp(root: String): String =
+        try graft.sources.druid.SegmentCatalog.stateFingerprint(root)
+        catch { case scala.util.control.NonFatal(_) =>
+          s"fp-error-${System.nanoTime()}" }
+      if (ingestBacked.contains(name))
+        ingestRoot.map(r => fp(s"$r/$name"))
+          .getOrElse(s"id-${System.identityHashCode(df)}")
+      else {
+        // collect EVERY segment-backed relation anywhere in the plan —
+        // a served frame that filters/projects/joins over druid tables
+        // must move its epoch when any underlying table commits, not
+        // just when the frame is a bare relation
+        val roots = df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+              if r.table.isInstanceOf[graft.sources.druid.DruidTable] =>
+            r.table.asInstanceOf[graft.sources.druid.DruidTable].rootDir
+        }.distinct.sorted
+        if (roots.isEmpty) s"id-${System.identityHashCode(df)}"
+        else roots.map(fp).mkString(",")
       }
     }
-    def cacheEpoch(): String = {
+    /** Epoch over the datasources a query actually references (empty
+      * set = fold all served tables, the fail-safe). Scoping means a
+      * commit to an UNRELATED table no longer invalidates every cached
+      * entry, and per-request fingerprint cost tracks the query's
+      * tables, not the broker's whole catalog. Over-inclusion is safe
+      * (extra invalidation); under-inclusion is not — callers pass a
+      * conservative superset.
+      */
+    def cacheEpoch(referenced: Set[String] = Set.empty): String = {
       val sb = new StringBuilder
       val names = {
         val it = servedTables.keys()
         val b = Seq.newBuilder[String]
         while (it.hasMoreElements) b += it.nextElement()
-        b.result().sorted
+        val all = b.result().sorted
+        if (referenced.isEmpty) all else all.filter(referenced.contains)
       }
       names.foreach { n =>
         sb.append(n).append('=')
@@ -514,6 +517,50 @@ object DruidServe {
       }
       sb.append("lookups=").append(graft.sql.DruidLookups.version)
       sb.toString
+    }
+    /** Served-table names appearing as word tokens in a SQL text — a
+      * conservative superset of the tables the query touches (a name in
+      * a comment over-includes, which only over-invalidates). Returns
+      * empty (= scope to all) when nothing matches, so a reference this
+      * heuristic cannot see still gets the full-catalog epoch.
+      */
+    def referencedInSql(sql: String): Set[String] = {
+      val lower = sql.toLowerCase(java.util.Locale.ROOT)
+      val names = scala.jdk.CollectionConverters
+        .SetHasAsScala(servedTables.keySet()).asScala
+      names.filter { n =>
+        val t = n.toLowerCase(java.util.Locale.ROOT)
+        var i = lower.indexOf(t)
+        var hit = false
+        while (i >= 0 && !hit) {
+          def word(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+          val pre = i == 0 || !word(lower.charAt(i - 1))
+          val post = i + t.length >= lower.length ||
+            !word(lower.charAt(i + t.length))
+          hit = pre && post
+          i = lower.indexOf(t, i + 1)
+        }
+        hit
+      }.toSet
+    }
+    /** Datasource names referenced by a native query: every textual
+      * node under any `dataSource` field, recursively (covers string
+      * datasources, {type:table,name}, nested query and join
+      * datasources). Superset-safe like referencedInSql.
+      */
+    def referencedInNative(q: com.fasterxml.jackson.databind.JsonNode)
+        : Set[String] = {
+      val out = scala.collection.mutable.Set[String]()
+      def texts(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+        if (n.isTextual) out += n.asText()
+        else if (n.isContainerNode) n.elements().asScala.foreach(texts)
+      def walk(n: com.fasterxml.jackson.databind.JsonNode): Unit =
+        if (n.isObject) {
+          Option(n.get("dataSource")).foreach(texts)
+          n.elements().asScala.foreach(walk)
+        } else if (n.isArray) n.elements().asScala.foreach(walk)
+      walk(q)
+      out.filter(servedTables.containsKey).toSet
     }
     /** Cache key: the query JSON with field order canonicalized and
       * the identity/operational context keys dropped (two requests
@@ -580,7 +627,7 @@ object DruidServe {
         }
         val cacheKey =
           if (useCache || populateCache)
-            try Some((cacheKeyOf(q), cacheEpoch()))
+            try Some((cacheKeyOf(q), cacheEpoch(referencedInNative(q))))
             catch { case scala.util.control.NonFatal(_) => None }
           else None
         val hit: Option[CachedResult] = cacheKey.filter(_ => useCache)
@@ -613,7 +660,11 @@ object DruidServe {
                   resultCache.put(k, CachedResult(epoch, out, rowsOut.get()))
                 }
             }
-            ex.getResponseHeaders.set("X-Graft-Cache", "MISS")
+            // header only when the cache was actually consulted —
+            // useCache:false + populateCache:false means the cache was
+            // uninvolved, matching the SQL endpoint's opt-in behavior
+            if (cacheKey.isDefined)
+              ex.getResponseHeaders.set("X-Graft-Cache", "MISS")
             responseContext(rowsOut.get(), cached = false)
             (out, "application/json")
           } catch { case e: Throwable =>
@@ -1163,8 +1214,16 @@ object DruidServe {
         val popRlc = ctx.path("populateResultLevelCache").asBoolean(useRlc)
         val rlcKey =
           if (useRlc || popRlc)
+            // each parameter is length-prefixed and null-tagged
+            // individually: args ["a|b"] vs ["a","b"] and null vs the
+            // string "null" must key differently
             try Some((Seq("sql", sql0,
-                args.map(String.valueOf(_: Any)).mkString("[", "|", "]"),
+                args.map { a =>
+                  if (a == null) "N" else {
+                    val s = String.valueOf(a: Any)
+                    s"S${s.length}:$s"
+                  }
+                }.mkString("[", "", "]"),
                 node.path("resultFormat").asText("object"),
                 node.path("header").asBoolean(false).toString,
                 node.path("typesHeader").asBoolean(false).toString,
@@ -1173,7 +1232,7 @@ object DruidServe {
                 // length-prefixed join: distinct field vectors can never
                 // collide on the same key string
                 .map(x => x.length.toString + ":" + x).mkString(";"),
-              cacheEpoch()))
+              cacheEpoch(referencedInSql(sql0))))
             catch { case scala.util.control.NonFatal(_) => None }
           else None
         val t0 = System.nanoTime()

@@ -105,9 +105,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       if (ident.namespace().sameElements(Array("system")))
         GraftProcedures.load(root, ident.name())
       else None
-    found.getOrElse(throw new RuntimeException(
-      s"procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
-        s"not found (have: system.{${GraftProcedures.names.mkString(", ")}})"))
+    // ROUTINE_NOT_FOUND (sqlState 42883) is the analyzer's standard
+    // "no such routine" surface — Spark 4.1 has no dedicated
+    // NoSuchProcedureException class, so a bare RuntimeException here
+    // would render CALL typos as internal errors instead
+    found.getOrElse(throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "ROUTINE_NOT_FOUND",
+      messageParameters = Map("routineName" ->
+        s"`${ident.namespace().mkString(".")}`.`${ident.name()}`")))
   }
 }
 

@@ -148,6 +148,110 @@ class ResultCacheSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("a commit to an UNRELATED table does not invalidate (scoped epoch)") {
+    import spark.implicits._
+    val dir = segTable()
+    val dir2 = segTable()
+    val ev = spark.read.format("druid").load(dir)
+    val other = spark.read.format("druid").load(dir2)
+    val server = DruidServe.start(spark, _ => ev, port = 0,
+      sqlTables = Map("ev" -> ev, "other_tbl" -> other))
+    try {
+      val port = server.getAddress.getPort
+      post(port, query())
+      val (_, _, h2, _) = post(port, query())
+      assert(h2.contains("HIT"))
+      // commit to other_tbl: ev's cached answer is still valid
+      (0 until 5).map(i => (1700030000000L + i, "x", i.toLong))
+        .toDF("__time", "event_type", "n")
+        .write.format("druid").mode("append").save(dir2)
+      val (_, _, h3, _) = post(port, query())
+      assert(h3.contains("HIT"),
+        s"unrelated commit invalidated a scoped entry: $h3")
+      // ...while a query OVER other_tbl sees the new generation
+      val qOther = q.format("").replace("\"ev\"", "\"other_tbl\"")
+      val (_, bo, _, _) = post(port, qOther)
+      assert(mapper.readTree(bo).get(0).path("result").path("n")
+        .asLong() == 105L)
+    } finally server.stop(0)
+  }
+
+  test("derived served frame (filter over a druid table) still tracks commits") {
+    import spark.implicits._
+    val dir = segTable()
+    // NOT a bare relation: the served frame projects+filters the table.
+    // The epoch must come from the underlying segment catalog anyway.
+    val ev = spark.read.format("druid").load(dir)
+      .filter(col("n") >= 0L).select("__time", "event_type", "n")
+    val server = DruidServe.start(spark, _ => ev, port = 0,
+      sqlTables = Map("ev" -> ev))
+    try {
+      val port = server.getAddress.getPort
+      val (_, b1, h1, _) = post(port, query())
+      val (_, _, h2, _) = post(port, query())
+      assert(h1.contains("MISS") && h2.contains("HIT"))
+      (0 until 25).map(i => (1700040000000L + i * 1000L, "e9", i.toLong))
+        .toDF("__time", "event_type", "n")
+        .write.format("druid").mode("append").save(dir)
+      val (_, b3, h3, _) = post(port, query())
+      assert(h3.contains("MISS"),
+        s"derived frame served a stale generation: $h3")
+      val n1 = mapper.readTree(b1).get(0).path("result").path("n").asLong()
+      val n3 = mapper.readTree(b3).get(0).path("result").path("n").asLong()
+      assert(n1 == 100L && n3 == 125L, s"counts: $n1 -> $n3")
+    } finally server.stop(0)
+  }
+
+  test("scan resultFormat is part of the key: no cross-envelope hits") {
+    val dir = segTable()
+    val ev = spark.read.format("druid").load(dir)
+    val server = DruidServe.start(spark, _ => ev, port = 0,
+      sqlTables = Map("ev" -> ev))
+    try {
+      val port = server.getAddress.getPort
+      def scan(fmt: String) =
+        s"""{"queryType": "scan", "dataSource": "ev", "columns": ["n"],
+             "limit": 3, "resultFormat": "$fmt"}"""
+      val (_, b1, h1, _) = post(port, scan("compactedList"))
+      val (_, b2, h2, _) = post(port, scan("list"))
+      assert(h1.contains("MISS") && h2.contains("MISS"),
+        s"different resultFormat served from one entry: $h1 $h2")
+      assert(b1 != b2, "envelopes must differ between formats")
+      // and each format hits its own entry
+      val (_, b3, h3, _) = post(port, scan("compactedList"))
+      assert(h3.contains("HIT") && b3 == b1)
+    } finally server.stop(0)
+  }
+
+  test("SQL parameter vectors cannot collide on the cache key") {
+    val dir = segTable()
+    val ev = spark.read.format("druid").load(dir)
+    val server = DruidServe.start(spark, _ => ev, port = 0,
+      sqlTables = Map("ev" -> ev))
+    try {
+      val port = server.getAddress.getPort
+      // same SQL text, two parameter vectors whose naive "|"-join is
+      // identical ("e0|x" + "e1"  vs  "e0" + "x|e1"): distinct answers,
+      // so a key collision would serve the wrong result
+      val sql = "SELECT count(*) AS n FROM ev WHERE event_type = ? OR event_type = ?"
+      def body(a: String, b: String) =
+        s"""{"query": ${mapper.writeValueAsString(sql)},
+             "parameters": [
+               {"type": "VARCHAR", "value": ${mapper.writeValueAsString(a)}},
+               {"type": "VARCHAR", "value": ${mapper.writeValueAsString(b)}}],
+             "context": {"useResultLevelCache": true}}"""
+      val (_, b1, h1) = postSql(port, body("e0|x", "e1"))
+      val (_, b2, h2) = postSql(port, body("e0", "x|e1"))
+      assert(h1.contains("MISS") && h2.contains("MISS"),
+        s"parameter vectors collided on the cache key: $h1 $h2")
+      // e0 matches 34 rows, e1 matches 33 (i%3 over 100); e0|x none
+      assert(b1.contains("33") && b2.contains("34"), s"$b1 $b2")
+      // identical re-issue hits its own entry with the right value
+      val (_, b3, h3) = postSql(port, body("e0|x", "e1"))
+      assert(h3.contains("HIT") && b3 == b1)
+    } finally server.stop(0)
+  }
+
   test("a lookup edit changes the epoch") {
     val dir = segTable()
     val ev = spark.read.format("druid").load(dir)

@@ -108,6 +108,12 @@ class SqlCallSpec extends AnyFunSuite {
       }
       assert(e2.getMessage.toLowerCase.contains("not found") ||
         e2.getMessage.toLowerCase.contains("vacuum"))
+      // unknown procedures surface as the analyzer's standard
+      // ROUTINE_NOT_FOUND (sqlState 42883), not an internal error
+      assert(e2.isInstanceOf[org.apache.spark.sql.AnalysisException],
+        s"expected AnalysisException, got ${e2.getClass}")
+      assert(e2.asInstanceOf[org.apache.spark.sql.AnalysisException]
+        .getCondition == "ROUTINE_NOT_FOUND")
     }
   }
 }
