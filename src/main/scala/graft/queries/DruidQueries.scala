@@ -2369,6 +2369,33 @@ object DruidQueries extends QuerySet {
               WHERE len(list_filter(words,
                         x -> x >= 't' AND x <= 'traditional')) > 0
               GROUP BY source ORDER BY source""")),
+
+    // -- PLAIN Spark SQL over an MV dim (no native query): the
+    //    MvBitmapRewrite optimizer rule detects AND-reachable
+    //    array_contains / arrays_overlap on a druid MV dimension and
+    //    re-plans the scan with the per-value bitmap row selection,
+    //    keeping the predicate as the residual — ordinary SQL now gets
+    //    the same |matching-bitmap| row decode the native path had
+    //    (dr69). MvBitmapSpec pins the plan shape, the zero-rows
+    //    case, and the OR/NOT no-rewrite guards.
+    Q("dr72_mv_sql_bitmap",
+      (s, dir) => {
+        docsMvSeg(s, dir).createOrReplaceTempView("docs_mv_sql")
+        s.sql("""SELECT source, count(*) AS n_docs,
+                        sum(doc_id) AS sum_ids
+                 FROM docs_mv_sql
+                 WHERE array_contains(words, 'the')
+                   AND arrays_overlap(words, array('data', 'model'))
+                 GROUP BY source ORDER BY source""")
+      },
+      Some("""SELECT source, count(*) AS n_docs, sum(doc_id) AS sum_ids
+              FROM (SELECT source, doc_id,
+                           string_split(text, ' ') AS words
+                    FROM documents)
+              WHERE list_contains(words, 'the')
+                AND (list_contains(words, 'data')
+                     OR list_contains(words, 'model'))
+              GROUP BY source ORDER BY source""")),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

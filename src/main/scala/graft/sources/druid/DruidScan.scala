@@ -810,6 +810,34 @@ class DruidScan(root: String, required: StructType,
       })
     else required
   override def toBatch: Batch = this
+
+  /** Current MV-contains clauses (idempotency check for the plain-SQL
+    * bitmap rewrite rule and its specs). */
+  def mvClauses: Seq[(String, Seq[String])] = mvContains
+
+  /** Copy of this scan with additional MV-contains row-selection
+    * clauses (graft.plans.MvBitmapRewrite's hook for plain Spark SQL —
+    * the native path ships the same hint via the `graft.mvContains`
+    * read option instead). The hint is a superset row selection; the
+    * caller's predicate must stay on the plan as the residual final
+    * word. Aggregate-pushdown refusal parity with the option path: the
+    * rewrite rule only fires on Filter-over-scan shapes, which never
+    * carry pushed aggregates.
+    */
+  def withMvContains(extra: Seq[(String, Seq[String])]): DruidScan = {
+    // clauses AND together — two clauses on one column stay SEPARATE
+    // (contains a2 AND contains-any-of b0/b2), never flattened into one
+    // weaker any-of clause; dedup is by exact canonical clause
+    def canon(c: (String, Seq[String])) = (c._1, c._2.distinct.sorted)
+    val have = mvContains.map(canon).toSet
+    val fresh = extra.map(canon).distinct.filterNot(have)
+    if (fresh.isEmpty) this
+    else new DruidScan(root, required, timeMinMs0, timeMaxMs0, limit,
+      rowsPerSplit, batchSize, dimFilters0, pushedAggs, zoneFilters,
+      notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
+      patternFilters, orFilters, boundFilters, mvContains ++ fresh)
+  }
+
   override def description(): String =
     s"DruidScan(root=$root, columns=${required.fieldNames.mkString(",")}, " +
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +

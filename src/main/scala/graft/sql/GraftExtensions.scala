@@ -17,13 +17,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * alternative for sessions built without the extension.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, build) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, null, name,
           usage, ""),
         build))
     }
+    // plain-SQL MV bitmap pushdown for every extension-built session;
+    // programmatic sessions are armed on first druid-table resolution
+    // (DruidDataSource.getTable) instead
+    ext.injectOptimizerRule(_ => graft.plans.MvBitmapRewrite)
+  }
 }
 
 object GraftExtensions {

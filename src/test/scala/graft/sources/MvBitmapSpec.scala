@@ -176,6 +176,66 @@ class MvBitmapSpec extends AnyFunSuite {
     assert(row.getLong(row.fieldIndex("total_n")) == matching.map(_.toLong).sum)
   }
 
+  test("plain DataFrame array_contains gets bitmap row selection (MvBitmapRewrite)") {
+    val df = spark.read.format("druid").load(dir)
+      .filter(array_contains(col("tags"), "a2"))
+      .agg(count(lit(1)).as("rows"), sum(col("n")).as("total_n"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("mvContains=List((tags,List(a2)))"),
+      s"plain-SQL MV filter missing bitmap selection:\n$p")
+    // the predicate must STAY as the residual final word
+    assert(p.contains("array_contains"),
+      s"residual array_contains dropped from the plan:\n$p")
+    val matching = (0 until N).filter(i =>
+      tagsOf(i) != null && tagsOf(i).contains("a2"))
+    val row = df.collect().head
+    assert(row.getLong(0) == matching.size)
+    assert(row.getLong(1) == matching.map(_.toLong).sum)
+  }
+
+  test("plain SQL arrays_overlap + array_contains AND-merge into one clause set") {
+    spark.read.format("druid").load(dir).createOrReplaceTempView("mv_sql_t")
+    val df = spark.sql(
+      """SELECT count(*) AS rows FROM mv_sql_t
+         WHERE array_contains(tags, 'a2')
+           AND arrays_overlap(tags, array('b0', 'b2'))""")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("(tags,List(a2))") && p.contains("(tags,List(b0, b2))"),
+      s"merged clause set missing from the scan:\n$p")
+    val expected = (0 until N).count { i =>
+      val t = tagsOf(i)
+      t != null && t.contains("a2") && (t.contains("b0") || t.contains("b2"))
+    }
+    assert(df.collect().head.getLong(0) == expected)
+  }
+
+  test("plain SQL with a value no row contains decodes zero rows") {
+    spark.read.format("druid").load(dir).createOrReplaceTempView("mv_sql_z")
+    val df = spark.sql(
+      "SELECT count(*) AS rows FROM mv_sql_z WHERE array_contains(tags, 'zz')")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("mvContains=List((tags,List(zz)))"), p)
+    assert(df.collect().head.getLong(0) == 0L)
+  }
+
+  test("OR-reachable and negated contains do NOT rewrite (correctness guard)") {
+    val base = spark.read.format("druid").load(dir)
+    // OR: selecting only a2's bitmap would DROP b1-only rows
+    val dfOr = base.filter(array_contains(col("tags"), "a2") ||
+      array_contains(col("tags"), "b1")).agg(count(lit(1)))
+    assert(!dfOr.queryExecution.executedPlan.toString.contains("mvContains=List((tags"),
+      "OR-reachable contains must not become an AND row selection")
+    // NOT: the bitmap marks rows TO KEEP, negation inverts it
+    val dfNot = base.filter(!array_contains(col("tags"), "a2"))
+      .agg(count(lit(1)).as("rows"))
+    assert(!dfNot.queryExecution.executedPlan.toString.contains("mvContains=List((tags"),
+      "negated contains must not become a positive row selection")
+    val expected = (0 until N).count { i =>
+      val t = tagsOf(i); t != null && !t.contains("a2")
+    }
+    assert(dfNot.collect().head.getLong(0) == expected)
+  }
+
   test("native selector with a value NO row contains returns zero over the bitmaps") {
     val df = graft.query.NativeQuery.run(
       """{"queryType": "timeseries", "dataSource": "t",
