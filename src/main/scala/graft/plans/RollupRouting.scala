@@ -94,6 +94,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                               counts: Map[String, String],
                               baseRoots: Seq[(String, String)],
                               hlls: Map[String, (String, Int)] = Map.empty,
+                              freqs: Map[String, (String, Int)] = Map.empty,
                               maintain: Option[MaintainSpec] = None)
 
   /** State of an engine-MAINTAINED rollup (registerMaintained): the
@@ -153,7 +154,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                maxs: Map[String, String] = Map.empty,
                countCol: Option[String] = None,
                counts: Map[String, String] = Map.empty,
-               hlls: Map[String, (String, Int)] = Map.empty): Unit = {
+               hlls: Map[String, (String, Int)] = Map.empty,
+               freqs: Map[String, (String, Int)] = Map.empty): Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -163,7 +165,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     }
     val entry = Registered(analyzedBase,
       rollupDf.queryExecution.analyzed, timeCol, g, dims.toSet,
-      sums, mins, maxs, countCol, counts, roots, hlls)
+      sums, mins, maxs, countCol, counts, roots, hlls, freqs)
     replaceEntry(entry)
     arm(spark)
   }
@@ -236,7 +238,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       maxs: Map[String, String] = Map.empty,
       countCol: Option[String] = None,
       counts: Map[String, String] = Map.empty,
-      hlls: Map[String, (String, Int)] = Map.empty): Unit = {
+      hlls: Map[String, (String, Int)] = Map.empty,
+      freqs: Map[String, (String, Int)] = Map.empty): Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -248,7 +251,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     val baseRoot = roots.head
     val proto = Registered(analyzedBase, analyzedBase /*placeholder*/,
       timeCol, g, dims.toSet, sums, mins, maxs, countCol, counts,
-      Nil, hlls, None)
+      Nil, hlls, freqs, None)
     val entry = refreshLock.synchronized {
       val current = segNamesOf(baseRoot).getOrElse(throw
         new IllegalArgumentException(s"cannot list segments under $baseRoot"))
@@ -347,7 +350,11 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       r.countCol.toSeq.map(c => count(lit(1)).as(c)) ++
       r.counts.toSeq.sortBy(_._1).map { case (m, c) => count(col(m)).as(c) } ++
       r.hlls.toSeq.sortBy(_._1).map { case (m, (c, lgk)) =>
-        expr(s"hll_sketch_agg(`$m`, $lgk)").as(c) }
+        expr(s"hll_sketch_agg(`$m`, $lgk)").as(c) } ++
+      r.freqs.toSeq.sortBy(_._1).map { case (m, (c, mm)) => {
+        graft.sql.DruidSqlCompat.register(src.sparkSession)
+        expr(s"ds_freq(`$m`, $mm)").as(c)
+      } }
     require(aggs.nonEmpty, "maintained rollup needs at least one measure")
     src.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -365,7 +372,13 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       r.countCol.toSeq.map(c => sum(col(c)).as(c)) ++
       r.counts.values.toSeq.sorted.map(c => sum(col(c)).as(c)) ++
       r.hlls.values.toSeq.map(_._1).sorted.map(c =>
-        expr(s"hll_union_agg(`$c`, false)").as(c))
+        expr(s"hll_union_agg(`$c`, false)").as(c)) ++
+      r.freqs.values.toSeq.sortBy(_._1).map { case (c, mm) => {
+        graft.sql.DruidSqlCompat.register(both.sparkSession)
+        // blob-merge at the SAME maxMapSize: a merge into a smaller
+        // map would silently widen error bounds (the lgK-guard class)
+        expr(s"ds_freq(`$c`, $mm)").as(c)
+      } }
     both.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -500,7 +513,19 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       * keyed on).
       */
     private def sameByName(a: Expression, b: Expression): Boolean = {
-      def norm(e: Expression): Expression = e.transformUp {
+      // constant-fold foldable subtrees first: the registered base is
+      // an ANALYZED plan (literal shells like `cast(100 as bigint)`
+      // intact) while the query side arrives OPTIMIZED (folded to
+      // `100L`) — without folding, any definition containing literal
+      // arithmetic can never match its own folded copy
+      def fold(e: Expression): Expression = e.transformUp {
+        case x if x.foldable && !x.isInstanceOf[Literal] =>
+          try Literal.create(
+            x.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+            x.dataType)
+          catch { case scala.util.control.NonFatal(_) => x }
+      }
+      def norm(e: Expression): Expression = fold(e).transformUp {
         case attr: AttributeReference =>
           Literal(org.apache.spark.unsafe.types.UTF8String
             .fromString("attr:" + attr.name),
@@ -700,6 +725,21 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                 .map(ra => HllUnionAgg(ra, Literal(false)))
             case _ => None
           }
+          // ds_freq(m, maxMapSize) → ds_freq(blob_col, maxMapSize):
+          // the same TypedImperativeAggregate blob-merges BinaryType
+          // children, so the routed sketch is the Misra-Gries merge of
+          // the rollup's per-bucket sketches — identical counts in the
+          // exact regime (no purge), the documented merged bound
+          // otherwise, exactly what a distributed raw build answers.
+          // The query's maxMapSize must EQUAL the registered metric's:
+          // a merge into a smaller map would silently widen error
+          // bounds (the lgK-guard class, q38).
+          case fq: graft.sql.FreqItemsSketchAgg =>
+            r.freqs.collectFirst {
+              case (m, (rc, mm))
+                  if mm == fq.maxMapSize && matchesDef(fq.child, m) => rc
+            }.flatMap(rollupAttr.get).map(ra => fq.withNewChildren(
+              Seq(ra)).asInstanceOf[graft.sql.FreqItemsSketchAgg])
           case _ => None
         }
 

@@ -942,6 +942,52 @@ object Relational extends QuerySet {
               |  count(DISTINCT user_id) AS approx_users
               |FROM events WHERE event_type <> 'purchase'
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -- Frequent-Items rollup routing: ds_freq(user_mod, 2048) over
+    //    the base routes onto the rollup's pre-aggregated sketch blob
+    //    column (same TypedImperativeAggregate blob-merges BinaryType
+    //    children) — the Druid heavy-hitters-metric rollup shape. The
+    //    query's maxMapSize must EQUAL the registered metric's (the
+    //    lgK-guard class, q38); RollupRoutingSpec plan-asserts both the
+    //    routed scan and the mismatch negative. user_mod's cardinality
+    //    is bounded (100), so the sketch never purges and every routed
+    //    estimate is an exact count — oracle-deterministic at any SF.
+    Q("q39_rollup_freq_routing",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        val base = Tables.events(s, dir)
+          .withColumn("user_mod", expr("cast(user_id % 100 as string)"))
+        val rollup = s.read.parquet(stageRollup(s, dir))
+        graft.plans.RollupRouting.register(s, base, rollup,
+          timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+          freqs = Map("user_mod" -> (("user_mod_freq", 2048))))
+        base.groupBy(expr("date_trunc('MONTH', ts)")
+              .cast("date").cast("string").as("month"),
+            col("event_type"))
+          .agg(expr("ds_freq(user_mod, 2048)").as("sk"))
+          .select(col("month"), col("event_type"),
+            expr("ds_freq_max_error(sk)").as("max_err"),
+            posexplode(expr("ds_freq_topk(sk, 3)")))
+          .select(col("month"), col("event_type"),
+            (col("pos") + 1).cast("long").as("rank"),
+            col("col.item").as("user_mod"), col("col.est").as("n"),
+            col("max_err"))
+          .orderBy(col("month"), col("event_type"), col("rank"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(CAST(date_trunc('MONTH', ts) AS DATE) AS VARCHAR)
+             |      AS month, event_type,
+             |    CAST(user_id % 100 AS VARCHAR) AS user_mod, count(*) AS n
+             |  FROM events GROUP BY 1, 2, 3),
+             |r AS (
+             |  SELECT month, event_type, user_mod, n, row_number() OVER (
+             |    PARTITION BY month, event_type
+             |    ORDER BY n DESC, user_mod) AS rank
+             |  FROM c)
+             |SELECT month, event_type, CAST(rank AS BIGINT) AS rank,
+             |  user_mod, n, CAST(0 AS BIGINT) AS max_err
+             |FROM r WHERE rank <= 3
+             |ORDER BY month, event_type, rank""".stripMargin)),
   )
 
   private val rollupDone = scala.collection.mutable.Set[String]()
@@ -954,6 +1000,7 @@ object Relational extends QuerySet {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val out = s"/tmp/graft_rollup/$tag/events_daily"
     if (!rollupDone.contains(tag)) {
+      graft.sql.DruidSqlCompat.register(s) // ds_freq for the freq metric
       Tables.events(s, dir)
         .groupBy(expr("date_trunc('DAY', ts)").as("ts"), col("event_type"))
         .agg(sum(col("value")).as("value_sum"),
@@ -966,7 +1013,13 @@ object Relational extends QuerySet {
              // pre-aggregated distinct-user sketch: what
              // hll_sketch_agg(user_id, 12) routes onto (q38) — the
              // Druid-rollup HLL-metric shape
-             expr("hll_sketch_agg(user_id, 12)").as("user_hll"))
+             expr("hll_sketch_agg(user_id, 12)").as("user_hll"),
+             // pre-aggregated Frequent-Items sketch: what
+             // ds_freq(user_mod, 2048) routes onto (q39) — cardinality
+             // bounded at 100 so the sketch never purges and every
+             // routed estimate is an exact count at ANY scale
+             expr("ds_freq(cast(user_id % 100 as string), 2048)")
+               .as("user_mod_freq"))
         .write.mode("overwrite").parquet(out)
       rollupDone += tag
     }

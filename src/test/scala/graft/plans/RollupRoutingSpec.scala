@@ -254,6 +254,46 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally RollupRouting.clear()
   }
 
+  test("ds_freq routes to the rollup blob merge; maxMapSize mismatch never does") {
+    graft.sql.DruidSqlCompat.register(spark)
+    val baseM = base.withColumn("user_mod",
+      expr("cast(user_id % 100 as string)"))
+    def q = baseM.groupBy(col("event_type"))
+      .agg(expr("ds_freq(user_mod, 2048)").as("sk"))
+      .select(col("event_type"),
+        explode(expr("ds_freq_topk(sk, 3)")).as("hit"))
+      .select(col("event_type"), col("hit.item"), col("hit.est"))
+      .orderBy(col("event_type"), col("est").desc, col("item"))
+    RollupRouting.register(spark, baseM, spark.read.parquet(rollupPath),
+      timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+      freqs = Map("user_mod" -> (("user_mod_freq", 2048))))
+    try {
+      val routed = q
+      assert(planOf(routed).contains("events_daily"),
+        s"did not route:\n${planOf(routed)}")
+      val got = routed.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      RollupRouting.clear()
+      val unrouted = q
+      assert(planOf(unrouted).contains("events.parquet"))
+      val want = unrouted.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      // cardinality 100 < purge threshold: both sketches are exact,
+      // so routed == unrouted VALUE-equal, not just approximately
+      assert(got == want, s"routed $got vs raw $want")
+      assert(got.nonEmpty)
+      // maxMapSize mismatch must NOT route: a merge into a smaller
+      // map would silently widen error bounds (the lgK-guard class)
+      RollupRouting.register(spark, baseM, spark.read.parquet(rollupPath),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        freqs = Map("user_mod" -> (("user_mod_freq", 2048))))
+      val mism = baseM.groupBy(col("event_type"))
+        .agg(expr("ds_freq(user_mod, 1024)").as("sk"))
+      assert(!planOf(mism).contains("events_daily"),
+        s"maxMapSize mismatch routed:\n${planOf(mism)}")
+    } finally RollupRouting.clear()
+  }
+
   test("two sessions arm the rule independently (WeakHashMap keying)") {
     val s2 = spark.newSession()
     val base2 = graft.Tables.events(s2, sf)
