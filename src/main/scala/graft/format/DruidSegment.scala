@@ -33,6 +33,14 @@ final case class MultiStringColumnData(strings: StringMultiColumn) extends Colum
 final case class ComplexColumnData(blobs: GenericIndexed) extends ColumnData {
   def length: Int = blobs.numElements
 }
+/** NestedCommonFormat V5 nested columns (modern Druid "auto" /
+  * COMPLEX&lt;json&gt;): field-shredded storage, surfaced as per-row JSON
+  * text rebuilt from the field dictionaries (NestedColumn.scala). The
+  * reference errors on ALL Complex (src/column/mod.rs:59-61).
+  */
+final case class NestedColumnData(nested: NestedColumn) extends ColumnData {
+  def length: Int = nested.length
+}
 
 /** One opened Druid v9 segment directory (reference src/segment/mod.rs:37-109).
   * Open = version check + mmap + index.drd parse + per-column JSON headers.
@@ -92,6 +100,13 @@ final class DruidSegment(val dir: Path) {
       case "DOUBLE" =>
         val c = new CompressedDoubles(buf, dataBase)
         DoubleColumnData(c, NullTrailer.read(buf, dataBase + c.totalByteSize, end))
+      case "COMPLEX" if desc.partTypes.headOption.contains(NestedColumn.PartType) ||
+          // sniff: NestedCommonFormat leads with 0x05; blob columns are
+          // GenericIndexed (version byte 0x01) — a real-Druid nested
+          // column whose descriptor we failed to tag still dispatches
+          // here and fails LOUDLY inside NestedColumn, never misreads
+          (buf.get(dataBase) & 0xff) == NestedColumn.V5 =>
+        NestedColumnData(new NestedColumn(smoosh, name, buf, dataBase, end))
       case "COMPLEX" => ComplexColumnData {
         val gi = new GenericIndexed(buf, dataBase)
         gi

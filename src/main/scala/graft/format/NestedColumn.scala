@@ -1,0 +1,478 @@
+package graft.format
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+/** Druid NestedCommonFormat nested columns (the modern "auto" /
+  * COMPLEX&lt;json&gt; type, format V5) — reader + writer.
+  *
+  * Modern Druid (>= 24) stores nested data NOT as opaque blobs but as
+  * a field-shredded layout: a list of leaf field paths, global value
+  * dictionaries shared across fields, and one dictionary-encoded
+  * sub-column per field, all inside the smoosh under internal logical
+  * files named `<column>.<part>` (Druid's
+  * ColumnSerializerUtils.getInternalFileName convention). The
+  * reference errors on ALL Complex columns (src/column/mod.rs:59-61),
+  * so this is beyond-parity interop — the same class as the CONCISE
+  * bitmap work.
+  *
+  * Layout implemented here (after the ColumnDescriptor JSON header,
+  * part type "nestedCommonFormat"):
+  *
+  * main logical file:
+  *   [version byte 0x05]
+  *   [VByte column-name length][column name UTF-8]   (Druid V5 carries
+  *                                                    its own name)
+  *   [fields: GenericIndexed of jq-ish path strings "$.a.b", sorted]
+  *   [fieldTypes: ONE byte per field — bitmask STRING=1 LONG=2 DOUBLE=4]
+  *
+  * internal logical files (smoosh entries named "<col>.<part>"):
+  *   <col>.__stringDictionary  GenericIndexed object-strings, sorted,
+  *                             element 0 = null (global id 0 = null)
+  *   <col>.__longDictionary    FixedIndexed longs (8B BE), sorted
+  *   <col>.__doubleDictionary  FixedIndexed doubles (8B BE), sorted
+  *   <col>.__nullIndex         roaring bitmap of null ROWS (the same
+  *                             one-element GenericIndexed + 0x01 type
+  *                             byte shape as every other bitmap here)
+  *   <col>.__field_<i>         per-field sub-column, concatenated:
+  *       [localDict: FixedIndexed ints — sorted GLOBAL ids]
+  *       [rows: VSizeInts of per-row LOCAL ids]
+  *       [bitmaps: GenericIndexed, one 0x01-prefixed roaring bitmap
+  *        per local id — rows where the field holds that value]
+  *
+  * Global dictionary id space (Druid's stacked-ranges scheme):
+  * id 0 = null; string ids [0, nStr); long ids [nStr, nStr+nLong);
+  * double ids [nStr+nLong, nStr+nLong+nDouble).
+  *
+  * The decode surface is the same JSON STRING the blob encoding
+  * (`jsonEncoding=blob`, the default) produces: each row's object is
+  * REBUILT from the per-field columns + global dictionaries — no SMILE
+  * codec needed (real Druid's `__raw` blob is SMILE-encoded; this
+  * reader never touches `__raw`, which is also why it stays readable
+  * offline). Missing fields and explicit JSON nulls both land as
+  * global id 0 and reconstruct as an ABSENT key — the distinction
+  * Druid itself does not preserve; `get_json_object` answers null for
+  * both. JSON booleans are stored as LONG 0/1 (Druid's strict-booleans
+  * ingest behavior).
+  *
+  * Fidelity note: structure (version byte, in-file column name, fields
+  * list + type-info bytes, internal-file naming, stacked global id
+  * ranges, FixedIndexed/GenericIndexed building blocks) follows the
+  * documented V5 design; exact byte-level compatibility with a given
+  * Druid release is validated only against THIS writer's output — the
+  * sandbox has no real nested fixture (FIXTURES.md §1). A mismatched
+  * real-world segment fails loudly at a version/size check, never
+  * silently misreads; `druid-tool validate` remains the first-contact
+  * tripwire.
+  */
+object NestedColumn {
+  val V5: Int = 0x05
+  val PartType = "nestedCommonFormat"
+
+  val StringDictFile = "__stringDictionary"
+  val LongDictFile = "__longDictionary"
+  val DoubleDictFile = "__doubleDictionary"
+  val NullIndexFile = "__nullIndex"
+  val FieldFilePrefix = "__field_"
+
+  /** Internal smoosh name for a column part (real Druid:
+    * ColumnSerializerUtils.getInternalFileName).
+    */
+  def internalName(col: String, part: String): String = s"$col.$part"
+
+  // field type-info bits (one byte per field)
+  val TypeString = 0x01
+  val TypeLong = 0x02
+  val TypeDouble = 0x04
+
+  private val mapper = new ObjectMapper()
+
+  // ---- VByte (Druid's io.druid VByte: 7-bit groups, the TERMINATING
+  //      byte carries the 0x80 flag; most-significant group first) ----
+  private[format] def vByte(v: Int): Array[Byte] = {
+    require(v >= 0, s"vByte: negative $v")
+    val groups = scala.collection.mutable.ArrayBuffer[Int]()
+    var x = v
+    do { groups.prepend(x & 0x7f); x >>>= 7 } while (x != 0)
+    groups.indices.map { i =>
+      (if (i == groups.size - 1) groups(i) | 0x80 else groups(i)).toByte
+    }.toArray
+  }
+  private[format] def readVByte(buf: ByteBuffer, pos: Int): (Int, Int) = {
+    var v = 0
+    var p = pos
+    var b = 0
+    do {
+      b = buf.get(p) & 0xff
+      v = (v << 7) | (b & 0x7f)
+      p += 1
+    } while ((b & 0x80) == 0)
+    (v, p)
+  }
+
+  // -------------------------------------------------------- writer
+
+  /** Encode a nested column from per-row JSON texts (null entry = null
+    * row). Returns (main column binary WITHOUT the descriptor header,
+    * internal logical files to add to the smoosh).
+    *
+    * Scope (fails LOUDLY outside it, by design — blob encoding remains
+    * the always-works default): the root of every non-null row must be
+    * a JSON object; leaf values are strings, integral numbers (long),
+    * floating numbers (double), booleans (stored as LONG 0/1), or
+    * null; arrays are rejected; object keys must not contain
+    * '.', '[' or ']' (they would be ambiguous inside jq-ish paths).
+    */
+  def write(colName: String, jsonTexts: Array[String])
+      : (Array[Byte], Seq[(String, Array[Byte])]) = {
+    val n = jsonTexts.length
+    val nullRows = new java.util.BitSet(n)
+    // path -> (row -> typed value); values: String | java.lang.Long |
+    // java.lang.Double
+    val fieldVals =
+      scala.collection.mutable.LinkedHashMap[String, Array[AnyRef]]()
+
+    def flatten(row: Int, prefix: String, node: JsonNode): Unit = {
+      if (!node.isObject)
+        throw new IllegalArgumentException(
+          s"nested column '$colName' row $row: root must be a JSON " +
+            s"object (got ${node.getNodeType}); use jsonEncoding=blob " +
+            "for non-object payloads")
+      node.properties().forEach { e =>
+        val k = e.getKey
+        if (k.exists(c => c == '.' || c == '[' || c == ']'))
+          throw new IllegalArgumentException(
+            s"nested column '$colName': key '$k' contains a path " +
+              "metacharacter (./[/]); use jsonEncoding=blob")
+        val path = s"$prefix.$k"
+        val v = e.getValue
+        if (v.isObject) flatten(row, path, v)
+        else if (v.isNull) () // explicit null == absent, Druid-style
+        else {
+          val typed: AnyRef =
+            if (v.isTextual) v.asText()
+            else if (v.isBoolean) java.lang.Long.valueOf(if (v.asBoolean()) 1L else 0L)
+            else if (v.isIntegralNumber) {
+              if (!v.canConvertToLong)
+                throw new IllegalArgumentException(
+                  s"nested column '$colName' field $path: integer " +
+                    "exceeds 64 bits; use jsonEncoding=blob")
+              java.lang.Long.valueOf(v.asLong())
+            } else if (v.isFloatingPointNumber)
+              java.lang.Double.valueOf(v.asDouble())
+            else if (v.isArray)
+              throw new IllegalArgumentException(
+                s"nested column '$colName' field $path: arrays are not " +
+                  "supported by the nested encoding here; use " +
+                  "jsonEncoding=blob")
+            else
+              throw new IllegalArgumentException(
+                s"nested column '$colName' field $path: unsupported " +
+                  s"JSON node ${v.getNodeType}")
+          fieldVals.getOrElseUpdate(path, new Array[AnyRef](n))(row) = typed
+        }
+      }
+    }
+
+    var r = 0
+    while (r < n) {
+      val t = jsonTexts(r)
+      if (t == null) nullRows.set(r)
+      else flatten(r, "$", mapper.readTree(t))
+      r += 1
+    }
+
+    val fields = fieldVals.keys.toArray.sorted
+    // global dictionaries
+    val strings = scala.collection.mutable.SortedSet[String]()
+    val longs = scala.collection.mutable.SortedSet[Long]()
+    val doubles = scala.collection.mutable.SortedSet[Double]()
+    fieldVals.values.foreach(_.foreach {
+      case s: String           => strings += s
+      case l: java.lang.Long   => longs += l.longValue()
+      case d: java.lang.Double => doubles += d.doubleValue()
+      case null                => ()
+    })
+    val strArr = strings.toArray
+    val longArr = longs.toArray
+    val dblArr = doubles.toArray
+    val nStr = 1 + strArr.length // id 0 = null
+
+    def globalIdOf(v: AnyRef): Int = v match {
+      case null => 0
+      case s: String =>
+        1 + java.util.Arrays.binarySearch(strArr.asInstanceOf[Array[AnyRef]],
+          s, null)
+      case l: java.lang.Long =>
+        nStr + java.util.Arrays.binarySearch(longArr, l.longValue())
+      case d: java.lang.Double =>
+        nStr + longArr.length +
+          java.util.Arrays.binarySearch(dblArr, d.doubleValue())
+    }
+
+    // per-field type-info byte
+    val typeBytes = fields.map { f =>
+      var bits = 0
+      fieldVals(f).foreach {
+        case _: String           => bits |= TypeString
+        case _: java.lang.Long   => bits |= TypeLong
+        case _: java.lang.Double => bits |= TypeDouble
+        case null                => ()
+      }
+      bits.toByte
+    }
+
+    // main file
+    val main = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(V5)
+      val nameBytes = colName.getBytes(UTF_8)
+      bos.write(vByte(nameBytes.length))
+      bos.write(nameBytes)
+      bos.write(GenericIndexed.writeObjectStrings(
+        fields.toIndexedSeq, sorted = true))
+      bos.write(typeBytes)
+      bos.toByteArray
+    }
+
+    def fixedIndexedInts(vs: Array[Int]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(6 + vs.length * 4)
+      bb.put(0: Byte).put(FixedIndexed.SortedFlag.toByte).putInt(vs.length)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    def fixedIndexedLongs(vs: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(6 + vs.length * 8)
+      bb.put(0: Byte).put(FixedIndexed.SortedFlag.toByte).putInt(vs.length)
+      vs.foreach(bb.putLong)
+      bb.array()
+    }
+    def fixedIndexedDoubles(vs: Array[Double]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(6 + vs.length * 8)
+      bb.put(0: Byte).put(FixedIndexed.SortedFlag.toByte).putInt(vs.length)
+      vs.foreach(bb.putDouble)
+      bb.array()
+    }
+    def roaring(rows: Iterable[Int]): Array[Byte] = {
+      val bm = new org.roaringbitmap.RoaringBitmap()
+      rows.foreach(bm.add)
+      bm.runOptimize()
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(b)
+      d.writeByte(0x01)
+      bm.serialize(d)
+      d.flush()
+      b.toByteArray
+    }
+
+    val internal = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])]()
+    internal += internalName(colName, StringDictFile) ->
+      GenericIndexed.writeObjectStrings(
+        (null +: strArr.toSeq), sorted = true)
+    internal += internalName(colName, LongDictFile) -> fixedIndexedLongs(longArr)
+    internal += internalName(colName, DoubleDictFile) -> fixedIndexedDoubles(dblArr)
+    internal += internalName(colName, NullIndexFile) ->
+      GenericIndexed.writeLengthPrefixed(
+        Seq(roaring(nullRows.stream().toArray.toSeq)), sorted = false)
+
+    fields.zipWithIndex.foreach { case (f, fi) =>
+      val vals = fieldVals(f)
+      val globals = Array.tabulate(n)(i => globalIdOf(vals(i)))
+      val localDict = globals.distinct.sorted
+      val localOf = localDict.zipWithIndex.toMap
+      val localRows = globals.map(localOf)
+      val rowsBin = VSizeInts.write(localRows.toIndexedSeq,
+        VSizeInts.bytesNeeded(math.max(1, localDict.length - 1)))
+      val bitmaps = localDict.indices.map { li =>
+        roaring(localRows.indices.filter(localRows(_) == li))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(fixedIndexedInts(localDict))
+      bos.write(rowsBin)
+      bos.write(GenericIndexed.writeLengthPrefixed(bitmaps, sorted = false))
+      internal += internalName(colName, s"$FieldFilePrefix$fi") -> bos.toByteArray
+    }
+
+    (main, internal.toSeq)
+  }
+}
+
+/** Druid FixedIndexed: fixed-width sorted value lists —
+  * [version 0x00][flags][i32 count][count * width bytes, BE].
+  * Flags: 0x01 = hasNull slot (rejected here — nulls live in the
+  * string dictionary's slot 0 in the nested format), 0x02 = sorted.
+  */
+object FixedIndexed {
+  val NullFlag = 0x01
+  val SortedFlag = 0x02
+
+  final class Ints(buf: ByteBuffer, val base: Int) {
+    checkHeader(buf, base)
+    val length: Int = buf.getInt(base + 2)
+    def get(i: Int): Int = buf.getInt(base + 6 + i * 4)
+    def totalSize: Int = 6 + length * 4
+  }
+  final class Longs(buf: ByteBuffer, val base: Int) {
+    checkHeader(buf, base)
+    val length: Int = buf.getInt(base + 2)
+    def get(i: Int): Long = buf.getLong(base + 6 + i * 8)
+    def totalSize: Int = 6 + length * 8
+  }
+  final class Doubles(buf: ByteBuffer, val base: Int) {
+    checkHeader(buf, base)
+    val length: Int = buf.getInt(base + 2)
+    def get(i: Int): Double = buf.getDouble(base + 6 + i * 8)
+    def totalSize: Int = 6 + length * 8
+  }
+  private def checkHeader(buf: ByteBuffer, base: Int): Unit = {
+    val v = buf.get(base) & 0xff
+    if (v != 0) fail(f"FixedIndexed: bad version 0x$v%02x")
+    val flags = buf.get(base + 1) & 0xff
+    if ((flags & NullFlag) != 0)
+      fail("FixedIndexed: null-slot flag unsupported in nested dictionaries")
+  }
+}
+
+/** Reader over one nested column: main slice + internal smoosh files.
+  * Reconstructs each row's JSON text from the per-field columns; never
+  * touches `__raw` (SMILE in real Druid).
+  */
+final class NestedColumn(smoosh: SmooshReader, colName: String,
+                         buf: ByteBuffer, base: Int, end: Int) {
+  import NestedColumn._
+
+  private val version = buf.get(base) & 0xff
+  if (version != V5)
+    fail(s"nested column '$colName': unsupported NestedCommonFormat " +
+      f"version 0x$version%02x (V5 = 0x05 is the implemented layout)")
+  private val (nameLen, nameStart) = readVByte(buf, base + 1)
+  private val inFileName = {
+    val b = new Array[Byte](nameLen)
+    val d = buf.duplicate(); d.position(nameStart); d.get(b)
+    new String(b, UTF_8)
+  }
+  if (inFileName != colName)
+    fail(s"nested column '$colName': in-file name '$inFileName' " +
+      "mismatches the logical file (corrupt or incompatible layout)")
+
+  val fieldsIndexed = new GenericIndexed(buf, nameStart + nameLen)
+  val fieldPaths: Array[String] =
+    Array.tabulate(fieldsIndexed.numElements)(fieldsIndexed.objectStringAt)
+  val fieldTypes: Array[Int] = {
+    val tBase = fieldsIndexed.base + fieldsIndexed.totalSize
+    if (tBase + fieldPaths.length > end)
+      fail(s"nested column '$colName': type-info bytes run past the file")
+    Array.tabulate(fieldPaths.length)(i => buf.get(tBase + i) & 0xff)
+  }
+
+  private def slice(part: String): (ByteBuffer, Int, Int) =
+    smoosh.slice(internalName(colName, part))
+
+  private val stringDict: GenericIndexed = {
+    val (b, o, _) = slice(StringDictFile)
+    new GenericIndexed(b, o)
+  }
+  private val longDict: FixedIndexed.Longs = {
+    val (b, o, _) = slice(LongDictFile)
+    new FixedIndexed.Longs(b, o)
+  }
+  private val doubleDict: FixedIndexed.Doubles = {
+    val (b, o, _) = slice(DoubleDictFile)
+    new FixedIndexed.Doubles(b, o)
+  }
+  private val nStr = stringDict.numElements
+  if (nStr < 1 || stringDict.objectStringAt(0) != null)
+    fail(s"nested column '$colName': global string dictionary must " +
+      "carry null at slot 0")
+
+  val nullRows: org.roaringbitmap.buffer.ImmutableRoaringBitmap = {
+    val (b, o, _) = slice(NullIndexFile)
+    val gi = new GenericIndexed(b, o)
+    val (s, e) = gi.elementRange(0)
+    val tpe = b.get(s + 4) & 0xff // skip the 4-byte length prefix
+    if (tpe != 0x01)
+      fail(s"nested column '$colName': null index bitmap type $tpe != roaring")
+    val d = b.duplicate(); d.position(s + 5); d.limit(e)
+    new org.roaringbitmap.buffer.ImmutableRoaringBitmap(d.slice())
+  }
+
+  /** One per-field sub-column. */
+  final class Field(part: String) {
+    private val (fbuf, fbase, flen) = slice(part)
+    val localDict = new FixedIndexed.Ints(fbuf, fbase)
+    val rows = new VSizeInts(fbuf, fbase + localDict.totalSize)
+    private val bitmapsBase = fbase + localDict.totalSize + rows.totalSize
+    val bitmaps: Option[GenericIndexed] =
+      if (bitmapsBase >= fbase + flen) None
+      else Some(new GenericIndexed(fbuf, bitmapsBase))
+    /** Global id of this field's value in `row`. */
+    def globalId(row: Int): Int = localDict.get(rows.get(row))
+  }
+
+  val fields: Array[Field] =
+    Array.tabulate(fieldPaths.length)(i => new Field(s"$FieldFilePrefix$i"))
+
+  /** Row count: from any field's row column; a fieldless column (all
+    * rows null) answers the null-bitmap cardinality.
+    */
+  val length: Int =
+    if (fields.nonEmpty) fields(0).rows.length
+    else nullRows.getCardinality
+
+  /** Typed value for a global id: null | String | java.lang.Long |
+    * java.lang.Double (the stacked-ranges scheme).
+    */
+  def globalValue(gid: Int): AnyRef =
+    if (gid == 0) null
+    else if (gid < nStr) stringDict.objectStringAt(gid)
+    else if (gid < nStr + longDict.length)
+      java.lang.Long.valueOf(longDict.get(gid - nStr))
+    else if (gid < nStr + longDict.length + doubleDict.length)
+      java.lang.Double.valueOf(doubleDict.get(gid - nStr - longDict.length))
+    else fail(s"nested column '$colName': global id $gid out of range")
+
+  private val mapper = new ObjectMapper()
+  // pre-split paths (skip the "$." prefix)
+  private val splitPaths: Array[Array[String]] =
+    fieldPaths.map(_.stripPrefix("$.").split('.'))
+
+  /** Reconstructed JSON text of `row` (null for a null row). Keys come
+    * out in sorted-path order — field extraction (`get_json_object`)
+    * is order-insensitive, raw-text comparison is not.
+    */
+  def jsonAt(row: Int): String = {
+    if (nullRows.contains(row)) return null
+    val root = mapper.createObjectNode()
+    var i = 0
+    while (i < fields.length) {
+      val v = globalValue(fields(i).globalId(row))
+      if (v != null) {
+        var node: ObjectNode = root
+        val path = splitPaths(i)
+        var k = 0
+        while (k < path.length - 1) {
+          val next = node.get(path(k))
+          node =
+            if (next != null) next.asInstanceOf[ObjectNode]
+            else node.putObject(path(k))
+          k += 1
+        }
+        v match {
+          case s: String           => node.put(path.last, s)
+          case l: java.lang.Long   => node.put(path.last, l.longValue())
+          case d: java.lang.Double => node.put(path.last, d.doubleValue())
+        }
+      }
+      i += 1
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def jsonBytesAt(row: Int): Array[Byte] = {
+    val s = jsonAt(row)
+    if (s == null) null else s.getBytes(UTF_8)
+  }
+}

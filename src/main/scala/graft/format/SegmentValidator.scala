@@ -100,6 +100,13 @@ object SegmentValidator {
               issues += s"$name: length ${blobs.numElements} != rows $rows"
             var r = 0
             while (r < blobs.numElements) { blobs.bytesAt(r); r += 1 }
+          case NestedColumnData(nc) =>
+            // full reconstruction pass: exercises the dictionaries,
+            // every per-field sub-column, and the null index
+            if (nc.length != rows)
+              issues += s"$name: length ${nc.length} != rows $rows"
+            var r = 0
+            while (r < rows) { nc.jsonAt(r); r += 1 }
         }
       } catch {
         case e: Exception =>

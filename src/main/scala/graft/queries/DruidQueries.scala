@@ -95,6 +95,24 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Events with a TWO-LEVEL nested struct landed as NestedCommonFormat
+    * V5 (`jsonEncoding=nested`) — field dictionaries + per-field
+    * sub-columns, modern Druid's "auto" layout, which the reference
+    * cannot read at all (src/column/mod.rs:59-61). dr73's staging.
+    */
+  private def eventsNestedSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("events_nested", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"),
+          struct(
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            struct(col("user_id").as("uid"), col("value").as("v")).as("m"))
+            .as("props"))
+        .repartition(4),
+      options = Map("jsonEncoding" -> "nested"))
+    s.read.format("druid").load(path)
+  }
+
   private def hllSeg(s: SparkSession, dir: String): DataFrame = {
     import graft.sql.HllFunctions
     val path = segTable("hll", dir,
@@ -2396,6 +2414,34 @@ object DruidQueries extends QuerySet {
                 AND (list_contains(words, 'data')
                      OR list_contains(words, 'model'))
               GROUP BY source ORDER BY source""")),
+
+    // -- NestedCommonFormat V5 ("auto") nested columns end-to-end: a
+    //    two-level struct lands field-shredded (global dictionaries +
+    //    per-field sub-columns in internal smoosh files, NOT a blob),
+    //    reads back as JSON text rebuilt from the field columns, and
+    //    answers get_json_object at both nesting depths. Modern Druid's
+    //    layout; the reference errors on ALL Complex
+    //    (src/column/mod.rs:59-61), and our own pre-V5 path (dr53) is
+    //    the blob fallback. NestedColumnSpec pins the structure.
+    Q("dr73_nested_common_format",
+      (s, dir) => {
+        eventsNestedSeg(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            get_json_object(col("props"), "$.m.v").cast("double").as("v"),
+            get_json_object(col("props"), "$.m.uid").cast("long").as("uid"))
+          .groupBy(col("event_type"), (col("k") % 10).as("kb"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("v")), 2).as("sum_v"),
+               countDistinct(col("uid")).as("n_uids"))
+          .orderBy(col("event_type"), col("kb"))
+      },
+      Some("""SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
+              count(*) AS n,
+              round(sum(value), 2) AS sum_v,
+              count(DISTINCT user_id) AS n_uids
+              FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

@@ -126,7 +126,9 @@ object DruidTableUtil {
           // STRING so get_json_object / from_json work directly —
           // the blobs are UTF-8 JSON text by the writer's contract
           else if (desc.valueType == "COMPLEX" &&
-            desc.partTypes.headOption.contains("json")) StringType
+            (desc.partTypes.headOption.contains("json") ||
+             desc.partTypes.headOption.contains(
+               graft.format.NestedColumn.PartType))) StringType
           else desc.logicalType match {
             // LONG-backed micros written by our writer; restores the
             // original Spark type (values need no conversion: Spark's
@@ -187,7 +189,8 @@ object DruidTableUtil {
     * descriptor logicalType), applied without opening anything.
     */
   def readSchemaOf(writeSchema: StructType,
-                   complexTypes: Map[String, String] = Map.empty): StructType =
+                   complexTypes: Map[String, String] = Map.empty,
+                   nestedJson: Boolean = false): StructType =
     StructType(writeSchema.fields.map { f =>
       if (f.name == "__time") StructField("__time", TimestampType, nullable = false)
       else {
@@ -202,11 +205,16 @@ object DruidTableUtil {
         }
         // mirror segmentSchema: tagged binary/json columns surface
         // their complex typeName in the cached schema's metadata too
+        val jsonTag =
+          if (nestedJson) graft.format.NestedColumn.PartType else "json"
         val tag = f.dataType match {
           case BinaryType => complexTypes.get(f.name)
           case StringType => complexTypes.get(f.name).filter(_ == "json")
+            .map(_ => jsonTag)
+            .orElse(Option(f.metadata).filter(_.contains("druid.complexType"))
+              .map(_.getString("druid.complexType")))
           case ArrayType(StringType, _) => None // multi-value dim, not complex
-          case _: StructType | _: MapType | _: ArrayType => Some("json")
+          case _: StructType | _: MapType | _: ArrayType => Some(jsonTag)
           case _ => None
         }
         val meta = tag
@@ -348,5 +356,15 @@ class DruidTable(root: String, schema0: StructType) extends Table
       // AQE sizes the range exchange)
       shardBy = Option(info.options().get("shardBy")).map(_.trim)
         .filter(_.nonEmpty),
-      shards = Option(info.options().get("shards")).map(_.toInt).getOrElse(0))
+      shards = Option(info.options().get("shards")).map(_.toInt).getOrElse(0),
+      // COMPLEX<json> storage: "blob" (default — UTF-8 JSON text in a
+      // GenericIndexed) or "nested" (Druid's NestedCommonFormat V5:
+      // field dictionaries + per-field sub-columns, the modern "auto"
+      // layout; format/NestedColumn.scala)
+      nestedJson = Option(info.options().get("jsonEncoding")) match {
+        case None | Some("blob") => false
+        case Some("nested") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"jsonEncoding '$other' not in blob/nested")
+      })
 }

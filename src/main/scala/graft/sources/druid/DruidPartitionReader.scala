@@ -479,6 +479,15 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
             if (b == null) v.putNull(i) else v.putByteArray(i, b)
             i += 1
           }
+        case NestedColumnData(nc) =>
+          // NestedCommonFormat: JSON text rebuilt from the field
+          // dictionaries (same StringType surface as the blob encoding)
+          var i = 0
+          while (i < n) {
+            val b = nc.jsonBytesAt(rowIdx(i))
+            if (b == null) v.putNull(i) else v.putByteArray(i, b)
+            i += 1
+          }
         case MultiStringColumnData(mc) =>
           // ArrayType(StringType): parent rows carry (offset, length)
           // into the child string vector, filled append-style (appends

@@ -41,7 +41,8 @@ class DruidWriteBuilder(root: String, schema: StructType,
                         complexTypes: Map[String, String] = Map.empty,
                         conciseBitmaps: Boolean = false,
                         shardBy: Option[String] = None,
-                        shards: Int = 0)
+                        shards: Int = 0,
+                        nestedJson: Boolean = false)
     extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
   private var replaceRange: Option[(Long, Long)] = None
@@ -137,14 +138,14 @@ class DruidWriteBuilder(root: String, schema: StructType,
     new DruidBatchWrite(root, schema, doTruncate, bitmapIndexes,
       frontCodedStrings, granularity,
       rollupGran, codec, rollupDims, replaceRange, complexTypes,
-      conciseBitmaps)
+      conciseBitmaps, nestedJson)
   private def plainStreaming()
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(!doTruncate,
       "druid streaming sink supports append output mode only")
     new DruidStreamingWrite(root, schema, bitmapIndexes, frontCodedStrings,
       granularity, rollupGran, codec, rollupDims, complexTypes,
-      conciseBitmaps)
+      conciseBitmaps, nestedJson)
   }
 
   override def build(): Write = shardBy match {
@@ -175,7 +176,8 @@ class DruidStreamingWrite(root: String, schema: StructType,
                           codec: Byte = graft.format.Compression.LZ4,
                           rollupDims: Set[String] = Set.empty,
                           complexTypes: Map[String, String] = Map.empty,
-                          conciseBitmaps: Boolean = false)
+                          conciseBitmaps: Boolean = false,
+                          nestedJson: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
@@ -187,15 +189,15 @@ class DruidStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(root, ".epochs"))
-    val (r, sch, bm, fc, g, rg, cd, rd, ct, cb) =
+    val (r, sch, bm, fc, g, rg, cd, rd, ct, cb, nj) =
       (root, schema, bitmapIndexes, frontCodedStrings, granularity, rollupGran,
-        codec, rollupDims, complexTypes, conciseBitmaps)
+        codec, rollupDims, complexTypes, conciseBitmaps, nestedJson)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
                                 epochId: Long): DataWriter[InternalRow] =
         new DruidDataWriter(Paths.get(r, s".staging-stream-ep$epochId").toString,
           s"ep$epochId", sch, partitionId, taskId, bm, fc, g, rg, cd, rd, ct,
-          conciseBitmaps = cb)
+          conciseBitmaps = cb, nestedJson = nj)
     }
   }
 
@@ -223,7 +225,7 @@ class DruidStreamingWrite(root: String, schema: StructType,
     stale.foreach(DruidBatchWrite.deleteRecursively)
     DruidBatchWrite.commitJob(root, schema, truncate = false,
       stagingDir = stagingFor(epochId), messages = messages,
-      complexTypes = complexTypes)
+      complexTypes = complexTypes, nestedJson = nestedJson)
     Files.createDirectories(markerFor(epochId).getParent)
     Files.createFile(markerFor(epochId))
   }
@@ -292,7 +294,8 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
                       rollupDims: Set[String] = Set.empty,
                       replaceRange: Option[(Long, Long)] = None,
                       complexTypes: Map[String, String] = Map.empty,
-                      conciseBitmaps: Boolean = false)
+                      conciseBitmaps: Boolean = false,
+                      nestedJson: Boolean = false)
     extends BatchWrite {
 
   granularity.foreach(g => require(SegmentGranularity.supported.contains(g),
@@ -307,12 +310,12 @@ class DruidBatchWrite(root: String, schema: StructType, truncate: Boolean,
     Files.createDirectories(stagingDir)
     new DruidDataWriterFactory(stagingDir.toString, jobId, schema, bitmapIndexes,
       frontCodedStrings, granularity, rollupGran, codec, rollupDims,
-      complexTypes, conciseBitmaps)
+      complexTypes, conciseBitmaps, nestedJson)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     DruidBatchWrite.commitJob(root, schema, truncate, stagingDir, messages,
-      replaceRange, complexTypes)
+      replaceRange, complexTypes, nestedJson)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // nothing committed ever left staging: drop it, destination intact
@@ -328,7 +331,8 @@ object DruidBatchWrite {
   def commitJob(root: String, schema: StructType, truncate: Boolean,
                 stagingDir: Path, messages: Array[WriterCommitMessage],
                 replaceRange: Option[(Long, Long)] = None,
-                complexTypes: Map[String, String] = Map.empty): Unit = {
+                complexTypes: Map[String, String] = Map.empty,
+                nestedJson: Boolean = false): Unit = {
     val rootPath = Paths.get(root)
     // segments present before this job (overwrite deletes them LAST)
     val previous: Seq[Path] = {
@@ -367,7 +371,8 @@ object DruidBatchWrite {
     // fast here, leaving the destination untouched. Schema evolution
     // (new/missing columns) unions cleanly; only a same-name type
     // clash throws.
-    val newSchema = DruidTableUtil.readSchemaOf(schema, complexTypes)
+    val newSchema = DruidTableUtil.readSchemaOf(schema, complexTypes,
+      nestedJson)
     val tableSchema: Option[org.apache.spark.sql.types.StructType] =
       try {
         if (truncate || previous.isEmpty) Some(newSchema)
@@ -462,12 +467,13 @@ class DruidDataWriterFactory(stagingRoot: String, jobId: String,
                              codec: Byte = graft.format.Compression.LZ4,
                              rollupDims: Set[String] = Set.empty,
                              complexTypes: Map[String, String] = Map.empty,
-                             conciseBitmaps: Boolean = false)
+                             conciseBitmaps: Boolean = false,
+                             nestedJson: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DruidDataWriter(stagingRoot, jobId, schema, partitionId, taskId,
       bitmapIndexes, frontCodedStrings, granularity, rollupGran, codec,
-      rollupDims, complexTypes, conciseBitmaps)
+      rollupDims, complexTypes, conciseBitmaps, nestedJson)
 }
 
 /** Per-task writer buffering rows in TYPED columnar builders: numeric
@@ -484,7 +490,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
                       codec: Byte = graft.format.Compression.LZ4,
                       rollupDims: Set[String] = Set.empty,
                       complexTypes: Map[String, String] = Map.empty,
-                      conciseBitmaps: Boolean = false)
+                      conciseBitmaps: Boolean = false,
+                      nestedJson: Boolean = false)
     extends DataWriter[InternalRow] {
 
   // ---- typed builders ----
@@ -607,6 +614,19 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     def values(sel: Array[Int]): ColumnValues =
       ComplexValues("json", pick(b.toArray, sel))
   }
+  /** COMPLEX&lt;json&gt; as NestedCommonFormat V5 (`jsonEncoding=nested`):
+    * JSON text rows land field-shredded with global dictionaries and
+    * per-field sub-columns (format/NestedColumn.scala) — real Druid's
+    * modern "auto" layout, which the reference cannot read at all
+    * (src/column/mod.rs:59-61).
+    */
+  private final class NestedJsonTextBuf extends ColBuf {
+    val b = new ArrayBuffer[String](1024)
+    def append(row: InternalRow, i: Int, rowIdx: Int): Unit =
+      b += (if (row.isNullAt(i)) null else row.getUTF8String(i).toString)
+    def values(sel: Array[Int]): ColumnValues =
+      NestedJsonValues(pick(b.toArray, sel))
+  }
   /** COMPLEX&lt;json&gt; from a nested Spark column (struct / map / numeric
     * array): serialized per row with Spark's own `to_json` machinery
     * (StructsToJson — deterministic field order = schema order), so
@@ -614,7 +634,8 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
     * dimension ingest. Reads back as a JSON STRING column that
     * `get_json_object` / `from_json` consume.
     */
-  private final class JsonStructBuf(dt: DataType) extends ColBuf {
+  private final class JsonStructBuf(dt: DataType, nested: Boolean = false)
+      extends ColBuf {
     // Spark's own to_json machinery (StructsToJson is RuntimeReplaceable
     // in Spark 4 — its runtime body is this evaluator)
     private val toJson =
@@ -626,7 +647,10 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
             else toJson.evaluate(row.get(i, dt))
               .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
     def values(sel: Array[Int]): ColumnValues =
-      ComplexValues("json", pick(b.toArray, sel))
+      if (nested) NestedJsonValues(pick(b.toArray, sel).map(bb =>
+        if (bb == null) null
+        else new String(bb, java.nio.charset.StandardCharsets.UTF_8)))
+      else ComplexValues("json", pick(b.toArray, sel))
   }
   private final class MultiStringBuf extends ColBuf {
     val b = new ArrayBuffer[Seq[String]](1024)
@@ -656,6 +680,13 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
 
   private val fields = schema.fields
   private val timeIdx = fields.indexWhere(_.name == "__time")
+  // complex typeName carried in the field METADATA by the read side:
+  // lets compaction / read-then-rewrite preserve complex encodings
+  // without the caller re-passing the complexTypes option
+  private def fieldComplexType(f: StructField): Option[String] =
+    if (f.metadata.contains("druid.complexType"))
+      Some(f.metadata.getString("druid.complexType"))
+    else None
   private val bufs: Array[ColBuf] = fields.zipWithIndex.map { case (f, i) =>
     if (i == timeIdx) new TimeBuf(fromMicros = f.dataType != LongType)
     else f.dataType match {
@@ -665,13 +696,21 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       case TimestampNTZType => new TimestampBuf(ntz = true)
       case DoubleType => new DoubleBuf
       case FloatType => new FloatBuf
-      case StringType if complexTypes.get(f.name).contains("json") =>
-        new JsonTextBuf
+      case StringType if complexTypes.get(f.name).contains("json") ||
+          fieldComplexType(f).contains("json") =>
+        if (nestedJson) new NestedJsonTextBuf else new JsonTextBuf
+      // a column read back from a nested-written segment carries the
+      // nestedCommonFormat tag in its metadata: rewrite it nested, so
+      // compaction/CTAS round-trips preserve the encoding
+      case StringType if fieldComplexType(f)
+          .contains(graft.format.NestedColumn.PartType) =>
+        new NestedJsonTextBuf
       case StringType => new StringBuf
-      case BinaryType => new BinaryBuf(complexTypes.getOrElse(f.name, "binary"))
+      case BinaryType => new BinaryBuf(complexTypes.getOrElse(f.name,
+        fieldComplexType(f).getOrElse("binary")))
       case ArrayType(StringType, _) => new MultiStringBuf
       case dt @ (_: StructType | _: MapType | _: ArrayType) =>
-        new JsonStructBuf(dt)
+        new JsonStructBuf(dt, nested = nestedJson)
       case other => throw new IllegalArgumentException(
         s"druid writer: unsupported type $other for '${f.name}'")
     }
@@ -701,6 +740,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
       case StringValues(v) => StringValues(pick(v, sel))
       case MultiStringValues(v) => MultiStringValues(pick(v, sel))
       case ComplexValues(t, v) => ComplexValues(t, pick(v, sel))
+      case NestedJsonValues(v) => NestedJsonValues(pick(v, sel))
     }
 
   /** Druid's ingest-time ("best-effort") rollup: within this task's
@@ -938,6 +978,7 @@ class DruidDataWriter(stagingRoot: String, jobId: String, schema: StructType,
         case (name, StringValues(vs)) => name -> vs.count(_ == null).toLong
         case (name, MultiStringValues(vs)) => name -> vs.count(_ == null).toLong
         case (name, ComplexValues(_, vs)) => name -> vs.count(_ == null).toLong
+        case (name, NestedJsonValues(vs)) => name -> vs.count(_ == null).toLong
       }.toMap + ("__time" -> 0L)
 
     def writeSegment(suffix: String, sel: Array[Int]): SegMeta = {

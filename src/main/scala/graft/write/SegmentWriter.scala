@@ -54,6 +54,14 @@ object SegmentWriter {
       extends ColumnValues {
     def length: Int = values.length
   }
+  /** COMPLEX&lt;json&gt; stored as Druid's NestedCommonFormat V5 (field
+    * dictionaries + per-field sub-columns in internal smoosh files)
+    * instead of opaque blobs — the `jsonEncoding=nested` write option.
+    * Values are per-row JSON texts (null = null row).
+    */
+  final case class NestedJsonValues(values: Array[String]) extends ColumnValues {
+    def length: Int = values.length
+  }
 
   /** Write a segment. `time` is epoch millis (the mandatory `__time`);
     * `columns` are (name -> values) in schema order, all the same length.
@@ -84,9 +92,20 @@ object SegmentWriter {
     logicalFiles("__time") = ColumnDescriptor.wrapColumn(
       "LONG", "longV2", CompressedColumnar.writeLongs(time, compression))
     columns.foreach { case (name, vals) =>
-      logicalFiles(name) =
-        encodeColumn(vals, compression, stringBitmaps, frontCodedStrings,
-          conciseBitmaps)
+      vals match {
+        case NestedJsonValues(texts) =>
+          // nested column = main file + internal "<col>.<part>" smoosh
+          // entries (dictionaries, null index, per-field sub-columns);
+          // internals never appear in index.drd's column list
+          val (main, internals) = NestedColumn.write(name, texts)
+          logicalFiles(name) = ColumnDescriptor.wrapColumn(
+            "COMPLEX", NestedColumn.PartType, main)
+          internals.foreach { case (n, b) => logicalFiles(n) = b }
+        case _ =>
+          logicalFiles(name) =
+            encodeColumn(vals, compression, stringBitmaps, frontCodedStrings,
+              conciseBitmaps)
+      }
     }
     logicalFiles("index.drd") = SegmentMetadata.write(SegmentMetadata(
       columns.map(_._1), dims, intervalStart, intervalEnd))

@@ -1,0 +1,195 @@
+package graft.format
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** NestedCommonFormat V5 nested columns (`jsonEncoding=nested`):
+  * round-trips through the field-shredded layout, the internal-file
+  * structure, variant fields, loud failure modes, and encoding
+  * preservation on rewrite. The reference errors on ALL Complex
+  * columns (src/column/mod.rs:59-61).
+  */
+class NestedColumnSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"graft-$tag").toString + "/t"
+
+  private def jsonRows: Seq[(Long, String)] = Seq(
+    1L -> """{"a": 1, "b": {"c": "x", "d": 2.5}, "e": "s1"}""",
+    2L -> """{"a": 2, "b": {"c": "y"}, "e": "s2"}""",
+    3L -> null,
+    4L -> """{}""",
+    5L -> """{"a": 9223372036854775807, "b": {"d": -0.5}}""",
+    6L -> """{"a": 1, "e": "s1"}""" // repeated values share dict entries
+  )
+
+  private def writeNested(dir: String): Unit = {
+    import spark.implicits._
+    jsonRows.map { case (t, j) => (1700000000000L + t, j) }
+      .toDF("__time", "props").coalesce(1)
+      .write.format("druid")
+      .option("complexTypes", "props:json")
+      .option("jsonEncoding", "nested")
+      .mode("overwrite").save(dir)
+  }
+
+  test("round-trip: field extraction equals the blob encoding's") {
+    import spark.implicits._
+    val nestedDir = tmp("nested")
+    val blobDir = tmp("nestedblob")
+    writeNested(nestedDir)
+    jsonRows.map { case (t, j) => (1700000000000L + t, j) }
+      .toDF("__time", "props").coalesce(1)
+      .write.format("druid").option("complexTypes", "props:json")
+      .mode("overwrite").save(blobDir)
+    def extract(dir: String) = spark.read.format("druid").load(dir)
+      .select(
+        get_json_object(col("props"), "$.a").cast("long").as("a"),
+        get_json_object(col("props"), "$.b.c").as("c"),
+        get_json_object(col("props"), "$.b.d").cast("double").as("d"),
+        get_json_object(col("props"), "$.e").as("e"),
+        col("props").isNull.as("is_null"))
+      .orderBy(col("a").asc_nulls_first, col("e").asc_nulls_first)
+      .collect().map(_.toSeq).toSeq
+    assert(extract(nestedDir) == extract(blobDir))
+  }
+
+  test("internal smoosh files exist and the main file leads with V5") {
+    val dir = tmp("nestedfiles")
+    writeNested(dir)
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(dir).head
+    val seg = DruidSegment.open(segDir)
+    Seq(NestedColumn.StringDictFile, NestedColumn.LongDictFile,
+        NestedColumn.DoubleDictFile, NestedColumn.NullIndexFile,
+        s"${NestedColumn.FieldFilePrefix}0").foreach { part =>
+      assert(seg.smoosh.has(NestedColumn.internalName("props", part)),
+        s"missing internal file props.$part")
+    }
+    val (desc, buf, dataBase, _) = seg.columnSlice("props")
+    assert(desc.valueType == "COMPLEX" &&
+      desc.partTypes.headOption.contains(NestedColumn.PartType))
+    assert((buf.get(dataBase) & 0xff) == NestedColumn.V5)
+    seg.column("props") match {
+      case NestedColumnData(nc) =>
+        // fields sorted; typeInfo bits reflect observed leaf types
+        assert(nc.fieldPaths.toSeq == Seq("$.a", "$.b.c", "$.b.d", "$.e"))
+        val types = nc.fieldPaths.zip(nc.fieldTypes).toMap
+        assert(types("$.a") == NestedColumn.TypeLong)
+        assert(types("$.b.c") == NestedColumn.TypeString)
+        assert(types("$.b.d") == NestedColumn.TypeDouble)
+        assert(nc.length == jsonRows.size)
+        assert(nc.nullRows.getCardinality == 1)
+        // reconstruction: row 3 (index 2) is null, row 4 (index 3) = {}
+        assert(nc.jsonAt(2) == null)
+        assert(nc.jsonAt(3) == "{}")
+        assert(nc.jsonAt(0).contains("\"c\":\"x\""))
+      case other => fail(s"expected NestedColumnData, got $other")
+    }
+  }
+
+  test("variant field (long + string across rows) keeps both types") {
+    import spark.implicits._
+    val dir = tmp("nestedvariant")
+    Seq(
+      (1700000000001L, """{"v": 1}"""),
+      (1700000000002L, """{"v": "one"}"""),
+      (1700000000003L, """{"v": 2.5}"""))
+      .toDF("__time", "props").coalesce(1)
+      .write.format("druid").option("complexTypes", "props:json")
+      .option("jsonEncoding", "nested").mode("overwrite").save(dir)
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(dir).head
+    val nc = DruidSegment.open(segDir).column("props")
+      .asInstanceOf[NestedColumnData].nested
+    assert(nc.fieldTypes(0) == (NestedColumn.TypeLong |
+      NestedColumn.TypeString | NestedColumn.TypeDouble))
+    assert(nc.jsonAt(0) == """{"v":1}""")
+    assert(nc.jsonAt(1) == """{"v":"one"}""")
+    assert(nc.jsonAt(2) == """{"v":2.5}""")
+  }
+
+  test("struct columns (df nested types) can land nested directly") {
+    import spark.implicits._
+    val dir = tmp("nestedstruct")
+    Seq((1700000000001L, 7L, "x"), (1700000000002L, 8L, "y"))
+      .toDF("__time", "k", "s")
+      .select(col("__time"), struct(col("k"), col("s")).as("props"))
+      .coalesce(1)
+      .write.format("druid").option("jsonEncoding", "nested")
+      .mode("overwrite").save(dir)
+    val got = spark.read.format("druid").load(dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        get_json_object(col("props"), "$.s").as("s"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((7L, "x"), (8L, "y")))
+  }
+
+  test("booleans store as LONG 0/1 (Druid strict-booleans ingest)") {
+    import spark.implicits._
+    val dir = tmp("nestedbool")
+    Seq((1700000000001L, """{"f": true}"""), (1700000000002L, """{"f": false}"""))
+      .toDF("__time", "props").coalesce(1)
+      .write.format("druid").option("complexTypes", "props:json")
+      .option("jsonEncoding", "nested").mode("overwrite").save(dir)
+    val got = spark.read.format("druid").load(dir)
+      .select(get_json_object(col("props"), "$.f").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(0L, 1L))
+  }
+
+  test("arrays, non-object roots, and path-metacharacter keys fail loudly") {
+    import spark.implicits._
+    def attempt(json: String): Throwable = {
+      val dir = tmp("nestedbad")
+      intercept[Throwable] {
+        Seq((1700000000001L, json)).toDF("__time", "props").coalesce(1)
+          .write.format("druid").option("complexTypes", "props:json")
+          .option("jsonEncoding", "nested").mode("overwrite").save(dir)
+      }
+    }
+    def rootOf(e: Throwable): String = {
+      var c = e; while (c.getCause != null && c.getCause != c) c = c.getCause
+      String.valueOf(c.getMessage)
+    }
+    assert(rootOf(attempt("""{"a": [1, 2]}""")).contains("arrays"))
+    assert(rootOf(attempt(""""scalar"""")).contains("root must be a JSON object"))
+    assert(rootOf(attempt("""{"a.b": 1}""")).contains("path metacharacter"))
+  }
+
+  test("read-then-rewrite preserves the nested encoding (metadata tag)") {
+    import spark.implicits._
+    val dir = tmp("nestedsrc")
+    val dir2 = tmp("nesteddst")
+    writeNested(dir)
+    // no options at all on the rewrite: the druid.complexType =
+    // nestedCommonFormat metadata rides the schema
+    spark.read.format("druid").load(dir)
+      .write.format("druid").mode("overwrite").save(dir2)
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(dir2).head
+    val (desc, _, _) = DruidSegment.open(segDir).columnHeader("props")
+    assert(desc.partTypes.headOption.contains(NestedColumn.PartType),
+      s"rewrite degraded the nested column to ${desc.partTypes}")
+    val a = spark.read.format("druid").load(dir2)
+      .select(get_json_object(col("props"), "$.a").cast("long"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSet
+    assert(a == Set(1L, 2L, 9223372036854775807L, null))
+  }
+
+  test("segment validator passes a nested segment") {
+    val dir = tmp("nestedvalid")
+    writeNested(dir)
+    val issues = SegmentValidator.validateTable(dir).flatMap(_._2)
+    assert(issues.isEmpty, issues.mkString("; "))
+  }
+
+  test("vByte round-trips") {
+    Seq(0, 1, 127, 128, 300, 16383, 16384, Int.MaxValue).foreach { v =>
+      val b = NestedColumn.vByte(v)
+      val (got, next) = NestedColumn.readVByte(
+        java.nio.ByteBuffer.wrap(b), 0)
+      assert(got == v && next == b.length, s"vByte($v)")
+    }
+  }
+}
