@@ -108,9 +108,83 @@ object Concise {
     out.toArray
   }
 
-  /** Serialize to the section payload: big-endian int words. */
+  private val FullBlock = 0x7FFFFFFF // all 31 payload bits set
+
+  /** Compacting encoder: emits 1-fills for all-ones runs and MIXED
+    * fills (position field p > 0) when a run's first block is one bit
+    * away from the fill value — a lone set bit leading a zero run, a
+    * lone clear bit leading a ones run — the compactions real Druid's
+    * extendedset performs. This is the writer the segment path uses,
+    * so round-trip tests exercise the decoder's fill-with-flip
+    * branches with generated data, not just hand vectors.
+    */
+  def encodeCompact(rows: ImmutableRoaringBitmap): Array[Int] = {
+    if (rows.isEmpty) return Array.emptyIntArray
+    val lastBlock = ((rows.last() & 0xFFFFFFFFL) / 31).toInt
+    val masks = new Array[Int](lastBlock + 1)
+    val it = rows.getIntIterator
+    while (it.hasNext) {
+      val v = it.next() & 0xFFFFFFFFL
+      masks((v / 31).toInt) |= 1 << (v % 31).toInt
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    def emitFill(ones: Boolean, p: Int, blocks: Long): Unit = {
+      // the flip applies to the FIRST block only: emit it in the first
+      // chunk; continuation chunks are plain fills
+      var rest = blocks
+      var flip = p
+      while (rest > 0) {
+        val chunk = math.min(rest, MaxFillBlocks.toLong)
+        out += ((if (ones) 0x40000000 else 0) | (flip << 25) |
+          (chunk - 1).toInt)
+        flip = 0
+        rest -= chunk
+      }
+    }
+    var i = 0
+    while (i <= lastBlock) {
+      val m = masks(i)
+      def runOf(value: Int, from: Int): Int = {
+        var j = from
+        while (j <= lastBlock && masks(j) == value) j += 1
+        j - from
+      }
+      if (m == 0) {
+        val run = runOf(0, i)
+        emitFill(ones = false, p = 0, blocks = run.toLong)
+        i += run
+      } else if (m == FullBlock) {
+        val run = runOf(FullBlock, i)
+        emitFill(ones = true, p = 0, blocks = run.toLong)
+        i += run
+      } else if (java.lang.Integer.bitCount(m) == 1 && i < lastBlock &&
+          masks(i + 1) == 0) {
+        // lone set bit then a zero run: mixed 0-fill
+        val run = 1 + runOf(0, i + 1)
+        emitFill(ones = false,
+          p = java.lang.Integer.numberOfTrailingZeros(m) + 1,
+          blocks = run.toLong)
+        i += run
+      } else if (java.lang.Integer.bitCount(m) == 30 && i < lastBlock &&
+          masks(i + 1) == FullBlock) {
+        // lone clear bit then a ones run: mixed 1-fill
+        val run = 1 + runOf(FullBlock, i + 1)
+        emitFill(ones = true,
+          p = java.lang.Integer.numberOfTrailingZeros(~m & FullBlock) + 1,
+          blocks = run.toLong)
+        i += run
+      } else {
+        out += (0x80000000 | m)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Serialize to the section payload: big-endian int words (the
+    * compacting encoder — fills, mixed fills, literals). */
   def toBytes(rows: ImmutableRoaringBitmap): Array[Byte] = {
-    val words = encode(rows)
+    val words = encodeCompact(rows)
     val bb = java.nio.ByteBuffer.allocate(words.length * 4)
     words.foreach(bb.putInt)
     bb.array()

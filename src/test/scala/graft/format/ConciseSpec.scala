@@ -70,6 +70,50 @@ class ConciseSpec extends AnyFunSuite {
     rt((0 until 5000).map(i => ((h(i) % 2000000L + 2000000L) % 2000000L).toInt).distinct.sorted)
   }
 
+  test("compacting encoder emits mixed fills and 1-fills; decode inverts it") {
+    import org.roaringbitmap.buffer.MutableRoaringBitmap
+    def rt(s: Seq[Int]): Array[Int] = {
+      val in = MutableRoaringBitmap.bitmapOf(s: _*)
+      val words = Concise.encodeCompact(in)
+      assert(Concise.decode(words) == in,
+        s"compact round-trip mismatch for ${s.take(20)}...")
+      // and agrees with the plain encoder's decode
+      assert(Concise.decode(Concise.encode(in)) == in)
+      words
+    }
+    // lone set bit + long zero run + terminator: mixed 0-fill (p>0)
+    val w1 = rt(Seq(4, 31 * 100))
+    assert(w1.exists(w => (w & 0xC0000000) == 0 && ((w >>> 25) & 0x1F) != 0),
+      s"no mixed 0-fill emitted: ${w1.map(_.toHexString).mkString(",")}")
+    // two full blocks: one 1-fill word spanning both
+    val w2 = rt(0 until 62)
+    assert(w2.length == 1 && (w2(0) & 0xC0000000) == 0x40000000)
+    // ones run with one clear bit in its FIRST block: mixed 1-fill
+    val w3 = rt((0 until 31 * 50).filterNot(_ == 7))
+    assert(w3.exists(w => (w & 0xC0000000) == 0x40000000 &&
+      ((w >>> 25) & 0x1F) != 0),
+      s"no mixed 1-fill emitted: ${w3.map(_.toHexString).mkString(",")}")
+    // compactness sanity: lone bit then a giant gap is 2 words
+    // (mixed fill + terminator literal), not gap/31 literals
+    assert(rt(Seq(3, 31 * 1000000)).length == 2)
+    // adversarial shapes: boundaries, alternating full/empty blocks,
+    // flip bits at positions 1 and 31, pseudo-random mixtures
+    rt(Seq(0)); rt(Seq(30)); rt(Seq(31)); rt(Seq(30, 31, 61, 62))
+    rt((0 until 31 * 20).filter(i => (i / 31) % 2 == 0))
+    rt(Seq(0, 31 * 10)); rt(Seq(30, 31 * 10))
+    rt((0 until 31 * 10).filterNot(_ == 0))
+    rt((0 until 31 * 10).filterNot(_ == 30))
+    def h(i: Long): Long = {
+      var x = i * 0x9E3779B97F4A7C15L
+      x ^= x >>> 27; x *= 0x3C79AC492BA7B653L; x ^= x >>> 33; x
+    }
+    (0 until 20).foreach { seed =>
+      rt((0 until 400).map(i =>
+        (((h(seed * 1000L + i) % 50000L) + 50000L) % 50000L).toInt)
+        .distinct.sorted)
+    }
+  }
+
   test("a giant gap splits into multiple fill words") {
     val in = org.roaringbitmap.buffer.MutableRoaringBitmap.bitmapOf(3, Int.MaxValue - 5)
     val words = Concise.encode(in)
