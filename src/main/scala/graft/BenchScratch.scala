@@ -56,6 +56,66 @@ object BenchScratch {
       for (n <- names.tail; rep <- 1 to 2)
         t(s"$n rep$rep")(SparkEntry.queries(n)(spark, sfDir).count())
       Thread.sleep(500)
+    } else if (names.head == "wave3") {
+      // sf10 wave-3 per-stage attribution: d15 (3.7x at 10x), d20
+      // (4.2x), q28 (3.5x) — name the stage that grows or the fixed
+      // cost that amortizes
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      for (rep <- 1 to 2) {
+        // ---- d15 TF-IDF ----
+        val docs = Tables.load(spark, sfDir, "documents")
+        val tc = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("tf")).cache()
+        t(s"d15.tc(explode+groupBy) rep$rep")(tc.count())
+        val dfx = tc.groupBy(col("word")).agg(count(lit(1)).as("df")).cache()
+        t(s"d15.dfx(vocab) rep$rep")(dfx.count()) // row count = |vocab|
+        val nn = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tc.join(broadcast(dfx), "word").crossJoin(broadcast(nn))
+          .withColumn("score",
+            col("tf") * col("n_docs").cast("double") / col("df"))
+        t(s"d15.join+score rep$rep")(scored.count())
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("word"))
+        t(s"d15.window-top3 rep$rep")(
+          scored.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 3).count())
+        tc.unpersist(); dfx.unpersist()
+        t(s"d15.full rep$rep")(
+          SparkEntry.queries("d15_tfidf_keywords")(spark, sfDir).count())
+        // ---- d20 k-means refine ----
+        import graft.pipeline.VectorOps
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val a1 = VectorOps.ivfAssign(emb, 8).cache()
+        t(s"d20.assign1 rep$rep")(a1.count())
+        val cent2 = emb.join(a1, "vec_id")
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(round(avg(col("v")), 4).as("cv1"))
+          .groupBy(col("cell"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)").as("cv"))
+        t(s"d20.recenter rep$rep")(cent2.count())
+        a1.unpersist()
+        t(s"d20.full rep$rep")(
+          SparkEntry.queries("d20_kmeans_refine")(spark, sfDir).count())
+        // ---- q28 salted join ----
+        import graft.pipeline.Skew
+        val li = Tables.load(spark, sfDir, "lineitem")
+        val ord = Tables.load(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        t(s"q28.join-only rep$rep")(
+          Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey", 8,
+            "inner").count())
+        t(s"q28.full rep$rep")(
+          SparkEntry.queries("q28_salted_join")(spark, sfDir).count())
+        // unsalted reference: what AQE does without the manual salt
+        t(s"q28.unsalted-ref rep$rep")(
+          li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(sum(col("l_quantity")), count(lit(1))).count())
+      }
     } else if (names.head == "warmed") {
       for (n <- names.tail) {
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()

@@ -741,7 +741,12 @@ object PipelineQueries extends QuerySet {
           .agg(count(lit(1)).as("tf"))
         val dfx = tc.groupBy(col("word")).agg(count(lit(1)).as("df"))
         val nn = docs.agg(count(lit(1)).as("n_docs"))
-        val scored = tc.join(broadcast(dfx), "word").crossJoin(broadcast(nn))
+        // dfx is VOCABULARY-sized: small here, but a real corpus's
+        // vocabulary is millions of terms — forcing broadcast would be
+        // the 100 TB cliff (sf10 wave-3 probe). AQE broadcasts it while
+        // it is small and switches to a shuffle join when it is not;
+        // nn (one row) is always broadcast-safe.
+        val scored = tc.join(dfx, "word").crossJoin(broadcast(nn))
           .withColumn("score",
             col("tf") * col("n_docs").cast("double") / col("df"))
         val w = Window.partitionBy(col("doc_id"))
