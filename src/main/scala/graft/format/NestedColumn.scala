@@ -410,6 +410,28 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
       else Some(new GenericIndexed(fbuf, bitmapsBase))
     /** Global id of this field's value in `row`. */
     def globalId(row: Int): Int = localDict.get(rows.get(row))
+    /** Local id of a global id, or -1 (binary search, dict sorted). */
+    def localIdOf(gid: Int): Int = {
+      var lo = 0; var hi = localDict.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = localDict.get(mid)
+        if (v == gid) return mid
+        else if (v < gid) lo = mid + 1
+        else hi = mid - 1
+      }
+      -1
+    }
+    /** Value bitmap for a local id: rows whose field holds that value. */
+    def bitmapAt(li: Int): Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
+      bitmaps.map { gi =>
+        val (s, e) = gi.elementRange(li)
+        val tpe = fbuf.get(s + 4) & 0xff // skip 4-byte length prefix
+        if (tpe != 0x01)
+          fail(s"nested field '$part': value bitmap type $tpe != roaring")
+        val d = fbuf.duplicate(); d.position(s + 5); d.limit(e)
+        new org.roaringbitmap.buffer.ImmutableRoaringBitmap(d.slice())
+      }
   }
 
   val fields: Array[Field] =
@@ -474,5 +496,90 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
   def jsonBytesAt(row: Int): Array[Byte] = {
     val s = jsonAt(row)
     if (s == null) null else s.getBytes(UTF_8)
+  }
+
+  /** Index of a field path in the sorted fields list, or -1. */
+  def fieldIndex(path: String): Int = {
+    var lo = 0; var hi = fieldPaths.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = fieldPaths(mid).compareTo(path)
+      if (c == 0) return mid
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** Global id of a string value, or -1 (dictionary sorted from slot 1;
+    * slot 0 is null). */
+  def stringGlobalId(v: String): Int = {
+    var lo = 1; var hi = nStr - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = stringDict.objectStringAt(mid).compareTo(v)
+      if (c == 0) return mid
+      else if (c < 0) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  private def longGlobalId(v: Long): Int = {
+    var lo = 0; var hi = longDict.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val d = longDict.get(mid)
+      if (d == v) return nStr + mid
+      else if (d < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  private def doubleGlobalId(v: Double): Int = {
+    var lo = 0; var hi = doubleDict.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val d = doubleDict.get(mid)
+      if (d == v) return nStr + longDict.length + mid
+      else if (d < v) lo = mid + 1
+      else hi = mid - 1
+    }
+    -1
+  }
+
+  /** Rows whose field at `path` holds a value whose get_json_object
+    * text rendering can equal ANY of `values` — a SUPERSET row
+    * selection served entirely from the per-field value bitmaps (the
+    * caller's predicate stays the residual final word). Returns None
+    * when the field carries no bitmaps (selection unavailable); a path
+    * absent from the fields list selects ZERO rows (no row holds a
+    * non-null value there, and `text = null` never equals a literal).
+    * A value string is probed against all three global dictionaries —
+    * long 5 and string "5" both render as "5".
+    */
+  def eqBitmap(path: String, values: Seq[String])
+      : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
+    val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+    val fi = fieldIndex(path)
+    if (fi < 0) return Some(acc)
+    val f = fields(fi)
+    if (f.bitmaps.isEmpty) return None
+    def add(gid: Int): Unit =
+      if (gid >= 0) {
+        val li = f.localIdOf(gid)
+        if (li >= 0) f.bitmapAt(li).foreach(acc.or)
+      }
+    values.foreach { v =>
+      add(stringGlobalId(v))
+      try add(longGlobalId(java.lang.Long.parseLong(v)))
+      catch { case _: NumberFormatException => () }
+      try {
+        val d = java.lang.Double.parseDouble(v)
+        if (!d.isNaN) add(doubleGlobalId(d))
+      } catch { case _: NumberFormatException => () }
+    }
+    Some(acc)
   }
 }

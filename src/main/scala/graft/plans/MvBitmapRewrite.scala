@@ -55,45 +55,109 @@ object MvBitmapRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     // post-pushdown shape (extraOptimizations / AQE): the scan exists,
-    // copy it with the merged clause set
+    // copy it with the merged clause sets
     case f @ Filter(cond, sr: DataSourceV2ScanRelation)
         if sr.scan.isInstanceOf[DruidScan] =>
       val scan = sr.scan.asInstanceOf[DruidScan]
       val clauses = extract(cond, sr.output)
-      if (clauses.isEmpty) f
+      val nested = extractNested(cond, sr.output)
+      if (clauses.isEmpty && nested.isEmpty) f
       else {
-        val next = scan.withMvContains(clauses)
+        val next = scan.withMvContains(clauses).withNestedEq(nested)
         if (next eq scan) f else f.copy(child = sr.copy(scan = next))
       }
     // pre-pushdown shape (injectOptimizerRule, operator batch): merge
-    // the clauses into the relation's graft.mvContains read option —
-    // the ScanBuilder picks them up, exactly the native-query path
+    // the clauses into the relation's read options — the ScanBuilder
+    // picks them up, exactly the native-query path
     case f @ Filter(cond,
         rel: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation)
         if rel.table.isInstanceOf[graft.sources.druid.DruidTable] =>
       val clauses = extract(cond, rel.output)
-      if (clauses.isEmpty) f
+      val nested = extractNested(cond, rel.output)
+      if (clauses.isEmpty && nested.isEmpty) f
       else {
         import scala.jdk.CollectionConverters._
-        val cur = graft.sources.druid.MvContains.fromJson(
+        val curMv = graft.sources.druid.MvContains.fromJson(
           rel.options.get("graft.mvContains"))
+        val curNe = graft.sources.druid.NestedEq.fromJson(
+          rel.options.get("graft.nestedEq"))
         // clauses AND together: same-column clauses stay separate
         // (never flattened into one weaker any-of clause); dedup by
         // exact canonical clause
-        def canon(c: (String, Seq[String])) = (c._1, c._2.distinct.sorted)
-        val have = cur.map(canon).toSet
-        val fresh = clauses.map(canon).distinct.filterNot(have)
-        val merged = cur ++ fresh
-        if (fresh.isEmpty) f
+        def canonMv(c: (String, Seq[String])) = (c._1, c._2.distinct.sorted)
+        def canonNe(c: (String, String, Seq[String])) =
+          (c._1, c._2, c._3.distinct.sorted)
+        val freshMv = clauses.map(canonMv).distinct
+          .filterNot(curMv.map(canonMv).toSet)
+        val freshNe = nested.map(canonNe).distinct
+          .filterNot(curNe.map(canonNe).toSet)
+        if (freshMv.isEmpty && freshNe.isEmpty) f
         else {
-          val opts = rel.options.asCaseSensitiveMap().asScala.toMap +
-            ("graft.mvContains" ->
-              graft.sources.druid.MvContains.toJson(merged))
+          var opts = rel.options.asCaseSensitiveMap().asScala.toMap
+          if (freshMv.nonEmpty) opts += ("graft.mvContains" ->
+            graft.sources.druid.MvContains.toJson(curMv ++ freshMv))
+          if (freshNe.nonEmpty) opts += ("graft.nestedEq" ->
+            graft.sources.druid.NestedEq.toJson(curNe ++ freshNe))
           f.copy(child = rel.copy(options =
             new org.apache.spark.sql.util.CaseInsensitiveStringMap(
               opts.asJava)))
         }
       }
+  }
+
+  /** AND-reachable nested-field equality clauses:
+    * `get_json_object(col, '$.path') = 'v'` (either side) and
+    * `get_json_object(col, '$.path') IN (...)` on a NestedCommonFormat
+    * column. Served by the per-field value bitmaps; a SUPERSET
+    * selection — long 5 and string "5" both render as "5", the
+    * residual is the final word. Only simple dot paths (no wildcards,
+    * no array steps), matching what the nested writer stores.
+    */
+  private[graft] def extractNested(cond: Expression, output: Seq[Attribute])
+      : Seq[(String, String, Seq[String])] = {
+    val nestedAttrs: Map[ExprId, String] = output.collect {
+      case a if a.dataType == org.apache.spark.sql.types.StringType &&
+          a.metadata.contains("druid.complexType") &&
+          a.metadata.getString("druid.complexType") ==
+            graft.format.NestedColumn.PartType =>
+        a.exprId -> a.name
+    }.toMap
+    if (nestedAttrs.isEmpty) return Nil
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other     => Seq(other)
+    }
+    val simplePath = """^\$(\.[^.\[\]'"*]+)+$""".r
+    def field(e: Expression): Option[(String, String)] = e match {
+      case g: GetJsonObject => (g.json, g.path) match {
+        case (a: AttributeReference, Literal(p: UTF8String, _))
+            if nestedAttrs.contains(a.exprId) && p != null &&
+              simplePath.matches(p.toString) =>
+          Some((nestedAttrs(a.exprId), p.toString))
+        case _ => None
+      }
+      case _ => None
+    }
+    def lit(e: Expression): Option[String] = e match {
+      case Literal(s: UTF8String, org.apache.spark.sql.types.StringType)
+          if s != null => Some(s.toString)
+      case _ => None
+    }
+    conjuncts(cond).flatMap {
+      case EqualTo(l, r) =>
+        field(l).flatMap(f => lit(r).map(v => (f._1, f._2, Seq(v))))
+          .orElse(field(r).flatMap(f => lit(l).map(v => (f._1, f._2, Seq(v)))))
+      case EqualNullSafe(l, r) =>
+        field(l).flatMap(f => lit(r).map(v => (f._1, f._2, Seq(v))))
+          .orElse(field(r).flatMap(f => lit(l).map(v => (f._1, f._2, Seq(v)))))
+      case In(g, vs) =>
+        field(g).flatMap { f =>
+          val lits = vs.map(lit)
+          if (lits.isEmpty || lits.exists(_.isEmpty)) None
+          else Some((f._1, f._2, lits.map(_.get)))
+        }
+      case _ => None
+    }
   }
 
   /** AND-reachable (column, any-of values) clauses on array<string>

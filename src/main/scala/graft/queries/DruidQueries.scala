@@ -2442,6 +2442,31 @@ object DruidQueries extends QuerySet {
               round(sum(value), 2) AS sum_v,
               count(DISTINCT user_id) AS n_uids
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- Nested-field equality pushdown over a NestedCommonFormat
+    //    column in PLAIN SQL: get_json_object(props, '$.k') IN (...)
+    //    rides the per-field value bitmaps (MvBitmapRewrite's nestedEq
+    //    clauses; the predicate stays the residual). At 100 TB this is
+    //    |matching bitmap| rows decoded instead of reconstructing every
+    //    row's JSON to evaluate the filter. NestedPushdownSpec pins the
+    //    exact selection, cross-type rendering, and the no-rewrite
+    //    guards.
+    Q("dr74_nested_field_filter",
+      (s, dir) => {
+        eventsNestedSeg(s, dir).createOrReplaceTempView("events_nested_sql")
+        s.sql("""SELECT event_type, count(*) AS n,
+                        round(sum(CAST(get_json_object(props, '$.m.v')
+                                       AS DOUBLE)), 2) AS sum_v
+                 FROM events_nested_sql
+                 WHERE get_json_object(props, '$.k') IN ('7', '42', '87')
+                 GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+              round(sum(value), 2) AS sum_v
+              FROM events
+              WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    IN (7, 42, 87)
+              GROUP BY 1 ORDER BY 1""")),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

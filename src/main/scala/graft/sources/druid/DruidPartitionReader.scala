@@ -339,6 +339,19 @@ private[druid] object RowSelection {
         case _ => None
       }
     }
+    // nested-field equality clauses: served from the NestedCommonFormat
+    // column's per-field value bitmaps (a superset selection, the
+    // compiled get_json_object predicate is the residual). An absent
+    // column is all-null — text null never equals a literal, zero rows.
+    // A blob-encoded json column has no field bitmaps: residual decides.
+    val neSets = part.nestedEq.flatMap { case (name, path, values) =>
+      if (!segment.columnNames.contains(name))
+        Some(new org.roaringbitmap.buffer.MutableRoaringBitmap())
+      else segment.column(name) match {
+        case NestedColumnData(nc) => nc.eqBitmap(path, values)
+        case _ => None
+      }
+    }
     def trailerOf(name: String): Option[org.roaringbitmap.buffer.ImmutableRoaringBitmap] =
       segment.column(name) match {
         case LongColumnData(_, nulls) if nulls != null => Some(nulls)
@@ -363,7 +376,7 @@ private[druid] object RowSelection {
     if (emptySplit) return Array.emptyIntArray
     if (applicable.isEmpty && prefixSets.isEmpty && patternSets.isEmpty &&
         boundSets.isEmpty && orSets.isEmpty && mvSets.isEmpty &&
-        nullSets.isEmpty && onlyNullSets.isEmpty) null
+        neSets.isEmpty && nullSets.isEmpty && onlyNullSets.isEmpty) null
     else {
       val range = new org.roaringbitmap.buffer.MutableRoaringBitmap()
       range.add(part.rowStart.toLong, part.rowEnd.toLong)
@@ -373,6 +386,7 @@ private[druid] object RowSelection {
       boundSets.foreach(range.and)
       orSets.foreach(range.and)
       mvSets.foreach(range.and)
+      neSets.foreach(range.and)
       onlyNullSets.foreach(range.and)
       nullSets.foreach(range.andNot)
       range.toArray

@@ -81,6 +81,14 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
   private val mvContains: Seq[(String, Seq[String])] =
     MvContains.fromJson(options.get("graft.mvContains"))
 
+  // nested-field equality clauses from the `graft.nestedEq` read
+  // option: (column, "$.path", values) = rows whose NestedCommonFormat
+  // field renders to ANY of the values; clauses AND together. Served
+  // by the nested column's per-field value bitmaps; the pusher keeps
+  // the compiled get_json_object predicate as the residual final word.
+  private val nestedEq: Seq[(String, String, Seq[String])] =
+    NestedEq.fromJson(options.get("graft.nestedEq"))
+
   // COMPLEX-backed string columns (json) carry no dictionary/bitmaps:
   // exclude them so dim-filter pushdown never consults a dictionary
   // that does not exist (their filters stay Spark-side residuals)
@@ -271,6 +279,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
       patternFilters.isEmpty && boundFilters.isEmpty && mvContains.isEmpty &&
+      nestedEq.isEmpty &&
       timeMin == Long.MinValue && timeMax == Long.MaxValue
     if (!clean || orders.length != 1 || l <= 0) return false
     val o = orders.head
@@ -310,7 +319,8 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     // option-shipped comparator bounds / MV-contains clauses restrict
     // rows invisibly to Spark's filter bookkeeping — a metadata answer
     // over ALL rows would ignore them
-    if (boundFilters.nonEmpty || mvContains.nonEmpty) return false
+    if (boundFilters.nonEmpty || mvContains.nonEmpty || nestedEq.nonEmpty)
+      return false
     // kinds.nonEmpty: an outer count() can prune a stacked aggregate's
     // output to ZERO expressions — pushing that would make the scan
     // produce 0 columns where Spark still expects a row shape
@@ -380,6 +390,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
     val clean = pushed.isEmpty && dimFilters.isEmpty && zoneFilters.isEmpty &&
       notNullCols.isEmpty && isNullCols.isEmpty && prefixFilters.isEmpty &&
       patternFilters.isEmpty && boundFilters.isEmpty && mvContains.isEmpty &&
+      nestedEq.isEmpty &&
       limit < 0 && timeMin == Long.MinValue && timeMax == Long.MaxValue
     val groupCols = agg.groupByExpressions().toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
@@ -400,7 +411,7 @@ class DruidScanBuilder(root: String, fullSchema: StructType,
       options.getLong("rowsPerSplit", 4L * 1024 * 1024),
       options.getInt("batchSize", 4096), dimFilters, pushedAggs, zoneFilters,
       notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
-      patternFilters, orFilters, boundFilters, mvContains)
+      patternFilters, orFilters, boundFilters, mvContains, nestedEq)
 }
 
 object DruidScanBuilder {
@@ -502,6 +513,9 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                      boundFilters: Map[String, Seq[DimBound]] =
                                        Map.empty,
                                      mvContains: Seq[(String, Seq[String])] =
+                                       Nil,
+                                     nestedEq:
+                                       Seq[(String, String, Seq[String])] =
                                        Nil)
     extends InputPartition with HasPartitionKey {
   // meaningful only when the scan reports KeyGroupedPartitioning
@@ -637,6 +651,35 @@ object DimBound {
   * `[{"c": col, "vs": [v1, v2]}, ...]` — each clause selects rows
   * whose multi-value dimension contains ANY of `vs`; clauses AND.
   */
+/** JSON codec for the `graft.nestedEq` read option:
+  * `[{"c": col, "p": "$.path", "vs": [..]}, ...]`.
+  */
+object NestedEq {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def toJson(clauses: Seq[(String, String, Seq[String])]): String = {
+    val root = mapper.createArrayNode()
+    clauses.foreach { case (c, p, vs) =>
+      val o = root.addObject()
+      o.put("c", c)
+      o.put("p", p)
+      val arr = o.putArray("vs")
+      vs.foreach(arr.add)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  def fromJson(s: String): Seq[(String, String, Seq[String])] =
+    if (s == null || s.isEmpty) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      mapper.readTree(s).elements().asScala.map { o =>
+        (o.path("c").asText(), o.path("p").asText(),
+          o.path("vs").elements().asScala.map(_.asText()).toSeq)
+      }.toSeq
+    }
+}
+
 object MvContains {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -690,7 +733,8 @@ class DruidScan(root: String, required: StructType,
                 patternFilters: Map[String, Seq[DimPattern]] = Map.empty,
                 orFilters: Seq[Filter] = Nil,
                 boundFilters: Map[String, Seq[DimBound]] = Map.empty,
-                mvContains: Seq[(String, Seq[String])] = Nil)
+                mvContains: Seq[(String, Seq[String])] = Nil,
+                nestedEq: Seq[(String, String, Seq[String])] = Nil)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportOrdering
     with SupportsReportPartitioning {
@@ -716,7 +760,7 @@ class DruidScan(root: String, required: StructType,
       zoneFilters.isEmpty && notNullCols.isEmpty && isNullCols.isEmpty &&
       topNTime.isEmpty && groupByDim.isEmpty && prefixFilters.isEmpty &&
       patternFilters.isEmpty && orFilters.isEmpty &&
-      boundFilters.isEmpty && mvContains.isEmpty
+      boundFilters.isEmpty && mvContains.isEmpty && nestedEq.isEmpty
 
   /** Per-partition __time ordering, reported only when EVERY segment
     * was written time-sorted (manifest flag; Druid's own layout): row
@@ -835,7 +879,28 @@ class DruidScan(root: String, required: StructType,
     else new DruidScan(root, required, timeMinMs0, timeMaxMs0, limit,
       rowsPerSplit, batchSize, dimFilters0, pushedAggs, zoneFilters,
       notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
-      patternFilters, orFilters, boundFilters, mvContains ++ fresh)
+      patternFilters, orFilters, boundFilters, mvContains ++ fresh, nestedEq)
+  }
+
+  /** Current nested-field clauses (idempotency check + specs). */
+  def nestedEqClauses: Seq[(String, String, Seq[String])] = nestedEq
+
+  /** Copy with additional nested-field equality row-selection clauses
+    * (the plain-SQL rewrite's hook; same superset-hint contract as
+    * withMvContains — the caller's get_json_object predicate stays the
+    * residual final word).
+    */
+  def withNestedEq(extra: Seq[(String, String, Seq[String])]): DruidScan = {
+    def canon(c: (String, String, Seq[String])) =
+      (c._1, c._2, c._3.distinct.sorted)
+    val have = nestedEq.map(canon).toSet
+    val fresh = extra.map(canon).distinct.filterNot(have)
+    if (fresh.isEmpty) this
+    else new DruidScan(root, required, timeMinMs0, timeMaxMs0, limit,
+      rowsPerSplit, batchSize, dimFilters0, pushedAggs, zoneFilters,
+      notNullCols, isNullCols, topNTime, groupByDim, prefixFilters,
+      patternFilters, orFilters, boundFilters, mvContains,
+      nestedEq ++ fresh)
   }
 
   override def description(): String =
@@ -843,6 +908,7 @@ class DruidScan(root: String, required: StructType,
       s"time=[$timeMinMs,$timeMaxMs], limit=$limit, dimFilters=$dimFilters, " +
       s"prefixFilters=$prefixFilters, patternFilters=$patternFilters, " +
       s"boundFilters=$boundFilters, mvContains=$mvContains, " +
+      s"nestedEq=$nestedEq, " +
       s"zoneFilters=$zoneFilters, notNull=${notNullCols.mkString(",")}, " +
       s"isNull=${isNullCols.mkString(",")}, topNTime=$topNTime, " +
       s"groupByDim=$groupByDim, pushedAggs=${pushedAggs.mkString(",")})"
@@ -1056,7 +1122,8 @@ class DruidScan(root: String, required: StructType,
       (0 until capped by per).map { start =>
         DruidInputPartition(m.dir, start, math.min(capped, start + per), limit,
           batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
-          patternFilters, key, orFilters, boundFilters, mvContains)
+          patternFilters, key, orFilters, boundFilters, mvContains,
+          nestedEq)
       }
     }
     parts.toArray
