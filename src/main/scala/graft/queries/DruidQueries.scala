@@ -2467,6 +2467,34 @@ object DruidQueries extends QuerySet {
               WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
                     IN (7, 42, 87)
               GROUP BY 1 ORDER BY 1""")),
+
+    // -- The same nested-field selection on the NATIVE wire: a Druid
+    //    `nested-field` virtual column + `in` filter over the
+    //    NestedCommonFormat table pushes the graft.nestedEq clauses
+    //    (pushNestedEq; STRING vcs only — a typed vc's cast can match
+    //    texts the bitmap probe models differently, so it stays
+    //    residual). This is the exact query shape a Druid dashboard
+    //    sends against an "auto" column.
+    Q("dr75_native_nested_field",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "ev_nested",
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "virtualColumns": [{"type": "nested-field", "columnName": "props",
+            "outputName": "vk", "path": "$.k"}],
+          "filter": {"type": "in", "dimension": "vk",
+                     "values": ["7", "42", "87"]},
+          "aggregations": [{"type": "count", "name": "n"}]
+        }""", _ => eventsNestedSeg(s, dir))
+          .select(col("event_type"), col("n"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n
+              FROM events
+              WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    IN (7, 42, 87)
+              GROUP BY 1 ORDER BY 1""")),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

@@ -117,7 +117,8 @@ object NativeQuery {
     val base0 = resolveDataSource(q.path("dataSource"), resolve)
     val base0b = pushComparatorBounds(base0, q)
     val base0c = pushMvContains(base0b, q)
-    val base1 = withVirtualColumns(base0c, q)
+    val base0d = pushNestedEq(base0c, q)
+    val base1 = withVirtualColumns(base0d, q)
     val base = applyWhere(base1, q)
     q.path("queryType").asText() match {
       case "timeseries"   => timeseries(base, q)
@@ -460,6 +461,83 @@ object NativeQuery {
     if (clauses.isEmpty) return df
     val opts = rel.options.asCaseSensitiveMap().asScala.toMap +
       ("graft.mvContains" -> graft.sources.druid.MvContains.toJson(clauses)) +
+      ("path" -> rel.table.asInstanceOf[graft.sources.druid.DruidTable].rootDir)
+    SparkSession.active.read.format("druid").options(opts).load()
+  }
+
+  /** Selector/in filters on a `nested-field` VIRTUAL COLUMN over a
+    * NestedCommonFormat column, shipped as the `graft.nestedEq` read
+    * option: the reader serves them from the nested column's per-field
+    * value bitmaps instead of reconstructing every row's JSON. STRING
+    * expectedType only — the selector then compares exactly the
+    * rendered text our bitmap probe models; a typed vc's cast can
+    * match texts the probe would miss ('5.0' as LONG matches long 5),
+    * so typed vcs stay residual-only. The compiled predicate is the
+    * residual final word either way.
+    */
+  private def pushNestedEq(df: DataFrame, q: JsonNode): DataFrame = {
+    val f = q.path("filter")
+    if (f.isMissingNode || f.isNull) return df
+    // nested-field STRING vcs: outputName -> (columnName, path)
+    val simplePath = """^\$(\.[^.\[\]'"*]+)+$""".r
+    val nestedVcs: Map[String, (String, String)] = {
+      val vcs = q.path("virtualColumns")
+      if (vcs.isMissingNode || vcs.isNull) Map.empty
+      else vcs.elements().asScala.collect {
+        case vc if vc.path("type").asText() == "nested-field" &&
+            vc.path("expectedType").asText("STRING")
+              .toUpperCase(java.util.Locale.ROOT) == "STRING" &&
+            simplePath.matches(vc.path("path").asText("")) =>
+          val out =
+            if (vc.hasNonNull("outputName")) vc.path("outputName").asText()
+            else vc.path("name").asText()
+          out -> (vc.path("columnName").asText(), vc.path("path").asText())
+      }.toMap
+    }
+    if (nestedVcs.isEmpty) return df
+    val nestedCols: Set[String] = df.schema.fields.collect {
+      case fld if fld.dataType == org.apache.spark.sql.types.StringType &&
+          fld.metadata.contains("druid.complexType") &&
+          fld.metadata.getString("druid.complexType") ==
+            graft.format.NestedColumn.PartType => fld.name
+    }.toSet
+    def andReachable(n: JsonNode): Seq[JsonNode] =
+      n.path("type").asText() match {
+        case "and" => n.path("fields").elements().asScala.toSeq
+          .flatMap(andReachable)
+        case "selector" | "in" => Seq(n)
+        case _ => Nil
+      }
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case s: SubqueryAlias => unwrap(s.child)
+      case other            => other
+    }
+    val rel = unwrap(df.queryExecution.analyzed) match {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[graft.sources.druid.DruidTable] => r
+      case _ => return df
+    }
+    val clauses: Seq[(String, String, Seq[String])] =
+      andReachable(f).flatMap { n =>
+        val d = n.path("dimension").asText()
+        nestedVcs.get(d).filter { case (c, _) => nestedCols(c) }
+          .filterNot(_ => n.hasNonNull("extractionFn")).flatMap {
+            case (c, p) =>
+              n.path("type").asText() match {
+                case "selector" if n.hasNonNull("value") =>
+                  Some((c, p, Seq(n.path("value").asText())))
+                case "in" =>
+                  val vs = textSeq(n.path("values"))
+                  if (vs.nonEmpty) Some((c, p, vs)) else None
+                case _ => None
+              }
+          }
+      }
+    if (clauses.isEmpty) return df
+    val opts = rel.options.asCaseSensitiveMap().asScala.toMap +
+      ("graft.nestedEq" -> graft.sources.druid.NestedEq.toJson(clauses)) +
       ("path" -> rel.table.asInstanceOf[graft.sources.druid.DruidTable].rootDir)
     SparkSession.active.read.format("druid").options(opts).load()
   }

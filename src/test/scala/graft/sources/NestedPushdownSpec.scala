@@ -112,6 +112,38 @@ class NestedPushdownSpec extends AnyFunSuite {
     assert(dfBlob.collect().head.getLong(0) == 20L)
   }
 
+  test("native selector on a nested-field virtual column pushes nestedEq") {
+    val df = graft.query.NativeQuery.run(
+      """{"queryType": "timeseries", "dataSource": "t",
+          "granularity": "all",
+          "virtualColumns": [{"type": "nested-field", "columnName": "props",
+            "outputName": "vtag", "path": "$.tag"}],
+          "filter": {"type": "in", "dimension": "vtag",
+                     "values": ["t0", "t2"]},
+          "aggregations": [{"type": "count", "name": "rows"}]
+        }""", _ => spark.read.format("druid").load(dir))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("nestedEq=List((props,$.tag,List(t0, t2)))"),
+      s"native nested-field selector not pushed:\n$p")
+    val expected = (0 until N).count(i => i % 10 != 0 &&
+      (i % 3 == 0 || i % 3 == 2))
+    assert(df.collect().head.getAs[Long]("rows") == expected)
+    // a TYPED (LONG) nested-field vc must NOT push: '5.0' as LONG
+    // matches long 5 while the text probe would miss it
+    val typed = graft.query.NativeQuery.run(
+      """{"queryType": "timeseries", "dataSource": "t",
+          "granularity": "all",
+          "virtualColumns": [{"type": "nested-field", "columnName": "props",
+            "outputName": "vk", "path": "$.k", "expectedType": "LONG"}],
+          "filter": {"type": "selector", "dimension": "vk", "value": "5"},
+          "aggregations": [{"type": "count", "name": "rows"}]
+        }""", _ => spark.read.format("druid").load(dir))
+    assert(!typed.queryExecution.executedPlan.toString.contains("nestedEq=List(("),
+      "typed nested-field vc must stay residual-only")
+    assert(typed.collect().head.getAs[Long]("rows") ==
+      (0 until N).count(i => i % 10 != 0 && i % 7 == 5))
+  }
+
   test("null rows never enter a selection; residual semantics hold end-to-end") {
     val df = spark.read.format("druid").load(dir)
       .filter(get_json_object(col("props"), "$.tag") === "t0")
