@@ -27,13 +27,20 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   *   [VByte column-name length][column name UTF-8]   (Druid V5 carries
   *                                                    its own name)
   *   [fields: GenericIndexed of jq-ish path strings "$.a.b", sorted]
-  *   [fieldTypes: ONE byte per field — bitmask STRING=1 LONG=2 DOUBLE=4]
+  *   [fieldTypes: ONE byte per field — bitmask STRING=1 LONG=2
+  *    DOUBLE=4 ARRAY=8]
   *
   * internal logical files (smoosh entries named "<col>.<part>"):
   *   <col>.__stringDictionary  GenericIndexed object-strings, sorted,
   *                             element 0 = null (global id 0 = null)
   *   <col>.__longDictionary    FixedIndexed longs (8B BE), sorted
   *   <col>.__doubleDictionary  FixedIndexed doubles (8B BE), sorted
+  *   <col>.__arrayDictionary   arrays of primitives as sequences of
+  *                             global ELEMENT ids: [version 0][flags]
+  *                             [i32 count][per array: i32 len +
+  *                             len * i32 gids], sorted lexicographically
+  *                             (real Druid front-codes these; we store
+  *                             them plain — same id-sequence model)
   *   <col>.__nullIndex         roaring bitmap of null ROWS (the same
   *                             one-element GenericIndexed + 0x01 type
   *                             byte shape as every other bitmap here)
@@ -45,7 +52,8 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   *
   * Global dictionary id space (Druid's stacked-ranges scheme):
   * id 0 = null; string ids [0, nStr); long ids [nStr, nStr+nLong);
-  * double ids [nStr+nLong, nStr+nLong+nDouble).
+  * double ids [nStr+nLong, nStr+nLong+nDouble); array ids stack after
+  * doubles.
   *
   * The decode surface is the same JSON STRING the blob encoding
   * (`jsonEncoding=blob`, the default) produces: each row's object is
@@ -75,6 +83,7 @@ object NestedColumn {
   val StringDictFile = "__stringDictionary"
   val LongDictFile = "__longDictionary"
   val DoubleDictFile = "__doubleDictionary"
+  val ArrayDictFile = "__arrayDictionary"
   val NullIndexFile = "__nullIndex"
   val FieldFilePrefix = "__field_"
 
@@ -87,6 +96,7 @@ object NestedColumn {
   val TypeString = 0x01
   val TypeLong = 0x02
   val TypeDouble = 0x04
+  val TypeArray = 0x08
 
   private val mapper = new ObjectMapper()
 
@@ -163,12 +173,24 @@ object NestedColumn {
               java.lang.Long.valueOf(v.asLong())
             } else if (v.isFloatingPointNumber)
               java.lang.Double.valueOf(v.asDouble())
-            else if (v.isArray)
-              throw new IllegalArgumentException(
-                s"nested column '$colName' field $path: arrays are not " +
-                  "supported by the nested encoding here; use " +
-                  "jsonEncoding=blob")
-            else
+            else if (v.isArray) {
+              val elems = Vector.newBuilder[AnyRef]
+              v.elements().forEachRemaining { el =>
+                if (el.isNull) elems += null
+                else if (el.isTextual) elems += el.asText()
+                else if (el.isBoolean)
+                  elems += java.lang.Long.valueOf(if (el.asBoolean()) 1L else 0L)
+                else if (el.isIntegralNumber && el.canConvertToLong)
+                  elems += java.lang.Long.valueOf(el.asLong())
+                else if (el.isFloatingPointNumber)
+                  elems += java.lang.Double.valueOf(el.asDouble())
+                else throw new IllegalArgumentException(
+                  s"nested column '$colName' field $path: array elements " +
+                    s"must be scalars (got ${el.getNodeType}); use " +
+                    "jsonEncoding=blob")
+              }
+              elems.result()
+            } else
               throw new IllegalArgumentException(
                 s"nested column '$colName' field $path: unsupported " +
                   s"JSON node ${v.getNodeType}")
@@ -190,18 +212,20 @@ object NestedColumn {
     val strings = scala.collection.mutable.SortedSet[String]()
     val longs = scala.collection.mutable.SortedSet[Long]()
     val doubles = scala.collection.mutable.SortedSet[Double]()
-    fieldVals.values.foreach(_.foreach {
+    def pool(v: AnyRef): Unit = v match {
       case s: String           => strings += s
       case l: java.lang.Long   => longs += l.longValue()
       case d: java.lang.Double => doubles += d.doubleValue()
+      case arr: Vector[_]      => arr.foreach(e => pool(e.asInstanceOf[AnyRef]))
       case null                => ()
-    })
+    }
+    fieldVals.values.foreach(_.foreach(pool))
     val strArr = strings.toArray
     val longArr = longs.toArray
     val dblArr = doubles.toArray
     val nStr = 1 + strArr.length // id 0 = null
 
-    def globalIdOf(v: AnyRef): Int = v match {
+    def scalarIdOf(v: AnyRef): Int = v match {
       case null => 0
       case s: String =>
         1 + java.util.Arrays.binarySearch(strArr.asInstanceOf[Array[AnyRef]],
@@ -212,6 +236,21 @@ object NestedColumn {
         nStr + longArr.length +
           java.util.Arrays.binarySearch(dblArr, d.doubleValue())
     }
+    // array dictionary: distinct element-gid sequences, sorted
+    // lexicographically; array gids stack after the double range
+    import scala.math.Ordering.Implicits.seqOrdering
+    val arrSeqs: Array[Vector[Int]] = fieldVals.values.iterator
+      .flatMap(_.iterator).collect { case a: Vector[_] =>
+        a.map(e => scalarIdOf(e.asInstanceOf[AnyRef]))
+      }.toSet.toArray.sorted
+    val arrBase = nStr + longArr.length + dblArr.length
+    val arrIdx: Map[Vector[Int], Int] = arrSeqs.zipWithIndex.toMap
+
+    def globalIdOf(v: AnyRef): Int = v match {
+      case a: Vector[_] =>
+        arrBase + arrIdx(a.map(e => scalarIdOf(e.asInstanceOf[AnyRef])))
+      case other => scalarIdOf(other)
+    }
 
     // per-field type-info byte
     val typeBytes = fields.map { f =>
@@ -220,6 +259,7 @@ object NestedColumn {
         case _: String           => bits |= TypeString
         case _: java.lang.Long   => bits |= TypeLong
         case _: java.lang.Double => bits |= TypeDouble
+        case _: Vector[_]        => bits |= TypeArray
         case null                => ()
       }
       bits.toByte
@@ -274,6 +314,13 @@ object NestedColumn {
         (null +: strArr.toSeq), sorted = true)
     internal += internalName(colName, LongDictFile) -> fixedIndexedLongs(longArr)
     internal += internalName(colName, DoubleDictFile) -> fixedIndexedDoubles(dblArr)
+    internal += internalName(colName, ArrayDictFile) -> {
+      val size = 6 + arrSeqs.map(a => 4 + a.length * 4).sum
+      val bb = ByteBuffer.allocate(size)
+      bb.put(0: Byte).put(FixedIndexed.SortedFlag.toByte).putInt(arrSeqs.length)
+      arrSeqs.foreach { a => bb.putInt(a.length); a.foreach(bb.putInt) }
+      bb.array()
+    }
     internal += internalName(colName, NullIndexFile) ->
       GenericIndexed.writeLengthPrefixed(
         Seq(roaring(nullRows.stream().toArray.toSeq)), sorted = false)
@@ -388,6 +435,26 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
     fail(s"nested column '$colName': global string dictionary must " +
       "carry null at slot 0")
 
+  // array dictionary: sequences of global ELEMENT ids (absent on
+  // segments written before array support — zero arrays then)
+  private val arrayDict: Array[Array[Int]] = {
+    val name = internalName(colName, ArrayDictFile)
+    if (!smoosh.has(name)) Array.empty
+    else {
+      val (b, o, _) = smoosh.slice(name)
+      val v = b.get(o) & 0xff
+      if (v != 0) fail(s"nested column '$colName': array dict version $v")
+      val count = b.getInt(o + 2)
+      var pos = o + 6
+      Array.fill(count) {
+        val len = b.getInt(pos); pos += 4
+        val a = Array.tabulate(len)(i => b.getInt(pos + i * 4))
+        pos += len * 4
+        a
+      }
+    }
+  }
+
   val nullRows: org.roaringbitmap.buffer.ImmutableRoaringBitmap = {
     val (b, o, _) = slice(NullIndexFile)
     val gi = new GenericIndexed(b, o)
@@ -454,6 +521,9 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
       java.lang.Long.valueOf(longDict.get(gid - nStr))
     else if (gid < nStr + longDict.length + doubleDict.length)
       java.lang.Double.valueOf(doubleDict.get(gid - nStr - longDict.length))
+    else if (gid < nStr + longDict.length + doubleDict.length + arrayDict.length)
+      arrayDict(gid - nStr - longDict.length - doubleDict.length)
+        .map(globalValue).toVector
     else fail(s"nested column '$colName': global id $gid out of range")
 
   private val mapper = new ObjectMapper()
@@ -486,6 +556,16 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
           case s: String           => node.put(path.last, s)
           case l: java.lang.Long   => node.put(path.last, l.longValue())
           case d: java.lang.Double => node.put(path.last, d.doubleValue())
+          case a: Vector[_] =>
+            val arr = node.putArray(path.last)
+            a.foreach {
+              case null                => arr.addNull()
+              case s: String           => arr.add(s)
+              case l: java.lang.Long   => arr.add(l.longValue())
+              case d: java.lang.Double => arr.add(d.doubleValue())
+              case other => fail(
+                s"nested column '$colName': unexpected array element $other")
+            }
         }
       }
       i += 1
@@ -562,8 +642,21 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
   def eqBitmap(path: String, values: Seq[String])
       : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
     val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
+    // defensive: bracketed/wildcard paths are never pushed by the
+    // rules, but a hand-set option must not under-select
+    if (path.exists(c => c == '[' || c == '*')) return None
     val fi = fieldIndex(path)
-    if (fi < 0) return Some(acc)
+    if (fi < 0) {
+      // an INTERIOR object node (a strict prefix of some field):
+      // get_json_object returns the object's JSON text there, which a
+      // literal CAN equal — no per-field bitmap models that, so no
+      // selection (the residual decides). Only a path that is neither
+      // a field nor a prefix of one is all-null -> zero rows.
+      val prefix = path + "."
+      if (fieldPaths.exists(_.startsWith(prefix))) return None
+      return Some(acc)
+    }
+    if ((fieldTypes(fi) & TypeArray) != 0) return None
     val f = fields(fi)
     if (f.bitmaps.isEmpty) return None
     def add(gid: Int): Unit =

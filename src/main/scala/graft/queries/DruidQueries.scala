@@ -106,7 +106,11 @@ object DruidQueries extends QuerySet {
         .select(col("ts").as("__time"), col("event_type"),
           struct(
             get_json_object(col("props"), "$.k").cast("long").as("k"),
-            struct(col("user_id").as("uid"), col("value").as("v")).as("m"))
+            struct(col("user_id").as("uid"), col("value").as("v")).as("m"),
+            // an ARRAY field: rides the array dictionary (element-id
+            // sequences), element extraction via $.labels[i]
+            array(col("event_type"),
+              (col("user_id") % 2).cast("string")).as("labels"))
             .as("props"))
         .repartition(4),
       options = Map("jsonEncoding" -> "nested"))
@@ -2429,18 +2433,21 @@ object DruidQueries extends QuerySet {
           .select(col("event_type"),
             get_json_object(col("props"), "$.k").cast("long").as("k"),
             get_json_object(col("props"), "$.m.v").cast("double").as("v"),
-            get_json_object(col("props"), "$.m.uid").cast("long").as("uid"))
+            get_json_object(col("props"), "$.m.uid").cast("long").as("uid"),
+            get_json_object(col("props"), "$.labels[1]").as("parity"))
           .groupBy(col("event_type"), (col("k") % 10).as("kb"))
           .agg(count(lit(1)).as("n"),
                round(sum(col("v")), 2).as("sum_v"),
-               countDistinct(col("uid")).as("n_uids"))
+               countDistinct(col("uid")).as("n_uids"),
+               sum(col("parity").cast("long")).as("n_odd"))
           .orderBy(col("event_type"), col("kb"))
       },
       Some("""SELECT event_type,
               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
               count(*) AS n,
               round(sum(value), 2) AS sum_v,
-              count(DISTINCT user_id) AS n_uids
+              count(DISTINCT user_id) AS n_uids,
+              sum(user_id % 2) AS n_odd
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // -- Nested-field equality pushdown over a NestedCommonFormat

@@ -72,6 +72,19 @@ class NestedPushdownSpec extends AnyFunSuite {
     assert(probe(Seq(("props", "$.tag", Seq("zz")))).get.isEmpty)
   }
 
+  test("interior object paths give NO selection (residual can match object text)") {
+    // "$.sub" is a strict prefix of the "$.sub.d" field: the residual's
+    // get_json_object returns the OBJECT text there — a bitmap claiming
+    // zero rows would under-select, so the probe must decline
+    assert(probe(Seq(("props", "$.sub", Seq("""{"d":1.5}""")))).isEmpty)
+    // and the end-to-end answer is the residual's, bitmap-free
+    val df = spark.read.format("druid").load(dir)
+      .filter(get_json_object(col("props"), "$.sub") === """{"d":1.5}""")
+      .agg(count(lit(1)).as("n"))
+    val expected = (0 until N).count(i => i % 10 != 0 && i % 4 == 1)
+    assert(df.collect().head.getLong(0) == expected)
+  }
+
   test("plain SQL get_json_object equality re-plans with nestedEq") {
     spark.read.format("druid").load(dir).createOrReplaceTempView("ne_sql_t")
     val df = spark.sql(
