@@ -128,14 +128,26 @@ object MvBitmapRewrite extends Rule[LogicalPlan] {
       case other     => Seq(other)
     }
     val simplePath = """^\$(\.[^.\[\]'"*]+)+$""".r
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case x       => x
+    }
+    def jsonArgs(json: Expression, path: Expression)
+        : Option[(String, String)] = (stripCast(json), stripCast(path)) match {
+      case (a: AttributeReference, Literal(p: UTF8String, _))
+          if nestedAttrs.contains(a.exprId) && p != null &&
+            simplePath.matches(p.toString) =>
+        Some((nestedAttrs(a.exprId), p.toString))
+      case _ => None
+    }
     def field(e: Expression): Option[(String, String)] = e match {
-      case g: GetJsonObject => (g.json, g.path) match {
-        case (a: AttributeReference, Literal(p: UTF8String, _))
-            if nestedAttrs.contains(a.exprId) && p != null &&
-              simplePath.matches(p.toString) =>
-          Some((nestedAttrs(a.exprId), p.toString))
-        case _ => None
-      }
+      case g: GetJsonObject => jsonArgs(g.json, g.path)
+      // the SQL-compat json_value(expr, path): scalar-or-null text —
+      // every row it can match also matches the rendered-text probe,
+      // so the same superset selection applies
+      case u: ScalaUDF if u.udfName.contains("json_value") &&
+          u.children.length == 2 =>
+        jsonArgs(u.children.head, u.children(1))
       case _ => None
     }
     def lit(e: Expression): Option[String] = e match {

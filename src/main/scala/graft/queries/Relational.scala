@@ -988,6 +988,32 @@ object Relational extends QuerySet {
              |  user_mod, n, CAST(0 AS BIGINT) AS max_err
              |FROM r WHERE rank <= 3
              |ORDER BY month, event_type, rank""".stripMargin)),
+
+    // -- Druid SQL's JSON function family (sql/DsJson.scala over the
+    //    JSON-text surface): json_value (scalar-or-NULL, containers
+    //    null out — RETURNING spelled as an outer CAST), json_query
+    //    (JSON serialization of any node), json_keys, json_paths,
+    //    try_parse_json. JsonFnSpec pins per-function semantics and
+    //    json_value's bitmap pushdown on nested columns.
+    Q("q40_json_fn_family",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        Tables.events(s, dir).createOrReplaceTempView("events_jfn")
+        s.sql("""SELECT event_type,
+                   count(*) AS n,
+                   sum(CAST(json_value(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(json_query(props, '$.k')) AS max_kq,
+                   max(array_join(json_keys(props, '$'), ',')) AS keys,
+                   max(array_join(json_paths(props), ',')) AS paths
+                 FROM events_jfn
+                 WHERE try_parse_json(props) IS NOT NULL
+                 GROUP BY event_type ORDER BY event_type""")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  max(CAST(json_extract(props, '$.k') AS VARCHAR)) AS max_kq,
+             |  max('k') AS keys, max('$.k') AS paths
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   private val rollupDone = scala.collection.mutable.Set[String]()

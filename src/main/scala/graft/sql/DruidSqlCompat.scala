@@ -407,7 +407,63 @@ object DruidSqlCompat {
       Seq(e(0), Cast(e(1), DoubleType)))
   }
 
+  // ---- Druid SQL JSON function family (DsJson; nested columns read
+  //      back as JSON text, so these operate on the string surface;
+  //      RETURNING clauses are spelled as an outer CAST) ----
+
+  private val jsonValueFn: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "json_value(expr, path)")
+    udfExpr("json_value", StringType,
+      (t: String, p: String) => DsJson.jsonValue(t, p),
+      Seq(Cast(e.head, StringType), Cast(e(1), StringType)))
+  }
+  private val jsonQueryFn: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "json_query(expr, path)")
+    udfExpr("json_query", StringType,
+      (t: String, p: String) => DsJson.jsonQuery(t, p),
+      Seq(Cast(e.head, StringType), Cast(e(1), StringType)))
+  }
+  private val jsonKeysFn: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "json_keys(expr, path)")
+    udfExpr("json_keys", ArrayType(StringType),
+      (t: String, p: String) => DsJson.jsonKeys(t, p),
+      Seq(Cast(e.head, StringType), Cast(e(1), StringType)))
+  }
+  private val jsonPathsFn: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "json_paths(expr)")
+    udfExpr("json_paths", ArrayType(StringType),
+      (t: String) => DsJson.jsonPaths(t), Seq(Cast(e.head, StringType)))
+  }
+  private val parseJsonFn: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "parse_json(expr)")
+    udfExpr("parse_json", StringType,
+      (t: String) => DsJson.parseJson(t), Seq(Cast(e.head, StringType)))
+  }
+  private val tryParseJsonFn: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "try_parse_json(expr)")
+    udfExpr("try_parse_json", StringType,
+      (t: String) => DsJson.tryParseJson(t), Seq(Cast(e.head, StringType)))
+  }
+
   val functions0: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("json_value",
+      "json_value(expr, path) - Druid JSON_VALUE: scalar text at path, NULL for containers (RETURNING = outer CAST)",
+      jsonValueFn),
+    ("json_query",
+      "json_query(expr, path) - Druid JSON_QUERY: JSON serialization of the node at path",
+      jsonQueryFn),
+    ("json_keys",
+      "json_keys(expr, path) - Druid JSON_KEYS: keys of the object at path",
+      jsonKeysFn),
+    ("json_paths",
+      "json_paths(expr) - Druid JSON_PATHS: all leaf paths in the document",
+      jsonPathsFn),
+    ("parse_json",
+      "parse_json(expr) - Druid PARSE_JSON: validate + normalize (throws on invalid)",
+      parseJsonFn),
+    ("try_parse_json",
+      "try_parse_json(expr) - Druid TRY_PARSE_JSON: like parse_json, NULL on invalid",
+      tryParseJsonFn),
     ("earliest", "earliest(expr[, maxBytes]) - Druid EARLIEST (by __time)",
       earliest),
     ("latest", "latest(expr[, maxBytes]) - Druid LATEST (by __time)", latest),
