@@ -1014,6 +1014,43 @@ object Relational extends QuerySet {
              |  max(CAST(json_extract(props, '$.k') AS VARCHAR)) AS max_kq,
              |  max('k') AS keys, max('$.k') AS paths
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- HOT-KEY-ONLY salting (Skew.hotKeySaltedJoin): measure the
+    //    fact key histogram, salt just the keys above the threshold,
+    //    join the cold majority plain, union. Blanket salting
+    //    replicates the whole dim side ×factor whether or not skew
+    //    exists (the sf10 wave-3 probe measured q28's uniform ×8 salt
+    //    at 2–5× the plain AQE join); this pays replication only where
+    //    needed and degrades to the plain join when no key is hot. The
+    //    fact here is MADE skewed (70% of rows on one key) so the hot
+    //    path actually exercises.
+    Q("q41_hotkey_salted_join",
+      (s, dir) => {
+        import graft.pipeline.Skew
+        val fact = Tables.events(s, dir)
+          .withColumn("skew_key",
+            when(col("user_id") % 10 < 7, 0L)
+              .otherwise(col("user_id") % 1000))
+        val dim = Tables.events(s, dir)
+          .select((col("user_id") % 1000).as("dk")).distinct()
+          .withColumn("bucket", (col("dk") % 7).cast("long"))
+        Skew.hotKeySaltedJoin(fact, dim, "skew_key", "dk",
+            factor = 8, hotThreshold = 1000)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 2).as("sum_v"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH fact AS (
+             |  SELECT CASE WHEN user_id % 10 < 7 THEN 0
+             |              ELSE user_id % 1000 END AS skew_key, value
+             |  FROM events),
+             |d2 AS (SELECT dk, dk % 7 AS bucket FROM (
+             |  SELECT DISTINCT user_id % 1000 AS dk FROM events)),
+             |j AS (SELECT bucket, value FROM fact JOIN d2
+             |      ON skew_key = dk)
+             |SELECT bucket, count(*) AS n, round(sum(value), 2) AS sum_v
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   private val rollupDone = scala.collection.mutable.Set[String]()

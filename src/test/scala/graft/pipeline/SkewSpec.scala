@@ -52,6 +52,54 @@ class SkewSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hotKeySaltedJoin equals the plain join; only hot keys salt") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plain = fact.join(dim, fact("k") === dim("dk"))
+      // key 1 holds 9000 rows, every other key 20: threshold 100
+      // salts EXACTLY key 1
+      val hot = Skew.hotKeySaltedJoin(fact, dim, "k", "dk",
+        factor = 8, hotThreshold = 100)
+      assert(hot.exceptAll(plain).isEmpty && plain.exceptAll(hot).isEmpty)
+      hot.collect()
+      val p = hot.queryExecution.executedPlan.toString
+      assert(p.contains("__graft_salt"), "hot slice must be salted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("hotKeySaltedJoin left join preserves unmatched + null-key fact rows") {
+    val factX = fact.union(Seq((999L, -1L)).toDF("k", "payload"))
+      .union(Seq((null.asInstanceOf[java.lang.Long], -2L))
+        .toDF("k", "payload"))
+    val plain = factX.join(dim, factX("k") === dim("dk"), "left")
+    val hot = Skew.hotKeySaltedJoin(factX, dim, "k", "dk",
+      factor = 4, hotThreshold = 100, joinType = "left")
+    assert(hot.exceptAll(plain).isEmpty && plain.exceptAll(hot).isEmpty)
+    assert(hot.filter(col("k").isNull).count() == 1)
+    assert(hot.filter(col("k") === 999L).count() == 1)
+  }
+
+  test("hotKeySaltedJoin with no hot key degrades to the plain join") {
+    val uniform = (0 until 1000)
+      .map(i => ((i % 50).toLong, i.toLong)).toDF("k", "payload")
+    val df = Skew.hotKeySaltedJoin(uniform, dim, "k", "dk",
+      factor = 8, hotThreshold = 100)
+    assert(!df.queryExecution.analyzed.toString.contains("__graft_salt"),
+      "no-hot-key case must not salt anything")
+    assert(df.count() == 1000)
+  }
+
+  test("hotKeySaltedJoin fails loudly when 'hot' keys are not few") {
+    val uniform = (0 until 10000)
+      .map(i => ((i % 5000).toLong, i.toLong)).toDF("k", "payload")
+    val e = intercept[IllegalArgumentException] {
+      Skew.hotKeySaltedJoin(uniform, dim, "k", "dk",
+        factor = 8, hotThreshold = 1, maxHotKeys = 100)
+    }
+    assert(e.getMessage.contains("not 'few hot keys'"))
+  }
+
   test("dim-preserving join types are rejected") {
     intercept[IllegalArgumentException](
       Skew.saltedJoin(fact, dim, "k", "dk", 4, joinType = "right"))
