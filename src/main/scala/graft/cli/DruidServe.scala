@@ -272,7 +272,8 @@ object DruidServe {
             ingestRoot: Option[String] = None,
             autoCompactSeconds: Option[Long] = None,
             compactTargetRows: Long = 5000000L,
-            statementRetireBound: Int = 500): HttpServer = {
+            statementRetireBound: Int = 500,
+            sysSchema: Boolean = false): HttpServer = {
     require(statementPageRows > 0,
       s"statementPageRows must be positive: $statementPageRows")
     require(threads > 0, s"--threads must be positive: $threads")
@@ -941,6 +942,109 @@ object DruidServe {
       }
       o
     }
+    // ---- Druid `sys` metadata schema (segments / servers / tasks) ----
+    // Live views over THIS broker's state through the graft-sys DSv2
+    // source: sys.segments lists each served datasource's manifest AT
+    // SCAN TIME (a commit between two queries shows up in the second —
+    // no snapshot staleness, and no VALUES literal to re-render at
+    // 10^5 segments), sys.servers reports this process, sys.tasks
+    // mirrors the async-statements registry (Druid's MSQ query tasks).
+    // Registered in the session catalog (CREATE TABLE ... USING) so
+    // `SELECT ... FROM sys.segments` resolves like any table; the
+    // serve id pins the tables to this broker instance, so several
+    // brokers in one JVM never read each other's state (the LAST one
+    // that registers owns the sys.* names — opt-in per start()).
+    val serverStartIso = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    if (sysSchema) {
+      import graft.sources.sys.SysRegistry
+      val sysId = s"broker-$serveId"
+      val boundPort = server.getAddress.getPort.toLong
+      val serverName = s"$host:${server.getAddress.getPort}"
+      // a served name maps to a listable root when ingest-backed or
+      // when its frame is a single bare druid relation; derived frames
+      // (joins/projections served under a name) have no segment rows —
+      // same honesty as Druid, where only real datasources appear
+      def rootOf(name: String, df: DataFrame): Option[String] =
+        if (ingestBacked.contains(name)) ingestRoot.map(r => s"$r/$name")
+        else df.queryExecution.analyzed.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+              if r.table.isInstanceOf[graft.sources.druid.DruidTable] =>
+            r.table.asInstanceOf[graft.sources.druid.DruidTable].rootDir
+        }.distinct match {
+          case Seq(one) => Some(one)
+          case _        => None
+        }
+      def dsSnapshot(): Seq[SysRegistry.Datasource] = {
+        val it = servedTables.entrySet().iterator()
+        val b = Seq.newBuilder[SysRegistry.Datasource]
+        while (it.hasNext) {
+          val e = it.next()
+          val (dims, mets) = e.getValue.schema.fields
+            .filterNot(_.name == "__time").partition(f => f.dataType match {
+              case org.apache.spark.sql.types.StringType => true
+              case _: org.apache.spark.sql.types.ArrayType => true
+              case _ => false
+            })
+          b += SysRegistry.Datasource(e.getKey, rootOf(e.getKey, e.getValue),
+            dims.map(_.name).toSeq, mets.map(_.name).toSeq)
+        }
+        b.result().sortBy(_.name)
+      }
+      def diskSize(root: String): Long =
+        try {
+          val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+          try s.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size).sum
+          finally s.close()
+        } catch { case scala.util.control.NonFatal(_) => 0L }
+      SysRegistry.register(sysId, SysRegistry.State(
+        datasources = () => dsSnapshot(),
+        servers = () => {
+          // one process plays both roles of a single-node deploy: the
+          // broker (query entry) and the historical (segment serving).
+          // curr_size walks the served roots once per sys.servers scan
+          // — an ops query, not a hot path; max_size mirrors curr (no
+          // quota concept on a shared filesystem).
+          val served = dsSnapshot().flatMap(_.root).distinct
+          val bytes = served.map(diskSize).sum
+          Seq(
+            SysRegistry.ServerRow(serverName, host, boundPort, -1L,
+              "broker", null, 0L, 0L, 1L, serverStartIso),
+            SysRegistry.ServerRow(serverName, host, boundPort, -1L,
+              "historical", "_default_tier", bytes, bytes, 0L,
+              serverStartIso))
+        },
+        tasks = () => {
+          val it = statements.values().iterator()
+          val b = Seq.newBuilder[SysRegistry.TaskRow]
+          while (it.hasNext) {
+            val st = it.next()
+            val status = st.state match {
+              case "SUCCESS"            => "SUCCESS"
+              case "FAILED" | "CANCELED" => "FAILED"
+              case _                    => "RUNNING"
+            }
+            b += SysRegistry.TaskRow(st.queryId, "query_controller",
+              st.dataSource, st.createdAt, status,
+              if (status == "RUNNING") "RUNNING" else "NONE",
+              st.durationMs, host, boundPort,
+              if (st.state == "CANCELED") "Canceled"
+              else st.error.map(e => String.valueOf(e.getMessage)).orNull)
+          }
+          b.result().sortBy(_.createdTime)
+        }))
+      spark.sql("CREATE DATABASE IF NOT EXISTS sys")
+      Seq("segments", "servers", "tasks").foreach { k =>
+        spark.sql(s"DROP TABLE IF EXISTS sys.$k")
+        spark.sql(s"CREATE TABLE sys.$k USING `graft-sys` " +
+          s"OPTIONS (kind '$k', serveid '$sysId')")
+      }
+    }
+
     /** Execute a parsed ingestion statement: write the SELECT's rows
       * into `ingestRoot/<table>` through the segment writer (append
       * for INSERT, atomic overwrite for REPLACE ALL, interval-scoped
@@ -1755,7 +1859,8 @@ object DruidServe {
         threads = threads, logQueries = logQueries,
         statementPageRows = stmtPageRows,
         ingestRoot = if (noIngest) None else Some(root),
-        autoCompactSeconds = autoCompact, compactTargetRows = compactRows)
+        autoCompactSeconds = autoCompact, compactTargetRows = compactRows,
+        sysSchema = true)
       if (host != "127.0.0.1" && host != "localhost")
         System.err.println(
           s"WARNING: binding $host — the SQL endpoint executes arbitrary " +

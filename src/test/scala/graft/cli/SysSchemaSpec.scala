@@ -1,0 +1,165 @@
+package graft.cli
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Druid's `sys` metadata schema over the live broker: sys.segments
+  * lists manifests at scan time (liveness across commits, datasource
+  * pushdown pruning), sys.servers reports the process, sys.tasks
+  * mirrors the statements registry. Real HTTP against a live server,
+  * like DruidServeSpec.
+  */
+class SysSchemaSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  private val mapper = new ObjectMapper()
+
+  private def events(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map(i =>
+        (s"2024-01-0${i % 3 + 1} 0$i:00:00", s"type$i", i.toLong, i * 10.0))
+      .toDF("t", "event_type", "user_id", "value")
+      .select(to_timestamp(col("t")).as("__time"), col("event_type"),
+              col("user_id"), col("value"))
+  }
+
+  private def sql(port: Int, q: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:$port/druid/v2/sql"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        mapper.writeValueAsString(
+          mapper.createObjectNode().put("query", q))))
+      .build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("sys.segments lists live manifests; commits appear without restart") {
+    val root = java.nio.file.Files.createTempDirectory("sys_root").toString
+    val dir = s"$root/ev"
+    events(3).coalesce(1).write.format("druid").mode("overwrite").save(dir)
+    val inMem = events(2) // served frame with no segments behind it
+    val server = DruidServe.start(spark,
+      n => if (n == "ev") spark.read.format("druid").load(dir) else inMem,
+      port = 0,
+      sqlTables = Map("ev" -> spark.read.format("druid").load(dir),
+                      "mem" -> inMem),
+      ingestRoot = Some(root), sysSchema = true)
+    try {
+      val port = server.getAddress.getPort
+      val (c1, b1) = sql(port,
+        """SELECT datasource, num_rows, size, is_published, is_realtime,
+           partition_num, start, "end", dimensions, metrics
+           FROM sys.segments ORDER BY segment_id""")
+      assert(c1 == 200, b1)
+      val rows1 = mapper.readTree(b1)
+      assert(rows1.size() == 1, b1) // one segment; mem contributes none
+      val r0 = rows1.get(0)
+      assert(r0.path("datasource").asText() == "ev")
+      assert(r0.path("num_rows").asLong() == 3L)
+      assert(r0.path("size").asLong() > 0L)
+      assert(r0.path("is_published").asLong() == 1L)
+      assert(r0.path("is_realtime").asLong() == 0L)
+      assert(r0.path("start").asText().startsWith("2024-01-01T"))
+      val dims = mapper.readTree(r0.path("dimensions").asText())
+      assert(dims.isArray &&
+        dims.elements().hasNext, r0.path("dimensions").asText())
+      assert(r0.path("metrics").asText().contains("value"))
+
+      // liveness: an append commit shows up on the NEXT query, no
+      // re-registration of anything
+      events(2).coalesce(1).write.format("druid").mode("append").save(dir)
+      val (c2, b2) = sql(port,
+        "SELECT count(*) AS n, sum(num_rows) AS rows FROM sys.segments")
+      assert(c2 == 200, b2)
+      val agg = mapper.readTree(b2).get(0)
+      assert(agg.path("n").asLong() == 2L, b2)
+      assert(agg.path("rows").asLong() == 5L, b2)
+    } finally server.stop(0)
+  }
+
+  test("sys.segments datasource filter prunes partitions at planning") {
+    val root = java.nio.file.Files.createTempDirectory("sys_prune").toString
+    events(2).coalesce(1).write.format("druid").mode("overwrite").save(s"$root/a")
+    events(3).coalesce(1).write.format("druid").mode("overwrite").save(s"$root/b")
+    val server = DruidServe.start(spark,
+      n => spark.read.format("druid").load(s"$root/$n"), port = 0,
+      sqlTables = Map(
+        "a" -> spark.read.format("druid").load(s"$root/a"),
+        "b" -> spark.read.format("druid").load(s"$root/b")),
+      ingestRoot = Some(root), sysSchema = true)
+    try {
+      // the sys tables live in the session catalog, so the plan is
+      // inspectable locally: the scan description names the pruned set
+      val df = spark.sql(
+        "SELECT datasource, num_rows FROM sys.segments WHERE datasource = 'b'")
+      val scan = df.queryExecution.executedPlan.toString
+      assert(scan.contains("datasources=b"), scan)
+      val rows = df.collect()
+      assert(rows.length == 1 && rows.head.getString(0) == "b" &&
+        rows.head.getLong(1) == 3L)
+    } finally server.stop(0)
+  }
+
+  test("sys.servers reports broker + historical; sys.tasks mirrors statements") {
+    val root = java.nio.file.Files.createTempDirectory("sys_srv").toString
+    events(3).coalesce(1).write.format("druid").mode("overwrite").save(s"$root/ev")
+    val server = DruidServe.start(spark,
+      _ => spark.read.format("druid").load(s"$root/ev"), port = 0,
+      sqlTables = Map("ev" -> spark.read.format("druid").load(s"$root/ev")),
+      ingestRoot = Some(root), sysSchema = true)
+    try {
+      val port = server.getAddress.getPort
+      val (c1, b1) = sql(port,
+        """SELECT server, server_type, curr_size, is_leader
+           FROM sys.servers ORDER BY server_type""")
+      assert(c1 == 200, b1)
+      val srv = mapper.readTree(b1)
+      assert(srv.size() == 2, b1)
+      assert(srv.get(0).path("server_type").asText() == "broker")
+      assert(srv.get(0).path("is_leader").asLong() == 1L)
+      assert(srv.get(1).path("server_type").asText() == "historical")
+      assert(srv.get(1).path("curr_size").asLong() > 0L)
+      assert(srv.get(0).path("server").asText().endsWith(s":$port"))
+
+      // a statements-API query becomes a sys.tasks row
+      val client = HttpClient.newHttpClient()
+      val submit = HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/druid/v2/sql/statements"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"query": "SELECT count(*) AS n FROM ev"}"""))
+        .build()
+      val sr = client.send(submit, HttpResponse.BodyHandlers.ofString())
+      assert(sr.statusCode() == 200 || sr.statusCode() == 202, sr.body())
+      val qid = mapper.readTree(sr.body()).path("queryId").asText()
+      // poll until terminal (bounded)
+      var state = ""
+      var tries = 0
+      while (state != "SUCCESS" && tries < 100) {
+        val st = client.send(HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/druid/v2/sql/statements/$qid"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        state = mapper.readTree(st.body()).path("state").asText()
+        if (state != "SUCCESS") Thread.sleep(50)
+        tries += 1
+      }
+      assert(state == "SUCCESS")
+      val (c2, b2) = sql(port,
+        s"""SELECT task_id, type, status, runner_status
+            FROM sys.tasks WHERE task_id = '$qid'""")
+      assert(c2 == 200, b2)
+      val t = mapper.readTree(b2)
+      assert(t.size() == 1, b2)
+      assert(t.get(0).path("type").asText() == "query_controller")
+      assert(t.get(0).path("status").asText() == "SUCCESS")
+      assert(t.get(0).path("runner_status").asText() == "NONE")
+    } finally server.stop(0)
+  }
+}
