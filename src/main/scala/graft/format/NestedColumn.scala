@@ -133,7 +133,11 @@ object NestedColumn {
     * the always-works default): the root of every non-null row must be
     * a JSON object; leaf values are strings, integral numbers (long),
     * floating numbers (double), booleans (stored as LONG 0/1), or
-    * null; arrays are rejected; object keys must not contain
+    * null; arrays of scalars ride the array dictionary; arrays of
+    * OBJECTS shred element-wise into `path[i].k` fields (the
+    * StructuredDataProcessor shape) — mixed object/scalar arrays and
+    * elements with no non-null leaf are rejected (no faithful
+    * rendering / unreconstructable); object keys must not contain
     * '.', '[' or ']' (they would be ambiguous inside jq-ish paths).
     */
   def write(colName: String, jsonTexts: Array[String])
@@ -144,6 +148,24 @@ object NestedColumn {
     // java.lang.Double
     val fieldVals =
       scala.collection.mutable.LinkedHashMap[String, Array[AnyRef]]()
+
+    // does this subtree contribute at least one field? (empty objects /
+    // all-null leaves shred to NOTHING, so a rebuilt row would silently
+    // lose them — the writer rejects those shapes loudly instead)
+    def hasLeaf(v: JsonNode): Boolean =
+      if (v.isNull) false
+      else if (v.isObject) {
+        val it = v.properties().iterator()
+        var found = false
+        while (it.hasNext && !found) found = hasLeaf(it.next().getValue)
+        found
+      } else if (v.isArray) {
+        val els = { val b = Vector.newBuilder[JsonNode]
+          v.elements().forEachRemaining(b += _); b.result() }
+        // scalar arrays (incl. empty) are a field value themselves;
+        // object arrays need a reconstructable element
+        if (els.forall(el => !el.isObject)) true else els.exists(hasLeaf)
+      } else true
 
     def flatten(row: Int, prefix: String, node: JsonNode): Unit = {
       if (!node.isObject)
@@ -161,7 +183,48 @@ object NestedColumn {
         val v = e.getValue
         if (v.isObject) flatten(row, path, v)
         else if (v.isNull) () // explicit null == absent, Druid-style
-        else {
+        else if (v.isArray) {
+          val els = { val b = Vector.newBuilder[JsonNode]
+            v.elements().forEachRemaining(b += _); b.result() }
+          if (els.exists(_.isObject)) {
+            // element-wise shredding, the StructuredDataProcessor
+            // shape: `path[i].k` fields per element. All elements must
+            // be objects (mixed scalar/object arrays have no faithful
+            // field rendering) with at least one non-null leaf each
+            // (an element that shreds to nothing cannot be rebuilt).
+            if (!els.forall(_.isObject))
+              throw new IllegalArgumentException(
+                s"nested column '$colName' field $path: array mixes " +
+                  "objects and scalars; use jsonEncoding=blob")
+            els.zipWithIndex.foreach { case (el, i) =>
+              if (!hasLeaf(el))
+                throw new IllegalArgumentException(
+                  s"nested column '$colName' field $path[$i]: array " +
+                    "element has no non-null leaf (it would shred to " +
+                    "nothing and be lost on rebuild); use " +
+                    "jsonEncoding=blob")
+              flatten(row, s"$path[$i]", el)
+            }
+          } else {
+            val elems = Vector.newBuilder[AnyRef]
+            els.foreach { el =>
+              if (el.isNull) elems += null
+              else if (el.isTextual) elems += el.asText()
+              else if (el.isBoolean)
+                elems += java.lang.Long.valueOf(if (el.asBoolean()) 1L else 0L)
+              else if (el.isIntegralNumber && el.canConvertToLong)
+                elems += java.lang.Long.valueOf(el.asLong())
+              else if (el.isFloatingPointNumber)
+                elems += java.lang.Double.valueOf(el.asDouble())
+              else throw new IllegalArgumentException(
+                s"nested column '$colName' field $path: array elements " +
+                  s"must be scalars or objects (got ${el.getNodeType}); " +
+                  "use jsonEncoding=blob")
+            }
+            fieldVals.getOrElseUpdate(path, new Array[AnyRef](n))(row) =
+              elems.result()
+          }
+        } else {
           val typed: AnyRef =
             if (v.isTextual) v.asText()
             else if (v.isBoolean) java.lang.Long.valueOf(if (v.asBoolean()) 1L else 0L)
@@ -173,24 +236,7 @@ object NestedColumn {
               java.lang.Long.valueOf(v.asLong())
             } else if (v.isFloatingPointNumber)
               java.lang.Double.valueOf(v.asDouble())
-            else if (v.isArray) {
-              val elems = Vector.newBuilder[AnyRef]
-              v.elements().forEachRemaining { el =>
-                if (el.isNull) elems += null
-                else if (el.isTextual) elems += el.asText()
-                else if (el.isBoolean)
-                  elems += java.lang.Long.valueOf(if (el.asBoolean()) 1L else 0L)
-                else if (el.isIntegralNumber && el.canConvertToLong)
-                  elems += java.lang.Long.valueOf(el.asLong())
-                else if (el.isFloatingPointNumber)
-                  elems += java.lang.Double.valueOf(el.asDouble())
-                else throw new IllegalArgumentException(
-                  s"nested column '$colName' field $path: array elements " +
-                    s"must be scalars (got ${el.getNodeType}); use " +
-                    "jsonEncoding=blob")
-              }
-              elems.result()
-            } else
+            else
               throw new IllegalArgumentException(
                 s"nested column '$colName' field $path: unsupported " +
                   s"JSON node ${v.getNodeType}")
@@ -527,13 +573,36 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
     else fail(s"nested column '$colName': global id $gid out of range")
 
   private val mapper = new ObjectMapper()
+  /** One jq-path step: a key, optionally followed by ONE array index
+    * (`arr[3]` — the writer's array-of-objects shredding; deeper
+    * bracket shapes like `$[0]` or `a[0][1]` never come from our
+    * writer and fail loudly below).
+    */
+  private final case class PathStep(key: String, idx: Int)
+
   // pre-split paths (skip the "$." prefix)
-  private val splitPaths: Array[Array[String]] =
-    fieldPaths.map(_.stripPrefix("$.").split('.'))
+  private val splitPaths: Array[Array[PathStep]] =
+    fieldPaths.map { p =>
+      p.stripPrefix("$.").split('.').map { seg =>
+        val b = seg.indexOf('[')
+        if (b < 0) PathStep(seg, -1)
+        else {
+          val close = seg.indexOf(']', b)
+          if (b == 0 || close != seg.length - 1 ||
+              !seg.substring(b + 1, close).forall(_.isDigit))
+            fail(s"nested column '$colName': unsupported field path " +
+              s"'$p' (only `key` and `key[N]` steps are modeled)")
+          PathStep(seg.substring(0, b), seg.substring(b + 1, close).toInt)
+        }
+      }
+    }
 
   /** Reconstructed JSON text of `row` (null for a null row). Keys come
     * out in sorted-path order — field extraction (`get_json_object`)
-    * is order-insensitive, raw-text comparison is not.
+    * is order-insensitive, raw-text comparison is not. Array-of-object
+    * elements materialize as placeholders grown in index order (the
+    * writer guarantees every index shreds at least one field, so no
+    * placeholder survives the row's full rebuild).
     */
   def jsonAt(row: Int): String = {
     if (nullRows.contains(row)) return null
@@ -546,18 +615,34 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
         val path = splitPaths(i)
         var k = 0
         while (k < path.length - 1) {
-          val next = node.get(path(k))
-          node =
-            if (next != null) next.asInstanceOf[ObjectNode]
-            else node.putObject(path(k))
+          val st = path(k)
+          if (st.idx < 0) {
+            val next = node.get(st.key)
+            node =
+              if (next != null) next.asInstanceOf[ObjectNode]
+              else node.putObject(st.key)
+          } else {
+            val nextArr = node.get(st.key)
+            val arr =
+              if (nextArr != null)
+                nextArr.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+              else node.putArray(st.key)
+            while (arr.size() <= st.idx) arr.addObject()
+            node = arr.get(st.idx).asInstanceOf[ObjectNode]
+          }
           k += 1
         }
+        val last = path(path.length - 1)
+        if (last.idx >= 0)
+          fail(s"nested column '$colName': field path " +
+            s"'${fieldPaths(i)}' ends in an array index — scalar array " +
+            "elements ride the array dictionary, never shredded fields")
         v match {
-          case s: String           => node.put(path.last, s)
-          case l: java.lang.Long   => node.put(path.last, l.longValue())
-          case d: java.lang.Double => node.put(path.last, d.doubleValue())
+          case s: String           => node.put(last.key, s)
+          case l: java.lang.Long   => node.put(last.key, l.longValue())
+          case d: java.lang.Double => node.put(last.key, d.doubleValue())
           case a: Vector[_] =>
-            val arr = node.putArray(path.last)
+            val arr = node.putArray(last.key)
             a.foreach {
               case null                => arr.addNull()
               case s: String           => arr.add(s)
@@ -642,18 +727,34 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
   def eqBitmap(path: String, values: Seq[String])
       : Option[org.roaringbitmap.buffer.MutableRoaringBitmap] = {
     val acc = new org.roaringbitmap.buffer.MutableRoaringBitmap()
-    // defensive: bracketed/wildcard paths are never pushed by the
-    // rules, but a hand-set option must not under-select
-    if (path.exists(c => c == '[' || c == '*')) return None
+    // defensive: wildcard paths are never pushed by the rules, but a
+    // hand-set option must not under-select. Bracketed EXACT-field
+    // paths (`$.arr[0].k`, the array-of-objects shredding) are fine —
+    // fieldIndex matches them literally.
+    if (path.contains('*')) return None
     val fi = fieldIndex(path)
     if (fi < 0) {
-      // an INTERIOR object node (a strict prefix of some field):
-      // get_json_object returns the object's JSON text there, which a
-      // literal CAN equal — no per-field bitmap models that, so no
-      // selection (the residual decides). Only a path that is neither
-      // a field nor a prefix of one is all-null -> zero rows.
-      val prefix = path + "."
-      if (fieldPaths.exists(_.startsWith(prefix))) return None
+      // an INTERIOR node (a strict prefix of some field — object OR
+      // array element): get_json_object returns that node's JSON text
+      // there, which a literal CAN equal — no per-field bitmap models
+      // that, so no selection (the residual decides). '[' is a segment
+      // boundary like '.': "$.arr" is interior to "$.arr[0].k". Only a
+      // path that is neither a field nor a prefix of one is all-null
+      // -> zero rows.
+      val dotPrefix = path + "."
+      val brkPrefix = path + "["
+      if (fieldPaths.exists(p =>
+            p.startsWith(dotPrefix) || p.startsWith(brkPrefix))) return None
+      // an index into a SCALAR-ARRAY field ("$.labels[1]" where
+      // "$.labels" rides the array dictionary): element texts CAN
+      // match but no per-element bitmaps exist — decline rather than
+      // claim zero rows (which would under-select)
+      var b = path.indexOf('[')
+      while (b >= 0) {
+        val pfi = fieldIndex(path.substring(0, b))
+        if (pfi >= 0 && (fieldTypes(pfi) & TypeArray) != 0) return None
+        b = path.indexOf('[', b + 1)
+      }
       return Some(acc)
     }
     if ((fieldTypes(fi) & TypeArray) != 0) return None

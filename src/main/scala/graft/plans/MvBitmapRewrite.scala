@@ -127,7 +127,9 @@ object MvBitmapRewrite extends Rule[LogicalPlan] {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other     => Seq(other)
     }
-    val simplePath = """^\$(\.[^.\[\]'"*]+)+$""".r
+    // dot steps plus optional [N] indices (the array-of-objects
+    // shredding); eqBitmap declines scalar-array element paths itself
+    val simplePath = """^\$(\.[^.\[\]'"*]+(\[(0|[1-9]\d*)\])?)+$""".r
     def stripCast(e: Expression): Expression = e match {
       case c: Cast => stripCast(c.child)
       case x       => x

@@ -117,6 +117,27 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Events with an ARRAY-OF-OBJECTS nested field (`items[i].{u,cat}`)
+    * landed as NestedCommonFormat — element-wise shredded paths, the
+    * StructuredDataProcessor shape. dr76's staging.
+    */
+  private def eventsNestedArrSeg(s: SparkSession, dir: String): DataFrame = {
+    val path = segTable("events_nested_arr", dir,
+      Tables.events(s, dir)
+        .select(col("ts").as("__time"), col("event_type"),
+          struct(
+            array(
+              struct(col("user_id").as("u"), col("event_type").as("cat")),
+              struct((col("user_id") % 7).as("u"),
+                concat(lit("g"), (col("user_id") % 3).cast("string"))
+                  .as("cat"))).as("items"),
+            col("value").as("v"))
+            .as("props"))
+        .repartition(4),
+      options = Map("jsonEncoding" -> "nested"))
+    s.read.format("druid").load(path)
+  }
+
   private def hllSeg(s: SparkSession, dir: String): DataFrame = {
     import graft.sql.HllFunctions
     val path = segTable("hll", dir,
@@ -2502,6 +2523,37 @@ object DruidQueries extends QuerySet {
               WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
                     IN (7, 42, 87)
               GROUP BY 1 ORDER BY 1""")),
+
+    // -- Arrays of OBJECTS in a NestedCommonFormat column: elements
+    //    shred into `items[i].field` paths (the StructuredDataProcessor
+    //    shape), element extraction via bracketed get_json_object, and
+    //    the IN filter on `$.items[1].cat` rides the element-indexed
+    //    value bitmaps (the widened nestedEq path gate). The reference
+    //    errors on ALL Complex; our own pre-r11 nested writer rejected
+    //    object arrays outright.
+    Q("dr76_nested_array_objects",
+      (s, dir) => {
+        eventsNestedArrSeg(s, dir)
+          .createOrReplaceTempView("events_nested_arr_sql")
+        s.sql("""SELECT event_type,
+                        get_json_object(props, '$.items[1].cat') AS g,
+                        count(*) AS n,
+                        sum(CAST(get_json_object(props, '$.items[0].u')
+                                 AS BIGINT)) AS sum_u,
+                        round(sum(CAST(get_json_object(props, '$.v')
+                                       AS DOUBLE)), 2) AS sum_v
+                 FROM events_nested_arr_sql
+                 WHERE get_json_object(props, '$.items[1].cat')
+                       IN ('g0', 'g2')
+                 GROUP BY 1, 2 ORDER BY 1, 2""")
+      },
+      Some("""SELECT event_type,
+              'g' || CAST(user_id % 3 AS VARCHAR) AS g,
+              count(*) AS n,
+              sum(user_id) AS sum_u,
+              round(sum(value), 2) AS sum_v
+              FROM events WHERE user_id % 3 IN (0, 2)
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

@@ -479,7 +479,9 @@ object NativeQuery {
     val f = q.path("filter")
     if (f.isMissingNode || f.isNull) return df
     // nested-field STRING vcs: outputName -> (columnName, path)
-    val simplePath = """^\$(\.[^.\[\]'"*]+)+$""".r
+    // dot steps plus optional [N] indices (the array-of-objects
+    // shredding); eqBitmap declines scalar-array element paths itself
+    val simplePath = """^\$(\.[^.\[\]'"*]+(\[(0|[1-9]\d*)\])?)+$""".r
     val nestedVcs: Map[String, (String, String)] = {
       val vcs = q.path("virtualColumns")
       if (vcs.isMissingNode || vcs.isNull) Map.empty

@@ -173,7 +173,7 @@ class NestedColumnSpec extends AnyFunSuite {
     assert(got == Seq(Some("a"), Some("b"), None, Some("a"), None))
   }
 
-  test("arrays of objects and nested arrays still fail loudly") {
+  test("arrays of objects shred element-wise; unreconstructable shapes fail loudly") {
     import spark.implicits._
     def attempt(json: String): String = {
       val dir = tmp("nestedarrbad")
@@ -186,8 +186,43 @@ class NestedColumnSpec extends AnyFunSuite {
       while (c.getCause != null && c.getCause != c) c = c.getCause
       String.valueOf(c.getMessage)
     }
-    assert(attempt("""{"a": [{"b": 1}]}""").contains("array elements"))
+    // arrays of objects are IN scope now (dr76 gates query semantics;
+    // here: round-trip + bracketed field paths + sparse second rows)
+    val dir = tmp("nestedarrobj")
+    Seq(
+      (1700000000001L,
+       """{"a": [{"b": 1, "t": ["x","y"]}, {"b": 2, "c": {"d": "z"}}]}"""),
+      (1700000000002L, """{"a": [{"b": 9}]}"""),
+      (1700000000003L, null.asInstanceOf[String]))
+      .toDF("__time", "props").coalesce(1)
+      .write.format("druid").option("complexTypes", "props:json")
+      .option("jsonEncoding", "nested").mode("overwrite").save(dir)
+    val back = spark.read.format("druid").load(dir)
+      .selectExpr(
+        "get_json_object(props, '$.a[0].b') AS b0",
+        "get_json_object(props, '$.a[1].b') AS b1",
+        "get_json_object(props, '$.a[1].c.d') AS d1",
+        "get_json_object(props, '$.a[0].t[1]') AS t01",
+        "props")
+      .orderBy("b0").collect()
+    assert(back.length == 3)
+    assert(back(0).isNullAt(0) && back(0).isNullAt(4)) // null row stays null
+    assert(back(1).getString(0) == "1" && back(1).getString(1) == "2")
+    assert(back(1).getString(2) == "z" && back(1).getString(3) == "y")
+    assert(back(2).getString(0) == "9" && back(2).isNullAt(1))
+    // rebuilt texts parse back to the ingested trees (order-insensitive)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(om.readTree(back(2).getString(4)) ==
+      om.readTree("""{"a": [{"b": 9}]}"""))
+    assert(om.readTree(back(1).getString(4)) == om.readTree(
+      """{"a": [{"b": 1, "t": ["x","y"]}, {"b": 2, "c": {"d": "z"}}]}"""))
+
+    // still loud: nested arrays, mixed object/scalar arrays, and
+    // elements that would shred to nothing
     assert(attempt("""{"a": [[1]]}""").contains("array elements"))
+    assert(attempt("""{"a": [{"b": 1}, 2]}""").contains("mixes"))
+    assert(attempt("""{"a": [{}]}""").contains("no non-null leaf"))
+    assert(attempt("""{"a": [{"b": null}]}""").contains("no non-null leaf"))
   }
 
   test("non-object roots and path-metacharacter keys fail loudly") {

@@ -109,9 +109,17 @@ class NestedPushdownSpec extends AnyFunSuite {
     val dfNot = base.filter(!(get_json_object(col("props"), "$.tag") === "t1"))
       .agg(count(lit(1)))
     assert(!dfNot.queryExecution.executedPlan.toString.contains("nestedEq=List(("))
-    val dfWild = base.filter(get_json_object(col("props"), "$.sub[0]") === "x")
+    val dfWild = base.filter(get_json_object(col("props"), "$.sub[*]") === "x")
       .agg(count(lit(1)))
     assert(!dfWild.queryExecution.executedPlan.toString.contains("nestedEq=List(("))
+    // a bracketed EXACT path is pushable now (array-of-objects
+    // shredding); a subscript on an OBJECT field safely selects zero
+    // rows (get_json_object renders null there)
+    val dfIdx = base.filter(get_json_object(col("props"), "$.sub[0]") === "x")
+      .agg(count(lit(1)).as("n"))
+    assert(dfIdx.queryExecution.executedPlan.toString.contains(
+      "nestedEq=List((props,$.sub[0],List(x)))"))
+    assert(dfIdx.collect().head.getLong(0) == 0L)
     // blob-encoded json column: no field bitmaps, no rewrite
     val blobDir = Files.createTempDirectory("graft-nedblob").toString + "/t"
     (0 until 100).map(i => (1700000000000L + i, s"""{"k": ${i % 5}}"""))
@@ -163,5 +171,44 @@ class NestedPushdownSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     val expected = (0 until N).count(i => i % 10 != 0 && i % 3 == 0)
     assert(df.collect().head.getLong(0) == expected)
+  }
+
+  test("bracketed fields (array-of-objects shredding) probe exactly; interiors decline") {
+    import spark.implicits._
+    val M = 500
+    val aDir = Files.createTempDirectory("graft-nedarr").toString + "/t"
+    (0 until M).map(i => (1700000000000L + i,
+        s"""{"a": [{"b": ${i % 5}}, {"b": ${i % 3}, "c": "s${i % 2}"}],
+             "tags": ["p${i % 4}", "q${i % 6}"]}"""))
+      .toDF("__time", "props").coalesce(1)
+      .write.format("druid").option("complexTypes", "props:json")
+      .option("jsonEncoding", "nested").mode("overwrite").save(aDir)
+    def probeA(path: String, vs: Seq[String]): Option[Seq[Int]] = {
+      val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(aDir).head
+      val seg = graft.format.DruidSegment.open(segDir)
+      val part = graft.sources.druid.DruidInputPartition(
+        segDir, 0, M, -1, 4096, Map.empty,
+        nestedEq = Seq(("props", path, vs)))
+      Option(graft.sources.druid.RowSelectionProbe.build(seg, part)).map(_.toSeq)
+    }
+    // exact bracketed field: the element-indexed bitmaps serve rows
+    assert(probeA("$.a[0].b", Seq("2")).get ==
+      (0 until M).filter(_ % 5 == 2))
+    assert(probeA("$.a[1].c", Seq("s1")).get ==
+      (0 until M).filter(_ % 2 == 1))
+    // interior prefixes — both the array node and an element — must
+    // DECLINE (their get_json_object text can equal a literal)
+    assert(probeA("$.a", Seq("x")).isEmpty)
+    assert(probeA("$.a[1]", Seq("""{"b":0,"c":"s0"}""")).isEmpty)
+    // out-of-range element: neither a field nor a prefix -> zero rows
+    assert(probeA("$.a[7].b", Seq("1")).get.isEmpty)
+    // an index into a SCALAR-ARRAY field must DECLINE (no per-element
+    // bitmaps; element texts can match) — never claim zero rows
+    assert(probeA("$.tags[0]", Seq("p1")).isEmpty)
+    // end-to-end residual correctness over the same shapes
+    val df = spark.read.format("druid").load(aDir)
+      .filter(get_json_object(col("props"), "$.a[1].c") === "s0")
+      .agg(count(lit(1)).as("n"))
+    assert(df.collect().head.getLong(0) == (0 until M).count(_ % 2 == 0))
   }
 }
