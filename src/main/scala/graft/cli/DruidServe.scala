@@ -715,13 +715,17 @@ object DruidServe {
         .getOrElse(java.util.UUID.randomUUID().toString)
     // The statement's DataFrame: served views + SQL-compat functions +
     // INFORMATION_SCHEMA registered, EXPLAIN PLAN FOR handled
-    def buildSqlDf(session: SparkSession, sql0: String,
+    def buildSqlDf(session: SparkSession, sql0raw: String,
                    args: Array[Any]): DataFrame = {
       graft.sql.DruidSqlCompat.register(session)
       if (session eq spark)
         servedTables.forEach((n, df) => df.createOrReplaceTempView(n))
       registerInformationSchema(spark,
         scala.jdk.CollectionConverters.MapHasAsScala(servedTables).asScala.toMap)
+      // Druid MSQ's TABLE(EXTERN(...)) external-input table function:
+      // each call compiles to a spark.read temp view (graft.sql.Extern)
+      // so SELECTs and INSERT/REPLACE ingestion accept the wire shape
+      val sql0 = graft.sql.Extern.rewrite(session, sql0raw)
       explainPlanFor(sql0) match {
         case Some(inner) =>
           // Druid's `EXPLAIN PLAN FOR <query>` (the statement
