@@ -379,9 +379,47 @@ object DruidServe {
     // Child sessions are built once per zone and reused: newSession()
     // shares the SparkContext and cached data but isolates SQLConf, so
     // a Los_Angeles request can't shift a concurrent UTC request.
+    // The broker's default SQL session: a child session (shared
+    // SparkContext + shared catalog, isolated SQLConf) pinned to UTC
+    // with ANSI double-quoted IDENTIFIERS — Druid SQL (and the
+    // reference's DataFusion) treat "x" as an identifier, never a
+    // string literal; the console emits that shape on every query.
+    // Executing wire SQL on the caller's session would silently read
+    // "col" as the string 'col'.
+    def newSqlSession(zoneId: String): SparkSession = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.session.timeZone", zoneId)
+      s.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+      graft.sql.DruidSqlCompat.register(s)
+      // callers may have registered their own temp functions / temp
+      // views on the parent session and expect the SQL endpoint to see
+      // them (the endpoint ran directly on the parent before child
+      // sessions): snapshot both at creation. The isEmpty guard keeps
+      // builtins and the compat layer's own (identical) registrations
+      // authoritative in the child.
+      val pr = spark.sessionState.functionRegistry
+      val cr = s.sessionState.functionRegistry
+      pr.listFunction().foreach { fi =>
+        if (cr.lookupFunction(fi).isEmpty)
+          for (info <- pr.lookupFunction(fi);
+               b <- pr.lookupFunctionBuilder(fi))
+            cr.registerFunction(fi, info, b)
+      }
+      val pc = spark.sessionState.catalog
+      pc.getTempViewNames().foreach { v =>
+        pc.getRawTempView(v).foreach(rel =>
+          s.sessionState.catalog.createTempView(v, rel,
+            overrideIfExists = false))
+      }
+      servedTables.forEach((n, df) =>
+        bridgeView(s, n, ensureGlobalView(n, df)))
+      s
+    }
+    lazy val sqlSession: SparkSession =
+      tzSessions.computeIfAbsent("UTC", _ => newSqlSession("UTC"))
     def sessionFor(tz: Option[String]): (SparkSession, DateTimeFormatter) =
       tz match {
-        case None => (spark, isoMs)
+        case None => (sqlSession, isoMs)
         case Some(z) =>
           val zone =
             try java.time.ZoneId.of(z)
@@ -390,18 +428,9 @@ object DruidServe {
                 s"context.sqlTimeZone '$z' is not a valid time zone: ${e.getMessage}") }
           val fmt = DateTimeFormatter
             .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX").withZone(zone)
-          if (zone.normalized() == ZoneOffset.UTC) (spark, isoMs)
-          else {
-            val s2 = tzSessions.computeIfAbsent(zone.getId, _ => {
-              val s = spark.newSession()
-              s.conf.set("spark.sql.session.timeZone", zone.getId)
-              graft.sql.DruidSqlCompat.register(s)
-              servedTables.forEach((n, df) =>
-                bridgeView(s, n, ensureGlobalView(n, df)))
-              s
-            })
-            (s2, fmt)
-          }
+          if (zone.normalized() == ZoneOffset.UTC) (sqlSession, isoMs)
+          else
+            (tzSessions.computeIfAbsent(zone.getId, newSqlSession), fmt)
       }
     def handled(ex: HttpExchange, methods: Set[String] = Set("POST"))
                (body: String => (String, String)): Unit =
@@ -718,14 +747,18 @@ object DruidServe {
     def buildSqlDf(session: SparkSession, sql0raw: String,
                    args: Array[Any]): DataFrame = {
       graft.sql.DruidSqlCompat.register(session)
-      if (session eq spark)
-        servedTables.forEach((n, df) => df.createOrReplaceTempView(n))
+      // served tables reach the session as bridged global-temp views:
+      // registered at child-session creation (newSqlSession) and
+      // re-bridged into every live session on ingest commits
+      // (registerServedTable) — no per-request DDL
       registerInformationSchema(spark,
         scala.jdk.CollectionConverters.MapHasAsScala(servedTables).asScala.toMap)
       // Druid MSQ's TABLE(EXTERN(...)) external-input table function:
       // each call compiles to a spark.read temp view (graft.sql.Extern)
-      // so SELECTs and INSERT/REPLACE ingestion accept the wire shape
-      val sql0 = graft.sql.Extern.rewrite(session, sql0raw)
+      // so SELECTs and INSERT/REPLACE ingestion accept the wire shape;
+      // Druid SQL UNNEST rewrites to Spark's LATERAL VIEW explode
+      val sql0 = graft.sql.Unnest.rewrite(
+        graft.sql.Extern.rewrite(session, sql0raw))
       explainPlanFor(sql0) match {
         case Some(inner) =>
           // Druid's `EXPLAIN PLAN FOR <query>` (the statement

@@ -67,5 +67,14 @@ object DruidMv {
     ("mv_filter_none",
       "mv_filter_none(arr, deniedArr) - drop listed values, order/dups preserved",
       { e => require(e.length == 2, "mv_filter_none takes 2 args")
-        filterBy(e(0), e(1), keep = false) }))
+        filterBy(e(0), e(1), keep = false) }),
+    // Druid distinguishes MV-STRING dims from ARRAY-typed columns and
+    // converts with these two; our connector surfaces MV dims as
+    // ArrayType(StringType) already, so both are the identity on
+    // arrays — registered so dashboard SQL (`UNNEST(MV_TO_ARRAY(x))`)
+    // parses unchanged
+    ("mv_to_array", "mv_to_array(arr) - Druid MV_TO_ARRAY (identity here)",
+      { e => require(e.length == 1, "mv_to_array takes 1 arg"); e.head }),
+    ("array_to_mv", "array_to_mv(arr) - Druid ARRAY_TO_MV (identity here)",
+      { e => require(e.length == 1, "array_to_mv takes 1 arg"); e.head }))
 }
