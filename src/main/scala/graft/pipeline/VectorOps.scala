@@ -173,12 +173,16 @@ object VectorOps {
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, cv1))), x -> x.cv1)")
         .as("cv"))
+    // dot_f handles the float-vector × double-centroid mix natively
+    // (same index-ordered double fold as the HOF reference, without
+    // materializing a zipped array per row per centroid — the reassign
+    // stage is corpus × nCells evaluations, the d20 hot loop)
     val reassigned = embeddings.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cent2.withColumnRenamed("cell", "c2")))
       .withColumn("cos", round(
-        expr(dotHofSql("embedding", "cv")) /
+        expr(dotSql("embedding", "cv")) /
           (expr(normSql("embedding")) *
-            expr(s"sqrt(${dotHofSql("cv", "cv")})")), 6))
+            expr(s"sqrt(${dotSql("cv", "cv")})")), 6))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cos"), (-col("c2")).as("nc"))).as("best"))
       .select(col("vec_id"), (-col("best.nc")).as("cell2"))
@@ -639,8 +643,8 @@ object VectorOps {
     val scored = probes.join(cand, "cell")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(
-        expr(dotHofSql("qv", "rv")) /
-          (expr(normSql("qv")) * expr(s"sqrt(${dotHofSql("rv", "rv")})")), 6))
+        expr(dotSql("qv", "rv")) /
+          (expr(normSql("qv")) * expr(s"sqrt(${dotSql("rv", "rv")})")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))

@@ -23,21 +23,35 @@ private[sql] object VectorExprs {
 }
 
 /** Ordered-fold dot product: `dot_f(a, b) -> double` over two
-  * array<float> columns (length-mismatch folds over the shorter, same
-  * as zip_with's null-padding then +0 behavior never arises here —
-  * embeddings are fixed-dim).
+  * array<float|double> columns — each element widens to double before
+  * the multiply and the fold runs in index order, so results are
+  * bit-identical to the HOF reference
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d,
+  * (acc, v) -> acc + v)` without materializing the zipped array
+  * (length-mismatch folds over the shorter; embeddings are fixed-dim
+  * so that never arises here). The double side exists for centroid
+  * arrays (means are double) — k-means reassign scores float vectors
+  * against double centroids row by row.
   */
 case class DotFloat(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
 
+  private def isNumArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
   override def checkInputDataTypes(): TypeCheckResult =
-    if (VectorExprs.isFloatArray(left.dataType) &&
-        VectorExprs.isFloatArray(right.dataType))
+    if (isNumArray(left.dataType) && isNumArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"dot_f requires two ARRAY<FLOAT> arguments, got " +
+      s"dot_f requires two ARRAY<FLOAT|DOUBLE> arguments, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
+
+  @transient private lazy val leftIsFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val rightIsFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -46,7 +60,9 @@ case class DotFloat(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc

@@ -134,6 +134,19 @@ class PipelineSpec extends AnyFunSuite {
     val projDiff = emb.filter(
       expr(VectorOps.projectionSql(3, 64)) =!= expr(VectorOps.projectionHofSql(3, 64))).count()
     assert(projDiff == 0, "hplane_proj diverges from the zip_with fold")
+    // the mixed float-vector x DOUBLE-array case (centroids are means):
+    // the widened dot_f must stay bit-identical to the HOF fold
+    val mixed = pairs
+      .withColumn("bd", expr("transform(b, x -> CAST(x AS DOUBLE) * 1.5D)"))
+    val mixedDiff = mixed.filter(
+      expr(VectorOps.dotSql("a", "bd")) =!=
+        expr(VectorOps.dotHofSql("a", "bd"))).count()
+    assert(mixedDiff == 0, "dot_f(float, double) diverges from the HOF fold")
+    val ddDiff = mixed
+      .withColumn("ad", expr("transform(a, x -> CAST(x AS DOUBLE))"))
+      .filter(expr(VectorOps.dotSql("ad", "bd")) =!=
+        expr(VectorOps.dotHofSql("ad", "bd"))).count()
+    assert(ddDiff == 0, "dot_f(double, double) diverges from the HOF fold")
   }
 
   test("pqTopK gets decent recall against brute force") {
