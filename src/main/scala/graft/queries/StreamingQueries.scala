@@ -661,5 +661,62 @@ object StreamingQueries extends QuerySet {
              |SELECT source, CAST(rank AS BIGINT) AS rank, tok, n,
              |  CAST(0 AS BIGINT) AS max_err
              |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // Streaming ingestion into NESTED-encoded segments: each
+    // micro-batch commits NestedCommonFormat columns through the same
+    // atomic append path (one file per trigger forces real cross-epoch
+    // nested appends), and the read-back answers bracket-free AND
+    // nested-field-filtered get_json_object — the shape of a Kafka →
+    // Druid "auto"-column ingestion pipeline. The filter rides the
+    // per-field value bitmaps on every committed segment (dr74's
+    // pushdown, here over streaming-written segments).
+    Q("s14_stream_nested_ingest",
+      (s, dir) => {
+        val in = synchronized {
+          staged.getOrElseUpdate(s"$dir#nestedsrc", {
+            val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_nestedsrc"
+            Tables.events(s, dir)
+              .select(col("ts"), col("event_type"), col("user_id"),
+                      col("value"), col("props"))
+              .repartition(4)
+              .write.mode("overwrite").parquet(out)
+            out
+          })
+        }
+        val schema = s.read.parquet(in).schema
+        val n = nameCounter.incrementAndGet()
+        val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_nested_$n"
+        Seq(out, s"${out}_cp").foreach(deleteDir)
+        val stream = StreamingOps.parquetStream(s, in, schema,
+            maxFilesPerTrigger = Some(1))
+          .select(col("ts").as("__time"), col("event_type"),
+            struct(
+              get_json_object(col("props"), "$.k").cast("long").as("k"),
+              struct(col("user_id").as("uid"), col("value").as("v"))
+                .as("m")).as("props"))
+        val q = StreamingOps.segmentSink(stream, out, s"${out}_cp",
+          options = Map("complexTypes" -> "props:json",
+                        "jsonEncoding" -> "nested"))
+        q.awaitTermination(300000)
+        s.read.format("druid").load(out)
+          .filter(get_json_object(col("props"), "$.k").isin("7", "42", "87"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(get_json_object(col("props"), "$.k").cast("long"))
+                 .as("sum_k"),
+               countDistinct(get_json_object(col("props"), "$.m.uid")
+                 .cast("long")).as("n_uids"),
+               round(sum(get_json_object(col("props"), "$.m.v")
+                 .cast("double")), 2).as("sum_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  count(DISTINCT user_id) AS n_uids,
+             |  round(sum(value), 2) AS sum_v
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |      IN (7, 42, 87)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -72,11 +72,13 @@ object StreamingOps {
     * the Druid real-time-ingest shape on Spark primitives.
     */
   def segmentSink(stream: DataFrame, outDir: String, checkpoint: String,
-                  trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                  trigger: Trigger = Trigger.AvailableNow(),
+                  options: Map[String, String] = Map.empty): StreamingQuery =
     stream.writeStream
       .format("druid")
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
+      .options(options) // writer options (complexTypes, jsonEncoding, ...)
       .trigger(trigger)
       .start(outDir)
 

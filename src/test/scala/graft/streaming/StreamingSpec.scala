@@ -214,4 +214,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(back.count() == batch.count())
     assert(back.groupBy("event_type").count().count() == 5)
   }
+
+  test("streaming sink writer options: every epoch's segment is nested-encoded") {
+    val dir = Files.createTempDirectory("graft-stream-nin").toString
+    val batch = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("user_id"), col("value"))
+    batch.repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val out = Files.createTempDirectory("graft-stream-nested").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-stream-nckpt").toString
+    val stream = StreamingOps.parquetStream(spark, dir, schema,
+        maxFilesPerTrigger = Some(1)) // several epochs -> several commits
+      .select(col("ts").as("__time"), col("event_type"),
+        struct(col("user_id").as("uid"), col("value").as("v")).as("props"))
+    val q = StreamingOps.segmentSink(stream, out, ckpt,
+      options = Map("complexTypes" -> "props:json",
+                    "jsonEncoding" -> "nested"))
+    q.awaitTermination(120000)
+    val segs = graft.sources.druid.DruidTableUtil.discoverSegments(out)
+    assert(segs.length > 1, "maxFilesPerTrigger=1 should commit several epochs")
+    segs.foreach { sd =>
+      val seg = graft.format.DruidSegment.open(sd)
+      assert(seg.smoosh.has(graft.format.NestedColumn.internalName(
+        "props", graft.format.NestedColumn.StringDictFile)),
+        s"epoch segment $sd is not nested-encoded")
+    }
+    val back = spark.read.format("druid").load(out)
+    assert(back.count() == batch.count())
+    val s = back.selectExpr(
+      "sum(CAST(get_json_object(props, '$.uid') AS BIGINT)) AS su")
+      .head.getLong(0)
+    assert(s == batch.selectExpr("sum(user_id)").head.getLong(0))
+  }
 }
