@@ -61,6 +61,63 @@ object VectorOps {
       .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
   }
 
+  /** Hybrid retrieval (keyword + vector, reciprocal-rank fusion): for
+    * each query document, candidates come from an INVERTED TOKEN JOIN —
+    * docs sharing at least one sufficiently-rare token with the query —
+    * never an all-pairs scan; each candidate gets a keyword rank (shared
+    * distinct-token count) and a vector rank (embedding cosine via the
+    * native dot fold), fused as `1/(60+rk) + 1/(60+rv)` (the standard
+    * RRF constant), top-k per query. Deterministic cross-engine:
+    * integer overlap counts, cosine rounded to 6, rrf rounded to 6,
+    * all ties break on candidate id.
+    *
+    * `maxDf` is the scale guard: tokens appearing in more than that
+    * many documents are dropped from the inverted index BEFORE the
+    * join — a stopword-class token otherwise pairs every query with
+    * the whole corpus and the join output (not its shuffle) is what
+    * explodes at 100 TB. The df pass is one cheap groupBy; the filter
+    * is replayed by the oracle, so capped runs stay hash-exact.
+    */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, k: Int,
+                 nQueries: Int, maxDf: Long): DataFrame = {
+    registerExprs(embeddings)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val rare = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("tok"))
+    val index = toks.join(rare, "tok")
+    val qtoks = index.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("tok"))
+    val overlap = qtoks.join(index, "tok")
+      .filter(col("query_id") =!= col("doc_id"))
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(count(lit(1)).as("overlap")) // tokens are distinct per doc
+    val qv = embeddings.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    val cv = embeddings.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cv"))
+    val scored = overlap.join(qv, "query_id").join(cv, "cand_id")
+      .withColumn("cos", round(
+        expr(dotSql("qv", "cv")) /
+          (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+    val scoredR = scored
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("overlap").desc, col("cand_id"))))
+      .withColumn("rv", row_number().over(
+        byQ.orderBy(col("cos").desc, col("cand_id"))))
+      .withColumn("rrf", round(
+        lit(1.0) / (lit(60) + col("rk")) + lit(1.0) / (lit(60) + col("rv")),
+        6))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("cand_id"))
+    scoredR.withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rrf"), col("rnk"))
+  }
+
   /** Sign expression of hyperplane j at dimension i (SQL fragment shared
     * with the oracle): pseudo-random +-1 from the arithmetic hash family.
     */

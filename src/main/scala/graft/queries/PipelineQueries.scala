@@ -1613,6 +1613,56 @@ object PipelineQueries extends QuerySet {
       },
       Some(ivfOracleWhere("c.label = 1"))),
 
+    // Hybrid retrieval (keyword + vector, RRF fusion): candidates from
+    // an inverted token join with a document-frequency cap — the cap is
+    // the scale guard (a stopword-class token otherwise pairs every
+    // query with the whole corpus), and the oracle replays it, so the
+    // capped run stays hash-exact. Fusion is the standard reciprocal
+    // rank 1/(60+rk) + 1/(60+rv) with id tie-breaks.
+    Q("e10_hybrid_search",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val maxDf = (docs.count() * 8) / 10
+        VectorOps.hybridTopK(docs, Tables.load(s, dir, "embeddings"),
+            k = 5, nQueries = 3, maxDf = maxDf)
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(list_distinct(string_split(text, ' '))) AS tok
+             |  FROM documents),
+             |rare AS (SELECT tok FROM (
+             |    SELECT tok, count(*) AS df FROM toks GROUP BY 1)
+             |  WHERE df <= (SELECT (count(*) * 8) // 10 FROM documents)),
+             |idx AS (SELECT doc_id, toks.tok FROM toks JOIN rare USING (tok)),
+             |ov AS (SELECT q.doc_id AS query_id, d.doc_id AS cand_id,
+             |    count(*) AS overlap
+             |  FROM idx q JOIN idx d USING (tok)
+             |  WHERE q.doc_id < 3 AND q.doc_id <> d.doc_id
+             |  GROUP BY 1, 2),
+             |e AS (SELECT vec_id, embedding,
+             |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+             |          FROM range(64) t(i))) AS nrm
+             |  FROM embeddings),
+             |sc AS (SELECT o.query_id, o.cand_id, o.overlap,
+             |    round((SELECT sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
+             |           FROM range(64) t(i)) / (a.nrm * b.nrm), 6) AS cos
+             |  FROM ov o JOIN e a ON a.vec_id = o.query_id
+             |            JOIN e b ON b.vec_id = o.cand_id),
+             |r AS (SELECT query_id, cand_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY overlap DESC, cand_id) AS rk,
+             |    row_number() OVER (PARTITION BY query_id
+             |                       ORDER BY cos DESC, cand_id) AS rv
+             |  FROM sc),
+             |f AS (SELECT query_id, cand_id,
+             |    round(1.0 / (60 + rk) + 1.0 / (60 + rv), 6) AS rrf,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY round(1.0 / (60 + rk) + 1.0 / (60 + rv), 6) DESC,
+             |               cand_id) AS rnk
+             |  FROM r)
+             |SELECT query_id, cand_id, rrf, CAST(rnk AS BIGINT) AS rnk
+             |FROM f WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
+
     // Hyperplane-LSH ANN: multi-table bucket equi-joins instead of a
     // cross join (the scale path; recall grows with table count).
     Q("e2_knn_lsh",

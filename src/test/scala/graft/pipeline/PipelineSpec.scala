@@ -149,6 +149,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(ddDiff == 0, "dot_f(double, double) diverges from the HOF fold")
   }
 
+  test("hybridTopK: df cap prunes the inverted index; ranks fuse deterministically") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple banana date"),
+      (2L, "apple fig grape"),
+      (3L, "apple banana cherry date"))
+      .toDF("doc_id", "text")
+    val e = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding"))
+    // maxDf=3 drops 'apple' (df 4): doc 2 then shares NO indexed token
+    // with doc 0 and must not be a candidate
+    val top = VectorOps.hybridTopK(d, e, k = 3, nQueries = 1, maxDf = 3)
+      .collect()
+    assert(!top.exists(_.getLong(1) == 2L),
+      "df-capped token must not generate candidates")
+    // doc 3 shares {banana, cherry} (overlap 2) vs doc 1's {banana}:
+    // keyword rank puts 3 first; rrf keeps both, rnk values 1..n
+    val byRnk = top.sortBy(_.getLong(3))
+    assert(byRnk.map(_.getLong(3)).toSeq == (1L to byRnk.length).toSeq)
+    val kwFirst = byRnk.head.getLong(1)
+    assert(Set(1L, 3L).contains(kwFirst))
+    // uncapped (maxDf >= N): apple back in the index, doc 2 reachable
+    val all = VectorOps.hybridTopK(d, e, k = 3, nQueries = 1, maxDf = 4)
+      .collect()
+    assert(all.exists(_.getLong(1) == 2L))
+  }
+
   test("pqTopK gets decent recall against brute force") {
     val queries = emb.filter(col("vec_id") < 5)
     val exact = VectorOps.bruteTopK(emb, queries, 10)
