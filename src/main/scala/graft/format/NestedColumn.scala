@@ -375,12 +375,28 @@ object NestedColumn {
       val vals = fieldVals(f)
       val globals = Array.tabulate(n)(i => globalIdOf(vals(i)))
       val localDict = globals.distinct.sorted
-      val localOf = localDict.zipWithIndex.toMap
-      val localRows = globals.map(localOf)
+      // one pass over the rows builds BOTH the local-id sequence and
+      // every value bitmap (a per-value filter scan would be
+      // O(dictSize * rows) — quadratic on high-cardinality fields)
+      val localRows = new Array[Int](n)
+      val bms = Array.fill(localDict.length)(new org.roaringbitmap.RoaringBitmap())
+      var i = 0
+      while (i < n) {
+        val li = java.util.Arrays.binarySearch(localDict, globals(i))
+        localRows(i) = li
+        bms(li).add(i)
+        i += 1
+      }
       val rowsBin = VSizeInts.write(localRows.toIndexedSeq,
         VSizeInts.bytesNeeded(math.max(1, localDict.length - 1)))
-      val bitmaps = localDict.indices.map { li =>
-        roaring(localRows.indices.filter(localRows(_) == li))
+      val bitmaps = bms.toIndexedSeq.map { bm =>
+        bm.runOptimize()
+        val b = new java.io.ByteArrayOutputStream()
+        val d = new java.io.DataOutputStream(b)
+        d.writeByte(0x01)
+        bm.serialize(d)
+        d.flush()
+        b.toByteArray
       }
       val bos = new java.io.ByteArrayOutputStream()
       bos.write(fixedIndexedInts(localDict))
