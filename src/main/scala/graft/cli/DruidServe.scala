@@ -1721,6 +1721,197 @@ object DruidServe {
     server.createContext("/druid/coordinator/v1/metadata/datasources",
       coordinatorHandler("/druid/coordinator/v1/metadata/datasources",
         allowDelete = false))
+
+    // ---- coordinator retention rules (/druid/coordinator/v1/rules) ----
+    // Druid's first-matching-rule-wins retention, applied through the
+    // existing whole-segment drop machinery: loadForever /
+    // loadByPeriod / loadByInterval keep a matching segment,
+    // dropForever / dropBeforeByPeriod / dropByInterval drop it
+    // (interval drops require containment, straddlers stay — Druid
+    // semantics). Single-tier shared filesystem: load rules carry no
+    // replicant counts here, they are the KEEP side of the evaluation.
+    // Rules persist under ingestRoot/.rules.json (atomic write,
+    // reloaded at startup) and apply immediately on POST plus on every
+    // auto-compact tick — this process IS the coordinator.
+    val retentionRules = new java.util.concurrent.ConcurrentHashMap[
+      String, com.fasterxml.jackson.databind.node.ArrayNode]()
+    val rulesFile = ingestRoot.map(r => java.nio.file.Paths.get(r, ".rules.json"))
+    rulesFile.filter(java.nio.file.Files.isRegularFile(_)).foreach { f =>
+      try {
+        val n = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+        n.properties().forEach { e =>
+          e.getValue match {
+            case a: com.fasterxml.jackson.databind.node.ArrayNode =>
+              retentionRules.put(e.getKey, a)
+            case _ => ()
+          }
+        }
+      } catch {
+        case e: VirtualMachineError => throw e
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[druid-serve] SKIPPING rules file ${f.getFileName}: ${e.getMessage}")
+      }
+    }
+    def persistRules(): Unit = rulesFile.foreach { f =>
+      try {
+        val o = mapper.createObjectNode()
+        retentionRules.entrySet().asScala.toSeq.sortBy(_.getKey)
+          .foreach(e => o.set[ObjectNode](e.getKey, e.getValue))
+        val tmp = f.resolveSibling(f.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, mapper.writeValueAsBytes(o))
+        java.nio.file.Files.move(tmp, f,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case e: VirtualMachineError => throw e
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[druid-serve] rules persist failed: ${e.getMessage}")
+      }
+    }
+    def parseRuleInterval(s: String): (Long, Long) = {
+      val parts = s.split("/", -1)
+      require(parts.length == 2, s"interval '$s' is not 'start/end'")
+      def ms(t: String): Long =
+        try java.time.Instant.parse(t).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDate.parse(t).atStartOfDay(ZoneOffset.UTC)
+            .toInstant.toEpochMilli }
+      val (lo, hi) = (ms(parts(0)), ms(parts(1)))
+      require(lo < hi, s"interval '$s' is empty")
+      (lo, hi)
+    }
+    def periodCutoff(period: String, nowMs: Long): Long = {
+      val s = period.trim.toUpperCase(java.util.Locale.ROOT)
+      require(s.startsWith("P"), s"period '$period' is not ISO-8601")
+      val t = s.indexOf('T')
+      val datePart = if (t < 0) s else s.substring(0, t)
+      var zdt = java.time.Instant.ofEpochMilli(nowMs).atZone(ZoneOffset.UTC)
+      if (datePart.length > 1)
+        zdt = zdt.minus(java.time.Period.parse(datePart))
+      if (t >= 0)
+        zdt = zdt.minus(java.time.Duration.parse("P" + s.substring(t)))
+      zdt.toInstant.toEpochMilli
+    }
+    val knownRuleTypes = Set("loadForever", "loadByPeriod", "loadByInterval",
+      "dropForever", "dropBeforeByPeriod", "dropByInterval")
+    /** Throws IAE on anything a later apply pass could choke on. */
+    def validateRules(a: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      require(a.isArray, "rules payload must be a JSON array")
+      a.elements().asScala.foreach { r =>
+        val t = r.path("type").asText("")
+        require(knownRuleTypes.contains(t),
+          s"unknown rule type '$t' (${knownRuleTypes.toSeq.sorted.mkString(", ")})")
+        if (t == "loadByPeriod" || t == "dropBeforeByPeriod") {
+          val _ = periodCutoff(r.path("period").asText(""), 0L)
+        }
+        if (t == "loadByInterval" || t == "dropByInterval") {
+          val _ = parseRuleInterval(r.path("interval").asText(""))
+        }
+      }
+    }
+    /** First matching rule wins: Some(keep?) or None (no rule matched
+      * -> kept, Druid's no-rule default on a single-tier setup).
+      */
+    def ruleDecision(rules: com.fasterxml.jackson.databind.node.ArrayNode,
+                     m: graft.sources.druid.SegMeta,
+                     nowMs: Long): Boolean = {
+      val it = rules.elements()
+      while (it.hasNext) {
+        val r = it.next()
+        r.path("type").asText("") match {
+          case "loadForever" => return true
+          case "dropForever" => return false
+          case "loadByPeriod" =>
+            if (m.endMs > periodCutoff(r.path("period").asText(""), nowMs))
+              return true
+          case "dropBeforeByPeriod" =>
+            if (m.endMs <= periodCutoff(r.path("period").asText(""), nowMs))
+              return false
+          case "loadByInterval" =>
+            val (lo, hi) = parseRuleInterval(r.path("interval").asText(""))
+            if (m.startMs < hi && m.endMs > lo) return true
+          case "dropByInterval" =>
+            val (lo, hi) = parseRuleInterval(r.path("interval").asText(""))
+            if (m.startMs >= lo && m.endMs <= hi) return false
+          case _ => () // validated at POST; foreign file entries skip
+        }
+      }
+      true
+    }
+    /** Apply retention rules to one segment-backed served table; on a
+      * drop the table re-registers so every endpoint serves the new
+      * generation.
+      */
+    def applyRulesTo(name: String): Unit = ingestRoot.foreach { r =>
+      val rules = Option(retentionRules.get(name))
+        .orElse(Option(retentionRules.get("_default")))
+      val dir = s"$r/$name"
+      if (rules.exists(_.size() > 0) && new java.io.File(dir).isDirectory &&
+          graft.sources.druid.SegmentCatalog.metaFor(dir).nonEmpty) {
+        val nowMs = System.currentTimeMillis()
+        val st = graft.write.Retention.dropWhere(dir,
+          m => !ruleDecision(rules.get, m, nowMs))
+        if (st.segmentsDropped > 0) {
+          if (st.segmentsKept > 0)
+            registerServedTable(name,
+              spark.read.format("druid").load(dir))
+          if (logQueries) System.err.println(
+            s"[druid-serve] retention rules $name: dropped " +
+              s"${st.segmentsDropped} segments (${st.rowsDropped} rows)")
+        }
+      }
+    }
+    def applyAllRules(): Unit =
+      servedTables.keySet().asScala.toSeq.sorted
+        // any served name with a segment directory under the ingest
+        // root (explicit sqlTables entries included — they are not in
+        // ingestBacked but their data is just as rule-governed)
+        .filter(n => ingestRoot.exists(r =>
+          new java.io.File(s"$r/$n").isDirectory)).foreach { n =>
+          try applyRulesTo(n)
+          catch {
+            case e: VirtualMachineError => throw e
+            case scala.util.control.NonFatal(e) => System.err.println(
+              s"[druid-serve] retention rules $n failed: ${e.getMessage}")
+          }
+        }
+    server.createContext("/druid/coordinator/v1/rules", (ex: HttpExchange) => {
+      val rest = ex.getRequestURI.getPath
+        .stripPrefix("/druid/coordinator/v1/rules").stripPrefix("/")
+      try ex.getRequestMethod match {
+        case "GET" if rest.isEmpty =>
+          val o = mapper.createObjectNode()
+          retentionRules.entrySet().asScala.toSeq.sortBy(_.getKey)
+            .foreach(e => o.set[ObjectNode](e.getKey, e.getValue))
+          respond(ex, 200, o.toString)
+        case "GET" =>
+          val a = Option(retentionRules.get(rest))
+            .getOrElse(mapper.createArrayNode())
+          respond(ex, 200, a.toString)
+        case "POST" if rest.nonEmpty =>
+          if (ingestRoot.isEmpty)
+            respond(ex, 400,
+              """{"error":"this broker is read-only: retention rules are disabled"}""")
+          else {
+            val body = mapper.readTree(
+              new String(ex.getRequestBody.readAllBytes(), UTF_8))
+            validateRules(body)
+            retentionRules.put(rest,
+              body.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode])
+            persistRules()
+            if (rest == "_default") applyAllRules() else applyRulesTo(rest)
+            respond(ex, 200, "{}")
+          }
+        case _ =>
+          respond(ex, 405, """{"error":"supported methods: GET, POST"}""")
+      } catch {
+        case e: VirtualMachineError => throw e
+        case e: Throwable =>
+          val o = mapper.createObjectNode()
+          o.put("error", String.valueOf(e.getMessage))
+          respond(ex, 400, o.toString)
+      }
+    })
     // ---- auto-compaction (a coordinator duty): periodically merge the
     // undersized segments of every segment-backed table under the
     // ingest root. The catalog's pending-swap marker + atomic manifest
@@ -1737,6 +1928,9 @@ object DruidServe {
           .newSingleThreadScheduledExecutor(daemonFactory("graft-serve-compact"))
         val _ = sched.scheduleWithFixedDelay(new Runnable {
           def run(): Unit = ingestRoot.foreach { r =>
+            // retention rules first: dropping expired segments before
+            // compaction keeps the compactor from merging dead data
+            applyAllRules()
             Option(new java.io.File(r).listFiles()).getOrElse(Array.empty)
               .filter(d => d.isDirectory && !d.getName.startsWith("."))
               .foreach { d =>

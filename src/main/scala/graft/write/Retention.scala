@@ -32,10 +32,18 @@ object Retention {
     * pre-checks via canDeleteWhere that no straddler exists so the
     * delete is row-exact.
     */
-  def dropContained(dir: String, loMs: Long, hiMs: Long): Stats = {
+  def dropContained(dir: String, loMs: Long, hiMs: Long): Stats =
+    dropWhere(dir, m => m.startMs >= loMs && m.endMs <= hiMs)
+
+  /** Drop every segment matching `pred` (whole segments, like Druid
+    * drop rules); the engine behind coordinator retention rules, where
+    * per-segment keep/drop comes from first-matching-rule evaluation
+    * rather than one contiguous interval.
+    */
+  def dropWhere(dir: String, pred: graft.sources.druid.SegMeta => Boolean)
+      : Stats = {
     val metas = SegmentCatalog.metaFor(dir)
-    val (drop, keep) =
-      metas.partition(m => m.startMs >= loMs && m.endMs <= hiMs)
+    val (drop, keep) = metas.partition(pred)
     if (drop.isEmpty) return Stats(0, 0L, keep.size)
     // schema cache read BEFORE anything deletes (manifest covers the
     // current segment set only while it is the current set)
