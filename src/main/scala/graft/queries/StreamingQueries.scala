@@ -689,6 +689,12 @@ object StreamingQueries extends QuerySet {
         Seq(out, s"${out}_cp").foreach(deleteDir)
         val stream = StreamingOps.parquetStream(s, in, schema,
             maxFilesPerTrigger = Some(1))
+          // one source file per trigger = ONE input split: repartition
+          // inside the micro-batch so every epoch writes with real
+          // parallelism (the sf10 probe measured the unrepartitioned
+          // pipeline epoch-serial at one task per trigger — at 100 TB
+          // an ingest pipeline always shuffles to writer parallelism)
+          .repartition(8)
           .select(col("ts").as("__time"), col("event_type"),
             struct(
               get_json_object(col("props"), "$.k").cast("long").as("k"),
