@@ -91,7 +91,31 @@ class ExternSpec extends AnyFunSuite {
         '[{"name":"a","type":"decimal"}]'))""")
       .contains("unsupported column type"))
     assert(err("""SELECT * FROM TABLE(EXTERN('{"type":"inline"}'))""")
-      .contains("exactly 3 arguments"))
+      .contains("got 1 arguments"))
+  }
+
+  test("EXTENDS form (the console's data-loader shape): 2-arg EXTERN + SQL types") {
+    val sql = """SELECT name, sum(x) AS sx, round(sum(d), 1) AS sd
+                 FROM TABLE(EXTERN(
+                   '{"type":"inline","data":"{\"name\":\"a\",\"x\":1,\"d\":0.25}\n{\"name\":\"b\",\"x\":2,\"d\":0.5}\n{\"name\":\"a\",\"x\":3,\"d\":0.25}"}',
+                   '{"type":"json"}'
+                 )) EXTENDS (name VARCHAR, x BIGINT, "d" DOUBLE)
+                 GROUP BY 1 ORDER BY 1"""
+    val rows = spark.sql(Extern.rewrite(spark, sql)).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("a", 4L, 0.5), ("b", 2L, 0.5)))
+    // loud failures: EXTENDS with 3 args, unsupported EXTENDS type
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](Extern.rewrite(spark, sql))
+        .getMessage
+    assert(err("""SELECT * FROM TABLE(EXTERN(
+        '{"type":"inline","data":"{}"}', '{"type":"json"}',
+        '[{"name":"a","type":"long"}]')) EXTENDS (a BIGINT)""")
+      .contains("not both"))
+    assert(err("""SELECT * FROM TABLE(EXTERN(
+        '{"type":"inline","data":"{}"}', '{"type":"json"}'
+        )) EXTENDS (a TIMESTAMP)""")
+      .contains("unsupported column type"))
   }
 
   test("SQL ingestion: INSERT ... FROM TABLE(EXTERN(...)) PARTITIONED BY DAY over HTTP") {
