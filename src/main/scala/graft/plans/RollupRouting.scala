@@ -95,6 +95,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                               baseRoots: Seq[(String, String)],
                               hlls: Map[String, (String, Int)] = Map.empty,
                               freqs: Map[String, (String, Int)] = Map.empty,
+                              quantiles: Map[String, (String, Int)] = Map.empty,
                               maintain: Option[MaintainSpec] = None)
 
   /** State of an engine-MAINTAINED rollup (registerMaintained): the
@@ -155,7 +156,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                countCol: Option[String] = None,
                counts: Map[String, String] = Map.empty,
                hlls: Map[String, (String, Int)] = Map.empty,
-               freqs: Map[String, (String, Int)] = Map.empty): Unit = {
+               freqs: Map[String, (String, Int)] = Map.empty,
+               quantiles: Map[String, (String, Int)] = Map.empty): Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -165,7 +167,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     }
     val entry = Registered(analyzedBase,
       rollupDf.queryExecution.analyzed, timeCol, g, dims.toSet,
-      sums, mins, maxs, countCol, counts, roots, hlls, freqs)
+      sums, mins, maxs, countCol, counts, roots, hlls, freqs, quantiles)
     replaceEntry(entry)
     arm(spark)
   }
@@ -239,7 +241,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       countCol: Option[String] = None,
       counts: Map[String, String] = Map.empty,
       hlls: Map[String, (String, Int)] = Map.empty,
-      freqs: Map[String, (String, Int)] = Map.empty): Unit = {
+      freqs: Map[String, (String, Int)] = Map.empty,
+      quantiles: Map[String, (String, Int)] = Map.empty): Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -251,7 +254,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     val baseRoot = roots.head
     val proto = Registered(analyzedBase, analyzedBase /*placeholder*/,
       timeCol, g, dims.toSet, sums, mins, maxs, countCol, counts,
-      Nil, hlls, freqs, None)
+      Nil, hlls, freqs, quantiles, None)
     val entry = refreshLock.synchronized {
       val current = segNamesOf(baseRoot).getOrElse(throw
         new IllegalArgumentException(s"cannot list segments under $baseRoot"))
@@ -354,6 +357,10 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       r.freqs.toSeq.sortBy(_._1).map { case (m, (c, mm)) => {
         graft.sql.DruidSqlCompat.register(src.sparkSession)
         expr(s"ds_freq(`$m`, $mm)").as(c)
+      } } ++
+      r.quantiles.toSeq.sortBy(_._1).map { case (m, (c, k)) => {
+        graft.sql.DruidSqlCompat.register(src.sparkSession)
+        expr(s"ds_quantiles_sketch(`$m`, $k)").as(c)
       } }
     require(aggs.nonEmpty, "maintained rollup needs at least one measure")
     src.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
@@ -378,6 +385,11 @@ object RollupRouting extends org.apache.spark.internal.Logging {
         // blob-merge at the SAME maxMapSize: a merge into a smaller
         // map would silently widen error bounds (the lgK-guard class)
         expr(s"ds_freq(`$c`, $mm)").as(c)
+      } } ++
+      r.quantiles.values.toSeq.sortBy(_._1).map { case (c, k) => {
+        graft.sql.DruidSqlCompat.register(both.sparkSession)
+        // blob-merge at the SAME k (the lgK-guard class)
+        expr(s"ds_quantiles_sketch(`$c`, $k)").as(c)
       } }
     both.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -740,6 +752,20 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                   if mm == fq.maxMapSize && matchesDef(fq.child, m) => rc
             }.flatMap(rollupAttr.get).map(ra => fq.withNewChildren(
               Seq(ra)).asInstanceOf[graft.sql.FreqItemsSketchAgg])
+          // ds_quantiles_sketch(m, k) -> ds_quantiles_sketch(blob_col,
+          // k): BinaryType children blob-merge into the union, so the
+          // routed sketch is the DoublesUnion of the rollup's
+          // per-bucket sketches — identical values while every
+          // contributing sketch is in the exact regime (n <= k), the
+          // documented rank-error bound otherwise, exactly what a
+          // distributed raw build answers. The query's k must EQUAL
+          // the registered metric's (the lgK-guard class, q38).
+          case qs: graft.sql.QuantilesSketchAgg =>
+            r.quantiles.collectFirst {
+              case (m, (rc, k))
+                  if k == qs.k && matchesDef(qs.child, m) => rc
+            }.flatMap(rollupAttr.get).map(ra => qs.withNewChildren(
+              Seq(ra)).asInstanceOf[graft.sql.QuantilesSketchAgg])
           case _ => None
         }
 

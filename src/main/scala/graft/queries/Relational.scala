@@ -1082,7 +1082,12 @@ object Relational extends QuerySet {
              // bounded at 100 so the sketch never purges and every
              // routed estimate is an exact count at ANY scale
              expr("ds_freq(cast(user_id % 100 as string), 2048)")
-               .as("user_mod_freq"))
+               .as("user_mod_freq"),
+             // pre-aggregated quantiles sketch: what
+             // ds_quantiles_sketch(value, 128) routes onto
+             // (RollupRoutingSpec's quantiles case — value-equal in
+             // the exact regime, day-level groups under k)
+             expr("ds_quantiles_sketch(value, 128)").as("value_q"))
         .write.mode("overwrite").parquet(out)
       rollupDone += tag
     }

@@ -294,6 +294,44 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally RollupRouting.clear()
   }
 
+  test("ds_quantiles_sketch routes to the rollup blob union; k mismatch never does") {
+    graft.sql.DruidSqlCompat.register(spark)
+    // DAY-level query = rollup granularity: every group's sketch holds
+    // n <= 15 values (< k=128), so builds AND unions are in the exact
+    // regime and routed == unrouted VALUE-equal
+    def q = base.groupBy(date_trunc("DAY", col("ts")).as("d"),
+        col("event_type"))
+      .agg(expr("ds_get_quantile(ds_quantiles_sketch(value, 128), 0.5D)")
+        .as("med"))
+      .orderBy(col("d"), col("event_type"))
+    RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+      timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+      quantiles = Map("value" -> (("value_q", 128))))
+    try {
+      val routed = q
+      assert(planOf(routed).contains("events_daily"),
+        s"did not route:\n${planOf(routed)}")
+      val got = routed.collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+      RollupRouting.clear()
+      val unrouted = q
+      assert(planOf(unrouted).contains("events.parquet"))
+      val want = unrouted.collect().map(r =>
+        (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+      assert(got == want, s"routed ${got.take(3)}... vs raw ${want.take(3)}...")
+      assert(got.nonEmpty)
+      // k mismatch must NOT route: a union across k values silently
+      // downsamples (the lgK-guard class)
+      RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        quantiles = Map("value" -> (("value_q", 128))))
+      val mism = base.groupBy(col("event_type"))
+        .agg(expr("ds_quantiles_sketch(value, 64)").as("sk"))
+      assert(!planOf(mism).contains("events_daily"),
+        s"k mismatch routed:\n${planOf(mism)}")
+    } finally RollupRouting.clear()
+  }
+
   test("two sessions arm the rule independently (WeakHashMap keying)") {
     val s2 = spark.newSession()
     val base2 = graft.Tables.events(s2, sf)
