@@ -52,6 +52,17 @@ object Extern {
         val end = if (close < 0) n else close + 1
         out.append(sql, i, end)
         i = end
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        // line comment: a commented-out EXTERN must stay text
+        val nl = sql.indexOf('\n', i)
+        val end = if (nl < 0) n else nl + 1
+        out.append(sql, i, end)
+        i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val close = sql.indexOf("*/", i + 2)
+        val end = if (close < 0) n else close + 2
+        out.append(sql, i, end)
+        i = end
       } else if ((c == 'T' || c == 't') && upper.startsWith("TABLE", i) &&
                  isWordBoundary(sql, i - 1)) {
         matchTableExtern(sql, i) match {

@@ -36,6 +36,15 @@ object Unnest {
         val close = sql.indexOf(c, i + 1)
         val end = if (close < 0) n else close + 1
         out.append(sql, i, end); i = end
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        // line comment: a commented-out UNNEST must stay text
+        val nl = sql.indexOf('\n', i)
+        val end = if (nl < 0) n else nl + 1
+        out.append(sql, i, end); i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val close = sql.indexOf("*/", i + 2)
+        val end = if (close < 0) n else close + 2
+        out.append(sql, i, end); i = end
       } else if ((c == 'C' || c == 'c') && upper.startsWith("CROSS", i) &&
                  wordBoundary(sql, i - 1)) {
         matchUnnest(sql, upper, i, lead = "CROSS") match {

@@ -92,6 +92,12 @@ class ExternSpec extends AnyFunSuite {
       .contains("unsupported column type"))
     assert(err("""SELECT * FROM TABLE(EXTERN('{"type":"inline"}'))""")
       .contains("got 1 arguments"))
+    // commented-out EXTERN calls stay text (even syntactically broken
+    // ones — a scanner that parses comments would throw on them)
+    val lineC = "SELECT 1 -- TABLE(EXTERN('broken\n, 2"
+    assert(Extern.rewrite(spark, lineC) == lineC)
+    val blockC = "SELECT /* TABLE(EXTERN( */ 1"
+    assert(Extern.rewrite(spark, blockC) == blockC)
   }
 
   test("EXTENDS form (the console's data-loader shape): 2-arg EXTERN + SQL types") {

@@ -62,6 +62,11 @@ class UnnestSpec extends AnyFunSuite {
     // no alias — not the modeled grammar: left verbatim for the parser
     val bad = "SELECT * FROM t CROSS JOIN UNNEST(tags)"
     assert(Unnest.rewrite(bad) == bad)
+    // commented-out UNNEST stays text
+    val lineC = "SELECT 1 -- CROSS JOIN UNNEST(x) AS u (d)\nFROM t"
+    assert(Unnest.rewrite(lineC) == lineC)
+    val blockC = "SELECT /* , UNNEST(x) AS u (d) */ 1"
+    assert(Unnest.rewrite(blockC) == blockC)
     val noUnnest = "SELECT 1"
     assert(Unnest.rewrite(noUnnest) eq noUnnest)
   }
