@@ -2223,5 +2223,131 @@ object PipelineQueries extends QuerySet {
              |SELECT source, CAST(rank AS BIGINT) AS rank, tok, n,
              |  CAST(0 AS BIGINT) AS max_err
              |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin)),
+
+    // Canonical representative per near-dup cluster — the DEPLOY
+    // semantics of near-dedup: d18 finds the components, this op picks
+    // the one document each cluster KEEPS (longest text, doc_id
+    // tie-break) and counts what it drops. Same persisted band index
+    // and union-find as d18 (clustering never re-hashes the corpus);
+    // the extra work is one doc_id equi-join against the corpus
+    // metadata and a component-partitioned window — both shuffle the
+    // CLUSTERED docs only, never the full corpus, so the op scales
+    // with duplication rate, not corpus size.
+    Q("d31_canonical_keep",
+      (s, dir) => {
+        val cand = TextOps.lshConnectivityEdges(
+          s.read.parquet(lshBandsDir(s, dir)))
+        val comp = graft.pipeline.Components.connectedComponents(cand)
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        comp.join(docs, Seq("doc_id"))
+          .withColumn("n_docs",
+            count(lit(1)).over(Window.partitionBy(col("component"))))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("component"))
+              .orderBy(col("n_chars").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+          .select(col("component"), col("n_docs"),
+            col("doc_id").as("keep_doc"), col("n_chars").as("keep_chars"),
+            (col("n_docs") - 1).as("n_dropped"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE $duckGrams, ${duckParams(16)}, $duckBands,
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           |edges AS (SELECT d1 AS u, d2 AS v FROM cand
+           |          UNION SELECT d2, d1 FROM cand),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u),
+           |j AS (SELECT c.component, c.doc_id, d.n_chars
+           |      FROM comp c JOIN documents d USING (doc_id)),
+           |r AS (SELECT component, doc_id, n_chars,
+           |        count(*) OVER (PARTITION BY component) AS n_docs,
+           |        row_number() OVER (PARTITION BY component
+           |          ORDER BY n_chars DESC, doc_id) AS rn
+           |      FROM j)
+           |SELECT component, CAST(n_docs AS BIGINT) AS n_docs,
+           |  doc_id AS keep_doc, n_chars AS keep_chars,
+           |  CAST(n_docs - 1 AS BIGINT) AS n_dropped
+           |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
+
+    // ANN index-quality audit: recall@k of the IVF index (e3's exact
+    // lattice) against the brute-force ground truth (e1's), per query —
+    // the eval every ANN deployment runs before trusting an index.
+    // Both sides are deterministic (cosines rounded to 6, id
+    // tie-breaks), so recall itself is oracle-exact, not a tolerance
+    // check. At scale the truth side is the one-off offline pass over
+    // a SAMPLED query set (3 here); the audited index path stays the
+    // partition-pruned probe plan.
+    Q("e11_recall_eval",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val truth = VectorOps.bruteTopK(emb, emb.filter(col("vec_id") < 3), 3)
+          .select(col("query_id"), col("cand_id"))
+        val approx = VectorOps.ivfTopK(emb, col("vec_id") < 3, 3,
+            nCells = 8, nProbe = 2)
+          .select(col("query_id"), col("cand_id"))
+        val hits = truth.join(approx, Seq("query_id", "cand_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+        truth.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+          .join(hits, Seq("query_id"), "left")
+          .na.fill(0L, Seq("n_hit"))
+          .select(col("query_id"), col("n_true"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("n_true"), 6).as("recall"))
+          .orderBy(col("query_id"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding, label,
+           |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+           |          FROM range(64) t(i))) AS nrm
+           |  FROM embeddings),
+           |bs AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
+           |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
+           |  FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
+           |bt AS (SELECT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY cos DESC, cand_id) AS rnk
+           |    FROM bs) WHERE rnk <= 3),
+           |cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnrm
+           |         FROM e WHERE vec_id < 8),
+           |ac AS (SELECT v.vec_id, c.cid,
+           |    round((SELECT sum(v.embedding[i+1]::DOUBLE * c.cv[i+1]::DOUBLE)
+           |           FROM range(64) t(i)) / (v.nrm * c.cnrm), 6) AS cos
+           |  FROM e v, cent c),
+           |assign AS (SELECT vec_id, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+           |    FROM ac) WHERE rn = 1),
+           |probe AS (SELECT vec_id AS query_id, cid AS cell FROM (
+           |    SELECT vec_id, cid,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+           |    FROM ac WHERE vec_id < 3) WHERE rn <= 2),
+           |scored AS (SELECT p.query_id, a2.vec_id AS cand_id,
+           |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
+           |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
+           |  FROM probe p JOIN assign a2 ON p.cell = a2.cell AND a2.vec_id <> p.query_id
+           |  JOIN e q ON q.vec_id = p.query_id
+           |  JOIN e c ON c.vec_id = a2.vec_id),
+           |it AS (SELECT query_id, cand_id FROM (
+           |    SELECT query_id, cand_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |                         ORDER BY cos DESC, cand_id) AS rnk
+           |    FROM scored) WHERE rnk <= 3),
+           |h AS (SELECT bt.query_id, count(*) AS n_hit
+           |      FROM bt JOIN it USING (query_id, cand_id) GROUP BY 1),
+           |t AS (SELECT query_id, count(*) AS n_true FROM bt GROUP BY 1)
+           |SELECT t.query_id, n_true,
+           |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           |  round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_true, 6) AS recall
+           |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)),
   )
 }
