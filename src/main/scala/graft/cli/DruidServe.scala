@@ -2050,6 +2050,7 @@ object DruidServe {
       var noIngest = false
       var autoCompact: Option[Long] = None
       var compactRows = 5000000L
+      var jdbcPort: Option[Int] = None
       def parse(opts: List[String]): Unit = opts match {
         case "--port" :: p :: t     => port = p.toInt; parse(t)
         case "--host" :: h :: t     => host = h; parse(t)
@@ -2063,6 +2064,7 @@ object DruidServe {
           autoCompact = Some(n.toLong); parse(t)
         case "--compact-target-rows" :: n :: t =>
           compactRows = n.toLong; parse(t)
+        case "--jdbc-port" :: n :: t => jdbcPort = Some(n.toInt); parse(t)
         case Nil                    =>
         case other => sys.error(s"unknown args: $other")
       }
@@ -2099,13 +2101,19 @@ object DruidServe {
             "expose beyond loopback on a trusted network")
       println(s"druid-serve listening on $host:${server.getAddress.getPort} " +
         s"(POST /druid/v2 native, /druid/v2/sql, /druid/v2/sql/statements), tables under $root")
+      jdbcPort.foreach { jp =>
+        val bound = JdbcEndpoint.start(spark, tables, port = jp, host = host)
+        println(s"thrift JDBC endpoint on $host:$bound " +
+          s"(jdbc:hive2://$host:$bound/)")
+      }
       Thread.currentThread().join()
     case Nil =>
       System.err.println(
         "usage: druid-serve <tablesRoot> [--port N] [--host H] " +
           "[--max-rows N] [--threads N] [--log-queries] " +
           "[--statement-page-rows N] [--no-ingest] " +
-          "[--auto-compact SECONDS] [--compact-target-rows N]")
+          "[--auto-compact SECONDS] [--compact-target-rows N] " +
+          "[--jdbc-port N]")
       sys.exit(2)
   }
 

@@ -1,0 +1,105 @@
+package graft.cli
+
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC access to the served tables — the client path the reference's
+  * Avatica sub-endpoint exists for (druid's `/druid/v2/sql/avatica`;
+  * the reference repo targets the HTTP SQL surface only). Rather than
+  * hand-building Avatica's JSON-RPC wire with no client available to
+  * validate against, this serves the SAME need through Spark's own
+  * HiveServer2-protocol thrift endpoint
+  * ([[org.apache.spark.sql.hive.thriftserver.HiveThriftServer2]]),
+  * which ships with the Spark distribution TOGETHER with a real
+  * `hive-jdbc` client driver — so the endpoint is validated end to end
+  * by an actual `java.sql.DriverManager` connection in JdbcSpec, not
+  * by self-written wire fixtures. A `beeline`/BI-tool user points at
+  * `jdbc:hive2://host:port/` and queries every served table.
+  *
+  * Semantics:
+  *  - Served tables register as TEMP VIEWS on the host session, and
+  *    the server runs with `spark.sql.hive.thriftServer.singleSession
+  *    =true` so every JDBC connection shares that session's state —
+  *    the documented Spark switch for exactly this shape. The full
+  *    logical plan rides the view, so segment pushdown (pruning,
+  *    bitmap row selection, metadata aggregates) is identical to the
+  *    library path.
+  *  - The Druid SQL compat layer (EARLIEST/LATEST, MV_*, TIME_*,
+  *    LOOKUP, the DS_* sketch family) is registered on the host
+  *    session before start, so JDBC clients get the same dialect
+  *    surface as the HTTP SQL endpoint.
+  *  - HiveServer2 is a JVM SINGLETON (static instance state inside
+  *    Hive's server classes), so `start` starts it once and later
+  *    calls re-register tables on the running endpoint and return the
+  *    same port. `stop` is deliberately absent for the same reason.
+  *
+  * SECURITY: same posture as the HTTP SQL endpoint — the endpoint
+  * executes arbitrary Spark SQL with this process's filesystem
+  * privileges, and singleSession means a client `SET` mutates the
+  * shared session; binds 127.0.0.1 unless the caller opts into
+  * another interface.
+  */
+object JdbcEndpoint {
+
+  @volatile private var running: Option[Int] = None
+
+  /** Start (or reuse) the thrift JDBC endpoint and expose `tables` as
+    * temp views on `spark`. Returns the bound port. `port` 0 probes a
+    * free ephemeral port (HiveServer2 cannot report a 0-bind back).
+    */
+  def start(spark: SparkSession, tables: Map[String, DataFrame],
+            port: Int = 0, host: String = "127.0.0.1"): Int =
+    synchronized {
+      graft.sql.DruidSqlCompat.register(spark)
+      tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      running match {
+        case Some(p) => p
+        case None =>
+          val p = if (port != 0) port else freePort(host)
+          // JDBC sessions must share the host session's temp views —
+          // read dynamically by SparkSQLSessionManager.openSession from
+          // the HOST session's SQLConf. The key is registered static
+          // (normally fixed at session build), so it goes in through
+          // SQLConf directly — the host session already exists by the
+          // time an embedded endpoint starts.
+          spark.sessionState.conf.setConfString(
+            "spark.sql.hive.thriftServer.singleSession", "true")
+          // HiveConf.applySystemProperties is the documented override
+          // channel for an embedded HiveServer2
+          System.setProperty("hive.server2.thrift.port", p.toString)
+          System.setProperty("hive.server2.thrift.bind.host", host)
+          System.setProperty("hive.server2.transport.mode", "binary")
+          org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+            .startWithContext(spark.sqlContext)
+          awaitListening(host, p)
+          running = Some(p)
+          p
+      }
+    }
+
+  private def freePort(host: String): Int = {
+    val s = new ServerSocket()
+    try { s.bind(new InetSocketAddress(host, 0)); s.getLocalPort }
+    finally s.close()
+  }
+
+  /** HiveServer2 starts its thrift acceptor on a background thread;
+    * poll until the socket accepts so callers never race the bind.
+    */
+  private def awaitListening(host: String, port: Int,
+                             timeoutMs: Long = 30000): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var up = false
+    while (!up) {
+      try { new Socket(host, port).close(); up = true }
+      catch {
+        case _: java.io.IOException =>
+          if (System.nanoTime() > deadline)
+            sys.error(s"thrift JDBC endpoint did not bind $host:$port " +
+              s"within ${timeoutMs}ms")
+          Thread.sleep(100)
+      }
+    }
+  }
+}
