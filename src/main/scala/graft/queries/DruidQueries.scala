@@ -2554,6 +2554,52 @@ object DruidQueries extends QuerySet {
               round(sum(value), 2) AS sum_v
               FROM events WHERE user_id % 3 IN (0, 2)
               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // -- arrayOfDoublesSketch (datasketches-contrib Tuple): distinct
+    //    keys + per-key summed metric vectors in ONE aggregator — the
+    //    "unique users and their revenue" shape Druid shops install
+    //    the tuple extension for. The key is a bounded virtual column
+    //    (mod 1000 <= nominalEntries 4096), so the sketch stays in the
+    //    exact regime at ANY SF; the metric is floor(value) —
+    //    integer-valued doubles sum associatively, so Spark's
+    //    partial-merge order and DuckDB's scan order agree
+    //    bit-for-bit. n_keys doubles as the exactness witness (equals
+    //    the true distinct count only while theta == 1).
+    Q("dr77_native_tuple_sketch",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events",
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "virtualColumns": [
+            {"type": "expression", "name": "uk",
+             "expression": "mod(user_id, 1000)", "outputType": "LONG"},
+            {"type": "expression", "name": "v",
+             "expression": "floor(value)", "outputType": "DOUBLE"}],
+          "aggregations": [
+            {"type": "count", "name": "n"},
+            {"type": "arrayOfDoublesSketch", "name": "tup",
+             "fieldName": "uk", "metricColumns": ["v"],
+             "nominalEntries": 4096}],
+          "postAggregations": [
+            {"type": "arrayOfDoublesSketchToNumEntries", "name": "n_keys",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}},
+            {"type": "arrayOfDoublesSketchToMetricsSumEstimate",
+             "name": "sums",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}}]
+        }""", _ => eventsSeg(s, dir))
+          .select(col("event_type"), col("n"),
+            col("tup").cast("long").as("distinct_users"),
+            col("n_keys"),
+            round(element_at(col("sums"), 1), 1).as("sum_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(count(DISTINCT user_id % 1000) AS BIGINT)
+             |    AS distinct_users,
+             |  CAST(count(DISTINCT user_id % 1000) AS BIGINT) AS n_keys,
+             |  round(sum(floor(value)), 1) AS sum_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

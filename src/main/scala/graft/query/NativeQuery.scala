@@ -63,6 +63,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    COMPLEX blobs; real DataSketches wire format),
   *    `quantilesDoublesSketch`, `HLLSketchBuild`, `hyperUnique`
   *    (mapped to DataSketches HLL), `cardinality` (byRow and by-value),
+  *    `arrayOfDoublesSketch` (Tuple: build from `metricColumns` or
+  *    merge blobs without them; finalizes to the distinct estimate),
   *    `variance`/`varianceFold` (druid-stats; estimator "population"
   *    vs default sample) — and `filtered` wrapping any of those.
   *    Sketch aggregators
@@ -73,7 +75,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    divide-by-zero→0 rule, and `quotient` for plain FP division),
   *    fieldAccess / finalizingFieldAccess, constant, expression,
   *    thetaSketchEstimate, thetaSketchSetOp (UNION/INTERSECT/NOT),
-  *    quantilesDoublesSketchToQuantile(s), hllSketchEstimate, stddev
+  *    quantilesDoublesSketchToQuantile(s), hllSketchEstimate, the
+  *    arrayOfDoublesSketch family (ToEstimate / ToMetricsSumEstimate /
+  *    ToNumEntries / SetOp UNION|INTERSECT|NOT), stddev
   *    (druid-stats, over a variance aggregator)
   *  - timeseries empty-bucket fill (context `skipEmptyBuckets` absent
   *    or false): bucket spine generated with `sequence()` and
@@ -1490,6 +1494,29 @@ object NativeQuery {
           countLike = false,
           // Druid finalizes a quantiles sketch to its stream length n
           finalizer = Some(c => call_udf("ds_quantiles_n", c)))
+      case "arrayOfDoublesSketch" =>
+        // datasketches-contrib Tuple sketch: distinct keys + per-key
+        // summed metric vectors in one pass. With metricColumns it
+        // BUILDS from raw rows; without, it MERGES pre-built blobs
+        // (the re-aggregation path over a COMPLEX column) — Druid's
+        // own overload rule for this aggregator. Finalizes to the
+        // distinct-key estimate, like Druid's factory.
+        sketchFns()
+        val nom = intOpt("nominalEntries", 16384)
+        val metricCols = a.path("metricColumns").elements().asScala.toSeq
+        if (metricCols.isEmpty)
+          Agg(name, call_udf("ds_tuple_merge", field, lit(nom)),
+            countLike = false,
+            finalizer = Some(c => call_udf("ds_tuple_estimate", c)))
+        else {
+          if (a.hasNonNull("numberOfValues") &&
+              a.path("numberOfValues").asInt() != metricCols.size)
+            fail("arrayOfDoublesSketch numberOfValues != metricColumns length")
+          val ms = metricCols.map(m => ref(m.asText()).cast("double"))
+          Agg(name, call_udf("ds_tuple", field, array(ms: _*), lit(nom)),
+            countLike = false,
+            finalizer = Some(c => call_udf("ds_tuple_estimate", c)))
+        }
       case "HLLSketchBuild" | "hyperUnique" =>
         // hyperUnique (Druid's legacy HyperLogLogCollector) maps to the
         // DataSketches HLL build — same semantics, exact in the
@@ -1623,6 +1650,32 @@ object NativeQuery {
       sketchFns()
       hllEstimate(compilePost(p.path("field"), fins),
         p.path("round").asBoolean(false))
+    case "arrayOfDoublesSketchToEstimate" =>
+      sketchFns()
+      call_udf("ds_tuple_estimate", compilePost(p.path("field"), fins))
+    case "arrayOfDoublesSketchToMetricsSumEstimate" =>
+      sketchFns()
+      call_udf("ds_tuple_metrics_sum", compilePost(p.path("field"), fins))
+    case "arrayOfDoublesSketchToNumEntries" =>
+      sketchFns()
+      call_udf("ds_tuple_n", compilePost(p.path("field"), fins))
+    case "arrayOfDoublesSketchSetOp" =>
+      sketchFns()
+      val fields = p.path("fields").elements().asScala
+        .map(compilePost(_, fins)).toSeq
+      if (fields.size < 2) fail("arrayOfDoublesSketchSetOp with fewer than 2 fields")
+      val nom =
+        if (p.hasNonNull("nominalEntries")) p.path("nominalEntries").asInt()
+        else 16384
+      p.path("operation").asText().toUpperCase match {
+        case "UNION" =>
+          fields.reduce((a, b) => call_udf("ds_tuple_union", a, b, lit(nom)))
+        case "INTERSECT" =>
+          fields.reduce((a, b) => call_udf("ds_tuple_intersect", a, b, lit(nom)))
+        case "NOT" =>
+          fields.reduce((a, b) => call_udf("ds_tuple_not", a, b))
+        case other => fail(s"arrayOfDoublesSketchSetOp operation '$other'")
+      }
     case "stddev" =>
       // druid-stats StandardDeviationPostAggregator: square root of
       // the variance aggregator it references (the estimator choice

@@ -389,6 +389,54 @@ object DruidSqlCompat {
       (b: Array[Byte]) => DsFreq.maxError(b), Seq(e.head))
   }
 
+  // ---- DataSketches Tuple (arrayOfDoubles — Druid's
+  //      arrayOfDoublesSketch extension) ---------------------------------
+
+  private val dsTuple: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3,
+      "ds_tuple(key, metrics_array[, nominalEntries])")
+    TupleSketchAgg(e.head, Cast(e(1), ArrayType(DoubleType)),
+      e.lift(2).map(litInt(_, "ds_tuple nominalEntries", 16384))
+        .getOrElse(16384))
+  }
+
+  private val dsTupleMerge: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2,
+      "ds_tuple_merge(sketch[, nominalEntries])")
+    TupleUnionAgg(e.head,
+      e.lift(1).map(litInt(_, "ds_tuple_merge nominalEntries", 16384))
+        .getOrElse(16384))
+  }
+
+  private val dsTupleEstimate: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "ds_tuple_estimate(sketch)")
+    udfExpr("ds_tuple_estimate", DoubleType,
+      (b: Array[Byte]) => DsTuple.estimate(b), Seq(e.head))
+  }
+
+  private val dsTupleMetricsSum: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "ds_tuple_metrics_sum(sketch)")
+    udfExpr("ds_tuple_metrics_sum", ArrayType(DoubleType),
+      (b: Array[Byte]) => DsTuple.metricsSum(b), Seq(e.head))
+  }
+
+  private val dsTupleN: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "ds_tuple_n(sketch)")
+    udfExpr("ds_tuple_n", LongType,
+      (b: Array[Byte]) => DsTuple.numEntries(b), Seq(e.head))
+  }
+
+  private def tupleSetOp(name: String,
+                         f: (Array[Byte], Array[Byte], Int) => Array[Byte])
+      : Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3,
+      s"$name(sketch, sketch[, nominalEntries])")
+    val nom = e.lift(2).map(litInt(_, s"$name nominalEntries", 16384))
+      .getOrElse(16384)
+    udfExpr(name, BinaryType,
+      (a: Array[Byte], b: Array[Byte]) => f(a, b, nom), Seq(e(0), e(1)))
+  }
+
   private val approxQuantileDs: Seq[Expression] => Expression = { e =>
     require(e.length >= 2 && e.length <= 3,
       "approx_quantile_ds(expr, prob[, k])")
@@ -550,7 +598,31 @@ object DruidSqlCompat {
       dsFreqEstimate),
     ("ds_freq_max_error",
       "ds_freq_max_error(sketch) - max estimation error; 0 = exact",
-      dsFreqMaxError))
+      dsFreqMaxError),
+    ("ds_tuple",
+      "ds_tuple(key, metrics_array[, nominalEntries]) - DataSketches Tuple (arrayOfDoubles) build aggregate",
+      dsTuple),
+    ("ds_tuple_merge",
+      "ds_tuple_merge(sketch[, nominalEntries]) - merge pre-built tuple sketch blobs",
+      dsTupleMerge),
+    ("ds_tuple_estimate",
+      "ds_tuple_estimate(sketch) - distinct-key estimate (exact while theta = 1)",
+      dsTupleEstimate),
+    ("ds_tuple_metrics_sum",
+      "ds_tuple_metrics_sum(sketch) - per-metric sums over distinct keys / theta",
+      dsTupleMetricsSum),
+    ("ds_tuple_n",
+      "ds_tuple_n(sketch) - retained entry count",
+      dsTupleN),
+    ("ds_tuple_union",
+      "ds_tuple_union(a, b[, nominalEntries]) - tuple sketch union (values summed per key)",
+      tupleSetOp("ds_tuple_union", DsTuple.unionBytes)),
+    ("ds_tuple_intersect",
+      "ds_tuple_intersect(a, b[, nominalEntries]) - tuple sketch intersection (values summed)",
+      tupleSetOp("ds_tuple_intersect", DsTuple.intersectBytes)),
+    ("ds_tuple_not",
+      "ds_tuple_not(a, b) - tuple sketch A-and-not-B",
+      tupleSetOp("ds_tuple_not", (a, b, _) => DsTuple.aNotBBytes(a, b))))
 
   /** The full Druid SQL compat family (time + mv + the rest). */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] =
