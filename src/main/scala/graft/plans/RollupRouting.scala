@@ -96,6 +96,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                               hlls: Map[String, (String, Int)] = Map.empty,
                               freqs: Map[String, (String, Int)] = Map.empty,
                               quantiles: Map[String, (String, Int)] = Map.empty,
+                              tuples: Map[(String, String), (String, Int)] = Map.empty,
                               maintain: Option[MaintainSpec] = None)
 
   /** State of an engine-MAINTAINED rollup (registerMaintained): the
@@ -157,7 +158,9 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                counts: Map[String, String] = Map.empty,
                hlls: Map[String, (String, Int)] = Map.empty,
                freqs: Map[String, (String, Int)] = Map.empty,
-               quantiles: Map[String, (String, Int)] = Map.empty): Unit = {
+               quantiles: Map[String, (String, Int)] = Map.empty,
+               tuples: Map[(String, String), (String, Int)] = Map.empty)
+      : Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -167,7 +170,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     }
     val entry = Registered(analyzedBase,
       rollupDf.queryExecution.analyzed, timeCol, g, dims.toSet,
-      sums, mins, maxs, countCol, counts, roots, hlls, freqs, quantiles)
+      sums, mins, maxs, countCol, counts, roots, hlls, freqs, quantiles,
+      tuples)
     replaceEntry(entry)
     arm(spark)
   }
@@ -242,7 +246,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       counts: Map[String, String] = Map.empty,
       hlls: Map[String, (String, Int)] = Map.empty,
       freqs: Map[String, (String, Int)] = Map.empty,
-      quantiles: Map[String, (String, Int)] = Map.empty): Unit = {
+      quantiles: Map[String, (String, Int)] = Map.empty,
+      tuples: Map[(String, String), (String, Int)] = Map.empty): Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -254,7 +259,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     val baseRoot = roots.head
     val proto = Registered(analyzedBase, analyzedBase /*placeholder*/,
       timeCol, g, dims.toSet, sums, mins, maxs, countCol, counts,
-      Nil, hlls, freqs, quantiles, None)
+      Nil, hlls, freqs, quantiles, tuples, None)
     val entry = refreshLock.synchronized {
       val current = segNamesOf(baseRoot).getOrElse(throw
         new IllegalArgumentException(s"cannot list segments under $baseRoot"))
@@ -361,6 +366,10 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       r.quantiles.toSeq.sortBy(_._1).map { case (m, (c, k)) => {
         graft.sql.DruidSqlCompat.register(src.sparkSession)
         expr(s"ds_quantiles_sketch(`$m`, $k)").as(c)
+      } } ++
+      r.tuples.toSeq.sortBy(_._2._1).map { case ((km, mm), (c, nom)) => {
+        graft.sql.DruidSqlCompat.register(src.sparkSession)
+        expr(s"ds_tuple(`$km`, `$mm`, $nom)").as(c)
       } }
     require(aggs.nonEmpty, "maintained rollup needs at least one measure")
     src.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
@@ -390,6 +399,11 @@ object RollupRouting extends org.apache.spark.internal.Logging {
         graft.sql.DruidSqlCompat.register(both.sparkSession)
         // blob-merge at the SAME k (the lgK-guard class)
         expr(s"ds_quantiles_sketch(`$c`, $k)").as(c)
+      } } ++
+      r.tuples.values.toSeq.sortBy(_._1).map { case (c, nom) => {
+        graft.sql.DruidSqlCompat.register(both.sparkSession)
+        // blob-merge at the SAME nominalEntries (the lgK-guard class)
+        expr(s"ds_tuple_merge(`$c`, $nom)").as(c)
       } }
     both.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -660,13 +674,23 @@ object RollupRouting extends org.apache.spark.internal.Logging {
 
       // base column DEFINITIONS in terms of the leaf: a passthrough
       // column defines itself; a converted column (e.g. ts rebuilt
-      // from raw nanos) defines its conversion expression
-      val baseDefs: Map[String, Expression] = r.base match {
-        case Project(pl, _) => pl.map {
-          case a: AttributeReference => a.name -> (a: Expression)
-          case al: Alias             => al.name -> al.child
-        }.toMap
-        case _ => r.base.output.map(a => a.name -> (a: Expression)).toMap
+      // from raw nanos) defines its conversion expression. Registered
+      // bases may stack several alias-only Projects (each withColumn
+      // adds one), so alias layers are collected ALL the way down and
+      // inlined to leaf terms — reading only the top Project would
+      // lose any definition introduced a layer below (a tuple measure
+      // built with two withColumns hit exactly that).
+      val baseDefs: Map[String, Expression] = {
+        def layers(p: LogicalPlan, acc: Map[ExprId, Expression])
+            : Map[ExprId, Expression] = p match {
+          case SubqueryAlias(_, c) => layers(c, acc)
+          case Project(pl, c) =>
+            layers(c, acc ++ pl.collect { case al: Alias => al.exprId -> al.child })
+          case _ => acc
+        }
+        val defs = layers(r.base, Map.empty)
+        r.base.output.map(a =>
+          a.name -> inline(defs.getOrElse(a.exprId, a), defs)).toMap
       }
       // FRESH attribute ids per rewrite: two routed aggregates in one
       // query tree (e.g. a union or self-join of aggregates over the
@@ -766,6 +790,23 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                   if k == qs.k && matchesDef(qs.child, m) => rc
             }.flatMap(rollupAttr.get).map(ra => qs.withNewChildren(
               Seq(ra)).asInstanceOf[graft.sql.QuantilesSketchAgg])
+          // ds_tuple(key, metrics, nom) -> ds_tuple_merge(blob_col,
+          // nom): tuple UNION sums metric vectors for shared keys, so
+          // the routed sketch equals a distributed raw build — exact
+          // (theta == 1) while distinct keys fit nominalEntries, the
+          // documented estimate otherwise. BOTH the key and the
+          // metrics definitions must match the registered pair, and
+          // the query's nominalEntries must EQUAL the registered
+          // metric's (the lgK-guard class, q38): a smaller-nominal
+          // merge would silently lower theta.
+          case ts: graft.sql.TupleSketchAgg =>
+            r.tuples.collectFirst {
+              case ((km, mm), (rc, nom))
+                  if nom == ts.nominalEntries &&
+                     matchesDef(stripCast(ts.left), km) &&
+                     matchesDef(stripCast(ts.right), mm) => rc
+            }.flatMap(rollupAttr.get)
+              .map(ra => graft.sql.TupleUnionAgg(ra, ts.nominalEntries))
           case _ => None
         }
 

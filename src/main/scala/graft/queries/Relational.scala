@@ -1051,6 +1051,49 @@ object Relational extends QuerySet {
              |      ON skew_key = dk)
              |SELECT bucket, count(*) AS n, round(sum(value), 2) AS sum_v
              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- Tuple-sketch rollup routing (completes the sketch-routing
+    //    family alongside q38 HLL / q39 Frequent-Items / the spec's
+    //    quantiles case): ds_tuple(user_mod, tup_m, 4096) over the
+    //    registered base re-plans onto the rollup's pre-aggregated
+    //    arrayOfDoubles blob column — tuple UNION sums metric vectors
+    //    for shared keys, so the routed sketch equals a distributed
+    //    raw build. Key cardinality is bounded at 100 (theta stays 1:
+    //    estimates are exact counts at ANY SF) and the metric is
+    //    integer-valued floor(value) (order-independent sums), which
+    //    is what lets this be an ORACLE gate rather than a tolerance
+    //    check. nominalEntries mismatch refuses routing
+    //    (RollupRoutingSpec's negative).
+    Q("q42_rollup_tuple_routing",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        val base = Tables.events(s, dir)
+          .withColumn("user_mod", expr("cast(user_id % 100 as string)"))
+          .withColumn("tup_m", expr("array(floor(value))"))
+        val rollup = s.read.parquet(stageRollup(s, dir))
+        graft.plans.RollupRouting.register(s, base, rollup,
+          timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+          tuples = Map(("user_mod", "tup_m") -> (("user_tuple", 4096))))
+        base.groupBy(expr("date_trunc('MONTH', ts)")
+              .cast("date").cast("string").as("month"),
+            col("event_type"))
+          .agg(expr("ds_tuple(user_mod, tup_m, 4096)").as("sk"))
+          .select(col("month"), col("event_type"),
+            expr("ds_tuple_estimate(sk)").cast("long").as("distinct_users"),
+            expr("ds_tuple_n(sk)").as("n_keys"),
+            round(expr("element_at(ds_tuple_metrics_sum(sk), 1)"), 1)
+              .as("sum_v"))
+          .orderBy(col("month"), col("event_type"))
+      },
+      Some("""SELECT
+             |  CAST(CAST(date_trunc('MONTH', ts) AS DATE) AS VARCHAR)
+             |    AS month,
+             |  event_type,
+             |  CAST(count(DISTINCT user_id % 100) AS BIGINT)
+             |    AS distinct_users,
+             |  CAST(count(DISTINCT user_id % 100) AS BIGINT) AS n_keys,
+             |  round(sum(floor(value)), 1) AS sum_v
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   private val rollupDone = scala.collection.mutable.Set[String]()
@@ -1087,7 +1130,15 @@ object Relational extends QuerySet {
              // ds_quantiles_sketch(value, 128) routes onto
              // (RollupRoutingSpec's quantiles case — value-equal in
              // the exact regime, day-level groups under k)
-             expr("ds_quantiles_sketch(value, 128)").as("value_q"))
+             expr("ds_quantiles_sketch(value, 128)").as("value_q"),
+             // pre-aggregated Tuple (arrayOfDoubles) sketch: what
+             // ds_tuple(user_mod, tup_m, 4096) routes onto (q42) —
+             // key cardinality bounded at 100 so theta stays 1 and
+             // the routed estimate/sums are exact at ANY scale; the
+             // metric is floor(value), integer-valued so per-key sums
+             // are order-independent
+             expr("ds_tuple(cast(user_id % 100 as string), " +
+               "array(floor(value)), 4096)").as("user_tuple"))
         .write.mode("overwrite").parquet(out)
       rollupDone += tag
     }

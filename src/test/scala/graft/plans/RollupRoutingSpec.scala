@@ -332,6 +332,54 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally RollupRouting.clear()
   }
 
+  test("ds_tuple routes to the rollup blob merge; nominalEntries mismatch never does") {
+    graft.sql.DruidSqlCompat.register(spark)
+    val baseT = base
+      .withColumn("user_mod", expr("cast(user_id % 100 as string)"))
+      .withColumn("tup_m", expr("array(floor(value))"))
+    def q = baseT.groupBy(col("event_type"))
+      .agg(expr("ds_tuple(user_mod, tup_m, 4096)").as("sk"))
+      .select(col("event_type"),
+        expr("ds_tuple_estimate(sk)").as("est"),
+        expr("element_at(ds_tuple_metrics_sum(sk), 1)").as("sum_v"))
+      .orderBy(col("event_type"))
+    def registerT(): Unit =
+      RollupRouting.register(spark, baseT, spark.read.parquet(rollupPath),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        tuples = Map(("user_mod", "tup_m") -> (("user_tuple", 4096))))
+    registerT()
+    try {
+      val routed = q
+      assert(planOf(routed).contains("events_daily"),
+        s"did not route:\n${planOf(routed)}")
+      val got = routed.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      RollupRouting.clear()
+      val unrouted = q
+      assert(planOf(unrouted).contains("events.parquet"))
+      val want = unrouted.collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+      // key cardinality 100 < nominalEntries: theta == 1 on every
+      // contributing sketch AND the union, and the metric is
+      // integer-valued — routed == unrouted VALUE-equal
+      assert(got == want, s"routed $got vs raw $want")
+      assert(got.nonEmpty)
+      // nominalEntries mismatch must NOT route: a smaller-nominal
+      // merge silently lowers theta (the lgK-guard class)
+      registerT()
+      val mism = baseT.groupBy(col("event_type"))
+        .agg(expr("ds_tuple(user_mod, tup_m, 1024)").as("sk"))
+      assert(!planOf(mism).contains("events_daily"),
+        s"nominalEntries mismatch routed:\n${planOf(mism)}")
+      // a DIFFERENT metrics definition must not route onto this blob
+      val wrongM = baseT.withColumn("tup_m2", expr("array(value)"))
+        .groupBy(col("event_type"))
+        .agg(expr("ds_tuple(user_mod, tup_m2, 4096)").as("sk"))
+      assert(!planOf(wrongM).contains("events_daily"),
+        s"metrics-def mismatch routed:\n${planOf(wrongM)}")
+    } finally RollupRouting.clear()
+  }
+
   test("two sessions arm the rule independently (WeakHashMap keying)") {
     val s2 = spark.newSession()
     val base2 = graft.Tables.events(s2, sf)
