@@ -724,5 +724,58 @@ object StreamingQueries extends QuerySet {
              |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT)
              |      IN (7, 42, 87)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming Tuple sketches: per-group state is ONE
+    // nominalEntries-bounded arrayOfDoubles blob (distinct users AND
+    // their summed metric vectors) instead of the full (user, sum)
+    // table — s13's bounded-state shape, extended to the
+    // "unique users + revenue" aggregate. One file per trigger forces
+    // real cross-batch sketch-state merges; the key is
+    // bounded-cardinality (theta stays 1) and the metric is
+    // integer-valued floor(value), so the streamed answer is
+    // oracle-exact, identical to q42's batch/routed value.
+    Q("s15_stream_tuple_sketch",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        val in = synchronized {
+          staged.getOrElseUpdate(s"$dir#nestedsrc", {
+            val out = s"/tmp/graft_stream/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_nestedsrc"
+            Tables.events(s, dir)
+              .select(col("ts"), col("event_type"), col("user_id"),
+                      col("value"), col("props"))
+              .repartition(4)
+              .write.mode("overwrite").parquet(out)
+            out
+          })
+        }
+        val schema = s.read.parquet(in).schema
+        val table = s"s15_out_${nameCounter.incrementAndGet()}"
+        val q = withStatePartitions(s, 4) {
+          StreamingOps.parquetStream(s, in, schema,
+              maxFilesPerTrigger = Some(1))
+            .select(col("event_type"),
+              expr("cast(user_id % 100 as string)").as("uk"),
+              expr("array(floor(value))").as("m"))
+            .groupBy(col("event_type"))
+            .agg(expr("ds_tuple(uk, m, 4096)").as("sk"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).start()
+        }
+        q.awaitTermination(300000)
+        s.table(table)
+          .select(col("event_type"),
+            expr("ds_tuple_estimate(sk)").cast("long").as("distinct_users"),
+            expr("ds_tuple_n(sk)").as("n_keys"),
+            round(expr("element_at(ds_tuple_metrics_sum(sk), 1)"), 1)
+              .as("sum_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id % 100) AS BIGINT)
+             |    AS distinct_users,
+             |  CAST(count(DISTINCT user_id % 100) AS BIGINT) AS n_keys,
+             |  round(sum(floor(value)), 1) AS sum_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
