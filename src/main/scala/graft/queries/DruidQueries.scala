@@ -190,6 +190,27 @@ object DruidQueries extends QuerySet {
     s.read.format("druid").load(path)
   }
 
+  /** Per-(day, event_type) Apache DataSketches TUPLE (arrayOfDoubles)
+    * blobs in a COMPLEX column — the wire format of Druid's
+    * arrayOfDoublesSketch aggregator's rollup metrics. Key cardinality
+    * bounded at 100 keeps theta == 1 on every blob AND every merge, so
+    * estimates are exact counts and the (integer-valued) metric sums
+    * are exact at any SF.
+    */
+  private def dsTupleSeg(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.DruidSqlCompat.register(s)
+    val path = segTable("dstuple", dir,
+      Tables.events(s, dir)
+        .withColumn("uk", expr("cast(user_id % 100 as string)"))
+        .withColumn("m", expr("array(floor(value))"))
+        .groupBy(date_trunc("day", col("ts")).as("__time"),
+                 col("event_type"))
+        .agg(expr("ds_tuple(uk, m, 4096)").as("users_tuple")),
+      options = Map("segmentGranularity" -> "day",
+                    "complexTypes" -> "users_tuple:arrayOfDoublesSketch"))
+    s.read.format("druid").load(path)
+  }
+
   /** Per-(day, event_type) Apache DataSketches QUANTILES blobs
     * (DoublesSketch, the wire format of Druid's quantilesDoublesSketch
     * aggregator) in a COMPLEX column — the third real-interop sketch
@@ -2598,6 +2619,43 @@ object DruidQueries extends QuerySet {
              |  CAST(count(DISTINCT user_id % 1000) AS BIGINT)
              |    AS distinct_users,
              |  CAST(count(DISTINCT user_id % 1000) AS BIGINT) AS n_keys,
+             |  round(sum(floor(value)), 1) AS sum_v
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- Tuple-sketch MERGE over a segment COMPLEX column (dr77 covers
+    //    the build side): per-(day, event_type) arrayOfDoubles blobs
+    //    written through the segment writer re-aggregate via the
+    //    native arrayOfDoublesSketch aggregator WITHOUT metricColumns —
+    //    Druid's overload for a pre-sketched column, the rollup
+    //    re-aggregation path. Theta stays 1 through every merge, so
+    //    the estimate is the exact distinct count and the metric sums
+    //    replay in DuckDB.
+    Q("dr78_ds_tuple_interop",
+      (s, dir) => {
+        graft.query.NativeQuery.run("""{
+          "queryType": "groupBy", "dataSource": "events_tuple",
+          "granularity": "all",
+          "dimensions": ["event_type"],
+          "aggregations": [
+            {"type": "arrayOfDoublesSketch", "name": "tup",
+             "fieldName": "users_tuple", "nominalEntries": 4096}],
+          "postAggregations": [
+            {"type": "arrayOfDoublesSketchToNumEntries", "name": "n_keys",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}},
+            {"type": "arrayOfDoublesSketchToMetricsSumEstimate",
+             "name": "sums",
+             "field": {"type": "fieldAccess", "fieldName": "tup"}}]
+        }""", _ => dsTupleSeg(s, dir))
+          .select(col("event_type"),
+            col("tup").cast("long").as("distinct_users"),
+            col("n_keys"),
+            round(element_at(col("sums"), 1), 1).as("sum_v"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id % 100) AS BIGINT)
+             |    AS distinct_users,
+             |  CAST(count(DISTINCT user_id % 100) AS BIGINT) AS n_keys,
              |  round(sum(floor(value)), 1) AS sum_v
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
