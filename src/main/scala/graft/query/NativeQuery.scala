@@ -65,6 +65,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    (mapped to DataSketches HLL), `cardinality` (byRow and by-value),
   *    `arrayOfDoublesSketch` (Tuple: build from `metricColumns` or
   *    merge blobs without them; finalizes to the distinct estimate),
+  *    `tDigestSketch` (build or blob-merge; stays a mergeable blob —
+  *    Druid returns the sketch itself),
   *    `variance`/`varianceFold` (druid-stats; estimator "population"
   *    vs default sample) — and `filtered` wrapping any of those.
   *    Sketch aggregators
@@ -77,7 +79,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, S
   *    thetaSketchEstimate, thetaSketchSetOp (UNION/INTERSECT/NOT),
   *    quantilesDoublesSketchToQuantile(s), hllSketchEstimate, the
   *    arrayOfDoublesSketch family (ToEstimate / ToMetricsSumEstimate /
-  *    ToNumEntries / SetOp UNION|INTERSECT|NOT), stddev
+  *    ToNumEntries / SetOp UNION|INTERSECT|NOT),
+  *    quantile(s)FromTDigestSketch, stddev
   *    (druid-stats, over a variance aggregator)
   *  - timeseries empty-bucket fill (context `skipEmptyBuckets` absent
   *    or false): bucket spine generated with `sequence()` and
@@ -1517,6 +1520,15 @@ object NativeQuery {
             countLike = false,
             finalizer = Some(c => call_udf("ds_tuple_estimate", c)))
         }
+      case "tDigestSketch" =>
+        // druid-tdigest extension: build over raw values or merge over
+        // COMPLEX blobs (child-type dispatch, like thetaSketch). No
+        // finalizer — Druid returns the sketch itself; clients read it
+        // through the quantile(s)FromTDigestSketch post-aggregators.
+        sketchFns()
+        Agg(name,
+          call_udf("tdigest_agg", field, lit(intOpt("compression", 100))),
+          countLike = false)
       case "HLLSketchBuild" | "hyperUnique" =>
         // hyperUnique (Druid's legacy HyperLogLogCollector) maps to the
         // DataSketches HLL build — same semantics, exact in the
@@ -1650,6 +1662,17 @@ object NativeQuery {
       sketchFns()
       hllEstimate(compilePost(p.path("field"), fins),
         p.path("round").asBoolean(false))
+    case "quantileFromTDigestSketch" =>
+      sketchFns()
+      call_udf("tdigest_quantile", compilePost(p.path("field"), fins),
+        lit(p.path("fraction").asDouble()))
+    case "quantilesFromTDigestSketch" =>
+      sketchFns()
+      val f = compilePost(p.path("field"), fins)
+      val fractions = p.path("fractions").elements().asScala
+        .map(_.asDouble()).toSeq
+      if (fractions.isEmpty) fail("quantilesFromTDigestSketch with no fractions")
+      array(fractions.map(fr => call_udf("tdigest_quantile", f, lit(fr))): _*)
     case "arrayOfDoublesSketchToEstimate" =>
       sketchFns()
       call_udf("ds_tuple_estimate", compilePost(p.path("field"), fins))

@@ -426,6 +426,34 @@ object DruidSqlCompat {
       (b: Array[Byte]) => DsTuple.numEntries(b), Seq(e.head))
   }
 
+  // ---- DataSketches t-digest (Druid's tDigestSketch extension) ---------
+
+  private val tdigestAgg: Seq[Expression] => Expression = { e =>
+    require(e.nonEmpty && e.length <= 2, "tdigest_agg(expr[, compression])")
+    TDigestAgg(e.head,
+      e.lift(1).map(litInt(_, "tdigest compression", 100)).getOrElse(100))
+  }
+
+  private val tdigestQuantile: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "tdigest_quantile(sketch, fraction)")
+    udfExpr("tdigest_quantile", DoubleType,
+      (b: Array[Byte], q: Double) => DsTDigest.quantile(b, q),
+      Seq(e.head, Cast(e(1), DoubleType)))
+  }
+
+  private val tdigestRank: Seq[Expression] => Expression = { e =>
+    require(e.length == 2, "tdigest_rank(sketch, value)")
+    udfExpr("tdigest_rank", DoubleType,
+      (b: Array[Byte], v: Double) => DsTDigest.rank(b, v),
+      Seq(e.head, Cast(e(1), DoubleType)))
+  }
+
+  private val tdigestTotalWeight: Seq[Expression] => Expression = { e =>
+    require(e.length == 1, "tdigest_total_weight(sketch)")
+    udfExpr("tdigest_total_weight", LongType,
+      (b: Array[Byte]) => DsTDigest.totalWeight(b), Seq(e.head))
+  }
+
   private def tupleSetOp(name: String,
                          f: (Array[Byte], Array[Byte], Int) => Array[Byte])
       : Seq[Expression] => Expression = { e =>
@@ -622,7 +650,19 @@ object DruidSqlCompat {
       tupleSetOp("ds_tuple_intersect", DsTuple.intersectBytes)),
     ("ds_tuple_not",
       "ds_tuple_not(a, b) - tuple sketch A-and-not-B",
-      tupleSetOp("ds_tuple_not", (a, b, _) => DsTuple.aNotBBytes(a, b))))
+      tupleSetOp("ds_tuple_not", (a, b, _) => DsTuple.aNotBBytes(a, b))),
+    ("tdigest_agg",
+      "tdigest_agg(expr[, compression]) - DataSketches t-digest build aggregate (blob children merge)",
+      tdigestAgg),
+    ("tdigest_quantile",
+      "tdigest_quantile(sketch, fraction) - interpolated quantile estimate",
+      tdigestQuantile),
+    ("tdigest_rank",
+      "tdigest_rank(sketch, value) - estimated rank of a value in [0,1]",
+      tdigestRank),
+    ("tdigest_total_weight",
+      "tdigest_total_weight(sketch) - exact count of aggregated values",
+      tdigestTotalWeight))
 
   /** The full Druid SQL compat family (time + mv + the rest). */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] =
