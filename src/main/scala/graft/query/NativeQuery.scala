@@ -1664,7 +1664,7 @@ object NativeQuery {
         p.path("round").asBoolean(false))
     case "quantileFromTDigestSketch" =>
       sketchFns()
-      call_udf("tdigest_quantile", compilePost(p.path("field"), fins),
+      call_udf("tdigest_sketch_quantile", compilePost(p.path("field"), fins),
         lit(p.path("fraction").asDouble()))
     case "quantilesFromTDigestSketch" =>
       sketchFns()
@@ -1672,7 +1672,7 @@ object NativeQuery {
       val fractions = p.path("fractions").elements().asScala
         .map(_.asDouble()).toSeq
       if (fractions.isEmpty) fail("quantilesFromTDigestSketch with no fractions")
-      array(fractions.map(fr => call_udf("tdigest_quantile", f, lit(fr))): _*)
+      array(fractions.map(fr => call_udf("tdigest_sketch_quantile", f, lit(fr))): _*)
     case "arrayOfDoublesSketchToEstimate" =>
       sketchFns()
       call_udf("ds_tuple_estimate", compilePost(p.path("field"), fins))

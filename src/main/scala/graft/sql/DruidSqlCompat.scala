@@ -435,8 +435,8 @@ object DruidSqlCompat {
   }
 
   private val tdigestQuantile: Seq[Expression] => Expression = { e =>
-    require(e.length == 2, "tdigest_quantile(sketch, fraction)")
-    udfExpr("tdigest_quantile", DoubleType,
+    require(e.length == 2, "tdigest_sketch_quantile(sketch, fraction)")
+    udfExpr("tdigest_sketch_quantile", DoubleType,
       (b: Array[Byte], q: Double) => DsTDigest.quantile(b, q),
       Seq(e.head, Cast(e(1), DoubleType)))
   }
@@ -452,6 +452,38 @@ object DruidSqlCompat {
     require(e.length == 1, "tdigest_total_weight(sketch)")
     udfExpr("tdigest_total_weight", LongType,
       (b: Array[Byte]) => DsTDigest.totalWeight(b), Seq(e.head))
+  }
+
+  /** Druid SQL TDIGEST_QUANTILE: an AGGREGATE over raw values (or
+    * blobs — TDigestAgg's child dispatch) that reads one quantile.
+    */
+  private val tdigestQuantileSql: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2 && e.length <= 3,
+      "tdigest_quantile(expr, fraction[, compression])")
+    val agg = TDigestAgg(e.head,
+      e.lift(2).map(litInt(_, "tdigest compression", 100)).getOrElse(100))
+      .toAggregateExpression()
+    udfExpr("tdigest_sketch_quantile", DoubleType,
+      (b: Array[Byte], q: Double) => DsTDigest.quantile(b, q),
+      Seq(agg, Cast(e(1), DoubleType)))
+  }
+
+  /** Druid SQL DS_TUPLE_DOUBLES: key + metric expressions with an
+    * optional trailing integer-literal nominalEntries — Druid's own
+    * trailing-literal overload rule.
+    */
+  private val dsTupleDoubles: Seq[Expression] => Expression = { e =>
+    require(e.length >= 2,
+      "ds_tuple_doubles(key, m1[, m2, ...][, nominalEntries])")
+    val (args, nom) = e.last match {
+      case Literal(v: Int, IntegerType) if e.length >= 3 =>
+        (e.dropRight(1), v)
+      case Literal(v: Long, LongType) if e.length >= 3 =>
+        (e.dropRight(1), v.toInt)
+      case _ => (e, 16384)
+    }
+    val metrics = args.tail.map(m => Cast(m, DoubleType))
+    TupleSketchAgg(args.head, CreateArray(metrics), nom)
   }
 
   private def tupleSetOp(name: String,
@@ -654,15 +686,41 @@ object DruidSqlCompat {
     ("tdigest_agg",
       "tdigest_agg(expr[, compression]) - DataSketches t-digest build aggregate (blob children merge)",
       tdigestAgg),
-    ("tdigest_quantile",
-      "tdigest_quantile(sketch, fraction) - interpolated quantile estimate",
+    ("tdigest_sketch_quantile",
+      "tdigest_sketch_quantile(sketch, fraction) - interpolated quantile estimate",
       tdigestQuantile),
     ("tdigest_rank",
       "tdigest_rank(sketch, value) - estimated rank of a value in [0,1]",
       tdigestRank),
     ("tdigest_total_weight",
       "tdigest_total_weight(sketch) - exact count of aggregated values",
-      tdigestTotalWeight))
+      tdigestTotalWeight),
+    // Druid SQL wire names (druid-tdigest / datasketches-tuple
+    // extensions) — the spellings the console and BI tools emit
+    ("tdigest_generate_sketch",
+      "tdigest_generate_sketch(expr[, compression]) - Druid SQL TDIGEST_GENERATE_SKETCH (alias of tdigest_agg)",
+      tdigestAgg),
+    ("tdigest_quantile",
+      "tdigest_quantile(expr, fraction[, compression]) - Druid SQL TDIGEST_QUANTILE: aggregate raw values (or merge blobs) and read one quantile",
+      tdigestQuantileSql),
+    ("ds_tuple_doubles",
+      "ds_tuple_doubles(key, m1[, m2, ...][, nominalEntries]) - Druid SQL DS_TUPLE_DOUBLES build aggregate",
+      dsTupleDoubles),
+    ("ds_tuple_doubles_estimate",
+      "ds_tuple_doubles_estimate(sketch) - Druid SQL DS_TUPLE_DOUBLES_ESTIMATE",
+      dsTupleEstimate),
+    ("ds_tuple_doubles_metrics_sum_estimate",
+      "ds_tuple_doubles_metrics_sum_estimate(sketch) - Druid SQL DS_TUPLE_DOUBLES_METRICS_SUM_ESTIMATE",
+      dsTupleMetricsSum),
+    ("ds_tuple_doubles_union",
+      "ds_tuple_doubles_union(a, b[, nominalEntries]) - Druid SQL DS_TUPLE_DOUBLES_UNION",
+      tupleSetOp("ds_tuple_doubles_union", DsTuple.unionBytes)),
+    ("ds_tuple_doubles_intersect",
+      "ds_tuple_doubles_intersect(a, b[, nominalEntries]) - Druid SQL DS_TUPLE_DOUBLES_INTERSECT",
+      tupleSetOp("ds_tuple_doubles_intersect", DsTuple.intersectBytes)),
+    ("ds_tuple_doubles_not",
+      "ds_tuple_doubles_not(a, b) - Druid SQL DS_TUPLE_DOUBLES_NOT",
+      tupleSetOp("ds_tuple_doubles_not", (a, b, _) => DsTuple.aNotBBytes(a, b))))
 
   /** The full Druid SQL compat family (time + mv + the rest). */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] =

@@ -23,8 +23,8 @@ class DsTDigestSpec extends AnyFunSuite {
     val out = (1 to n).map(_.toDouble).toDF("v").repartition(8)
       .agg(expr("tdigest_agg(v, 100)").as("sk"))
       .select(expr("tdigest_total_weight(sk)").as("w"),
-        expr("tdigest_quantile(sk, 0.0)").as("lo"),
-        expr("tdigest_quantile(sk, 1.0)").as("hi"))
+        expr("tdigest_sketch_quantile(sk, 0.0)").as("lo"),
+        expr("tdigest_sketch_quantile(sk, 1.0)").as("hi"))
       .head()
     assert(out.getLong(0) == n.toLong)
     assert(out.getDouble(1) == 1.0)
@@ -35,7 +35,7 @@ class DsTDigestSpec extends AnyFunSuite {
     import spark.implicits._
     val out = (1 to n).map(_.toDouble).toDF("v").repartition(8)
       .agg(expr("tdigest_agg(v, 100)").as("sk"))
-      .select(expr("tdigest_quantile(sk, 0.5)").as("med"),
+      .select(expr("tdigest_sketch_quantile(sk, 0.5)").as("med"),
         expr("tdigest_rank(sk, 5000.0)").as("r"))
       .head()
     // t-digest rank error is tightest at the extremes and loosest at
@@ -51,7 +51,7 @@ class DsTDigestSpec extends AnyFunSuite {
       (1 to n).map(_.toDouble).toDF("v").repartition(parts)
         .agg(expr("tdigest_agg(v, 100)").as("sk"))
         .select(expr("tdigest_total_weight(sk)").as("w"),
-          expr("tdigest_quantile(sk, 0.9)").as("p90"))
+          expr("tdigest_sketch_quantile(sk, 0.9)").as("p90"))
         .head()
     val (a, b) = (run(1), run(16))
     assert(a.getLong(0) == b.getLong(0))
@@ -68,7 +68,7 @@ class DsTDigestSpec extends AnyFunSuite {
       .groupBy("g").agg(expr("tdigest_agg(v, 100)").as("sk"))
       .agg(expr("tdigest_agg(sk, 100)").as("sk2"))
       .select(expr("tdigest_total_weight(sk2)").as("w"),
-        expr("tdigest_quantile(sk2, 0.5)").as("med"))
+        expr("tdigest_sketch_quantile(sk2, 0.5)").as("med"))
       .head()
     assert(merged.getLong(0) == n.toLong)
     // two merge levels compound the centroid-drift error at the median
@@ -84,6 +84,20 @@ class DsTDigestSpec extends AnyFunSuite {
       org.apache.datasketches.memory.Memory.wrap(blob))
     assert(sk.getTotalWeight == 100L)
     assert(sk.getMinValue == 1.0 && sk.getMaxValue == 100.0)
+  }
+
+  test("Druid SQL wire names: TDIGEST_QUANTILE aggregates, TDIGEST_GENERATE_SKETCH builds") {
+    import spark.implicits._
+    val df = (1 to n).map(_.toDouble).toDF("v").repartition(8)
+    df.createOrReplaceTempView("td_sql")
+    // Druid SQL spelling, case-insensitive: aggregate + quantile in one
+    val med = spark.sql(
+      "SELECT TDIGEST_QUANTILE(v, 0.5, 100) FROM td_sql").head().getDouble(0)
+    assert(math.abs(med - n / 2.0) <= n * 0.01, s"median $med")
+    val w = spark.sql(
+      "SELECT tdigest_total_weight(TDIGEST_GENERATE_SKETCH(v, 100)) FROM td_sql")
+      .head().getLong(0)
+    assert(w == n.toLong)
   }
 
   test("native wire: tDigestSketch aggregator + quantile post-aggs") {

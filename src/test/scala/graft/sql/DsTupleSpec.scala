@@ -108,6 +108,26 @@ class DsTupleSpec extends AnyFunSuite {
     assert(total == (1 to 25).map(_.toDouble).sum)
   }
 
+  test("Druid SQL wire names: DS_TUPLE_DOUBLES family with trailing nominalEntries") {
+    import spark.implicits._
+    (1 to 400).map(i => (i % 40L, (i % 7).toDouble, (i % 3).toDouble))
+      .toDF("k", "m1", "m2").createOrReplaceTempView("tup_sql")
+    // two metric columns + the trailing integer-literal nominalEntries
+    val r = spark.sql(
+      """SELECT ds_tuple_doubles_estimate(sk) AS est,
+        |       ds_tuple_doubles_metrics_sum_estimate(sk) AS sums
+        |FROM (SELECT DS_TUPLE_DOUBLES(k, m1, m2, 1024) AS sk
+        |      FROM tup_sql)""".stripMargin).head()
+    assert(r.getDouble(0) == 40.0)
+    assert(r.getSeq[Double](1).length == 2)
+    // without the trailing literal every arg past the key is a metric
+    val r2 = spark.sql(
+      """SELECT ds_tuple_doubles_metrics_sum_estimate(
+        |         DS_TUPLE_DOUBLES(k, m1, m2)) AS sums
+        |FROM tup_sql""".stripMargin).head()
+    assert(r2.getSeq[Double](0).length == 2)
+  }
+
   test("null keys and null metric elements follow the numeric-null fold") {
     import spark.implicits._
     val df = Seq((Some(1L), Some(2.0)), (None, Some(9.0)),
