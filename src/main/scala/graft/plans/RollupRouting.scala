@@ -97,6 +97,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                               freqs: Map[String, (String, Int)] = Map.empty,
                               quantiles: Map[String, (String, Int)] = Map.empty,
                               tuples: Map[(String, String), (String, Int)] = Map.empty,
+                              tdigests: Map[String, (String, Int)] = Map.empty,
                               maintain: Option[MaintainSpec] = None)
 
   /** State of an engine-MAINTAINED rollup (registerMaintained): the
@@ -159,7 +160,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                hlls: Map[String, (String, Int)] = Map.empty,
                freqs: Map[String, (String, Int)] = Map.empty,
                quantiles: Map[String, (String, Int)] = Map.empty,
-               tuples: Map[(String, String), (String, Int)] = Map.empty)
+               tuples: Map[(String, String), (String, Int)] = Map.empty,
+               tdigests: Map[String, (String, Int)] = Map.empty)
       : Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
@@ -171,7 +173,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     val entry = Registered(analyzedBase,
       rollupDf.queryExecution.analyzed, timeCol, g, dims.toSet,
       sums, mins, maxs, countCol, counts, roots, hlls, freqs, quantiles,
-      tuples)
+      tuples, tdigests)
     replaceEntry(entry)
     arm(spark)
   }
@@ -247,7 +249,8 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       hlls: Map[String, (String, Int)] = Map.empty,
       freqs: Map[String, (String, Int)] = Map.empty,
       quantiles: Map[String, (String, Int)] = Map.empty,
-      tuples: Map[(String, String), (String, Int)] = Map.empty): Unit = {
+      tuples: Map[(String, String), (String, Int)] = Map.empty,
+      tdigests: Map[String, (String, Int)] = Map.empty): Unit = {
     val g = granularity.toUpperCase(java.util.Locale.ROOT)
     require(coarserOrEqual.contains(g), s"unsupported granularity $g")
     val analyzedBase = baseDf.queryExecution.analyzed
@@ -259,7 +262,7 @@ object RollupRouting extends org.apache.spark.internal.Logging {
     val baseRoot = roots.head
     val proto = Registered(analyzedBase, analyzedBase /*placeholder*/,
       timeCol, g, dims.toSet, sums, mins, maxs, countCol, counts,
-      Nil, hlls, freqs, quantiles, tuples, None)
+      Nil, hlls, freqs, quantiles, tuples, tdigests, None)
     val entry = refreshLock.synchronized {
       val current = segNamesOf(baseRoot).getOrElse(throw
         new IllegalArgumentException(s"cannot list segments under $baseRoot"))
@@ -370,6 +373,10 @@ object RollupRouting extends org.apache.spark.internal.Logging {
       r.tuples.toSeq.sortBy(_._2._1).map { case ((km, mm), (c, nom)) => {
         graft.sql.DruidSqlCompat.register(src.sparkSession)
         expr(s"ds_tuple(`$km`, `$mm`, $nom)").as(c)
+      } } ++
+      r.tdigests.toSeq.sortBy(_._1).map { case (m, (c, k)) => {
+        graft.sql.DruidSqlCompat.register(src.sparkSession)
+        expr(s"tdigest_agg(`$m`, $k)").as(c)
       } }
     require(aggs.nonEmpty, "maintained rollup needs at least one measure")
     src.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
@@ -404,6 +411,11 @@ object RollupRouting extends org.apache.spark.internal.Logging {
         graft.sql.DruidSqlCompat.register(both.sparkSession)
         // blob-merge at the SAME nominalEntries (the lgK-guard class)
         expr(s"ds_tuple_merge(`$c`, $nom)").as(c)
+      } } ++
+      r.tdigests.values.toSeq.sortBy(_._1).map { case (c, k) => {
+        graft.sql.DruidSqlCompat.register(both.sparkSession)
+        // blob-merge at the SAME compression (the lgK-guard class)
+        expr(s"tdigest_agg(`$c`, $k)").as(c)
       } }
     both.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -807,6 +819,20 @@ object RollupRouting extends org.apache.spark.internal.Logging {
                      matchesDef(stripCast(ts.right), mm) => rc
             }.flatMap(rollupAttr.get)
               .map(ra => graft.sql.TupleUnionAgg(ra, ts.nominalEntries))
+          // tdigest_agg(m, k) -> tdigest_agg(blob_col, k): BinaryType
+          // children blob-merge, so the routed digest is the merge of
+          // the rollup's per-bucket digests — the same answer a
+          // distributed raw build gives MODULO t-digest's documented
+          // merge-order dependence (this family has no exact regime,
+          // which is why it is spec-gated, not oracle-gated). The
+          // query's compression must EQUAL the registered metric's
+          // (the lgK-guard class).
+          case td: graft.sql.TDigestAgg =>
+            r.tdigests.collectFirst {
+              case (m, (rc, k))
+                  if k == td.compression && matchesDef(td.child, m) => rc
+            }.flatMap(rollupAttr.get).map(ra => td.withNewChildren(
+              Seq(ra)).asInstanceOf[graft.sql.TDigestAgg])
           case _ => None
         }
 

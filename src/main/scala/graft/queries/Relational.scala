@@ -1138,7 +1138,11 @@ object Relational extends QuerySet {
              // metric is floor(value), integer-valued so per-key sums
              // are order-independent
              expr("ds_tuple(cast(user_id % 100 as string), " +
-               "array(floor(value)), 4096)").as("user_tuple"))
+               "array(floor(value)), 4096)").as("user_tuple"),
+             // pre-aggregated t-digest: what tdigest_agg(value, 100)
+             // routes onto (RollupRoutingSpec's tdigest case —
+             // spec-gated with rank-error tolerance, no exact regime)
+             expr("tdigest_agg(value, 100)").as("value_td"))
         .write.mode("overwrite").parquet(out)
       rollupDone += tag
     }

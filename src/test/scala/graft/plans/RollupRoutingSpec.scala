@@ -380,6 +380,56 @@ class RollupRoutingSpec extends AnyFunSuite {
     } finally RollupRouting.clear()
   }
 
+  test("tdigest_agg routes to the rollup blob merge; compression mismatch never does") {
+    graft.sql.DruidSqlCompat.register(spark)
+    def q = base.groupBy(col("event_type"))
+      .agg(expr("tdigest_agg(value, 100)").as("sk"))
+      .select(col("event_type"),
+        expr("tdigest_total_weight(sk)").as("w"),
+        expr("tdigest_sketch_quantile(sk, 0.5)").as("med"))
+      .orderBy(col("event_type"))
+    def registerTd(): Unit =
+      RollupRouting.register(spark, base, spark.read.parquet(rollupPath),
+        timeCol = "ts", granularity = "DAY", dims = Seq("event_type"),
+        tdigests = Map("value" -> (("value_td", 100))))
+    registerTd()
+    try {
+      val routed = q
+      assert(planOf(routed).contains("events_daily"),
+        s"did not route:\n${planOf(routed)}")
+      val got = routed.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      RollupRouting.clear()
+      val unrouted = q
+      assert(planOf(unrouted).contains("events.parquet"))
+      val want = unrouted.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      // total weight is EXACT through any merge; the median carries
+      // t-digest's merge-order dependence, so the principled check is
+      // RANK-based: the routed median's rank in the TRUE per-group
+      // value distribution must sit near 0.5 (rank error, not value
+      // error — value deltas blow up wherever density is low)
+      assert(got.map(x => (x._1, x._2)) == want.map(x => (x._1, x._2)),
+        s"weights: $got vs $want")
+      val values = base.select(col("event_type"), col("value")).collect()
+        .groupBy(_.getString(0))
+        .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+      got.foreach { case (g, _, med) =>
+        val vs = values(g)
+        val rank = vs.count(_ <= med).toDouble / vs.length
+        assert(math.abs(rank - 0.5) <= 0.05,
+          s"group $g: routed median $med sits at rank $rank")
+      }
+      assert(got.nonEmpty)
+      // compression mismatch must NOT route (the lgK-guard class)
+      registerTd()
+      val mism = base.groupBy(col("event_type"))
+        .agg(expr("tdigest_agg(value, 200)").as("sk"))
+      assert(!planOf(mism).contains("events_daily"),
+        s"compression mismatch routed:\n${planOf(mism)}")
+    } finally RollupRouting.clear()
+  }
+
   test("two sessions arm the rule independently (WeakHashMap keying)") {
     val s2 = spark.newSession()
     val base2 = graft.Tables.events(s2, sf)
