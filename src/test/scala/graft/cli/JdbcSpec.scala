@@ -106,6 +106,30 @@ class JdbcSpec extends AnyFunSuite {
     }
   }
 
+  test("sys ops schema is queryable over JDBC while a broker serves") {
+    // the shape an ops dashboard uses: one JDBC connection for both
+    // data and the sys catalog the broker registers (real catalog
+    // tables, so they resolve from any session sharing the catalog)
+    val events = spark.read.format("druid").load(segDir)
+    val server = DruidServe.start(spark, _ => events, port = 0,
+      sqlTables = Map("jdbc_events" -> events), sysSchema = true)
+    try withConn { conn =>
+      val rs = conn.createStatement().executeQuery(
+        "SELECT datasource, count(*) AS n, sum(num_rows) AS rows " +
+          "FROM sys.segments GROUP BY datasource ORDER BY datasource")
+      val segs = Iterator.continually(rs).takeWhile(_.next())
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toList
+      val ev = segs.find(_._1 == "jdbc_events")
+      assert(ev.nonEmpty, s"sys.segments rows: $segs")
+      assert(ev.get._3 == 5L, s"num_rows: $ev")
+      val rs2 = conn.createStatement().executeQuery(
+        "SELECT server_type FROM sys.servers ORDER BY server_type")
+      val types = Iterator.continually(rs2).takeWhile(_.next())
+        .map(_.getString(1)).toList
+      assert(types == List("broker", "historical"))
+    } finally server.stop(0)
+  }
+
   test("second start reuses the running endpoint and re-registers tables") {
     val again = JdbcEndpoint.start(spark, Map(
       "jdbc_events" -> spark.read.format("druid").load(segDir),
