@@ -18,9 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `jdbc:hive2://host:port/` and queries every served table.
   *
   * Semantics:
-  *  - Served tables register as TEMP VIEWS on the host session, and
-  *    the server runs with `spark.sql.hive.thriftServer.singleSession
-  *    =true` so every JDBC connection shares that session's state —
+  *  - The thrift server runs on a CLONED session (shared SparkContext
+  *    + catalog, isolated SQLConf) — Spark's statement operation
+  *    flips `spark.sql.datetime.java8API.enabled` on the session it
+  *    executes in, and a client `SET` mutates session state, so
+  *    serving directly on the caller's session would silently change
+  *    the caller's timestamp row representation after the first JDBC
+  *    query (caught by a leaked-Instant test failure; the broker's
+  *    per-timezone child sessions exist for the same reason). Served
+  *    tables register as TEMP VIEWS on that serving session, and the
+  *    server runs with `spark.sql.hive.thriftServer.singleSession
+  *    =true` so every JDBC connection shares the serving session —
   *    the documented Spark switch for exactly this shape. The full
   *    logical plan rides the view, so segment pushdown (pruning,
   *    bitmap row selection, metadata aggregates) is identical to the
@@ -36,34 +44,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * SECURITY: same posture as the HTTP SQL endpoint — the endpoint
   * executes arbitrary Spark SQL with this process's filesystem
-  * privileges, and singleSession means a client `SET` mutates the
-  * shared session; binds 127.0.0.1 unless the caller opts into
-  * another interface.
+  * privileges (a client `SET` mutates the serving session, never the
+  * caller's); binds 127.0.0.1 unless the caller opts into another
+  * interface.
   */
 object JdbcEndpoint {
 
-  @volatile private var running: Option[Int] = None
+  @volatile private var running: Option[(SparkSession, Int)] = None
 
   /** Start (or reuse) the thrift JDBC endpoint and expose `tables` as
-    * temp views on `spark`. Returns the bound port. `port` 0 probes a
-    * free ephemeral port (HiveServer2 cannot report a 0-bind back).
+    * temp views on the serving session. Returns the bound port.
+    * `port` 0 probes a free ephemeral port (HiveServer2 cannot report
+    * a 0-bind back).
     */
   def start(spark: SparkSession, tables: Map[String, DataFrame],
             port: Int = 0, host: String = "127.0.0.1"): Int =
     synchronized {
-      graft.sql.DruidSqlCompat.register(spark)
-      tables.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+      // serving-session isolation: shared context + catalog, own
+      // SQLConf — JDBC-side conf mutation cannot leak into the caller
+      val serve = running.map(_._1).getOrElse(spark.newSession())
+      graft.sql.DruidSqlCompat.register(serve)
+      // global temp views are the supported cross-session channel (the
+      // full logical plan rides them, so pushdown survives); a plain
+      // temp view on the serving session gives JDBC clients the bare
+      // name without the global_temp qualifier
+      tables.foreach { case (n, df) =>
+        df.createOrReplaceGlobalTempView(n)
+        serve.sql(s"CREATE OR REPLACE TEMPORARY VIEW `$n` " +
+          s"AS SELECT * FROM global_temp.`$n`")
+      }
       running match {
-        case Some(p) => p
+        case Some((_, p)) => p
         case None =>
           val p = if (port != 0) port else freePort(host)
-          // JDBC sessions must share the host session's temp views —
+          // JDBC sessions must share the SERVING session's temp views —
           // read dynamically by SparkSQLSessionManager.openSession from
-          // the HOST session's SQLConf. The key is registered static
+          // that session's SQLConf. The key is registered static
           // (normally fixed at session build), so it goes in through
-          // SQLConf directly — the host session already exists by the
-          // time an embedded endpoint starts.
-          spark.sessionState.conf.setConfString(
+          // SQLConf directly — the session already exists by the time
+          // an embedded endpoint starts.
+          serve.sessionState.conf.setConfString(
             "spark.sql.hive.thriftServer.singleSession", "true")
           // HiveConf.applySystemProperties is the documented override
           // channel for an embedded HiveServer2
@@ -71,9 +91,9 @@ object JdbcEndpoint {
           System.setProperty("hive.server2.thrift.bind.host", host)
           System.setProperty("hive.server2.transport.mode", "binary")
           org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
-            .startWithContext(spark.sqlContext)
+            .startWithContext(serve.sqlContext)
           awaitListening(host, p)
-          running = Some(p)
+          running = Some((serve, p))
           p
       }
     }

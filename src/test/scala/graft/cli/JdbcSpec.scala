@@ -130,6 +130,23 @@ class JdbcSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("JDBC execution never mutates the caller's session (java8API leak)") {
+    // Spark's thrift statement operation sets datetime.java8API=true on
+    // the session it executes in; serving on a CLONED session keeps the
+    // caller's timestamp row representation stable. Regression: the
+    // full suite once failed 7 downstream getTimestamp calls with
+    // java.time.Instant leaking out of shared-session serving.
+    withConn { conn =>
+      val rs = conn.createStatement()
+        .executeQuery("SELECT max(__time) FROM jdbc_events")
+      assert(rs.next() && rs.getTimestamp(1) != null)
+    }
+    assert(spark.conf.get("spark.sql.datetime.java8API.enabled") === "false")
+    val row = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS t").head()
+    assert(row.get(0).isInstanceOf[java.sql.Timestamp],
+      s"caller session leaked java8 rows: ${row.get(0).getClass}")
+  }
+
   test("second start reuses the running endpoint and re-registers tables") {
     val again = JdbcEndpoint.start(spark, Map(
       "jdbc_events" -> spark.read.format("druid").load(segDir),
