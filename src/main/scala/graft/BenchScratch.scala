@@ -56,6 +56,29 @@ object BenchScratch {
       for (n <- names.tail; rep <- 1 to 2)
         t(s"$n rep$rep")(SparkEntry.queries(n)(spark, sfDir).count())
       Thread.sleep(500)
+    } else if (names.head == "ccstar") {
+      // connected-components implementation shootout on d18's real
+      // edge input at the current SF: hash-min propagation (primary)
+      // vs large-star/small-star contraction (fallback) vs the
+      // driver-side union-find with the gate lifted
+      import org.apache.spark.sql.functions._
+      val docs = Tables.load(spark, sfDir, "documents")
+      val bandsDir = graft.queries.PipelineQueries.lshBandsDir(spark, sfDir)
+      val cand = graft.pipeline.TextOps.lshConnectivityEdges(
+        spark.read.parquet(bandsDir)).localCheckpoint()
+      t("edges")(cand.count())
+      for (rep <- 1 to 2) {
+        t(s"hashmin rep$rep")(
+          graft.pipeline.Components.connectedComponents(cand)
+            .groupBy(col("component")).count().count())
+        t(s"star rep$rep")(
+          graft.pipeline.Components.connectedComponentsStar(cand)
+            .groupBy(col("component")).count().count())
+        t(s"local rep$rep")(
+          graft.pipeline.Components.connectedComponents(cand,
+              localEdgeLimit = Long.MaxValue)
+            .groupBy(col("component")).count().count())
+      }
     } else if (names.head == "wave3") {
       // sf10 wave-3 per-stage attribution: d15 (3.7x at 10x), d20
       // (4.2x), q28 (3.5x) — name the stage that grows or the fixed

@@ -9,42 +9,44 @@ import org.apache.spark.sql.functions._
   * put A, C in one cluster even when A, C never shared a bucket), and a
   * pair-at-a-time drop either over- or under-removes.
   *
-  * Algorithm: hash-min label propagation (the Pregel formulation GraphX
-  * uses) — every node starts labeled with its own id and each round
-  * takes the min label over itself and its neighbors, converging in
-  * O(graph diameter) rounds. Per round the work is one equi-join of the
-  * edge list against the 16-byte (node, label) table plus a min
-  * aggregate: shuffles carry ids only, never payloads, so a round costs
-  * what a groupBy on the edge list costs. Near-dup graphs are unions of
-  * LSH-bucket cliques, so diameters stay in the single digits and the
-  * round count is effectively constant; if hash-min ever exhausts its
-  * round budget (an adversarial graph), the driver falls back to
-  * alternating large-star/small-star contraction (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond"), which converges in
-  * O(log^2 n) rounds on ANY graph — same contract, same output.
+  * Algorithm, two tiers gated on the MATERIALIZED edge count:
+  *
+  *  - DRIVER-SIDE UNION-FIND below `localEdgeLimit` (default 32M edges
+  *    = 512 MB of packed longs plus ~40 B/node of find maps — well
+  *    inside any driver sized for 100 TB work): the edge list of a
+  *    near-dup graph is pairs, not documents, and is collected ONCE as
+  *    primitive long arrays; path compression + union-by-min-id means
+  *    the root of every set IS the component minimum, so there is no
+  *    relabeling pass. The gate count is computed on the
+  *    already-materialized edge list, so the decision costs nothing.
+  *  - LARGE-STAR/SMALL-STAR CONTRACTION above it (Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond"): edges rewire
+  *    toward local minima and the edge set SHRINKS as components
+  *    contract, converging in O(log^2 n) rounds on ANY graph shape.
+  *
+  * Star contraction replaced hash-min label propagation as the
+  * distributed tier in round 11 ON MEASUREMENT: at sf100 (5M docs,
+  * 14.9M candidate edges collapsing into 8 giant components) hash-min
+  * needed 505 s cold / 135 s warm against star's 107 / 64 s — label
+  * propagation re-touches every edge AND every label each round, while
+  * contraction's per-round work shrinks with the graph; and every
+  * small-graph regime where hash-min used to win now goes driver-side
+  * anyway (the same probe measured the lifted-gate union-find at
+  * 50 / 29 s on that graph). Giant components are exactly the shape a
+  * real boilerplate-heavy corpus produces, so the distributed tier is
+  * sized for them, not for the benign many-small-cliques case.
   *
   * Each round ends in `localCheckpoint` — without it the loop's lineage
   * doubles per round and Catalyst re-analyzes an exponentially growing
   * plan (the classic iterative-DataFrame trap).
-  *
-  * SMALL-GRAPH FAST PATH: the edge list of a near-dup graph is tiny
-  * relative to the corpus that produced it (pairs, not documents — a
-  * 50k-doc corpus yields ~4k candidate edges), and profiling the
-  * distributed loop at that size shows >75% of wall time is per-round
-  * job-scheduling convoy, not data. Below a size cutoff
-  * (`localEdgeLimit`, default 2M edges ≈ 32 MB collected) the solver
-  * therefore collects the edges once and runs driver-side union-find
-  * with path compression and union-by-min-id (root of every set IS the
-  * component minimum, so no relabeling pass) — identical output,
-  * milliseconds instead of seconds. The count that gates the collect
-  * is computed on the already-materialized edge list, so the decision
-  * costs nothing extra; above the cutoff the distributed rounds run
-  * unchanged (billions of edges never touch the driver).
   */
 object Components {
 
-  /** Edge-count cutoff below which components solve driver-side. */
-  val DefaultLocalEdgeLimit = 2000000L
+  /** Edge-count cutoff below which components solve driver-side:
+    * 32M edges = 512 MB packed longs on the driver (plus ~40 B per
+    * distinct node for the union-find maps), the documented budget.
+    */
+  val DefaultLocalEdgeLimit = 32000000L
 
   /** Driver-side union-find over edge endpoints packed pairwise into a
     * primitive long array (edge i = `packed(2*i)`–`packed(2*i+1)`):
@@ -88,12 +90,13 @@ object Components {
     * the standard shape for iterative algorithms on DataFrames.
     */
   def connectedComponents(edges: DataFrame, src: String = "d1",
-                          dst: String = "d2", maxIter: Int = 25,
+                          dst: String = "d2", maxIter: Int = 50,
                           localEdgeLimit: Long = DefaultLocalEdgeLimit)
       : DataFrame = {
-    // materialize the edge list ONCE: every round joins against it, and
-    // without the checkpoint each round would re-run the whole upstream
-    // pipeline that produced the edges (e.g. the LSH self-join)
+    // materialize the edge list ONCE: the gate count, the collect, and
+    // every contraction round read it, and without the checkpoint each
+    // would re-run the whole upstream pipeline that produced the edges
+    // (e.g. the LSH self-join)
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (debug) {
@@ -101,10 +104,10 @@ object Components {
       t0 = System.nanoTime()
     }
     // gate + local path on the UNDIRECTED list: union-find needs each
-    // edge once, and gating on the symmetrized list would silently
-    // HALVE the effective cutoff (the round-10 sf10 probe caught d18
-    // paying the distributed loop's convoy at 1.13M real edges because
-    // the doubled count crossed 2M)
+    // edge once, and gating on a symmetrized list would silently HALVE
+    // the effective cutoff (the round-10 sf10 probe caught d18 paying
+    // the distributed loop's convoy because a doubled count crossed
+    // the old gate)
     val dedir = edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .localCheckpoint()
@@ -112,10 +115,10 @@ object Components {
     val edgeCount = dedir.count()
     if (debug) println(s"[cc] edgeCount=$edgeCount (limit $localEdgeLimit)")
     if (edgeCount <= localEdgeLimit) {
-      // small graph: driver-side union-find (see object scaladoc). The
-      // collect ships one primitive long[] per partition (Rows are
+      // driver-side union-find (see object scaladoc). The collect
+      // ships one primitive long[] per partition (Rows are
       // deserialized streaming inside each task and never reach the
-      // driver), so driver footprint truly is localEdgeLimit × 16 B.
+      // driver), so driver footprint truly is localEdgeLimit x 16 B.
       val packed = dedir.rdd.mapPartitions { it =>
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]
         it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
@@ -126,73 +129,16 @@ object Components {
       if (debug) println("[cc] solved driver-side (union-find)")
       val spark = edges.sparkSession
       import spark.implicits._
-      return labeled.toSeq.toDF("doc_id", "component")
-    }
-    // distributed rounds need both directions (min propagates both ways)
-    val und0 = dedir
-      .union(dedir.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
-    // size the loop's parallelism to the GRAPH, not the session default:
-    // a round is several tiny jobs, and per-task scheduling dominates
-    // when the 16-byte edge rows are far fewer than the session's
-    // shuffle partitioning assumes (~2M edges/partition keeps partitions
-    // comfortably in memory at any scale). Both sides pre-hash on their
-    // join keys so the per-round join and group-by reuse the layout.
-    val parts = math.max(1, (2 * edgeCount / 2000000L).toInt)
-    val und = und0.repartition(parts, col("v")).localCheckpoint()
-    var labels = und.select(col("u")).distinct()
-      .withColumn("component", col("u"))
-      .repartition(parts, col("u"))
-      .localCheckpoint()
-    lap("init-labels")
-    // one-hop min propagation as a plan fragment: min over own and
-    // neighbors' labels; preserves any extra columns (prev)
-    def hop(lbl: DataFrame): DataFrame = {
-      val nbrMin = und
-        .join(lbl.select(col("u").as("v"), col("component")), "v")
-        .repartition(parts, col("u"))
-        .groupBy(col("u")).agg(min(col("component")).as("nbr_min"))
-      lbl.join(nbrMin, Seq("u"), "left")
-        .withColumn("component",
-          least(col("component"), coalesce(col("nbr_min"), col("component"))))
-        .drop("nbr_min")
-    }
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      // THREE hops per round before the pointer jump. The chain is one
-      // plan (no checkpoint between hops): at scale that triples
-      // per-round shuffle volume, but rounds — each a fixed-cost convoy
-      // of 3 driver actions — drop proportionally (measured 9 -> 4 at
-      // sf0.1), and on real near-dup graphs (many small components) the
-      // round count is what dominates. Checkpointed BEFORE the
-      // self-join below — both join sides read prop, and without
-      // materialization the hop chain above would execute twice per
-      // round.
-      val prop = hop(hop(hop(labels.withColumn("prev", col("component")))))
-        .localCheckpoint()
-      // pointer jump: adopt the label's OWN label (every label is a node
-      // id inside the same component, so this stays in-component and
-      // only decreases) — turns O(diameter) rounds into O(log diameter)
-      val next = prop.as("a")
-        .join(prop.select(col("u").as("lu"), col("component").as("lc")).as("b"),
-          col("a.component") === col("lu"), "left")
-        .select(col("a.u").as("u"), col("prev"),
-          coalesce(col("lc"), col("a.component")).as("component"))
-        .localCheckpoint()
-      // labels only ever decrease; any strict decrease means not converged
-      done = next.filter(col("component") < col("prev"))
-        .limit(1).count() == 0L
-      labels = next.select(col("u"), col("component"))
-      iter += 1
-      lap(s"round-$iter")
-    }
-    if (sys.env.contains("GRAFT_CC_DEBUG"))
-      println(s"[cc] converged=$done after $iter rounds")
-    if (done) labels.select(col("u").as("doc_id"), col("component"))
-    // adversarial-diameter fallback: restart with the star alternation,
-    // whose round count is O(log^2 n) regardless of graph shape
-    else connectedComponentsStar(edges, src, dst)
+      // ship the labeling back as a PARALLELIZED dataset, never a
+      // LocalRelation: a multi-million-row LocalRelation re-encodes on
+      // the driver inside every consuming plan (measured ~200 s
+      // single-threaded at a 4.4M-node sf100 graph), while parallelize
+      // serializes the array once and every downstream operator runs
+      // distributed
+      val slices = math.max(1, (labeled.length / 1000000) + 1)
+      spark.sparkContext.parallelize(labeled.toSeq, slices)
+        .toDF("doc_id", "component")
+    } else starImpl(dedir, maxIter)
   }
 
   /** Connected components by alternating large-star/small-star edge
@@ -220,10 +166,13 @@ object Components {
     */
   def connectedComponentsStar(edges: DataFrame, src: String = "d1",
                               dst: String = "d2",
-                              maxIter: Int = 50): DataFrame = {
-    val e0 = edges
+                              maxIter: Int = 50): DataFrame =
+    starImpl(edges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
-      .localCheckpoint()
+      .localCheckpoint(), maxIter)
+
+  /** Contraction over an already-materialized (u, v) long edge list. */
+  private def starImpl(e0: DataFrame, maxIter: Int): DataFrame = {
     val parts = math.max(1, (e0.count() / 2000000L).toInt)
     // node set pinned from the INPUT (contraction rewires edges, so the
     // final star edges alone don't enumerate every original node)

@@ -2230,9 +2230,14 @@ object PipelineQueries extends QuerySet {
     // tie-break) and counts what it drops. Same persisted band index
     // and union-find as d18 (clustering never re-hashes the corpus);
     // the extra work is one doc_id equi-join against the corpus
-    // metadata and a component-partitioned window — both shuffle the
-    // CLUSTERED docs only, never the full corpus, so the op scales
-    // with duplication rate, not corpus size.
+    // metadata and one component aggregate — both touch the CLUSTERED
+    // docs only, never the full corpus. The representative is chosen
+    // by max(struct(n_chars, -doc_id)) — an AGGREGATE with map-side
+    // partials, deliberately not a per-component row_number window:
+    // on a boilerplate-heavy corpus components degenerate into a few
+    // giant clusters (the sf100 probe measured 8 clusters over 4.4M
+    // docs) and a window sorts each one inside a single task, while
+    // the aggregate stays balanced at any cluster shape.
     Q("d31_canonical_keep",
       (s, dir) => {
         val cand = TextOps.lshConnectivityEdges(
@@ -2241,14 +2246,13 @@ object PipelineQueries extends QuerySet {
         val docs = Tables.load(s, dir, "documents")
           .select(col("doc_id"), col("n_chars"))
         comp.join(docs, Seq("doc_id"))
-          .withColumn("n_docs",
-            count(lit(1)).over(Window.partitionBy(col("component"))))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("component"))
-              .orderBy(col("n_chars").desc, col("doc_id"))))
-          .filter(col("rn") === 1)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"),
+              col("doc_id"))).as("best"))
           .select(col("component"), col("n_docs"),
-            col("doc_id").as("keep_doc"), col("n_chars").as("keep_chars"),
+            col("best.doc_id").as("keep_doc"),
+            col("best.n_chars").as("keep_chars"),
             (col("n_docs") - 1).as("n_dropped"))
           .orderBy(col("component"))
       },

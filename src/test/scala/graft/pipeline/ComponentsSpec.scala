@@ -17,9 +17,9 @@ class ComponentsSpec extends AnyFunSuite {
     Components.connectedComponents(df).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-  /** Forces the DISTRIBUTED hash-min path (localEdgeLimit = 0), so the
-    * iterative rounds keep coverage now that small graphs default to
-    * the driver-side union-find fast path.
+  /** Forces the DISTRIBUTED star-contraction path (localEdgeLimit =
+    * 0), so the iterative rounds keep coverage now that small graphs
+    * default to the driver-side union-find fast path.
     */
   private def compsDist(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     Components.connectedComponents(df, localEdgeLimit = 0L).collect()
@@ -58,7 +58,7 @@ class ComponentsSpec extends AnyFunSuite {
     assert(m == Map(5L -> 5L, 6L -> 5L))
   }
 
-  test("star contraction matches hash-min on chains, cliques, and bridges") {
+  test("star contraction matches the union-find on chains, cliques, and bridges") {
     val cases = Seq(
       (1L until 12L).map(i => (i, i + 1)),                       // path
       Seq((1L, 2L), (1L, 3L), (2L, 3L), (7L, 8L), (7L, 9L),
@@ -72,22 +72,20 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
-  test("adversarial chain with diameter far past the round budget converges") {
-    // a 120-node shuffled path: diameter 119 >> hash-min's default 25
-    // rounds if pointer jumping were absent; both the star algorithm
-    // and the fallback path (maxIter=1 exhausts hash-min immediately)
-    // must label every node with the chain's minimum id
+  test("adversarial chain with diameter far past any round budget converges") {
+    // a 120-node shuffled path: diameter 119, the shape that killed
+    // diameter-bound propagation algorithms — star contraction's
+    // O(log^2 n) rounds must label every node with the chain's minimum
+    // whether called directly or through the distributed gate
     val rnd = new scala.util.Random(7)
     val ids = rnd.shuffle((100L until 220L).toVector)
     val chain = ids.sliding(2).map(p => (p(0), p(1))).toSeq
     val star = Components.connectedComponentsStar(edges(chain: _*))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(star.size == 120 && star.values.forall(_ == 100L))
-    val viaFallback = Components.connectedComponents(edges(chain: _*),
-        maxIter = 1, localEdgeLimit = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaFallback == star,
-      "hash-min round exhaustion did not fall back to star contraction")
+    val viaGate = compsDist(edges(chain: _*))
+    assert(viaGate == star,
+      "distributed gate diverged from direct star contraction")
   }
 
   test("differential: random graphs match local union-find ground truth") {
