@@ -66,6 +66,11 @@ object Bench {
       .replaceAll("\\browCount=\\d+", "rowCount=x")
       .replaceAll("\\bpaths\\)\\[[^\\]]*\\]", "paths)[x]")
       .replaceAll("memory_\\w+", "memory_x")
+      // streaming gates name their memory sinks/checkpoints with a
+      // shared runtime counter (s13_out_42): the digits shift whenever
+      // a query is added BEFORE them in execution order, which made
+      // every streaming fingerprint move on unrelated registry growth
+      .replaceAll("_out_\\d+", "_out_x")
       // belt-and-braces: if a metadata string still truncated, drop the
       // partial token at the cut so the cut POSITION can't change the hash
       .replaceAll("\\S*\\.\\.\\.", "…")

@@ -38,6 +38,13 @@ class BenchPlanHashSpec extends AnyFunSuite {
     assert(!canon.matches("(?s).*#\\d+.*"), s"expr ids survive:\n$canon")
     assert(!canon.contains("/root/testdata"), s"paths survive:\n$canon")
     assert(!canon.matches("(?s).*\\bsize=\\d+.*"), s"sizes survive:\n$canon")
+    // streaming sink names carry a shared runtime counter whose value
+    // shifts when ANY query is added before them in execution order —
+    // the counter must never reach the fingerprint
+    val aliased = SparkEntry.queries("q1_agg")(spark, sf).as("s13_out_42")
+    aliased.count()
+    assert(!Bench.canonicalPlan(aliased).contains("_out_42"),
+      "runtime sink counters survive canonicalization")
   }
 
   test("different queries get different hashes") {
