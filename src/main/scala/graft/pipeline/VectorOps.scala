@@ -164,15 +164,31 @@ object VectorOps {
     * pair work, with recall tuned by (nPlanes, nTables).
     */
   def cosineNearDup(embeddings: DataFrame, tau: Double,
-                    nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
+                    nPlanes: Int, nTables: Int, dim: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     val bucketed = lshBuckets(embeddings, nPlanes, nTables, dim)
     val buckets = (0 until nTables).map(t => s"b$t")
     // id+bucket only — vectors re-attach after the dedup so the
     // candidate-join payload is two longs per row
     val ids = bucketed.select(col("vec_id") +: buckets.map(col): _*)
     val idPairs = buckets.map { bkt =>
-      ids.select(col("vec_id").as("v1"), col(bkt).as("k"))
-        .join(ids.select(col("vec_id").as("v2"), col(bkt).as("k")), "k")
+      // hot-bucket cap, the d2/d13 scale guard transplanted: a bucket
+      // of n vectors emits n(n-1)/2 pairs, and the TABLE COUNT is
+      // fixed while the corpus grows, so occupancy — and the self-join
+      // output — grows quadratically with corpus size (the sf100 probe
+      // measured d9 off the chart at 2M near-random vectors in 2^8
+      // buckets). Buckets past the cap are dropped WHOLE per table
+      // (the declared approximation; gates replay the cap in their
+      // oracles), and a production deployment also scales nPlanes
+      // with log(corpus) to keep occupancy flat.
+      val byB = ids.select(col("vec_id"), col(bkt).as("k"))
+      val pruned =
+        if (maxBucket == Int.MaxValue) byB
+        else byB.join(
+          byB.groupBy(col("k")).count()
+            .filter(col("count") <= maxBucket).select("k"), "k")
+      pruned.select(col("vec_id").as("v1"), col("k"))
+        .join(pruned.select(col("vec_id").as("v2"), col("k")), "k")
         .filter(col("v1") < col("v2")).select("v1", "v2")
     }.reduce(_ union _).distinct()
     val e = embeddings.select(col("vec_id"), col("embedding"))

@@ -49,6 +49,19 @@ object PipelineQueries extends QuerySet {
     */
   val LshMaxBucket = 64
 
+  /** Hot-bucket cap for the EMBEDDING LSH (d9), the same guard class:
+    * hyperplane-LSH has a FIXED bucket count (2^nPlanes per table)
+    * while the corpus grows, so occupancy — and the candidate
+    * self-join's output — grows quadratically with corpus size (the
+    * sf100 probe measured 2M near-random vectors at ~7.8k per bucket
+    * ≈ billions of pairs). Buckets past the cap drop whole, per
+    * table; the oracle replays the cap. 256 leaves every oracle SF
+    * untouched (occupancy ~2 at sf0.01, ~78 at sf1) and bounds the
+    * decade above; a production deployment ALSO scales nPlanes with
+    * log(corpus).
+    */
+  val CosLshMaxBucket = 256
+
   /** The cap, replayed in DuckDB: drop whole buckets past LshMaxBucket
     * before the band self-join. */
   private val duckPrunedBands =
@@ -1708,7 +1721,8 @@ object PipelineQueries extends QuerySet {
     Q("d9_embed_neardup",
       (s, dir) => {
         VectorOps.cosineNearDup(Tables.load(s, dir, "embeddings"), 0.3,
-            nPlanes = 8, nTables = 2, dim = 64)
+            nPlanes = 8, nTables = 2, dim = 64,
+            maxBucket = CosLshMaxBucket)
           .orderBy(col("v1"), col("v2"))
       },
       Some {
@@ -1723,12 +1737,18 @@ object PipelineQueries extends QuerySet {
            |  SELECT vec_id, embedding, ${bucket(0)} AS b0, ${bucket(1)} AS b1,
            |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
            |          FROM range(64) t(i))) AS nrm
-           |  FROM embeddings)
+           |  FROM embeddings),
+           |hot0 AS (SELECT b0 FROM e GROUP BY b0
+           |         HAVING count(*) > $CosLshMaxBucket),
+           |hot1 AS (SELECT b1 FROM e GROUP BY b1
+           |         HAVING count(*) > $CosLshMaxBucket)
            |SELECT v1, v2, cos FROM (
            |  SELECT q.vec_id AS v1, c.vec_id AS v2,
            |    round((SELECT sum(q.embedding[i+1]::DOUBLE * c.embedding[i+1]::DOUBLE)
            |           FROM range(64) t(i)) / (q.nrm * c.nrm), 6) AS cos
-           |  FROM e q JOIN e c ON (q.b0 = c.b0 OR q.b1 = c.b1)
+           |  FROM e q JOIN e c ON (
+           |      (q.b0 = c.b0 AND q.b0 NOT IN (SELECT b0 FROM hot0))
+           |      OR (q.b1 = c.b1 AND q.b1 NOT IN (SELECT b1 FROM hot1)))
            |    AND q.vec_id < c.vec_id)
            |WHERE cos >= 0.3 ORDER BY v1, v2""".stripMargin
       }),
