@@ -2452,7 +2452,8 @@ object DruidQueries extends QuerySet {
                    AND arrays_overlap(words, array('data', 'model'))
                  GROUP BY source ORDER BY source""")
       },
-      Some("""SELECT source, count(*) AS n_docs, sum(doc_id) AS sum_ids
+      Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS sum_ids
               FROM (SELECT source, doc_id,
                            string_split(text, ' ') AS words
                     FROM documents)
@@ -2489,7 +2490,7 @@ object DruidQueries extends QuerySet {
               count(*) AS n,
               round(sum(value), 2) AS sum_v,
               count(DISTINCT user_id) AS n_uids,
-              sum(user_id % 2) AS n_odd
+              CAST(sum(user_id % 2) AS BIGINT) AS n_odd
               FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // -- Nested-field equality pushdown over a NestedCommonFormat
@@ -2571,7 +2572,7 @@ object DruidQueries extends QuerySet {
       Some("""SELECT event_type,
               'g' || CAST(user_id % 3 AS VARCHAR) AS g,
               count(*) AS n,
-              sum(user_id) AS sum_u,
+              CAST(sum(user_id) AS BIGINT) AS sum_u,
               round(sum(value), 2) AS sum_v
               FROM events WHERE user_id % 3 IN (0, 2)
               GROUP BY 1, 2 ORDER BY 1, 2""")),

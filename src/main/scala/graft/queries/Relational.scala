@@ -1010,7 +1010,8 @@ object Relational extends QuerySet {
                  GROUP BY event_type ORDER BY event_type""")
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |       AS BIGINT) AS sum_k,
              |  max(CAST(json_extract(props, '$.k') AS VARCHAR)) AS max_kq,
              |  max('k') AS keys, max('$.k') AS paths
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),

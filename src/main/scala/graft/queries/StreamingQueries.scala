@@ -717,7 +717,8 @@ object StreamingQueries extends QuerySet {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |       AS BIGINT) AS sum_k,
              |  count(DISTINCT user_id) AS n_uids,
              |  round(sum(value), 2) AS sum_v
              |FROM events
