@@ -66,6 +66,12 @@ object Bench {
       .replaceAll("\\browCount=\\d+", "rowCount=x")
       .replaceAll("\\bpaths\\)\\[[^\\]]*\\]", "paths)[x]")
       .replaceAll("memory_\\w+", "memory_x")
+      // Range split counts default to defaultParallelism (= the host's
+      // CPU count): the r11 driver bench at local[32] hashed
+      // d26/dr32 differently from the builder's round-close at 16
+      // CPUs on IDENTICAL code, purely through `splits=Some(16|32)`
+      // in spark.range nodes. Parallelism is tuning, not plan shape
+      .replaceAll("splits=Some\\(\\d+\\)", "splits=Some(x)")
       // streaming gates name their memory sinks/checkpoints with a
       // shared runtime counter (s13_out_42): the digits shift whenever
       // a query is added BEFORE them in execution order, which made

@@ -62,6 +62,26 @@ class BenchPlanHashSpec extends AnyFunSuite {
       s"scan pushdown state missing from the fingerprint text:\n$canon")
   }
 
+  test("Range split counts (defaultParallelism) are canonicalized") {
+    // spark.range defaults splits to the host CPU count, which leaks
+    // into the ANALYZED plan as `splits=Some(N)`: the r11 driver bench
+    // at local[32] hashed d26/dr32 differently from the builder's
+    // round-close at 16 CPUs on identical code. Parallelism is host
+    // tuning — two range plans differing only in split count must
+    // fingerprint identically (simulated with explicit splits here,
+    // since defaultParallelism is fixed within one JVM).
+    import spark.implicits._
+    def rangeAgg(splits: Int) = {
+      val df = spark.range(0, 256, 1, splits).toDF("id")
+        .groupBy(($"id" % 10).as("b")).count()
+      df.count()
+      df
+    }
+    assert(Bench.planHash(rangeAgg(16)) === Bench.planHash(rangeAgg(32)))
+    assert(!Bench.canonicalPlan(rangeAgg(16)).matches(
+      "(?s).*splits=Some\\(\\d+\\).*"), "split counts survive")
+  }
+
   test("JVM object identities are stripped (cross-JVM stability)") {
     // Aggregator/typed-UDAF toString leaks `ClassName@1a2b3c4d` into
     // plan text, and the identity differs per JVM — 15 sketch/UDAF
