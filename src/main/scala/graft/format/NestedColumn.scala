@@ -86,6 +86,10 @@ object NestedColumn {
   val ArrayDictFile = "__arrayDictionary"
   val NullIndexFile = "__nullIndex"
   val FieldFilePrefix = "__field_"
+  /** Real Druid's SMILE-encoded raw-rows file — never written or read
+    * here; its PRESENCE marks a real-Druid segment and trips a loud
+    * refusal at column open (see the reader). */
+  val RawFile = "__raw"
 
   /** Internal smoosh name for a column part (real Druid:
     * ColumnSerializerUtils.getInternalFileName).
@@ -497,23 +501,62 @@ final class NestedColumn(smoosh: SmooshReader, colName: String,
     fail(s"nested column '$colName': global string dictionary must " +
       "carry null at slot 0")
 
+  // Real-Druid V5 residue tripwire: real Druid also writes the raw
+  // rows as a SMILE-encoded `__raw` internal file. This reader
+  // reconstructs JSON text from the shredded fields instead, and the
+  // fidelity of that reconstruction against an authoritative SMILE
+  // blob is unvalidated offline (no real nested fixture, FIXTURES.md
+  // §1) — so a segment that CARRIES `__raw` is by definition not
+  // this writer's output, and opening it silently could misreport
+  // full-column SELECTs (key order, absent-vs-null). Refuse loudly.
+  if (smoosh.has(internalName(colName, RawFile)))
+    fail(s"nested column '$colName': segment carries a SMILE-encoded " +
+      s"'$RawFile' internal file — a real-Druid V5 segment, not this " +
+      "writer's output. Reading it is unsupported: JSON reconstruction " +
+      "from the shredded fields is unvalidated against the " +
+      "authoritative SMILE blob (FIXTURES.md §1); re-ingest from " +
+      "source data instead of misreading")
+
   // array dictionary: sequences of global ELEMENT ids (absent on
-  // segments written before array support — zero arrays then)
+  // segments written before array support — zero arrays then).
+  // Parsing is strict — flags byte, bounds, and EXACT slice
+  // consumption — because real Druid stores this dictionary
+  // FRONT-CODED (FrontCodedIntArrayIndexed), whose buffers can also
+  // lead with a 0x00 version byte: without these checks a
+  // front-coded dictionary would misread as garbage id sequences
+  // instead of failing loudly.
   private val arrayDict: Array[Array[Int]] = {
     val name = internalName(colName, ArrayDictFile)
     if (!smoosh.has(name)) Array.empty
     else {
-      val (b, o, _) = smoosh.slice(name)
+      val (b, o, len) = smoosh.slice(name)
+      val e = o + len
+      def unsupported(what: String): Nothing =
+        fail(s"nested column '$colName': array dictionary $what — not " +
+          "this writer's plain id-sequence layout; real Druid " +
+          "front-codes array dictionaries (FrontCodedIntArrayIndexed), " +
+          "which is unsupported — refusing to misread")
       val v = b.get(o) & 0xff
-      if (v != 0) fail(s"nested column '$colName': array dict version $v")
+      if (v != 0) unsupported(f"version 0x$v%02x")
+      val flags = b.get(o + 1) & 0xff
+      if (flags != FixedIndexed.SortedFlag)
+        unsupported(f"flags byte 0x$flags%02x")
       val count = b.getInt(o + 2)
+      if (count < 0 || count.toLong * 4 > (e - o).toLong)
+        unsupported(s"implausible entry count $count for ${e - o} bytes")
       var pos = o + 6
-      Array.fill(count) {
+      val out = Array.fill(count) {
+        if (pos + 4 > e) unsupported("entry runs past the file")
         val len = b.getInt(pos); pos += 4
+        if (len < 0 || pos + len.toLong * 4 > e)
+          unsupported(s"implausible array length $len at offset ${pos - o}")
         val a = Array.tabulate(len)(i => b.getInt(pos + i * 4))
         pos += len * 4
         a
       }
+      if (pos != e)
+        unsupported(s"${e - pos} trailing bytes after $count entries")
+      out
     }
   }
 

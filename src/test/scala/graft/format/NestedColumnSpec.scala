@@ -225,6 +225,63 @@ class NestedColumnSpec extends AnyFunSuite {
     assert(attempt("""{"a": [{"b": null}]}""").contains("no non-null leaf"))
   }
 
+  test("real-Druid front-coded array dictionary fails loudly, never misreads") {
+    import spark.implicits._
+    // Real Druid stores the V5 array dictionary FRONT-CODED
+    // (FrontCodedIntArrayIndexed); its buffers can lead with the same
+    // 0x00 version byte as our plain id-sequence layout, so without a
+    // flags/consumption check the reader would parse garbage id
+    // sequences instead of refusing. Write a segment WITH arrays, then
+    // byte-patch the array dictionary to the front-coded leading shape
+    // (version 0x00, bucket-size byte 0x04) and assert the refusal
+    // names the front-coded variant.
+    val dir = tmp("nestedfrontcoded")
+    Seq((1700000000001L, """{"a": [1, 2], "b": 1}"""),
+        (1700000000002L, """{"a": [3], "b": 2}"""))
+      .toDF("__time", "props").coalesce(1)
+      .write.format("druid").option("complexTypes", "props:json")
+      .option("jsonEncoding", "nested").mode("overwrite").save(dir)
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(dir).head
+    val entry = DruidSegment.open(segDir).smoosh
+      .entry(NestedColumn.internalName("props", NestedColumn.ArrayDictFile))
+      .getOrElse(fail("array dictionary internal file missing"))
+    val raf = new java.io.RandomAccessFile(
+      new java.io.File(segDir, f"${entry.chunk}%05d.smoosh"), "rw")
+    try {
+      raf.seek(entry.start.toLong)
+      raf.write(Array[Byte](0x00, 0x04)) // version 0, bucketSize 4
+    } finally raf.close()
+    val e = intercept[DruidFormatException] {
+      DruidSegment.open(segDir).column("props")
+    }
+    assert(e.getMessage.contains("front-cod"), e.getMessage)
+    assert(e.getMessage.contains("array dictionary"), e.getMessage)
+  }
+
+  test("real-Druid SMILE __raw internal file fails loudly at column open") {
+    import spark.implicits._
+    // Real Druid V5 segments also carry the raw rows SMILE-encoded as
+    // `<col>.__raw`. This reader rebuilds JSON from the shredded
+    // fields and never validates that reconstruction against a SMILE
+    // blob (no real fixture offline) — so __raw presence marks a
+    // segment this writer cannot have produced, and the open must
+    // refuse rather than return approximated full-column JSON.
+    // Simulate by appending a __raw entry to meta.smoosh.
+    val dir = tmp("nestedraw")
+    writeNested(dir)
+    val segDir = graft.sources.druid.DruidTableUtil.discoverSegments(dir).head
+    val meta = new java.io.File(segDir, "meta.smoosh").toPath
+    Files.writeString(meta,
+      Files.readString(meta) +
+        NestedColumn.internalName("props", NestedColumn.RawFile) +
+        ",0,0,10\n")
+    val e = intercept[DruidFormatException] {
+      DruidSegment.open(segDir).column("props")
+    }
+    assert(e.getMessage.contains("__raw"), e.getMessage)
+    assert(e.getMessage.contains("SMILE"), e.getMessage)
+  }
+
   test("non-object roots and path-metacharacter keys fail loudly") {
     import spark.implicits._
     def attempt(json: String): Throwable = {
