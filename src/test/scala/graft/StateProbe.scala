@@ -41,8 +41,13 @@ object StateProbe {
       }
     })
 
+    // s13/s15 added for r12: their whole design claim is that per-group
+    // state is ONE bounded sketch blob (freq maxMapSize / tuple
+    // nominalEntries), so peak state must scale with group count ×
+    // blob size and stay FLAT in corpus size — compare sf0.1 vs sf1
     val probes = Seq("s6_stream_stream_join", "s9_stream_dedup_ttl",
-      "s11_stream_sessions_append", "s5_stream_sessions")
+      "s11_stream_sessions_append", "s5_stream_sessions",
+      "s13_stream_heavy_hitters", "s15_stream_tuple_sketch")
     probes.foreach { name =>
       peakRows = 0; peakBytes = 0; batches = 0
       val t0 = System.nanoTime()
