@@ -144,8 +144,19 @@ object NestedColumn {
     * rendering / unreconstructable); object keys must not contain
     * '.', '[' or ']' (they would be ambiguous inside jq-ish paths).
     */
+  /** Per-stage nanos of the LAST write() on this thread. Dev-probe
+    * instrumentation (NestedWriteProbe): the sf10 probe measured a
+    * ~40% nested-encode premium over blob and this attributes it per
+    * stage. A handful of nanoTime calls per column write — negligible
+    * next to the megabytes encoded between them. */
+  private[graft] val lastStageNanos =
+    new ThreadLocal[Seq[(String, Long)]] {
+      override def initialValue: Seq[(String, Long)] = Nil
+    }
+
   def write(colName: String, jsonTexts: Array[String])
       : (Array[Byte], Seq[(String, Array[Byte])]) = {
+    val tWrite0 = System.nanoTime()
     val n = jsonTexts.length
     val nullRows = new java.util.BitSet(n)
     // path -> (row -> typed value); values: String | java.lang.Long |
@@ -256,36 +267,56 @@ object NestedColumn {
       else flatten(r, "$", mapper.readTree(t))
       r += 1
     }
+    val tParsed = System.nanoTime()
 
     val fields = fieldVals.keys.toArray.sorted
-    // global dictionaries
-    val strings = scala.collection.mutable.SortedSet[String]()
-    val longs = scala.collection.mutable.SortedSet[Long]()
-    val doubles = scala.collection.mutable.SortedSet[Double]()
+    // global dictionaries. Hash-pool then sort ONCE: the old SortedSet
+    // paid a tree insert per VALUE (n x fields), this pays a hash probe
+    // per value and a sort per DISTINCT — the NestedWriteProbe measured
+    // the dictionary stage at ~20% of encode time before the swap
+    val strings = new java.util.HashSet[String]()
+    val longs = new java.util.HashSet[java.lang.Long]()
+    val doubles = new java.util.HashSet[java.lang.Double]()
     def pool(v: AnyRef): Unit = v match {
-      case s: String           => strings += s
-      case l: java.lang.Long   => longs += l.longValue()
-      case d: java.lang.Double => doubles += d.doubleValue()
+      case s: String           => strings.add(s)
+      case l: java.lang.Long   => longs.add(l)
+      case d: java.lang.Double => doubles.add(d)
       case arr: Vector[_]      => arr.foreach(e => pool(e.asInstanceOf[AnyRef]))
       case null                => ()
     }
     fieldVals.values.foreach(_.foreach(pool))
-    val strArr = strings.toArray
-    val longArr = longs.toArray
-    val dblArr = doubles.toArray
+    val strArr = {
+      val a = strings.toArray(new Array[String](strings.size))
+      java.util.Arrays.sort(a.asInstanceOf[Array[AnyRef]], null)
+      a
+    }
+    val longArr = {
+      val a = new Array[Long](longs.size)
+      val it = longs.iterator(); var i = 0
+      while (it.hasNext) { a(i) = it.next().longValue(); i += 1 }
+      java.util.Arrays.sort(a); a
+    }
+    val dblArr = {
+      val a = new Array[Double](doubles.size)
+      val it = doubles.iterator(); var i = 0
+      while (it.hasNext) { a(i) = it.next().doubleValue(); i += 1 }
+      java.util.Arrays.sort(a); a
+    }
     val nStr = 1 + strArr.length // id 0 = null
 
-    def scalarIdOf(v: AnyRef): Int = v match {
-      case null => 0
-      case s: String =>
-        1 + java.util.Arrays.binarySearch(strArr.asInstanceOf[Array[AnyRef]],
-          s, null)
-      case l: java.lang.Long =>
-        nStr + java.util.Arrays.binarySearch(longArr, l.longValue())
-      case d: java.lang.Double =>
-        nStr + longArr.length +
-          java.util.Arrays.binarySearch(dblArr, d.doubleValue())
-    }
+    // value -> global id maps (one hash probe per value beats a
+    // binary search per value in the per-field gid pass)
+    val gidOf = new java.util.HashMap[AnyRef, Integer](
+      2 * (strArr.length + longArr.length + dblArr.length) + 16)
+    strArr.indices.foreach(i => gidOf.put(strArr(i), 1 + i))
+    longArr.indices.foreach(i =>
+      gidOf.put(java.lang.Long.valueOf(longArr(i)), nStr + i))
+    dblArr.indices.foreach(i =>
+      gidOf.put(java.lang.Double.valueOf(dblArr(i)),
+        nStr + longArr.length + i))
+
+    def scalarIdOf(v: AnyRef): Int =
+      if (v == null) 0 else gidOf.get(v).intValue()
     // array dictionary: distinct element-gid sequences, sorted
     // lexicographically; array gids stack after the double range
     import scala.math.Ordering.Implicits.seqOrdering
@@ -295,6 +326,7 @@ object NestedColumn {
       }.toSet.toArray.sorted
     val arrBase = nStr + longArr.length + dblArr.length
     val arrIdx: Map[Vector[Int], Int] = arrSeqs.zipWithIndex.toMap
+    val tDicts = System.nanoTime()
 
     def globalIdOf(v: AnyRef): Int = v match {
       case a: Vector[_] =>
@@ -374,10 +406,14 @@ object NestedColumn {
     internal += internalName(colName, NullIndexFile) ->
       GenericIndexed.writeLengthPrefixed(
         Seq(roaring(nullRows.stream().toArray.toSeq)), sorted = false)
+    val tDictEmit = System.nanoTime()
 
+    var nsGids = 0L; var nsBuild = 0L; var nsEmit = 0L
     fields.zipWithIndex.foreach { case (f, fi) =>
       val vals = fieldVals(f)
+      val tf0 = System.nanoTime()
       val globals = Array.tabulate(n)(i => globalIdOf(vals(i)))
+      val tf1 = System.nanoTime()
       val localDict = globals.distinct.sorted
       // one pass over the rows builds BOTH the local-id sequence and
       // every value bitmap (a per-value filter scan would be
@@ -391,6 +427,7 @@ object NestedColumn {
         bms(li).add(i)
         i += 1
       }
+      val tf2 = System.nanoTime()
       val rowsBin = VSizeInts.write(localRows.toIndexedSeq,
         VSizeInts.bytesNeeded(math.max(1, localDict.length - 1)))
       val bitmaps = bms.toIndexedSeq.map { bm =>
@@ -407,8 +444,17 @@ object NestedColumn {
       bos.write(rowsBin)
       bos.write(GenericIndexed.writeLengthPrefixed(bitmaps, sorted = false))
       internal += internalName(colName, s"$FieldFilePrefix$fi") -> bos.toByteArray
+      val tf3 = System.nanoTime()
+      nsGids += tf1 - tf0; nsBuild += tf2 - tf1; nsEmit += tf3 - tf2
     }
 
+    lastStageNanos.set(Seq(
+      "parse_flatten" -> (tParsed - tWrite0),
+      "global_dicts" -> (tDicts - tParsed),
+      "dict_emit" -> (tDictEmit - tDicts),
+      "field_gids" -> nsGids,
+      "field_rows_bitmaps" -> nsBuild,
+      "field_emit" -> nsEmit))
     (main, internal.toSeq)
   }
 }
