@@ -1212,51 +1212,62 @@ object DruidServe {
       o.put("errorMessage", msg)
       respond(ex, code, o.toString)
     }
+    // Shared submit path for the two async-SQL surfaces: the modern
+    // statements API and the legacy /druid/v2/sql/task MSQ endpoint
+    // (SqlTaskResource) the console's "Run" button still posts
+    // ingestion to. Parses, validates, registers (CAS), and launches
+    // one AsyncStatement; callers shape the reply envelope.
+    def submitStatement(ex: HttpExchange, body: String,
+                        extraCtxKeys: Set[String]): AsyncStatement = {
+      val node = mapper.readTree(body)
+      val sql0 = node.path("query").asText()
+      if (sql0.isEmpty)
+        throw new IllegalArgumentException(
+          "SQL statements endpoint needs {\"query\": ...}")
+      val args = parameterValues(node.path("parameters"))
+      val ctx = node.path("context")
+      validateSqlContext(ctx, extraSupported = extraCtxKeys)
+      val mode = ctx.path("executionMode").asText("ASYNC")
+      if (!mode.equalsIgnoreCase("ASYNC"))
+        throw new IllegalArgumentException(
+          s"the statements endpoint only supports executionMode ASYNC (got $mode)")
+      val fmtReq = node.path("resultFormat").asText("object")
+      if (!Set("object", "array", "objectLines", "arrayLines")(fmtReq))
+        throw new IllegalArgumentException(
+          s"unsupported statements resultFormat $fmtReq")
+      val ingest = parseIngest(sql0) // loud 400 on malformed ingest
+      if (ingest.isDefined && ingestRoot.isEmpty)
+        throw new IllegalArgumentException(
+          "this broker is read-only: INSERT/REPLACE ingestion is disabled")
+      val qid = sqlQueryIdOf(ctx)
+      val (session, tsFmt) =
+        sessionFor(Option(ctx.path("sqlTimeZone").asText(null)))
+      val timeoutMs = ctx.path("timeout").asLong(0)
+      val st = new AsyncStatement(qid, sql0,
+        java.time.Instant.now().toString, fmtReq, ingest)
+      ingest.foreach(spec => st.dataSource = spec.table)
+      // CAS registration: two concurrent submits under one id must
+      // never both run — exactly one wins the slot (replacing a
+      // TERMINAL predecessor atomically), the other 400s
+      val prev = statements.putIfAbsent(qid, st)
+      if (prev != null &&
+          (!prev.terminal || !statements.replace(qid, prev, st)))
+        throw new IllegalArgumentException(
+          s"query id $qid is already running")
+      statementOrder.add(qid)
+      ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
+      statementPool.execute(() =>
+        runStatement(st, session, args, timeoutMs, tsFmt))
+      st
+    }
+
     server.createContext("/druid/v2/sql/statements", (ex: HttpExchange) => {
       val path = ex.getRequestURI.getPath
       val sub = path.stripPrefix("/druid/v2/sql/statements").stripPrefix("/")
       val segs = sub.split("/").toList.filter(_.nonEmpty)
       (ex.getRequestMethod, segs) match {
         case ("POST", Nil) => handled(ex) { body =>
-          val node = mapper.readTree(body)
-          val sql0 = node.path("query").asText()
-          if (sql0.isEmpty)
-            throw new IllegalArgumentException(
-              "SQL statements endpoint needs {\"query\": ...}")
-          val args = parameterValues(node.path("parameters"))
-          val ctx = node.path("context")
-          validateSqlContext(ctx, extraSupported = Set("executionMode"))
-          val mode = ctx.path("executionMode").asText("ASYNC")
-          if (!mode.equalsIgnoreCase("ASYNC"))
-            throw new IllegalArgumentException(
-              s"the statements endpoint only supports executionMode ASYNC (got $mode)")
-          val fmtReq = node.path("resultFormat").asText("object")
-          if (!Set("object", "array", "objectLines", "arrayLines")(fmtReq))
-            throw new IllegalArgumentException(
-              s"unsupported statements resultFormat $fmtReq")
-          val ingest = parseIngest(sql0) // loud 400 on malformed ingest
-          if (ingest.isDefined && ingestRoot.isEmpty)
-            throw new IllegalArgumentException(
-              "this broker is read-only: INSERT/REPLACE ingestion is disabled")
-          val qid = sqlQueryIdOf(ctx)
-          val (session, tsFmt) =
-            sessionFor(Option(ctx.path("sqlTimeZone").asText(null)))
-          val timeoutMs = ctx.path("timeout").asLong(0)
-          val st = new AsyncStatement(qid, sql0,
-            java.time.Instant.now().toString, fmtReq, ingest)
-          ingest.foreach(spec => st.dataSource = spec.table)
-          // CAS registration: two concurrent submits under one id must
-          // never both run — exactly one wins the slot (replacing a
-          // TERMINAL predecessor atomically), the other 400s
-          val prev = statements.putIfAbsent(qid, st)
-          if (prev != null &&
-              (!prev.terminal || !statements.replace(qid, prev, st)))
-            throw new IllegalArgumentException(
-              s"query id $qid is already running")
-          statementOrder.add(qid)
-          ex.getResponseHeaders.set("X-Druid-Query-Id", qid)
-          statementPool.execute(() =>
-            runStatement(st, session, args, timeoutMs, tsFmt))
+          val st = submitStatement(ex, body, Set("executionMode"))
           (statementStatusJson(st).toString, "application/json")
         }
         case ("GET", id :: Nil) =>
@@ -1315,6 +1326,33 @@ object DruidServe {
             """{"error":"supported: POST /, GET /{id}, GET /{id}/results, DELETE /{id}"}""")
       }
     })
+    // Legacy MSQ submit surface: the Druid console POSTs SQL ingestion
+    // (and "run as task" queries) to /druid/v2/sql/task
+    // (SqlTaskResource) and expects a SqlTaskStatus {taskId, state} —
+    // this predates /druid/v2/sql/statements and is still what the
+    // console emits. Same machinery: the taskId IS the statement id,
+    // so progress and results remain queryable at
+    // /druid/v2/sql/statements/{id}. MSQ task-tuning context keys the
+    // console attaches are accepted as operational (they steer real
+    // MSQ's task fan-out, which has no analogue here and never changes
+    // answers); semantic keys (finalizeAggregations, ...) stay loud.
+    server.createContext("/druid/v2/sql/task", (ex: HttpExchange) => {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"supported: POST /druid/v2/sql/task"}""")
+      else handled(ex) { body =>
+        val st = submitStatement(ex, body, Set("executionMode",
+          "maxNumTasks", "taskAssignment", "maxParseExceptions",
+          "waitUntilSegmentsLoad", "durableShuffleStorage",
+          "selectDestination"))
+        val o = mapper.createObjectNode()
+        o.put("taskId", st.queryId)
+        // SqlTaskStatus reports RUNNING at accept time (the task is
+        // queued on the statement pool; terminal states are polled)
+        o.put("state", "RUNNING")
+        (o.toString, "application/json")
+      }
+    })
+
     server.createContext("/druid/v2/sql", (ex: HttpExchange) => {
       val sub = ex.getRequestURI.getPath.stripPrefix("/druid/v2/sql")
         .stripPrefix("/")

@@ -121,8 +121,12 @@ object SysSchemas {
     StructField("status", StringType, nullable = false),
     StructField("runner_status", StringType, nullable = false),
     StructField("duration", LongType, nullable = false),
+    // the console's tasks view selects "location" (host:port) and the
+    // full Druid column set includes tls_port (-1 = none, like Druid)
+    StructField("location", StringType, nullable = true),
     StructField("host", StringType, nullable = true),
     StructField("plaintext_port", LongType, nullable = false),
+    StructField("tls_port", LongType, nullable = false),
     StructField("error_msg", StringType, nullable = true)))
 
   def of(kind: String): StructType = kind match {
@@ -220,7 +224,8 @@ final class SysScan(kind: String, serveId: String,
         Array(StaticRowsPartition(st.tasks().map(t => Array[Any](
           t.taskId, t.taskId, t.typ, t.datasource, t.createdTime,
           t.createdTime, t.status, t.runnerStatus, t.durationMs,
-          t.host, t.plaintextPort, t.errorMsg)).toArray))
+          if (t.host == null) null else s"${t.host}:${t.plaintextPort}",
+          t.host, t.plaintextPort, -1L, t.errorMsg)).toArray))
     }
   }
 

@@ -40,6 +40,176 @@ class SysSchemaSpec extends AnyFunSuite {
     (r.statusCode(), r.body())
   }
 
+  test("Druid console queries replay green (segments/datasources/servers/tasks views)") {
+    // The exact SQL shapes the Druid web console emits against sys.*
+    // (segments-view / datasources-view / services-view / tasks-view):
+    // quoted identifiers, reserved "end", FILTER (WHERE ...) rollups,
+    // CASE rank sorting. These are the queries a migrating operator's
+    // console actually fires — all must answer, and the per-segment
+    // flags must carry the single-copy shared-filesystem semantics
+    // (active=published=available=1, realtime=overshadowed=0).
+    val root = java.nio.file.Files.createTempDirectory("sys_console").toString
+    events(3).coalesce(1).write.format("druid").mode("overwrite")
+      .save(s"$root/ev")
+    val server = DruidServe.start(spark,
+      _ => spark.read.format("druid").load(s"$root/ev"), port = 0,
+      sqlTables = Map("ev" -> spark.read.format("druid").load(s"$root/ev")),
+      ingestRoot = Some(root), sysSchema = true)
+    try {
+      val port = server.getAddress.getPort
+
+      // segments view (default sort "start" DESC)
+      val (c1, b1) = sql(port,
+        """SELECT "segment_id", "datasource", "start", "end", "size",
+           "version", "partition_num", "num_replicas",
+           "replication_factor", "num_rows", "is_active", "is_available",
+           "is_published", "is_realtime", "is_overshadowed", "shard_spec",
+           "dimensions", "metrics", "last_compaction_state"
+           FROM sys.segments
+           ORDER BY "start" DESC
+           LIMIT 25""")
+      assert(c1 == 200, b1)
+      val segs = mapper.readTree(b1)
+      assert(segs.size() > 0, b1)
+      val s0 = segs.get(0)
+      assert(s0.path("datasource").asText() == "ev")
+      assert(s0.path("is_active").asLong() == 1L)
+      assert(s0.path("is_available").asLong() == 1L)
+      assert(s0.path("is_realtime").asLong() == 0L)
+      assert(s0.path("num_rows").asLong() > 0L)
+      assert(s0.path("size").asLong() > 0L)
+
+      // datasources view (FILTER (WHERE ...) rollup over sys.segments)
+      val (c2, b2) = sql(port,
+        """SELECT
+           datasource,
+           COUNT(*) FILTER (WHERE is_active = 1) AS num_segments,
+           COUNT(*) FILTER (WHERE is_available = 0 AND is_active = 1)
+             AS num_segments_to_load,
+           SUM("size") FILTER (WHERE is_active = 1) AS total_data_size,
+           SUM("size" * "num_replicas") FILTER (WHERE is_active = 1)
+             AS replicated_size,
+           MIN("num_rows") FILTER (WHERE is_active = 1) AS min_segment_rows,
+           AVG("num_rows") FILTER (WHERE is_active = 1) AS avg_segment_rows,
+           MAX("num_rows") FILTER (WHERE is_active = 1) AS max_segment_rows,
+           SUM("num_rows") FILTER (WHERE is_active = 1) AS total_rows,
+           MIN("size") FILTER (WHERE is_active = 1 AND "size" <> 0)
+             AS min_segment_size,
+           AVG("size") FILTER (WHERE is_active = 1 AND "size" <> 0)
+             AS avg_segment_size,
+           MAX("size") FILTER (WHERE is_active = 1 AND "size" <> 0)
+             AS max_segment_size
+           FROM sys.segments
+           GROUP BY 1
+           ORDER BY 1""")
+      assert(c2 == 200, b2)
+      val ds = mapper.readTree(b2)
+      assert(ds.size() == 1, b2)
+      assert(ds.get(0).path("datasource").asText() == "ev")
+      assert(ds.get(0).path("num_segments").asLong() >= 1L)
+      assert(ds.get(0).path("num_segments_to_load").asLong() == 0L)
+      assert(ds.get(0).path("total_rows").asLong() == 3L)
+      assert(ds.get(0).path("replicated_size").asLong() ==
+        ds.get(0).path("total_data_size").asLong()) // 1 replica
+
+      // services view (fill% arithmetic; max_size 0 guards the broker row)
+      val (c3, b3) = sql(port,
+        """SELECT
+           "server", "server_type", "tier", "host", "plaintext_port",
+           "tls_port", "curr_size", "max_size",
+           CASE WHEN "max_size" = 0 THEN 0
+                ELSE ("curr_size" * 100) / "max_size" END AS "fill"
+           FROM sys.servers
+           ORDER BY "server_type", "server" """)
+      assert(c3 == 200, b3)
+      val srv = mapper.readTree(b3)
+      assert(srv.size() == 2, b3)
+      assert(srv.get(0).path("server_type").asText() == "broker")
+
+      // tasks view (CASE rank; "location" column)
+      val (c4, b4) = sql(port,
+        """SELECT
+           "task_id", "group_id", "type", "datasource", "created_time",
+           CASE WHEN "status" = 'RUNNING' THEN "runner_status"
+                ELSE "status" END AS "status",
+           CASE WHEN "status" = 'RUNNING' THEN
+                  (CASE "runner_status" WHEN 'RUNNING' THEN 4
+                        WHEN 'PENDING' THEN 3 ELSE 2 END)
+                ELSE 1 END AS "rank",
+           "location", "duration", "error_msg"
+           FROM sys.tasks
+           ORDER BY "rank" DESC, "created_time" DESC""")
+      assert(c4 == 200, b4) // empty registry: shape must still answer
+    } finally server.stop(0)
+  }
+
+  test("POST /druid/v2/sql/task (legacy MSQ submit) runs ingest via the statements machinery") {
+    val root = java.nio.file.Files.createTempDirectory("sql_task").toString
+    events(3).coalesce(1).write.format("druid").mode("overwrite")
+      .save(s"$root/ev")
+    val server = DruidServe.start(spark,
+      _ => spark.read.format("druid").load(s"$root/ev"), port = 0,
+      sqlTables = Map("ev" -> spark.read.format("druid").load(s"$root/ev")),
+      ingestRoot = Some(root), sysSchema = true)
+    try {
+      val port = server.getAddress.getPort
+      val client = HttpClient.newHttpClient()
+      // the console's "Run" payload: INSERT + PARTITIONED BY + MSQ
+      // task-tuning context keys
+      val payload = mapper.createObjectNode()
+      payload.put("query",
+        """INSERT INTO ev_copy
+           SELECT __time, event_type, user_id, value FROM ev
+           PARTITIONED BY DAY""")
+      payload.putObject("context")
+        .put("maxNumTasks", 2)
+        .put("taskAssignment", "max")
+        .put("executionMode", "async")
+      val sr = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/druid/v2/sql/task"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(payload.toString))
+        .build(), HttpResponse.BodyHandlers.ofString())
+      assert(sr.statusCode() == 200 || sr.statusCode() == 202, sr.body())
+      val status = mapper.readTree(sr.body())
+      val taskId = status.path("taskId").asText()
+      assert(taskId.nonEmpty, sr.body())
+      assert(status.path("state").asText() == "RUNNING", sr.body())
+
+      // the taskId IS the statement id — poll the statements API
+      var state = ""
+      var tries = 0
+      while (state != "SUCCESS" && state != "FAILED" && tries < 200) {
+        val st = client.send(HttpRequest.newBuilder(URI.create(
+            s"http://127.0.0.1:$port/druid/v2/sql/statements/$taskId"))
+          .GET().build(), HttpResponse.BodyHandlers.ofString())
+        state = mapper.readTree(st.body()).path("state").asText()
+        if (state != "SUCCESS" && state != "FAILED") Thread.sleep(50)
+        tries += 1
+      }
+      assert(state == "SUCCESS")
+      // the ingested datasource answers and sys.tasks carries the task
+      val (cq, bq) = sql(port, "SELECT count(*) AS n FROM ev_copy")
+      assert(cq == 200 && mapper.readTree(bq).get(0).path("n").asLong() == 3L,
+        bq)
+      val (ct, bt) = sql(port,
+        s"""SELECT "type", "datasource", "location"
+            FROM sys.tasks WHERE task_id = '$taskId'""")
+      assert(ct == 200, bt)
+      val t = mapper.readTree(bt)
+      assert(t.size() == 1 &&
+        t.get(0).path("type").asText() == "query_controller", bt)
+      assert(t.get(0).path("datasource").asText() == "ev_copy", bt)
+      assert(t.get(0).path("location").asText().endsWith(s":$port"), bt)
+
+      // GET/other methods answer 405, like a resource-specific endpoint
+      val mr = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/druid/v2/sql/task")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(mr.statusCode() == 405, mr.body())
+    } finally server.stop(0)
+  }
+
   test("sys.segments lists live manifests; commits appear without restart") {
     val root = java.nio.file.Files.createTempDirectory("sys_root").toString
     val dir = s"$root/ev"
