@@ -66,6 +66,14 @@ object Bench {
       .replaceAll("\\browCount=\\d+", "rowCount=x")
       .replaceAll("\\bpaths\\)\\[[^\\]]*\\]", "paths)[x]")
       .replaceAll("memory_\\w+", "memory_x")
+      // CTE ids and higher-order-function lambda-variable names are
+      // allocated from session-global counters, so they encode how
+      // many queries the session analyzed BEFORE this one: the same
+      // query captured on pass 1 vs pass 3 of one bench printed
+      // `CTERelationDef 4` vs `12` and `lambda x_8#x` vs `x_22#x`
+      // (d22/dr56/dr57/dr71, found diffing 1-pass vs 3-pass runs)
+      .replaceAll("CTERelation(Def|Ref) \\d+", "CTERelation$1 x")
+      .replaceAll("lambda (\\w+?)_\\d+#x", "lambda $1_n#x")
       // Range split counts default to defaultParallelism (= the host's
       // CPU count): the r11 driver bench at local[32] hashed
       // d26/dr32 differently from the builder's round-close at 16

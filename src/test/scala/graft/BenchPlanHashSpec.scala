@@ -82,6 +82,35 @@ class BenchPlanHashSpec extends AnyFunSuite {
       "(?s).*splits=Some\\(\\d+\\).*"), "split counts survive")
   }
 
+  test("CTE ids and lambda-variable counters are canonicalized") {
+    // Both are session-global counters: re-analyzing the same SQL
+    // after OTHER queries ran yields higher CTERelationDef ids and
+    // lambda names (x_8 -> x_22) — the same query must fingerprint
+    // identically no matter how many queries preceded it (found as
+    // d22/dr56/dr57/dr71 differing between 1-pass and 3-pass benches)
+    def cteHof() = {
+      val df = spark.sql(
+        """WITH v AS (SELECT id, array(id, id + 1) AS a
+           FROM range(10))
+           SELECT id, aggregate(transform(a, x -> x * 2), 0L,
+                                (acc, x) -> acc + x) AS s
+           FROM v""")
+      df.count()
+      df
+    }
+    val h1 = Bench.planHash(cteHof())
+    // advance the session-global counters with unrelated analyses
+    (1 to 3).foreach { _ =>
+      spark.sql("WITH w AS (SELECT transform(array(1), x -> x) AS t) " +
+        "SELECT * FROM w").count()
+    }
+    val h2 = Bench.planHash(cteHof())
+    assert(h1 === h2)
+    val canon = Bench.canonicalPlan(cteHof())
+    assert(!canon.matches("(?s).*CTERelationDef \\d+.*"), canon)
+    assert(!canon.matches("(?s).*lambda \\w+_\\d+#x.*"), canon)
+  }
+
   test("JVM object identities are stripped (cross-JVM stability)") {
     // Aggregator/typed-UDAF toString leaks `ClassName@1a2b3c4d` into
     // plan text, and the identity differs per JVM — 15 sketch/UDAF
