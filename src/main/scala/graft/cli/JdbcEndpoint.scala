@@ -74,9 +74,28 @@ object JdbcEndpoint {
           s"AS SELECT * FROM global_temp.`$n`")
       }
       running match {
-        case Some((_, p)) => p
+        case Some((_, p)) =>
+          if (port != 0 && port != p)
+            System.err.println(s"[jdbc] WARNING: endpoint already bound " +
+              s"on port $p (JVM singleton); requested port $port ignored")
+          p
         case None =>
           val p = if (port != 0) port else freePort(host)
+          // HiveServer2 binds its acceptor on a background thread, so a
+          // bind failure there is SILENT — and the liveness poll below
+          // would then connect to whatever foreign process owns the
+          // port and report success. Prove the port is bindable by US
+          // first (closed again immediately; the window between this
+          // and HiveServer2's own bind is the unavoidable TOCTOU, but
+          // an already-occupied port now fails loudly here).
+          try new ServerSocket() {
+            setReuseAddress(true)
+            bind(new InetSocketAddress(host, p))
+          }.close()
+          catch { case e: java.io.IOException =>
+            sys.error(s"thrift JDBC endpoint: port $host:$p is not " +
+              s"bindable (already in use?): $e")
+          }
           // JDBC sessions must share the SERVING session's temp views —
           // read dynamically by SparkSQLSessionManager.openSession from
           // that session's SQLConf. The key is registered static

@@ -45,8 +45,22 @@ object Components {
   /** Edge-count cutoff below which components solve driver-side:
     * 32M edges = 512 MB packed longs on the driver (plus ~40 B per
     * distinct node for the union-find maps), the documented budget.
+    * The EFFECTIVE gate is additionally clamped by the live heap (see
+    * [[effectiveLocalLimit]]) — this constant is the ceiling, not a
+    * promise that any driver can hold it.
     */
   val DefaultLocalEdgeLimit = 32000000L
+
+  /** Clamp the requested driver-side gate by the live heap: near the
+    * gate the driver holds the packed long[] (16 B/edge), the
+    * union-find LongMaps (boxed values) and the labeled tuple array —
+    * ~64 B/edge all-in when nodes ~ edges. A default-configured driver
+    * (1g heap) would OOM at the full 32M gate, so the local path may
+    * claim at most a quarter of max heap; larger graphs go distributed
+    * (correct at any heap, just slower on small graphs).
+    */
+  private def effectiveLocalLimit(requested: Long): Long =
+    math.min(requested, Runtime.getRuntime.maxMemory() / 4 / 64)
 
   /** Driver-side union-find over edge endpoints packed pairwise into a
     * primitive long array (edge i = `packed(2*i)`–`packed(2*i+1)`):
@@ -113,8 +127,10 @@ object Components {
       .localCheckpoint()
     lap("edges-materialized")
     val edgeCount = dedir.count()
-    if (debug) println(s"[cc] edgeCount=$edgeCount (limit $localEdgeLimit)")
-    if (edgeCount <= localEdgeLimit) {
+    val limit = effectiveLocalLimit(localEdgeLimit)
+    if (debug) println(s"[cc] edgeCount=$edgeCount (limit $limit, " +
+      s"requested $localEdgeLimit, heap ${Runtime.getRuntime.maxMemory()})")
+    if (edgeCount <= limit) {
       // driver-side union-find (see object scaladoc). The collect
       // ships one primitive long[] per partition (Rows are
       // deserialized streaming inside each task and never reach the

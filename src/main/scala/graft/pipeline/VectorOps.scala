@@ -23,6 +23,7 @@ object VectorOps {
 
   private def registerExprs(df: DataFrame): Unit = {
     graft.sql.DotFloat.register(df.sparkSession)
+    graft.sql.DotInt8.register(df.sparkSession)
     graft.sql.HyperplaneProjection.register(df.sparkSession)
   }
 
@@ -391,6 +392,83 @@ object VectorOps {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
   }
+
+  /** Scalar-quantized (uniform int8) ANN with exact re-rank — the
+    * memory-bandwidth scale path every production vector store ships
+    * (FAISS SQ8, Lucene/Elasticsearch int8_hnsw quantization): "train"
+    * a single global [lo, hi] range (exact min/max over every element,
+    * one cheap aggregate), affine-map each float to one SIGNED BYTE
+    * (`array<tinyint>`, 64 B/vector instead of 256 B float / 512 B
+    * double — the candidate scan reads 4-8x less), generate a
+    * `candPool`-sized candidate set per query by integer dot product
+    * in the quantized domain, then re-rank ONLY those candidates with
+    * exact full-precision cosine. At 100 TB the quantized corpus is a
+    * persisted derived column (built once, like the IVF assignment)
+    * and composes with IVF cell pruning; here the candidate stage
+    * scans the quantized corpus flat — the I/O saving alone is the
+    * point.
+    *
+    * Deterministic cross-engine: lo/hi are exact min/max of
+    * float->double casts; the quantizer `round((x-lo)/(hi-lo)*255-128)`
+    * uses ties-away-from-zero rounding in both Spark and DuckDB;
+    * quantized scores are exact integer sums; exact cosine rounds to 6;
+    * every ranking ties-breaks on candidate id. The oracle replays the
+    * same formula, so the gate is hash-exact, not recall-approximate.
+    */
+  def sq8TopK(embeddings: DataFrame,
+              queryFilter: org.apache.spark.sql.Column,
+              k: Int, candPool: Int): DataFrame = {
+    registerExprs(embeddings)
+    import org.apache.spark.sql.Row
+    val Row(lo: Double, hi: Double) = embeddings
+      .agg(min(expr("array_min(cast(embedding as array<double>))")),
+           max(expr("array_max(cast(embedding as array<double>))"))).head()
+    require(hi > lo, s"sq8: degenerate value range [$lo, $hi]")
+    // quantize: one pass, 64 B/vector output; the formula text must
+    // stay identical to the oracle's (same double ops, same order)
+    val q8 = s"transform(cast(embedding as array<double>), " +
+      s"x -> cast(round((x - ${dlit(lo)}) / (${dlit(hi)} - ${dlit(lo)}) " +
+      s"* 255 - 128) as tinyint))"
+    val quantized = embeddings
+      .select(col("vec_id"), col("embedding"), expr(q8).as("q8"))
+    val cand = quantized.select(col("vec_id").as("cand_id"),
+      col("q8").as("cq"))
+    val queries = quantized.filter(queryFilter)
+      .select(col("vec_id").as("query_id"), col("q8").as("qq"))
+    // integer dot product in the quantized domain (exact, no FP) —
+    // native one-pass expression; the HOF equivalence form is pinned
+    // by VectorEquivalenceSpec alongside dot_f's
+    val qscore = "dot_i8(qq, cq)"
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("qscore").desc, col("cand_id"))
+    val pool = broadcast(queries).crossJoin(cand)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("qscore", expr(qscore))
+      .withColumn("prnk", row_number().over(wPool))
+      .filter(col("prnk") <= candPool)
+      .select(col("query_id"), col("cand_id"), col("qscore"))
+    // exact re-rank: full-precision cosine on the candidate pool only
+    val full = embeddings.select(col("vec_id"), col("embedding"))
+    val rer = pool
+      .join(full.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id")
+      .join(full.select(col("vec_id").as("cand_id"),
+        col("embedding").as("cv")), "cand_id")
+      .withColumn("cos", round(
+        expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("qscore"),
+        col("cos"), col("rnk"))
+  }
+
+  /** A double literal rendered so Spark SQL parses back the EXACT
+    * value (round-trip via toString is exact for doubles; the 'D'
+    * suffix keeps the parser in double, never decimal).
+    */
+  private def dlit(v: Double): String = s"cast('$v' as double)"
 
   /** ANN top-k: per-table equi-joins on bucket id, unioned and deduped —
     * at scale this is L shuffle joins on small keys instead of a

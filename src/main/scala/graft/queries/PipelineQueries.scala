@@ -2373,5 +2373,53 @@ object PipelineQueries extends QuerySet {
            |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
            |  round(coalesce(n_hit, 0) * CAST(1 AS DOUBLE) / n_true, 6) AS recall
            |FROM t LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)),
+
+    // Scalar-quantized (uniform int8) ANN with exact re-rank — the
+    // memory-bandwidth scale path (FAISS SQ8 / Lucene int8): quantize
+    // each vector to 64 signed bytes with one global [lo, hi] affine
+    // range, generate candidates by INTEGER dot product over the
+    // quantized corpus (the scan reads 4-8x fewer bytes — at 100 TB
+    // that IS the query cost), exact-cosine re-rank only the
+    // candidate pool. Every stage is deterministic (exact min/max
+    // range, ties-away-from-zero quantizer in both engines, integer
+    // candidate scores, id tie-breaks), so unlike recall-graded ANN
+    // this gate is hash-exact end to end.
+    Q("e12_sq8_rerank",
+      (s, dir) => {
+        VectorOps.sq8TopK(Tables.load(s, dir, "embeddings"),
+            col("vec_id") < 3, k = 5, candPool = 20)
+          .withColumn("rnk", col("rnk").cast("long"))
+          .orderBy(col("query_id"), col("rnk"))
+      },
+      Some("""WITH mm AS (SELECT min(v) AS lo, max(v) AS hi FROM (
+           |    SELECT unnest(embedding)::DOUBLE AS v FROM embeddings) u),
+           |e AS (SELECT vec_id, embedding,
+           |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
+           |          FROM range(64) t(i))) AS nrm
+           |  FROM embeddings),
+           |qs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           |    CAST((SELECT sum(
+           |        CAST(round((q.embedding[i+1]::DOUBLE - mm.lo)
+           |                   / (mm.hi - mm.lo) * 255 - 128) AS BIGINT)
+           |      * CAST(round((c.embedding[i+1]::DOUBLE - mm.lo)
+           |                   / (mm.hi - mm.lo) * 255 - 128) AS BIGINT))
+           |      FROM range(64) t(i)) AS BIGINT) AS qscore
+           |  FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id <> c.vec_id, mm),
+           |pool AS (SELECT query_id, cand_id, qscore,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY qscore DESC, cand_id) AS prnk
+           |  FROM qs),
+           |rr AS (SELECT p.query_id, p.cand_id, p.qscore,
+           |    round((SELECT sum(a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE)
+           |           FROM range(64) t(i)) / (a.nrm * b.nrm), 6) AS cos
+           |  FROM pool p JOIN e a ON a.vec_id = p.query_id
+           |              JOIN e b ON b.vec_id = p.cand_id
+           |  WHERE p.prnk <= 20),
+           |f AS (SELECT query_id, cand_id, qscore, cos,
+           |    row_number() OVER (PARTITION BY query_id
+           |                       ORDER BY cos DESC, cand_id) AS rnk
+           |  FROM rr)
+           |SELECT query_id, cand_id, qscore, cos, CAST(rnk AS BIGINT) AS rnk
+           |FROM f WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin)),
   )
 }

@@ -114,7 +114,7 @@ object DsTuple {
     * double-count (the flag makes result idempotent; the aggregate
     * contract never updates a buffer after eval/serialize).
     */
-  final class TupleBuf(val nominalEntries: Int) {
+  final class TupleBuf(val nominalEntries: Int, val emptyArity: Int = 1) {
     private var upd: ArrayOfDoublesUpdatableSketch = null
     private var un: ArrayOfDoublesUnion = null
     private var folded = false
@@ -153,9 +153,14 @@ object DsTuple {
     def result: ArrayOfDoublesCompactSketch = {
       if (un == null) {
         if (upd == null)
-          // empty group: a 1-value empty sketch (Druid's default shape)
+          // empty group: an empty sketch sized to the DECLARED metric
+          // arity — a numberOfValues=1 default would make
+          // ds_tuple_metrics_sum on an all-null group return a
+          // 1-element array, so element_at(sums, 2) of a 2-metric
+          // aggregate would be null instead of 0.0
           upd = new ArrayOfDoublesUpdatableSketchBuilder()
-            .setNominalEntries(nominalEntries).setNumberOfValues(1).build()
+            .setNominalEntries(nominalEntries)
+            .setNumberOfValues(emptyArity).build()
         upd.compact()
       } else {
         if (!folded && upd != null) { un.union(upd.compact()); folded = true }
@@ -186,8 +191,17 @@ case class TupleSketchAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "ds_tuple"
 
+  // metric arity for the empty-group sketch: statically known when
+  // the metrics expression is a literal array constructor (the
+  // ds_tuple(key, array(m1, m2, ...)) surface form)
+  private lazy val staticArity: Int = right match {
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      math.max(1, ca.children.size)
+    case _ => 1
+  }
+
   override def createAggregationBuffer(): DsTuple.TupleBuf =
-    new DsTuple.TupleBuf(nominalEntries)
+    new DsTuple.TupleBuf(nominalEntries, staticArity)
 
   override def update(buf: DsTuple.TupleBuf, input: InternalRow): DsTuple.TupleBuf = {
     val k = left.eval(input)

@@ -87,6 +87,64 @@ object DotFloat {
     }
 }
 
+/** Integer dot product over two array<tinyint> columns:
+  * `dot_i8(a, b) -> bigint` — the quantized-domain scorer of the SQ8
+  * ANN path (VectorOps.sq8TopK). Exact integer arithmetic (64-element
+  * int8 dot is bounded by 2^20, the long accumulator never wraps), so
+  * it is value-identical to the HOF reference
+  * `aggregate(zip_with(a, b, (x, y) -> bigint(x) * bigint(y)), 0L,
+  * (acc, v) -> acc + v)` minus the zipped intermediate array and the
+  * interpreted lambda calls per element — the candidate scan is the
+  * hot loop of the quantized path, and paying interpreter overhead
+  * per BYTE would forfeit the bandwidth win quantization buys.
+  */
+case class DotInt8(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  private def isByteArray(dt: DataType): Boolean = dt match {
+    case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isByteArray(left.dataType) && isByteArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_i8 requires two ARRAY<TINYINT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotInt8 =
+    copy(left = l, right = r)
+}
+
+object DotInt8 {
+  /** SQL builder for `dot_i8(a, b)`. */
+  val build: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "dot_i8 expects (a, b)")
+    DotInt8(exprs.head, exprs(1))
+  }
+
+  /** Idempotent per-session SQL registration: `dot_i8(a, b)`. */
+  def register(spark: SparkSession): Unit =
+    Registration.once(spark, "dot_i8") {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "dot_i8", build, "scala_udf")
+    }
+}
+
 /** Ordered-fold projection of an embedding onto pseudo-random
   * hyperplane `j`: `hplane_proj(embedding, j) -> double`, where
   * dimension i contributes `x_i * (+-1)` with the sign drawn from the

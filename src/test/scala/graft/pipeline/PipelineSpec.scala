@@ -147,6 +147,19 @@ class PipelineSpec extends AnyFunSuite {
       .filter(expr(VectorOps.dotSql("ad", "bd")) =!=
         expr(VectorOps.dotHofSql("ad", "bd"))).count()
     assert(ddDiff == 0, "dot_f(double, double) diverges from the HOF fold")
+    // the int8 quantized scorer: exact integer arithmetic, so native
+    // must equal the HOF fold on every pair, not just approximately
+    graft.sql.DotInt8.register(spark)
+    val q = mixed
+      .withColumn("qa", expr(
+        "transform(a, x -> cast(round(x * 50) as tinyint))"))
+      .withColumn("qb", expr(
+        "transform(b, x -> cast(round(x * 50) as tinyint))"))
+    val i8Diff = q.filter(expr("dot_i8(qa, qb)") =!= expr(
+      "aggregate(zip_with(qa, qb, (x, y) -> cast(x as bigint) * " +
+        "cast(y as bigint)), cast(0 as bigint), (acc, v) -> acc + v)"))
+      .count()
+    assert(i8Diff == 0, "dot_i8 diverges from the zip_with fold")
   }
 
   test("hybridTopK: df cap prunes the inverted index; ranks fuse deterministically") {
@@ -302,6 +315,33 @@ class PipelineSpec extends AnyFunSuite {
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     // probing half the cells of near-random vectors: require SOME overlap
     assert((brute intersect got).nonEmpty, "IVF found none of the true top-k")
+  }
+
+  test("sq8TopK: full candidate pool reproduces brute-force exactly") {
+    // with candPool >= corpus, the quantized candidate stage prunes
+    // nothing and the exact re-rank must equal bruteTopK bit-for-bit —
+    // the property separating "approximation lives ONLY in candidate
+    // pruning" from a quantization bug leaking into final scores
+    val n = emb.count().toInt
+    val brute = VectorOps.bruteTopK(emb, emb.filter(col("vec_id") < 3), 4)
+      .select("query_id", "cand_id", "cos", "rnk")
+      .collect().map(_.toSeq).toSet
+    val sq = VectorOps.sq8TopK(emb, col("vec_id") < 3, k = 4, candPool = n)
+      .select("query_id", "cand_id", "cos", "rnk")
+      .collect().map(_.toSeq).toSet
+    assert(sq == brute)
+  }
+
+  test("sq8TopK quantized domain: bytes in range, scores integral, pool honored") {
+    val out = VectorOps.sq8TopK(emb, col("vec_id") < 3, k = 3, candPool = 10)
+      .collect()
+    assert(out.length == 9)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)), "self-match leaked")
+    // integer dot product of two 64-element int8 vectors is bounded
+    assert(out.forall(r => math.abs(r.getLong(2)) <= 64L * 128 * 128))
+    // re-ranked rows come only from the candidate pool (10 per query)
+    val perQ = out.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQ.forall(_ == 3))
   }
 
   test("ivfAssign gives every vector exactly one cell in range") {

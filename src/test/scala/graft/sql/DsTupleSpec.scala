@@ -33,6 +33,23 @@ class DsTupleSpec extends AnyFunSuite {
     assert(sums(1) == rows.map(_._3).sum)
   }
 
+  test("empty group carries the declared metric arity, not a 1-element default") {
+    import spark.implicits._
+    // all keys null -> the buffer never sees a row; the empty sketch
+    // must still be sized to the DECLARED arity so
+    // ds_tuple_metrics_sum answers [0.0, 0.0] and element_at(sums, 2)
+    // is 0.0, not null (ADVICE r11: numberOfValues=1 default)
+    val out = Seq((null.asInstanceOf[java.lang.Long], 1.0, 2.0))
+      .toDF("k", "m1", "m2")
+      .agg(expr("ds_tuple(k, array(m1, m2), 1024)").as("sk"))
+      .select(expr("ds_tuple_estimate(sk)").as("est"),
+        expr("ds_tuple_metrics_sum(sk)").as("sums"))
+      .head()
+    assert(out.getDouble(0) == 0.0)
+    val sums = out.getSeq[Double](1)
+    assert(sums == Seq(0.0, 0.0), s"empty-group sums: $sums")
+  }
+
   test("distributed merge equals single-partition truth") {
     import spark.implicits._
     val rows = (1 to 3000).map(i => (s"key${i % 83}", (i % 11).toDouble))
