@@ -41,6 +41,26 @@ object BenchScratch {
           SparkEntry.queries("d2_dedup_minhash_lsh")(spark, sfDir).count())
         cand.unpersist()
       }
+    } else if (names.head == "e12parts") {
+      // SQ8 build/serve attribution: quantize-once (the persisted
+      // index build) vs serve-time candidate scan + re-rank over the
+      // persisted quantized corpus
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.VectorOps
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val q8dir = java.nio.file.Files
+        .createTempDirectory("graft-sq8").toString
+      t("e12.build(quantize+persist)") {
+        VectorOps.sq8Quantize(emb).write.mode("overwrite").parquet(q8dir)
+        spark.read.parquet(q8dir).count()
+      }
+      val q8 = spark.read.parquet(q8dir)
+      for (rep <- 1 to 2)
+        t(s"e12.serve rep$rep")(VectorOps.sq8TopK(emb, col("vec_id") < 3,
+          k = 5, candPool = 20, precomputedQ8 = Some(q8)).count())
+      for (rep <- 1 to 2)
+        t(s"e1.brute rep$rep")(VectorOps.bruteTopK(emb,
+          emb.filter(col("vec_id") < 3), 5).count())
     } else if (names.head == "jobs") {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

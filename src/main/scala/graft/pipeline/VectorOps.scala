@@ -415,9 +415,12 @@ object VectorOps {
     * every ranking ties-breaks on candidate id. The oracle replays the
     * same formula, so the gate is hash-exact, not recall-approximate.
     */
-  def sq8TopK(embeddings: DataFrame,
-              queryFilter: org.apache.spark.sql.Column,
-              k: Int, candPool: Int): DataFrame = {
+  /** Index-build half of the SQ8 split: the (vec_id, q8) quantized
+    * corpus — at 100 TB this is a PERSISTED derived table (built once,
+    * like the IVF assignment), and serve-time never touches the float
+    * corpus except to re-rank the candidate pool.
+    */
+  def sq8Quantize(embeddings: DataFrame): DataFrame = {
     registerExprs(embeddings)
     import org.apache.spark.sql.Row
     val Row(lo: Double, hi: Double) = embeddings
@@ -429,8 +432,15 @@ object VectorOps {
     val q8 = s"transform(cast(embedding as array<double>), " +
       s"x -> cast(round((x - ${dlit(lo)}) / (${dlit(hi)} - ${dlit(lo)}) " +
       s"* 255 - 128) as tinyint))"
-    val quantized = embeddings
-      .select(col("vec_id"), col("embedding"), expr(q8).as("q8"))
+    embeddings.select(col("vec_id"), expr(q8).as("q8"))
+  }
+
+  def sq8TopK(embeddings: DataFrame,
+              queryFilter: org.apache.spark.sql.Column,
+              k: Int, candPool: Int,
+              precomputedQ8: Option[DataFrame] = None): DataFrame = {
+    registerExprs(embeddings)
+    val quantized = precomputedQ8.getOrElse(sq8Quantize(embeddings))
     val cand = quantized.select(col("vec_id").as("cand_id"),
       col("q8").as("cq"))
     val queries = quantized.filter(queryFilter)

@@ -2659,6 +2659,61 @@ object DruidQueries extends QuerySet {
              |  CAST(count(DISTINCT user_id % 100) AS BIGINT) AS n_keys,
              |  round(sum(floor(value)), 1) AS sum_v
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // -- Druid SQL WINDOW functions (Druid 28+): OVER clauses applied
+    //    to an aggregated subquery — cumulative sums, LAG deltas, and
+    //    per-partition RANK, exactly the dashboard "trend" shape. The
+    //    window input keeps Druid's dialect (time_floor/unix_millis
+    //    day bucketing over __time); the reference parses none of
+    //    this (its SQL surface is projection+filter only). Windows
+    //    partition BY event_type and order by the day bucket — at
+    //    100 TB the aggregated input is tiny relative to the scan, so
+    //    the single window shuffle never dominates; the GROUP BY
+    //    below it rides the same segment pushdown every other gate
+    //    uses.
+    Q("dr79_druid_sql_window",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        eventsSeg(s, dir).createOrReplaceTempView("graft_dr79_events")
+        s.sql("""
+          SELECT event_type, day_ms, n,
+                 sum(n) OVER (PARTITION BY event_type ORDER BY day_ms
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum_n,
+                 coalesce(n - lag(n) OVER (PARTITION BY event_type
+                                           ORDER BY day_ms), 0) AS delta_n,
+                 rank() OVER (PARTITION BY event_type
+                              ORDER BY n DESC, day_ms) AS busiest
+          FROM (SELECT event_type,
+                       unix_millis(time_floor(__time, 'P1D')) AS day_ms,
+                       count(*) AS n
+                FROM graft_dr79_events
+                WHERE time_in_interval(__time, '2024-01-01/P7D')
+                GROUP BY 1, 2)
+          ORDER BY event_type, day_ms""")
+          .withColumn("cum_n", col("cum_n").cast("long"))
+          .withColumn("delta_n", col("delta_n").cast("long"))
+          .withColumn("busiest", col("busiest").cast("long"))
+      },
+      Some("""WITH d AS (
+             |  SELECT event_type,
+             |    epoch_ms(ts) - (epoch_ms(ts) % 86400000) AS day_ms,
+             |    count(*) AS n
+             |  FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+             |    AND ts < TIMESTAMP '2024-01-08 00:00:00'
+             |  GROUP BY 1, 2)
+             |SELECT event_type, day_ms, n,
+             |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day_ms
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING
+             |                    AND CURRENT ROW) AS BIGINT) AS cum_n,
+             |  CAST(coalesce(n - lag(n) OVER (PARTITION BY event_type
+             |                                 ORDER BY day_ms), 0)
+             |       AS BIGINT) AS delta_n,
+             |  CAST(rank() OVER (PARTITION BY event_type
+             |                    ORDER BY n DESC, day_ms) AS BIGINT)
+             |    AS busiest
+             |FROM d ORDER BY event_type, day_ms""".stripMargin)),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,

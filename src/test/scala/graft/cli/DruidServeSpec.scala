@@ -931,6 +931,25 @@ class DruidServeSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL window functions answer over the HTTP wire (Druid 28+ surface)") {
+    withServer { port =>
+      val q = Seq(
+        "SELECT event_type, n,",
+        "CAST(sum(n) OVER (ORDER BY event_type ROWS BETWEEN UNBOUNDED",
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,",
+        "CAST(rank() OVER (ORDER BY n DESC, event_type) AS BIGINT) AS rnk",
+        "FROM (SELECT event_type, count(*) AS n FROM events GROUP BY 1)",
+        "ORDER BY event_type").mkString(" ")
+      val (code, body) = postTo(port, "/druid/v2/sql",
+        s"""{"query": "$q"}""")
+      assert(code == 200, body)
+      val rows = mapper.readTree(body)
+      assert(rows.size() > 0, body)
+      // cumulative sum on the last row equals the total row count
+      assert(rows.get(rows.size() - 1).path("cum").asLong() == 5L, body)
+    }
+  }
+
   test("SQL context: result-neutral operational keys are accepted") {
     withServer { port =>
       val (code, body) = postTo(port, "/druid/v2/sql",
