@@ -2714,6 +2714,38 @@ object DruidQueries extends QuerySet {
              |                    ORDER BY n DESC, day_ms) AS BIGINT)
              |    AS busiest
              |FROM d ORDER BY event_type, day_ms""".stripMargin)),
+
+    // -- Druid SQL GROUPING SETS (the SQL form of the native
+    //    subtotalsSpec; dr51 gates the native grandTotal context):
+    //    three aggregation levels in ONE pass — (type, bucket),
+    //    (type), () — with GROUPING() disambiguating real nulls from
+    //    subtotal rows, exactly Druid's documented shape. One scan
+    //    feeds every level (Spark expands grouping sets map-side, so
+    //    at 100 TB this reads the corpus once where three queries
+    //    would read it three times).
+    Q("dr80_druid_sql_grouping_sets",
+      (s, dir) => {
+        graft.sql.DruidSqlCompat.register(s)
+        eventsSeg(s, dir).createOrReplaceTempView("graft_dr80_events")
+        s.sql("""
+          SELECT event_type, user_id % 3 AS ub,
+                 CAST(grouping(event_type) * 2 + grouping(user_id % 3)
+                      AS BIGINT) AS lvl,
+                 count(*) AS n, round(sum(value), 2) AS sv
+          FROM graft_dr80_events
+          GROUP BY GROUPING SETS ((event_type, user_id % 3),
+                                  (event_type), ())
+          ORDER BY lvl, event_type NULLS FIRST, ub NULLS FIRST""")
+      },
+      Some("""SELECT event_type, user_id % 3 AS ub,
+             |  CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 3)
+             |       AS BIGINT) AS lvl,
+             |  count(*) AS n, round(sum(value), 2) AS sv
+             |FROM events
+             |GROUP BY GROUPING SETS ((event_type, user_id % 3),
+             |                        (event_type), ())
+             |ORDER BY lvl, event_type NULLS FIRST, ub NULLS FIRST"""
+        .stripMargin)),
   )
 
   /** Events range-sharded by `event_type` (Druid single_dim layout,
