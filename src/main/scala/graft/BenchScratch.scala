@@ -61,6 +61,33 @@ object BenchScratch {
       for (rep <- 1 to 2)
         t(s"e1.brute rep$rep")(VectorOps.bruteTopK(emb,
           emb.filter(col("vec_id") < 3), 5).count())
+    } else if (names.head == "nestedwrite") {
+      // nested-vs-blob write premium at volume (r11 measured 16.0 vs
+      // 11.4 s at sf10 pre-optimization; the r12 encoder shaves the
+      // dictionary stages) — same segment-writer path s14 rides
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(spark, sfDir, "events")
+        .select(col("ts").as("__time"), col("event_type"),
+          struct(
+            get_json_object(col("props"), "$.k").cast("long").as("k"),
+            struct(col("user_id").as("uid"), col("value").as("v"))
+              .as("m")).as("props"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-nw").toString
+      t("read+transform(noop count)")(ev.count())
+      for (rep <- 1 to 2) {
+        t(s"write.blob rep$rep") {
+          ev.write.format("druid").option("complexTypes", "props:json")
+            .mode("overwrite").save(s"$base/blob")
+          spark.read.format("druid").load(s"$base/blob").count()
+        }
+        t(s"write.nested rep$rep") {
+          ev.write.format("druid").option("complexTypes", "props:json")
+            .option("jsonEncoding", "nested")
+            .mode("overwrite").save(s"$base/nested")
+          spark.read.format("druid").load(s"$base/nested").count()
+        }
+      }
     } else if (names.head == "jobs") {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
       val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
