@@ -175,6 +175,84 @@ object Multimodal {
       }
   }
 
+  final case class AHash(doc_id: Long, source: String,
+                         b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Average-hash (aHash) perceptual fingerprint over the stub image
+    * modality: the first 64 decoded "pixels" (char codes — the same
+    * deterministic fake every m-gate rides; a real decoder swap
+    * changes pixel extraction only) form an 8x8 gray block, each bit
+    * is pixel >= block mean (spelled `v * 64 >= sum` so the compare
+    * stays integer-exact cross-engine), and the 64 bits pack into
+    * FOUR 16-bit band ints rather than one long — the bands are both
+    * the storage and the LSH: by pigeonhole, two hashes within
+    * Hamming distance 3 agree on at least one of 4 bands, so the
+    * candidate join is four equi-joins on small int keys, never an
+    * all-pairs scan. Docs shorter than 64 pixels have no hash.
+    */
+  def aHashBands(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) >= 64)
+      .select(col("doc_id"), col("source"),
+        expr("transform(sequence(0, 63), " +
+          "k -> ascii(substring(text, k + 1, 1)))").as("px"))
+      .withColumn("total",
+        expr("aggregate(px, 0, (a, v) -> a + v)"))
+      .select(Seq(col("doc_id"), col("source")) ++ (0 until 4).map { j =>
+        expr(s"aggregate(sequence(0, 15), 0, (a, i) -> a + " +
+          s"(CASE WHEN element_at(px, $j * 16 + i + 1) * 64 >= total " +
+          s"THEN shiftleft(1, i) ELSE 0 END))").as(s"b$j")
+      }: _*)
+
+  /** Perceptual near-duplicate pairs: banded candidate generation
+    * over [[aHashBands]] + exact Hamming confirm (`bit_count(xor)`
+    * per band, codegen'd integer ops). Returns (d1, d2, hd) with
+    * d1 < d2 and hd <= maxHamming.
+    *
+    * `maxBucket` is the scale guard (the d2 LshMaxBucket pattern):
+    * low-entropy corpora make individual band values HOT — at sf0.1
+    * the hottest 16-bit band held 340 docs (~58k pairs from ONE
+    * bucket; the uncapped gate measured 16 s where capped is ~1 s),
+    * and candidate OUTPUT grows quadratically in bucket size, so at
+    * 100 TB an uncapped hot band is the whole job. Band values whose
+    * bucket exceeds the cap generate no candidates THROUGH THAT BAND
+    * (a pair can still surface via its other, colder bands) — the
+    * standard LSH recall trade; the pigeonhole completeness
+    * guarantee (Hamming <= 3 => some equal band) holds exactly when
+    * every shared band is under the cap, and the oracle replays the
+    * cap, so the gate stays hash-exact, never silently lossy. The
+    * per-band count table is at most 65536 rows — broadcast, no
+    * extra shuffle.
+    */
+  def phashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    // cache: the hash subtree is referenced by BOTH join sides, all
+    // four per-band count tables, and the re-rank joins — uncached,
+    // Catalyst recomputes the 64-substring hash ~12x (measured 16 s
+    // vs ~2 s at sf0.1); same cached-intermediate shape as d2/d13
+    val bands = aHashBands(docs).cache()
+    val a = bands.select(col("doc_id").as("d1"),
+      col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val b = bands.select(col("doc_id").as("d2"),
+      col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    val cand = (0 until 4).map { j =>
+        val ok = bands.groupBy(col(s"b$j")).count()
+          .filter(col("count") <= maxBucket)
+          .select(col(s"b$j").as(s"ok$j"))
+        a.join(broadcast(ok), col(s"a$j") === col(s"ok$j"))
+          .join(b, col(s"a$j") === col(s"c$j") && col("d1") < col("d2"))
+          .select(col("d1"), col("d2"))
+      }.reduce(_ union _).distinct()
+    cand
+      .join(a, "d1").join(b, "d2")
+      .withColumn("hd",
+        expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hd") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hd"))
+  }
+
   /** Audio chunking over REAL payloads: WAV payloads decode through
     * the PCM header parser (first channel), anything else falls back
     * to unsigned byte values as samples. Same windowing arithmetic as

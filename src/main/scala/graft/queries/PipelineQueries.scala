@@ -2207,6 +2207,77 @@ object PipelineQueries extends QuerySet {
              |  max(peak) AS max_peak
              |FROM agg GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Perceptual-hash near-duplicate detection over the image
+    // modality (aHash, the classic average-hash): 8x8 pixel block ->
+    // 64 threshold bits -> four 16-bit bands; candidates by band
+    // equi-join (pigeonhole: Hamming <= 3 implies at least one equal
+    // band — the LSH guarantee in its simplest exact form), confirmed
+    // by bit_count(xor) Hamming distance. Extends the dedup family
+    // (d1 exact, d2 MinHash, d3 SimHash, m3 exact-payload) to
+    // NEAR-duplicate images. Band values hotter than maxBucket=64
+    // docs generate no candidates through that band (the d2 cap —
+    // the sf0.1 probe measured the uncapped join at 16 s with a
+    // 340-doc hot band vs ~1 s capped); the oracle replays the cap
+    // exactly, so the gate stays hash-exact.
+    Q("m5_image_phash_neardup",
+      (s, dir) => {
+        Multimodal.phashNearDup(Tables.load(s, dir, "documents"),
+            maxHamming = 3, maxBucket = 64)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH px AS (SELECT doc_id, unnest(range(0, 64)) AS k,
+             |    ascii(substring(text,
+             |      CAST(unnest(range(0, 64)) + 1 AS INT), 1)) AS v
+             |  FROM documents WHERE length(text) >= 64),
+             |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
+             |bits AS (SELECT px.doc_id, px.k,
+             |    CASE WHEN px.v * 64 >= tot.total THEN 1 ELSE 0 END AS b
+             |  FROM px JOIN tot USING (doc_id)),
+             |bands AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN k // 16 = 0 THEN b << (k % 16) END)
+             |         AS INT) AS b0,
+             |    CAST(sum(CASE WHEN k // 16 = 1 THEN b << (k % 16) END)
+             |         AS INT) AS b1,
+             |    CAST(sum(CASE WHEN k // 16 = 2 THEN b << (k % 16) END)
+             |         AS INT) AS b2,
+             |    CAST(sum(CASE WHEN k // 16 = 3 THEN b << (k % 16) END)
+             |         AS INT) AS b3
+             |  FROM bits GROUP BY 1),
+             |ok0 AS (SELECT b0 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |ok1 AS (SELECT b1 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |ok2 AS (SELECT b2 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |ok3 AS (SELECT b3 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |pairs AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM bands a JOIN ok0 ON a.b0 = ok0.v
+             |    JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM bands a JOIN ok1 ON a.b1 = ok1.v
+             |    JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM bands a JOIN ok2 ON a.b2 = ok2.v
+             |    JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM bands a JOIN ok3 ON a.b3 = ok3.v
+             |    JOIN bands b ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
+             |ham AS (SELECT p.d1, p.d2,
+             |    CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+             |       + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+             |       + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+             |       + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT))
+             |      AS BIGINT) AS hd
+             |  FROM pairs p JOIN bands a ON a.doc_id = p.d1
+             |               JOIN bands b ON b.doc_id = p.d2)
+             |SELECT d1, d2, hd FROM ham WHERE hd <= 3
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Heavy hitters per source — the vocabulary/boilerplate audit a
     // curation pipeline runs before mixing (over-frequent tokens mark
     // template rot). Built on the DataSketches Frequent-Items

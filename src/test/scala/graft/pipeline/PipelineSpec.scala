@@ -317,6 +317,40 @@ class PipelineSpec extends AnyFunSuite {
     assert((brute intersect got).nonEmpty, "IVF found none of the true top-k")
   }
 
+  test("phashNearDup: banded candidates find EVERY pair within maxHamming") {
+    // the pigeonhole guarantee: hd <= 3 across 64 bits in 4 bands
+    // forces at least one equal band, so the band equi-join loses
+    // nothing vs the all-pairs scan — assert set equality with a
+    // brute-force Hamming pass over the same hashes
+    val bands = Multimodal.aHashBands(docs).cache()
+    val a = bands.select(col("doc_id").as("d1"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = bands.select(col("doc_id").as("d2"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .withColumn("hd", expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) " +
+        "+ bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("long"))
+      .filter(col("hd") <= 3)
+      .select("d1", "d2", "hd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // cap disabled -> the pigeonhole guarantee is exact set equality
+    val banded = Multimodal.phashNearDup(docs, maxHamming = 3,
+        maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture yields no near-dup pairs — weak test")
+    // capped output is a SUBSET (the LSH recall trade, never junk)
+    val capped = Multimodal.phashNearDup(docs, maxHamming = 3,
+        maxBucket = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped.subsetOf(brute))
+    // band ints stay in unsigned-16 range (packing never overflows)
+    val mm = bands.agg(least(min("b0"), min("b1"), min("b2"), min("b3")),
+      greatest(max("b0"), max("b1"), max("b2"), max("b3"))).head
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 65535)
+    bands.unpersist()
+  }
+
   test("sq8TopK: full candidate pool reproduces brute-force exactly") {
     // with candPool >= corpus, the quantized candidate stage prunes
     // nothing and the exact re-rank must equal bruteTopK bit-for-bit —
