@@ -87,12 +87,10 @@ object DruidTableUtil {
     val p = Paths.get(root)
     if (DruidSegment.isSegmentDir(p)) Seq(root)
     else if (Files.isDirectory(p)) {
-      val stream = Files.list(p)
-      val segs =
-        try stream.iterator().asScala
-          .filter(d => Files.isDirectory(d) && DruidSegment.isSegmentDir(d))
-          .map(_.toString).toSeq.sorted
-        finally stream.close()
+      // tombstoned dirs are logically deleted (deferred physical
+      // deletion): invisible to every new listing, still openable by
+      // reads that planned them before the swap
+      val segs = SegmentCatalog.listLiveSegmentDirs(p).map(_.toString).sorted
       if (segs.isEmpty)
         throw new IllegalArgumentException(s"no druid segments under $root")
       // a swap (compaction / overwrite) in progress: resolve the

@@ -334,13 +334,13 @@ object DruidBatchWrite {
                 complexTypes: Map[String, String] = Map.empty,
                 nestedJson: Boolean = false): Unit = {
     val rootPath = Paths.get(root)
-    // segments present before this job (overwrite deletes them LAST)
-    val previous: Seq[Path] = {
-      val s = Files.list(rootPath)
-      try s.iterator().asScala.filter(p =>
-        Files.isDirectory(p) && graft.format.DruidSegment.isSegmentDir(p)).toSeq
-      finally s.close()
-    }
+    // reap expired trash from earlier swaps — maintenance rides commits,
+    // so deferred deletion needs no scheduler of its own
+    try SegmentCatalog.purgeTombstoned(root) catch { case _: Exception => () }
+    // segments present before this job (overwrite retires them LAST);
+    // tombstoned dirs are already logically gone — resurrecting them
+    // into `previous` would re-manifest deleted data
+    val previous: Seq[Path] = SegmentCatalog.listLiveSegmentDirs(rootPath)
     // interval-scoped overwrite: validate BEFORE anything moves — a
     // failed check leaves the destination exactly as it was
     val newMetas = messages.toSeq
@@ -412,8 +412,11 @@ object DruidBatchWrite {
         m.copy(dir = dst.toString)
       }
     }.flatten
-    if (truncate) previous.foreach(deleteRecursively)
-    replaceDrop.foreach(deleteRecursively)
+    // replaced segments are TOMBSTONED, not deleted: still openable by
+    // in-flight reads that planned them, invisible to new listings,
+    // physically reaped by purgeTombstoned after the grace period
+    if (truncate) previous.foreach(SegmentCatalog.tombstone)
+    replaceDrop.foreach(SegmentCatalog.tombstone)
     deleteRecursively(stagingDir)
     // refresh the planning manifest. Overwrite rewrites the base
     // snapshot (the old table state is gone). Append / REPLACE WHERE
@@ -426,12 +429,7 @@ object DruidBatchWrite {
       if (truncate)
         SegmentCatalog.write(root, committed.sortBy(_.dir), tableSchema)
       else {
-        val dirs = {
-          val s = Files.list(rootPath)
-          try s.iterator().asScala.filter(p => Files.isDirectory(p) &&
-            graft.format.DruidSegment.isSegmentDir(p)).map(_.toString).toSeq
-          finally s.close()
-        }
+        val dirs = SegmentCatalog.listLiveSegmentDirs(rootPath).map(_.toString)
         val newNames = committed.map(m => Paths.get(m.dir).getFileName.toString).toSet
         val old = dirs.filterNot(d => newNames.contains(Paths.get(d).getFileName.toString))
         val removed = replaceDrop.map(_.getFileName.toString)

@@ -85,9 +85,88 @@ object SegmentCatalog {
   val LogDirName = "_graft_log"
   val SidecarName = "_graft_meta.json"
   val PendingName = "_graft_pending.json"
+  val TombstoneName = "_graft_tombstone"
   /** Log files tolerated before a commit folds them into the base. */
   private val CompactThreshold = 16
   private val mapper = new ObjectMapper()
+
+  // ------------------------------------------- deferred physical deletion
+
+  /** Grace period between a segment's LOGICAL deletion (tombstone) and
+    * its physical removal. Replaced/retired segment dirs stay on disk —
+    * invisible to every new listing, but still openable — for at least
+    * this long, so a query that planned them before the swap finishes
+    * against the generation it planned (Druid's handoff semantics:
+    * historicals keep serving a replaced segment until drop). Size it
+    * above the longest query you run; immediate deletion (grace 0) is
+    * the old delete-on-swap behavior.
+    */
+  def trashGraceMs: Long =
+    sys.props.get("graft.trash.grace.ms").map(_.toLong).getOrElse(15L * 60 * 1000)
+
+  /** Logically delete a segment dir: one atomic marker file inside it.
+    * New listings exclude it from this point on; the dir itself (and
+    * every open/mmap a reader already holds) stays valid until
+    * [[purgeTombstoned]] reaps it after the grace period. Idempotent;
+    * failure is swallowed ONLY if the marker already landed (a dir we
+    * can neither mark nor have marked must not silently stay visible).
+    */
+  def tombstone(dir: Path): Unit = {
+    val n = mapper.createObjectNode()
+    n.put("ts", System.currentTimeMillis())
+    try writeAtomic(dir.resolve(TombstoneName),
+      mapper.writeValueAsString(n).getBytes(UTF_8))
+    catch { case e: Exception => if (!isTombstoned(dir)) throw e }
+  }
+
+  def isTombstoned(dir: Path): Boolean =
+    Files.isRegularFile(dir.resolve(TombstoneName))
+
+  private def tombstonedAt(dir: Path): Option[Long] =
+    readJson(dir.resolve(TombstoneName))
+      .flatMap(n => Option(n.get("ts")).map(_.asLong()))
+
+  /** Physically delete every tombstoned segment dir under `root` whose
+    * grace period has expired; returns the count reaped. Runs at the
+    * start of each maintenance operation (compaction, overwrite,
+    * retention), so trash never needs its own scheduler. A marker
+    * whose timestamp is unreadable counts as expired (it is garbage
+    * either way, and it was invisible already).
+    */
+  def purgeTombstoned(root: String, graceMs: Long = trashGraceMs): Int = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return 0
+    val now = System.currentTimeMillis()
+    val doomed = {
+      val s = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter { d =>
+          Files.isDirectory(d) && isTombstoned(d) &&
+            tombstonedAt(d).forall(_ + graceMs <= now)
+        }.toSeq
+      } finally s.close()
+    }
+    doomed.foreach { d =>
+      try Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Exception => () } // racing purge: the other one wins
+    }
+    doomed.size
+  }
+
+  /** Raw listing of live (non-tombstoned) segment dirs under `root` —
+    * the shared pre-pendingFilter listing every caller that stats the
+    * table directly must use, or logically-deleted segments resurface.
+    */
+  def listLiveSegmentDirs(root: Path): Seq[Path] = {
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(d => Files.isDirectory(d) &&
+        graft.format.DruidSegment.isSegmentDir(d) && !isTombstoned(d)).toSeq
+    } finally s.close()
+  }
 
   // ---------------------------------------------------------------- io
 

@@ -94,6 +94,8 @@ object Compaction {
       s"targetRowsPerSegment must be positive: $targetRowsPerSegment")
     require(minFillFraction > 0 && minFillFraction <= 1,
       s"minFillFraction must be in (0, 1]: $minFillFraction")
+    // reap trash whose grace period expired before adding more
+    graft.sources.druid.SegmentCatalog.purgeTombstoned(dir)
     val metas = graft.sources.druid.SegmentCatalog.metaFor(dir)
     val threshold = (targetRowsPerSegment * minFillFraction).toLong
     val (small, keep) = metas.partition(_.rows < threshold)
@@ -130,7 +132,12 @@ object Compaction {
         Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
         m.copy(dir = dst.toString)
       }
-      small.foreach(m => deleteRecursively(Paths.get(m.dir)))
+      // merged-away segments are TOMBSTONED (deferred deletion): a read
+      // that planned them before this swap still opens them; new
+      // listings exclude them; purgeTombstoned reaps them after the
+      // grace period. This is the Druid handoff contract — without it,
+      // any query outliving one compaction cycle aborts.
+      small.foreach(m => graft.sources.druid.SegmentCatalog.tombstone(Paths.get(m.dir)))
       // the manifest rewrite snapshots keep+moved; a delta from an
       // append that raced this compaction is superseded but its
       // segment dir survives and resolves by sidecar (not in `small`,

@@ -1,9 +1,8 @@
 package graft.write
 
-import java.nio.file.{Files, Paths}
-import java.util.Comparator
+import java.nio.file.Paths
 
-import graft.sources.druid.{DruidTableUtil, SegmentCatalog}
+import graft.sources.druid.SegmentCatalog
 
 /** Interval retention — the other maintenance operator a 100 TB
   * time-series table needs: segments whose interval ends at or before
@@ -42,18 +41,17 @@ object Retention {
     */
   def dropWhere(dir: String, pred: graft.sources.druid.SegMeta => Boolean)
       : Stats = {
+    SegmentCatalog.purgeTombstoned(dir)
     val metas = SegmentCatalog.metaFor(dir)
     val (drop, keep) = metas.partition(pred)
     if (drop.isEmpty) return Stats(0, 0L, keep.size)
     // schema cache read BEFORE anything deletes (manifest covers the
     // current segment set only while it is the current set)
     val schema = SegmentCatalog.loadSchema(dir, metas.map(_.dir))
-    drop.foreach { m =>
-      val p = Paths.get(m.dir)
-      if (Files.exists(p))
-        Files.walk(p).sorted(Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-    }
+    // logical delete now (invisible to new listings), physical delete
+    // after the grace period — an in-flight scan planned against the
+    // pre-drop generation still completes
+    drop.foreach(m => SegmentCatalog.tombstone(Paths.get(m.dir)))
     try SegmentCatalog.write(dir, keep.sortBy(_.dir), schema)
     catch { case _: Exception => () } // cache only; never fail the drop
     Stats(drop.size, drop.map(_.rows.toLong).sum, keep.size)

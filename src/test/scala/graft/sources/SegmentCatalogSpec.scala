@@ -255,6 +255,7 @@ class SegmentCatalogSpec extends AnyFunSuite {
     val appendsDone = new java.util.concurrent.atomic.AtomicInteger(0)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val goodReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failedReads = new java.util.concurrent.atomic.AtomicInteger(0)
 
     val appender = new Thread(() => try {
       (1 to 5).foreach { b =>
@@ -297,8 +298,12 @@ class SegmentCatalogSpec extends AnyFunSuite {
           }
           goodReads.incrementAndGet()
         } catch {
-          case _: Exception => () // loud read failure (mid-swap dir
-          // deletion) is acceptable; silent wrong data is not
+          // a loud read failure would be acceptable (never silent wrong
+          // data) — but with deferred deletion the replaced segment dirs
+          // a read planned stay physically present for the grace period,
+          // so aborts should no longer happen at all; counted and
+          // asserted ~0 below
+          case _: Exception => failedReads.incrementAndGet()
         }
       }
     } catch { case e: Throwable => errors.add(s"reader: $e") })
@@ -309,11 +314,78 @@ class SegmentCatalogSpec extends AnyFunSuite {
     stop.set(true)
     reader.join(120000); compactor.join(120000)
     assert(errors.isEmpty, s"inconsistent reads: ${errors.asScala.toSeq.take(5)}")
-    assert(goodReads.get() >= 3, s"only ${goodReads.get()} successful reads")
+    // liveness is RATE-based over counted attempts, not an absolute
+    // wall-clock floor (host-speed sensitive): at least one read must
+    // complete, and with tombstone-deferred deletion the abort rate
+    // must be ~0 — reads planned against generation N complete even
+    // after N+1 commits, because N's dirs survive the swap
+    val attempts = goodReads.get() + failedReads.get()
+    assert(goodReads.get() >= 1, s"no read completed in $attempts attempts")
+    assert(failedReads.get() * 10 <= attempts,
+      s"${failedReads.get()}/$attempts reads aborted — deferred deletion " +
+        "should keep planned segment dirs openable across swaps")
     // quiesced: everything merged, nothing lost
     val fin = spark.read.format("druid").load(out)
       .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fin == Map(0L -> 200L, 1L -> 100L, 2L -> 100L, 3L -> 100L,
       4L -> 100L, 5L -> 100L), s"final state wrong: $fin")
+  }
+
+  test("compaction tombstones replaced segments: planned reads survive the swap") {
+    val out = Files.createTempDirectory("graft-trash").toString + "/t"
+    write(out, 400, parts = 4)
+    val oldDirs = druid.DruidTableUtil.discoverSegments(out)
+    assert(oldDirs.size == 4)
+    // "plan" a read against generation N: open a segment handle now
+    val planned = graft.format.DruidSegment.open(oldDirs.head)
+    // generation N+1 commits: all four merge into one
+    val stats = graft.write.Compaction.compactIncremental(
+      spark, out, targetRowsPerSegment = 1000)
+    assert(stats.segmentsAfter == 1)
+    // replaced dirs: logically gone (new listings exclude them) but
+    // physically present and still openable — the handoff contract
+    assert(druid.DruidTableUtil.discoverSegments(out).size == 1)
+    oldDirs.foreach { d =>
+      assert(Files.isDirectory(Paths.get(d)), s"$d deleted before grace")
+      assert(SegmentCatalog.isTombstoned(Paths.get(d)), s"$d not tombstoned")
+      // a read planned before the swap completes after it
+      assert(graft.format.DruidSegment.open(d).numRows == 100)
+    }
+    assert(planned.numRows == 100)
+    // the table reads correctly through the swap
+    assert(spark.read.format("druid").load(out).count() == 400)
+    // purge honors the grace period: a long grace reaps nothing ...
+    assert(SegmentCatalog.purgeTombstoned(out, graceMs = 60 * 60 * 1000L) == 0)
+    assert(oldDirs.forall(d => Files.isDirectory(Paths.get(d))))
+    // ... grace 0 reaps exactly the four tombstoned dirs
+    assert(SegmentCatalog.purgeTombstoned(out, graceMs = 0L) == 4)
+    assert(oldDirs.forall(d => !Files.exists(Paths.get(d))))
+    assert(spark.read.format("druid").load(out).count() == 400)
+  }
+
+  test("overwrite and retention defer deletion the same way") {
+    val out = Files.createTempDirectory("graft-trash2").toString + "/t"
+    write(out, 100, parts = 1)
+    val gen0 = druid.DruidTableUtil.discoverSegments(out)
+    write(out, 60, parts = 1) // overwrite
+    assert(spark.read.format("druid").load(out).count() == 60)
+    gen0.foreach(d => assert(Files.isDirectory(Paths.get(d)) &&
+      SegmentCatalog.isTombstoned(Paths.get(d)),
+      s"overwritten $d should be tombstoned, not deleted"))
+    // retention: drop everything before a far-future cutoff
+    val gen1 = druid.DruidTableUtil.discoverSegments(out)
+    val st = graft.write.Retention.dropOlderThan(out, Long.MaxValue)
+    assert(st.segmentsDropped == 1 && st.rowsDropped == 60)
+    gen1.foreach(d => assert(Files.isDirectory(Paths.get(d)) &&
+      SegmentCatalog.isTombstoned(Paths.get(d)),
+      s"retired $d should be tombstoned, not deleted"))
+    // tombstoned dirs never resurface through a later append's manifest
+    // rebuild (the resurrection path: raw listing -> openAll -> write)
+    import spark.implicits._
+    Seq((new java.sql.Timestamp(1700000000000L), 7L)).toDF("__time", "n")
+      .coalesce(1).write.format("druid").mode("append").save(out)
+    assert(spark.read.format("druid").load(out)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 7L)
+    assert(SegmentCatalog.purgeTombstoned(out, graceMs = 0L) == 2)
   }
 }
