@@ -432,7 +432,8 @@ object DruidServe {
           else
             (tzSessions.computeIfAbsent(zone.getId, newSqlSession), fmt)
       }
-    def handled(ex: HttpExchange, methods: Set[String] = Set("POST"))
+    def handled(ex: HttpExchange, methods: Set[String] = Set("POST"),
+                okStatus: Int = 200)
                (body: String => (String, String)): Unit =
       try {
         if (!methods.contains(ex.getRequestMethod))
@@ -440,7 +441,7 @@ object DruidServe {
         else {
           val (payload, contentType) =
             body(new String(ex.getRequestBody.readAllBytes(), UTF_8))
-          respond(ex, 200, payload, contentType)
+          respond(ex, okStatus, payload, contentType)
         }
       } catch {
         case e: ResourceLimitExceeded =>
@@ -1339,7 +1340,9 @@ object DruidServe {
     server.createContext("/druid/v2/sql/task", (ex: HttpExchange) => {
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"supported: POST /druid/v2/sql/task"}""")
-      else handled(ex) { body =>
+      // real Druid's SqlTaskResource replies 202 ACCEPTED at submit —
+      // strict clients check the code, not just the body
+      else handled(ex, okStatus = 202) { body =>
         val st = submitStatement(ex, body, Set("executionMode",
           "maxNumTasks", "taskAssignment", "maxParseExceptions",
           "waitUntilSegmentsLoad", "durableShuffleStorage",

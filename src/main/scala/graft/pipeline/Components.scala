@@ -51,16 +51,27 @@ object Components {
     */
   val DefaultLocalEdgeLimit = 32000000L
 
-  /** Clamp the requested driver-side gate by the live heap: near the
-    * gate the driver holds the packed long[] (16 B/edge), the
-    * union-find LongMaps (boxed values) and the labeled tuple array —
-    * ~64 B/edge all-in when nodes ~ edges. A default-configured driver
-    * (1g heap) would OOM at the full 32M gate, so the local path may
-    * claim at most a quarter of max heap; larger graphs go distributed
-    * (correct at any heap, just slower on small graphs).
+  /** Default effective driver-side gate: 4M edges ≈ 256 MB at the
+    * ~64 B/edge all-in cost (packed long[] at 16 B/edge + union-find
+    * LongMaps with boxed values + the labeled tuple array when
+    * nodes ~ edges) — a quarter of a DEFAULT 1g driver heap, so the
+    * local path can never OOM an unconfigured driver. PINNED, not
+    * derived from the live heap: a heap-derived clamp makes the
+    * local-vs-distributed branch — and any plan fingerprint of a graph
+    * gate — flip with the driver's -Xmx, the same machine-dependence
+    * class the bench canonicalizes out of Range splits.
+    */
+  private val DefaultEffectiveLocalLimit = 4000000L
+
+  /** Clamp the requested driver-side gate by the pinned budget. Drivers
+    * provisioned beyond 1g raise `graft.components.local.edge.limit`
+    * (up to callers' requested ceiling) explicitly — an operator
+    * decision recorded in config, never inferred from JVM flags.
     */
   private def effectiveLocalLimit(requested: Long): Long =
-    math.min(requested, Runtime.getRuntime.maxMemory() / 4 / 64)
+    math.min(requested,
+      sys.props.get("graft.components.local.edge.limit").map(_.toLong)
+        .getOrElse(DefaultEffectiveLocalLimit))
 
   /** Driver-side union-find over edge endpoints packed pairwise into a
     * primitive long array (edge i = `packed(2*i)`–`packed(2*i+1)`):

@@ -253,6 +253,38 @@ object Multimodal {
       .select(col("d1"), col("d2"), col("hd"))
   }
 
+  /** Video keyframe near-duplicate pairs — shot-level dedup chaining
+    * the existing machinery: frame sampling (the [[sampleFrames]]
+    * slicing arithmetic, expressed declaratively so Catalyst codegens
+    * it and the oracle replays it: frame f of a doc's n = 1+doc_id%3
+    * frames is chars [(f*len) div n, ((f+1)*len) div n) — byte==char
+    * on this ASCII corpus, the m3/m5 invariant) → per-frame aHash →
+    * the [[phashNearDup]] banded join, run at FRAME granularity via a
+    * packed frame id (doc_id*4 + f; n <= 3 so the pack never
+    * collides) → video-level aggregation: videos pair when ANY of
+    * their keyframes are within `maxHamming`, reported with the
+    * matching-frame count and the closest distance. Scale shape is
+    * m5's: candidates only through under-cap bands (the cap oracle-
+    * replayed), count tables broadcast, never all-pairs — the frame
+    * table is ~2x the corpus and everything stays linear in it.
+    */
+  def videoNearDup(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    val frames = docs
+      .withColumn("n", (lit(1) + col("doc_id") % 3).cast("long"))
+      .select(col("doc_id"), col("source"), col("text"), col("n"),
+        explode(expr("sequence(0, n - 1)")).as("f"))
+      .select((col("doc_id") * 4 + col("f")).as("doc_id"), col("source"),
+        expr("substring(text, cast((f * length(text)) div n as int) + 1, " +
+          "cast(((f + 1) * length(text)) div n " +
+          "- (f * length(text)) div n as int))").as("text"))
+    phashNearDup(frames, maxHamming, maxBucket)
+      // fid1 < fid2 makes v1 <= v2; equal means within-video (dropped)
+      .filter(expr("d1 div 4 <> d2 div 4"))
+      .groupBy(expr("d1 div 4").as("v1"), expr("d2 div 4").as("v2"))
+      .agg(count(lit(1)).as("n_frames"), min(col("hd")).as("min_hd"))
+  }
+
   /** Audio chunking over REAL payloads: WAV payloads decode through
     * the PCM header parser (first channel), anything else falls back
     * to unsigned byte values as samples. Same windowing arithmetic as
@@ -281,7 +313,7 @@ object Multimodal {
 }
 
 /** JDK-only REAL media codecs behind the multimodal pipeline: images
-  * through javax.imageio (PNG/BMP/GIF — the readers the JDK ships
+  * through javax.imageio (PNG/JPEG/BMP/GIF — the readers the JDK ships
   * without native libraries), audio through a PCM-16 WAV header
   * parser. Payloads that are not a recognized container keep the
   * deterministic synthetic path, so the oracle gates (text payloads)
@@ -301,6 +333,8 @@ object MediaCodec {
         p(11) == 'E') Wav
     else if (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' &&
         p(2) == 'N' && p(3) == 'G') Image
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff &&
+        (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) Image // JPEG SOI
     else if (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
         p(3) == '8') Image
     else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') Image

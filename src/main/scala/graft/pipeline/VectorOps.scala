@@ -25,7 +25,28 @@ object VectorOps {
     graft.sql.DotFloat.register(df.sparkSession)
     graft.sql.DotInt8.register(df.sparkSession)
     graft.sql.HyperplaneProjection.register(df.sparkSession)
+    graft.sql.TopKStructAgg.register(df.sparkSession)
   }
+
+  /** Rank the k smallest (adc, cand_id) per query with the k-bounded
+    * heap aggregate instead of a `row_number` window — a window moves a
+    * query's ENTIRE candidate set to one task and sorts a corpus-sized
+    * run there (the flat-scan scale killer at 10^9 vectors); the heap
+    * aggregate reduces each input partition to <= k rows map-side, so
+    * only k-row buffers shuffle and the final merge is O(k log k).
+    * Same total order (adc asc, cand_id asc — negated into the struct's
+    * leading fields; the original values ride as payload so -0.0 never
+    * leaks into output), so results are row-identical to the window
+    * form and the DuckDB oracles replay unchanged. `df` must carry
+    * (query_id, cand_id, adc).
+    */
+  private def minAdcTopK(df: DataFrame, k: Int): DataFrame =
+    df.groupBy(col("query_id"))
+      .agg(expr(s"topk_struct(struct(-adc AS na, -cand_id AS nc, " +
+        s"adc, cand_id), $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), col("t.cand_id").as("cand_id"),
+        col("t.adc").as("adc"), (col("p") + 1).cast("long").as("rnk"))
 
   /** Ordered-fold dot product of two array<float> columns as double
     * (native one-pass expression).
@@ -422,17 +443,30 @@ object VectorOps {
     */
   def sq8Quantize(embeddings: DataFrame): DataFrame = {
     registerExprs(embeddings)
-    import org.apache.spark.sql.Row
-    val Row(lo: Double, hi: Double) = embeddings
-      .agg(min(expr("array_min(cast(embedding as array<double>))")),
-           max(expr("array_max(cast(embedding as array<double>))"))).head()
-    require(hi > lo, s"sq8: degenerate value range [$lo, $hi]")
-    // quantize: one pass, 64 B/vector output; the formula text must
-    // stay identical to the oracle's (same double ops, same order)
-    val q8 = s"transform(cast(embedding as array<double>), " +
-      s"x -> cast(round((x - ${dlit(lo)}) / (${dlit(hi)} - ${dlit(lo)}) " +
-      s"* 255 - 128) as tinyint))"
-    embeddings.select(col("vec_id"), expr(q8).as("q8"))
+    // PER-DIMENSION ranges (FAISS SQ8 trains per-dim): one outlier
+    // dimension no longer crushes quantization resolution for every
+    // other dimension the way a single global [lo, hi] did. The stats
+    // are dim rows (exact per-dim min/max via sqStats — a map-side-
+    // combined aggregate, the corpus never shuffles vectors), collected
+    // once at BUILD time and inlined as exact round-trip literals so
+    // the per-element formula text matches the oracle's replay.
+    val statRows = sqStats(embeddings).orderBy(col("pos")).collect()
+    require(statRows.nonEmpty, "sq8: empty or all-null embeddings input")
+    statRows.zipWithIndex.foreach { case (r, i) =>
+      require(!r.isNullAt(1) && !r.isNullAt(2) && r.getInt(0) == i,
+        s"sq8: null or missing stats for dimension $i")
+    }
+    val mnLit = statRows.map(r => dlit(r.getDouble(1))).mkString("array(", ",", ")")
+    val mxLit = statRows.map(r => dlit(r.getDouble(2))).mkString("array(", ",", ")")
+    // quantize: one pass, 64 B/vector output; a degenerate dimension
+    // (mn = mx) maps to code 0 (the sqCodes convention)
+    val q8 = s"transform(sequence(0, ${statRows.length - 1}), i -> " +
+      "cast(CASE WHEN element_at(mx_a, i + 1) = element_at(mn_a, i + 1) THEN 0 " +
+      "ELSE round((cast(element_at(embedding, i + 1) as double) - element_at(mn_a, i + 1)) " +
+      "/ (element_at(mx_a, i + 1) - element_at(mn_a, i + 1)) * 255 - 128) END as tinyint))"
+    embeddings
+      .withColumn("mn_a", expr(mnLit)).withColumn("mx_a", expr(mxLit))
+      .select(col("vec_id"), expr(q8).as("q8"))
   }
 
   def sq8TopK(embeddings: DataFrame,
@@ -449,14 +483,21 @@ object VectorOps {
     // native one-pass expression; the HOF equivalence form is pinned
     // by VectorEquivalenceSpec alongside dot_f's
     val qscore = "dot_i8(qq, cq)"
-    val wPool = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("qscore").desc, col("cand_id"))
+    // candidate pool via the k-bounded heap aggregate (map-side
+    // partials; only candPool-row buffers shuffle) — a row_number
+    // window here would single-task-sort the whole quantized corpus
+    // per query. Ordering (qscore DESC, cand_id ASC) encodes as the
+    // struct's natural order on (qscore, -cand_id); total, so the
+    // selection is identical to the window form and the oracle's.
     val pool = broadcast(queries).crossJoin(cand)
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("qscore", expr(qscore))
-      .withColumn("prnk", row_number().over(wPool))
-      .filter(col("prnk") <= candPool)
-      .select(col("query_id"), col("cand_id"), col("qscore"))
+      .groupBy(col("query_id"))
+      .agg(expr(s"topk_struct(struct(qscore, -cand_id AS nc, cand_id), " +
+        s"$candPool)").as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.cand_id").as("cand_id"),
+        col("t.qscore").as("qscore"))
     // exact re-rank: full-precision cosine on the candidate pool only
     val full = embeddings.select(col("vec_id"), col("embedding"))
     val rer = pool
@@ -603,14 +644,13 @@ object VectorOps {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(mAggs.head, mAggs.tail: _*)
     val total = (0 until M).map(m => col(s"s$m")).reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
-    perM.select(col("query_id"), col("vec_id").as("cand_id"),
-        round(total, 6).as("adc"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("adc"), col("rnk"))
+    // k-bounded heap top-k, not a window: the ADC stage scores the
+    // whole code table per query, and a row_number window would pull
+    // that corpus-sized run onto one task
+    minAdcTopK(
+      perM.select(col("query_id"), col("vec_id").as("cand_id"),
+          round(total, 6).as("adc"))
+        .filter(col("query_id") =!= col("cand_id")), k)
   }
 
   /** IVF+PQ combined ANN top-k — the canonical large-corpus serving
@@ -671,14 +711,12 @@ object VectorOps {
       .groupBy(col("query_id"), col("vec_id"))
       .agg(mAggs.head, mAggs.tail: _*)
     val total = (0 until M).map(m => col(s"s$m")).reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("adc"), col("cand_id"))
-    perM.select(col("query_id"), col("vec_id").as("cand_id"),
-        round(total, 6).as("adc"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("adc"), col("rnk"))
+    // cell-pruned pool, but still heap-aggregated: at 10^9 vectors even
+    // nProbe/nCells of the corpus is too large for a one-task sort
+    minAdcTopK(
+      perM.select(col("query_id"), col("vec_id").as("cand_id"),
+          round(total, 6).as("adc"))
+        .filter(col("query_id") =!= col("cand_id")), k)
   }
 
   /** The IVF+PQ serving index: per-vector PQ codes pre-joined with the

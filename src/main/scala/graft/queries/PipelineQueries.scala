@@ -2278,6 +2278,81 @@ object PipelineQueries extends QuerySet {
              |SELECT d1, d2, hd FROM ham WHERE hd <= 3
              |ORDER BY d1, d2""".stripMargin)),
 
+    // Video keyframe near-dup — shot-level dedup: m2's frame slicing
+    // (declaratively, so the oracle replays it) → m5's banded aHash at
+    // frame granularity via a packed frame id → video-pair rollup.
+    // Same scale posture as m5: under-cap bands only, broadcast count
+    // tables, never all-pairs.
+    Q("m6_video_keyframe_neardup",
+      (s, dir) => {
+        Multimodal.videoNearDup(Tables.load(s, dir, "documents"),
+            maxHamming = 3, maxBucket = 64)
+          .orderBy(col("v1"), col("v2"))
+      },
+      Some("""WITH base AS (SELECT doc_id, text,
+             |    CAST(1 + doc_id % 3 AS BIGINT) AS n FROM documents),
+             |fr0 AS (SELECT doc_id, text, n,
+             |    unnest(range(0, n)) AS f FROM base),
+             |fr AS (SELECT doc_id*4 + f AS doc_id,
+             |    substring(text, CAST((f*length(text))//n + 1 AS INT),
+             |      CAST(((f+1)*length(text))//n
+             |           - (f*length(text))//n AS INT)) AS text
+             |  FROM fr0),
+             |px AS (SELECT doc_id, unnest(range(0, 64)) AS k,
+             |    ascii(substring(text,
+             |      CAST(unnest(range(0, 64)) + 1 AS INT), 1)) AS v
+             |  FROM fr WHERE length(text) >= 64),
+             |tot AS (SELECT doc_id, sum(v) AS total FROM px GROUP BY 1),
+             |bits AS (SELECT px.doc_id, px.k,
+             |    CASE WHEN px.v * 64 >= tot.total THEN 1 ELSE 0 END AS b
+             |  FROM px JOIN tot USING (doc_id)),
+             |bands AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN k // 16 = 0 THEN b << (k % 16) END)
+             |         AS INT) AS b0,
+             |    CAST(sum(CASE WHEN k // 16 = 1 THEN b << (k % 16) END)
+             |         AS INT) AS b1,
+             |    CAST(sum(CASE WHEN k // 16 = 2 THEN b << (k % 16) END)
+             |         AS INT) AS b2,
+             |    CAST(sum(CASE WHEN k // 16 = 3 THEN b << (k % 16) END)
+             |         AS INT) AS b3
+             |  FROM bits GROUP BY 1),
+             |ok0 AS (SELECT b0 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |ok1 AS (SELECT b1 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |ok2 AS (SELECT b2 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |ok3 AS (SELECT b3 AS v FROM bands GROUP BY 1
+             |        HAVING count(*) <= 64),
+             |pairs AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM bands a JOIN ok0 ON a.b0 = ok0.v
+             |    JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM bands a JOIN ok1 ON a.b1 = ok1.v
+             |    JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM bands a JOIN ok2 ON a.b2 = ok2.v
+             |    JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM bands a JOIN ok3 ON a.b3 = ok3.v
+             |    JOIN bands b ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
+             |ham AS (SELECT p.d1, p.d2,
+             |    CAST(bit_count(CAST(xor(a.b0, b.b0) AS BIGINT))
+             |       + bit_count(CAST(xor(a.b1, b.b1) AS BIGINT))
+             |       + bit_count(CAST(xor(a.b2, b.b2) AS BIGINT))
+             |       + bit_count(CAST(xor(a.b3, b.b3) AS BIGINT))
+             |      AS BIGINT) AS hd
+             |  FROM pairs p JOIN bands a ON a.doc_id = p.d1
+             |               JOIN bands b ON b.doc_id = p.d2)
+             |SELECT d1 // 4 AS v1, d2 // 4 AS v2,
+             |  CAST(count(*) AS BIGINT) AS n_frames, min(hd) AS min_hd
+             |FROM ham WHERE hd <= 3 AND d1 // 4 <> d2 // 4
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Heavy hitters per source — the vocabulary/boilerplate audit a
     // curation pipeline runs before mixing (over-frequent tokens mark
     // template rot). Built on the DataSketches Frequent-Items
@@ -2462,20 +2537,24 @@ object PipelineQueries extends QuerySet {
           .withColumn("rnk", col("rnk").cast("long"))
           .orderBy(col("query_id"), col("rnk"))
       },
-      Some("""WITH mm AS (SELECT min(v) AS lo, max(v) AS hi FROM (
-           |    SELECT unnest(embedding)::DOUBLE AS v FROM embeddings) u),
+      Some("""WITH mm AS (SELECT t.i AS pos,
+           |    min(e.embedding[t.i+1]::DOUBLE) AS mn,
+           |    max(e.embedding[t.i+1]::DOUBLE) AS mx
+           |  FROM embeddings e, range(64) t(i) GROUP BY t.i),
            |e AS (SELECT vec_id, embedding,
            |    sqrt((SELECT sum(embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)
            |          FROM range(64) t(i))) AS nrm
            |  FROM embeddings),
            |qs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
            |    CAST((SELECT sum(
-           |        CAST(round((q.embedding[i+1]::DOUBLE - mm.lo)
-           |                   / (mm.hi - mm.lo) * 255 - 128) AS BIGINT)
-           |      * CAST(round((c.embedding[i+1]::DOUBLE - mm.lo)
-           |                   / (mm.hi - mm.lo) * 255 - 128) AS BIGINT))
-           |      FROM range(64) t(i)) AS BIGINT) AS qscore
-           |  FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id <> c.vec_id, mm),
+           |        CAST(CASE WHEN m.mx = m.mn THEN 0 ELSE
+           |          round((q.embedding[m.pos+1]::DOUBLE - m.mn)
+           |                / (m.mx - m.mn) * 255 - 128) END AS BIGINT)
+           |      * CAST(CASE WHEN m.mx = m.mn THEN 0 ELSE
+           |          round((c.embedding[m.pos+1]::DOUBLE - m.mn)
+           |                / (m.mx - m.mn) * 255 - 128) END AS BIGINT))
+           |      FROM mm m) AS BIGINT) AS qscore
+           |  FROM e q JOIN e c ON q.vec_id < 3 AND q.vec_id <> c.vec_id),
            |pool AS (SELECT query_id, cand_id, qscore,
            |    row_number() OVER (PARTITION BY query_id
            |                       ORDER BY qscore DESC, cand_id) AS prnk

@@ -116,7 +116,13 @@ case class DotInt8(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // loud-fail on mismatched lengths: silently truncating to the
+    // shorter side would score a corrupt or mis-built q8 column as a
+    // plausible result (the zip_with HOF form null-pads to a null sum
+    // there — either way the mismatch must not produce a number)
+    if (n != y.numElements()) throw new IllegalArgumentException(
+      s"dot_i8: mismatched array lengths $n vs ${y.numElements()}")
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -170,7 +170,8 @@ class SysSchemaSpec extends AnyFunSuite {
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(payload.toString))
         .build(), HttpResponse.BodyHandlers.ofString())
-      assert(sr.statusCode() == 200 || sr.statusCode() == 202, sr.body())
+      // real Druid's SqlTaskResource replies 202 ACCEPTED at submit
+      assert(sr.statusCode() == 202, s"${sr.statusCode()}: ${sr.body()}")
       val status = mapper.readTree(sr.body())
       val taskId = status.path("taskId").asText()
       assert(taskId.nonEmpty, sr.body())

@@ -118,6 +118,29 @@ class MultimodalSpec extends AnyFunSuite {
       meta.bytes == png.length)
   }
 
+  test("JPEG fixture decodes byte-exactly through the real codec") {
+    // checked-in 16x9 solid (200,120,40) JPEG — the most common real
+    // image format must not fall to the stub. A flat color survives
+    // JPEG's DCT as one uniform decoded value: the JDK decoder yields
+    // 0xffc97829 for EVERY pixel (pinned, with the full-raster CRC)
+    val jpg = fixture("test.jpg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    assert(MediaCodec.sniff(jpg) == MediaCodec.Image,
+      "JPEG SOI magic not recognized — payload would take the stub path")
+    val (w, h, argb) = MediaCodec.decodeArgb(jpg).get
+    assert((w, h) == ((16, 9)))
+    assert(argb.forall(_ == 0xffc97829), "JPEG raster not uniform")
+    val crc = new java.util.zip.CRC32()
+    argb.foreach { p =>
+      crc.update(p >> 24); crc.update(p >> 16); crc.update(p >> 8); crc.update(p)
+    }
+    assert(crc.getValue == 3099527875L)
+    // decodeMedia routes it through the REAL decoder
+    val meta = Multimodal.decodeMedia(Multimodal.MediaRow(9L, "en", jpg))
+    assert(meta.width == 16 && meta.height == 9 && meta.frames == 1 &&
+      meta.bytes == jpg.length)
+  }
+
   test("WAV fixture decodes byte-exactly and chunks with real samples") {
     // checked-in PCM16 mono 8000 Hz WAV: sample i = ((i*257)%2003)-1001
     val wav = fixture("test.wav")

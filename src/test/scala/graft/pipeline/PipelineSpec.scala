@@ -378,6 +378,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(perQ.forall(_ == 3))
   }
 
+  test("sq8 per-dim ranges: an outlier dimension no longer degrades the others") {
+    import spark.implicits._
+    // dim 0 and 1 live in [0, 1]; dim 2 carries a 1000x outlier; dim 3
+    // is constant (degenerate). Under the old GLOBAL [lo, hi] the
+    // outlier stretched every dim's step to ~1000/255 ≈ 3.9 — dims 0/1
+    // quantized to a single code. Per-dim ranges keep their step at
+    // ~1/255.
+    val vecs = (0 until 20).map { i =>
+      (i.toLong, Array(i / 20.0f, (19 - i) / 20.0f,
+        if (i == 7) 1000.0f else i / 20.0f, 42.0f))
+    }.toDF("vec_id", "embedding")
+    val q = VectorOps.sq8Quantize(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Byte](1)).toMap
+    assert(q.size == 20)
+    // degenerate dim -> code 0 everywhere
+    assert(q.values.forall(_(3) == 0))
+    // per-dim reconstruction: x ≈ mn + (code+128)/255*(mx-mn) within
+    // half a step (+ float eps) for the well-behaved dims
+    def recon(code: Byte, mn: Double, mx: Double): Double =
+      mn + (code + 128.0) / 255.0 * (mx - mn)
+    val step01 = (0.95 - 0.0) / 255.0
+    vecs.collect().foreach { r =>
+      val id = r.getLong(0); val e = r.getSeq[Float](1)
+      (0 to 1).foreach { d =>
+        val err = math.abs(e(d).toDouble - recon(q(id)(d), 0.0, 0.95))
+        assert(err <= step01 / 2 + 1e-9,
+          s"dim $d of vec $id reconstructs with error $err (step $step01) — " +
+            "the outlier dim is bleeding into other dims' resolution")
+      }
+    }
+    // loud-fail contract on degenerate input
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](VectorOps.sq8Quantize(empty))
+    assert(ex.getMessage.contains("empty or all-null"))
+  }
+
+  test("ANN top-k plans: heap aggregate with map-side partials, no Window") {
+    // the flat-scan top-k paths must plan as partial+final aggregation
+    // (k-row buffers shuffle), never as a per-query Window sort pulling
+    // a corpus-sized run onto one task
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    val e5 = planOf(VectorOps.pqTopK(emb, col("vec_id") < 3, 5))
+    assert(e5.contains("topk_struct"), "pqTopK should use the heap aggregate")
+    assert(e5.contains("partial_topk_struct"),
+      "pqTopK heap aggregate should have a map-side partial stage")
+    assert(!e5.contains("Window"), "pqTopK still plans a Window sort")
+    val e12pool = planOf(VectorOps.sq8TopK(emb, col("vec_id") < 3,
+      k = 3, candPool = 10))
+    assert(e12pool.contains("partial_topk_struct"),
+      "sq8TopK pool should use the heap aggregate with partials")
+    // ivfPqTopK keeps its PROBE window (nCells-bounded rows per query —
+    // fine), but the ADC candidate ranking must be the heap aggregate
+    val e7 = planOf(VectorOps.ivfPqTopK(emb, col("vec_id") < 3, 5,
+      nCells = 8, nProbe = 3))
+    assert(e7.contains("partial_topk_struct"),
+      "ivfPqTopK should heap-aggregate its cell-pruned pool")
+    assert(!"Window [^\\n]*adc".r.unanchored.matches(e7),
+      "ivfPqTopK still ranks ADC scores with a Window sort")
+  }
+
   test("ivfAssign gives every vector exactly one cell in range") {
     val assign = VectorOps.ivfAssign(emb, 8)
     assert(assign.count() == emb.count())
