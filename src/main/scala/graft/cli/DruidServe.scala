@@ -1538,12 +1538,19 @@ object DruidServe {
       }
       tzSessions.forEach((_, s2) => { val _4 = s2.catalog.dropTempView(name) })
     }
-    /** DELETE /druid/coordinator/v1/datasources/{ds}[/intervals/{lo}_{hi}]:
-      * Druid's drop flow (mark-unused + kill collapsed into one step,
-      * documented): whole-datasource or interval-contained segment
-      * drops through [[graft.write.Retention]] (straddlers kept whole,
-      * Druid drop-rule semantics). Only segment-backed tables under the
-      * ingest root; a read-only broker refuses.
+    /** DELETE /druid/coordinator/v1/datasources/{ds}[/intervals/{lo}_{hi}]
+      * [?kill=true]: Druid's drop flow with its real two-phase
+      * semantics since deferred deletion landed — the drop MARKS
+      * segments unused (tombstone: invisible to new queries, physically
+      * present so in-flight reads finish), and physical reclaim happens
+      * after the grace period or explicitly with `kill=true` (Druid's
+      * kill task), which purges every tombstoned segment of the
+      * datasource NOW — only safe when no query that planned the old
+      * generation can still be running. Whole-datasource or
+      * interval-contained drops through [[graft.write.Retention]]
+      * (straddlers kept whole, Druid drop-rule semantics). Only
+      * segment-backed tables under the ingest root; a read-only broker
+      * refuses.
       */
     def coordinatorDelete(ex: HttpExchange, segs: List[String]): Unit = {
       def err(code: Int, msg: String): Unit = {
@@ -1576,6 +1583,12 @@ object DruidServe {
                 "expected /{ds} or /{ds}/intervals/{isoLo}_{isoHi}")
               case Some((lo, hi)) =>
                 val st = graft.write.Retention.dropContained(dir, lo, hi)
+                val kill = Option(ex.getRequestURI.getQuery).exists(
+                  _.split("&").contains("kill=true"))
+                val purged =
+                  if (kill) graft.sources.druid.SegmentCatalog
+                    .purgeTombstoned(dir, graceMs = 0L)
+                  else 0
                 if (st.segmentsKept == 0) removeServedTable(name)
                 else registerServedTable(name,
                   spark.read.format("druid").load(dir))
@@ -1583,6 +1596,7 @@ object DruidServe {
                 o.put("numChangedSegments", st.segmentsDropped)
                 o.put("rowsDropped", st.rowsDropped)
                 o.put("segmentsKept", st.segmentsKept)
+                if (kill) o.put("segmentsKilled", purged)
                 respond(ex, 200, o.toString)
             }
           }

@@ -76,11 +76,16 @@ object VectorOps {
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", round(
         expr(dotSql("qv", "cv")) / (expr(normSql("qv")) * expr(normSql("cv"))), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("cos"), col("rnk"))
+    // brute means exact SCORING of every candidate — the top-k
+    // SELECTION still k-bounds map-side (heap aggregate, not a window
+    // that single-task-sorts the whole corpus per query); same total
+    // order (cos desc, cand_id asc), identical rows and ranks
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"topk_struct(struct(cos, -cand_id AS nc, cand_id), $k)")
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), col("t.cand_id").as("cand_id"),
+        col("t.cos").as("cos"), (col("p") + 1).as("rnk"))
   }
 
   /** Hybrid retrieval (keyword + vector, reciprocal-rank fusion): for

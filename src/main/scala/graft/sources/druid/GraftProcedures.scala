@@ -28,13 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftProcedures {
 
-  val names: Seq[String] = Seq("compact", "compact_full", "retain")
+  val names: Seq[String] = Seq("compact", "compact_full", "retain", "purge_trash")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
       case "compact" => Some(compactProc(root, full = false))
       case "compact_full" => Some(compactProc(root, full = true))
       case "retain" => Some(retainProc(root))
+      case "purge_trash" => Some(purgeTrashProc(root))
       case _ => None
     }
 
@@ -100,6 +101,51 @@ object GraftProcedures {
                 StructField("segments_before", IntegerType, nullable = false),
                 StructField("segments_after", IntegerType, nullable = false))),
               st.rows, st.segmentsBefore, st.segmentsAfter)
+          }
+        }
+    }
+
+  /** CALL <cat>.system.purge_trash('t' [, grace_ms]) — physically
+    * delete tombstoned segment dirs whose grace period expired
+    * (deferred deletion normally rides the next maintenance op; this
+    * is the explicit reclaim verb for tables that stopped compacting,
+    * Druid's kill task). grace_ms overrides the configured grace for
+    * this call only — 0 reclaims everything logically deleted NOW;
+    * only safe when no query that planned the old generation can
+    * still be running.
+    */
+  private def purgeTrashProc(root: String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "purge_trash"
+      override def description(): String =
+        "physically delete tombstoned segment dirs past their grace period"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "purge_trash"
+          override def parameters(): Array[ProcedureParameter] = Array(
+            ProcedureParameter.in("table", StringType)
+              .comment("table directory name under the catalog root").build(),
+            ProcedureParameter.in("grace_ms", LongType)
+              .defaultValue("CAST(NULL AS BIGINT)")
+              .comment("override the configured grace period; 0 = reclaim " +
+                "all logically-deleted segments now").build())
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            val table = input.getUTF8String(0).toString
+            val grace =
+              if (input.isNullAt(1)) SegmentCatalog.trashGraceMs
+              else input.getLong(1)
+            require(grace >= 0, s"grace_ms must be >= 0: $grace")
+            // no live-segment requirement: a fully-retained table (all
+            // segments tombstoned) is exactly what this verb reclaims
+            val p = Paths.get(root, table)
+            require(Files.isDirectory(p),
+              s"no table directory '$table' under $root")
+            val purged = SegmentCatalog.purgeTombstoned(p.toString, grace)
+            oneRow(
+              StructType(Seq(
+                StructField("segments_purged", IntegerType, nullable = false))),
+              purged)
           }
         }
     }

@@ -155,6 +155,28 @@ object SegmentCatalog {
     doomed.size
   }
 
+  /** Planning metadata of TOMBSTONED (logically deleted, awaiting
+    * purge) segment dirs under `root`, from their sidecars — the
+    * observability feed for sys.segments' overshadowed rows (Druid's
+    * term for exactly this state: replaced but still physically
+    * present until kill). Dirs whose sidecar is unreadable (e.g. a
+    * racing purge) are skipped: this is a VIEW, never a correctness
+    * input.
+    */
+  def tombstonedMeta(root: String): Seq[SegMeta] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return Nil
+    val s = Files.list(p)
+    val dirs =
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(d => Files.isDirectory(d) && isTombstoned(d))
+          .map(_.toString).toSeq
+      } finally s.close()
+    dirs.sorted.flatMap(sidecar)
+  }
+
   /** Raw listing of live (non-tombstoned) segment dirs under `root` —
     * the shared pre-pendingFilter listing every caller that stats the
     * table directly must use, or logically-deleted segments resurface.

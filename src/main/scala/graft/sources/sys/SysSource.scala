@@ -263,22 +263,28 @@ final class SegmentsReader(p: SegmentsPartition)
       .mkString("[", ",", "]")
   private val PartNum = """segment-(\d+).*""".r
 
+  // live manifest entries first, then tombstoned dirs as OVERSHADOWED
+  // rows — Druid's sys.segments shows replaced-but-not-yet-killed
+  // segments the same way (is_overshadowed=1, inactive, still
+  // available until the kill/purge reclaims them)
   private val metas =
-    graft.sources.druid.SegmentCatalog.metaFor(p.root).iterator
+    (graft.sources.druid.SegmentCatalog.metaFor(p.root).map(m => (m, 0L)) ++
+      graft.sources.druid.SegmentCatalog.tombstonedMeta(p.root).map(m => (m, 1L)))
+      .iterator
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     if (!metas.hasNext) return false
-    val m = metas.next()
+    val (m, overshadowed) = metas.next()
     val dir = java.nio.file.Paths.get(m.dir)
     val base = dir.getFileName.toString
-    val size = {
+    val size = try {
       val s = java.nio.file.Files.list(dir)
       try s.iterator().asScala
         .filter(java.nio.file.Files.isRegularFile(_))
         .map(java.nio.file.Files.size).sum
       finally s.close()
-    }
+    } catch { case _: Exception => 0L } // racing purge: report 0, not abort
     val partNum: Long = base match {
       case PartNum(n) => n.toLong
       case _          => 0L
@@ -290,7 +296,9 @@ final class SegmentsReader(p: SegmentsPartition)
       s(s"${p.datasource}_${startIso}_${endIso}_$base"),
       s(p.datasource), s(startIso), s(endIso),
       size, s(base), partNum,
-      1L, m.rows.toLong, 1L, 1L, 1L, 0L, 0L,
+      1L, m.rows.toLong,
+      1L - overshadowed /* is_active */, 1L /* is_published */,
+      1L /* is_available */, 0L /* is_realtime */, overshadowed,
       s(s"""{"type":"numbered","partitionNum":$partNum,"partitions":0}"""),
       s(jsonArr(p.dimensions.toSeq)), s(jsonArr(p.metrics.toSeq)),
       null, 1L))

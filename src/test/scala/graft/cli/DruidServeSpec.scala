@@ -1476,6 +1476,20 @@ class DruidServeSpec extends AnyFunSuite {
       val (c6, b6) = postTo(port, "/druid/v2/sql",
         """{"query": "SELECT count(*) AS c FROM dropme"}""")
       assert(c6 == 200 && mapper.readTree(b6).get(0).path("c").asLong() == 2L)
+      // kill=true (Druid's kill task): drop marks unused AND physically
+      // reclaims every tombstoned segment of the datasource — including
+      // the generations the earlier graceful drops left in trash
+      val (c7, b7) = sendTo(port, "DELETE",
+        "/druid/coordinator/v1/datasources/dropme?kill=true")
+      assert(c7 == 200, b7)
+      val r7 = mapper.readTree(b7)
+      assert(r7.path("numChangedSegments").asInt() >= 1, b7)
+      assert(r7.path("segmentsKilled").asInt() >= 2, b7)
+      val left = Option(new java.io.File(s"$root/dropme").listFiles())
+        .getOrElse(Array.empty)
+      assert(!left.exists(f => f.isDirectory &&
+        graft.format.DruidSegment.isSegmentDir(f.toPath)),
+        left.map(_.getName).mkString(","))
     }
   }
 

@@ -255,6 +255,43 @@ class SysSchemaSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("sys.segments shows tombstoned segments as overshadowed until purge") {
+    val root = java.nio.file.Files.createTempDirectory("sys_trash").toString
+    val dir = s"$root/ev"
+    events(3).repartition(3).write.format("druid").mode("overwrite").save(dir)
+    val server = DruidServe.start(spark,
+      _ => spark.read.format("druid").load(dir), port = 0,
+      sqlTables = Map("ev" -> spark.read.format("druid").load(dir)),
+      ingestRoot = Some(root), sysSchema = true)
+    try {
+      val port = server.getAddress.getPort
+      // compaction tombstones the replaced generation (deferred delete)
+      graft.write.Compaction.compactIncremental(spark, dir,
+        targetRowsPerSegment = 1000)
+      val (c1, b1) = sql(port,
+        """SELECT is_overshadowed, count(*) AS n, sum(is_active) AS act
+           FROM sys.segments GROUP BY 1 ORDER BY 1""")
+      assert(c1 == 200, b1)
+      val rows = mapper.readTree(b1)
+      assert(rows.size() == 2, b1)
+      // live generation: 1 merged segment, active
+      assert(rows.get(0).path("is_overshadowed").asLong() == 0L &&
+        rows.get(0).path("n").asLong() == 1L &&
+        rows.get(0).path("act").asLong() == 1L, b1)
+      // replaced generation: 3 tombstoned dirs, overshadowed + inactive
+      assert(rows.get(1).path("is_overshadowed").asLong() == 1L &&
+        rows.get(1).path("n").asLong() == 3L &&
+        rows.get(1).path("act").asLong() == 0L, b1)
+      // purge reclaims them; the view follows on the next query
+      assert(graft.sources.druid.SegmentCatalog
+        .purgeTombstoned(dir, graceMs = 0L) == 3)
+      val (c2, b2) = sql(port,
+        "SELECT count(*) AS n FROM sys.segments WHERE is_overshadowed = 1")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("n").asLong() == 0L,
+        b2)
+    } finally server.stop(0)
+  }
+
   test("sys.segments datasource filter prunes partitions at planning") {
     val root = java.nio.file.Files.createTempDirectory("sys_prune").toString
     events(2).coalesce(1).write.format("druid").mode("overwrite").save(s"$root/a")

@@ -95,6 +95,34 @@ class SqlCallSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.purge_trash reclaims expired tombstones, honors grace") {
+    val (root, dir) = freshTable("t5")
+    withCat(root) {
+      // compaction tombstones the 6 replaced segments (deferred delete)
+      spark.sql("CALL gcall.system.purge_trash('t5', 0)").head() // clean slate
+      val st = spark.sql("CALL gcall.system.compact('t5', 100000)").head()
+      assert(st.getInt(2) == 1)
+      val trashed = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.count(p =>
+            SegmentCatalog.isTombstoned(p))
+        } finally s.close()
+      }
+      assert(trashed == 6, s"expected 6 tombstoned dirs, found $trashed")
+      // long grace: nothing reclaimed; the dirs stay openable
+      val p0 = spark.sql(
+        "CALL gcall.system.purge_trash('t5', 3600000)").head()
+      assert(p0.getInt(0) == 0, s"purged during grace: $p0")
+      // grace 0: all six reclaim, table intact
+      val p1 = spark.sql("CALL gcall.system.purge_trash('t5', 0)").head()
+      assert(p1.getInt(0) == 6, s"expected 6 purged: $p1")
+      assert(spark.table("gcall.t5").count() == 1500L)
+      assert(SegmentCatalog.metaFor(dir).size == 1)
+    }
+  }
+
   test("CALL on a missing table or procedure is loud") {
     val (root, _) = freshTable("t4")
     withCat(root) {
