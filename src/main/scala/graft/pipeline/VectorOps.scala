@@ -767,14 +767,33 @@ object VectorOps {
 
   /** SQ8 per-dimension quantization stats: the corpus' exact per-dim
     * min/max (dim rows — broadcast-sized), the "train" half of scalar
-    * quantization. One map-side posexplode + a dim-key map-side-
-    * combined aggregate; the corpus never shuffles vectors.
+    * quantization. ONE global aggregate with 2·dim columns
+    * (min/max of element_at per dimension) — map-side combined, a
+    * single dim-row result crosses the wire, and the corpus is read
+    * once with NO row multiplication (the posexplode form shuffled
+    * dim × corpus rows; at sf1 that alone doubled the e12 gate).
+    * Dim comes from one row — embeddings are fixed-dimension by
+    * construction, and a ragged corpus fails in sqCodes' element_at.
     */
-  def sqStats(embeddings: DataFrame): DataFrame =
-    embeddings.select(posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("pos"))
-      .agg(min(col("v").cast("double")).as("mn"),
-           max(col("v").cast("double")).as("mx"))
+  def sqStats(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).as[Int]
+      .take(1).headOption.getOrElse(throw new IllegalArgumentException(
+        "sq8: empty or all-null embeddings input"))
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(expr(s"cast(element_at(embedding, ${i + 1}) as double)")).as(s"mn$i"),
+          max(expr(s"cast(element_at(embedding, ${i + 1}) as double)")).as(s"mx$i"))
+    }
+    val row = embeddings.agg(aggs.head, aggs.tail: _*)
+      .withColumn("pairs", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> struct(i AS pos, " +
+          s"element_at(array(${(0 until dim).map(i => s"mn$i").mkString(",")}), i + 1) AS mn, " +
+          s"element_at(array(${(0 until dim).map(i => s"mx$i").mkString(",")}), i + 1) AS mx))"))
+    row.select(explode(col("pairs")).as("p"))
+      .select(col("p.pos").cast("int").as("pos"), col("p.mn").as("mn"),
+        col("p.mx").as("mx"))
+  }
 
   /** The SQ8 "index build" half: one byte code per (vector, dim) —
     * uniform 256-level quantization of each float onto [mn_d, mx_d],
