@@ -186,6 +186,22 @@ object BenchScratch {
             .groupBy(col("o_orderpriority"))
             .agg(sum(col("l_quantity")), count(lit(1))).count())
       }
+    } else if (names.head == "m6parts") {
+      // per-stage attribution of the video keyframe near-dup COLD cost
+      import graft.pipeline.Multimodal
+      val docs = Tables.load(spark, sfDir, "documents")
+      val frames = Multimodal.videoFrames(docs)
+      for (rep <- 1 to 2) {
+        spark.catalog.clearCache()
+        t(s"m6.frames rep$rep")(frames.count())
+        val bands = Multimodal.aHashBands(frames).cache()
+        t(s"m6.bandsMat rep$rep")(bands.count())
+        t(s"m6.bandsWarm rep$rep")(bands.count())
+        bands.unpersist()
+        spark.catalog.clearCache()
+        t(s"m6.full rep$rep")(
+          SparkEntry.queries("m6_video_keyframe_neardup")(spark, sfDir).count())
+      }
     } else if (names.head == "warmed") {
       for (n <- names.tail) {
         try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()

@@ -268,17 +268,38 @@ object Multimodal {
     * replayed), count tables broadcast, never all-pairs — the frame
     * table is ~2x the corpus and everything stays linear in it.
     */
-  def videoNearDup(docs: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 64): DataFrame = {
-    val frames = docs
+  /** The declarative frame table behind [[videoNearDup]] (doc_id packs
+    * to doc_id*4 + frame_idx).
+    */
+  private[graft] def videoFrames(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n", (lit(1) + col("doc_id") % 3).cast("long"))
       .select(col("doc_id"), col("source"), col("text"), col("n"),
         explode(expr("sequence(0, n - 1)")).as("f"))
       .select((col("doc_id") * 4 + col("f")).as("doc_id"), col("source"),
         expr("substring(text, cast((f * length(text)) div n as int) + 1, " +
-          "cast(((f + 1) * length(text)) div n " +
-          "- (f * length(text)) div n as int))").as("text"))
-    phashNearDup(frames, maxHamming, maxBucket)
+          "least(64, cast(((f + 1) * length(text)) div n " +
+          "- (f * length(text)) div n as int)))").as("text"))
+
+  def videoNearDup(docs: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 64): DataFrame = {
+    // Only the first 64 chars of a frame ever reach the hash (and the
+    // length >= 64 gate), so slice exactly those: `least(64, framelen)`
+    // keeps a short frame short (it must FAIL the gate, never borrow
+    // chars from the next frame). The narrow slice matters because
+    // Catalyst's projection collapse inlines the frame expression into
+    // every per-element HOF evaluation downstream — with full frame
+    // text that re-copied ~KB strings 64×6 times per row (measured
+    // 44 s of the 46 s cold cost at sf1); with the 64-char head it is
+    // the same per-char work as m5's direct-column hash (~2 s).
+    // cache = a MATERIALIZATION BARRIER, not (only) reuse: without it,
+    // Catalyst's projection collapse inlines the frame expression into
+    // all ~384 per-row HOF element references of the hash stage, and
+    // each inlined copy re-runs length(text) — an O(doc-length)
+    // codepoint scan of the full document — per reference (measured:
+    // 44 s of the gate's 46 s cold cost at sf1; materialized, the hash
+    // reads concrete 64-char strings like m5's direct-column path)
+    phashNearDup(videoFrames(docs).cache(), maxHamming, maxBucket)
       // fid1 < fid2 makes v1 <= v2; equal means within-video (dropped)
       .filter(expr("d1 div 4 <> d2 div 4"))
       .groupBy(expr("d1 div 4").as("v1"), expr("d2 div 4").as("v2"))
