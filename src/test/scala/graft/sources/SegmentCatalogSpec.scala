@@ -363,6 +363,39 @@ class SegmentCatalogSpec extends AnyFunSuite {
     assert(spark.read.format("druid").load(out).count() == 400)
   }
 
+  test("racing purges are safe; tombstones compose with the swap marker") {
+    val out = Files.createTempDirectory("graft-trash3").toString + "/t"
+    write(out, 300, parts = 3)
+    val gen0 = druid.DruidTableUtil.discoverSegments(out)
+    write(out, 90, parts = 1) // overwrite: gen0 tombstoned
+    // two purges race on the same trash — deleteIfExists semantics:
+    // no exception, dirs gone exactly once, counts sum to >= 3 (a dir
+    // may be counted by both racers, but never left behind)
+    val counts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 2).map(_ => new Thread(() =>
+      try counts.addAndGet(SegmentCatalog.purgeTombstoned(out, graceMs = 0L))
+      catch { case e: Throwable => errs.add(e) }))
+    ts.foreach(_.start()); ts.foreach(_.join(60000))
+    assert(errs.isEmpty, s"racing purge threw: ${errs.asScala.headOption}")
+    assert(counts.get() >= 3, s"purge count: ${counts.get()}")
+    gen0.foreach(d => assert(!Files.exists(Paths.get(d)), s"$d survived"))
+    assert(spark.read.format("druid").load(out).count() == 90)
+    // tombstones compose with a pending-swap marker: a marker whose
+    // removes are ALREADY tombstoned dirs must not resurface them in
+    // either marker state
+    val gen1 = druid.DruidTableUtil.discoverSegments(out)
+    write(out, 40, parts = 1) // gen1 tombstoned, gen2 live
+    val gen2 = druid.DruidTableUtil.discoverSegments(out)
+    val gen1Names = gen1.map(d => Paths.get(d).getFileName.toString)
+    SegmentCatalog.writePending(out,
+      adds = gen2.map(d => Paths.get(d).getFileName.toString),
+      removes = gen1Names)
+    assert(druid.DruidTableUtil.discoverSegments(out).sorted == gen2.sorted)
+    SegmentCatalog.clearPending(out)
+    assert(druid.DruidTableUtil.discoverSegments(out).sorted == gen2.sorted)
+  }
+
   test("overwrite and retention defer deletion the same way") {
     val out = Files.createTempDirectory("graft-trash2").toString + "/t"
     write(out, 100, parts = 1)

@@ -55,6 +55,20 @@ class TopKAggSpec extends AnyFunSuite {
     assert(rows == Seq((3.0, 9L), (3.0, 10L), (1.0, 11L)))
   }
 
+  test("k=1 is exactly max(struct) — the d31 canonical-keep special case") {
+    TopKStructAgg.register(spark)
+    val viaTop = data.groupBy(col("g"))
+      .agg(expr("topk_struct(struct(score, -id AS ni, id), 1)").as("top"))
+      .select(col("g"), col("top")(0).getField("score").as("s"),
+        col("top")(0).getField("id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val viaMax = data.groupBy(col("g"))
+      .agg(max(struct(col("score"), (-col("id")).as("ni"), col("id"))).as("m"))
+      .select(col("g"), col("m.score").as("s"), col("m.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(viaTop == viaMax)
+  }
+
   test("plans as ObjectHashAggregate with a partial stage, not a Window") {
     TopKStructAgg.register(spark)
     val plan = data.groupBy(col("g"))
