@@ -168,6 +168,78 @@ object Components {
     } else starImpl(dedir, maxIter)
   }
 
+  /** Incremental connected components — the nightly-ingest completion
+    * of the near-dup family: relabel the corpus after a batch of NEW
+    * edges without re-solving the full graph. d21 dedups a batch
+    * against the persisted band index, but labels still came from a
+    * full recompute; at 100 TB a multi-billion-edge full CC nightly is
+    * exactly the cost incrementality exists to avoid.
+    *
+    * `prevLabels` is the persisted (doc_id, component) table of the
+    * prior run (component = min reachable id — this module's
+    * invariant); `newEdges` are the delta's candidate pairs (they may
+    * reference old docs by their ORIGINAL ids). Correctness rests on
+    * prior labels being a faithful star summary of the old graph:
+    * components of (label stars ∪ new edges) equal components of
+    * (old edges ∪ new edges), with identical minima — each old
+    * component contributes exactly its min (= its label), so the min
+    * of any merged component is preserved.
+    *
+    * The merge round CONTRACTS each new-edge endpoint through its
+    * prior label (two id-only joins), then solves components over the
+    * contracted graph — delta-sized, never corpus-sized; the existing
+    * local/star tiers of [[connectedComponents]] handle label-collision
+    * chains (old component A ~ new doc ~ old component B). Output:
+    * (doc_id, component) for every prior node plus every node of
+    * `newEdges` — the same contract as a full recompute over the
+    * union, hash-exact against it (the d32 gate).
+    */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
+                            src: String = "d1", dst: String = "d2",
+                            maxIter: Int = 50,
+                            localEdgeLimit: Long = DefaultLocalEdgeLimit)
+      : DataFrame = {
+    val labels = prevLabels
+      .select(col("doc_id").cast("long").as("doc_id"),
+              col("component").cast("long").as("component"))
+    val e = newEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .localCheckpoint() // read 3x below (contract, node diff); the
+                         // upstream pair generator must not re-run
+    // merge round: contract endpoints through prior labels (an old
+    // endpoint becomes its component min; new docs keep their ids)
+    val lu = labels.select(col("doc_id").as("u"), col("component").as("lu"))
+    val lv = labels.select(col("doc_id").as("v"), col("component").as("lv"))
+    val contracted = e
+      .join(lu, Seq("u"), "left").join(lv, Seq("v"), "left")
+      .select(coalesce(col("lu"), col("u")).as("u"),
+              coalesce(col("lv"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+    // delta-sized solve; nodes here are prior component minima and new
+    // doc ids, so the resulting component ids are true union minima
+    val delta = connectedComponents(contracted, "u", "v", maxIter,
+        localEdgeLimit)
+      .select(col("doc_id").as("cnode"), col("component").as("newc"))
+      .localCheckpoint() // joined twice below
+    // prior nodes: relabel through their component's (possibly merged)
+    // new label; untouched components keep their label
+    val relabeled = labels
+      .join(delta, labels("component") === delta("cnode"), "left")
+      .select(col("doc_id"), coalesce(col("newc"), col("component"))
+        .as("component"))
+    // brand-new nodes (in the delta's edges, absent from prior labels):
+    // labels straight from the delta solve; isolated-by-self-loop nodes
+    // fall back to themselves, mirroring connectedComponents
+    val newNodes = e.select(col("u").as("doc_id"))
+      .union(e.select(col("v").as("doc_id"))).distinct()
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newLabeled = newNodes
+      .join(delta, newNodes("doc_id") === delta("cnode"), "left")
+      .select(col("doc_id"), coalesce(col("newc"), col("doc_id"))
+        .as("component"))
+    relabeled.union(newLabeled)
+  }
+
   /** Connected components by alternating large-star/small-star edge
     * contraction (Kiveris et al.) — the shape-independent alternative
     * to hash-min propagation. Each round rewires edges toward local

@@ -229,7 +229,7 @@ object Multimodal {
     // four per-band count tables, and the re-rank joins — uncached,
     // Catalyst recomputes the 64-substring hash ~12x (measured 16 s
     // vs ~2 s at sf0.1); same cached-intermediate shape as d2/d13
-    val bands = aHashBands(docs).cache()
+    val bands = BarrierCache.barrier(aHashBands(docs))
     val a = bands.select(col("doc_id").as("d1"),
       col("b0").as("a0"), col("b1").as("a1"),
       col("b2").as("a2"), col("b3").as("a3"))
@@ -299,11 +299,67 @@ object Multimodal {
     // codepoint scan of the full document — per reference (measured:
     // 44 s of the gate's 46 s cold cost at sf1; materialized, the hash
     // reads concrete 64-char strings like m5's direct-column path)
-    phashNearDup(videoFrames(docs).cache(), maxHamming, maxBucket)
+    phashNearDup(BarrierCache.barrier(videoFrames(docs)), maxHamming, maxBucket)
       // fid1 < fid2 makes v1 <= v2; equal means within-video (dropped)
       .filter(expr("d1 div 4 <> d2 div 4"))
       .groupBy(expr("d1 div 4").as("v1"), expr("d2 div 4").as("v2"))
       .agg(count(lit(1)).as("n_frames"), min(col("hd")).as("min_hd"))
+  }
+
+  /** Audio near-duplicate pairs — the m5 banded posture on the audio
+    * modality, chaining [[chunkAudio]]'s existing machinery: the first
+    * 4 overlapping windows of each track emit (energy, peak)
+    * signatures; each window's QUANTIZED energy (div 4096) packed with
+    * its peak is one band value, candidates come from per-band
+    * equi-joins (docs agreeing on the coarse energy envelope AND peak
+    * at the same position), and the confirm stage is the exact total
+    * energy distance `sum |e_a - e_b| <= maxEnergyDist`. All-integer,
+    * so the oracle replays signature, cap, and confirm exactly.
+    *
+    * Scale shape is m5's verbatim: band values hotter than `maxBucket`
+    * generate no candidates through that band (count tables broadcast,
+    * cap oracle-replayed, never silently lossy), never all-pairs; the
+    * signature table is 4 longs per track. Tracks shorter than 4
+    * windows (250 samples at 100/50) have no stable envelope and are
+    * excluded — deterministically, on both sides.
+    */
+  def audioNearDup(docs: DataFrame, maxEnergyDist: Long = 20000L,
+                   maxBucket: Int = 64): DataFrame = {
+    val ch = chunkAudio(docs, 100, 50).toDF().filter(col("chunk_idx") < 4)
+    val aggs = (0 until 4).flatMap { j =>
+      Seq(sum(when(col("chunk_idx") === j, col("energy"))).as(s"e$j"),
+          sum(when(col("chunk_idx") === j,
+            col("peak").cast("long"))).as(s"p$j"))
+    } :+ count(lit(1)).as("nch")
+    // same cached-barrier shape as m5's band table: the signature
+    // subtree feeds both join sides and all four count tables
+    val sigs = BarrierCache.barrier(
+      ch.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .filter(col("nch") === 4)
+        .select(Seq(col("doc_id")) ++ (0 until 4).flatMap { j =>
+          Seq(expr(s"(e$j div 4096) * 256 + p$j").as(s"b$j"),
+              col(s"e$j"))
+        }: _*))
+    val a = sigs.select(col("doc_id").as("d1") +: (0 until 4).flatMap(j =>
+      Seq(col(s"b$j").as(s"a$j"), col(s"e$j").as(s"ea$j"))): _*)
+    val b = sigs.select(col("doc_id").as("d2") +: (0 until 4).flatMap(j =>
+      Seq(col(s"b$j").as(s"c$j"), col(s"e$j").as(s"eb$j"))): _*)
+    val cand = (0 until 4).map { j =>
+        val ok = sigs.groupBy(col(s"b$j")).count()
+          .filter(col("count") <= maxBucket)
+          .select(col(s"b$j").as(s"ok$j"))
+        a.select(col("d1"), col(s"a$j"))
+          .join(broadcast(ok), col(s"a$j") === col(s"ok$j"))
+          .join(b.select(col("d2"), col(s"c$j")),
+            col(s"a$j") === col(s"c$j") && col("d1") < col("d2"))
+          .select(col("d1"), col("d2"))
+      }.reduce(_ union _).distinct()
+    cand
+      .join(a, "d1").join(b, "d2")
+      .withColumn("dist", (0 until 4)
+        .map(j => abs(col(s"ea$j") - col(s"eb$j"))).reduce(_ + _))
+      .filter(col("dist") <= maxEnergyDist)
+      .select(col("d1"), col("d2"), col("dist"))
   }
 
   /** Audio chunking over REAL payloads: WAV payloads decode through

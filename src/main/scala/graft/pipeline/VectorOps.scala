@@ -39,9 +39,16 @@ object VectorOps {
     * leaks into output), so results are row-identical to the window
     * form and the DuckDB oracles replay unchanged. `df` must carry
     * (query_id, cand_id, adc).
+    *
+    * NaN scores are EXCLUDED before ranking: the negation trick would
+    * otherwise invert their placement (-NaN is still NaN = largest, so
+    * the keep-largest heap would select NaN candidates FIRST, where
+    * `ORDER BY adc ASC` ranks them last) — and a NaN distance is a
+    * degenerate candidate either way, never a nearest neighbor.
     */
   private def minAdcTopK(df: DataFrame, k: Int): DataFrame =
-    df.groupBy(col("query_id"))
+    df.filter(!isnan(col("adc")))
+      .groupBy(col("query_id"))
       .agg(expr(s"topk_struct(struct(-adc AS na, -cand_id AS nc, " +
         s"adc, cand_id), $k)").as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
@@ -532,7 +539,7 @@ object VectorOps {
     */
   def lshTopK(embeddings: DataFrame, queryFilter: org.apache.spark.sql.Column,
               k: Int, nPlanes: Int, nTables: Int, dim: Int): DataFrame = {
-    val bucketed = lshBuckets(embeddings, nPlanes, nTables, dim).cache()
+    val bucketed = BarrierCache.barrier(lshBuckets(embeddings, nPlanes, nTables, dim))
     val buckets = (0 until nTables).map(t => s"b$t")
     val q = bucketed.filter(queryFilter)
       .select(col("vec_id").as("query_id") +: col("embedding").as("qv") +:
@@ -545,9 +552,11 @@ object VectorOps {
       q.select(col("query_id"), col(s"q_$b").as("k"))
         .join(cand.select(col("cand_id"), col(b).as("k")), "k")
         .select(col("query_id"), col("cand_id"))
-    }.reduce(_ union _).distinct().cache()
-    // materialize the (small) id-pair cache, then release the bucketed
-    // copy of the embeddings — vectors re-attach from the input below
+    }.reduce(_ union _).distinct()
+    // materialize the (small) id-pair barrier, then eagerly release the
+    // bucketed copy of the embeddings — vectors re-attach from the
+    // input below; the id-pair cache itself is registry-bounded
+    BarrierCache.barrier(idPairs)
     idPairs.count()
     bucketed.unpersist()
     val scored = idPairs
@@ -772,27 +781,55 @@ object VectorOps {
     * single dim-row result crosses the wire, and the corpus is read
     * once with NO row multiplication (the posexplode form shuffled
     * dim × corpus rows; at sf1 that alone doubled the e12 gate).
-    * Dim comes from one row — embeddings are fixed-dimension by
-    * construction, and a ragged corpus fails in sqCodes' element_at.
+    * Dim comes from one non-null row; the SAME pass also aggregates
+    * min/max of `size(embedding)` and FAILS LOUD on a ragged corpus —
+    * non-ANSI `element_at` past the end returns NULL and min/max would
+    * otherwise silently truncate/mis-quantize the long dimensions
+    * instead of erroring.
     */
   def sqStats(embeddings: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).as[Int]
+    val dim = embeddings.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).as[Int]
       .take(1).headOption.getOrElse(throw new IllegalArgumentException(
         "sq8: empty or all-null embeddings input"))
+    // try_element_at (not element_at): on a ragged corpus the stats
+    // pass must COMPLETE so the size min/max check below fails with
+    // the real diagnosis instead of an ANSI index error mid-aggregate;
+    // on the uniform corpora the contract requires, the two are
+    // identical
     val aggs = (0 until dim).flatMap { i =>
-      Seq(min(expr(s"cast(element_at(embedding, ${i + 1}) as double)")).as(s"mn$i"),
-          max(expr(s"cast(element_at(embedding, ${i + 1}) as double)")).as(s"mx$i"))
+      Seq(min(expr(s"cast(try_element_at(embedding, ${i + 1}) as double)")).as(s"mn$i"),
+          max(expr(s"cast(try_element_at(embedding, ${i + 1}) as double)")).as(s"mx$i"))
+    } ++ Seq(min(size(col("embedding"))).as("szmn"),
+             max(size(col("embedding"))).as("szmx"))
+    // the single agg row collects here (2*dim+2 values, dim-bounded —
+    // the train half is a driver-side artifact like sq8Quantize's
+    // literal ranges), so the dimension check can fail the BUILD with
+    // a real message instead of a downstream decoder NPE
+    val r = embeddings.agg(aggs.head, aggs.tail: _*).collect()(0)
+    require(!r.isNullAt(2 * dim) && r.getInt(2 * dim) == dim &&
+        r.getInt(2 * dim + 1) == dim,
+      s"sq8: ragged embeddings (size min/max ${r.get(2 * dim)}/" +
+        s"${r.get(2 * dim + 1)} != $dim) — scalar quantization requires " +
+        "a fixed-dimension corpus")
+    val rows = (0 until dim).map { i =>
+      org.apache.spark.sql.Row(i,
+        if (r.isNullAt(2 * i)) null else r.getDouble(2 * i),
+        if (r.isNullAt(2 * i + 1)) null else r.getDouble(2 * i + 1))
     }
-    val row = embeddings.agg(aggs.head, aggs.tail: _*)
-      .withColumn("pairs", expr(
-        s"transform(sequence(0, ${dim - 1}), i -> struct(i AS pos, " +
-          s"element_at(array(${(0 until dim).map(i => s"mn$i").mkString(",")}), i + 1) AS mn, " +
-          s"element_at(array(${(0 until dim).map(i => s"mx$i").mkString(",")}), i + 1) AS mx))"))
-    row.select(explode(col("pairs")).as("p"))
-      .select(col("p.pos").cast("int").as("pos"), col("p.mn").as("mn"),
-        col("p.mx").as("mx"))
+    // LocalRelation (not an RDD scan): dim rows of driver-collected
+    // stats, broadcast-friendly for sqCodes' join
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("mn",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("mx",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 
   /** The SQ8 "index build" half: one byte code per (vector, dim) —

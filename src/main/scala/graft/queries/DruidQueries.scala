@@ -21,6 +21,23 @@ object DruidQueries extends QuerySet {
     * TABLE (not globally), so `stage` can write distinct tables
     * concurrently while a given table still writes exactly once.
     */
+  /** Force-kill the PRIOR bench run's tombstoned generation in a
+    * bench-PRIVATE staging root, right after this run's overwrite
+    * commits. A fresh JVM re-overwrites every fixed /tmp staging path;
+    * the engine (correctly) tombstones the old generation instead of
+    * deleting, and within the trash grace a rerun would hold 2x disk
+    * and pay a trash list+stat at every maintenance op — the sf1
+    * staging inflation measured in r13. These roots are never read
+    * across runs, so grace 0 (the operator force-kill, lease-bypassing)
+    * is exactly right here — and ONLY here; real tables keep deferred
+    * deletion.
+    */
+  private[queries] def reclaimStagedTrash(root: String): Unit = {
+    val _ = try graft.sources.druid.SegmentCatalog
+      .purgeTombstoned(root, graceMs = 0L)
+    catch { case _: Throwable => 0 }
+  }
+
   private def segTable(name: String, dir: String, df: => DataFrame,
                        options: Map[String, String] = Map.empty): String = {
     val out = s"/tmp/graft_segments/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_$name"
@@ -30,6 +47,7 @@ object DruidQueries extends QuerySet {
         if (!written.contains(out)) {
           val w = df.write.format("druid").mode("overwrite")
           options.foldLeft(w) { case (a, (k, v)) => a.option(k, v) }.save(out)
+          reclaimStagedTrash(out)
           written.add(out)
         }
       }
@@ -371,6 +389,7 @@ object DruidQueries extends QuerySet {
                   col("props"))
           .repartition(2)
           .write.format("druid").mode("append").save(out)
+        reclaimStagedTrash(out)
         written.add(out)
       }
       out
@@ -461,6 +480,8 @@ object DruidQueries extends QuerySet {
         s.sql(s"DELETE FROM $cat.events_del WHERE " +
           "__time >= TIMESTAMP '2024-01-03 00:00:00' AND " +
           "__time < TIMESTAMP '2024-01-04 00:00:00'")
+        // prior run's overwrite trash + this run's DELETE-dropped day
+        reclaimStagedTrash(s"$root/events_del")
         written.add(root)
       }
       s.read.format("druid").load(s"$root/events_del")
@@ -497,6 +518,8 @@ object DruidQueries extends QuerySet {
           .repartition(4).write.format("druid")
           .option("segmentGranularity", "hour").mode("overwrite")
           .save(s"$root/ts_counts_h")
+        Seq("events", "ts_counts", "events_h", "ts_counts_h")
+          .foreach(t => reclaimStagedTrash(s"$root/$t"))
         written.add(root)
       }
       s.conf.set(s"spark.sql.catalog.$cat",

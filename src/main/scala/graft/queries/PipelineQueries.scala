@@ -314,9 +314,10 @@ object PipelineQueries extends QuerySet {
         // shuffles) and scores each pair with a native linear-merge
         // intersection: two hash joins + a projection, no explode, no
         // group-by.
-        val cand = TextOps.lshCandidates(
-          s.read.parquet(lshBandsDir(s, dir)),
-          maxBucket = Some(LshMaxBucket)).cache()
+        val cand = graft.pipeline.BarrierCache.barrier(
+          TextOps.lshCandidates(
+            s.read.parquet(lshBandsDir(s, dir)),
+            maxBucket = Some(LshMaxBucket)))
         // no .distinct(): the left-semi join dedups its build side
         val candDocs = cand.select(col("d1").as("doc_id"))
           .union(cand.select(col("d2").as("doc_id")))
@@ -624,12 +625,11 @@ object PipelineQueries extends QuerySet {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(xxhash64(lower(col("text"))), length(col("text")))
           .orderBy(col("doc_id"))
-        val surv = filtered
+        val surv = graft.pipeline.BarrierCache.barrier(filtered
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("source"), col("text"),
-                  expr(s"CAST($wc AS BIGINT)").as("toks"))
-          .cache()
+                  expr(s"CAST($wc AS BIGINT)").as("toks")))
         // materialize the checkpoint EAGERLY: every consumer reads all
         // of it anyway, and a partially-built cache feeds AQE
         // timing-dependent size stats — the downstream join strategy
@@ -641,9 +641,10 @@ object PipelineQueries extends QuerySet {
         // semi-joining the persisted corpus-wide band index down to
         // the survivor set (measured; the index pays off when serving
         // the whole corpus, as in d2, not a filtered checkpoint)
-        val cand = TextOps.lshCandidates(
-          TextOps.bandSignaturesDirect(surv, 16, 4),
-          maxBucket = Some(LshMaxBucket)).cache()
+        val cand = graft.pipeline.BarrierCache.barrier(
+          TextOps.lshCandidates(
+            TextOps.bandSignaturesDirect(surv, 16, 4),
+            maxBucket = Some(LshMaxBucket)))
         cand.count() // eager, same reason as surv above
         // no .distinct() on either id set: the left-semi and left-anti
         // joins below dedup their build side for free
@@ -2353,6 +2354,64 @@ object PipelineQueries extends QuerySet {
              |FROM ham WHERE hd <= 3 AND d1 // 4 <> d2 // 4
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Audio near-dup — the m5 banded posture on the audio modality,
+    // chaining m4's chunker: the first 4 overlapping windows emit
+    // (energy, peak) signatures, each window's quantized energy packed
+    // with its peak is one band, candidates come from capped per-band
+    // equi-joins, and the confirm is the exact total energy distance.
+    // All-integer; the oracle replays signature, cap, and confirm.
+    Q("m7_audio_neardup",
+      (s, dir) => {
+        Multimodal.audioNearDup(Tables.load(s, dir, "documents"),
+            maxEnergyDist = 20000L, maxBucket = 64)
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH ch AS (SELECT doc_id, text, unnest(range(0, 4)) AS ci
+             |  FROM documents WHERE length(text) >= 250),
+             |j AS (SELECT doc_id, ci, text, unnest(range(0, 100)) AS k FROM ch),
+             |samp AS (SELECT doc_id, ci,
+             |    ascii(substring(text, CAST(ci * 50 + k + 1 AS INT), 1)) AS v
+             |  FROM j),
+             |agg AS (SELECT doc_id, ci, CAST(sum(v * v) AS BIGINT) AS energy,
+             |    max(v) AS peak FROM samp GROUP BY 1, 2),
+             |sig AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN ci = 0 THEN (energy // 4096) * 256 + peak END) AS BIGINT) AS b0,
+             |    CAST(sum(CASE WHEN ci = 1 THEN (energy // 4096) * 256 + peak END) AS BIGINT) AS b1,
+             |    CAST(sum(CASE WHEN ci = 2 THEN (energy // 4096) * 256 + peak END) AS BIGINT) AS b2,
+             |    CAST(sum(CASE WHEN ci = 3 THEN (energy // 4096) * 256 + peak END) AS BIGINT) AS b3,
+             |    CAST(sum(CASE WHEN ci = 0 THEN energy END) AS BIGINT) AS e0,
+             |    CAST(sum(CASE WHEN ci = 1 THEN energy END) AS BIGINT) AS e1,
+             |    CAST(sum(CASE WHEN ci = 2 THEN energy END) AS BIGINT) AS e2,
+             |    CAST(sum(CASE WHEN ci = 3 THEN energy END) AS BIGINT) AS e3
+             |  FROM agg GROUP BY 1),
+             |ok0 AS (SELECT b0 AS v FROM sig GROUP BY 1 HAVING count(*) <= 64),
+             |ok1 AS (SELECT b1 AS v FROM sig GROUP BY 1 HAVING count(*) <= 64),
+             |ok2 AS (SELECT b2 AS v FROM sig GROUP BY 1 HAVING count(*) <= 64),
+             |ok3 AS (SELECT b3 AS v FROM sig GROUP BY 1 HAVING count(*) <= 64),
+             |pairs AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2
+             |  FROM sig a JOIN ok0 ON a.b0 = ok0.v
+             |    JOIN sig b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM sig a JOIN ok1 ON a.b1 = ok1.v
+             |    JOIN sig b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM sig a JOIN ok2 ON a.b2 = ok2.v
+             |    JOIN sig b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+             |  UNION
+             |  SELECT a.doc_id, b.doc_id
+             |  FROM sig a JOIN ok3 ON a.b3 = ok3.v
+             |    JOIN sig b ON a.b3 = b.b3 AND a.doc_id < b.doc_id),
+             |dd AS (SELECT p.d1, p.d2,
+             |    abs(a.e0 - b.e0) + abs(a.e1 - b.e1)
+             |      + abs(a.e2 - b.e2) + abs(a.e3 - b.e3) AS dist
+             |  FROM pairs p JOIN sig a ON a.doc_id = p.d1
+             |               JOIN sig b ON b.doc_id = p.d2)
+             |SELECT d1, d2, dist FROM dd WHERE dist <= 20000
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Heavy hitters per source — the vocabulary/boilerplate audit a
     // curation pipeline runs before mixing (over-frequent tokens mark
     // template rot). Built on the DataSketches Frequent-Items
@@ -2447,6 +2506,56 @@ object PipelineQueries extends QuerySet {
            |  doc_id AS keep_doc, n_chars AS keep_chars,
            |  CAST(n_docs - 1 AS BIGINT) AS n_dropped
            |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
+
+    // INCREMENTAL connected components — the nightly-ingest completion
+    // of the near-dup family (d18 labels from scratch; at 100 TB a
+    // multi-billion-edge full CC nightly is the cost incrementality
+    // avoids). The corpus splits at max(doc_id)/2 into a "prior" half
+    // (labeled by a full solve over its own edges — the persisted
+    // label table a real pipeline carries forward) and a "tonight"
+    // delta (every candidate edge touching a new doc). The gate runs
+    // Components.incrementalComponents — contract delta endpoints
+    // through prior labels, solve the DELTA-sized contracted graph,
+    // relabel — and the ORACLE is a full recompute over the union:
+    // hash-exactness IS the incremental-equals-full proof. n_new_docs
+    // makes the merge behavior visible (components mixing halves).
+    Q("d32_incremental_components",
+      (s, dir) => {
+        val cutoff = Tables.load(s, dir, "documents")
+          .agg(max(col("doc_id"))).head.getLong(0) / 2
+        val cand = TextOps.lshConnectivityEdges(
+          s.read.parquet(lshBandsDir(s, dir)))
+        val old = cand.filter(col("d1") < cutoff && col("d2") < cutoff)
+        val fresh = cand.filter(col("d1") >= cutoff || col("d2") >= cutoff)
+        val prev = graft.pipeline.Components.connectedComponents(old)
+        graft.pipeline.Components.incrementalComponents(prev, fresh)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") >= cutoff, 1L).otherwise(0L))
+              .as("n_new_docs"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("component"))
+      },
+      Some(s"""WITH RECURSIVE $duckGrams, ${duckParams(16)}, $duckBands,
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+           |edges AS (SELECT d1 AS u, d2 AS v FROM cand
+           |          UNION SELECT d2, d1 FROM cand),
+           |reach(u, v) AS (
+           |  SELECT u, v FROM edges
+           |  UNION
+           |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+           |comp AS (
+           |  SELECT u AS doc_id, least(u, min(v)) AS component
+           |  FROM reach GROUP BY u)
+           |SELECT component, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN doc_id >=
+           |    (SELECT max(doc_id) // 2 FROM documents)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_new_docs,
+           |  max(doc_id) AS max_doc
+           |FROM comp GROUP BY component ORDER BY component""".stripMargin)),
 
     // ANN index-quality audit: recall@k of the IVF index (e3's exact
     // lattice) against the brute-force ground truth (e1's), per query —

@@ -199,6 +199,7 @@ object StreamingQueries extends QuerySet {
               .select(col("ts").as("__time"), col("event_type"), col("value"))
               .repartition(4)
               .write.format("druid").mode("overwrite").save(out)
+            DruidQueries.reclaimStagedTrash(out)
             out
           })
         }
@@ -394,6 +395,7 @@ object StreamingQueries extends QuerySet {
               .select(col("ts").as("__time"), col("event_type"), col("value"))
               .repartition(4)
               .write.format("druid").mode("overwrite").save(out)
+            DruidQueries.reclaimStagedTrash(out)
             out
           })
         }

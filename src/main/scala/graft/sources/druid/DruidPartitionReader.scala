@@ -424,8 +424,12 @@ class DruidColumnarReader(part: DruidInputPartition, required: StructType)
   private val vectors: Array[OnHeapColumnVector] =
     required.fields.map(f => new OnHeapColumnVector(part.batchSize, f.dataType))
   private var batch: ColumnarBatch = _
+  // keep the scan's reader lease alive while this split reads — a
+  // cheap clock check per batch, one small file write per half-ttl
+  private val leaseRenewer = part.lease.map(new ReadLease.Renewer(_))
 
   override def next(): Boolean = {
+    leaseRenewer.foreach(_.maybeRenew())
     val n =
       if (selected == null) math.min(part.batchSize, part.rowEnd - pos)
       else math.min(part.batchSize, selected.length - cursor)

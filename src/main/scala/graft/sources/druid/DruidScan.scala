@@ -516,7 +516,11 @@ final case class DruidInputPartition(dir: String, rowStart: Int, rowEnd: Int,
                                        Nil,
                                      nestedEq:
                                        Seq[(String, String, Seq[String])] =
-                                       Nil)
+                                       Nil,
+                                     /** scan's reader lease, renewed by
+                                       * the partition reader while it
+                                       * reads (ReadLease) */
+                                     lease: Option[ReadLease.Token] = None)
     extends InputPartition with HasPartitionKey {
   // meaningful only when the scan reports KeyGroupedPartitioning
   // (granularity-aligned tables); int buckets-since-epoch of the
@@ -918,8 +922,20 @@ class DruidScan(root: String, required: StructType,
     * segment opens at all), else one parallel metadata-open pass.
     * At 10^4-10^5 segments (100 TB) per-query per-callback serial opens
     * would put minutes of wall time on the driver; this is O(1) reads.
+    *
+    * A reader lease is acquired BEFORE the listing (the ordering is
+    * the protection anchor — see ReadLease): any segment tombstoned
+    * from this instant on stays un-purged while the lease lives, so a
+    * read of any length finishes against the generation it planned
+    * even across overwrites/compactions and grace expiry. Partition
+    * readers renew the lease as they read.
     */
-  private lazy val segmentMeta: Seq[SegMeta] = SegmentCatalog.metaFor(root)
+  private lazy val leaseAndMeta: (Option[ReadLease.Token], Seq[SegMeta]) = {
+    val lease = ReadLease.acquire(root)
+    (lease, SegmentCatalog.metaFor(root))
+  }
+  private def lease: Option[ReadLease.Token] = leaseAndMeta._1
+  private def segmentMeta: Seq[SegMeta] = leaseAndMeta._2
 
   /** Segments whose [start, end) interval intersects the pushed time
     * range (interval from index.drd; reference src/segment/metadata.rs:22-23
@@ -1123,7 +1139,7 @@ class DruidScan(root: String, required: StructType,
         DruidInputPartition(m.dir, start, math.min(capped, start + per), limit,
           batchSize, dimFilters, notNullCols, isNullCols, prefixFilters,
           patternFilters, key, orFilters, boundFilters, mvContains,
-          nestedEq)
+          nestedEq, lease)
       }
     }
     parts.toArray

@@ -122,28 +122,55 @@ object SegmentCatalog {
   def isTombstoned(dir: Path): Boolean =
     Files.isRegularFile(dir.resolve(TombstoneName))
 
-  private def tombstonedAt(dir: Path): Option[Long] =
+  /** Logical-deletion timestamp of a tombstoned dir (public: the
+    * sys.segments trash-hold view joins it against live leases).
+    */
+  def tombstonedAt(dir: Path): Option[Long] =
     readJson(dir.resolve(TombstoneName))
       .flatMap(n => Option(n.get("ts")).map(_.asLong()))
 
   /** Physically delete every tombstoned segment dir under `root` whose
-    * grace period has expired; returns the count reaped. Runs at the
-    * start of each maintenance operation (compaction, overwrite,
-    * retention), so trash never needs its own scheduler. A marker
-    * whose timestamp is unreadable counts as expired (it is garbage
-    * either way, and it was invisible already).
+    * grace period has expired AND that no live reader lease protects;
+    * returns the count reaped. Runs at the start of each maintenance
+    * operation (compaction, overwrite, retention), so trash never
+    * needs its own scheduler. A marker whose timestamp is unreadable
+    * counts as expired (it is garbage either way, and it was invisible
+    * already) but stays lease-protected conservatively.
+    *
+    * Lease protection (ReadLease): a dir tombstoned at ts T is held
+    * while some unexpired lease has `created <= T` — exactly the
+    * reads that could have planned it while it was live. Grace 0 is
+    * the operator's FORCE-KILL (coordinator `?kill=true`,
+    * `CALL system.purge_trash(t, 0)`): it bypasses leases, like
+    * Druid's kill task, and keeps the old delete-now behavior.
+    * The grace comparison is overflow-safe: a huge caller-supplied
+    * grace (e.g. Long.MaxValue as "never purge") must never wrap
+    * negative and purge everything.
     */
   def purgeTombstoned(root: String, graceMs: Long = trashGraceMs): Int = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) return 0
     val now = System.currentTimeMillis()
+    ReadLease.sweepExpired(root, now)
+    // protect tombstones at/after the oldest live lease's creation;
+    // leases created AFTER a tombstone never planned it (listings
+    // already excluded it), so they never block reclamation
+    val leaseFloor =
+      if (graceMs <= 0) Long.MaxValue // force-kill: leases ignored
+      else ReadLease.minLiveCreated(root, now)
+    val anyLive = leaseFloor != Long.MaxValue
     val doomed = {
       val s = Files.list(p)
       try {
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.filter { d =>
-          Files.isDirectory(d) && isTombstoned(d) &&
-            tombstonedAt(d).forall(_ + graceMs <= now)
+          Files.isDirectory(d) && isTombstoned(d) && {
+            tombstonedAt(d) match {
+              case Some(ts) => now - ts >= graceMs && ts < leaseFloor
+              case None => !anyLive // unreadable marker: garbage, but
+                                    // lease-conservative
+            }
+          }
         }.toSeq
       } finally s.close()
     }
@@ -196,6 +223,9 @@ object SegmentCatalog {
     * see the old content or the new, never a torn write; a crash leaves
     * at worst an orphaned `.tmp` that later writes ignore.
     */
+  private[druid] def writeAtomicFile(target: Path, bytes: Array[Byte]): Unit =
+    writeAtomic(target, bytes)
+
   private def writeAtomic(target: Path, bytes: Array[Byte]): Unit = {
     val tmp = Files.createTempFile(target.getParent,
       "." + target.getFileName.toString + ".", ".tmp")

@@ -97,7 +97,15 @@ object SysSchemas {
     StructField("dimensions", StringType, nullable = true),
     StructField("metrics", StringType, nullable = true),
     StructField("last_compaction_state", StringType, nullable = true),
-    StructField("replication_factor", LongType, nullable = false)))
+    StructField("replication_factor", LongType, nullable = false),
+    // graft extension, appended AFTER the full Druid column set so
+    // Druid clients selecting named columns are unaffected: on
+    // overshadowed (tombstoned, awaiting purge) rows, the JSON array
+    // of live reader leases currently blocking this segment's physical
+    // reclamation (`[{"id","created","expires"},...]`; `[]` = only the
+    // grace period holds it) — the observability Druid's kill task
+    // gets from segment locks. NULL on live rows.
+    StructField("held_by_leases", StringType, nullable = true)))
 
   val servers: StructType = StructType(Seq(
     StructField("server", StringType, nullable = false),
@@ -271,7 +279,21 @@ final class SegmentsReader(p: SegmentsPartition)
     (graft.sources.druid.SegmentCatalog.metaFor(p.root).map(m => (m, 0L)) ++
       graft.sources.druid.SegmentCatalog.tombstonedMeta(p.root).map(m => (m, 1L)))
       .iterator
+  // live reader leases, read once per partition: overshadowed rows
+  // report which leases hold their physical reclamation (a lease
+  // protects tombstones at/after its creation — purgeTombstoned's rule)
+  private val nowMs = System.currentTimeMillis()
+  private val liveLeases =
+    graft.sources.druid.ReadLease.live(p.root, nowMs).sortBy(_.created)
   private var current: InternalRow = _
+
+  private def holdersJson(dir: java.nio.file.Path): String = {
+    val ts = graft.sources.druid.SegmentCatalog.tombstonedAt(dir)
+      .getOrElse(Long.MinValue) // unreadable marker: conservatively all
+    liveLeases.filter(_.created <= ts || ts == Long.MinValue)
+      .map(l => s"""{"id":"${l.id}","created":${l.created},"expires":${l.expires}}""")
+      .mkString("[", ",", "]")
+  }
 
   override def next(): Boolean = {
     if (!metas.hasNext) return false
@@ -301,7 +323,8 @@ final class SegmentsReader(p: SegmentsPartition)
       1L /* is_available */, 0L /* is_realtime */, overshadowed,
       s(s"""{"type":"numbered","partitionNum":$partNum,"partitions":0}"""),
       s(jsonArr(p.dimensions.toSeq)), s(jsonArr(p.metrics.toSeq)),
-      null, 1L))
+      null, 1L,
+      if (overshadowed == 1L) s(holdersJson(dir)) else null))
     true
   }
   override def get(): InternalRow = current

@@ -41,10 +41,14 @@ object Retention {
     */
   def dropWhere(dir: String, pred: graft.sources.druid.SegMeta => Boolean)
       : Stats = {
-    SegmentCatalog.purgeTombstoned(dir)
     val metas = SegmentCatalog.metaFor(dir)
     val (drop, keep) = metas.partition(pred)
+    // a no-op retention probe stays read-only: the trash purge (the
+    // "maintenance rides commits" scheduler) runs only when this call
+    // actually mutates the table — a rule matching nothing must not
+    // physically reap other generations' trash as a side effect
     if (drop.isEmpty) return Stats(0, 0L, keep.size)
+    SegmentCatalog.purgeTombstoned(dir)
     // schema cache read BEFORE anything deletes (manifest covers the
     // current segment set only while it is the current set)
     val schema = SegmentCatalog.loadSchema(dir, metas.map(_.dir))

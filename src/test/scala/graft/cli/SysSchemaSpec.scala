@@ -292,6 +292,41 @@ class SysSchemaSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("overshadowed rows report the reader leases holding their reclamation") {
+    val root = java.nio.file.Files.createTempDirectory("sys_lease").toString
+    val dir = s"$root/ev"
+    events(3).repartition(3).write.format("druid").mode("overwrite").save(dir)
+    val server = DruidServe.start(spark,
+      _ => spark.read.format("druid").load(dir), port = 0,
+      sqlTables = Map("ev" -> spark.read.format("druid").load(dir)),
+      ingestRoot = Some(root), sysSchema = true)
+    try {
+      val port = server.getAddress.getPort
+      // a read plans (lease lands), then compaction tombstones its
+      // generation — sys.segments must show WHY the trash isn't
+      // reclaiming: the lease id + expiry on each overshadowed row
+      assert(spark.read.format("druid").load(dir).count() == 3)
+      val lease = graft.sources.druid.ReadLease
+        .live(dir, System.currentTimeMillis())
+      assert(lease.nonEmpty, "the scan should have leased the table")
+      graft.write.Compaction.compactIncremental(spark, dir,
+        targetRowsPerSegment = 1000)
+      val (c1, b1) = sql(port,
+        """SELECT held_by_leases FROM sys.segments
+           WHERE is_overshadowed = 1 LIMIT 1""")
+      assert(c1 == 200, b1)
+      val holders = mapper.readTree(b1).get(0).path("held_by_leases").asText()
+      assert(lease.exists(l => holders.contains(l.id)),
+        s"overshadowed row must name its lease holder, got: $holders")
+      // live rows carry NULL (the column is a trash-hold diagnostic)
+      val (c2, b2) = sql(port,
+        """SELECT count(*) AS n FROM sys.segments
+           WHERE is_overshadowed = 0 AND held_by_leases IS NOT NULL""")
+      assert(c2 == 200 && mapper.readTree(b2).get(0).path("n").asLong() == 0L,
+        b2)
+    } finally server.stop(0)
+  }
+
   test("sys.segments datasource filter prunes partitions at planning") {
     val root = java.nio.file.Files.createTempDirectory("sys_prune").toString
     events(2).coalesce(1).write.format("druid").mode("overwrite").save(s"$root/a")

@@ -135,4 +135,79 @@ class ComponentsSpec extends AnyFunSuite {
         s"paths diverged on $es")
     }
   }
+
+  // ---------------------------------------- incremental (nightly) path
+
+  private def inc(prev: Map[Long, Long],
+                  newEdges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val prevDf = prev.toSeq.toDF("doc_id", "component")
+    Components.incrementalComponents(prevDf, edges(newEdges: _*))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("incremental: new-only component, untouched prior components keep labels") {
+    val prev = Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L)
+    val m = inc(prev, Seq((20L, 21L)))
+    assert(m == prev ++ Map(20L -> 20L, 21L -> 20L))
+  }
+
+  test("incremental: a new doc bridges two prior components (label-merge chain)") {
+    // old: {1,2} and {10,11}; new doc 30 touches a NON-MIN member of
+    // each (2 and 11) — contraction through labels must still merge
+    // both components onto the global min 1
+    val prev = Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L)
+    val m = inc(prev, Seq((2L, 30L), (30L, 11L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 30L -> 1L))
+  }
+
+  test("incremental: chains of merges across several prior components") {
+    // old components {1,2}, {5,6}, {10,11}; new edges chain them
+    // 2-20, 20-6, 6-21, 21-11 -> everything collapses to 1
+    val prev = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L)
+    val m = inc(prev, Seq((2L, 20L), (20L, 6L), (6L, 21L), (21L, 11L)))
+    assert(m.values.toSet == Set(1L))
+    assert(m.keySet == Set(1L, 2L, 5L, 6L, 10L, 11L, 20L, 21L))
+  }
+
+  test("incremental: a NEW doc with an id below every prior min becomes the component id") {
+    val prev = Map(5L -> 5L, 6L -> 5L)
+    val m = inc(prev, Seq((0L, 6L)))
+    assert(m == Map(0L -> 0L, 5L -> 0L, 6L -> 0L))
+  }
+
+  test("incremental: self-loops and duplicate delta edges are harmless") {
+    val prev = Map(1L -> 1L, 2L -> 1L)
+    val m = inc(prev, Seq((2L, 2L), (30L, 30L), (1L, 2L), (1L, 2L)))
+    // 30's only edge is a self-loop: it labels itself; 1-2 re-asserted
+    // inside one component is a no-op
+    assert(m == Map(1L -> 1L, 2L -> 1L, 30L -> 30L))
+  }
+
+  test("incremental ≡ full recompute on random old/new splits (differential)") {
+    val rnd = new scala.util.Random(77)
+    (0 until 6).foreach { trial =>
+      val n = 60 + rnd.nextInt(40)
+      val all = (0 until (n * 3 / 2)).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val cut = n / 2
+      val old = all.filter { case (a, b) => a < cut && b < cut }
+      val fresh = all.filter { case (a, b) => a >= cut || b >= cut }
+      val prev = comps(edges(old: _*))
+      val got = inc(prev, fresh)
+      val want = comps(edges(all: _*))
+      assert(got == want, s"trial $trial: incremental != full recompute")
+    }
+  }
+
+  test("incremental: distributed delta solve (localEdgeLimit 0) matches") {
+    import spark.implicits._
+    val prev = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "component")
+    val m = Components.incrementalComponents(prev,
+        edges((2L, 30L), (30L, 11L)), localEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 30L -> 1L))
+  }
 }

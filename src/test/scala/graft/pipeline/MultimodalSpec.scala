@@ -93,6 +93,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(run(1) == run(5))
   }
 
+  test("audioNearDup: banded candidates find every close pair; cap replayed") {
+    // tracks: 0 and 1 identical (dist 0); 2 differs by one char in the
+    // first window (small dist, same quantized band); 3 far off
+    val base = "the quick brown fox jumps over the lazy dog " * 8 // 352 chars
+    val tweaked = "thf" + base.drop(3) // +1 on one sample in chunk 0
+    val far = base.toUpperCase
+    val a = Seq(
+      (0L, "en", base), (1L, "en", base), (2L, "en", tweaked),
+      (3L, "en", far))
+      .toDF("doc_id", "lang", "text")
+    val pairs = Multimodal.audioNearDup(a, maxEnergyDist = 20000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.get((0L, 1L)).contains(0L), s"identical tracks: $m")
+    // the tweak shifts chunk-0 energy by 102^2-101^2=203 per overlap
+    // window; all four windows still band-match and the pair confirms
+    assert(m.contains((0L, 2L)) && m((0L, 2L)) > 0L, s"near pair: $m")
+    assert(!m.keySet.exists(k => k._1 == 3L || k._2 == 3L),
+      s"far track must not pair: $m")
+    // deterministic across partitioning
+    val pairs2 = Multimodal.audioNearDup(a.repartition(7),
+      maxEnergyDist = 20000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs2 == pairs.toSet)
+    // a hot band (65 identical tracks) generates no candidates through
+    // it under the default cap, and the cap lifts when raised
+    val hot = (100L until 165L).map(i => (i, "en", base))
+      .toDF("doc_id", "lang", "text")
+    assert(Multimodal.audioNearDup(hot, maxEnergyDist = 0L).count() == 0L)
+    assert(Multimodal.audioNearDup(hot, maxEnergyDist = 0L,
+      maxBucket = 100).count() == 65L * 64 / 2)
+  }
+
   private def fixture(name: String): Array[Byte] = {
     val in = getClass.getResourceAsStream(s"/fixtures/$name")
     assert(in != null, s"missing fixture $name")

@@ -479,6 +479,29 @@ class PipelineSpec extends AnyFunSuite {
       sd.agg(min("vec_id")).head.getLong(0)))
   }
 
+  test("sqStats fails loud on ragged or all-null corpora (never silent truncation)") {
+    import spark.implicits._
+    // ragged: one short vector — non-ANSI element_at would silently
+    // return NULLs past its end; the build must error instead
+    val ragged = Seq(
+      (0L, Array.fill(64)(1.0f)), (1L, Array.fill(63)(2.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      VectorOps.sqStats(ragged)
+    }
+    assert(e1.getMessage.contains("ragged"), e1.getMessage)
+    // null embeddings are skipped for dim inference, not NPE'd on
+    val withNull = Seq((0L, null: Array[Float]), (1L, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(VectorOps.sqStats(withNull).count() == 4)
+    // all-null / empty: the intended message, not a decoder NPE
+    val allNull = Seq((0L, null: Array[Float])).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      VectorOps.sqStats(allNull)
+    }
+    assert(e2.getMessage.contains("empty or all-null"), e2.getMessage)
+  }
+
   test("SQ8 codes are byte-range, reconstruction tight, recall high") {
     val stats = VectorOps.sqStats(emb)
     val codes = VectorOps.sqCodes(emb, Some(stats))

@@ -69,6 +69,32 @@ class TopKAggSpec extends AnyFunSuite {
     assert(viaTop == viaMax)
   }
 
+  test("NaN scores invert under the negation trick — smallest-k callers prefilter") {
+    // topk_struct keeps the LARGEST structs; "smallest adc" encodes as
+    // struct(-adc, ...). -NaN is still NaN, and NaN compares greatest,
+    // so an unfiltered NaN candidate would be selected FIRST where the
+    // ASC window form ranks it LAST. VectorOps.minAdcTopK therefore
+    // filters !isnan(adc) before the aggregate; this spec pins the
+    // hazard (so nobody "simplifies" the filter away) and the fixed
+    // contract (filtered heap ≡ ASC window on the non-NaN rows).
+    TopKStructAgg.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 10L), (1L, Double.NaN, 11L), (1L, 1.0, 12L),
+        (1L, 3.0, 13L))
+      .toDF("g", "adc", "id").repartition(3)
+    def heap(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("g"))
+      .agg(expr("topk_struct(struct(-adc AS na, -id AS ni, adc, id), 2)")
+        .as("top"))
+      .select(posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("t.adc"), col("t.id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // unfiltered: NaN wins the heap — the documented hazard
+    assert(heap(df).exists(_._1.isNaN))
+    // prefiltered (the minAdcTopK contract): smallest-adc top-2, no NaN
+    assert(heap(df.filter(!isnan(col("adc")))) ==
+      Seq((1.0, 12L), (2.0, 10L)))
+  }
+
   test("plans as ObjectHashAggregate with a partial stage, not a Window") {
     TopKStructAgg.register(spark)
     val plan = data.groupBy(col("g"))
