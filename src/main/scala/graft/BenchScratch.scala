@@ -216,6 +216,52 @@ object BenchScratch {
         df.collect() // resolve AQE final plan
         println(df.queryExecution.executedPlan.toString.take(8000))
       }
+    } else if (names.head == "planfile") {
+      // Write .explain("formatted") per query to <outdir>/<name>.txt —
+      // the round's plans/r14/*_{before,after}.txt evidence files.
+      val outDir = names(1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      for (n <- names.drop(2)) {
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.count() // materialize so AQE/caches resolve like the bench run
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(outDir, s"$n.txt"), txt)
+        println(s"[planfile] wrote $outDir/$n.txt (${txt.length} chars)")
+      }
+    } else if (names.head == "streamprof") {
+      // Per-micro-batch duration breakdown for the streaming gates:
+      // a StreamingQueryListener dumps each progress' durationMs map
+      // (addBatch / getBatch / latestOffset / queryPlanning /
+      // walCommit / commitOffsets) + state-store metrics.
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      spark.streams.addListener(new StreamingQueryListener {
+        override def onQueryStarted(
+            e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val dm = p.durationMs
+          println(f"[sp] batch=${p.batchId}%2d rows=${p.numInputRows}%6d " +
+            f"trigger=${dm.getOrDefault("triggerExecution", -1L)}%5d " +
+            f"addBatch=${dm.getOrDefault("addBatch", -1L)}%5d " +
+            f"getBatch=${dm.getOrDefault("getBatch", -1L)}%4d " +
+            f"latestOffset=${dm.getOrDefault("latestOffset", -1L)}%4d " +
+            f"plan=${dm.getOrDefault("queryPlanning", -1L)}%4d " +
+            f"walCommit=${dm.getOrDefault("walCommit", -1L)}%4d " +
+            f"commitOffsets=${dm.getOrDefault("commitOffsets", -1L)}%4d " +
+            p.stateOperators.map(so =>
+              s"state[rows=${so.numRowsTotal} commit=${so.commitTimeMs}ms]")
+              .mkString(" "))
+        }
+        override def onQueryTerminated(
+            e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
+      for (n <- names.tail; rep <- 1 to 2) {
+        t(s"$n rep$rep")(SparkEntry.queries(n)(spark, sfDir).count())
+        Thread.sleep(300) // let async listener drain before next label
+      }
     } else for (n <- names; rep <- 1 to 2) {
       t(s"$n rep$rep")(SparkEntry.queries(n)(spark, sfDir).count())
     }

@@ -223,10 +223,31 @@ object Multimodal {
     * per-band count table is at most 65536 rows — broadcast, no
     * extra shuffle.
     */
+  /** Candidate pairs through any under-cap band, as ONE melted
+    * self-join instead of one join per band column: the four 16-bit
+    * band columns posexplode to (doc_id, band, sig) rows and ride
+    * [[TextOps.lshCandidates]] — d2's LSH shape (hot-bucket anti-join,
+    * band+sig equi-join, d1 < d2, distinct). Identical pair set to the
+    * per-band form (a pair surfaces iff it shares SOME band whose
+    * bucket is under the cap; bucket counts per (band, value) are the
+    * same numbers either way), but the plan drops from 4 count
+    * aggregates + 4 broadcast builds + 4 joins + a 4-way union to
+    * 1 aggregate + 1 anti-join + 1 equi-join; at scale the same bytes
+    * shuffle either way — the win is stage/job count (see
+    * OPTIMIZATION_r14.md for the measured before/after).
+    */
+  private def bandedCandidates(sigs: DataFrame, bandCols: Seq[String],
+                               maxBucket: Int): DataFrame =
+    TextOps.lshCandidates(
+      sigs.select(col("doc_id"),
+          posexplode(array(bandCols.map(col): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig"),
+      maxBucket = Some(maxBucket))
+
   def phashNearDup(docs: DataFrame, maxHamming: Int = 3,
                    maxBucket: Int = 64): DataFrame = {
-    // cache: the hash subtree is referenced by BOTH join sides, all
-    // four per-band count tables, and the re-rank joins — uncached,
+    // cache: the hash subtree is referenced by BOTH join sides, the
+    // melted candidate subtree, and the re-rank joins — uncached,
     // Catalyst recomputes the 64-substring hash ~12x (measured 16 s
     // vs ~2 s at sf0.1); same cached-intermediate shape as d2/d13
     val bands = BarrierCache.barrier(aHashBands(docs))
@@ -236,14 +257,8 @@ object Multimodal {
     val b = bands.select(col("doc_id").as("d2"),
       col("b0").as("c0"), col("b1").as("c1"),
       col("b2").as("c2"), col("b3").as("c3"))
-    val cand = (0 until 4).map { j =>
-        val ok = bands.groupBy(col(s"b$j")).count()
-          .filter(col("count") <= maxBucket)
-          .select(col(s"b$j").as(s"ok$j"))
-        a.join(broadcast(ok), col(s"a$j") === col(s"ok$j"))
-          .join(b, col(s"a$j") === col(s"c$j") && col("d1") < col("d2"))
-          .select(col("d1"), col("d2"))
-      }.reduce(_ union _).distinct()
+    val cand = bandedCandidates(bands,
+      (0 until 4).map(j => s"b$j"), maxBucket)
     cand
       .join(a, "d1").join(b, "d2")
       .withColumn("hd",
@@ -340,20 +355,14 @@ object Multimodal {
           Seq(expr(s"(e$j div 4096) * 256 + p$j").as(s"b$j"),
               col(s"e$j"))
         }: _*))
-    val a = sigs.select(col("doc_id").as("d1") +: (0 until 4).flatMap(j =>
-      Seq(col(s"b$j").as(s"a$j"), col(s"e$j").as(s"ea$j"))): _*)
-    val b = sigs.select(col("doc_id").as("d2") +: (0 until 4).flatMap(j =>
-      Seq(col(s"b$j").as(s"c$j"), col(s"e$j").as(s"eb$j"))): _*)
-    val cand = (0 until 4).map { j =>
-        val ok = sigs.groupBy(col(s"b$j")).count()
-          .filter(col("count") <= maxBucket)
-          .select(col(s"b$j").as(s"ok$j"))
-        a.select(col("d1"), col(s"a$j"))
-          .join(broadcast(ok), col(s"a$j") === col(s"ok$j"))
-          .join(b.select(col("d2"), col(s"c$j")),
-            col(s"a$j") === col(s"c$j") && col("d1") < col("d2"))
-          .select(col("d1"), col("d2"))
-      }.reduce(_ union _).distinct()
+    val a = sigs.select(col("doc_id").as("d1") +: (0 until 4).map(j =>
+      col(s"e$j").as(s"ea$j")): _*)
+    val b = sigs.select(col("doc_id").as("d2") +: (0 until 4).map(j =>
+      col(s"e$j").as(s"eb$j")): _*)
+    // one melted candidate join over the four quantized-energy bands
+    // (see [[bandedCandidates]]) instead of four per-band joins
+    val cand = bandedCandidates(sigs,
+      (0 until 4).map(j => s"b$j"), maxBucket)
     cand
       .join(a, "d1").join(b, "d2")
       .withColumn("dist", (0 until 4)
