@@ -139,7 +139,11 @@ object PipelineQueries extends QuerySet {
     * split. Lives under /tmp; nothing touches the repo or testdata.
     */
   def ivfIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
+    // locks its OWN map (not the object) so independent index builds
+    // overlap when Bench stages them concurrently (guide §2.6); the
+    // only nested staging call, ivfPqIndexDir -> {pq, ivf}, takes the
+    // monitors in one direction only, so no cycle
+    stagedIvf.synchronized {
       stagedIvf.getOrElseUpdate(dir, {
         val out = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ivf"
         VectorOps.ivfAssign(Tables.load(s, dir, "embeddings"), 8)
@@ -159,7 +163,7 @@ object PipelineQueries extends QuerySet {
     * 16-byte (doc_id, band, sig) rows instead of re-hashing the corpus.
     */
   def lshBandsDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
+    stagedBands.synchronized {
       stagedBands.getOrElseUpdate(dir, {
         val out = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_lshbands"
         TextOps.bandSignaturesDirect(Tables.load(s, dir, "documents"), 16, 4)
@@ -222,7 +226,7 @@ object PipelineQueries extends QuerySet {
     * read these codes and never quantize the corpus.
     */
   def pqIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
+    stagedPq.synchronized {
       stagedPq.getOrElseUpdate(dir, {
         val out = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_pq"
         VectorOps.pqCodes(Tables.load(s, dir, "embeddings"))
@@ -241,7 +245,7 @@ object PipelineQueries extends QuerySet {
     */
   def sqIndexDirs(s: org.apache.spark.sql.SparkSession,
                   dir: String): (String, String) =
-    synchronized {
+    stagedSq.synchronized {
       stagedSq.getOrElseUpdate(dir, {
         val base = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_sq"
         val emb = Tables.load(s, dir, "embeddings")
@@ -266,7 +270,7 @@ object PipelineQueries extends QuerySet {
     * 100 TB this is the table bucketed by cell on disk.
     */
   def ivfPqIndexDir(s: org.apache.spark.sql.SparkSession, dir: String): String =
-    synchronized {
+    stagedIvfPq.synchronized {
       stagedIvfPq.getOrElseUpdate(dir, {
         val out = s"/tmp/graft_pipeline/${dir.replaceAll("[^A-Za-z0-9]", "_")}_ivfpq"
         s.read.parquet(pqIndexDir(s, dir))
