@@ -113,13 +113,32 @@ object VectorOps {
     * is replayed by the oracle, so capped runs stay hash-exact.
     */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame, k: Int,
-                 nQueries: Int, maxDf: Long): DataFrame = {
+                 nQueries: Int, maxDf: Long): DataFrame =
+    hybridTopKImpl(docs, embeddings, k, nQueries,
+      (df: DataFrame) => df.filter(col("df") <= maxDf))
+
+  /** [[hybridTopK]] with the df cap as a FRACTION of the corpus,
+    * resolved inside the plan (threshold = count * num div den as a
+    * broadcast 1-row aggregate) instead of a driver-side `docs.count()`
+    * round trip before planning — same rows for the same corpus, one
+    * less blocking driver action in the query path (guide §5).
+    */
+  def hybridTopKFrac(docs: DataFrame, embeddings: DataFrame, k: Int,
+                     nQueries: Int, num: Int, den: Int): DataFrame = {
+    val lim = docs.agg(expr(s"(count(1) * $num) div $den").as("lim"))
+    hybridTopKImpl(docs, embeddings, k, nQueries,
+      (df: DataFrame) => df.crossJoin(broadcast(lim))
+        .filter(col("df") <= col("lim")))
+  }
+
+  private def hybridTopKImpl(docs: DataFrame, embeddings: DataFrame, k: Int,
+                             nQueries: Int,
+                             dfCap: DataFrame => DataFrame): DataFrame = {
     registerExprs(embeddings)
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    val rare = toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    val rare = dfCap(toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df")))
       .select(col("tok"))
     val index = toks.join(rare, "tok")
     val qtoks = index.filter(col("doc_id") < nQueries)

@@ -1639,10 +1639,13 @@ object PipelineQueries extends QuerySet {
     // rank 1/(60+rk) + 1/(60+rv) with id tie-breaks.
     Q("e10_hybrid_search",
       (s, dir) => {
-        val docs = Tables.load(s, dir, "documents")
-        val maxDf = (docs.count() * 8) / 10
-        VectorOps.hybridTopK(docs, Tables.load(s, dir, "embeddings"),
-            k = 5, nQueries = 3, maxDf = maxDf)
+        // df cap = 80% of the corpus, resolved IN the plan (broadcast
+        // 1-row count aggregate) — the old docs.count() here was a
+        // blocking driver action before planning, a full metadata pass
+        // per invocation at 100 TB (guide §5); same rows either way
+        VectorOps.hybridTopKFrac(Tables.load(s, dir, "documents"),
+            Tables.load(s, dir, "embeddings"),
+            k = 5, nQueries = 3, num = 8, den = 10)
           .orderBy(col("query_id"), col("rnk"))
       },
       Some("""WITH toks AS (SELECT doc_id,
@@ -2527,8 +2530,13 @@ object PipelineQueries extends QuerySet {
       (s, dir) => {
         val cutoff = Tables.load(s, dir, "documents")
           .agg(max(col("doc_id"))).head.getLong(0) / 2
+        // materialize the edge list ONCE: both the old-graph and the
+        // delta filters consume it, and without the checkpoint each
+        // side re-ran the whole hub-aggregate + join + distinct
+        // pipeline that builds the edges (2x the dominant stage; the
+        // same reason connectedComponents checkpoints internally)
         val cand = TextOps.lshConnectivityEdges(
-          s.read.parquet(lshBandsDir(s, dir)))
+          s.read.parquet(lshBandsDir(s, dir))).localCheckpoint()
         val old = cand.filter(col("d1") < cutoff && col("d2") < cutoff)
         val fresh = cand.filter(col("d1") >= cutoff || col("d2") >= cutoff)
         val prev = graft.pipeline.Components.connectedComponents(old)
