@@ -753,10 +753,16 @@ object PipelineQueries extends QuerySet {
     Q("d15_tfidf_keywords",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
+        // materialize the term-count table ONCE: tc feeds both the
+        // document-frequency aggregate and the scoring join, and
+        // without a barrier each consumer re-ran the full explode +
+        // (doc, word) aggregate (the plan showed two complete explode
+        // subtrees — guide §2.4: don't compute what you throw away)
         val tc = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
           .groupBy(col("doc_id"), col("word"))
           .agg(count(lit(1)).as("tf"))
+          .localCheckpoint()
         val dfx = tc.groupBy(col("word")).agg(count(lit(1)).as("df"))
         val nn = docs.agg(count(lit(1)).as("n_docs"))
         // dfx is VOCABULARY-sized: small here, but a real corpus's
@@ -1136,14 +1142,25 @@ object PipelineQueries extends QuerySet {
       (s, dir) => {
         graft.sql.Grams5.register(s)
         val docs = Tables.load(s, dir, "documents")
+        // ONE compact gram pass: grams5_hist computes each doc's
+        // 256-bucket gram histogram as a per-row projection — the
+        // corpus-length gram stream never becomes rows (before: a
+        // gram-scale Generate + aggregate, run TWICE — once for the
+        // byte-bucket LM stats, once for scoring; the two ~equal
+        // dominant jobs in the profile — guide §2.4/§1.2). The <= 256
+        // rows/doc histogram is materialized once for both consumers.
+        // All downstream arithmetic is over summed counts, so ct/cr
+        // and weight = sum(w * cnt) are bit-identical per the
+        // Grams5HistSpec equivalence pin.
+        graft.sql.Grams5Hist.register(s)
         val g = docs.filter(length(col("text")) >= 5)
           .select(col("doc_id"), col("lang"), col("source"),
-            explode(expr("grams5(text)")).as("tg"))
-          .select(col("doc_id"), col("lang"), col("source"),
-            (col("tg") % 256).as("b"))
+            posexplode(expr("grams5_hist(text, 256)")).as(Seq("b", "cnt")))
+          .filter(col("cnt") > 0)
+          .localCheckpoint()
         val stat = g.groupBy(col("b")).agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
-          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+          sum(when(col("lang") === "en", col("cnt")).otherwise(0L)).as("ct"),
+          sum(when(col("lang") =!= "en", col("cnt")).otherwise(0L)).as("cr"))
         val tot = stat.agg(sum("ct").as("tn"), sum("cr").as("rn"))
         val lr = s.range(0, 256).select(col("id").as("b"))
           .join(stat, Seq("b"), "left")
@@ -1156,7 +1173,7 @@ object PipelineQueries extends QuerySet {
         val dw = g.filter(col("lang") =!= "en")
           .join(broadcast(lr), "b")
           .groupBy(col("doc_id"), col("source"))
-          .agg(sum(col("w")).as("weight"))
+          .agg(sum(col("w") * col("cnt")).as("weight"))
         val top = dw.orderBy(col("weight").desc, col("doc_id")).limit(25)
         top.withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window
@@ -1221,9 +1238,16 @@ object PipelineQueries extends QuerySet {
           .select(col("doc_id"), col("lang"), col("source"),
             col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         val train = big.filter(col("lang") === "en")
-        val uni = train.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
         val bi = train.groupBy(col("w1"), col("w2"))
           .agg(count(lit(1)).as("cb"))
+        // derive the unigram counts and vocabulary size FROM the bigram
+        // table instead of re-aggregating the exploded stream: cu =
+        // sum(cb) per w1 and v = |distinct w1| are the same values, and
+        // the three model tables now share ONE explode + exchange
+        // (ReuseExchange dedupes bi's identical subtree) — the plan
+        // before ran the train-slice bigram explode three times
+        // (uni, bi, voc; guide §2.4)
+        val uni = bi.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
         val voc = uni.agg(count(lit(1)).as("v"))
         val dw = big.filter(col("lang") =!= "en")
           .join(broadcast(bi), Seq("w1", "w2"), "left")

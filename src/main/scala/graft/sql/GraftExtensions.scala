@@ -38,6 +38,8 @@ object GraftExtensions {
       Grams5.build),
     ("grams5_distinct", "grams5_distinct(text) - sorted distinct 5-gram codes",
       Grams5Distinct.build),
+    ("grams5_hist", "grams5_hist(text, mod) - 5-gram counts bucketed by code % mod",
+      Grams5Hist.build),
     ("intersect_count", "intersect_count(a, b) - linear-merge |a ∩ b| of sorted arrays",
       IntersectCount.build),
     ("minhash_bands", "minhash_bands(text, k, bandSize) - LSH band signatures",
