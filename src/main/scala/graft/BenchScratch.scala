@@ -186,6 +186,33 @@ object BenchScratch {
             .groupBy(col("o_orderpriority"))
             .agg(sum(col("l_quantity")), count(lit(1))).count())
       }
+    } else if (names.head == "d13parts") {
+      // d13 stage attribution: how much of the dominant survivor-
+      // materialization job is the marker-count/word-count string
+      // arithmetic vs the dedup window vs the cache build
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.TextOps
+      val en = TextOps.markerCountSql("the")
+      val art = TextOps.markerCountSql("a")
+      val wc = TextOps.wordCountSql
+      for (rep <- 1 to 2) {
+        val docs = Tables.load(spark, sfDir, "documents")
+        t(s"d13.scan-only rep$rep")(
+          docs.select(sum(length(col("text")))).count())
+        t(s"d13.filter-exprs rep$rep")(
+          docs.filter(expr(s"($en) + ($art) >= 3 AND ($wc) >= 10")).count())
+        val filtered = docs.filter(expr(s"($en) + ($art) >= 3 AND ($wc) >= 10"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(xxhash64(lower(col("text"))), length(col("text")))
+          .orderBy(col("doc_id"))
+        t(s"d13.filter+window rep$rep")(filtered
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).count())
+        spark.catalog.clearCache()
+        t(s"d13.full rep$rep")(
+          SparkEntry.queries("d13_curation_pipeline")(spark, sfDir).count())
+        spark.catalog.clearCache()
+      }
     } else if (names.head == "m6parts") {
       // per-stage attribution of the video keyframe near-dup COLD cost
       import graft.pipeline.Multimodal

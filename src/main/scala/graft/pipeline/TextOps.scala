@@ -234,6 +234,16 @@ object TextOps {
   def markerCountSql(w: String): String =
     s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) div ${w.length + 2}"
 
+  /** Native one-pass forms of [[wordCountSql]] / [[markerCountSql]] for
+    * the SPARK side of a gate (callers must
+    * `graft.sql.TextCounts.register(s)`): value-identical (pinned by
+    * TextCountsSpec) but one byte scan instead of two padded copies and
+    * three replace()d copies per document. The replace-arithmetic
+    * strings above remain the oracle-side (portable SQL) forms.
+    */
+  val wordCountNativeSql: String = "word_count(text)"
+  def markerCountNativeSql(w: String): String = s"marker_count(text, '$w')"
+
   /** DuckDB uses // for integer division; everything else is shared. */
   def toDuck(sql: String): String = sql.replace(" div ", " // ")
 

@@ -405,8 +405,9 @@ object PipelineQueries extends QuerySet {
     // heuristic; deterministic in any dialect).
     Q("d5_langid",
       (s, dir) => {
-        val en = TextOps.markerCountSql("the")
-        val art = TextOps.markerCountSql("a")
+        graft.sql.TextCounts.register(s)
+        val en = TextOps.markerCountNativeSql("the")
+        val art = TextOps.markerCountNativeSql("a")
         Tables.load(s, dir, "documents")
           .selectExpr("doc_id",
             s"CAST($en AS BIGINT) AS en_score",
@@ -428,10 +429,11 @@ object PipelineQueries extends QuerySet {
     // Quality scoring: length/word statistics + keep/drop label.
     Q("d6_quality",
       (s, dir) => {
+        graft.sql.TextCounts.register(s)
         Tables.load(s, dir, "documents")
           .selectExpr("doc_id",
             "CAST(length(text) AS BIGINT) AS n_chars",
-            s"CAST(${TextOps.wordCountSql} AS BIGINT) AS n_words")
+            s"CAST(${TextOps.wordCountNativeSql} AS BIGINT) AS n_words")
           .selectExpr("doc_id", "n_chars", "n_words",
             "round((n_chars - n_words + 1) * CAST(1 AS DOUBLE) / n_words, 4) AS avg_word_len")
           .selectExpr("doc_id", "n_chars", "n_words", "avg_word_len",
@@ -453,9 +455,10 @@ object PipelineQueries extends QuerySet {
     // Token counting: whitespace tokens + a bytes-per-token BPE estimate.
     Q("d7_tokens",
       (s, dir) => {
+        graft.sql.TextCounts.register(s)
         Tables.load(s, dir, "documents")
           .selectExpr("source",
-            s"CAST(${TextOps.wordCountSql} AS BIGINT) AS ws_tokens",
+            s"CAST(${TextOps.wordCountNativeSql} AS BIGINT) AS ws_tokens",
             "CAST((length(text) + 3) div 4 AS BIGINT) AS bpe_est",
             "CAST(length(text) AS BIGINT) AS n_chars")
           .groupBy(col("source"))
@@ -572,7 +575,8 @@ object PipelineQueries extends QuerySet {
     // doubles; irrationals can't sit on the floor boundary).
     Q("d12_mix_resample",
       (s, dir) => {
-        val wc = TextOps.wordCountSql
+        graft.sql.TextCounts.register(s)
+        val wc = TextOps.wordCountNativeSql
         val docs = Tables.load(s, dir, "documents")
         val bySrc = docs
           .groupBy(col("source"))
@@ -616,9 +620,10 @@ object PipelineQueries extends QuerySet {
     // final report never recomputes text expressions.
     Q("d13_curation_pipeline",
       (s, dir) => {
-        val en = TextOps.markerCountSql("the")
-        val art = TextOps.markerCountSql("a")
-        val wc = TextOps.wordCountSql
+        graft.sql.TextCounts.register(s)
+        val en = TextOps.markerCountNativeSql("the")
+        val art = TextOps.markerCountNativeSql("a")
+        val wc = TextOps.wordCountNativeSql
         val docs = Tables.load(s, dir, "documents")
         val filtered = docs
           .filter(expr(s"($en) + ($art) >= 3 AND ($wc) >= 10"))

@@ -49,6 +49,19 @@ object StreamingQueries extends QuerySet {
     * streaming queries) even though results never depended on it.
     * Callers' own awaitTermination after this returns is a no-op.
     */
+  /** State-store shuffle width override for scale tuning: the local
+    * defaults below are sized to these corpora's key cardinalities
+    * (guide §2: state partitioning should track key count, not batch
+    * parallelism); a cluster run sets `SPARK_GRAFT_STATE_PARTITIONS`
+    * (or per-stream `SPARK_GRAFT_STATE_PARTITIONS_<name>`) instead of
+    * editing code. Results never depend on the width — only state-store
+    * instance count and per-batch fixed cost do.
+    */
+  private def stateParts(name: String, default: Int): Int =
+    sys.env.get(s"SPARK_GRAFT_STATE_PARTITIONS_$name")
+      .orElse(sys.env.get("SPARK_GRAFT_STATE_PARTITIONS"))
+      .map(_.toInt).getOrElse(default)
+
   private def withStatePartitions(s: SparkSession, n: Int)(
       body: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -136,7 +149,7 @@ object StreamingQueries extends QuerySet {
         val in = stageDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s1_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s1", 4)) {
           StreamingOps.windowedAgg(
               StreamingOps.parquetStream(s, in, schema), "1 day", "1 hour")
             .writeStream.outputMode("complete")
@@ -228,7 +241,7 @@ object StreamingQueries extends QuerySet {
         val in = stageDocsDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s4_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s4", 4)) {
           StreamingOps.parquetStream(s, in, schema)
             .withColumn("h", xxhash64(lower(col("text"))))
             .dropDuplicates("source", "h")
@@ -255,7 +268,7 @@ object StreamingQueries extends QuerySet {
         val in = stageDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s5_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s5", 4)) {
           StreamingOps.parquetStream(s, in, schema)
             .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
             .agg(count(lit(1)).as("n_events"))
@@ -304,7 +317,7 @@ object StreamingQueries extends QuerySet {
         val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s11_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s11", 4)) {
           StreamingOps.sessionWindowAppend(
               StreamingOps.parquetStream(s, in, schema,
                 maxFilesPerTrigger = Some(1)),
@@ -355,7 +368,7 @@ object StreamingQueries extends QuerySet {
         val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s6_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 2) {
+        val q = withStatePartitions(s, stateParts("s6", 2)) {
           StreamingOps.clickPurchaseJoin(s, in, schema,
               lateness = "25 hours", maxFilesPerTrigger = Some(1))
             .writeStream.outputMode("append")
@@ -433,7 +446,7 @@ object StreamingQueries extends QuerySet {
         val ds = StreamingOps.parquetStream(s, in, schema)
           .select(col("user_id"), col("event_type"), col("value"))
           .as[StreamingOps.UserEvent]
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s2", 4)) {
           StreamingOps.runningUserTotals(ds)
             .writeStream.outputMode("update")
             .format("memory").queryName(table)
@@ -473,7 +486,7 @@ object StreamingQueries extends QuerySet {
         val in = stageOrderedDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s9_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s9", 4)) {
           StreamingOps.parquetStream(s, in, schema,
               maxFilesPerTrigger = Some(1))
             .withColumn("day", date_trunc("day", col("ts")))
@@ -574,6 +587,7 @@ object StreamingQueries extends QuerySet {
     // round trip) is oracle-checkable.
     Q("s10_stream_curation",
       (s, dir) => {
+        graft.sql.TextCounts.register(s)
         val in = stageDocsDir(s, dir)
         val schema = s.read.parquet(in).schema
         val n = nameCounter.incrementAndGet()
@@ -583,7 +597,7 @@ object StreamingQueries extends QuerySet {
           StreamingOps.parquetStream(s, in, schema)
             .selectExpr("doc_id", "source",
               "CAST(length(text) AS BIGINT) AS n_chars",
-              s"CAST(${graft.pipeline.TextOps.wordCountSql} AS BIGINT) AS n_words")
+              s"CAST(${graft.pipeline.TextOps.wordCountNativeSql} AS BIGINT) AS n_words")
             .withColumn("avg_word_len",
               (col("n_chars") - col("n_words") + 1).cast("double") /
                 col("n_words"))
@@ -632,7 +646,7 @@ object StreamingQueries extends QuerySet {
         val in = stageDocsDir(s, dir)
         val schema = s.read.parquet(in).schema
         val table = s"s13_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s13", 4)) {
           // one file per micro-batch: the sketch state MUST merge
           // across batches, not get built in a single pass
           StreamingOps.parquetStream(s, in, schema,
@@ -753,7 +767,7 @@ object StreamingQueries extends QuerySet {
         }
         val schema = s.read.parquet(in).schema
         val table = s"s15_out_${nameCounter.incrementAndGet()}"
-        val q = withStatePartitions(s, 4) {
+        val q = withStatePartitions(s, stateParts("s15", 4)) {
           StreamingOps.parquetStream(s, in, schema,
               maxFilesPerTrigger = Some(1))
             .select(col("event_type"),

@@ -40,6 +40,10 @@ object GraftExtensions {
       Grams5Distinct.build),
     ("grams5_hist", "grams5_hist(text, mod) - 5-gram counts bucketed by code % mod",
       Grams5Hist.build),
+    ("word_count", "word_count(text) - single-space word count (spaces + 1)",
+      TextCounts.buildWordCount),
+    ("marker_count", "marker_count(text, w) - space-padded marker-word occurrences",
+      TextCounts.buildMarkerCount),
     ("intersect_count", "intersect_count(a, b) - linear-merge |a ∩ b| of sorted arrays",
       IntersectCount.build),
     ("minhash_bands", "minhash_bands(text, k, bandSize) - LSH band signatures",
